@@ -1,0 +1,370 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator coverage over the star schema: scans with
+  * pushdown, hash aggregation, broadcast/shuffle joins, semi/anti joins,
+  * window functions, top-k, set operations, rollup.
+  *
+  * Each query re-expresses a reference capability (SURVEY.md §2) Spark-first.
+  * Scale notes are inline: at 100 TB the fact table (`lineitem`) is the only
+  * table that cannot be broadcast; every plan here either broadcasts the dim
+  * side or shuffles exclusively on the aggregation/join key with map-side
+  * partial aggregation.
+  */
+object CoreRelational {
+
+  /** Exact money arithmetic: DECIMAL sums are associative, so results are
+    * identical under any partitioning — and identical to the DuckDB oracle.
+    */
+  private val dec18 = DecimalType(18, 2)
+  private val dec28 = DecimalType(28, 8)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // TPC-H Q1 shape = reference A1/A5 (grouped aggregates over the fact
+    // table). One shuffle on the (tiny-cardinality) group key; partial
+    // aggregation makes the shuffle O(groups), not O(rows).
+    QuerySpec(
+      "q01_pricing_summary",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec18)).cast("double").as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec28))
+              .cast("double").as("sum_disc_price"),
+            (sum(col("l_quantity").cast(dec18)).cast("double") / count(lit(1)))
+              .as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q02
+    // Scan + filter + projection (reference S4/F-family): predicates and the
+    // 4-column ReadSchema must reach the parquet scan (PushedFilters).
+    QuerySpec(
+      "q02_scan_filter_project",
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp") &&
+                  col("l_quantity") < 3)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                  col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_quantity < 3
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- q03
+    // Fact ⋈ small dim (reference J1): the dim is explicitly broadcast —
+    // at 100 TB `part` stays in the MB–GB range, so a broadcast hash join
+    // avoids shuffling the fact table entirely.
+    QuerySpec(
+      "q03_join_broadcast",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val p  = T.part(s, d)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_size") <= 10)
+          .groupBy(col("p_brand"))
+          .agg(sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand ORDER BY p_brand"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q04
+    // 5-way star join (TPC-H Q5 shape): region/nation broadcast; the
+    // customer⋈orders⋈lineitem chain shuffles on the join keys once each.
+    QuerySpec(
+      "q04_join_multiway",
+      (s, d) => {
+        val c = T.customer(s, d); val o = T.orders(s, d); val l = T.lineitem(s, d)
+        val n = T.nation(s, d);   val r = T.region(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+                  col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec28))
+                 .cast("double").as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY n_name"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q05
+    // Left-semi join = EXISTS (reference J3's "is it already there" shape).
+    QuerySpec(
+      "q05_semi_join",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val l = T.lineitem(s, d).filter(col("l_quantity") > 45)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q06
+    // Left-anti join = NOT EXISTS — the Spark-native idempotent-insert /
+    // FK-audit shape (reference J3/J4, ON CONFLICT DO NOTHING).
+    QuerySpec(
+      "q06_anti_join",
+      (s, d) => {
+        val c = T.customer(s, d); val o = T.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q07
+    // Windowed top-k per group (reference A8's top-1 generalized): the sort
+    // key includes the unique o_orderkey tiebreaker so results are stable.
+    QuerySpec(
+      "q07_window_topk_per_group",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---------------------------------------------------------------- q08
+    // Running sum + lag over an ordered per-key frame. The running sum goes
+    // through DECIMAL so the cumulative value is order-exact on both engines.
+    QuerySpec(
+      "q08_window_running_lag",
+      (s, d) => {
+        val o = T.orders(s, d).filter(col("o_custkey") < 100)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(col("o_totalprice").cast(dec18))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_total"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+          LAG(o_totalprice, 1) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q09
+    // First-seen-per-key dedup (reference A3: first stop event per trip in
+    // arrival order). Arrival order here = (ts, event_id), carried explicitly
+    // because dropDuplicates alone is order-unstable across partitions.
+    QuerySpec(
+      "q09_dedup_first_seen",
+      (s, d) => {
+        val e = T.events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q10
+    // Global top-k (reference A8): Spark plans TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge on the driver; no full sort.
+    QuerySpec(
+      "q10_topk_orders",
+      (s, d) =>
+        T.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q11
+    // UNION (distinct) across two sources.
+    QuerySpec(
+      "q11_union",
+      (s, d) => {
+        val c = T.customer(s, d).select(col("c_nationkey").as("nk"), lit("cust").as("side"))
+        val p = T.supplier(s, d).select(col("s_nationkey").as("nk"), lit("supp").as("side"))
+        c.union(p).distinct().orderBy(col("nk"), col("side"))
+      },
+      Some("""SELECT c_nationkey AS nk, 'cust' AS side FROM customer
+        UNION
+        SELECT s_nationkey AS nk, 'supp' AS side FROM supplier
+        ORDER BY nk, side""")),
+
+    // ---------------------------------------------------------------- q12
+    QuerySpec(
+      "q12_intersect",
+      (s, d) =>
+        T.customer(s, d).select(col("c_nationkey").as("nk"))
+          .intersect(T.supplier(s, d).select(col("s_nationkey").as("nk")))
+          .orderBy(col("nk")),
+      Some("""SELECT c_nationkey AS nk FROM customer
+        INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    // ---------------------------------------------------------------- q13
+    QuerySpec(
+      "q13_except",
+      (s, d) =>
+        T.nation(s, d).select(col("n_nationkey").as("nk"))
+          .except(T.supplier(s, d).select(col("s_nationkey").as("nk")))
+          .orderBy(col("nk")),
+      Some("""SELECT n_nationkey AS nk FROM nation
+        EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    // ---------------------------------------------------------------- q14
+    // ROLLUP grouping sets; NULLS FIRST pinned to match Spark's ASC default.
+    QuerySpec(
+      "q14_rollup",
+      (s, d) =>
+        T.orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec18)).cast("double").as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+                   col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q15
+    // Table profile (reference A5–A7): counts, exact distincts, extremes.
+    // At 100 TB the exact countDistinct becomes approx_count_distinct
+    // (see q16_approx_distinct, rows-only checked).
+    QuerySpec(
+      "q15_profile",
+      (s, d) =>
+        T.lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          max(col("l_quantity")).as("max_qty"),
+          (sum(col("l_extendedprice").cast(dec18)).cast("double") / count(lit(1)))
+            .as("avg_price")),
+      Some("""SELECT COUNT(*) AS n_rows,
+          COUNT(DISTINCT l_suppkey) AS n_supp,
+          COUNT(DISTINCT l_partkey) AS n_part,
+          MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+          MAX(l_quantity) AS max_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM lineitem""")),
+
+    // ---------------------------------------------------------------- q16
+    // The 100 TB-scale variant of q15's distinct counts: HLL++ sketch, one
+    // pass, O(1) state per partition. No DuckDB oracle (different sketch) —
+    // rows-only check; the ScalaTest spec asserts the estimate is within 5%
+    // of the exact count.
+    QuerySpec(
+      "q16_approx_distinct",
+      (s, d) =>
+        T.lineitem(s, d).agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
+      None),
+
+    // ---------------------------------------------------------------- q17
+    // Longest-duration entity (reference A8, "longest trip"): per-key
+    // min/max timestamps, duration, global top-1 with unique tiebreak.
+    QuerySpec(
+      "q17_longest_duration",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg((unix_timestamp(max(col("l_shipdate"))) -
+                unix_timestamp(min(col("l_shipdate")))).as("dur_sec"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("dur_sec").desc, col("l_orderkey"))
+          .limit(5),
+      Some("""SELECT l_orderkey,
+          DATE_DIFF('second', MIN(l_shipdate), MAX(l_shipdate)) AS dur_sec,
+          COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY dur_sec DESC, l_orderkey LIMIT 5""")),
+
+    // ---------------------------------------------------------------- q18
+    // Day-of-week profile (reference A9 + P4's weekday/Saturday/Sunday
+    // service-key derivation, with the Python-weekday → Spark-dayofweek
+    // remap handled via explicit day names).
+    QuerySpec(
+      "q18_dow_profile",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "EEEE").as("dow"))
+          .agg(count(lit(1)).as("n_orders"),
+               (sum(col("o_totalprice").cast(dec18)).cast("double") / count(lit(1)))
+                 .as("avg_price"))
+          .orderBy(col("dow")),
+      Some("""SELECT dayname(o_orderdate) AS dow, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM orders GROUP BY 1 ORDER BY dow"""))
+  )
+}
