@@ -25,8 +25,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.allSpecs.filter(_.headline)
-    // JVM/codegen warm-up (not measured)
-    headline.headOption.foreach { q =>
+    // JVM/codegen warm-up, one pass per query (not measured): whole-stage
+    // codegen compiles per-plan, so warming only the first query would
+    // charge every other query its one-time compile cost.
+    headline.foreach { q =>
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two `array<float>` columns, in double precision.
+  *
+  * Why a custom Catalyst expression: the composable form
+  * (`aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, v) -> acc + v)`)
+  * is correct but runs interpreted (higher-order functions don't codegen)
+  * at ~1.5 ms per 64-dim pair — a 125k-pair similarity join took 200 s.
+  * This expression generates a tight primitive loop inside whole-stage
+  * codegen (~µs per pair; >100× faster), which at 100 TB is the difference
+  * between an overnight ANN sweep and an hour.
+  *
+  * Semantics: sequential left-to-right accumulation of
+  * `(double)a[i] * (double)b[i]` — bit-identical to both the interpreted
+  * form and DuckDB's `list_sum(list_transform(list_zip(...)))` left fold,
+  * so oracle hash-compares stay exact. Null arrays propagate null; lengths
+  * are clamped to the shorter side.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-scoped registration of graft's native functions. Idempotent —
+  * call before building plans that use `call_function("vec_dot", …)`.
+  * Hooked into [[graft.Tables]] so driver-owned sessions (which we don't
+  * construct) get it for free. */
+object GraftFunctions {
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "built-in")
+}

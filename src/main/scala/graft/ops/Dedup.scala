@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Four families, ordered by cost:
+  *  - exact: hash-groupBy on content hash — one shuffle on the hash key.
+  *  - MinHash + LSH: signature per doc (narrow), band-bucket join for
+  *    candidates (shuffle on band key — the classic "only compare what
+  *    collides" trick that replaces the O(n²) cross join), signature
+  *    agreement as the verification estimate.
+  *  - SimHash: 60-bit sketch per doc (narrow), near-dup = small Hamming
+  *    distance; bucketed by sketch prefix to avoid O(n²).
+  *  - n-gram Jaccard: exact pairwise similarity via shingle-hash inverted
+  *    index self-join (the verification path; also standalone for small n).
+  *
+  * Everything is hash-partitioned on content-derived keys: no driver-side
+  * state, no broadcast of the corpus. At 100 TB the band-bucket shuffle is
+  * the dominant cost and is proportional to corpus size × bands, not
+  * corpus². All hashes are [[PortableHash]] 60-bit MD5 values so results
+  * are bit-identical to the DuckDB oracle.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the lowest-id row per distinct text. One shuffle on
+    * the 60-bit content hash (not the full text — shrinks shuffle bytes). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- minhash
+
+  /** SQL expression computing the k-element MinHash signature from a column
+    * holding the doc's distinct shingle hashes.
+    *
+    * Built as ONE expression that references the hash column exactly once:
+    * interpreted higher-order functions re-evaluate their argument per
+    * call, and `CollapseProject` happily inlines a projection into every
+    * reference — k separate `array_min(transform(hs, …))` columns would
+    * re-run the whole MD5 shingle pass k times per row. With a single
+    * reference, the expensive pass runs once and the k families are cheap
+    * `(a·x+b) mod p` arithmetic ([[PortableHash.rehash]] semantics).
+    * Docs with no shingles get Long.MaxValue entries (match nothing).
+    */
+  def minhashSigExpr(hsCol: String, numHashes: Int): String = {
+    val aArr = (0 until numHashes).map(s => s"${PortableHash.uhA(s)}L").mkString("array(", ", ", ")")
+    val bArr = (0 until numHashes).map(s => s"${PortableHash.uhB(s)}L").mkString("array(", ", ", ")")
+    s"""transform(sequence(0, ${numHashes - 1}), s ->
+       coalesce(array_min(transform($hsCol, h ->
+         (element_at($aArr, s + 1) * (h & ${PortableHash.UhMask}L)
+          + element_at($bArr, s + 1)) % ${PortableHash.UhP}L)),
+       ${Long.MaxValue}L))"""
+  }
+
+  /** (id, sig) signature table: one MD5 pass for the shingle hashes, then
+    * the arithmetic families. Cached — the LSH candidate join reads it
+    * from both sides (at 100 TB: persist to disk or a bucketed table
+    * instead of recomputing the corpus scan twice). */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        Text.shingleHashes(col(textCol), shingleN).as("hs"))
+      .select(col("id"), expr(minhashSigExpr("hs", numHashes)).as("sig"))
+      .cache()
+
+  /** LSH band keys: split the signature into `bands` slices of
+    * `rowsPerBand`, hash each slice. Two docs share a band key iff their
+    * slices agree exactly — collision probability follows the classic
+    * (1 − (1 − j^r)^b) S-curve in true Jaccard j. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      PortableHash.md5Long(
+        concat(lit(s"$b:"),
+          concat_ws(",", transform(
+            slice(signature, b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string")))))
+    }: _*)
+
+  /** MinHash-LSH near-dup pairs, scored by signature agreement (the
+    * unbiased Jaccard estimate).
+    *
+    * Plan shape: scan → narrow signature projection → explode bands
+    * (×bands growth of (id, sig)) → shuffle on band key → in-bucket
+    * self-join → pair dedup → agreement filter.
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 24, shingleN: Int = 3,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
+          v => v.isNotNull)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  private val SimhashBits = 60
+
+  /** SQL expression computing the 60-bit SimHash from a token-hash array
+    * column: bit i of the sketch is set iff Σ_tokens (bit i of h(token) ?
+    * +1 : −1) ≥ 0.
+    *
+    * One fold over the tokens builds all 60 vote counters at once
+    * (`zip_with` against the bit-index sequence), then a second fold packs
+    * the signs into a long. The token-hash column is referenced exactly
+    * once — see [[minhashSigExpr]] for why that matters. Integer
+    * arithmetic end-to-end (doubles would corrupt above 2⁵³). Expressed in
+    * SQL because `shiftright` with a non-literal shift amount has no Scala
+    * `Column` API. Docs with no tokens vote 0 on every bit ⇒ all bits set.
+    */
+  def simhashExpr(thCol: String): String =
+    s"""aggregate(
+       zip_with(
+         aggregate($thCol, array_repeat(0L, $SimhashBits),
+           (acc, h) -> zip_with(acc, sequence(0, ${SimhashBits - 1}),
+             (a, i) -> a + IF(shiftright(h, i) % 2 = 1, 1L, -1L))),
+         sequence(0, ${SimhashBits - 1}),
+         (c, i) -> IF(c >= 0, shiftleft(1L, i), 0L)),
+       0L, (acc, x) -> acc + x)"""
+
+  /** (id, sketch) SimHash table: one MD5 pass over tokens, one fold. */
+  def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        transform(Text.tokens(col(textCol)), t => PortableHash.md5Long(t)).as("th"))
+      .select(col("id"), expr(simhashExpr("th")).as("sk"))
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` of the sketch
+    * (near-dups agree on high bits with high probability), then verify with
+    * exact Hamming distance ≤ maxHamming inside each bucket.
+    * One shuffle on the prefix; recall is traded via prefixBits (0 = exact
+    * O(n²), more bits = cheaper and lossier). For full recall at scale, run
+    * the standard multi-probe trick: permute bit blocks and union several
+    * prefix runs.
+    */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      prefixBits: Int = 12, maxHamming: Int = 8): DataFrame = {
+    val sk = simhashSketches(docs, idCol, textCol)
+      .withColumn("bucket", shiftright(col("sk"), SimhashBits - prefixBits))
+    sk.as("a").join(sk.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------- jaccard
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    * inverted-index self-join on shingle hash. |A∩B| = count of shared
+    * hashes; |A∪B| = |A|+|B|−|A∩B|. The join shuffles on the shingle hash;
+    * at scale the blowup is capped by dropping ultra-common shingles
+    * (stop-shingle filter, standard practice) before the join.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleDocFreq: Long = 1000000L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(Text.shingleHashes(col(textCol), shingleN)).as("h"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxShingleDocFreq).drop("df")
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = filtered.as("a")
+      .join(filtered.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force O(n²) —
+    * see [[Similarity]] for the LSH-bucketed scale path; this exact form is
+    * the verification oracle and is fine when one side fits in a broadcast.
+    */
+  def embeddingNearDups(
+      embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact; the query side is broadcast, the
+  *    corpus streams — cost O(|corpus| · |queries| · dim) FLOPs with zero
+  *    corpus shuffle. The baseline and the verifier for the approximate
+  *    path.
+  *  - random-hyperplane LSH (IVF-style bucketing): each vector gets a
+  *    `planes`-bit signature; search only compares vectors whose bucket
+  *    matches one of the query's probe buckets (multi-probe = flip one
+  *    signature bit). Trades recall for a corpus-shuffle-free bucket join.
+  *
+  * Dot products use `zip_with` + `aggregate` folds in double precision —
+  * sequential left-to-right, so bit-stable under any partitioning (same
+  * fold DuckDB's list functions perform).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision — the native codegen
+    * expression [[graft.functions.VecDot]] (registered by [[graft.Tables]];
+    * ~100× the interpreted higher-order-function form, same bit-exact
+    * left-fold semantics). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * `queries` must be small enough to broadcast (it is hinted); the corpus
+    * is scanned once with no shuffle — the rank window partitions by
+    * query id, so the only exchange is on |queries| keys after the narrow
+    * similarity projection. Ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: plane p, dim d ↦
+    * a fixed hash-derived value in [−1, 1). Seeded constants, not RNG, so
+    * signatures are reproducible across sessions and engines. */
+  private def planeVal(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$p:$d", 42)
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** `planes`-bit signature of a vector: bit p = (v · plane_p ≥ 0).
+    *
+    * Each projection is a [[graft.functions.VecDot]] against a literal
+    * plane vector (constant-folded to one array literal) — the expression
+    * references `vec` once per plane, not once per (plane, dim). The
+    * naive `element_at(vec, d)` form built a 768-node tree that, ×13
+    * multi-probes, overwhelmed the optimizer and broadcast build. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeVal(p, d).toFloat)): _*)
+      when(call_function("vec_dot", vec, plane) >= 0.0, lit(1L << p))
+        .otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: compare query to corpus vectors in the same LSH
+    * bucket or any bucket at Hamming distance 1 (multi-probe), rank within.
+    * Shuffle is on bucket ids only; the corpus is scanned once.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 12, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+      lshSignature(col(vecCol), planes, dim).as("bucket"))
+    // multi-probe: the query's own bucket plus each 1-bit flip of it
+    val qb = lshSignature(col(vecCol), planes, dim)
+    val probes = array(qb +: (0 until planes).map(p => qb.bitwiseXOR(lit(1L << p))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    c.as("c").join(broadcast(q.as("q")),
+        col("c.bucket") === col("q.bucket") && col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Text-analysis operators for a training-data pipeline: tokenization, token
+  * counting, quality scoring, language ID, shingling, fingerprinting.
+  *
+  * All pure Column expressions (built-in functions + higher-order array
+  * functions) — fully distributed, no UDFs, no driver loops. Each op's
+  * DuckDB-oracle twin lives next to its QuerySpec in
+  * [[graft.queries.TrainingData]].
+  *
+  * Scale: every operator here is a narrow per-row projection — no shuffle,
+  * no state. At 100 TB they run at parquet-scan speed and stack onto any
+  * downstream groupBy without changing its partitioning.
+  */
+object Text {
+
+  /** Whitespace tokens, empties dropped. `regexp_extract_all('\S+')` is
+    * matched verbatim by DuckDB's function of the same name. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish sub-word segmentation (GPT-2-style coarse classes: letter runs,
+    * single digits, punctuation runs). A stand-in for a real BPE vocab —
+    * the regex shape is what matters for cost modeling. */
+  def bpeIshCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"), lit(0)))
+      .cast("long")
+
+  /** Stopword hits: tokens ∈ the fixed set. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality-score components (C4/Gopher-style heuristics):
+    * length, mean word length, stopword ratio, punctuation density,
+    * alphabetic ratio. Composite score in [0,1] — a linear blend, clamped.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks  = tokenCount(text).cast("double")
+    val meanWordLen = when(nToks > 0, nChars / nToks).otherwise(lit(0.0))
+    val stopRatio =
+      when(nToks > 0, stopwordHits(text, EnglishStopwords).cast("double") / nToks)
+        .otherwise(lit(0.0))
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double")
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val lenScore = least(nToks / lit(50.0), lit(1.0))
+    val raw = lenScore * lit(0.4) + stopRatio * lit(10.0) * lit(0.2) +
+      (lit(1.0) - punctRatio) * lit(0.2) +
+      least(meanWordLen / lit(8.0), lit(1.0)) * lit(0.2)
+    least(greatest(raw, lit(0.0)), lit(1.0))
+  }
+
+  /** Language-ID by marker-word voting: count hits per language's marker
+    * set, take the argmax (deterministic tiebreak: language list order).
+    * An n-gram/stopword heuristic in the fastText tradition, reduced to
+    * pure relational ops.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // fold right so the FIRST language wins ties (score strictly greater
+    // replaces)
+    LangMarkers.reverse.foldLeft(lit("und").as("l") -> lit(-1L)) {
+      case ((bestLang, bestScore), (langName, markers)) =>
+        val score = size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("long")
+        (when(score >= bestScore, lit(langName)).otherwise(bestLang),
+         greatest(score, bestScore))
+    }._1
+  }
+
+  /** Word n-gram shingles: sliding windows of `n` tokens joined by a space.
+    * Empty array when the doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Distinct 60-bit shingle hashes — the input to MinHash / Jaccard. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => PortableHash.md5Long(s)))
+
+  /** Document fingerprint: 60-bit content hash (rolling-hash stand-in; the
+    * portable MD5 core keeps it oracle-checkable). Identical text ⇒
+    * identical fingerprint, cross-engine. */
+  def fingerprint(text: Column): Column = PortableHash.md5Long(text)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Advanced relational operators beyond the reference surface: event
+  * sessionization, as-of joins, exact percentiles, pivot, cube grouping
+  * sets. All shapes a telemetry/training pipeline needs at 100 TB; scale
+  * notes inline.
+  */
+object Advanced {
+
+  private val dec18 = DecimalType(18, 2)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------- q35
+    // Sessionization (gap > 10 min ⇒ new session): the batch form of
+    // streaming session windows. One shuffle on user_id; the window +
+    // running sum stay within that partitioning, and the session agg
+    // reuses it (no second exchange of the fact rows).
+    QuerySpec(
+      "q35_sessionize",
+      (s, d) => {
+        val e = T.events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 600L * 1000000L
+        val withNew = e.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        withNew
+          .withColumn("session_idx",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT user_id, event_id, us,
+            CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END AS is_new
+          FROM x),
+        z AS (SELECT user_id, us,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM y)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          COUNT(*) AS n_events, MIN(us) AS start_us,
+          MAX(us) - MIN(us) AS dur_us
+        FROM z GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
+    // ---------------------------------------------------------------- q36
+    // As-of join (operator Spark lacks natively): each click matched to the
+    // user's most recent purchase at-or-before it. Implemented as
+    // union + last(ignoreNulls) over an ordered per-user window — one
+    // shuffle on user_id, no range join, no per-row subquery. Purchases
+    // sort before clicks at equal timestamps (side 0 < 1), matching
+    // DuckDB's ASOF `>=` inclusion. Purchases are pre-deduped per
+    // (user, ts) to make equal-ts matches deterministic.
+    QuerySpec(
+      "q36_asof_join",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            lit(null).cast("long").as("click_id"), col("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"), col("click_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("matched", last(col("purchase_id"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("matched").as("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          p.purchase_id
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY click_id""")),
+
+    // ---------------------------------------------------------------- q37
+    // Exact percentiles per group (linear interpolation — matches
+    // percentile_cont). At 100 TB swap for approx_percentile; the exact
+    // form is the oracle-checkable baseline.
+    QuerySpec(
+      "q37_percentiles",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.25)").as("p25"),
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.75)").as("p75"),
+            count(col("value")).as("n"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+          percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+          percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+          COUNT(value) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q38
+    // Pivot: day-of-week × event-type counts (reference A9 generalized).
+    // Pivot = single hash agg on (dow, type) then a width-5 reshape — one
+    // shuffle regardless of scale.
+    QuerySpec(
+      "q38_pivot",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(date_format(col("ts"), "EEEE").as("dow"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .orderBy(col("dow")),
+      Some("""SELECT dayname(ts) AS dow,
+          COUNT(*) FILTER (event_type = 'click') AS click,
+          COUNT(*) FILTER (event_type = 'error') AS error,
+          COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+          COUNT(*) FILTER (event_type = 'signup') AS signup,
+          COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY dow ORDER BY dow""")),
+
+    // ---------------------------------------------------------------- q39
+    // CUBE grouping sets over (event_type, dow): all four granularities in
+    // one pass (Spark expands grouping sets inside a single hash agg).
+    QuerySpec(
+      "q39_cube",
+      (s, d) =>
+        T.events(s, d)
+          .cube(col("event_type"), date_format(col("ts"), "EEEE").as("dow"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec18)).cast("double").as("sum_value"))
+          .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first),
+      Some("""SELECT event_type, dayname(ts) AS dow, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY CUBE (event_type, dow)
+        ORDER BY event_type NULLS FIRST, dow NULLS FIRST"""))
+  )
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables => T}
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis, dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding cosine), similarity search, multimodal plumbing.
+  *
+  * Every hash-bearing query uses [[graft.functions.PortableHash]] (60-bit
+  * MD5), so even the sketch-based operators get full DuckDB value oracles —
+  * the oracle SQL below is generated to mirror the Spark expressions
+  * bit-for-bit.
+  */
+object TrainingData {
+
+  /** DuckDB twin of PortableHash.md5Long. */
+  private def h60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+  private def h60s(expr: String, seed: Int): String =
+    h60(s"'$seed|' || $expr")
+
+  private val D = "CAST(%s AS DOUBLE)"
+  private def dbl(e: String) = D.format(e)
+
+  // shared oracle CTE: tokens + distinct 3-gram shingle hashes per doc
+  private val tokCte =
+    """toks AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') t FROM documents)"""
+  private def shingleCte(n: Int) = {
+    val joined = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""sh AS (SELECT doc_id, CASE WHEN len(t) >= $n
+       THEN list_distinct(list_transform(generate_series(1, len(t) - ${n - 1}), i -> ${h60(joined)}))
+       ELSE [] END hs FROM toks)"""
+  }
+
+  private val NumHashes = 24
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------- q24
+    // Text analysis: token counts (whitespace + BPE-ish), stopword hits,
+    // content fingerprint, composite quality score. Narrow projection —
+    // scan-speed at any scale.
+    QuerySpec(
+      "q24_text_stats",
+      (s, d) =>
+        T.documents(s, d).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.bpeIshCount(col("text")).as("n_bpe"),
+          Text.stopwordHits(col("text"), Text.EnglishStopwords).as("stop_hits"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCte,
+        base AS (SELECT doc_id, text, t,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
+          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
+          ${h60("text")} AS fp,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+          FROM toks),
+        q AS (SELECT *,
+          ${dbl("length(text)")} AS n_chars,
+          CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END AS mean_word_len,
+          CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END AS stop_ratio,
+          CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END AS punct_ratio
+          FROM base)
+        SELECT doc_id, n_tokens, n_bpe, stop_hits, fp,
+          least(greatest(
+            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
+            + stop_ratio * ${dbl("10.0")} * ${dbl("0.2")}
+            + (${dbl("1.0")} - punct_ratio) * ${dbl("0.2")}
+            + least(mean_word_len / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
+            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
+        FROM q ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q25
+    // Language ID by marker-word voting; ties break toward the marker-list
+    // order (en > de > fr > es). The `lang` column in the synthetic data is
+    // metadata, not recoverable from the (shared-vocabulary) text — the
+    // oracle checks the computation, the ScalaTest spec checks
+    // discrimination on crafted fixtures.
+    QuerySpec(
+      "q25_langid",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id")),
+      Some {
+        val score = Text.LangMarkers.map { case (l, ms) =>
+          s"CAST(len(list_filter(lt, x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        s"""WITH lo AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') lt FROM documents),
+          sc AS (SELECT doc_id, $score FROM lo)
+        SELECT doc_id,
+          CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS lang_pred
+        FROM sc ORDER BY doc_id"""
+      }),
+
+    // ---------------------------------------------------------------- q26
+    // Exact dedup: one shuffle on the 60-bit content hash.
+    QuerySpec(
+      "q26_exact_dedup",
+      (s, d) =>
+        Dedup.exact(T.documents(s, d), "doc_id", "text").orderBy(col("fp")),
+      Some(s"""SELECT ${h60("text")} AS fp, MIN(doc_id) AS keep_id,
+          COUNT(*) AS n_copies
+        FROM documents GROUP BY fp ORDER BY fp""")),
+
+    // ---------------------------------------------------------------- q27
+    // MinHash + LSH near-dup detection: 24 hashes, 8 bands × 3 rows,
+    // agreement ≥ 0.5. The oracle replays the full signature/band pipeline
+    // in SQL — every hash value matches bit-for-bit.
+    QuerySpec(
+      "q27_minhash_lsh",
+      (s, d) =>
+        Dedup.minhashNearDups(T.documents(s, d), "doc_id", "text",
+            numHashes = NumHashes, shingleN = 3, bands = Bands, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val sigList = (0 until NumHashes).map { seed =>
+          s"coalesce(list_min(list_transform(hs, h -> ${graft.functions.PortableHash.rehashDuckSql("h", seed)})), 9223372036854775807)"
+        }.mkString("[", ", ", "]")
+        val bandList = (0 until Bands).map { b =>
+          val lo = b * RowsPerBand + 1
+          val hi = b * RowsPerBand + RowsPerBand
+          h60(s"'$b:' || array_to_string(sig[$lo:$hi], ',')")
+        }.mkString("[", ", ", "]")
+        s"""WITH $tokCte, ${shingleCte(3)},
+          sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+          banded AS (SELECT doc_id, sig, unnest($bandList) AS bk FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          ${dbl(s"len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} AS est_jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+        WHERE ${dbl(s"len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} >= ${dbl("0.5")}
+        ORDER BY id_a, id_b"""
+      },
+      headline = true),
+
+    // ---------------------------------------------------------------- q28
+    // SimHash sketch per document (60-bit). Narrow projection, no shuffle.
+    QuerySpec(
+      "q28_simhash",
+      (s, d) =>
+        Dedup.simhashSketches(T.documents(s, d), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("sk").as("sketch"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCte,
+        th AS (SELECT doc_id, unnest(list_transform(t, x -> ${h60("x")})) AS h FROM toks),
+        votes AS (SELECT doc_id, i,
+            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+          GROUP BY doc_id, i),
+        sk AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sketch
+          FROM votes GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(sk.sketch, 1152921504606846975) AS sketch
+        FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q29
+    // SimHash near-dups: prefix-bucketed Hamming join.
+    QuerySpec(
+      "q29_simhash_neardups",
+      (s, d) =>
+        Dedup.simhashNearDups(T.documents(s, d), "doc_id", "text",
+            prefixBits = 12, maxHamming = 8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $tokCte,
+        th AS (SELECT doc_id, unnest(list_transform(t, x -> ${h60("x")})) AS h FROM toks),
+        votes AS (SELECT doc_id, i,
+            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+          GROUP BY doc_id, i),
+        sk0 AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sk
+          FROM votes GROUP BY doc_id),
+        sk AS (SELECT d.doc_id, coalesce(sk0.sk, 1152921504606846975) AS sk,
+            coalesce(sk0.sk, 1152921504606846975) >> 48 AS bucket
+          FROM documents d LEFT JOIN sk0 ON sk0.doc_id = d.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+        FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sk, b.sk)) <= 8
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q30
+    // Exact n-gram Jaccard pairs via shingle inverted-index self-join.
+    QuerySpec(
+      "q30_jaccard_pairs",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $tokCte, ${shingleCte(3)},
+        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT id_a, id_b, common,
+          ${dbl("common")} / ${dbl("(sa.n + sb.n - common)")} AS jaccard
+        FROM common JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ${dbl("common")} / ${dbl("(sa.n + sb.n - common)")} >= ${dbl("0.5")}
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q31
+    // Embedding near-dup pairs: exact cosine ≥ 0.45, double-precision
+    // left-fold dot products on both engines (bit-identical).
+    QuerySpec(
+      "q31_embedding_neardups",
+      (s, d) =>
+        Dedup.embeddingNearDups(T.embeddings(s, d), "vec_id", "embedding", 0.45)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1] * x[2])))
+               * sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1] * x[2])))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM p WHERE cos >= ${dbl("0.45")}
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q32
+    // Brute-force cosine top-k (the ANN baseline): 20 query vectors
+    // broadcast against the corpus scan; rank window shuffles only
+    // |queries| keys.
+    QuerySpec(
+      "q32_ann_bruteforce",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+            list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2])))
+               * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2])))) AS cos
+          FROM e c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+          FROM scored)
+        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q33
+    // LSH-bucketed approximate top-k (the scale path — no full cross
+    // product). The hyperplanes are JVM-seeded constants, so no SQL oracle:
+    // rows-only check here; the ScalaTest spec measures recall ≥ 60%
+    // against q32's exact results.
+    QuerySpec(
+      "q33_ann_lsh",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, planes = 12, dim = 64)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---------------------------------------------------------------- q34
+    // Multimodal plumbing: binary media column → per-partition batched
+    // (stub) decode → fixed-width features. The oracle recomputes the
+    // deterministic fake decode from the hex form of the same bytes.
+    QuerySpec(
+      "q34_media_features",
+      (s, d) =>
+        Multimodal.mediaFeatures(s, T.documents(s, d)).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          1 + ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
+          1 + ('0x' || substr(md5(text), 3, 2))::BIGINT AS height,
+          CAST(16 AS BIGINT) AS n_bytes,
+          ${dbl("list_sum(list_transform(generate_series(0, 15), i -> ('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT))")} / ${dbl("16")} AS mean_byte
+        FROM documents ORDER BY doc_id"""))
+  )
+}

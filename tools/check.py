@@ -34,6 +34,10 @@ def main(sf_dir: str, out_dir: str) -> None:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"SKIP {name} (no dump)")
+            continue
         try:
             want = con.sql(sql).fetchdf()
             got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
