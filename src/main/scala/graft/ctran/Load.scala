@@ -1,0 +1,96 @@
+package graft.ctran
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch load paths (reference load_inserts.py / update_inserts.py) onto
+  * Parquet-backed tables.
+  *
+  * Layout decision (SURVEY §7.4.5): BreadCrumb is partitioned by
+  * `opd_date` so the hotspot query's date predicates prune partitions —
+  * at 100 TB this is the difference between scanning one service day and
+  * scanning the fleet's history. Trip is a single small dimension table.
+  *
+  * Idempotency: the reference's `ON CONFLICT DO NOTHING` becomes a
+  * left-anti join against existing keys (J3) — the Spark-native
+  * insert-if-absent. The stop-event path is the reference's keyed UPDATE
+  * (J2) as a MERGE-shaped join + full dimension rewrite (fine at Trip
+  * scale; a transactional table format would make it a row-level MERGE).
+  */
+object Load {
+
+  /** Read a raw breadcrumb JSON file (array-framed, as the reference's
+    * file_consumer writes them — S4). */
+  def readRawJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", value = true).schema(Schemas.rawBreadcrumb).json(path)
+
+  /** Transform + validate + split; returns (breadcrumbs, trips, skipped). */
+  def prepare(raw: DataFrame): (DataFrame, DataFrame, Long) = {
+    val enriched = Transform.enrich(raw)
+    val valid = enriched.filter(Transform.isValid)
+    val skipped = enriched.count() - valid.count()
+    (Transform.toBreadcrumbs(valid)
+       .withColumn("opd_date", to_date(col("tstamp"))),
+     Transform.toTrips(valid), skipped)
+  }
+
+  /** Idempotent append of new trips (insert-if-absent on the PK). */
+  def insertTrips(spark: SparkSession, trips: DataFrame, tripDir: String): Unit = {
+    val fresh =
+      if (tableExists(spark, tripDir)) {
+        val existing = spark.read.parquet(tripDir).select("trip_id")
+        trips.join(existing, Seq("trip_id"), "left_anti")
+      } else trips
+    fresh.write.mode(SaveMode.Append).parquet(tripDir)
+  }
+
+  /** Append breadcrumbs partitioned by service date. The streaming path is
+    * at-least-once (reference parity, SURVEY §1.4); exact-once arrives via
+    * the checkpointed stream + this same writer in foreachBatch. */
+  def insertBreadcrumbs(bc: DataFrame, bcDir: String): Unit =
+    bc.write.mode(SaveMode.Append).partitionBy("opd_date").parquet(bcDir)
+
+  /** End-to-end batch load (load_inserts.py parity). Returns counters —
+    * the reference's reconciliation oracle (consumed = inserted + skipped).
+    */
+  def loadFile(spark: SparkSession, jsonPath: String,
+      bcDir: String, tripDir: String): (Long, Long, Long) = {
+    val raw = readRawJson(spark, jsonPath)
+    val consumed = raw.count()
+    val (bc, trips, skipped) = prepare(raw)
+    insertTrips(spark, trips, tripDir)
+    val inserted = bc.count()
+    insertBreadcrumbs(bc, bcDir)
+    (consumed, inserted, skipped)
+  }
+
+  /** Keyed update of Trip from stop events (J2, stop_consumer.py:76-78):
+    * match on (trip_id, vehicle_id, service_key), set route_id/direction.
+    * First-seen-per-trip dedup (A3) keeps one update per trip. */
+  def mergeStopEvents(spark: SparkSession, updates: DataFrame, tripDir: String): Unit = {
+    val trip = spark.read.parquet(tripDir)
+    val u = updates
+      .dropDuplicates("trip_id")
+      .withColumnRenamed("route_id", "u_route_id")
+      .withColumnRenamed("direction", "u_direction")
+    val merged = trip.as("t")
+      .join(u.as("u"), Seq("trip_id", "vehicle_id", "service_key"), "left_outer")
+      .select(
+        col("trip_id"),
+        coalesce(col("u_route_id"), col("t.route_id")).as("route_id"),
+        col("vehicle_id"),
+        col("service_key"),
+        coalesce(col("u_direction"), col("t.direction")).as("direction"))
+    // full dimension rewrite — write to temp then swap via overwrite
+    val tmp = merged.cache()
+    tmp.count() // materialize before overwriting the source
+    tmp.write.mode(SaveMode.Overwrite).parquet(tripDir)
+    tmp.unpersist()
+  }
+
+  private def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

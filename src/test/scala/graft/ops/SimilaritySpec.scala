@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    GraftFunctions.ensureRegistered(spark)
+    Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("vec_dot native expression: exact values, null propagation") {
+    val r = vecs.filter($"vec_id" === 1L)
+      .select(call_function("vec_dot", $"embedding", $"embedding")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
+    val n = vecs.select(call_function("vec_dot", lit(null).cast("array<float>"),
+      $"embedding")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val c = vecs.as("a").join(vecs.as("b"), $"a.vec_id" === 0L)
+      .select($"b.vec_id".as("id"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .orderBy($"id").collect().map(_.getDouble(1))
+    assert(math.abs(c(0) - 1.0) < 1e-9)
+    assert(math.abs(c(1) - 0.8) < 1e-6)
+    assert(math.abs(c(2)) < 1e-9)
+    assert(math.abs(c(3) + 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k: correct neighbor order, self excluded") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 3).collect()
+    assert(top.map(_.getAs[Long]("nbr_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN: high recall on clustered vectors (the regime LSH serves)") {
+    // 5 well-separated clusters of near-identical vectors: true neighbors
+    // have cosine ≥ ~0.98, so hyperplane signatures collide with high
+    // probability. (On near-orthogonal random vectors recall is
+    // legitimately poor — that's the LSH trade, not a bug.)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 20
+    } yield {
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" % 20 === 0) // one query per cluster
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+        planes = 12, dim = dim)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}
