@@ -68,4 +68,15 @@ object StreamEtl {
   def dedupWithWatermark(bc: DataFrame): DataFrame =
     bc.withWatermark("tstamp", "48 hours")
       .dropDuplicates(Seq("trip_id", "tstamp"))
+
+  /** T5 — native event-time windowed aggregation: the reference computed
+    * its per-day message volumes post-hoc in SQL (A9); in-stream this is a
+    * watermarked tumbling-window count. State is bounded by the watermark
+    * (old windows close and emit). */
+  def dailyVolumes(enrichedStream: DataFrame): DataFrame =
+    enrichedStream
+      .withWatermark("tstamp", "48 hours")
+      .groupBy(window(col("tstamp"), "1 day"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(col("window.start").as("day"), col("n_msgs"))
 }
