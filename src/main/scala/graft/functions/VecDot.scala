@@ -66,7 +66,13 @@ case class VecDot(left: Expression, right: Expression)
   * Hooked into [[graft.Tables]] so driver-owned sessions (which we don't
   * construct) get it for free. */
 object GraftFunctions {
-  def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_dot", (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 }

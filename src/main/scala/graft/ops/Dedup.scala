@@ -61,6 +61,13 @@ object Dedup {
        ${Long.MaxValue}L))"""
   }
 
+  /** Spread a frame across the cluster before per-row-heavy compute: a
+    * single small parquet file scans as one partition, which would
+    * serialize the hash pass onto one core. The shuffle moves only the
+    * raw text — trivial next to the compute it parallelizes. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** (id, sig) signature table: one MD5 pass for the shingle hashes, then
     * the arithmetic families. Cached — the LSH candidate join reads it
     * from both sides (at 100 TB: persist to disk or a bucketed table
@@ -68,9 +75,10 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        Text.shingleHashes(col(textCol), shingleN).as("hs"))
-      .select(col("id"), expr(minhashSigExpr("hs", numHashes)).as("sig"))
+    spread(docs).select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), Text.shingleHashesOf(col("toks"), shingleN).as("hs"))
+      .select(col("id"),
+        call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
       .cache()
 
   /** LSH band keys: split the signature into `bands` slices of
@@ -144,7 +152,7 @@ object Dedup {
 
   /** (id, sketch) SimHash table: one MD5 pass over tokens, one fold. */
   def simhashSketches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+    spread(docs).select(col(idCol).as("id"),
         transform(Text.tokens(col(textCol)), t => PortableHash.md5Long(t)).as("th"))
       .select(col("id"), expr(simhashExpr("th")).as("sk"))
 
@@ -180,8 +188,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(Text.shingleHashes(col(textCol), shingleN)).as("h"))
+    val sh = spread(docs)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
     val filtered = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxShingleDocFreq).drop("df")

@@ -84,15 +84,29 @@ object Text {
     }._1
   }
 
-  /** Word n-gram shingles: sliding windows of `n` tokens joined by a space.
-    * Empty array when the doc has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over an already-materialized token-array COLUMN.
+    *
+    * The distinction matters enormously: interpreted higher-order
+    * functions re-evaluate their bound subtrees per element, so if `toks`
+    * is the tokenization *expression*, every shingle re-runs the regex
+    * over the whole document — O(tokens²) regex work per row (measured:
+    * 67 s for 5,000 docs). With `toks` as a column reference the
+    * per-element re-eval is a pointer read. Callers materialize tokens in
+    * a prior projection; CollapseProject won't inline it back because the
+    * tokenizer is non-cheap and referenced three times here. */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
-  }
+
+  /** Convenience text form — fine for small data / tests; heavy pipelines
+    * go through [[shinglesOf]] on a materialized token column. */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** Distinct 60-bit shingle hashes from a token column. */
+  def shingleHashesOf(toks: Column, n: Int): Column =
+    array_distinct(transform(shinglesOf(toks, n), s => PortableHash.md5Long(s)))
 
   /** Distinct 60-bit shingle hashes — the input to MinHash / Jaccard. */
   def shingleHashes(text: Column, n: Int): Column =

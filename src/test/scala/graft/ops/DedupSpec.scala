@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("native minhash_sig ≡ the composable SQL form, element for element") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val hs = docs
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .select($"doc_id", Text.shingleHashesOf($"toks", 3).as("hs"))
+    val native = hs.select($"doc_id",
+        call_function("minhash_sig", $"hs", lit(24)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sql = hs.select($"doc_id",
+        expr(Dedup.minhashSigExpr("hs", 24)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === sql)
+    assert(native(1L).length === 24)
+  }
+
   test("embedding near-dups: cosine threshold on crafted vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
