@@ -33,6 +33,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = headline.map { q =>
+      // drop intra-query caches the warm-up populated (e.g. the MinHash
+      // signature table) — measure cold-data, warm-JVM numbers
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }

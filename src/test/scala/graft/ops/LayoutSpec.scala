@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join: no exchange, no sort in the physical plan") {
+    val left = (1 to 1000).map(i => (i % 50, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i % 50, s"r$i")).toDF("k", "rv")
+    Layout.writeBucketed(left, "bk_left", "k", 8)
+    Layout.writeBucketed(right, "bk_right", "k", 8)
+    val joined = spark.sql("SET spark.sql.autoBroadcastJoinThreshold=-1")
+      .sparkSession.table("bk_left").join(spark.table("bk_right"), "k")
+    try {
+      val plan = joined.queryExecution.executedPlan
+      def count[T](p: org.apache.spark.sql.execution.SparkPlan,
+          pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Unit]): Int =
+        p.collect(pf).size + p.subqueries.map(count(_, pf)).sum
+      assert(joined.count() === 20000) // 1000 × (1000/50)
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"expected no shuffle:\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"expected no sort (bucket-sorted):\n$plan")
+    } finally {
+      spark.sql("SET spark.sql.autoBroadcastJoinThreshold=10485760")
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
+  test("salted join: identical result to the plain join under skew") {
+    // 90% of the big side carries one hot key
+    val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))
+      .toDF("k", "payload")
+    val small = (0 to 9).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(small, "k")
+    val salted = Layout.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "payload", "attr").except(
+      plain.select("k", "payload", "attr")).isEmpty)
+    assert(plain.select("k", "payload", "attr").except(
+      salted.select("k", "payload", "attr")).isEmpty)
+  }
+}
