@@ -15,7 +15,8 @@ object SparkEntry {
     _root_.graft.queries.CoreRelational.specs ++
       _root_.graft.queries.EtlParity.specs ++
       _root_.graft.queries.TrainingData.specs ++
-      _root_.graft.queries.Advanced.specs
+      _root_.graft.queries.Advanced.specs ++
+      _root_.graft.queries.SqlSurface.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5-way star join (q04). */

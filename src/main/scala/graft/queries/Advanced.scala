@@ -54,7 +54,8 @@ object Advanced {
           COUNT(*) AS n_events, MIN(us) AS start_us,
           MAX(us) - MIN(us) AS dur_us
         FROM z GROUP BY user_id, session_idx
-        ORDER BY user_id, session_idx""")),
+        ORDER BY user_id, session_idx"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q36
     // As-of join (operator Spark lacks natively): each click matched to the
@@ -92,7 +93,8 @@ object Advanced {
         SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
           p.purchase_id
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-        ORDER BY click_id""")),
+        ORDER BY click_id"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q37
     // Exact percentiles per group (linear interpolation — matches

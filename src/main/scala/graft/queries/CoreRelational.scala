@@ -183,7 +183,8 @@ object CoreRelational {
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders) t
-        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+        WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q08
     // Running sum + lag over an ordered per-key frame. The running sum goes

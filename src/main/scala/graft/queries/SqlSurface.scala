@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL-text query surface (the reference shipped its analytics as SQL
+  * strings — §3.3): outer joins, correlated/IN subqueries, grouping sets,
+  * and the scalar string/date function battery, each run through
+  * `spark.sql` over registered views so the engine's SQL front door is
+  * exercised, not just the DataFrame API. Oracle SQL differs only where
+  * DuckDB's function names differ (strpos/instr, date_diff).
+  */
+object SqlSurface {
+
+  private def views(s: SparkSession, d: String): Unit = {
+    T.customer(s, d).createOrReplaceTempView("customer")
+    T.orders(s, d).createOrReplaceTempView("orders")
+    T.nation(s, d).createOrReplaceTempView("nation")
+    T.supplier(s, d).createOrReplaceTempView("supplier")
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+  }
+
+  private def sql(q: String)(s: SparkSession, d: String): DataFrame = {
+    views(s, d); s.sql(q)
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------- q40
+    // LEFT OUTER join + null-aware aggregation (customers with no orders
+    // keep their row; COUNT(col) skips the nulls).
+    QuerySpec(
+      "q40_left_join",
+      sql("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(MAX(o_orderdate) AS STRING), 'never') AS last_order
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey ORDER BY c_custkey"""),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(MAX(o_orderdate) AS VARCHAR), 'never') AS last_order
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q41
+    // FULL OUTER join between two aggregates — both null sides survive.
+    QuerySpec(
+      "q41_full_outer",
+      sql("""SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+             FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                   FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+             FULL OUTER JOIN
+                  (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                   FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+             ON c.nk = s.nk
+             ORDER BY nk"""),
+      Some("""SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+             FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                   FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+             FULL OUTER JOIN
+                  (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                   FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+             ON c.nk = s.nk
+             ORDER BY nk""")),
+
+    // ---------------------------------------------------------------- q42
+    // Correlated scalar subquery (decorrelated by Catalyst into a join —
+    // no per-row re-execution) + IN subquery.
+    QuerySpec(
+      "q42_subqueries",
+      sql("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM orders o
+             WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                       WHERE o2.o_custkey = o.o_custkey)
+               AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+             ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             FROM orders o
+             WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                       WHERE o2.o_custkey = o.o_custkey)
+               AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+             ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q43
+    // Explicit GROUPING SETS (finer control than rollup/cube) — one hash
+    // aggregate pass over the expanded sets.
+    QuerySpec(
+      "q43_grouping_sets",
+      sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n"""),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n""")),
+
+    // ---------------------------------------------------------------- q44
+    // Scalar string battery (§2.8): case, substring, trim/pad, replace,
+    // position, regexp_replace, concat.
+    QuerySpec(
+      "q44_string_funcs",
+      sql("""SELECT c_custkey,
+               UPPER(c_name) AS uname,
+               SUBSTRING(c_name, 1, 8) AS prefix,
+               LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded,
+               REPLACE(c_name, '#', '-') AS dashed,
+               CAST(INSTR(c_name, '0') AS BIGINT) AS zero_at,
+               REGEXP_REPLACE(c_name, '[0-9]', 'N') AS masked,
+               c_name || '/' || c_mktsegment AS tagged
+             FROM customer ORDER BY c_custkey"""),
+      Some("""SELECT c_custkey,
+               UPPER(c_name) AS uname,
+               SUBSTRING(c_name, 1, 8) AS prefix,
+               LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               REPLACE(c_name, '#', '-') AS dashed,
+               CAST(STRPOS(c_name, '0') AS BIGINT) AS zero_at,
+               REGEXP_REPLACE(c_name, '[0-9]', 'N', 'g') AS masked,
+               c_name || '/' || c_mktsegment AS tagged
+             FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q45
+    // Scalar date battery (§2.8): parts, trunc, last_day, day arithmetic.
+    QuerySpec(
+      "q45_date_funcs",
+      sql("""SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+               CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+               CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+               CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS month_start,
+               LAST_DAY(o_orderdate) AS month_end,
+               CAST(DATEDIFF(DATE '1998-12-31', o_orderdate) AS BIGINT) AS days_to_eoy
+             FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""),
+      Some("""SELECT o_orderkey,
+               YEAR(o_orderdate) AS y,
+               QUARTER(o_orderdate) AS q,
+               MONTH(o_orderdate) AS m,
+               DAY(o_orderdate) AS dom,
+               CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS month_start,
+               LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+               DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+             FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+  )
+}

@@ -20,6 +20,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # normalize timestamp columns to int64 micros for comparison
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
