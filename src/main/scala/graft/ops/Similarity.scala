@@ -82,6 +82,57 @@ object Similarity {
     * bucket or any bucket at Hamming distance 1 (multi-probe), rank within.
     * Shuffle is on bucket ids only; the corpus is scanned once.
     */
+  /** IVF (inverted-file) approximate top-k: k-means centroids partition
+    * the corpus into cells; each query probes only its `nProbe` nearest
+    * cells. The index build is one MLlib KMeans fit (sampled in
+    * production); at query time the corpus side is a cell-equality join —
+    * no cross product, shuffle keyed by cell id.
+    *
+    * Cell assignment and query probing both run as Column expressions
+    * against the centroid literals (same pattern as [[lshSignature]]):
+    * squared euclidean ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², ranked with ‖x‖²
+    * dropped since it's constant per row. `vec_dot` keeps the inner
+    * products in codegen.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(vecCol)).as("fv"))
+    val model = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // score(x, c) = −2·x·c + ‖c‖² orders cells by euclidean distance to x
+    def cellScore(vec: Column, c: Array[Double]): Column = {
+      val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      lit(-2.0) * call_function("vec_dot", vec, cLit) + lit(c.map(v => v * v).sum)
+    }
+    def cellRanking(vec: Column): Column =
+      sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+        struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
+      }: _*))
+
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+      element_at(cellRanking(col(vecCol)), 1).getField("cell").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(cellRanking(col(vecCol)), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -272,6 +272,20 @@ object TrainingData {
       },
       None),
 
+    // --------------------------------------------------------------- q33b
+    // IVF-bucketed approximate top-k (the other scale path beside LSH):
+    // k-means cells + nProbe probing. KMeans isn't reproducible in the
+    // oracle engine → rows-only; the ScalaTest spec pins recall.
+    QuerySpec(
+      "q33b_ann_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // ---------------------------------------------------------------- q34
     // Multimodal plumbing: binary media column → per-partition batched
     // (stub) decode → fixed-width features. The oracle recomputes the

@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("IVF ANN: high recall on real embeddings with modest probing") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("LSH ANN: high recall on clustered vectors (the regime LSH serves)") {
     // 5 well-separated clusters of near-identical vectors: true neighbors
     // have cosine ≥ ~0.98, so hyperplane signatures collide with high
