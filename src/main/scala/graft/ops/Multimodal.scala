@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -70,4 +70,25 @@ object Multimodal {
     val media = mediaTable(docs, "doc_id", "text").as[MediaRecord]
     extractFeatures(media)(spark).toDF()
   }
+
+  /** STUB resize: deterministic re-encode of a blob to target dims — the
+    * bytes are a hash of (source bytes, dims), standing in for a real
+    * scaler. Pure Column expressions: the transform stays in the scan
+    * stage, no shuffle, and the hex form is oracle-reproducible. */
+  def resizeStub(media: Column, w: Int, h: Int): Column =
+    unhex(md5(concat(lower(hex(media)), lit(s":${w}x$h"))))
+
+  /** STUB frame sampling: one row per sampled frame of a "video" blob,
+    * frame bytes derived deterministically from (blob, frame index).
+    * The plumbing is the real part: fixed fan-out via posexplode keeps
+    * row growth declared (×nFrames), and frame bytes stay binary for
+    * downstream batched decode. */
+  def sampleFrames(media: DataFrame, idCol: String, blobCol: String,
+      nFrames: Int): DataFrame =
+    media.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(nFrames - 1)),
+          i => unhex(md5(concat(lower(hex(col(blobCol))), lit(":"), i.cast("string"))))))
+      .as(Seq("frame_idx", "frame")))
+      .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame"))
 }

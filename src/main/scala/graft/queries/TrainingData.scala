@@ -299,6 +299,75 @@ object TrainingData {
           1 + ('0x' || substr(md5(text), 3, 2))::BIGINT AS height,
           CAST(16 AS BIGINT) AS n_bytes,
           ${dbl("list_sum(list_transform(generate_series(0, 15), i -> ('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT))")} / ${dbl("16")} AS mean_byte
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q34b
+    // Frame sampling (video-shaped multimodal): declared ×n fan-out via
+    // posexplode; frame bytes stay binary for downstream batched decode,
+    // the hex projection is what the oracle checks (DuckDB's md5 is
+    // VARCHAR-only, so the blob itself can't be re-hashed there).
+    QuerySpec(
+      "q34b_media_frames",
+      (s, d) => {
+        val media = Multimodal.mediaTable(T.documents(s, d), "doc_id", "text")
+        Multimodal.sampleFrames(media, "doc_id", "media", nFrames = 4)
+          .select(col("doc_id"), col("frame_idx"),
+            lower(hex(col("frame"))).as("frame_hex"),
+            length(col("frame")).cast("long").as("n_bytes"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_hex,
+          CAST(16 AS BIGINT) AS n_bytes
+        FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
+        ORDER BY doc_id, frame_idx""")),
+
+    // ---------------------------------------------------------------- q46
+    // The flagship curation composition — what this engine exists for:
+    // quality-gate the corpus, then remove the duplicate member of every
+    // near-dup pair (keep the lower id). Quality scoring is a narrow
+    // projection; dedup is the q30 inverted-index join; removal is a
+    // left-anti join — three operator families composed in one plan.
+    QuerySpec(
+      "q46_curation",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val kept = docs.filter(Text.qualityScore(col("text")) >= 0.8 &&
+          Text.tokenCount(col("text")) >= 10)
+        val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        kept.join(dupIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $tokCte, ${shingleCte(3)},
+        base AS (SELECT doc_id, text,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+          FROM toks),
+        qual AS (SELECT doc_id, n_tokens,
+          least(greatest(
+            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
+            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
+            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
+            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
+            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
+          FROM base),
+        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        dup AS (SELECT DISTINCT id_b FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")})
+        SELECT d.doc_id, d.n_chars
+        FROM documents d JOIN qual ON qual.doc_id = d.doc_id
+        WHERE qual.quality >= ${dbl("0.8")} AND qual.n_tokens >= 10
+          AND d.doc_id NOT IN (SELECT id_b FROM dup)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan regression guards: the properties SCALE.md claims —
+  * pushdown reaching the scan, pruned read schemas, broadcast dimension
+  * joins, bounded shuffle counts — asserted against the actual plans so a
+  * refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.allSpecs.find(_.name == name).get
+      .run(spark, sf).queryExecution.executedPlan
+
+  private def initial(name: String): SparkPlan = planOf(name) match {
+    case a: AdaptiveSparkPlanExec => a.initialPlan
+    case p => p
+  }
+
+  private def scanMeta(p: SparkPlan): String = p.toString
+
+  test("q02: filters push to the parquet scan and columns are pruned") {
+    val s = scanMeta(initial("q02_scan_filter_project"))
+    assert(s.contains("PushedFilters") &&
+      (s.contains("GreaterThanOrEqual(l_shipdate") || s.contains("LessThan(l_quantity")),
+      s"no pushed filters in:\n$s")
+    assert(!s.contains("l_discount"), "read schema not pruned")
+  }
+
+  test("q22: the filtered dimension broadcasts — fact side never shuffles for the join") {
+    val joins = initial("q22_hotspot").collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "expected a broadcast hash join")
+  }
+
+  test("q01: exactly one data shuffle (partial+final agg), plus the output sort") {
+    val exchanges = initial("q01_pricing_summary")
+      .collect { case e: ShuffleExchangeExec => e }
+    // one for the aggregation, one for the orderBy — never more
+    assert(exchanges.size <= 2, s"unexpected shuffles: ${exchanges.size}")
+  }
+
+  test("q04: all four dimension joins broadcast in the star plan") {
+    val joins = initial("q04_join_multiway").collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size >= 3, s"expected broadcast-dominated star join, got ${joins.size}")
+  }
+}
