@@ -79,4 +79,15 @@ object StreamEtl {
       .groupBy(window(col("tstamp"), "1 day"))
       .agg(count(lit(1)).as("n_msgs"))
       .select(col("window.start").as("day"), col("n_msgs"))
+
+  /** Native session windows (merge events within `gap` of each other):
+    * the streaming twin of the batch q35 sessionization. Works unchanged
+    * on batch frames; in a stream, add the watermark and closed sessions
+    * emit in append mode. */
+  def tripSessions(enriched: DataFrame, gap: String = "10 minutes"): DataFrame =
+    enriched
+      .groupBy(col("trip_id"), session_window(col("tstamp"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("trip_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
 }

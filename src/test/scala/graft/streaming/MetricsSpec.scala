@@ -35,4 +35,22 @@ class MetricsSpec extends SparkSpec {
       assert(listener.totalInputRows === 3)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("session_window: events within the gap merge, beyond it split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Seq(
+      (1, "2020-10-05 01:00:00"), (1, "2020-10-05 01:05:00"), // one session
+      (1, "2020-10-05 02:00:00"),                             // new session
+      (2, "2020-10-05 01:00:00"))
+      .toDF("trip_id", "s").select($"trip_id", to_timestamp($"s").as("tstamp"))
+    val sessions = StreamEtl.tripSessions(e, gap = "10 minutes")
+      .orderBy($"trip_id", $"session_start").collect()
+    assert(sessions.length === 3)
+    assert(sessions(0).getAs[Long]("n_events") === 2)
+    assert(sessions(1).getAs[Long]("n_events") === 1)
+    // session end extends gap past the last event
+    assert(sessions(0).getAs[java.sql.Timestamp]("session_end").toString
+      === "2020-10-05 01:15:00.0")
+  }
 }
