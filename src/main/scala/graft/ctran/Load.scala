@@ -24,14 +24,14 @@ object Load {
   def readRawJson(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", value = true).schema(Schemas.rawBreadcrumb).json(path)
 
-  /** Transform + validate + split; returns (breadcrumbs, trips, skipped). */
-  def prepare(raw: DataFrame): (DataFrame, DataFrame, Long) = {
-    val enriched = Transform.enrich(raw)
-    val valid = enriched.filter(Transform.isValid)
-    val skipped = enriched.count() - valid.count()
+  /** Transform + validate + split into the two table-shaped frames. No
+    * counting here — callers derive skipped = consumed − inserted (the
+    * reference's own invariant) instead of paying extra passes. */
+  def prepare(raw: DataFrame): (DataFrame, DataFrame) = {
+    val valid = Transform.enrich(raw).filter(Transform.isValid)
     (Transform.toBreadcrumbs(valid)
        .withColumn("opd_date", to_date(col("tstamp"))),
-     Transform.toTrips(valid), skipped)
+     Transform.toTrips(valid))
   }
 
   /** Idempotent append of new trips (insert-if-absent on the PK). */
@@ -55,13 +55,17 @@ object Load {
     */
   def loadFile(spark: SparkSession, jsonPath: String,
       bcDir: String, tripDir: String): (Long, Long, Long) = {
-    val raw = readRawJson(spark, jsonPath)
-    val consumed = raw.count()
-    val (bc, trips, skipped) = prepare(raw)
-    insertTrips(spark, trips, tripDir)
-    val inserted = bc.count()
-    insertBreadcrumbs(bc, bcDir)
-    (consumed, inserted, skipped)
+    // cache the parsed input: the trips and breadcrumbs branches (and
+    // their counts) would otherwise each re-parse the JSON
+    val raw = readRawJson(spark, jsonPath).cache()
+    try {
+      val consumed = raw.count()
+      val (bc, trips) = prepare(raw)
+      insertTrips(spark, trips, tripDir)
+      val inserted = bc.count()
+      insertBreadcrumbs(bc, bcDir)
+      (consumed, inserted, consumed - inserted)
+    } finally { raw.unpersist(); () }
   }
 
   /** Keyed update of Trip from stop events (J2, stop_consumer.py:76-78):

@@ -6,19 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k: exact; the query side is broadcast, the
   *    corpus streams — cost O(|corpus| · |queries| · dim) FLOPs with zero
   *    corpus shuffle. The baseline and the verifier for the approximate
-  *    path.
-  *  - random-hyperplane LSH (IVF-style bucketing): each vector gets a
-  *    `planes`-bit signature; search only compares vectors whose bucket
-  *    matches one of the query's probe buckets (multi-probe = flip one
-  *    signature bit). Trades recall for a corpus-shuffle-free bucket join.
+  *    paths.
+  *  - random-hyperplane LSH: `planes`-bit signatures, bucket-equality
+  *    join with 1-bit multi-probe.
+  *  - IVF: k-means cells + nProbe probing ([[ivfTopK]]).
   *
-  * Dot products use `zip_with` + `aggregate` folds in double precision —
-  * sequential left-to-right, so bit-stable under any partitioning (same
-  * fold DuckDB's list functions perform).
+  * All inner products go through the codegen'd [[graft.functions.VecDot]]
+  * — double-precision sequential left fold, bit-stable under any
+  * partitioning and identical to DuckDB's list-function fold.
   */
 object Similarity {
 
@@ -78,10 +77,6 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: compare query to corpus vectors in the same LSH
-    * bucket or any bucket at Hamming distance 1 (multi-probe), rank within.
-    * Shuffle is on bucket ids only; the corpus is scanned once.
-    */
   /** IVF (inverted-file) approximate top-k: k-means centroids partition
     * the corpus into cells; each query probes only its `nProbe` nearest
     * cells. The index build is one MLlib KMeans fit (sampled in
@@ -133,6 +128,10 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
   }
 
+  /** LSH approximate top-k: compare query to corpus vectors in the same
+    * hyperplane bucket or any bucket at Hamming distance 1 (multi-probe),
+    * rank within. Shuffle is on bucket ids only; the corpus is scanned
+    * once. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
