@@ -70,11 +70,32 @@ object Load {
 
   /** Keyed update of Trip from stop events (J2, stop_consumer.py:76-78):
     * match on (trip_id, vehicle_id, service_key), set route_id/direction.
-    * First-seen-per-trip dedup (A3) keeps one update per trip. */
-  def mergeStopEvents(spark: SparkSession, updates: DataFrame, tripDir: String): Unit = {
+    *
+    * First-seen-per-trip dedup (A3): the reference processes updates in
+    * arrival order and the first one wins — pass the arrival-order column
+    * (kafka offset / file position) as `orderCol`. Without one, falls back
+    * to a deterministic full-row sort, so the surviving update never
+    * depends on partitioning (`dropDuplicates` did — judged nondeterministic).
+    *
+    * The full-dimension rewrite reads from `tripDir` and replaces it, so
+    * the commit goes through [[graft.ops.Layout.atomicOverwrite]]: staged
+    * to a temp directory, then swapped by rename. Caching the merged frame
+    * before an in-place overwrite (the previous protocol) is NOT safe —
+    * an evicted partition recomputes from the truncated source.
+    */
+  def mergeStopEvents(spark: SparkSession, updates: DataFrame, tripDir: String,
+      orderCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val trip = spark.read.parquet(tripDir)
+    val ordering = orderCol match {
+      case Some(c) => Seq(col(c))
+      case None    => updates.columns.sorted.map(col).toSeq
+    }
+    val w = Window.partitionBy(col("trip_id")).orderBy(ordering: _*)
     val u = updates
-      .dropDuplicates("trip_id")
+      .withColumn("_arrival_rank", row_number().over(w))
+      .filter(col("_arrival_rank") === 1)
+      .drop("_arrival_rank" +: orderCol.toSeq: _*)
       .withColumnRenamed("route_id", "u_route_id")
       .withColumnRenamed("direction", "u_direction")
     val merged = trip.as("t")
@@ -85,11 +106,7 @@ object Load {
         col("vehicle_id"),
         col("service_key"),
         coalesce(col("u_direction"), col("t.direction")).as("direction"))
-    // full dimension rewrite — write to temp then swap via overwrite
-    val tmp = merged.cache()
-    tmp.count() // materialize before overwriting the source
-    tmp.write.mode(SaveMode.Overwrite).parquet(tripDir)
-    tmp.unpersist()
+    graft.ops.Layout.atomicOverwrite(merged, tripDir)
   }
 
   private def tableExists(spark: SparkSession, dir: String): Boolean = {

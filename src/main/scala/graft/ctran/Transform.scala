@@ -103,12 +103,28 @@ object Transform {
       col("direction"), col("speed"), col("trip_id"))
 
   /** P6 — project to the Trip dimension (one row per distinct trip —
-    * the reference's set-dedup, A2). */
-  def toTrips(enriched: DataFrame): DataFrame =
+    * the reference's set-dedup, A2).
+    *
+    * The surviving row is the trip's EARLIEST breadcrumb (min tstamp,
+    * service_key tiebreak), not an arbitrary partition-dependent pick:
+    * ACT_TIME may exceed 86,400 (service days run past midnight), so one
+    * trip can carry two distinct service_keys across its crumbs —
+    * `dropDuplicates("trip_id")` let the partitioning decide which one
+    * became the dimension row. First-crumb semantics match the reference,
+    * whose consumer keys the trip dict on first arrival
+    * (topic_consumer.py:185-193). */
+  def toTrips(enriched: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("trip_id"))
+      .orderBy(col("tstamp").asc_nulls_last, col("service_key"))
     enriched.select(
         col("trip_id"), col("route_id"), col("vehicle_id"),
-        col("service_key"), col("trip_direction").as("direction"))
-      .dropDuplicates("trip_id")
+        col("service_key"), col("trip_direction").as("direction"),
+        col("tstamp"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "tstamp")
+  }
 
   /** Typed stop-event updates from the raw (post-HTML) frame (P7-P9). */
   def stopEventUpdates(raw: DataFrame): DataFrame =

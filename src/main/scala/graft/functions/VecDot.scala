@@ -66,7 +66,16 @@ case class VecDot(left: Expression, right: Expression)
   * Hooked into [[graft.Tables]] so driver-owned sessions (which we don't
   * construct) get it for free. */
 object GraftFunctions {
+  /** Sessions already registered — re-registering on every `Tables.table`
+    * call emitted a "SimpleFunctionRegistry … replaced" WARN per scan,
+    * burying Bench's JSON contract line in log noise. Weak keys: a closed
+    * session must not be pinned in memory by this guard. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def ensureRegistered(spark: SparkSession): Unit = {
+    if (registered.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "vec_dot", (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)), "built-in")
@@ -74,5 +83,6 @@ object GraftFunctions {
       "minhash_sig",
       (exprs: Seq[Expression]) => MinHashSig(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    registered.put(spark, java.lang.Boolean.TRUE)
   }
 }

@@ -64,6 +64,61 @@ class LoadSpec extends SparkSpec {
     assert(t(1).getAs[String]("direction") === "Out")
   }
 
+  test("mergeStopEvents: replay order — first update by arrival offset wins (A3)") {
+    val dir = tmpDir("merge3")
+    val tripDir = s"$dir/trip"
+    Seq((1, 0, 4008, "Weekday", "Out"))
+      .toDF("trip_id", "route_id", "vehicle_id", "service_key", "direction")
+      .write.parquet(tripDir)
+    // conflicting updates for one trip; offsets say route 65 arrived first.
+    // repartition(8) scrambles physical order — arrival order must still win.
+    val updates = Seq(
+        (1, 4008, 99, "Out", "Weekday", 7L),
+        (1, 4008, 65, "Back", "Weekday", 3L),
+        (1, 4008, 80, "Out", "Weekday", 5L))
+      .toDF("trip_id", "vehicle_id", "route_id", "direction", "service_key", "offset")
+      .repartition(8)
+    Load.mergeStopEvents(spark, updates, tripDir, orderCol = Some("offset"))
+    val t = spark.read.parquet(tripDir).head()
+    assert(t.getAs[Int]("route_id") === 65)
+    assert(t.getAs[String]("direction") === "Back")
+  }
+
+  test("mergeStopEvents: without an order column the pick is deterministic") {
+    // no arrival order available -> full-row sort decides; same result
+    // every run regardless of partitioning (sorted columns: direction
+    // "Back" < "Out" -> route 65 wins)
+    val updates = Seq((1, 4008, 99, "Out", "Weekday"), (1, 4008, 65, "Back", "Weekday"))
+      .toDF("trip_id", "vehicle_id", "route_id", "direction", "service_key")
+    for (_ <- 1 to 3) {
+      val dir = tmpDir("merge4")
+      val tripDir = s"$dir/trip"
+      Seq((1, 0, 4008, "Weekday", "Out"))
+        .toDF("trip_id", "route_id", "vehicle_id", "service_key", "direction")
+        .write.parquet(tripDir)
+      Load.mergeStopEvents(spark, updates.repartition(8), tripDir)
+      assert(spark.read.parquet(tripDir).head().getAs[Int]("route_id") === 65)
+    }
+  }
+
+  test("mergeStopEvents: source stays readable until the commit swap") {
+    // the merged frame derives FROM tripDir; the staged write must leave
+    // the live table untouched (the old cache+in-place-Overwrite protocol
+    // destroyed it if a cached partition was recomputed)
+    val dir = tmpDir("merge5")
+    val tripDir = s"$dir/trip"
+    Seq((1, 0, 4008, "Weekday", "Out"))
+      .toDF("trip_id", "route_id", "vehicle_id", "service_key", "direction")
+      .write.parquet(tripDir)
+    val trip = spark.read.parquet(tripDir)
+    val merged = trip.withColumn("route_id", lit(65))
+    graft.ops.Layout.stageOverwrite(merged, tripDir)
+    // crash point: staged exists, live table still serves the old rows
+    assert(spark.read.parquet(tripDir).head().getAs[Int]("route_id") === 0)
+    graft.ops.Layout.commitOverwrite(spark, tripDir)
+    assert(spark.read.parquet(tripDir).head().getAs[Int]("route_id") === 65)
+  }
+
   test("mergeStopEvents: no match on (trip, vehicle, service_key) leaves row unchanged") {
     val dir = tmpDir("merge2")
     val tripDir = s"$dir/trip"

@@ -81,6 +81,21 @@ class TransformSpec extends SparkSpec {
       Seq("trip_id", "route_id", "vehicle_id", "service_key", "direction"))
   }
 
+  test("P6/A2: cross-midnight trip yields a stable dimension row (first crumb wins)") {
+    // one trip whose crumbs straddle the service-day boundary: the Friday
+    // crumb (Weekday) precedes the Saturday crumb — under any partitioning
+    // the dimension row must carry the FIRST crumb's service_key
+    val rows = Seq(
+      base.copy(_2 = "10-OCT-20", _3 = "60"),    // Sat 00:01, later tstamp
+      base.copy(_2 = "09-OCT-20", _3 = "86340")) // Fri 23:59, first crumb
+    for (_ <- 1 to 3) {
+      val e = Transform.enrich(raw(rows)).repartition(8)
+      val trips = Transform.toTrips(e.filter(Transform.isValid)).collect()
+      assert(trips.length === 1)
+      assert(trips.head.getAs[String]("service_key") === "Weekday")
+    }
+  }
+
   test("P7/P8: stop-event decodes") {
     val df = Seq(("1", "4008", "65", "0", "W"), ("2", "4008", "65", "1", "S"),
       ("3", "4008", "65", "", "U")).toDF(

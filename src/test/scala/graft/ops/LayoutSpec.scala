@@ -32,6 +32,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("atomicOverwrite: self-referential rewrite without cache, correct result") {
+    val dir = tmpDir("atomic") + "/t"
+    (1 to 100).toDF("v").write.parquet(dir)
+    // derived from the table it replaces — the exact shape that made the
+    // old in-place Overwrite a data-loss hazard
+    val doubled = spark.read.parquet(dir).withColumn("v", $"v" * 2)
+    Layout.atomicOverwrite(doubled, dir)
+    val vs = spark.read.parquet(dir).as[Int].collect().sorted
+    assert(vs.length === 100)
+    assert(vs.head === 2 && vs.last === 200)
+  }
+
+  test("atomicOverwrite: crash between stage and commit leaves the old table readable") {
+    val dir = tmpDir("atomic2") + "/t"
+    (1 to 10).toDF("v").write.parquet(dir)
+    Layout.stageOverwrite(spark.read.parquet(dir).withColumn("v", $"v" + 100), dir)
+    // "kill" here: no commit. The live table must be fully intact.
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq === (1 to 10))
+    // recovery = just commit (or delete the staged dir); both halves exist
+    Layout.commitOverwrite(spark, dir)
+    assert(spark.read.parquet(dir).as[Int].collect().min === 101)
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))
