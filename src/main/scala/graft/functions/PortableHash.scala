@@ -32,6 +32,18 @@ object PortableHash {
   def md5Long(c: Column, seed: Int): Column =
     md5Long(concat(lit(s"$seed|"), c.cast("string")))
 
+  /** JVM-side twin of [[md5Long]] for hash-derived CONSTANTS baked into
+    * plans (e.g. LSH hyperplane values): same MD5 → first 15 hex chars →
+    * long, so an oracle engine can regenerate the identical constants from
+    * the seed string alone — no JVM-only hash (MurmurHash3 etc.) anywhere
+    * in an output-bearing path. */
+  def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment for the same value (for oracle authors). */
   def duckSql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"

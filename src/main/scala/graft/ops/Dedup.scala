@@ -74,12 +74,14 @@ object Dedup {
     * instead of recomputing the corpus scan twice). */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int): DataFrame =
+      numHashes: Int, shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     spread(docs).select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), Text.shingleHashesOf(col("toks"), shingleN).as("hs"))
       .select(col("id"),
         call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
       .cache()
+  }
 
   /** LSH band keys: split the signature into `bands` slices of
     * `rowsPerBand`, hash each slice. Two docs share a band key iff their
@@ -212,16 +214,64 @@ object Dedup {
   // ------------------------------------------------------------- embeddings
 
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force O(n²) —
-    * see [[Similarity]] for the LSH-bucketed scale path; this exact form is
-    * the verification oracle and is fine when one side fits in a broadcast.
+    * the VERIFICATION path, guarded so it can't silently plan a
+    * corpus-scale nested-loop cross product: `maxRows` is checked with a
+    * bounded limit-probe (stops scanning at maxRows+1 rows, never counts
+    * the corpus). [[embeddingNearDupsLsh]] is the scale path.
     */
   def embeddingNearDups(
       embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Int = 100000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val probed = embs.select(col(idCol)).limit(maxRows + 1).count()
+    require(probed <= maxRows,
+      s"embeddingNearDups plans an O(n²) cross join; corpus exceeds $maxRows rows — " +
+        "use embeddingNearDupsLsh (banded hyperplane LSH + exact verify) at scale")
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-dup pairs at corpus scale: banded random-hyperplane
+    * LSH candidates + exact cosine verification.
+    *
+    * One 60-bit hyperplane signature per vector (bands × rowsPerBand
+    * planes, computed in a single codegen'd pass), exploded into `bands`
+    * band keys; candidate pairs come from band-key collisions, so the
+    * shuffle is O(corpus × bands) — never all-pairs. Every candidate is
+    * then verified with the exact cosine (norms precomputed once per row),
+    * so precision is exact and only recall is probabilistic:
+    * P(found) = 1 − (1 − p^r)^b with p = 1 − θ/π. The defaults
+    * (r = 4 bits × b = 15 bands) hold recall ≳ 0.9 down to cos ≈ 0.45;
+    * for production thresholds (cos ≥ 0.9, p ≈ 0.86) raise `rowsPerBand`
+    * to 8-12 — finer buckets, far fewer candidates, same recall.
+    */
+  def embeddingNearDupsLsh(
+      embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, rowsPerBand: Int = 4, bands: Int = 15,
+      dim: Int = 64): DataFrame = {
+    require(rowsPerBand * bands <= 60,
+      "signature packs into one long: bands × rowsPerBand must be ≤ 60 bits")
+    graft.functions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val nBuckets = 1L << rowsPerBand
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.lshSignature(col(vecCol), rowsPerBand * bands, dim).as("sig"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val banded = sig.select(col("id"), col("v"), col("nrm"),
+      explode(array((0 until bands).map { b =>
+        // band-local bucket, offset so band b's keyspace can't collide
+        // with band b+1's (same trick as lshBandKeys' "$b:" prefix)
+        lit(b * nBuckets) +
+          shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(nBuckets - 1))
+      }: _*)).as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .distinct()
       .filter(col("cos") >= threshold)
   }
 }

@@ -41,6 +41,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
@@ -54,12 +55,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes: plane p, dim d ↦
-    * a fixed hash-derived value in [−1, 1). Seeded constants, not RNG, so
-    * signatures are reproducible across sessions and engines. */
-  private def planeVal(p: Int, d: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$p:$d", 42)
-    (h.toDouble / Int.MaxValue.toDouble)
-  }
+    * a fixed hash-derived value in [−1, 1). Derived from the portable
+    * 60-bit MD5 ([[graft.functions.PortableHash.md5LongJvm]]) rather than
+    * a JVM-only hash, so an oracle engine can regenerate the exact plane
+    * constants — and therefore the exact signatures — from the seed string:
+    *   DuckDB: ('0x'||substr(md5('plane:'||p||':'||d),1,15))::BIGINT
+    *             / 2^59 − 1.0, cast to REAL. */
+  private[graft] def planeVal(p: Int, d: Int): Double =
+    graft.functions.PortableHash.md5LongJvm(s"plane:$p:$d").toDouble /
+      (1L << 59).toDouble - 1.0
 
   /** `planes`-bit signature of a vector: bit p = (v · plane_p ≥ 0).
     *
@@ -79,9 +83,9 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k: k-means centroids partition
     * the corpus into cells; each query probes only its `nProbe` nearest
-    * cells. The index build is one MLlib KMeans fit (sampled in
-    * production); at query time the corpus side is a cell-equality join —
-    * no cross product, shuffle keyed by cell id.
+    * cells. The index build is one MLlib KMeans fit on a bounded sample
+    * (`maxFitRows`, hard-capped); at query time the corpus side is a
+    * cell-equality join — no cross product, shuffle keyed by cell id.
     *
     * Cell assignment and query probing both run as Column expressions
     * against the centroid literals (same pattern as [[lshSignature]]):
@@ -92,15 +96,46 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+      nCells: Int = 16, nProbe: Int = 3,
+      maxFitRows: Int = 100000): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      ivfCentroids(corpus, vecCol, nCells, maxFitRows), nProbe)
+
+  /** Deterministic bounded train set for the IVF fit: at most `maxFitRows`
+    * rows regardless of corpus size — at 100 TB the k-means fit reads a
+    * bounded sample, never the corpus (centroid placement converges far
+    * below 10⁵ points). `sample()` is fraction-approximate, so a hard
+    * `limit` makes the bound a guarantee. */
+  private[graft] def ivfTrainSet(
+      corpus: DataFrame, vecCol: String, maxFitRows: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    val n = corpus.count()
+    val base =
+      if (n <= maxFitRows) corpus
+      else corpus.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble * 1.05 / n), seed = 42).limit(maxFitRows)
+    base.select(array_to_vector(col(vecCol)).as("fv"))
+  }
 
-    val train = corpus.select(array_to_vector(col(vecCol)).as("fv"))
-    val model = new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
-      .setPredictionCol("cell").fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
+  /** K-means cell centroids from a bounded sample of the corpus. Compute
+    * once, persist, and reuse via [[ivfTopKWith]] — the index build is a
+    * one-time cost, not a per-query-batch one. */
+  def ivfCentroids(
+      corpus: DataFrame, vecCol: String, nCells: Int,
+      maxFitRows: Int = 100000): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
+      .setPredictionCol("cell")
+      .fit(ivfTrainSet(corpus, vecCol, maxFitRows))
+      .clusterCenters.map(_.toArray)
+  }
 
+  /** IVF query path against prebuilt centroids (see [[ivfTopK]]). */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centers: Array[Array[Double]], nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     // score(x, c) = −2·x·c + ‖c‖² orders cells by euclidean distance to x
     def cellScore(vec: Column, c: Array[Double]): Column = {
       val cLit = array(c.map(v => lit(v.toFloat)): _*)
@@ -136,6 +171,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 12, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
     // multi-probe: the query's own bucket plus each 1-bit flip of it

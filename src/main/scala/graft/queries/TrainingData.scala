@@ -38,6 +38,28 @@ object TrainingData {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  // shared oracle CTEs for the embedding operators: corpus as DOUBLE[],
+  // portable hyperplane constants, per-vector norms. The planes are
+  // MD5-derived ([[graft.ops.Similarity.planeVal]]), so DuckDB regenerates
+  // the exact float32 plane values — and therefore the exact signatures —
+  // from the seed strings alone.
+  private val embCte =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+  private val nrmCte =
+    "nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(list_zip(v, v), x -> x[1] * x[2]))) AS n FROM e)"
+  private def planesCte(planes: Int, dim: Int): String =
+    s"""pl AS (SELECT p, list_transform(generate_series(0, ${dim - 1}), d ->
+       CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT
+         / ${1L << 59}.0 - 1.0 AS REAL)) AS pv
+     FROM (SELECT unnest(range($planes)) AS p))"""
+  /** DuckDB twin of [[graft.ops.Similarity.lshSignature]] over `e`. */
+  private val sigCte =
+    s"""dots AS (SELECT e.vec_id, pl.p,
+         list_sum(list_transform(list_zip(e.v, pl.pv), x -> x[1] * x[2])) AS dp
+       FROM e CROSS JOIN pl),
+     sig AS (SELECT vec_id, SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sg
+       FROM dots GROUP BY vec_id)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---------------------------------------------------------------- q24
@@ -231,6 +253,32 @@ object TrainingData {
         SELECT id_a, id_b, cos FROM p WHERE cos >= ${dbl("0.45")}
         ORDER BY id_a, id_b""")),
 
+    // --------------------------------------------------------------- q31b
+    // The scale-path embedding dedup — what a 100 TB user actually runs:
+    // banded hyperplane LSH candidates (shuffle O(corpus × bands), never
+    // all-pairs) + exact cosine verification. Full value oracle: the
+    // portable MD5-derived planes let DuckDB replay signatures, band
+    // buckets, and cosines bit-for-bit. Recall vs q31's exact pairs is
+    // pinned separately in DedupSpec.
+    QuerySpec(
+      "q31b_embedding_neardups_lsh",
+      (s, d) =>
+        Dedup.embeddingNearDupsLsh(T.embeddings(s, d), "vec_id", "embedding",
+            threshold = 0.45, rowsPerBand = 4, bands = 15)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $embCte, ${planesCte(60, 64)}, $sigCte, $nrmCte,
+        banded AS (SELECT vec_id, b * 16 + ((sg >> (b * 4)) & 15) AS bucket
+          FROM sig CROSS JOIN (SELECT unnest(range(15)) AS b)),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+          list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2])) / (na.n * nb.n) AS cos
+        FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+          JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+        WHERE list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2])) / (na.n * nb.n) >= ${dbl("0.45")}
+        ORDER BY id_a, id_b""")),
+
     // ---------------------------------------------------------------- q32
     // Brute-force cosine top-k (the ANN baseline): 20 query vectors
     // broadcast against the corpus scan; rank window shuffles only
@@ -259,9 +307,10 @@ object TrainingData {
 
     // ---------------------------------------------------------------- q33
     // LSH-bucketed approximate top-k (the scale path — no full cross
-    // product). The hyperplanes are JVM-seeded constants, so no SQL oracle:
-    // rows-only check here; the ScalaTest spec measures recall ≥ 60%
-    // against q32's exact results.
+    // product). Full value oracle: the MD5-derived hyperplanes are
+    // engine-portable, so DuckDB replays the 12-bit signatures, the 1-bit
+    // multi-probe expansion, and the ranked cosines exactly. The ScalaTest
+    // spec additionally pins recall against q32's exact results.
     QuerySpec(
       "q33_ann_lsh",
       (s, d) => {
@@ -270,7 +319,22 @@ object TrainingData {
             "vec_id", "embedding", k = 5, planes = 12, dim = 64)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH $embCte, ${planesCte(12, 64)}, $sigCte, $nrmCte,
+        cq AS (SELECT vec_id AS query_id,
+            unnest([sg] || list_transform(range(12), p -> xor(sg, (1::BIGINT << p)))) AS bucket
+          FROM sig WHERE vec_id < 20),
+        cand AS (SELECT DISTINCT cq.query_id, c.vec_id AS nbr_id
+                 FROM cq JOIN sig c ON c.sg = cq.bucket AND c.vec_id <> cq.query_id),
+        scored AS (SELECT query_id, nbr_id,
+            list_sum(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2])) / (nq.n * nc.n) AS cos
+          FROM cand
+            JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id
+            JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = nbr_id),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+          FROM scored)
+        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     // --------------------------------------------------------------- q33b
     // IVF-bucketed approximate top-k (the other scale path beside LSH):

@@ -80,4 +80,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("embedding near-dups: O(n²) guard refuses a corpus over maxRows") {
+    val e = (1L to 11L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.9,
+        maxRows = 10)
+    }
+    assert(ex.getMessage.contains("embeddingNearDupsLsh"))
+  }
+
+  test("embedding LSH dedup: recall ≥ 0.8 vs the exact pairs at sf0.01") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairSet(Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.45))
+    val lsh = pairSet(Dedup.embeddingNearDupsLsh(e, "vec_id", "embedding", 0.45))
+    assert(exact.nonEmpty)
+    // precision is exact by construction (every candidate is cosine-verified)
+    assert(lsh.subsetOf(exact))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+  }
 }

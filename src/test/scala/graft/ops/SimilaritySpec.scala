@@ -44,16 +44,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
   }
 
-  test("IVF ANN: high recall on real embeddings with modest probing") {
+  test("IVF ANN: sampled fit is bounded AND recall holds AND centroids reuse") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
+    // the fit's train set is hard-capped: 500-vector corpus, 100-row budget
+    assert(Similarity.ivfTrainSet(e, "embedding", maxFitRows = 100).count() <= 100)
+    assert(Similarity.ivfTrainSet(e, "embedding", maxFitRows = 100000).count() === e.count())
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    // recall with the fit seeing only a 100-row sample of the 500 vectors
     val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
-        nCells = 8, nProbe = 3)
+        nCells = 8, nProbe = 3, maxFitRows = 100)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
+    // prebuilt-centroid path ≡ fit-inline path (build once, reuse per batch)
+    val centers = Similarity.ivfCentroids(e, "embedding", nCells = 8, maxFitRows = 100)
+    val reused = Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 5,
+        centers, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    assert(reused === ivf)
   }
 
   test("LSH ANN: high recall on clustered vectors (the regime LSH serves)") {
