@@ -49,6 +49,20 @@ object Ingest {
   def kafkaPayload(df: DataFrame, key: String): DataFrame =
     df.select(lit(key).as("key"), to_json(struct(col("*"))).as("value"))
 
+  /** S3 decode — the consumer half of the Kafka round-trip
+    * (topic_consumer.py:265): binary `(key, value)` frames, exactly as a
+    * `readStream.format("kafka")` source delivers them, parsed back into
+    * typed raw-breadcrumb rows with the declared schema. This is the
+    * documented swap's decode path, so the whole Kafka graph is
+    * `kafka source → breadcrumbsFromKafkaFrame → Transform.enrich → …` —
+    * identical downstream plan to the file path. Malformed values null out
+    * (from_json permissive mode) and fall to the F1/F2 validation drops,
+    * the reference's tombstone/garbage policy (F7). */
+  def breadcrumbsFromKafkaFrame(frames: DataFrame): DataFrame =
+    frames
+      .select(from_json(col("value").cast("string"), Schemas.rawBreadcrumb).as("r"))
+      .select(col("r.*"))
+
   /** K2: exact array-framed JSON file (reference raw archive). Driver
     * streams partition iterators — bounded memory, single output file by
     * contract (the reference writes one file per day). */

@@ -100,17 +100,29 @@ object Dedup {
     * unbiased Jaccard estimate).
     *
     * Plan shape: scan → narrow signature projection → explode bands
-    * (×bands growth of (id, sig)) → shuffle on band key → in-bucket
-    * self-join → pair dedup → agreement filter.
+    * (×bands growth of (id, sig)) → shuffle on band key → stop-band cap →
+    * in-bucket self-join → pair dedup → agreement filter.
+    *
+    * Stop-band filter (`maxBandDocFreq`): a band key shared by f docs
+    * contributes f·(f−1)/2 candidate pairs — on boilerplate-heavy corpora
+    * one degenerate bucket (empty docs, shared headers/footers) turns the
+    * candidate join quadratic. Buckets above the cap are dropped whole,
+    * exactly like `ngramJaccardPairs`' stop-shingle cap; the frequency
+    * window shuffles on the same band key the join needs, so it adds no
+    * extra exchange of the corpus. Default keeps every bucket (exact
+    * LSH semantics, what the q27 oracle replays); set ~10³-10⁴ at 100 TB.
     */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 24, shingleN: Int = 3,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.5,
+      maxBandDocFreq: Long = 1000000L): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
     val banded = sigs.select(col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -177,6 +189,54 @@ object Dedup {
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** (offset, len) per block: `totalBits` split into `blocks` contiguous
+    * slices, the first (totalBits % blocks) slices one bit wider. */
+  private[graft] def blockBounds(totalBits: Int, blocks: Int): Seq[(Int, Int)] = {
+    val base = totalBits / blocks
+    val extra = totalBits % blocks
+    val lens = Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+    lens.scanLeft(0)(_ + _).zip(lens)
+  }
+
+  /** Full-recall SimHash pairing over a prebuilt (id, sk) sketch table:
+    * block-permutation bucketing (Manku et al., WWW'07).
+    *
+    * The 60 sketch bits split into `maxHamming + 1` contiguous blocks; each
+    * row is bucketed once per block on (block, blockBits). By pigeonhole, a
+    * pair within Hamming distance ≤ maxHamming has fewer differing bits
+    * than blocks, so at least one block matches exactly → the pair collides
+    * in that block's run. Recall is 1.0 — GUARANTEED, unlike the prefix
+    * heuristic of [[simhashNearDups]] which misses pairs differing in high
+    * bits. Cost: `blocks`× the bucketing rows and coarser buckets
+    * (60/(h+1) bits each); exact Hamming verification keeps precision
+    * exact. One shuffle on the block key.
+    */
+  private[ops] def simhashPairsFromSketches(
+      sk: DataFrame, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val keys = array(blockBounds(SimhashBits, blocks).zipWithIndex.map {
+      case ((off, len), b) =>
+        struct(lit(b).as("b"),
+          shiftright(col("sk"), off).bitwiseAND(lit((1L << len) - 1)).as("bits"))
+    }: _*)
+    val banded = sk.select(col("id"), col("sk"), explode(keys).as("blk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dups with guaranteed full recall at `maxHamming` —
+    * the scale-path complement to the cheaper prefix-bucketed
+    * [[simhashNearDups]]. */
+  def simhashNearDupsFull(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame =
+    simhashPairsFromSketches(
+      simhashSketches(docs, idCol, textCol), maxHamming)
 
   // ---------------------------------------------------------------- jaccard
 

@@ -215,6 +215,47 @@ object TrainingData {
         WHERE bit_count(xor(a.sk, b.sk)) <= 8
         ORDER BY id_a, id_b""")),
 
+    // --------------------------------------------------------------- q29b
+    // Full-recall SimHash near-dups: block-permutation bucketing
+    // (pigeonhole over maxHamming+1 blocks guarantees every pair within
+    // the Hamming budget collides in some block — the prefix heuristic of
+    // q29 can miss pairs differing in high bits). Full value oracle: the
+    // block split is replayed from the same (offset, len) table.
+    QuerySpec(
+      "q29b_simhash_neardups_full",
+      (s, d) =>
+        Dedup.simhashNearDupsFull(T.documents(s, d), "doc_id", "text",
+            maxHamming = 8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val blockRows = Dedup.blockBounds(60, 9).zipWithIndex
+          .map { case ((off, len), b) => s"($b, $off, $len)" }.mkString(", ")
+        s"""WITH $tokCte,
+        th AS (SELECT doc_id, unnest(list_transform(t, x -> ${h60("x")})) AS h FROM toks),
+        votes AS (SELECT doc_id, i,
+            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+          GROUP BY doc_id, i),
+        sk0 AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sk
+          FROM votes GROUP BY doc_id),
+        sk AS (SELECT d.doc_id, coalesce(sk0.sk, 1152921504606846975) AS sk
+          FROM documents d LEFT JOIN sk0 ON sk0.doc_id = d.doc_id),
+        blocks(bi, off, len) AS (SELECT * FROM (VALUES $blockRows)),
+        blk AS (SELECT doc_id, sk, bi,
+            (sk >> off) & ((1::BIGINT << len) - 1) AS bits
+          FROM sk CROSS JOIN blocks),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM blk a JOIN blk b
+                   ON a.bi = b.bi AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+          CAST(bit_count(xor(sa.sk, sb.sk)) AS BIGINT) AS hamming
+        FROM cand c JOIN sk sa ON sa.doc_id = c.id_a
+                    JOIN sk sb ON sb.doc_id = c.id_b
+        WHERE bit_count(xor(sa.sk, sb.sk)) <= 8
+        ORDER BY c.id_a, c.id_b"""
+      }),
+
     // ---------------------------------------------------------------- q30
     // Exact n-gram Jaccard pairs via shingle inverted-index self-join.
     QuerySpec(

@@ -24,6 +24,31 @@ class IngestSpec extends SparkSpec {
     assert(rec.head.getString(1).contains("\"EVENT_NO_TRIP\":\"1\""))
   }
 
+  test("S3/K1: kafka round-trip — payload → binary frame → from_json ≡ direct path") {
+    import org.apache.spark.sql.functions.col
+    val raw = Ingest.breadcrumbsFromJsonBody(spark, Seq(body).toDS())
+    // producer half: keyed JSON shaping, then the binary (key, value)
+    // framing exactly as a broker stores and a kafka source re-delivers it
+    val frames = Ingest.kafkaPayload(raw, "reading")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    assert(frames.schema.map(_.dataType.typeName).toSet === Set("binary"))
+    // consumer half: the documented from_json swap
+    val decoded = Ingest.breadcrumbsFromKafkaFrame(frames)
+    assert(decoded.schema === raw.schema)
+    // end-to-end parity: enrich(decode(encode(raw))) ≡ enrich(raw)
+    val viaKafka = Transform.enrich(decoded)
+    val direct = Transform.enrich(raw)
+    assert(viaKafka.except(direct).isEmpty && direct.except(viaKafka).isEmpty)
+    // tombstone/garbage frames (F7): null out and get dropped by validation
+    val junk = Seq(("reading", "not json at all"), ("reading", null))
+      .toDF("key", "value")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+    val junkRows = Ingest.breadcrumbsFromKafkaFrame(junk)
+    assert(junkRows.count() === 2) // rows survive the parse...
+    assert(Transform.enrich(junkRows).filter(Transform.isValid).count() === 0) // ...validation drops them
+  }
+
   test("K2: array-framed JSON file round-trips through the array reader") {
     val df = Ingest.breadcrumbsFromJsonBody(spark, Seq(body).toDS())
     val path = s"${tmpDir("k2")}/archive.json"

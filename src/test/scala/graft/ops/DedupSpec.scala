@@ -70,6 +70,58 @@ class DedupSpec extends SparkSpec {
     assert(native(1L).length === 24)
   }
 
+  test("minhash-LSH stop-band cap: a degenerate bucket is dropped, real pairs survive") {
+    // boilerplate-heavy corpus: 10 identical docs share EVERY band key
+    // (one degenerate bucket per band → 45 candidate pairs from
+    // boilerplate alone), plus one genuine near-dup pair
+    val boiler = (1L to 10L).map(i => (i, docA))
+    val corpus = (boiler ++ Seq((11L, docA.replace("dog", "cat") + " extra words here"),
+      (12L, docA.replace("dog", "cat") + " extra words here too")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.count(p => p._1 <= 10 && p._2 <= 10) === 45)
+    assert(uncapped.contains((11L, 12L)))
+    val capped = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.4,
+        maxBandDocFreq = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the 10-doc boilerplate bucket exceeds the cap → no pairs from it;
+    // the (11,12) pair's buckets have df=2 and survive
+    assert(!capped.exists(p => p._1 <= 10 && p._2 <= 10))
+    assert(capped.contains((11L, 12L)))
+  }
+
+  test("simhash block-permutation: finds a pair differing only in HIGH bits") {
+    import org.apache.spark.sql.functions.col
+    // sketches differing in 3 high bits (57, 58, 59): the 12-bit prefix
+    // bucketing of simhashNearDups can never pair them; the pigeonhole
+    // block construction must
+    val base = 0x0ABCDEF01234567L
+    val flipped = base ^ (7L << 57)
+    val sk = Seq((1L, base), (2L, flipped), (3L, 0x0123456789ABCDEL))
+      .toDF("id", "sk")
+    val prefix = sk.withColumn("bucket",
+        org.apache.spark.sql.functions.shiftright(col("sk"), 48))
+      .as("a").join(sk.withColumn("bucket",
+        org.apache.spark.sql.functions.shiftright(col("sk"), 48)).as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    assert(prefix.count() === 0) // the heuristic misses it
+    val full = Dedup.simhashPairsFromSketches(sk, maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(full.contains((1L, 2L)))
+    assert(!full.exists(p => p._2 == 3L))
+  }
+
+  test("simhash full recall ⊇ prefix-bucketed pairs on real docs") {
+    val fullPairs = Dedup.simhashNearDupsFull(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val prefixPairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+        prefixBits = 12, maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(prefixPairs.subsetOf(fullPairs))
+    assert(fullPairs.contains((1L, 2L))) // identical docs, hamming 0
+  }
+
   test("embedding near-dups: cosine threshold on crafted vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
