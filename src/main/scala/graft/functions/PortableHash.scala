@@ -32,6 +32,10 @@ object PortableHash {
   def md5Long(c: Column, seed: Int): Column =
     md5Long(concat(lit(s"$seed|"), c.cast("string")))
 
+  /** String-salted 60-bit hash (named sampling domains, source tags). */
+  def md5Long(c: Column, salt: String): Column =
+    md5Long(concat(lit(s"$salt|"), c.cast("string")))
+
   /** JVM-side twin of [[md5Long]] for hash-derived CONSTANTS baked into
     * plans (e.g. LSH hyperplane values): same MD5 → first 15 hex chars →
     * long, so an oracle engine can regenerate the identical constants from

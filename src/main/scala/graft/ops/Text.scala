@@ -116,4 +116,55 @@ object Text {
     * portable MD5 core keeps it oracle-checkable). Identical text ⇒
     * identical fingerprint, cross-engine. */
   def fingerprint(text: Column): Column = PortableHash.md5Long(text)
+
+  // ------------------------------------------------------------------- PII
+  // Conservative format-anchored patterns, written in the regex subset the
+  // Java engine and RE2 (the oracle engine's dialect) interpret
+  // identically: character classes, bounded repetition, \b, alternation —
+  // no backreferences, no lookaround.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact PII with typed placeholders. Pass order is pinned
+    * (email → phone → IPv4) so both engines produce the same text even
+    * where patterns could overlap; placeholders contain no digits, so a
+    * later pass can never re-match inside an earlier redaction. Pure
+    * per-row projection — scan-speed at 100 TB, like everything here. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  // ------------------------------------------------- repetition (Gopher)
+
+  /** Fraction of non-empty physical lines that repeat an earlier line —
+    * the classic boilerplate signal (navigation bars, log spam). */
+  def duplicateLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    when(size(lines) > 0,
+      (size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of all word 2-grams taken by the most frequent one (Gopher's
+    * top-2-gram fraction; > ~0.18 flags templated/repetitive text).
+    *
+    * `sh` must be a MATERIALIZED shingle column (see [[shinglesOf]] — the
+    * interpreted-HOF re-eval trap): this expression references it
+    * O(distinct-bigrams) times. The count is O(k²) in document bigrams —
+    * bounded by document length, never by corpus size. */
+  def topBigramRatio(sh: Column): Column =
+    when(size(sh) > 0,
+      array_max(transform(array_distinct(sh),
+        s => size(filter(sh, x => x === s)))).cast("double") /
+        size(sh).cast("double"))
+      .otherwise(lit(0.0))
 }

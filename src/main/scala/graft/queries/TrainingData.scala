@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables => T}
-import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Text}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -473,6 +473,96 @@ object TrainingData {
         FROM documents d JOIN qual ON qual.doc_id = d.doc_id
         WHERE qual.quality >= ${dbl("0.8")} AND qual.n_tokens >= 10
           AND d.doc_id NOT IN (SELECT id_b FROM dup)
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q47
+    // Safety/quality signals a curation pass gates on: PII detection +
+    // typed redaction (emails, phones, IPv4 — format-anchored regexes in
+    // the Java∩RE2 dialect) and Gopher-style repetition metrics
+    // (duplicate-line fraction, top-2-gram share). All per-row
+    // projections; the redacted text is checked via its fingerprint.
+    QuerySpec(
+      "q47_quality_signals",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), Text.shinglesOf(col("toks"), 2).as("sh2"))
+          .select(
+            col("doc_id"),
+            Text.piiCount(col("text"), Text.EmailRe).as("n_emails"),
+            Text.piiCount(col("text"), Text.PhoneRe).as("n_phones"),
+            Text.piiCount(col("text"), Text.Ipv4Re).as("n_ips"),
+            Text.fingerprint(Text.piiRedact(col("text"))).as("redacted_fp"),
+            Text.duplicateLineRatio(col("text")).as("dup_line_ratio"),
+            Text.topBigramRatio(col("sh2")).as("top_bigram_ratio"))
+          .orderBy(col("doc_id")),
+      Some {
+        val redacted =
+          s"""regexp_replace(regexp_replace(regexp_replace(d.text,
+             '${Text.EmailRe}', '<EMAIL>', 'g'),
+             '${Text.PhoneRe}', '<PHONE>', 'g'),
+             '${Text.Ipv4Re}', '<IP>', 'g')"""
+        s"""WITH $tokCte,
+          sh2 AS (SELECT doc_id, CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+              ELSE [] END s2 FROM toks),
+          ln AS (SELECT doc_id,
+              list_filter(string_split(text, chr(10)), l -> length(l) > 0) lines
+            FROM documents)
+        SELECT d.doc_id,
+          CAST(len(regexp_extract_all(d.text, '${Text.EmailRe}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(d.text, '${Text.PhoneRe}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(d.text, '${Text.Ipv4Re}')) AS BIGINT) AS n_ips,
+          ${h60(redacted)} AS redacted_fp,
+          CASE WHEN len(lines) > 0
+            THEN ${dbl("len(lines) - len(list_distinct(lines))")} / ${dbl("len(lines)")}
+            ELSE ${dbl("0")} END AS dup_line_ratio,
+          CASE WHEN len(s2) > 0
+            THEN ${dbl("list_max(list_transform(list_distinct(s2), x -> len(list_filter(s2, y -> y = x))))")} / ${dbl("len(s2)")}
+            ELSE ${dbl("0")} END AS top_bigram_ratio
+        FROM documents d JOIN sh2 ON sh2.doc_id = d.doc_id
+          JOIN ln ON ln.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+      }),
+
+    // ---------------------------------------------------------------- q48
+    // Deterministic corpus mixing: quality-tiered hash sampling — the
+    // reproducible "data recipe" step. Membership is a pure function of
+    // (salt, doc_id) through the portable MD5, so the identical subset
+    // comes out of every re-run, partitioning, and engine: the oracle
+    // replays the sampling decision row by row.
+    QuerySpec(
+      "q48_mix_hash_sampled",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val q = Text.qualityScore(col("text"))
+        Sampling.mixSources(Seq(
+            ("high", docs.filter(q >= 0.8), 0.9),
+            ("low", docs.filter(q < 0.8), 0.2)), "doc_id")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $tokCte,
+        base AS (SELECT doc_id, text,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+          FROM toks),
+        qual AS (SELECT doc_id,
+          least(greatest(
+            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
+            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
+            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
+            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
+            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
+          FROM base)
+        SELECT d.doc_id,
+          CASE WHEN q.quality >= ${dbl("0.8")} THEN 'high' ELSE 'low' END AS source
+        FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+        WHERE (q.quality >= ${dbl("0.8")}
+                 AND ${h60("'high|' || d.doc_id")} < ${Sampling.cutoff(0.9)})
+           OR (q.quality < ${dbl("0.8")}
+                 AND ${h60("'low|' || d.doc_id")} < ${Sampling.cutoff(0.2)})
         ORDER BY d.doc_id"""))
   )
 }

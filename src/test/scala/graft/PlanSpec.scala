@@ -48,4 +48,18 @@ class PlanSpec extends SparkSpec {
     val joins = initial("q04_join_multiway").collect { case j: BroadcastHashJoinExec => j }
     assert(joins.size >= 3, s"expected broadcast-dominated star join, got ${joins.size}")
   }
+
+  test("LSH candidate joins are equi-joins — never nested-loop/cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the entire point of the bucketed forms: q31's exact path plans a
+    // BroadcastNestedLoopJoin by design; these must not
+    for (q <- Seq("q27_minhash_lsh", "q29b_simhash_neardups_full",
+        "q31b_embedding_neardups_lsh", "q33_ann_lsh")) {
+      val bad = initial(q).collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case c: CartesianProductExec        => c
+      }
+      assert(bad.isEmpty, s"$q plans a non-equi candidate join:\n${bad.mkString("\n")}")
+    }
+  }
 }

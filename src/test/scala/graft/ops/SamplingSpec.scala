@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("hash sample: identical subset under re-runs and repartitioning") {
+    val df = (1L to 1000L).toDF("id")
+    val a = ids(Sampling.hashSample(df, "id", 0.5, "s1"))
+    val b = ids(Sampling.hashSample(df.repartition(13), "id", 0.5, "s1"))
+    assert(a === b) // rng-based sample() fails exactly this
+    assert(a.size > 400 && a.size < 600, s"rate off: ${a.size}/1000")
+  }
+
+  test("hash sample: different salts draw independent subsets") {
+    val df = (1L to 1000L).toDF("id")
+    val a = ids(Sampling.hashSample(df, "id", 0.5, "s1"))
+    val b = ids(Sampling.hashSample(df, "id", 0.5, "s2"))
+    assert(a !== b)
+    // independence: overlap ≈ 0.25 ± noise
+    val overlap = (a & b).size.toDouble / 1000
+    assert(overlap > 0.15 && overlap < 0.35, s"overlap $overlap")
+  }
+
+  test("hash sample: edge fractions keep nothing / everything") {
+    val df = (1L to 100L).toDF("id")
+    assert(Sampling.hashSample(df, "id", 0.0).count() === 0)
+    assert(Sampling.hashSample(df, "id", 1.0).count() === 100)
+  }
+
+  test("mixSources: per-source rates and tags, stable union") {
+    val web = (1L to 1000L).toDF("id")
+    val code = (2000L to 2999L).toDF("id")
+    val mixed = Sampling.mixSources(
+      Seq(("web", web, 0.3), ("code", code, 0.8)), "id")
+    val bySource = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("web") > 230 && bySource("web") < 370, s"$bySource")
+    assert(bySource("code") > 720 && bySource("code") < 880, s"$bySource")
+    // re-running reproduces the exact mixture
+    val again = Sampling.mixSources(
+      Seq(("web", web, 0.3), ("code", code, 0.8)), "id")
+    assert(ids(mixed) === ids(again))
+  }
+}

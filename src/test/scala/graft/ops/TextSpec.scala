@@ -22,6 +22,39 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(0) === 6)
   }
 
+  test("PII: detect and redact emails, phones, IPv4 — clean text untouched") {
+    val dirty = "mail bob.smith+x@example.co.uk or call 503-555-0199, server 10.0.0.1 ok"
+    val r = one(dirty).select(
+      Text.piiCount($"text", Text.EmailRe).as("e"),
+      Text.piiCount($"text", Text.PhoneRe).as("p"),
+      Text.piiCount($"text", Text.Ipv4Re).as("i"),
+      Text.piiRedact($"text").as("red")).head()
+    assert(r.getAs[Long]("e") === 1L)
+    assert(r.getAs[Long]("p") === 1L)
+    assert(r.getAs[Long]("i") === 1L)
+    val red = r.getAs[String]("red")
+    assert(red === "mail <EMAIL> or call <PHONE>, server <IP> ok")
+    val clean = "the quick brown fox at version two point one"
+    assert(one(clean).select(Text.piiRedact($"text")).head().getString(0) === clean)
+  }
+
+  test("repetition: duplicate lines and dominant bigrams are flagged") {
+    val boiler = "menu home\nmenu home\nmenu home\nreal content line"
+    val dup = one(boiler).select(Text.duplicateLineRatio($"text")).head().getDouble(0)
+    assert(dup === 0.5) // 4 lines, 2 distinct → (4-2)/4
+    assert(one("a\nb\nc").select(Text.duplicateLineRatio($"text")).head().getDouble(0) === 0.0)
+    val spam = "buy now " * 10 + "unique tail"          // "buy now"/"now buy" dominate
+    val ratios = Seq(spam, "all words here are fully distinct tokens")
+      .toDF("text")
+      .select(Text.tokens($"text").as("toks"))
+      .select(Text.shinglesOf($"toks", 2).as("sh2"))
+      .select(Text.topBigramRatio($"sh2").as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratios(0) > 0.4)  // templated text
+    assert(ratios(1) < 0.2)  // natural text
+    assert(one("").select(Text.duplicateLineRatio($"text")).head().getDouble(0) === 0.0)
+  }
+
   test("quality score is bounded and orders sensibly") {
     val good = "the cat sat on the mat and it is a good day to walk in the park " * 3
     val bad = "@@ ## !! %% ^^"
