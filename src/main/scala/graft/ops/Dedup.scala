@@ -271,6 +271,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: for every (corpus doc, benchmark doc) pair
+    * sharing ≥ 1 shingle, the CONTAINMENT |A∩B| / |B| of the benchmark's
+    * shingles in the doc — the standard n-gram overlap check run before
+    * training to find eval-set leakage. Asymmetric by design: a long doc
+    * that embeds a whole benchmark item scores 1.0 even though its Jaccard
+    * is tiny.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]], but the join is
+    * corpus × benchmark — the benchmark side is small (eval sets are
+    * thousands of items), so its posting lists bound the blowup and the
+    * corpus is touched once. The stop-shingle cap applies to the corpus
+    * side only; benchmark shingles are never dropped (dropping one could
+    * mask real contamination).
+    */
+  def benchmarkContamination(
+      docs: DataFrame, docIdCol: String, docTextCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleN: Int = 3, minContainment: Double = 0.5,
+      maxShingleDocFreq: Long = 1000000L): DataFrame = {
+    def shingleIndex(df: DataFrame, idCol: String, textCol: String, as: String) =
+      spread(df)
+        .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
+        .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
+    val d = shingleIndex(docs, docIdCol, docTextCol, "doc_id")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxShingleDocFreq).drop("df")
+    val b = shingleIndex(bench, benchIdCol, benchTextCol, "bench_id")
+    val benchSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+    d.join(b, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(benchSizes, Seq("bench_id"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_bench").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id"), col("bench_id"), col("n_common"), col("containment"))
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force O(n²) —

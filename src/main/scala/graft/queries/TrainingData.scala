@@ -134,7 +134,8 @@ object TrainingData {
         Dedup.exact(T.documents(s, d), "doc_id", "text").orderBy(col("fp")),
       Some(s"""SELECT ${h60("text")} AS fp, MIN(doc_id) AS keep_id,
           COUNT(*) AS n_copies
-        FROM documents GROUP BY fp ORDER BY fp""")),
+        FROM documents GROUP BY fp ORDER BY fp"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q27
     // MinHash + LSH near-dup detection: 24 hashes, 8 bands × 3 rows,
@@ -473,7 +474,36 @@ object TrainingData {
         FROM documents d JOIN qual ON qual.doc_id = d.doc_id
         WHERE qual.quality >= ${dbl("0.8")} AND qual.n_tokens >= 10
           AND d.doc_id NOT IN (SELECT id_b FROM dup)
-        ORDER BY d.doc_id""")),
+        ORDER BY d.doc_id"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q49
+    // Benchmark decontamination: n-gram containment |A∩B|/|B| of each
+    // "eval item" (docs 0-24 standing in for a benchmark) in each corpus
+    // doc. Asymmetric on purpose — a doc embedding a whole benchmark item
+    // scores 1.0 regardless of its own length. Inverted-index join; the
+    // benchmark side is small and bounds the blowup.
+    QuerySpec(
+      "q49_contamination",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.benchmarkContamination(
+            docs.filter(col("doc_id") >= 25), "doc_id", "text",
+            docs.filter(col("doc_id") < 25), "doc_id", "text",
+            shingleN = 3, minContainment = 0.5)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some(s"""WITH $tokCte, ${shingleCte(3)},
+        d AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 25),
+        b AS (SELECT doc_id AS bench_id, unnest(hs) AS h FROM sh WHERE doc_id < 25),
+        bs AS (SELECT bench_id, COUNT(*) AS n_bench FROM b GROUP BY bench_id),
+        cm AS (SELECT d.doc_id, b.bench_id, COUNT(*) AS n_common
+               FROM d JOIN b ON d.h = b.h GROUP BY 1, 2)
+        SELECT cm.doc_id, cm.bench_id, cm.n_common,
+          ${dbl("n_common")} / ${dbl("n_bench")} AS containment
+        FROM cm JOIN bs ON bs.bench_id = cm.bench_id
+        WHERE ${dbl("n_common")} / ${dbl("n_bench")} >= ${dbl("0.5")}
+        ORDER BY cm.doc_id, cm.bench_id""")),
 
     // ---------------------------------------------------------------- q47
     // Safety/quality signals a curation pass gates on: PII detection +
@@ -483,19 +513,25 @@ object TrainingData {
     // projections; the redacted text is checked via its fingerprint.
     QuerySpec(
       "q47_quality_signals",
-      (s, d) =>
-        T.documents(s, d)
+      (s, d) => {
+        val base = T.documents(s, d)
           .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("text"), Text.shinglesOf(col("toks"), 2).as("sh2"))
-          .select(
+        // top-bigram share via the posexplode aggregate form: the per-row
+        // HOF variant is O(len²) interpreted (measured 146 s vs 1.2 s at
+        // sf0.1; see Text.topBigramRatios scaladoc)
+        val ratios = Text.topBigramRatios(base, "doc_id", "toks")
+        base.select(
             col("doc_id"),
             Text.piiCount(col("text"), Text.EmailRe).as("n_emails"),
             Text.piiCount(col("text"), Text.PhoneRe).as("n_phones"),
             Text.piiCount(col("text"), Text.Ipv4Re).as("n_ips"),
             Text.fingerprint(Text.piiRedact(col("text"))).as("redacted_fp"),
-            Text.duplicateLineRatio(col("text")).as("dup_line_ratio"),
-            Text.topBigramRatio(col("sh2")).as("top_bigram_ratio"))
-          .orderBy(col("doc_id")),
+            Text.duplicateLineRatio(col("text")).as("dup_line_ratio"))
+          .join(ratios, Seq("doc_id"), "left_outer")
+          .withColumn("top_bigram_ratio",
+            coalesce(col("top_bigram_ratio"), lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
       Some {
         val redacted =
           s"""regexp_replace(regexp_replace(regexp_replace(d.text,
@@ -523,7 +559,8 @@ object TrainingData {
         FROM documents d JOIN sh2 ON sh2.doc_id = d.doc_id
           JOIN ln ON ln.doc_id = d.doc_id
         ORDER BY d.doc_id"""
-      }),
+      },
+      headline = true),
 
     // ---------------------------------------------------------------- q48
     // Deterministic corpus mixing: quality-tiered hash sampling — the

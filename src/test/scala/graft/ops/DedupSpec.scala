@@ -122,6 +122,28 @@ class DedupSpec extends SparkSpec {
     assert(fullPairs.contains((1L, 2L))) // identical docs, hamming 0
   }
 
+  test("contamination: a doc embedding a benchmark item scores 1.0, jaccard stays low") {
+    val bench = Seq((100L, docA)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, docA + " plus a very long tail of unrelated filler content words " * 3),
+      (2L, docC))
+      .toDF("doc_id", "text")
+    val hits = Dedup.benchmarkContamination(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        shingleN = 3, minContainment = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("containment")))
+    assert(hits.length === 1)
+    assert(hits.head._1 === 1L && hits.head._2 === 100L)
+    assert(hits.head._3 === 1.0) // every benchmark shingle is present
+    // symmetric jaccard on the same pair is well below the containment
+    val j = Dedup.ngramJaccardPairs(
+        corpus.unionByName(bench), "doc_id", "text", shingleN = 3, threshold = 0.01)
+      .filter(col("id_a") === 1L && col("id_b") === 100L)
+      .head().getAs[Double]("jaccard")
+    assert(j < 0.6)
+  }
+
   test("embedding near-dups: cosine threshold on crafted vectors") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -55,6 +55,26 @@ class TextSpec extends SparkSpec {
     assert(one("").select(Text.duplicateLineRatio($"text")).head().getDouble(0) === 0.0)
   }
 
+  test("topBigramRatios aggregate form ≡ the per-row Column form") {
+    val docs = Seq(
+      (1L, "buy now " * 10 + "unique tail"),
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "one"),             // < 2 tokens → no bigrams
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val withToks = docs.select($"doc_id", $"text", Text.tokens($"text").as("toks"))
+    val agg = Text.topBigramRatios(withToks, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val colForm = withToks
+      .select($"doc_id", Text.shinglesOf($"toks", 2).as("sh2"))
+      .select($"doc_id", Text.topBigramRatio($"sh2").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg(1L) === colForm(1L))
+    assert(agg(2L) === colForm(2L))
+    assert(!agg.contains(3L) && colForm(3L) === 0.0) // absent ≙ coalesce(0.0)
+    assert(!agg.contains(4L) && colForm(4L) === 0.0)
+  }
+
   test("quality score is bounded and orders sensibly") {
     val good = "the cat sat on the mat and it is a good day to walk in the park " * 3
     val bad = "@@ ## !! %% ^^"
