@@ -240,6 +240,25 @@ object Dedup {
 
   // ---------------------------------------------------------------- jaccard
 
+  /** Exploded (id, shingle-hash) inverted index with per-doc set semantics
+    * (`array_distinct` inside the row, so no global dedup shuffle).
+    *
+    * Form chosen by interleaved A/B at sf0.1: explode-over-HOF-array
+    * 1.47 s vs posexplode+`element_at`+`distinct()` 2.00 s. The
+    * InferFiltersFromGenerate re-eval that makes the HOF-array explode
+    * catastrophic elsewhere (see [[Text.topBigramRatios]]: 146 s → 1.6 s)
+    * is mild here because the `spread` exchange separates the scan from
+    * the Generate — while the posexplode form must pay a real `distinct`
+    * exchange for the per-doc set semantics this index needs and
+    * duplicates the token array per emitted shingle. Measure before
+    * "fixing" either direction. */
+  private def shingleHashIndex(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      as: String): DataFrame =
+    spread(docs)
+      .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
+      .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     * inverted-index self-join on shingle hash. |A∩B| = count of shared
     * hashes; |A∪B| = |A|+|B|−|A∩B|. The join shuffles on the shingle hash;
@@ -250,9 +269,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    val sh = spread(docs)
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
+    val sh = shingleHashIndex(docs, idCol, textCol, shingleN, "id")
     val filtered = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxShingleDocFreq).drop("df")
@@ -290,14 +307,10 @@ object Dedup {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       shingleN: Int = 3, minContainment: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    def shingleIndex(df: DataFrame, idCol: String, textCol: String, as: String) =
-      spread(df)
-        .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
-        .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
-    val d = shingleIndex(docs, docIdCol, docTextCol, "doc_id")
+    val d = shingleHashIndex(docs, docIdCol, docTextCol, shingleN, "doc_id")
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxShingleDocFreq).drop("df")
-    val b = shingleIndex(bench, benchIdCol, benchTextCol, "bench_id")
+    val b = shingleHashIndex(bench, benchIdCol, benchTextCol, shingleN, "bench_id")
     val benchSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     d.join(b, Seq("h"))
       .groupBy(col("doc_id"), col("bench_id"))
