@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -31,7 +32,12 @@ object Sampling {
   /** Deterministic Bernoulli(fraction) sample keyed on `keyCol`: keep iff
     * md5("salt|key") < fraction·2⁶⁰. Stable under repartitioning, retries,
     * and scale-out; different salts give independent samples. A pure
-    * filter — pushes to the scan, no shuffle, no state. */
+    * filter — pushes to the scan, no shuffle, no state.
+    *
+    * Threshold sampling is also NESTED: for the same salt,
+    * hashSample(f₁) ⊆ hashSample(f₂) whenever f₁ ≤ f₂ — growing a corpus
+    * recipe from 10% to 30% only ADDS documents, it never churns the ones
+    * already trained on. (Spec-pinned in SamplingSpec.) */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame =
     df.filter(PortableHash.md5Long(col(keyCol), salt) < lit(cutoff(fraction)))
@@ -46,4 +52,26 @@ object Sampling {
       hashSample(df, keyCol, fraction, salt = name)
         .withColumn("source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Deterministic sequence packing: assign documents to fixed-token-budget
+    * training sequences ("bins") by cumulative token count in `orderCol`
+    * order within each `partCol` group.
+    *
+    * bin = floor((cumulative − own) / budget) — the document starts in the
+    * bin its running offset falls into; a doc longer than the budget spans
+    * bins (callers chunk oversized docs upstream). The window runs per
+    * partition key (language, source, day …), so at 100 TB the packing
+    * parallelizes across groups and one shuffle on `partCol` feeds it —
+    * never a global sort. Deterministic by construction: same inputs, same
+    * order column → identical bins on every run and engine. */
+  def packSequences(df: DataFrame, partCol: String, orderCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("seq_id",
+        floor((col("_cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .withColumn("seq_offset", (col("_cum") - col(tokenCol)) % lit(budget))
+      .drop("_cum")
+  }
 }

@@ -505,6 +505,31 @@ object TrainingData {
         WHERE ${dbl("n_common")} / ${dbl("n_bench")} >= ${dbl("0.5")}
         ORDER BY cm.doc_id, cm.bench_id""")),
 
+    // ---------------------------------------------------------------- q50
+    // Deterministic sequence packing: documents → fixed-token-budget
+    // training sequences, cumulative-sum window per language. One shuffle
+    // on the partition key; same bins on every run/engine by construction.
+    QuerySpec(
+      "q50_pack_sequences",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).as("n_tokens"))
+        Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", budget = 512L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+          CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+          (cum - n_tokens) % 512 AS seq_offset
+        FROM c ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- q47
     // Safety/quality signals a curation pass gates on: PII detection +
     // typed redaction (emails, phones, IPv4 — format-anchored regexes in

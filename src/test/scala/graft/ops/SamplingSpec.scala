@@ -33,6 +33,34 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(df, "id", 1.0).count() === 100)
   }
 
+  test("hash sample: nested — raising the fraction only ADDS rows") {
+    val df = (1L to 1000L).toDF("id")
+    val s20 = ids(Sampling.hashSample(df, "id", 0.2, "recipe"))
+    val s50 = ids(Sampling.hashSample(df, "id", 0.5, "recipe"))
+    val s90 = ids(Sampling.hashSample(df, "id", 0.9, "recipe"))
+    assert(s20.subsetOf(s50) && s50.subsetOf(s90))
+  }
+
+  test("packSequences: per-group bins by cumulative budget, stable under partitioning") {
+    val docs = Seq(
+      (1L, "en", 300L), (2L, "en", 300L), (3L, "en", 100L), (4L, "en", 200L),
+      (10L, "de", 600L), (11L, "de", 100L))
+      .toDF("doc_id", "lang", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "lang", "doc_id", "n_tokens", budget = 512L)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toMap
+    val bins = run(docs)
+    // en: offsets 0,300,600,700 → bins 0,0,1,1 ; de: 0,600 → bins 0,1
+    assert(bins(1L) === (0L, 0L))
+    assert(bins(2L) === (0L, 300L))
+    assert(bins(3L) === (1L, 88L))   // 600 % 512
+    assert(bins(4L) === (1L, 188L))
+    assert(bins(10L) === (0L, 0L))
+    assert(bins(11L) === (1L, 88L))  // de packs independently of en
+    assert(run(docs.repartition(7)) === bins)
+  }
+
   test("mixSources: per-source rates and tags, stable union") {
     val web = (1L to 1000L).toDF("id")
     val code = (2000L to 2999L).toDF("id")
