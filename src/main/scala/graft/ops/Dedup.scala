@@ -322,6 +322,91 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("n_common"), col("containment"))
   }
 
+  // --------------------------------------------------------------- clusters
+
+  /** Connected components over a near-dup pair graph: every node gets the
+    * MINIMUM doc id reachable from it — the canonical representative of
+    * its duplicate cluster.
+    *
+    * Near-dup pairs are not a dedup decision by themselves: A≈B and B≈C
+    * must collapse {A,B,C} to one kept doc even when A and C never collide
+    * in any bucket. This is the standard iterative min-label propagation
+    * (Hash-Min, cf. the map-reduce CC literature — Rastogi et al.,
+    * ICDE'13) with a pointer-jumping step (`comp ← comp(comp)`) folded
+    * into each round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) — a 1M-doc boilerplate chain converges in ~20 rounds, not
+    * 1M. Each round is two shuffles of the label table on `id`
+    * (neighbor-min join + jump join); edges are cached once and reused.
+    * The driver loop carries no data — only the per-round changed-count
+    * (a 1-row aggregate), the standard Spark shape for iterative graph
+    * algorithms (GraphX's Pregel drives the same way). `localCheckpoint`
+    * truncates lineage so plans don't grow with rounds.
+    *
+    * Output: (id, comp) for every id appearing in `pairs`; comp = min id
+    * of the component. Deterministic — the fixpoint is unique.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // neighbor-min: the smallest label among each node's neighbors
+      val nbr = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val stepped = labels.as("l")
+        .join(nbr, col("l.id") === nbr("src"), "left_outer")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("nbr_comp"), col("l.comp"))).as("comp"))
+      // pointer jump: comp is always a node id, so chase one hop of its
+      // own label — halves the remaining path length every round
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("c"),
+          col("s.comp") === col("c.cid"), "left_outer")
+        .select(col("s.id").as("id"),
+          least(col("s.comp"), coalesce(col("ccomp"), col("s.comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "component diameter exceeds 2^rounds, which means the pair graph " +
+        "is pathological; raise maxRounds")
+    labels
+  }
+
+  /** Duplicate-cluster assignment for a whole corpus: every doc gets its
+    * cluster id (= min doc id of its connected near-dup component; docs in
+    * no pair are singleton clusters of themselves) and the cluster size.
+    * The kept/canonical doc of a cluster is the one with id == cluster_id.
+    * One broadcast-sized join against the component table (pairs are rare
+    * relative to the corpus) plus one count shuffle on cluster_id.
+    */
+  def dedupClusters(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val assigned = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute-force O(n²) —

@@ -477,6 +477,48 @@ object TrainingData {
         ORDER BY d.doc_id"""),
       headline = true),
 
+    // ---------------------------------------------------------------- q51
+    // Duplicate clusters: pairs are not a dedup decision — A≈B and B≈C
+    // must collapse {A,B,C} even though A and C never collide. Connected
+    // components over the q30 Jaccard pair graph via min-label propagation
+    // + pointer jumping (O(log diameter) rounds, two label shuffles each);
+    // every doc gets (cluster_id = min reachable doc_id, cluster_size),
+    // singletons included. The oracle replays reachability with a
+    // recursive CTE — the unique fixpoint makes the comparison exact.
+    QuerySpec(
+      "q51_dedup_clusters",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        Dedup.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $tokCte, ${shingleCte(3)},
+        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM common
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, comp) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT ed.src, r.comp FROM edges ed JOIN reach r ON r.id = ed.dst),
+        cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        assigned AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id
+                     FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM assigned GROUP BY cluster_id)
+        SELECT a.doc_id, a.cluster_id, cs.cluster_size
+        FROM assigned a JOIN cs ON cs.cluster_id = a.cluster_id
+        ORDER BY a.doc_id""")),
+
     // ---------------------------------------------------------------- q49
     // Benchmark decontamination: n-gram containment |A∩B|/|B| of each
     // "eval item" (docs 0-24 standing in for a benchmark) in each corpus
