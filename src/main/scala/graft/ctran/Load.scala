@@ -85,28 +85,56 @@ object Load {
     */
   def mergeStopEvents(spark: SparkSession, updates: DataFrame, tripDir: String,
       orderCol: Option[String] = None): Unit = {
+    val u = firstSeenPerTrip(updates, orderCol)
+    val merged = applyTripUpdates(spark.read.parquet(tripDir), u)
+    graft.ops.Layout.atomicOverwrite(merged, tripDir)
+  }
+
+  /** The same keyed UPDATE against a key-bucketed dimension
+    * ([[graft.ops.Layout.writeKeyBucketed]] on `trip_id`): only buckets
+    * containing updated trips are read and rewritten. This removes the
+    * full-dimension-rewrite cliff — a stop-event batch touches a bounded
+    * set of trips, so the merge cost is O(batch), not O(dimension), no
+    * matter how large Trip grows. */
+  def mergeStopEventsBucketed(spark: SparkSession, updates: DataFrame,
+      tripDir: String, orderCol: Option[String] = None,
+      numBuckets: Int = 64): Unit = {
+    val u = firstSeenPerTrip(updates, orderCol)
+    graft.ops.Layout.partialOverwrite(spark, tripDir, "trip_id", numBuckets,
+      u.select("trip_id"))(existing => applyTripUpdates(existing, u))
+  }
+
+  /** First-seen-per-trip dedup (A3): arrival order wins when `orderCol`
+    * (kafka offset / file position) is given; otherwise a deterministic
+    * full-row sort, so the surviving update never depends on partitioning. */
+  private def firstSeenPerTrip(updates: DataFrame,
+      orderCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val trip = spark.read.parquet(tripDir)
     val ordering = orderCol match {
       case Some(c) => Seq(col(c))
       case None    => updates.columns.sorted.map(col).toSeq
     }
     val w = Window.partitionBy(col("trip_id")).orderBy(ordering: _*)
-    val u = updates
+    updates
       .withColumn("_arrival_rank", row_number().over(w))
       .filter(col("_arrival_rank") === 1)
       .drop("_arrival_rank" +: orderCol.toSeq: _*)
+  }
+
+  /** The reference UPDATE: match on (trip_id, vehicle_id, service_key),
+    * set route_id/direction, leave unmatched rows untouched. */
+  private def applyTripUpdates(trip: DataFrame, u: DataFrame): DataFrame = {
+    val renamed = u
       .withColumnRenamed("route_id", "u_route_id")
       .withColumnRenamed("direction", "u_direction")
-    val merged = trip.as("t")
-      .join(u.as("u"), Seq("trip_id", "vehicle_id", "service_key"), "left_outer")
+    trip.as("t")
+      .join(renamed.as("u"), Seq("trip_id", "vehicle_id", "service_key"), "left_outer")
       .select(
         col("trip_id"),
         coalesce(col("u_route_id"), col("t.route_id")).as("route_id"),
         col("vehicle_id"),
         col("service_key"),
         coalesce(col("u_direction"), col("t.direction")).as("direction"))
-    graft.ops.Layout.atomicOverwrite(merged, tripDir)
   }
 
   private def tableExists(spark: SparkSession, dir: String): Boolean = {

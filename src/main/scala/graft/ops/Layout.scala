@@ -68,6 +68,82 @@ object Layout {
     ()
   }
 
+  // -------------------------------------------------- partial rewrite
+
+  /** Stable key-hash bucket: the same key always lands in the same bucket
+    * directory, across writes and batches. (Named `kbucket`, not `_kb` —
+    * a leading underscore would make the partition dirs invisible to
+    * Spark's hidden-path filter.) */
+  private def bucketCol(key: String, numBuckets: Int) =
+    pmod(xxhash64(col(key)), lit(numBuckets.toLong)).cast("int")
+
+  /** Write a table hash-partitioned by key bucket — the layout
+    * [[partialOverwrite]] merges into. One directory per bucket; a merge
+    * batch touching K distinct keys rewrites at most K buckets, never the
+    * whole table. */
+  def writeKeyBucketed(df: DataFrame, dir: String, key: String,
+      numBuckets: Int): Unit =
+    df.withColumn("kbucket", bucketCol(key, numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("kbucket").parquet(dir)
+
+  /** Read a key-bucketed table without the layout column. */
+  def readKeyBucketed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("kbucket")
+
+  /** Partial-rewrite MERGE for a key-bucketed table: rewrite ONLY the
+    * buckets containing updated keys, leaving every other bucket's files
+    * physically untouched. This is the answer to the full-dimension-rewrite
+    * cliff: a batch updating 0.1% of keys rewrites ~0.1% of the table
+    * (bucket granularity), not 100% of it — at a fact-sized dimension the
+    * difference between seconds and hours.
+    *
+    *  - `updateKeys`: a frame holding `key` for every updated row; its
+    *    distinct bucket ids (≤ numBuckets ints) are the only driver-side
+    *    collect.
+    *  - `merge`: existing rows of the touched buckets (partition-pruned
+    *    scan) → their replacement rows. Keys must not change inside
+    *    `merge` (rows would silently switch buckets).
+    *
+    * Commit protocol mirrors [[atomicOverwrite]], per bucket: stage the
+    * merged buckets under `<dir>.__staged`, then swap each touched bucket
+    * directory by metadata-only renames (live → `<dir>.__old_b<i>`,
+    * staged → live). A crash before the swap loop loses nothing; a crash
+    * mid-loop leaves every bucket either old or new — each readable, and
+    * the halves recoverable by name. */
+  def partialOverwrite(spark: SparkSession, dir: String, key: String,
+      numBuckets: Int, updateKeys: DataFrame)(
+      merge: DataFrame => DataFrame): Unit = {
+    val touched = updateKeys
+      .select(bucketCol(key, numBuckets).as("kbucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(dir)
+      .filter(col("kbucket").isin(touched.map(Integer.valueOf): _*))
+      .drop("kbucket")
+    val merged = merge(existing)
+    val stagedRoot = dir + ".__staged"
+    merged.withColumn("kbucket", bucketCol(key, numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("kbucket").parquet(stagedRoot)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val live = new Path(dir, s"kbucket=$b")
+      val staged = new Path(stagedRoot, s"kbucket=$b")
+      val old = new Path(dir + s".__old_b$b")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(live)) {
+        if (!fs.rename(live, old)) sys.error(s"rename $live -> $old failed")
+      }
+      // a touched bucket can legitimately vanish (merge dropped all its
+      // rows) or appear (first keys hashed into it)
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, live)) sys.error(s"rename $staged -> $live failed")
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(new Path(stagedRoot), true)
+    ()
+  }
+
   /** Inner equi-join with salted keys: the big side's rows get a
     * deterministic salt in [0, salts); the small side is replicated once
     * per salt value. A key carrying S% of the data spreads over `salts`

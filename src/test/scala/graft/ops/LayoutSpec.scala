@@ -55,6 +55,53 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().min === 101)
   }
 
+  test("partialOverwrite: rewrites only touched buckets, others byte-identical") {
+    val dir = tmpDir("partial") + "/t"
+    val base = (1 to 1000).map(i => (i, i * 10)).toDF("k", "v")
+    Layout.writeKeyBucketed(base, dir, "k", numBuckets = 16)
+    // snapshot every bucket's file list + sizes + mtimes before the merge
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("kbucket=")).map { b =>
+        b.getName -> b.listFiles().toSeq.map(f =>
+          (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+      }.toMap
+    }
+    val before = snapshot()
+    val updates = Seq((7, -7), (500, -500)).toDF("k", "v")
+    Layout.partialOverwrite(spark, dir, "k", 16, updates.select("k")) { existing =>
+      existing.as("e").join(updates.as("u"), Seq("k"), "left_outer")
+        .select($"k", coalesce($"u.v", $"e.v").as("v"))
+    }
+    val after = snapshot()
+    // correctness: exactly the two keys changed
+    val got = Layout.readKeyBucketed(spark, dir).as[(Int, Int)].collect().toMap
+    assert(got.size === 1000)
+    assert(got(7) === -7 && got(500) === -500)
+    assert(got(8) === 80 && got(999) === 9990)
+    // physical invariant: untouched bucket dirs have identical files
+    // same bucket derivation as Layout.bucketCol: pmod(xxhash64(k), 16)
+    val touched = Set(7, 500).map(k => s"kbucket=${Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        k, org.apache.spark.sql.types.IntegerType, 42L), 16L)}")
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty)
+    untouched.foreach(b => assert(after(b) === before(b),
+      s"bucket $b was rewritten but carried no updated key"))
+    touched.foreach(b => assert(after(b) !== before(b)))
+  }
+
+  test("partialOverwrite: crash before the swap leaves the live table intact") {
+    val dir = tmpDir("partial2") + "/t"
+    Layout.writeKeyBucketed((1 to 100).toDF("k"), dir, "k", numBuckets = 8)
+    // simulate the stage phase only: write the staged root, no renames
+    val staged = dir + ".__staged"
+    (1 to 5).toDF("k")
+      .withColumn("kbucket", lit(0))
+      .write.partitionBy("kbucket").parquet(staged)
+    assert(Layout.readKeyBucketed(spark, dir).count() === 100)
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))
