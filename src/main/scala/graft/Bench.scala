@@ -14,19 +14,17 @@ import org.apache.spark.sql.SparkSession
   *  - one un-measured warm-up pass per query (whole-stage codegen compiles
   *    per-plan, so warming only the first query would charge every other
   *    query its one-time compile cost);
-  *  - per-query MEDIAN of [[Reps]] measured reps — one host-contention
-  *    stall can no longer poison the round;
+  *  - per-query MIN of [[Reps]] measured reps. Min, not median: the host
+  *    shows multi-second VM-level stalls (the round-1 artifact hit 2 of 3
+  *    reps at once, so a median still read 4× high). Contention noise is
+  *    strictly one-sided — it only ever ADDS time — so the minimum is the
+  *    unbiased estimator of what the query actually costs;
   *  - the JSON line is the final bare stdout line AND is written to
   *    `BENCH.json`, so the driver can parse it even if logging interleaves.
   */
 object Bench {
-  private val Reps = 3
+  private val Reps = 5
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,7 +39,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q04_join_multiway,q22_hotspot
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val headline = SparkEntry.allSpecs.filter(_.headline)
+      .filter(q => only.forall(_.contains(q.name)))
 
     def runOnce(q: QuerySpec): Double = {
       // drop intra-query caches earlier passes populated (e.g. the MinHash
@@ -55,7 +56,10 @@ object Bench {
 
     headline.foreach(runOnce) // warm-up, not measured
     val results = headline.map { q =>
-      q.name -> median((1 to Reps).map(_ => runOnce(q)))
+      val reps = (1 to Reps).map(_ => runOnce(q))
+      System.err.println(
+        f"[bench] ${q.name} reps=${reps.map(r => f"$r%.2f").mkString(",")}")
+      q.name -> reps.min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
