@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — an operator Spark lacks natively.
+  *
+  * The declarative form `points JOIN intervals ON ts BETWEEN start AND end`
+  * has no equi-key, so Catalyst can only plan a BroadcastNestedLoopJoin
+  * (or a cartesian product): every point is checked against every
+  * interval, O(|points| × |intervals|). At 100 TB that plan never
+  * finishes.
+  *
+  * [[binned]] restores an equi-key by quantizing the time axis: each
+  * point lands in exactly one fixed-width bin; each interval is exploded
+  * to the bins it overlaps. Joining on the bin id is a plain hash join —
+  * shuffled or broadcast, AQE's pick — and the exact range predicate
+  * filters the per-bin candidates. Each matched (point, interval) pair
+  * appears exactly once, because the point's single bin occurs once in
+  * the interval's bin sequence — no post-join dedup needed.
+  *
+  * Cost: the interval side replicates by ⌈len/bin⌉+1; candidates per
+  * point are the intervals sharing its bin. Pick `binSeconds` near the
+  * typical interval length — that bounds replication at ~2× while
+  * keeping per-bin candidate lists short. Skewed bins (an interval
+  * pile-up on one hot hour) are ordinary equi-join skew: AQE's skew-join
+  * split or [[Layout.saltedJoin]] applies unchanged.
+  */
+object RangeJoin {
+
+  /** Join each row of `points` (timestamp `tsCol`) to every row of
+    * `intervals` whose [startCol, endCol] contains it, both ends
+    * inclusive. Column sets of the two sides must be disjoint. */
+  def binned(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val binUs = binSeconds * 1000000L
+    val p = points.withColumn("_bin", floor(unix_micros(col(tsCol)) / binUs))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs),
+        floor(unix_micros(col(endCol)) / binUs))))
+    p.join(iv,
+        p("_bin") === iv("_bin") &&
+          col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
+}

@@ -152,6 +152,43 @@ object Advanced {
       Some("""SELECT event_type, dayname(ts) AS dow, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY CUBE (event_type, dow)
-        ORDER BY event_type NULLS FIRST, dow NULLS FIRST"""))
+        ORDER BY event_type NULLS FIRST, dow NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q52
+    // Range join (operator Spark lacks): events inside each incident's
+    // [ts, ts+30min] window. Declared as a pure BETWEEN join Catalyst can
+    // only nested-loop; RangeJoin.binned restores an equi-key by
+    // quantizing time into 30-min bins (interval side replicated ≤ 2×),
+    // so the plan is an ordinary hash join + residual filter — no
+    // O(points × intervals) pass. Oracle compares at micro precision
+    // (epoch_us) because Spark timestamps are micros.
+    QuerySpec(
+      "q52_range_join",
+      (s, d) => {
+        val e = T.events(s, d)
+        val incidents = e
+          .filter(col("event_type") === "error" && col("value") > 150)
+          .select(col("event_id").as("incident_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+        graft.ops.RangeJoin.binned(e, "ts", incidents,
+            "start_ts", "end_ts", binSeconds = 1800)
+          .groupBy(col("incident_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+            max(col("value")).as("max_value"))
+          .orderBy(col("incident_id"))
+      },
+      Some("""WITH inc AS (SELECT event_id AS incident_id, ts AS start_ts,
+            ts + INTERVAL 30 MINUTE AS end_ts
+          FROM events WHERE event_type = 'error' AND value > 150)
+        SELECT i.incident_id, COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+          MAX(e.value) AS max_value
+        FROM inc i JOIN events e
+          ON epoch_us(e.ts) >= epoch_us(i.start_ts)
+         AND epoch_us(e.ts) <= epoch_us(i.end_ts)
+        GROUP BY i.incident_id ORDER BY i.incident_id"""),
+      headline = true)
   )
 }

@@ -667,6 +667,36 @@ object TrainingData {
                  AND ${h60("'high|' || d.doc_id")} < ${Sampling.cutoff(0.9)})
            OR (q.quality < ${dbl("0.8")}
                  AND ${h60("'low|' || d.doc_id")} < ${Sampling.cutoff(0.2)})
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q53
+    // Per-label embedding centroids (mean pooling) via the typed
+    // VecCentroid Aggregator: partial aggregation folds each task's rows
+    // into one (sum, count) buffer, so the exchange carries one 64-dim
+    // vector per label per task — independent of corpus size. The
+    // posexplode+avg alternative would shuffle rows × dims. Outputs are
+    // rounded to 1e-6 on both sides: cross-row float summation order
+    // differs between engines at ~1e-16 relative, and the rounding
+    // quantum absorbs it.
+    QuerySpec(
+      "q53_embedding_centroids",
+      (s, d) => {
+        import graft.functions.VecCentroid
+        T.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(VecCentroid(col("embedding")).as("raw"),
+            count(lit(1)).as("n"))
+          .select(col("label"),
+            transform(col("raw"), x => round(x, 6)).as("centroid"), col("n"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+            unnest(embedding) AS e FROM embeddings),
+        m AS (SELECT label, i, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS m
+              FROM u GROUP BY 1, 2)
+        SELECT m.label, list(m.m ORDER BY m.i) AS centroid, n.n
+        FROM m JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1) n
+          ON n.label = m.label
+        GROUP BY m.label, n.n ORDER BY m.label"""))
   )
 }

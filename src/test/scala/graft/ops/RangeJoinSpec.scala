@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def points =
+    Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:10:00")),
+      (3L, ts("2024-01-01 00:30:00")), // exactly at an interval end
+      (4L, ts("2024-01-01 00:30:00.000001")), // one microsecond past it
+      (5L, ts("2024-01-01 05:00:00")),
+      (6L, ts("2024-01-02 12:00:00")))
+      .toDF("pid", "ts")
+
+  private def intervals =
+    Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")),
+      (11L, ts("2024-01-01 00:05:00"), ts("2024-01-01 02:00:00")),
+      (12L, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")))
+      .toDF("iid", "start_ts", "end_ts")
+
+  private def naive =
+    points.join(intervals,
+      $"ts" >= $"start_ts" && $"ts" <= $"end_ts")
+
+  test("binned: identical pairs to the naive BETWEEN join, several bin widths") {
+    val want = naive.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(want.nonEmpty)
+    for (bin <- Seq(60L, 600L, 1800L, 86400L)) {
+      val got = RangeJoin.binned(points, "ts", intervals, "start_ts", "end_ts", bin)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === want.toSeq, s"bin=$bin")
+    }
+  }
+
+  test("binned: both interval ends inclusive, no duplicate pairs") {
+    val got = RangeJoin.binned(points, "ts", intervals, "start_ts", "end_ts", 600L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    // pid 1 at interval 10's exact start; pid 3 at its exact end
+    assert(got.contains((1L, 10L)))
+    assert(got.contains((3L, 10L)))
+    // one microsecond past the end is out
+    assert(!got.contains((4L, 10L)))
+    // an interval spanning many bins matches each contained point once
+    assert(got.size === got.distinct.size)
+  }
+
+  private def initial(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  test("binned: plans a hash join, not a nested-loop or cartesian product") {
+    val plan = initial(
+      RangeJoin.binned(points, "ts", intervals, "start_ts", "end_ts", 1800L))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"nested-loop join in plan:\n$plan")
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"cartesian product in plan:\n$plan")
+    // the naive form of the same predicate does nested-loop — that's the
+    // plan binning exists to avoid
+    val naivePlan = initial(naive)
+    assert(naivePlan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+}
