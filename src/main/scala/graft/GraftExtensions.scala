@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) =>
         MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    // interval-containment joins plan as hash joins, not nested loops
+    // (opt-in via spark.graft.rangeJoin.binSeconds)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinBinning(session))
   }
 }

@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * keeping per-bin candidate lists short. Skewed bins (an interval
   * pile-up on one hot hour) are ordinary equi-join skew: AQE's skew-join
   * split or [[Layout.saltedJoin]] applies unchanged.
+  *
+  * The same rewrite is also available as a Catalyst optimizer rule
+  * ([[graft.plans.RangeJoinBinning]], injected by
+  * [[graft.GraftExtensions]]): set `spark.graft.rangeJoin.binSeconds`
+  * and plain `ts BETWEEN start AND end` joins hash-plan automatically.
   */
 object RangeJoin {
 
