@@ -697,6 +697,77 @@ object TrainingData {
         SELECT m.label, list(m.m ORDER BY m.i) AS centroid, n.n
         FROM m JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1) n
           ON n.label = m.label
-        GROUP BY m.label, n.n ORDER BY m.label"""))
+        GROUP BY m.label, n.n ORDER BY m.label""")),
+
+    // ---------------------------------------------------------------- q54
+    // The kept set — the dedup pipeline's actual OUTPUT: near-dup pairs
+    // (q30) → connected clusters (q51) → keep the best-quality doc per
+    // cluster (quality DESC, doc_id ASC tiebreak). One row per cluster,
+    // singletons included. This is the decision step that q46's
+    // drop-all-id_b heuristic approximates; clustering keeps exactly one
+    // representative per duplicate set even across chains. Cost on top of
+    // clustering: one quality projection (scan-speed) + one row_number
+    // window on cluster_id (reuses the cluster join's partitioning).
+    QuerySpec(
+      "q54_cluster_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        val clusters = Dedup.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        val withQ = docs.select(col("doc_id"),
+          Text.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters.join(withQ, Seq("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $tokCte, ${shingleCte(3)},
+        base AS (SELECT doc_id, text,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+          FROM toks),
+        qual AS (SELECT doc_id,
+          least(greatest(
+            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
+            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
+            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
+            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
+            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
+          FROM base),
+        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM common
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, comp) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT ed.src, r.comp FROM edges ed JOIN reach r ON r.id = ed.dst),
+        cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        assigned AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id
+                     FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM assigned GROUP BY cluster_id),
+        ranked AS (SELECT a.doc_id, a.cluster_id, cs.cluster_size, q.quality,
+            ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+              ORDER BY q.quality DESC, a.doc_id) AS rk
+          FROM assigned a
+          JOIN cs ON cs.cluster_id = a.cluster_id
+          JOIN qual q ON q.doc_id = a.doc_id)
+        SELECT doc_id, cluster_id, cluster_size, quality
+        FROM ranked WHERE rk = 1 ORDER BY doc_id"""))
   )
 }
