@@ -768,6 +768,26 @@ object TrainingData {
           JOIN cs ON cs.cluster_id = a.cluster_id
           JOIN qual q ON q.doc_id = a.doc_id)
         SELECT doc_id, cluster_id, cluster_size, quality
-        FROM ranked WHERE rk = 1 ORDER BY doc_id"""))
+        FROM ranked WHERE rk = 1 ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q55
+    // Corpus vocabulary: top-50 tokens by frequency (the first step of
+    // any tokenizer/vocab build). Explode shuffles nothing raw: partial
+    // aggregation combines per task BEFORE the exchange, so the shuffle
+    // carries each task's distinct tokens (bounded by vocabulary), not
+    // the corpus token stream — and the "the"-style hot keys are
+    // pre-summed, so token skew never concentrates on one reducer. The
+    // final top-k is a TakeOrdered, not a global sort.
+    QuerySpec(
+      "q55_token_freq",
+      (s, d) =>
+        T.documents(s, d)
+          .select(explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50),
+      Some(s"""WITH $tokCte, u AS (SELECT unnest(t) AS token FROM toks)
+        SELECT token, COUNT(*) AS n FROM u GROUP BY token
+        ORDER BY n DESC, token LIMIT 50"""))
   )
 }

@@ -62,4 +62,13 @@ class PlanSpec extends SparkSpec {
       assert(bad.isEmpty, s"$q plans a non-equi candidate join:\n${bad.mkString("\n")}")
     }
   }
+
+  test("q52: the range join plans as a hash join on the bin key") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val bad = initial("q52_range_join").collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec        => c
+    }
+    assert(bad.isEmpty, s"q52 plans a nested-loop/cartesian join:\n${bad.mkString("\n")}")
+  }
 }
