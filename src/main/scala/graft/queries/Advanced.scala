@@ -189,6 +189,28 @@ object Advanced {
           ON epoch_us(e.ts) >= epoch_us(i.start_ts)
          AND epoch_us(e.ts) <= epoch_us(i.end_ts)
         GROUP BY i.incident_id ORDER BY i.incident_id"""),
-      headline = true)
+      headline = true),
+
+    // ---------------------------------------------------------------- q56
+    // Event-time tumbling windows in batch — the oracle-checked twin of
+    // the streaming T5 path (StreamEtl.dailyVolumes uses the identical
+    // window() + agg graph behind a watermark). One hash agg on
+    // (window, type): the window start is derived per-row, so this is a
+    // plain partial+final agg — no range machinery, no second exchange.
+    QuerySpec(
+      "q56_tumbling_windows",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast(dec18)).cast("double").as("sum_value"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("n"), col("n_users"), col("sum_value"))
+          .orderBy(col("w_start"), col("event_type")),
+      Some("""SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+          COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
   )
 }
