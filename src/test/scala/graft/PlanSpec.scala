@@ -63,6 +63,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q07: rank filter pushes into partial+final WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    // the row_number() <= k filter must reach below the exchange: the
+    // shuffle then carries at most k rows per group per task instead of
+    // the whole fact — the property that makes per-group top-k scale
+    val limits = initial("q07_window_topk_per_group")
+      .collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size >= 2,
+      s"expected partial+final WindowGroupLimit, got ${limits.size}")
+  }
+
   test("q52: the range join plans as a hash join on the bin key") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val bad = initial("q52_range_join").collect {
