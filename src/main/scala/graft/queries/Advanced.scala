@@ -211,6 +211,38 @@ object Advanced {
       Some("""SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ---------------------------------------------------------------- q57
+    // Cohort retention: users bucketed by first-seen week, activity
+    // counted per weeks-since-cohort. Three stages, each one shuffle:
+    // first-seen agg on user_id; the activity join reuses that same
+    // user_id hash partitioning (no re-exchange of the per-user table);
+    // final distinct-count agg on the (cohort, offset) matrix — whose
+    // cardinality is weeks², tiny at any corpus size. Weeks are aligned
+    // Mondays in both engines, so the day-diff is an exact multiple of 7.
+    QuerySpec(
+      "q57_cohort_retention",
+      (s, d) => {
+        val e = T.events(s, d)
+        val firstSeen = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val activity = e.select(col("user_id"),
+          date_trunc("week", col("ts")).as("act_week"))
+        activity.join(firstSeen, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("act_week"), col("cohort_week")) / 7)
+              .cast("long").as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("cohort_week"), col("weeks_since"))
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id),
+        a AS (SELECT user_id, date_trunc('week', ts) AS act_week FROM events)
+        SELECT f.cohort_week,
+          CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT) AS weeks_since,
+          COUNT(DISTINCT a.user_id) AS active_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_week, weeks_since"""))
   )
 }
