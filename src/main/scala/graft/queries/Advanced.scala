@@ -243,6 +243,44 @@ object Advanced {
           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT) AS weeks_since,
           COUNT(DISTINCT a.user_id) AS active_users
         FROM a JOIN f USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort_week, weeks_since"""))
+        GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""")),
+
+    // ---------------------------------------------------------------- q58
+    // Ordered funnel: users who viewed, then clicked AFTER the first
+    // view, then purchased AFTER that click. Progressive stage times are
+    // per-user aggregates joined forward — each stage is one hash agg on
+    // user_id, and every join reuses the same user_id partitioning, so
+    // the whole funnel is ONE exchange of each stage's per-user table
+    // (users, not events, cross the wire after stage 1). The strict
+    // event-order constraint is what groupBy alone can't express.
+    QuerySpec(
+      "q58_funnel",
+      (s, d) => {
+        val e = T.events(s, d)
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val clicks = e.filter(col("event_type") === "click")
+          .join(views, Seq("user_id"))
+          .filter(col("ts") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .join(clicks, Seq("user_id"))
+          .filter(col("ts") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        views.agg(count(lit(1)).as("n_viewed"))
+          .crossJoin(clicks.agg(count(lit(1)).as("n_clicked_after")))
+          .crossJoin(purchases.agg(count(lit(1)).as("n_purchased_after")))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+          (SELECT COUNT(*) FROM c) AS n_clicked_after,
+          (SELECT COUNT(*) FROM p) AS n_purchased_after"""))
   )
 }
