@@ -1,0 +1,136 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ctran.Schemas
+
+/** DataSource V2 for the reference's array-framed JSON files (S4): the
+  * `file_consumer` writes one top-level JSON ARRAY of breadcrumb objects
+  * per day. The multiLine JSON reader handles these
+  * (`ctran.Load.readRawJson`); this connector makes the framing a
+  * first-class format —
+  *
+  * {{{ spark.read.format("graft-jsonarray").load(dir) }}}
+  *
+  * — with the DSv2 contract a 100 TB source needs:
+  *  - one input partition PER FILE (array framing has no intra-file
+  *    split points — the multiLine reader has the same granularity, so
+  *    parallelism = file count; the writer keeps files day-sized);
+  *  - COLUMN PRUNING pushed into the parser
+  *    (SupportsPushDownRequiredColumns): unprojected fields are
+  *    token-skipped, never materialized — `select(one column)` parses
+  *    one field per object instead of eight;
+  *  - STREAMING parse (Jackson token iterator): a file never needs to
+  *    fit in memory as a string, unlike naive whole-file approaches.
+  *
+  * Fields land as strings, exactly as the declared ingest contract
+  * (`Schemas.rawBreadcrumb` — typing happens in the transform).
+  * Unknown object fields are skipped; missing fields are null.
+  */
+class JsonArraySource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonarray"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.rawBreadcrumb
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new JsonArrayTable(schema, properties.get("path"))
+}
+
+private[sources] class JsonArrayTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsonarray:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonArrayScanBuilder(schema,
+      Option(path).getOrElse(options.get("path")))
+}
+
+private[sources] class JsonArrayScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new JsonArrayScan(required, path)
+}
+
+private[sources] case class JsonFilePartition(file: String) extends InputPartition
+
+private[sources] class JsonArrayScan(required: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      else Array(p)
+    files.sortBy(_.toString)
+      .map(f => JsonFilePartition(f.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonArrayReaderFactory(required.fieldNames)
+}
+
+/** Serializable factory: carries only the projected field names. */
+private[sources] class JsonArrayReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonArrayReader(partition.asInstanceOf[JsonFilePartition].file, fields)
+}
+
+private[sources] class JsonArrayReader(file: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val idx: Map[String, Int] = fields.zipWithIndex.toMap
+  private val in = {
+    val p = new Path(file)
+    p.getFileSystem(new Configuration()).open(p)
+  }
+  private val parser = new JsonFactory().createParser(in: java.io.InputStream)
+  require(parser.nextToken() == JsonToken.START_ARRAY,
+    s"$file is not an array-framed JSON file")
+  private var row: InternalRow = _
+
+  override def next(): Boolean = parser.nextToken() match {
+    case JsonToken.START_OBJECT =>
+      val values = new Array[Any](fields.length)
+      while (parser.nextToken() == JsonToken.FIELD_NAME) {
+        val name = parser.currentName()
+        parser.nextToken() // move onto the value
+        idx.get(name) match {
+          case Some(i) if parser.currentToken() != JsonToken.VALUE_NULL =>
+            values(i) = UTF8String.fromString(parser.getValueAsString)
+          case _ => parser.skipChildren() // unprojected/unknown: never parsed
+        }
+      }
+      row = new GenericInternalRow(values)
+      true
+    case _ => false // END_ARRAY (or EOF)
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = { parser.close(); in.close() }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ctran.{Load, Schemas}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+class JsonArraySourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(dir: String, name: String, rows: Seq[(String, String)]): Unit = {
+    val objs = rows.map { case (trip, vid) =>
+      s"""{"EVENT_NO_TRIP": "$trip", "OPD_DATE": "05-OCT-20", "ACT_TIME": "3600",
+         | "VEHICLE_ID": "$vid", "GPS_LATITUDE": "45.52", "GPS_LONGITUDE": "-122.68",
+         | "DIRECTION": "117", "VELOCITY": "25", "IGNORED_EXTRA": {"nested": [1, 2]}}""".stripMargin
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/$name"), objs.mkString("[\n", ",\n", "\n]"))
+    ()
+  }
+
+  test("reads array-framed files; rows match the multiLine JSON reader") {
+    val dir = tmpDir("dsv2")
+    writeFixture(dir, "day1.json", Seq(("1", "4008"), ("2", "4009")))
+    writeFixture(dir, "day2.json", Seq(("3", "4010")))
+    val got = spark.read.format("graft-jsonarray").load(dir)
+    assert(got.schema === Schemas.rawBreadcrumb)
+    assert(got.count() === 3)
+    val viaMultiline = Load.readRawJson(spark, dir)
+    assert(got.except(viaMultiline).isEmpty && viaMultiline.except(got).isEmpty)
+  }
+
+  test("one input partition per file") {
+    val dir = tmpDir("dsv2p")
+    (1 to 5).foreach(i => writeFixture(dir, s"f$i.json", Seq((s"$i", "4008"))))
+    val df = spark.read.format("graft-jsonarray").load(dir)
+    assert(df.rdd.getNumPartitions === 5)
+  }
+
+  test("column pruning pushes into the parser (scan emits only projected fields)") {
+    val dir = tmpDir("dsv2c")
+    writeFixture(dir, "d.json", Seq(("1", "4008"), ("2", "4009")))
+    val df = spark.read.format("graft-jsonarray").load(dir).select($"VEHICLE_ID")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) === Seq("VEHICLE_ID"),
+      s"scan not pruned: ${scans.head.output}")
+    assert(df.as[String].collect().sorted === Array("4008", "4009"))
+  }
+
+  test("missing fields are null; unknown fields are skipped") {
+    val dir = tmpDir("dsv2m")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/x.json"),
+      """[{"EVENT_NO_TRIP": "9", "SURPRISE": "y"}]""")
+    val row = spark.read.format("graft-jsonarray").load(s"$dir/x.json").head()
+    assert(row.getAs[String]("EVENT_NO_TRIP") === "9")
+    assert(row.getAs[String]("VEHICLE_ID") === null)
+  }
+}
