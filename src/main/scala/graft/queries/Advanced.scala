@@ -281,6 +281,33 @@ object Advanced {
             WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
         SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
           (SELECT COUNT(*) FROM c) AS n_clicked_after,
-          (SELECT COUNT(*) FROM p) AS n_purchased_after"""))
+          (SELECT COUNT(*) FROM p) AS n_purchased_after""")),
+
+    // ---------------------------------------------------------------- q59
+    // Sliding windows (1-day window, 6-hour slide): each event belongs
+    // to exactly 4 overlapping windows. Spark's window() plans this as a
+    // 4-way per-row expansion followed by ONE partial+final hash agg —
+    // replication factor = window/slide, fixed at plan time, then the
+    // usual map-side combine absorbs it before the exchange. The oracle
+    // rebuilds the same expansion from the 6-hour bucket (both engines
+    // align buckets to midnight, and 6 h divides the day evenly).
+    QuerySpec(
+      "q59_sliding_windows",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(col("w.start").as("w_start"), col("event_type"),
+            col("n"), col("n_users"))
+          .orderBy(col("w_start"), col("event_type")),
+      Some("""WITH b AS (SELECT user_id, event_type,
+            time_bucket(INTERVAL 6 HOUR, ts) AS tb FROM events),
+        slid AS (SELECT user_id, event_type,
+            tb - k * INTERVAL 6 HOUR AS w_start
+          FROM b, range(0, 4) t(k))
+        SELECT w_start, event_type, COUNT(*) AS n,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type"""))
   )
 }
