@@ -308,6 +308,44 @@ object Advanced {
           FROM b, range(0, 4) t(k))
         SELECT w_start, event_type, COUNT(*) AS n,
           COUNT(DISTINCT user_id) AS n_users
-        FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+        FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ---------------------------------------------------------------- q60
+    // FORWARD as-of join — q36's mirror: each click matched to the
+    // user's NEXT purchase at-or-after it (time-to-conversion shape).
+    // Same union + ordered-window technique, scanning forward with
+    // first(ignoreNulls) over [current, ∞): one shuffle on user_id, no
+    // range join. Clicks sort before purchases at equal timestamps
+    // (side 0 < 1) so a same-instant purchase matches, mirroring
+    // DuckDB's ASOF `<=` inclusion.
+    QuerySpec(
+      "q60_asof_forward",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+          .select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("click_id"), col("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.unionByName(purchases)
+          .withColumn("matched", first(col("purchase_id"), ignoreNulls = true).over(w))
+          .filter(col("side") === 0)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("matched").as("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          p.purchase_id
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY click_id"""))
   )
 }
