@@ -44,22 +44,31 @@ object Bench {
     val headline = SparkEntry.allSpecs.filter(_.headline)
       .filter(q => only.forall(_.contains(q.name)))
 
-    def runOnce(q: QuerySpec): Double = {
+    // a FAILED rep must not produce a time: min-of-N assumes noise only
+    // ADDS time, but a fast failure (transient OOM, cache churn) would
+    // subtract and become the recorded number — return None instead
+    def runOnce(q: QuerySpec): Option[Double] = {
       // drop intra-query caches earlier passes populated (e.g. the MinHash
       // signature table) — measure cold-data, warm-JVM numbers
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} rep FAILED: ${e.getMessage}")
+          None
+      }
     }
 
     headline.foreach(runOnce) // warm-up, not measured
     val results = headline.map { q =>
       val reps = (1 to Reps).map(_ => runOnce(q))
       System.err.println(
-        f"[bench] ${q.name} reps=${reps.map(r => f"$r%.2f").mkString(",")}")
-      q.name -> reps.min
+        f"[bench] ${q.name} reps=${reps.map(_.fold("fail")(r => f"$r%.2f")).mkString(",")}")
+      // all-reps-failed → -1 sentinel (never a fake fast time)
+      q.name -> reps.flatten.minOption.getOrElse(-1.0)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }

@@ -447,7 +447,7 @@ object Dedup {
   def embeddingNearDupsLsh(
       embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, rowsPerBand: Int = 4, bands: Int = 15,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucketDocFreq: Long = 1000000L): DataFrame = {
     require(rowsPerBand * bands <= 60,
       "signature packs into one long: bands × rowsPerBand must be ≤ 60 bits")
     graft.functions.GraftFunctions.ensureRegistered(embs.sparkSession)
@@ -462,6 +462,13 @@ object Dedup {
         lit(b * nBuckets) +
           shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(nBuckets - 1))
       }: _*)).as("bucket"))
+      // stop-bucket cap, same hole minhashNearDups plugs with
+      // maxBandDocFreq: degenerate embeddings (all-zero vectors from
+      // failed encoder batches all share one signature — vec_dot = 0
+      // passes >= 0 on every plane) would make one bucket quadratic.
+      // The frequency window rides the bucket key the join shuffles on.
+      .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bdf") <= maxBucketDocFreq).drop("bdf")
     banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -107,9 +107,15 @@ object Layout {
     * Commit protocol mirrors [[atomicOverwrite]], per bucket: stage the
     * merged buckets under `<dir>.__staged`, then swap each touched bucket
     * directory by metadata-only renames (live → `<dir>.__old_b<i>`,
-    * staged → live). A crash before the swap loop loses nothing; a crash
-    * mid-loop leaves every bucket either old or new — each readable, and
-    * the halves recoverable by name. */
+    * staged → live). A crash before the swap loop loses nothing. The
+    * window between a bucket's two renames would leave that bucket
+    * silently ABSENT (partition discovery just returns fewer rows — no
+    * loud failure like a missing table root), so each swap is bracketed
+    * by a hidden `_graft_commit_b<i>` marker in the table root: a marker
+    * present at read/startup time means a swap was in flight, and
+    * [[recoverPartialOverwrite]] completes it forward (staged half
+    * exists) or rolls it back (only the old half left) and clears the
+    * marker. */
   def partialOverwrite(spark: SparkSession, dir: String, key: String,
       numBuckets: Int, updateKeys: DataFrame)(
       merge: DataFrame => DataFrame): Unit = {
@@ -130,6 +136,10 @@ object Layout {
       val staged = new Path(stagedRoot, s"kbucket=$b")
       val old = new Path(dir + s".__old_b$b")
       if (fs.exists(old)) fs.delete(old, true)
+      // underscore prefix keeps the marker invisible to readers; its
+      // presence = this bucket's swap is in flight (see recover below)
+      val marker = new Path(dir, s"_graft_commit_b$b")
+      fs.create(marker).close()
       if (fs.exists(live)) {
         if (!fs.rename(live, old)) sys.error(s"rename $live -> $old failed")
       }
@@ -139,9 +149,40 @@ object Layout {
         if (!fs.rename(staged, live)) sys.error(s"rename $staged -> $live failed")
       }
       fs.delete(old, true)
+      fs.delete(marker, false)
     }
     fs.delete(new Path(stagedRoot), true)
     ()
+  }
+
+  /** Complete or roll back [[partialOverwrite]] swaps interrupted by a
+    * crash. For every `_graft_commit_b<i>` marker left in the table root:
+    * if the live bucket is missing, restore it from the staged half
+    * (roll forward) or the old half (roll back); then drop leftovers and
+    * the marker. Idempotent; returns the number of buckets repaired.
+    * Run before reading a table that may have seen an unclean shutdown. */
+  def recoverPartialOverwrite(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val markers = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_graft_commit_b"))
+    markers.foreach { m =>
+      val b = m.getName.stripPrefix("_graft_commit_b")
+      val live = new Path(dir, s"kbucket=$b")
+      val staged = new Path(dir + ".__staged", s"kbucket=$b")
+      val old = new Path(dir + s".__old_b$b")
+      if (!fs.exists(live)) {
+        if (fs.exists(staged)) {
+          if (!fs.rename(staged, live)) sys.error(s"recover $staged -> $live failed")
+        } else if (fs.exists(old)) {
+          if (!fs.rename(old, live)) sys.error(s"recover $old -> $live failed")
+        }
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.delete(m, false)
+    }
+    markers.length
   }
 
   /** Inner equi-join with salted keys: the big side's rows get a

@@ -109,12 +109,18 @@ object Similarity {
   private[graft] def ivfTrainSet(
       corpus: DataFrame, vecCol: String, maxFitRows: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val n = corpus.count()
-    val base =
-      if (n <= maxFitRows) corpus
-      else corpus.sample(withReplacement = false,
-        math.min(1.0, maxFitRows.toDouble * 1.05 / n), seed = 42).limit(maxFitRows)
-    base.select(array_to_vector(col(vecCol)).as("fv"))
+    // No full-corpus count: the bound is decided by early-terminating
+    // limit-probes (each scans until maxFitRows+1 survivors, then stops).
+    // On overflow a deterministic hash filter geometrically shrinks the
+    // kept fraction — O(log(n/maxFitRows)) bounded probes, and the fit
+    // input never materializes more than maxFitRows rows.
+    var keep = corpus
+    var denom = 1L
+    while (keep.limit(maxFitRows + 1).count() > maxFitRows) {
+      denom *= 2L
+      keep = corpus.filter(pmod(xxhash64(col(vecCol)), lit(denom)) === 0)
+    }
+    keep.limit(maxFitRows).select(array_to_vector(col(vecCol)).as("fv"))
   }
 
   /** K-means cell centroids from a bounded sample of the corpus. Compute

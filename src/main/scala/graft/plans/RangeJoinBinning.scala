@@ -41,9 +41,19 @@ case class RangeJoinBinning(session: SparkSession)
 
   import RangeJoinBinning.BinSecondsKey
 
+  // a malformed conf value must not throw from inside the optimizer —
+  // apply() runs on EVERY query in the session, so an unguarded .toLong
+  // would fail them all; warn once and treat as unset instead
   private def binUs: Option[Long] =
-    session.conf.getOption(BinSecondsKey).map(_.toLong).filter(_ > 0)
-      .map(_ * 1000000L)
+    session.conf.getOption(BinSecondsKey).flatMap { v =>
+      scala.util.Try(v.toLong).toOption match {
+        case None =>
+          logWarning(s"$BinSecondsKey='$v' is not a number of seconds — " +
+            "range-join binning disabled")
+          None
+        case some => some
+      }
+    }.filter(_ > 0).map(_ * 1000000L)
 
   override def apply(plan: LogicalPlan): LogicalPlan = binUs match {
     case None => plan

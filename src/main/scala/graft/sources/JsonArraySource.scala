@@ -79,9 +79,15 @@ private[sources] class JsonArrayScan(required: StructType, path: String)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // the SESSION's Hadoop conf (spark.hadoop.* — object-store credentials,
+  // fs.defaultFS, …), not a bare `new Configuration()` that would only see
+  // cluster defaults; planned on the driver, shipped to readers as entries
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath)
@@ -91,23 +97,29 @@ private[sources] class JsonArrayScan(required: StructType, path: String)
       .map(f => JsonFilePartition(f.toString): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new JsonArrayReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val entries = hadoopConf.asScala.map(e => e.getKey -> e.getValue).toMap
+    new JsonArrayReaderFactory(required.fieldNames, entries)
+  }
 }
 
-/** Serializable factory: carries only the projected field names. */
-private[sources] class JsonArrayReaderFactory(fields: Array[String])
-    extends PartitionReaderFactory {
+/** Serializable factory: projected field names + the session Hadoop conf
+  * as plain entries (rebuilt executor-side). */
+private[sources] class JsonArrayReaderFactory(fields: Array[String],
+    confEntries: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonArrayReader(partition.asInstanceOf[JsonFilePartition].file, fields)
+    new JsonArrayReader(partition.asInstanceOf[JsonFilePartition].file,
+      fields, confEntries)
 }
 
-private[sources] class JsonArrayReader(file: String, fields: Array[String])
-    extends PartitionReader[InternalRow] {
+private[sources] class JsonArrayReader(file: String, fields: Array[String],
+    confEntries: Map[String, String]) extends PartitionReader[InternalRow] {
   private val idx: Map[String, Int] = fields.zipWithIndex.toMap
   private val in = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
     val p = new Path(file)
-    p.getFileSystem(new Configuration()).open(p)
+    p.getFileSystem(conf).open(p)
   }
   private val parser = new JsonFactory().createParser(in: java.io.InputStream)
   require(parser.nextToken() == JsonToken.START_ARRAY,
@@ -121,9 +133,15 @@ private[sources] class JsonArrayReader(file: String, fields: Array[String])
         val name = parser.currentName()
         parser.nextToken() // move onto the value
         idx.get(name) match {
-          case Some(i) if parser.currentToken() != JsonToken.VALUE_NULL =>
+          case Some(i) if parser.currentToken().isScalarValue &&
+              parser.currentToken() != JsonToken.VALUE_NULL =>
             values(i) = UTF8String.fromString(parser.getValueAsString)
-          case _ => parser.skipChildren() // unprojected/unknown: never parsed
+          case _ =>
+            // unprojected, null, or non-scalar (a projected field holding
+            // an object/array reads as null): skip the WHOLE value —
+            // getValueAsString on START_OBJECT would leave the nested
+            // tokens unconsumed and desync every row after it
+            parser.skipChildren()
         }
       }
       row = new GenericInternalRow(values)

@@ -42,18 +42,32 @@ object SessionState {
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       open = open match {
-        case Some(s) if t - s.endMs <= gapMs =>
-          Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
-        case Some(s) => // gap exceeded inside the batch — close inline
+        // within gap of EITHER side — an out-of-order event close before
+        // the open session's start extends it backwards (min), it must
+        // not be silently swallowed without moving the bound
+        case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+          Some(OpenSession(math.min(s.startMs, t),
+            math.max(s.endMs, t), s.n + 1))
+        case Some(s) if t > s.endMs + gapMs => // gap ahead — close inline
           closed ::= ClosedSession(userId, s.startMs, s.endMs, s.n)
           Some(OpenSession(t, t, 1))
+        case Some(s) => // a whole session's worth BEFORE the open one:
+          // it can never merge with anything later (the open session
+          // starts > gap after it), so it closes immediately
+          closed ::= ClosedSession(userId, t, t, 1)
+          Some(s)
         case None => Some(OpenSession(t, t, 1))
       }
     }
     open.foreach { s =>
       state.update(s)
-      // fires once the WATERMARK (not the clock) passes end + gap
-      state.setTimeoutTimestamp(s.endMs + gapMs)
+      // fires once the WATERMARK (not the clock) passes end + gap.
+      // flatMapGroupsWithState does NOT drop late rows, so a very late
+      // event can put end + gap behind the current watermark — Spark
+      // rejects a timeout in the past, so clamp just past it (the
+      // session then closes on the next batch)
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
     }
     closed.reverseIterator
   }

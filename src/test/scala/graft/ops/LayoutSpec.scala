@@ -102,6 +102,38 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readKeyBucketed(spark, dir).count() === 100)
   }
 
+  test("recoverPartialOverwrite: crash between the rename pair rolls forward or back") {
+    val dir = tmpDir("recover") + "/t"
+    Layout.writeKeyBucketed((1 to 100).toDF("k"), dir, "k", numBuckets = 4)
+    val all = Layout.readKeyBucketed(spark, dir).as[Int].collect().sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def crashBucket(b: Int, stageNew: Boolean): Unit = {
+      // simulate the mid-swap crash: marker down, live renamed away
+      fs.createNewFile(new org.apache.hadoop.fs.Path(dir, s"_graft_commit_b$b"))
+      fs.rename(new org.apache.hadoop.fs.Path(dir, s"kbucket=$b"),
+        new org.apache.hadoop.fs.Path(dir + s".__old_b$b"))
+      if (stageNew) {
+        // the staged replacement for this bucket exists → roll forward
+        val staged = dir + ".__staged"
+        Layout.readKeyBucketed(spark, dir) // (any frame) — build staged half
+        (201 to 203).toDF("k").withColumn("kbucket", lit(b))
+          .write.mode("append").partitionBy("kbucket").parquet(staged)
+      }
+    }
+    crashBucket(0, stageNew = false)
+    assert(Layout.readKeyBucketed(spark, dir).count() < 100) // silent absence
+    assert(Layout.recoverPartialOverwrite(spark, dir) === 1)
+    // rolled BACK: original rows restored
+    assert(Layout.readKeyBucketed(spark, dir).as[Int].collect().sorted === all)
+    crashBucket(1, stageNew = true)
+    assert(Layout.recoverPartialOverwrite(spark, dir) === 1)
+    // rolled FORWARD: bucket 1 now holds the staged rows
+    val after = Layout.readKeyBucketed(spark, dir).as[Int].collect().sorted
+    assert(after.containsSlice(Seq(201, 202, 203)))
+    assert(Layout.recoverPartialOverwrite(spark, dir) === 0) // idempotent
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))

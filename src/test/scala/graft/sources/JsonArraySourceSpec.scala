@@ -47,6 +47,24 @@ class JsonArraySourceSpec extends SparkSpec {
     assert(df.as[String].collect().sorted === Array("4008", "4009"))
   }
 
+  test("a projected field holding an object/array reads null without desyncing rows") {
+    val dir = tmpDir("dsv2o")
+    // VEHICLE_ID (projected) holds an OBJECT in row 1 and an ARRAY in
+    // row 2 — both must land as null and the rows AFTER them must survive
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/x.json"),
+      """[{"EVENT_NO_TRIP": "1", "VEHICLE_ID": {"nested": "x"}, "ACT_TIME": "1"},
+        |{"EVENT_NO_TRIP": "2", "VEHICLE_ID": [1, 2], "ACT_TIME": "2"},
+        |{"EVENT_NO_TRIP": "3", "VEHICLE_ID": "4008", "ACT_TIME": "3"}]""".stripMargin)
+    val rows = spark.read.format("graft-jsonarray").load(s"$dir/x.json")
+      .select($"EVENT_NO_TRIP", $"VEHICLE_ID", $"ACT_TIME")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length === 3)
+    assert(rows(0) === (("1", null, "1")))
+    assert(rows(1) === (("2", null, "2")))
+    assert(rows(2) === (("3", "4008", "3")))
+  }
+
   test("missing fields are null; unknown fields are skipped") {
     val dir = tmpDir("dsv2m")
     java.nio.file.Files.writeString(

@@ -44,6 +44,33 @@ class SessionStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an out-of-order event within gap of the start extends the session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = SessionState.sessions(input.toDS(), gapMs = 10 * 60 * 1000L,
+        lateness = "2 hours")
+      .writeStream.format("memory").queryName("sess3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(UserEvent(1, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // late event 5 min BEFORE the open session's start: must extend the
+      // session to 09:55, not be swallowed with the old bounds
+      input.addData(UserEvent(1, ts("2024-01-01 09:55:00")))
+      q.processAllAvailable()
+      // close it via watermark advance (2 h lateness)
+      input.addData(UserEvent(2, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      input.addData(UserEvent(2, ts("2024-01-01 14:01:00")))
+      q.processAllAvailable()
+      val s1 = spark.table("sess3").as[SessionState.ClosedSession]
+        .collect().find(_.user_id == 1L).get
+      assert(s1.start_ms === ms("2024-01-01 09:55:00"))
+      assert(s1.end_ms === ms("2024-01-01 10:00:00"))
+      assert(s1.n_events === 2L)
+    } finally q.stop()
+  }
+
   test("a gap inside one batch closes the first session inline") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
