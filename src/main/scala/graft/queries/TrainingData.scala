@@ -34,6 +34,55 @@ object TrainingData {
        ELSE [] END hs FROM toks)"""
   }
 
+  // Shared oracle CTE fragments — one source of truth for the quality
+  // formula (q46/q48/q54), the Jaccard-0.5 pair graph (q46/q51/q54) and
+  // the connected-components replay (q51/q54), so the oracles cannot
+  // silently drift apart when a formula is tuned.
+  private val baseCte =
+    s"""base AS (SELECT doc_id, text,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+          FROM toks)"""
+
+  /** Quality-score CTE (the Text.qualityScore twin); `extraCols` lets a
+    * query carry extra base columns through (e.g. " n_tokens,"). */
+  private def qualCte(extraCols: String = ""): String =
+    s"""qual AS (SELECT doc_id,$extraCols
+          least(greatest(
+            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
+            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
+            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
+            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
+            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
+          FROM base)"""
+
+  /** Jaccard ≥ 0.5 near-dup pairs over the 3-gram shingles (needs sh). */
+  private val pairGraphCte =
+    s"""e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM common
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")})"""
+
+  /** Connected components over `pairs` + per-cluster sizes (RECURSIVE). */
+  private val ccCte =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, comp) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT ed.src, r.comp FROM edges ed JOIN reach r ON r.id = ed.dst),
+        cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        assigned AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id
+                     FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM assigned GROUP BY cluster_id)"""
+
   private val NumHashes = 24
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
@@ -448,28 +497,10 @@ object TrainingData {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH $tokCte, ${shingleCte(3)},
-        base AS (SELECT doc_id, text,
-          CAST(len(t) AS BIGINT) AS n_tokens,
-          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
-          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
-          FROM toks),
-        qual AS (SELECT doc_id, n_tokens,
-          least(greatest(
-            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
-            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
-            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
-            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
-            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
-          FROM base),
-        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
-        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-        dup AS (SELECT DISTINCT id_b FROM common
-                JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-                WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")})
+        $baseCte,
+        ${qualCte(" n_tokens,")},
+        $pairGraphCte,
+        dup AS (SELECT DISTINCT id_b FROM pairs)
         SELECT d.doc_id, d.n_chars
         FROM documents d JOIN qual ON qual.doc_id = d.doc_id
         WHERE qual.quality >= ${dbl("0.8")} AND qual.n_tokens >= 10
@@ -495,26 +526,8 @@ object TrainingData {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE $tokCte, ${shingleCte(3)},
-        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
-        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-        pairs AS (SELECT id_a, id_b FROM common
-                  JOIN sizes sa ON sa.doc_id = id_a
-                  JOIN sizes sb ON sb.doc_id = id_b
-                  WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")}),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(id, comp) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT ed.src, r.comp FROM edges ed JOIN reach r ON r.id = ed.dst),
-        cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
-        assigned AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id
-                     FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
-        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
-               FROM assigned GROUP BY cluster_id)
+        $pairGraphCte,
+        $ccCte
         SELECT a.doc_id, a.cluster_id, cs.cluster_size
         FROM assigned a JOIN cs ON cs.cluster_id = a.cluster_id
         ORDER BY a.doc_id""")),
@@ -647,19 +660,8 @@ object TrainingData {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH $tokCte,
-        base AS (SELECT doc_id, text,
-          CAST(len(t) AS BIGINT) AS n_tokens,
-          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
-          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
-          FROM toks),
-        qual AS (SELECT doc_id,
-          least(greatest(
-            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
-            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
-            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
-            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
-            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
-          FROM base)
+        $baseCte,
+        ${qualCte()}
         SELECT d.doc_id,
           CASE WHEN q.quality >= ${dbl("0.8")} THEN 'high' ELSE 'low' END AS source
         FROM documents d JOIN qual q ON q.doc_id = d.doc_id
@@ -728,39 +730,10 @@ object TrainingData {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE $tokCte, ${shingleCte(3)},
-        base AS (SELECT doc_id, text,
-          CAST(len(t) AS BIGINT) AS n_tokens,
-          CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stop_hits,
-          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
-          FROM toks),
-        qual AS (SELECT doc_id,
-          least(greatest(
-            least(${dbl("n_tokens")} / ${dbl("50.0")}, ${dbl("1.0")}) * ${dbl("0.4")}
-            + (CASE WHEN n_tokens > 0 THEN ${dbl("stop_hits")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) * ${dbl("10.0")} * ${dbl("0.2")}
-            + (${dbl("1.0")} - (CASE WHEN length(text) > 0 THEN ${dbl("n_punct")} / ${dbl("length(text)")} ELSE ${dbl("0")} END)) * ${dbl("0.2")}
-            + least((CASE WHEN n_tokens > 0 THEN ${dbl("length(text)")} / ${dbl("n_tokens")} ELSE ${dbl("0")} END) / ${dbl("8.0")}, ${dbl("1.0")}) * ${dbl("0.2")},
-            ${dbl("0.0")}), ${dbl("1.0")}) AS quality
-          FROM base),
-        e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
-        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-        pairs AS (SELECT id_a, id_b FROM common
-                  JOIN sizes sa ON sa.doc_id = id_a
-                  JOIN sizes sb ON sb.doc_id = id_b
-                  WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")}),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(id, comp) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT ed.src, r.comp FROM edges ed JOIN reach r ON r.id = ed.dst),
-        cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
-        assigned AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id
-                     FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
-        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
-               FROM assigned GROUP BY cluster_id),
+        $baseCte,
+        ${qualCte()},
+        $pairGraphCte,
+        $ccCte,
         ranked AS (SELECT a.doc_id, a.cluster_id, cs.cluster_size, q.quality,
             ROW_NUMBER() OVER (PARTITION BY a.cluster_id
               ORDER BY q.quality DESC, a.doc_id) AS rk
