@@ -53,6 +53,32 @@ object Sampling {
         .withColumn("source", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Deterministic WEIGHTED sample without replacement: the top-k docs by
+    * the Efraimidis–Spirakis key, with the uniform drawn from the portable
+    * hash instead of an RNG.
+    *
+    * key = −ln(u) / w with u = (md5₆₀(salt|key)+1) / (2⁶⁰+1) ∈ (0,1):
+    * picking the k SMALLEST keys samples exactly proportional to the
+    * weights, without replacement — the standard A-Res scheme, made
+    * reproducible because u is a pure function of (salt, row key). Higher
+    * weight ⇒ stochastically smaller key ⇒ more likely sampled; a weight
+    * ratio of w₁/w₂ reproduces inclusion odds of the true weighted draw.
+    * Plan: one narrow projection + TakeOrdered(k) — no shuffle beyond the
+    * top-k merge, no RNG state, replayable by any engine with md5 and ln.
+    *
+    * Weights must be strictly positive (rows with w ≤ 0 are dropped —
+    * they'd never be sampled anyway). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    val u = (PortableHash.md5Long(col(keyCol), salt).cast("double") + 1.0) /
+      lit((1L << 60).toDouble + 1.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_es_key", -log(u) / col(weightCol))
+      .orderBy(col("_es_key"), col(keyCol))
+      .limit(k)
+      .drop("_es_key")
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-token-budget
     * training sequences ("bins") by cumulative token count in `orderCol`
     * order within each `partCol` group.

@@ -761,6 +761,31 @@ object TrainingData {
           .limit(50),
       Some(s"""WITH $tokCte, u AS (SELECT unnest(t) AS token FROM toks)
         SELECT token, COUNT(*) AS n FROM u GROUP BY token
-        ORDER BY n DESC, token LIMIT 50"""))
+        ORDER BY n DESC, token LIMIT 50""")),
+
+    // ---------------------------------------------------------------- q61
+    // Quality-weighted corpus sample: top-100 docs by the
+    // Efraimidis–Spirakis key −ln(u)/w, with u drawn from the portable
+    // hash — sampling exactly proportional to the quality score, without
+    // replacement, and fully reproducible (no RNG state; any engine with
+    // md5 + ln replays the identical subset). The oracle mirrors the
+    // Spark float arithmetic operation-for-operation (CAST before the
+    // +1.0 — at 2⁶⁰ magnitudes the rounding order matters).
+    QuerySpec(
+      "q61_weighted_sample",
+      (s, d) => {
+        val withW = T.documents(s, d).select(col("doc_id"),
+          Text.qualityScore(col("text")).as("weight"))
+        Sampling.weightedSample(withW, "doc_id", "weight", k = 100, salt = "ws")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $tokCte, $baseCte, ${qualCte()},
+        keyed AS (SELECT doc_id, quality AS weight,
+            -ln((CAST(${h60("'ws|' || doc_id")} AS DOUBLE) + 1.0)
+                / ${dbl(s"${1L << 60}.0 + 1.0")}) / quality AS es_key
+          FROM qual WHERE quality > 0),
+        topk AS (SELECT doc_id, weight FROM keyed
+                 ORDER BY es_key, doc_id LIMIT 100)
+        SELECT doc_id, weight FROM topk ORDER BY doc_id"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.when
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -59,6 +60,25 @@ class SamplingSpec extends SparkSpec {
     assert(bins(10L) === (0L, 0L))
     assert(bins(11L) === (1L, 88L))  // de packs independently of en
     assert(run(docs.repartition(7)) === bins)
+  }
+
+  test("weightedSample: deterministic, size-bounded, weight-proportional") {
+    val docs = (1L to 2000L)
+      .map(i => (i, if (i <= 1000) 1.0 else 10.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(docs, "id", "w", k = 200, salt = "t")
+    val s2 = Sampling.weightedSample(docs.repartition(13), "id", "w", k = 200, salt = "t")
+    val ids1 = s1.select("id").as[Long].collect().sorted
+    assert(ids1.length === 200)
+    assert(ids1.toSeq === s2.select("id").as[Long].collect().sorted.toSeq,
+      "sample must not depend on partitioning")
+    // 10×-weighted half must dominate the sample (expected ~91% of picks)
+    val heavy = ids1.count(_ > 1000L)
+    assert(heavy > 150, s"heavy-weight docs under-sampled: $heavy/200")
+    // zero/negative weights are never sampled
+    val withZero = docs.withColumn("w", when($"id" === 1L, -1.0).otherwise($"w"))
+    assert(!Sampling.weightedSample(withZero, "id", "w", 2000, "t")
+      .select("id").as[Long].collect().contains(1L))
   }
 
   test("mixSources: per-source rates and tags, stable union") {
