@@ -51,4 +51,22 @@ object RangeJoin {
           col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** The same binning for NUMERIC intervals: join each row of `points`
+    * (long-valued `valCol`) to every row of `intervals` whose
+    * [loCol, hiCol] contains it, both ends inclusive. Same cost model as
+    * the timestamp form — pick `binWidth` near the typical interval
+    * length. */
+  def binnedNumeric(points: DataFrame, valCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("_bin", floor(col(valCol) / binWidth))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(iv,
+        p("_bin") === iv("_bin") &&
+          col(valCol) >= col(loCol) && col(valCol) <= col(hiCol))
+      .drop("_bin")
+  }
 }

@@ -53,6 +53,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.size === got.distinct.size)
   }
 
+  test("binnedNumeric: identical pairs to the naive join, negatives and bounds included") {
+    val pts = Seq((1L, -150L), (2L, -100L), (3L, 0L), (4L, 57L), (5L, 10000L))
+      .toDF("pid", "v")
+    val ivs = Seq(
+        (10L, -200L, -100L), // negative interval, pid 2 on its exact end
+        (11L, 0L, 0L),       // degenerate single-point interval
+        (12L, 50L, 9999L))   // wide interval, pid 5 one past its end
+      .toDF("iid", "lo", "hi")
+    val want = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(want === Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L)))
+    for (bin <- Seq(1L, 64L, 1000L)) {
+      val got = RangeJoin.binnedNumeric(pts, "v", ivs, "lo", "hi", bin)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"binWidth=$bin")
+    }
+  }
+
   private def initial(df: org.apache.spark.sql.DataFrame) =
     df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
