@@ -69,4 +69,35 @@ object RangeJoin {
           col(valCol) >= col(loCol) && col(valCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval OVERLAP self-join: all unordered pairs of `intervals`
+    * (timestamp [loCol, hiCol], inclusive) that intersect. Both rows
+    * explode to their bins and pair inside shared bins — but two long
+    * intervals share MANY bins, so a naive bin join emits duplicates.
+    * Instead of a post-join distinct (a full shuffle of the pair set),
+    * each pair is emitted in exactly ONE bin — the bin of
+    * `greatest(lo_a, lo_b)`, the intersection's left edge, which every
+    * overlapping pair shares by construction. Dedup-free, one hash join,
+    * exact residual overlap predicate. */
+  def binnedOverlaps(intervals: DataFrame, idCol: String,
+      loCol: String, hiCol: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val binUs = binSeconds * 1000000L
+    val binned = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_micros(col(loCol)) / binUs),
+        floor(unix_micros(col(hiCol)) / binUs))))
+    val a = binned.select(col(idCol).as("id_a"), col(loCol).as("_lo_a"),
+      col(hiCol).as("_hi_a"), col("_bin"))
+    val b = binned.select(col(idCol).as("id_b"), col(loCol).as("_lo_b"),
+      col(hiCol).as("_hi_b"), col("_bin").as("_bin_b"))
+    a.join(b,
+        col("_bin") === col("_bin_b") && col("id_a") < col("id_b") &&
+          col("_lo_a") <= col("_hi_b") && col("_lo_b") <= col("_hi_a") &&
+          col("_bin") === floor(
+            unix_micros(greatest(col("_lo_a"), col("_lo_b"))) / binUs))
+      .select(col("id_a"), col("id_b"),
+        greatest(col("_lo_a"), col("_lo_b")).as("overlap_start"),
+        least(col("_hi_a"), col("_hi_b")).as("overlap_end"))
+  }
 }

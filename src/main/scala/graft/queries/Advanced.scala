@@ -346,6 +346,42 @@ object Advanced {
         SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
           p.purchase_id
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
-        ORDER BY click_id"""))
+        ORDER BY click_id""")),
+
+    // ---------------------------------------------------------------- q62
+    // Overlapping incident windows (correlated-outage detection): every
+    // pair of q52-style incidents whose 30-min windows intersect. The
+    // overlap self-join pairs inside shared bins, but two long intervals
+    // share MANY bins — instead of a post-join distinct (a second
+    // shuffle of the whole pair set), each pair is emitted only in the
+    // bin of greatest(lo_a, lo_b), the intersection's left edge, which
+    // every overlapping pair shares exactly once. Dedup-free by
+    // construction.
+    QuerySpec(
+      "q62_overlap_join",
+      (s, d) => {
+        val inc = T.events(s, d)
+          .filter(col("event_type") === "error" && col("value") > 150)
+          .select(col("event_id").as("incident_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+        graft.ops.RangeJoin.binnedOverlaps(inc, "incident_id",
+            "start_ts", "end_ts", binSeconds = 1800)
+          .select(col("id_a"), col("id_b"),
+            unix_micros(col("overlap_start")).as("o_start_us"),
+            unix_micros(col("overlap_end")).as("o_end_us"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH inc AS (SELECT event_id AS incident_id, ts AS start_ts,
+            ts + INTERVAL 30 MINUTE AS end_ts
+          FROM events WHERE event_type = 'error' AND value > 150)
+        SELECT a.incident_id AS id_a, b.incident_id AS id_b,
+          epoch_us(greatest(a.start_ts, b.start_ts)) AS o_start_us,
+          epoch_us(least(a.end_ts, b.end_ts)) AS o_end_us
+        FROM inc a JOIN inc b
+          ON a.incident_id < b.incident_id
+         AND epoch_us(a.start_ts) <= epoch_us(b.end_ts)
+         AND epoch_us(b.start_ts) <= epoch_us(a.end_ts)
+        ORDER BY id_a, id_b"""))
   )
 }

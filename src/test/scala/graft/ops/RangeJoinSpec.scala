@@ -71,6 +71,32 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("binnedOverlaps: exact overlap pairs, emitted once despite many shared bins") {
+    // long intervals sharing dozens of bins — the canonical-bin emission
+    // must still produce each pair exactly once
+    val ivs = Seq(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+        (2L, ts("2024-01-01 12:00:00"), ts("2024-01-03 00:00:00")),
+        (3L, ts("2024-01-02 23:59:59"), ts("2024-01-04 00:00:00")),
+        (4L, ts("2024-02-01 00:00:00"), ts("2024-02-01 01:00:00")))
+      .toDF("iid", "lo", "hi")
+    val naive = ivs.as("a").join(ivs.as("b"),
+        $"a.iid" < $"b.iid" && $"a.lo" <= $"b.hi" && $"b.lo" <= $"a.hi")
+      .select($"a.iid", $"b.iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive === Seq((1L, 2L), (2L, 3L)))
+    for (bin <- Seq(600L, 3600L, 86400L)) {
+      val got = RangeJoin.binnedOverlaps(ivs, "iid", "lo", "hi", bin)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      assert(got.sorted === naive, s"bin=$bin")
+      assert(got.size === got.distinct.size, s"duplicate pairs at bin=$bin")
+    }
+    // overlap bounds are the intersection
+    val r = RangeJoin.binnedOverlaps(ivs, "iid", "lo", "hi", 3600L)
+      .filter($"id_a" === 1L).head()
+    assert(r.getTimestamp(2) === ts("2024-01-01 12:00:00"))
+    assert(r.getTimestamp(3) === ts("2024-01-02 00:00:00"))
+  }
+
   private def initial(df: org.apache.spark.sql.DataFrame) =
     df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
