@@ -63,6 +63,15 @@ class VecCentroidSpec extends SparkSpec {
     assert(aggs.size === 2, s"expected partial+final ObjectHashAggregate:\n$plan")
   }
 
+  test("centroid: registered on the SQL surface as vec_centroid") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Seq(("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)))
+      .toDF("g", "v").createOrReplaceTempView("vecs")
+    val got = spark.sql("SELECT g, vec_centroid(v) AS c FROM vecs GROUP BY g")
+      .as[(String, Seq[Double])].head()
+    assert(got === (("a", Seq(2.0, 4.0))))
+  }
+
   test("centroid: mismatched dimensions in one group fail fast") {
     val df = Seq(("a", Seq(1.0f)), ("a", Seq(1.0f, 2.0f))).toDF("g", "v")
     val e = intercept[Exception] {
