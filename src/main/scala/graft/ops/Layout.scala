@@ -155,6 +155,26 @@ object Layout {
     ()
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈size/targetBytes⌉ files. Streaming appends and per-batch commits
+    * accumulate thousands of KB-sized files; at scan time each costs a
+    * task + a footer read, so a 100 TB table ingested in small batches
+    * reads 10-100× slower than its compacted form. `coalesce` (not
+    * `repartition`) merges WITHOUT a shuffle, and the rewrite goes
+    * through [[atomicOverwrite]] — the table stays readable until the
+    * compacted copy is durable, and a crash loses nothing. For a
+    * partitioned table, compact each partition directory (the unit
+    * appends accumulate in). Returns the target file count. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    atomicOverwrite(spark.read.parquet(dir).coalesce(nOut), dir)
+    nOut
+  }
+
   /** Complete or roll back [[partialOverwrite]] swaps interrupted by a
     * crash. For every `_graft_commit_b<i>` marker left in the table root:
     * if the live bucket is missing, restore it from the staged half

@@ -102,6 +102,19 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readKeyBucketed(spark, dir).count() === 100)
   }
 
+  test("compact: merges small files without losing a row, crash-safe rewrite") {
+    val dir = tmpDir("compact") + "/t"
+    (1 to 10000).toDF("v").repartition(40).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() === 40)
+    val n = graft.ops.Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1)
+    assert(parquetFiles() === 1)
+    val vs = spark.read.parquet(dir).as[Int].collect().sorted
+    assert(vs.length === 10000 && vs.head === 1 && vs.last === 10000)
+  }
+
   test("recoverPartialOverwrite: crash between the rename pair rolls forward or back") {
     val dir = tmpDir("recover") + "/t"
     Layout.writeKeyBucketed((1 to 100).toDF("k"), dir, "k", numBuckets = 4)
