@@ -382,6 +382,45 @@ object Advanced {
           ON a.incident_id < b.incident_id
          AND epoch_us(a.start_ts) <= epoch_us(b.end_ts)
          AND epoch_us(b.start_ts) <= epoch_us(a.end_ts)
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q63
+    // Robust outlier detection per group: median absolute deviation
+    // (median of |x − median|) and the count beyond 3 MADs — the
+    // data-quality screen that, unlike stddev, a few extreme rows can't
+    // poison. Two aggregation levels, each one shuffle on event_type
+    // (5 keys); the per-row deviation projections are scan-speed. At
+    // 100 TB swap the exact percentile for approx_percentile — the
+    // exact form is the oracle-checkable baseline (same trade as q37).
+    QuerySpec(
+      "q63_mad_outliers",
+      (s, d) => {
+        val e = T.events(s, d)
+        val med = e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = e.join(med, Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(first(col("med")).as("med"),
+            expr("percentile(adev, 0.5)").as("mad"))
+        dev.select(col("event_type"), col("adev"))
+          .join(mad, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+            sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT event_type,
+            percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+          FROM events GROUP BY event_type),
+        d AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+          FROM events e JOIN m USING (event_type)),
+        md AS (SELECT event_type, ANY_VALUE(med) AS med,
+            percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+          FROM d GROUP BY event_type)
+        SELECT d.event_type, ANY_VALUE(md.med) AS med, ANY_VALUE(md.mad) AS mad,
+          CAST(SUM(CASE WHEN d.adev > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN md USING (event_type)
+        GROUP BY d.event_type ORDER BY event_type"""))
   )
 }
