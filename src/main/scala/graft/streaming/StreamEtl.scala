@@ -63,6 +63,43 @@ object StreamEtl {
     Counters(consumed, inserted, consumed - inserted)
   }
 
+  /** Exactly-once variant of [[run]]: breadcrumb appends commit through
+    * [[IdempotentSink.appendOnce]] (batchId-keyed rename commit), so a
+    * micro-batch replayed after a mid-write failure cannot duplicate
+    * rows — the at-least-once upgrade the reference's consumer lacks.
+    * Trips were already replay-safe via the anti-join insert. The
+    * breadcrumb table gains the `ingest_batch` partition column (the
+    * replay audit handle). */
+  def runExactlyOnce(spark: SparkSession, inputDir: String, bcDir: String,
+      tripDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): Counters = {
+    @volatile var consumed = 0L
+    @volatile var inserted = 0L
+    val raw = spark.readStream
+      .schema(Schemas.rawBreadcrumb)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+    val query: StreamingQuery = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        val valid = Transform.enrich(batch).filter(Transform.isValid)
+        val bc = Transform.toBreadcrumbs(valid)
+          .withColumn("opd_date", to_date(col("tstamp")))
+        Load.insertTrips(spark, Transform.toTrips(valid), tripDir)
+        if (IdempotentSink.appendOnce(bc, batchId, bcDir)) {
+          consumed += n
+          inserted += spark.read.parquet(bcDir)
+            .filter(col("ingest_batch") === batchId).count()
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    Counters(consumed, inserted, consumed - inserted)
+  }
+
   /** Watermarked dedup variant (T6): drop replayed breadcrumbs within the
     * reference's 48 h lateness envelope before they reach the sink. */
   def dedupWithWatermark(bc: DataFrame): DataFrame =

@@ -40,6 +40,28 @@ class StreamEtlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bc").count() === 2)
   }
 
+  test("runExactlyOnce: a replayed micro-batch cannot duplicate breadcrumbs") {
+    val dir = tmpDir("stream4")
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    writeBatch(in, "b1.json", Seq(crumb(1, 3600), crumb(1, 3605)))
+    val c = StreamEtl.runExactlyOnce(spark, in, s"$dir/bc", s"$dir/trip", s"$dir/ckpt")
+    assert(c.consumed === 2 && c.inserted === 2)
+    val bc = spark.read.parquet(s"$dir/bc")
+    assert(bc.count() === 2)
+    // the committed layout exposes the producing batch id
+    assert(bc.columns.contains("ingest_batch"))
+    // simulate foreachBatch replaying batch 0 after a mid-write failure:
+    // the batchId-keyed commit must skip, leaving the table unchanged
+    val raw = graft.ctran.Load.readRawJson(spark, s"$in/b1.json")
+    val valid = graft.ctran.Transform.enrich(raw)
+      .filter(graft.ctran.Transform.isValid)
+    val replay = graft.ctran.Transform.toBreadcrumbs(valid)
+      .withColumn("opd_date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("tstamp")))
+    assert(IdempotentSink.appendOnce(replay, 0L, s"$dir/bc") === false)
+    assert(spark.read.parquet(s"$dir/bc").count() === 2)
+  }
+
   test("replay with a fresh checkpoint: trips stay unique (anti-join idempotency)") {
     val dir = tmpDir("stream3")
     val in = s"$dir/in"; new java.io.File(in).mkdirs()
