@@ -259,6 +259,34 @@ object Dedup {
       .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
       .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
 
+  /** Per-doc boilerplate fraction: the share of a doc's n-gram shingles
+    * that appear in ≥ `minDocs` documents — the passage-level repetition
+    * screen (shared headers/footers/templates) that doc-level near-dup
+    * detection misses: a doc can be 40% boilerplate yet near-dup of
+    * nothing. Plan: the same shingle inverted index the Jaccard join
+    * uses, one doc-frequency aggregate on the shingle hash (map-side
+    * combined), one join back on that same hash partitioning, one
+    * per-doc count. Docs too short to shingle report 0 shingles and a
+    * null fraction. */
+  def boilerplateFractions(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, minDocs: Int = 5): DataFrame = {
+    val sh = shingleHashIndex(docs, idCol, textCol, shingleN, "id")
+    val dfq = sh.groupBy(col("h")).agg(count(lit(1)).as("docfreq"))
+    val per = sh.join(dfq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("docfreq") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_common").cast("double") / col("n_shingles").cast("double"))
+          .as("boilerplate_frac"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     * inverted-index self-join on shingle hash. |A∩B| = count of shared
     * hashes; |A∪B| = |A|+|B|−|A∩B|. The join shuffles on the shingle hash;

@@ -79,6 +79,21 @@ object Sampling {
       .drop("_es_key")
   }
 
+  /** Deterministic STRATIFIED sample: exactly min(k, |group|) rows per
+    * group, picked by hash rank — per-source balanced eval sets, per-
+    * language probes. The rank filter plans as partial+final
+    * WindowGroupLimit, so at most k rows per group per task reach the
+    * exchange (the same pushdown PlanSpec pins for q07); the hash
+    * ordering makes the pick a pure function of (salt, key), stable
+    * under partitioning and re-runs like every sampler here. */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(PortableHash.md5Long(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-token-budget
     * training sequences ("bins") by cumulative token count in `orderCol`
     * order within each `partCol` group.

@@ -786,6 +786,51 @@ object TrainingData {
           FROM qual WHERE quality > 0),
         topk AS (SELECT doc_id, weight FROM keyed
                  ORDER BY es_key, doc_id LIMIT 100)
-        SELECT doc_id, weight FROM topk ORDER BY doc_id"""))
+        SELECT doc_id, weight FROM topk ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q64
+    // Boilerplate fraction: share of each doc's 5-gram shingles appearing
+    // in ≥ 5 docs — the passage-level repetition screen (shared
+    // headers/templates) that doc-level near-dup detection misses. One
+    // doc-frequency agg on the shingle hash (map-side combined), one join
+    // back on the same hash partitioning, one per-doc count.
+    QuerySpec(
+      "q64_boilerplate_fraction",
+      (s, d) =>
+        Dedup.boilerplateFractions(T.documents(s, d), "doc_id", "text",
+            shingleN = 5, minDocs = 5)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCte, ${shingleCte(5)},
+        ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        dfq AS (SELECT h, COUNT(*) AS docfreq FROM ex GROUP BY h),
+        per AS (SELECT ex.doc_id, COUNT(*) AS n_shingles,
+            CAST(SUM(CASE WHEN dfq.docfreq >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+          FROM ex JOIN dfq USING (h) GROUP BY ex.doc_id)
+        SELECT d.doc_id,
+          coalesce(per.n_shingles, 0) AS n_shingles,
+          coalesce(per.n_common, 0) AS n_common,
+          CASE WHEN per.n_shingles > 0
+            THEN CAST(per.n_common AS DOUBLE) / per.n_shingles END AS boilerplate_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q65
+    // Stratified sample: exactly 10 docs per source, picked by hash rank
+    // — balanced per-source eval sets with zero RNG state. The rank
+    // filter plans as partial+final WindowGroupLimit (≤ k rows per group
+    // per task cross the exchange); the pick is a pure function of
+    // (salt, doc_id), so every engine and re-run draws the same rows.
+    QuerySpec(
+      "q65_stratified_sample",
+      (s, d) =>
+        Sampling.stratifiedSample(T.documents(s, d), "doc_id", "source",
+            k = 10, salt = "s65")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH r AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ${h60("'s65|' || doc_id")}, doc_id) AS rk
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id"""))
   )
 }

@@ -81,6 +81,27 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().contains(1L))
   }
 
+  test("stratifiedSample: exactly k per group, deterministic, WindowGroupLimit plan") {
+    val docs = (1L to 900L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val s1 = Sampling.stratifiedSample(docs, "id", "src", k = 7, salt = "x")
+    val perGroup = s1.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.toSeq === Seq(7L, 7L, 7L))
+    // stable under partitioning
+    val s2 = Sampling.stratifiedSample(docs.repartition(11), "id", "src", 7, "x")
+    assert(ids(s1) === ids(s2))
+    // a group smaller than k returns whole
+    val tiny = Sampling.stratifiedSample(docs.filter($"id" <= 2), "id", "src", 7, "x")
+    assert(tiny.count() === 2)
+    // the rank filter pushes into WindowGroupLimit (bounded pre-shuffle)
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = s1.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    assert(plan.collect { case w: WindowGroupLimitExec => w }.size >= 2)
+  }
+
   test("mixSources: per-source rates and tags, stable union") {
     val web = (1L to 1000L).toDF("id")
     val code = (2000L to 2999L).toDF("id")
