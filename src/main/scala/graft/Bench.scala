@@ -73,7 +73,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // -1 marks an all-reps-failed query; it must not SUBTRACT from the
+    // total (a hard-failing query would otherwise read as a speedup)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(

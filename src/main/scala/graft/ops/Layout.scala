@@ -45,18 +45,28 @@ object Layout {
     commitOverwrite(df.sparkSession, dir)
   }
 
-  /** Phase 1: write `df` to the staging path, leaving `dir` untouched. */
-  def stageOverwrite(df: DataFrame, dir: String): String = {
-    val staged = dir + ".__staged"
-    df.write.mode(SaveMode.Overwrite).parquet(staged)
-    staged
+  /** Dot-prefixed sibling of `dir`: HIDDEN from Spark's partition/file
+    * discovery. Critical when `dir` is itself a partition directory
+    * (`table/opd_date=X`) — an unhidden `opd_date=X.__staged` sibling
+    * would be discovered as a partition of the PARENT table, double-
+    * counting rows and corrupting the partition column's type. */
+  private def hiddenSibling(dir: String, suffix: String): Path = {
+    val p = new Path(dir)
+    new Path(p.getParent, "." + p.getName + suffix)
   }
 
-  /** Phase 2: `dir` → `dir.__old`, `dir.__staged` → `dir`, drop the old. */
+  /** Phase 1: write `df` to the staging path, leaving `dir` untouched. */
+  def stageOverwrite(df: DataFrame, dir: String): String = {
+    val staged = hiddenSibling(dir, ".__staged")
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    staged.toString
+  }
+
+  /** Phase 2: `dir` → hidden old, staged → `dir`, drop the old. */
   def commitOverwrite(spark: SparkSession, dir: String): Unit = {
     val live = new Path(dir)
-    val staged = new Path(dir + ".__staged")
-    val old = new Path(dir + ".__old")
+    val staged = hiddenSibling(dir, ".__staged")
+    val old = hiddenSibling(dir, ".__old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(staged), s"nothing staged at $staged")
     if (fs.exists(old)) fs.delete(old, true)
@@ -127,14 +137,14 @@ object Layout {
       .filter(col("kbucket").isin(touched.map(Integer.valueOf): _*))
       .drop("kbucket")
     val merged = merge(existing)
-    val stagedRoot = dir + ".__staged"
+    val stagedRoot = hiddenSibling(dir, ".__staged").toString
     merged.withColumn("kbucket", bucketCol(key, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("kbucket").parquet(stagedRoot)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.foreach { b =>
       val live = new Path(dir, s"kbucket=$b")
       val staged = new Path(stagedRoot, s"kbucket=$b")
-      val old = new Path(dir + s".__old_b$b")
+      val old = hiddenSibling(dir, s".__old_b$b")
       if (fs.exists(old)) fs.delete(old, true)
       // underscore prefix keeps the marker invisible to readers; its
       // presence = this bucket's swap is in flight (see recover below)
@@ -164,7 +174,13 @@ object Layout {
     * through [[atomicOverwrite]] — the table stays readable until the
     * compacted copy is durable, and a crash loses nothing. For a
     * partitioned table, compact each partition directory (the unit
-    * appends accumulate in). Returns the target file count. */
+    * appends accumulate in) — the staging/old siblings are dot-prefixed,
+    * so a concurrent reader of the PARENT table never discovers them as
+    * extra partitions. Do NOT point this at a key-bucketed root
+    * ([[writeKeyBucketed]]): reading the root drops rows into a flat
+    * layout and loses the `kbucket=` dirs [[partialOverwrite]] swaps —
+    * compact per bucket directory instead. Returns the target file
+    * count. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Int = {
     val p = new Path(dir)
@@ -190,8 +206,8 @@ object Layout {
     markers.foreach { m =>
       val b = m.getName.stripPrefix("_graft_commit_b")
       val live = new Path(dir, s"kbucket=$b")
-      val staged = new Path(dir + ".__staged", s"kbucket=$b")
-      val old = new Path(dir + s".__old_b$b")
+      val staged = new Path(hiddenSibling(dir, ".__staged"), s"kbucket=$b")
+      val old = hiddenSibling(dir, s".__old_b$b")
       if (!fs.exists(live)) {
         if (fs.exists(staged)) {
           if (!fs.rename(staged, live)) sys.error(s"recover $staged -> $live failed")

@@ -113,12 +113,22 @@ object Similarity {
     // limit-probes (each scans until maxFitRows+1 survivors, then stops).
     // On overflow a deterministic hash filter geometrically shrinks the
     // kept fraction — O(log(n/maxFitRows)) bounded probes, and the fit
-    // input never materializes more than maxFitRows rows.
+    // input never materializes more than maxFitRows rows. Identical
+    // vectors share one hash and pass/fail the filter as a block, so a
+    // duplicate-heavy corpus (all-zero embeddings from failed encoder
+    // batches) can collapse to (near-)empty in one doubling — fall back
+    // to a deterministic prefix before the train set degenerates.
     var keep = corpus
     var denom = 1L
-    while (keep.limit(maxFitRows + 1).count() > maxFitRows) {
+    var n = keep.limit(maxFitRows + 1).count()
+    while (n > maxFitRows && denom < (1L << 40)) {
       denom *= 2L
       keep = corpus.filter(pmod(xxhash64(col(vecCol)), lit(denom)) === 0)
+      n = keep.limit(maxFitRows + 1).count()
+      if (n < math.max(1, maxFitRows / 8)) { // degenerate shrink
+        keep = corpus
+        n = maxFitRows // prefix fallback: bounded and never empty
+      }
     }
     keep.limit(maxFitRows).select(array_to_vector(col(vecCol)).as("fv"))
   }

@@ -13,63 +13,70 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * feature vector), and a session is emitted exactly once, when the
   * WATERMARK passes its last event + gap. That makes the operator
   * deterministic under any micro-batch slicing: emission depends on
-  * event time only, never on when a batch happens to run. State is one
-  * fixed-size buffer per OPEN session; the timeout evicts it, so state
-  * size tracks concurrently-active keys, not stream history.
+  * event time only, never on when a batch happens to run.
+  *
+  * State per key is the LIST of currently-open sessions, not just the
+  * latest: out-of-order events within the watermark can open earlier
+  * sessions, bridge two open sessions into one, or extend an open
+  * session backwards — the classic interval-merge, maintained
+  * incrementally. Sessions are emitted (and their state dropped) only
+  * once the watermark passes `end + gap`, so a session can never emit
+  * while a legal late event could still join it. State size tracks
+  * concurrently-open sessions per key inside the watermark horizon, not
+  * stream history.
   */
 object SessionState {
 
   final case class UserEvent(user_id: Long, ts: Timestamp)
 
-  /** One open session's state: bounds in epoch millis + event count. */
+  /** One open session's bounds in epoch millis + event count. */
   final case class OpenSession(startMs: Long, endMs: Long, n: Long)
 
   final case class ClosedSession(
       user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
-  /** Fold a batch's events for one user into the open session; emit
-    * sessions closed either inline (a gap inside the batch) or by the
-    * event-time timeout (watermark passed end + gap). */
+  /** All open sessions for a key, kept sorted by start. */
+  final case class SessionList(sessions: List[OpenSession])
+
+  /** Merge a new event into the sorted session list: extend a session it
+    * touches (within gap on either side), bridge two sessions it
+    * connects, or open a new one. */
+  private[streaming] def addEvent(sorted: List[OpenSession], t: Long,
+      gapMs: Long): List[OpenSession] = {
+    val (before, after) = sorted.span(_.endMs < t - gapMs)
+    // `after` sessions have end >= t - gap; those also starting <= t + gap
+    // touch the event and collapse into one
+    val (touching, rest) = after.span(_.startMs <= t + gapMs)
+    val merged =
+      if (touching.isEmpty) OpenSession(t, t, 1)
+      else OpenSession(
+        math.min(touching.head.startMs, t),
+        math.max(touching.map(_.endMs).max, t),
+        touching.map(_.n).sum + 1)
+    before ::: (merged :: rest)
+  }
+
+  /** Fold a batch's events into the session list; emit every session the
+    * watermark has already closed (end + gap ≤ watermark). */
   def close(gapMs: Long)(userId: Long, events: Iterator[UserEvent],
-      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      return Iterator(ClosedSession(userId, s.startMs, s.endMs, s.n))
-    }
-    var closed = List.empty[ClosedSession]
-    var open = state.getOption
+      state: GroupState[SessionList]): Iterator[ClosedSession] = {
+    val wm = state.getCurrentWatermarkMs()
+    var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
-      open = open match {
-        // within gap of EITHER side — an out-of-order event close before
-        // the open session's start extends it backwards (min), it must
-        // not be silently swallowed without moving the bound
-        case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
-          Some(OpenSession(math.min(s.startMs, t),
-            math.max(s.endMs, t), s.n + 1))
-        case Some(s) if t > s.endMs + gapMs => // gap ahead — close inline
-          closed ::= ClosedSession(userId, s.startMs, s.endMs, s.n)
-          Some(OpenSession(t, t, 1))
-        case Some(s) => // a whole session's worth BEFORE the open one:
-          // it can never merge with anything later (the open session
-          // starts > gap after it), so it closes immediately
-          closed ::= ClosedSession(userId, t, t, 1)
-          Some(s)
-        case None => Some(OpenSession(t, t, 1))
-      }
+      sessions = addEvent(sessions, e.ts.getTime, gapMs)
     }
-    open.foreach { s =>
-      state.update(s)
-      // fires once the WATERMARK (not the clock) passes end + gap.
-      // flatMapGroupsWithState does NOT drop late rows, so a very late
-      // event can put end + gap behind the current watermark — Spark
-      // rejects a timeout in the past, so clamp just past it (the
-      // session then closes on the next batch)
-      val wm = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
+    val (closed, open) = sessions.partition(_.endMs + gapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionList(open))
+      // fires once the WATERMARK passes the earliest open end + gap;
+      // clamped past the current watermark (flatMapGroupsWithState does
+      // not drop late rows, so end + gap can land behind it — Spark
+      // rejects a timeout in the past)
+      state.setTimeoutTimestamp(
+        math.max(open.map(_.endMs).min + gapMs, wm + 1))
     }
-    closed.reverseIterator
+    closed.map(s => ClosedSession(userId, s.startMs, s.endMs, s.n)).iterator
   }
 
   /** Append-mode stream of closed sessions. `lateness` is the watermark
@@ -80,7 +87,7 @@ object SessionState {
     import events.sparkSession.implicits._
     events.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionList, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(close(gapMs))
   }
 }

@@ -28,40 +28,50 @@ object StreamEtl {
     * (consumed = inserted + skipped, topic_consumer.py:286-289). */
   final case class Counters(consumed: Long, inserted: Long, skipped: Long)
 
-  /** Run the streaming ETL over all JSON files in `inputDir`, draining
-    * available input then stopping. Batch-local dedup + cross-batch
-    * anti-join parity with the reference (A2 + J3). */
-  def run(spark: SparkSession, inputDir: String, bcDir: String,
-      tripDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 10): Counters = {
+  /** Shared pipeline body: parse → transform → validate → idempotent
+    * trip insert, with the breadcrumb SINK injected — [[run]] and
+    * [[runExactlyOnce]] differ only there, so the transform/validation
+    * graph cannot drift between the two delivery modes. The sink returns
+    * the rows it durably inserted for this batch. */
+  private def runWith(spark: SparkSession, inputDir: String,
+      tripDir: String, checkpointDir: String, maxFilesPerTrigger: Int)(
+      bcSink: (DataFrame, Long) => Long): Counters = {
     @volatile var consumed = 0L
     @volatile var inserted = 0L
-
     val raw = spark.readStream
       .schema(Schemas.rawBreadcrumb)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // T1: bound batch size
       .json(inputDir)
-
     val query: StreamingQuery = raw.writeStream
       .option("checkpointLocation", checkpointDir)      // T3: offsets + commits
       .trigger(Trigger.AvailableNow())                  // T2: drain then stop
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = batch.count()
-        val enriched = Transform.enrich(batch)
-        val valid = enriched.filter(Transform.isValid)
+        val valid = Transform.enrich(batch).filter(Transform.isValid)
         val bc = Transform.toBreadcrumbs(valid)
           .withColumn("opd_date", to_date(col("tstamp")))
         Load.insertTrips(spark, Transform.toTrips(valid), tripDir)
-        val nBc = bc.count()
-        Load.insertBreadcrumbs(bc, bcDir)
         consumed += n
-        inserted += nBc
+        inserted += bcSink(bc, batchId)
         ()
       }
       .start()
     query.awaitTermination()
     Counters(consumed, inserted, consumed - inserted)
   }
+
+  /** Run the streaming ETL over all JSON files in `inputDir`, draining
+    * available input then stopping. Batch-local dedup + cross-batch
+    * anti-join parity with the reference (A2 + J3). */
+  def run(spark: SparkSession, inputDir: String, bcDir: String,
+      tripDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 10): Counters =
+    runWith(spark, inputDir, tripDir, checkpointDir, maxFilesPerTrigger) {
+      (bc, _) =>
+        val nBc = bc.count()
+        Load.insertBreadcrumbs(bc, bcDir)
+        nBc
+    }
 
   /** Exactly-once variant of [[run]]: breadcrumb appends commit through
     * [[IdempotentSink.appendOnce]] (batchId-keyed rename commit), so a
@@ -69,36 +79,17 @@ object StreamEtl {
     * rows — the at-least-once upgrade the reference's consumer lacks.
     * Trips were already replay-safe via the anti-join insert. The
     * breadcrumb table gains the `ingest_batch` partition column (the
-    * replay audit handle). */
+    * replay audit handle). A replayed batch still counts as consumed
+    * but inserts 0, so the reconciliation invariant
+    * (consumed = inserted + skipped) keeps holding under replay. */
   def runExactlyOnce(spark: SparkSession, inputDir: String, bcDir: String,
       tripDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 10): Counters = {
-    @volatile var consumed = 0L
-    @volatile var inserted = 0L
-    val raw = spark.readStream
-      .schema(Schemas.rawBreadcrumb)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(inputDir)
-    val query: StreamingQuery = raw.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = batch.count()
-        val valid = Transform.enrich(batch).filter(Transform.isValid)
-        val bc = Transform.toBreadcrumbs(valid)
-          .withColumn("opd_date", to_date(col("tstamp")))
-        Load.insertTrips(spark, Transform.toTrips(valid), tripDir)
-        if (IdempotentSink.appendOnce(bc, batchId, bcDir)) {
-          consumed += n
-          inserted += spark.read.parquet(bcDir)
-            .filter(col("ingest_batch") === batchId).count()
-        }
-        ()
-      }
-      .start()
-    query.awaitTermination()
-    Counters(consumed, inserted, consumed - inserted)
-  }
+      maxFilesPerTrigger: Int = 10): Counters =
+    runWith(spark, inputDir, tripDir, checkpointDir, maxFilesPerTrigger) {
+      (bc, batchId) =>
+        val nBc = bc.count()
+        if (IdempotentSink.appendOnce(bc, batchId, bcDir)) nBc else 0L
+    }
 
   /** Watermarked dedup variant (T6): drop replayed breadcrumbs within the
     * reference's 48 h lateness envelope before they reach the sink. */

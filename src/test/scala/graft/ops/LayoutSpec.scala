@@ -115,23 +115,40 @@ class LayoutSpec extends SparkSpec {
     assert(vs.length === 10000 && vs.head === 1 && vs.last === 10000)
   }
 
+  test("compact on a partition directory leaves the parent table undisturbed") {
+    val root = tmpDir("compactp") + "/table"
+    (1 to 300).map(i => (i, i % 3)).toDF("v", "p")
+      .repartition(10).write.partitionBy("p").parquet(root)
+    graft.ops.Layout.compact(spark, s"$root/p=1", targetBytes = 1L << 30)
+    // staging/old siblings are dot-prefixed, so the parent sees exactly
+    // the original partitions — no duplicate rows, no widened partition
+    // column, even mid-compaction of one partition dir
+    val back = spark.read.parquet(root)
+    assert(back.count() === 300)
+    assert(back.select($"p").distinct().as[Int].collect().sorted === Array(0, 1, 2))
+  }
+
   test("recoverPartialOverwrite: crash between the rename pair rolls forward or back") {
     val dir = tmpDir("recover") + "/t"
     Layout.writeKeyBucketed((1 to 100).toDF("k"), dir, "k", numBuckets = 4)
     val all = Layout.readKeyBucketed(spark, dir).as[Int].collect().sorted
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // temp dirs are dot-prefixed SIBLINGS of the table root (hidden from
+    // discovery) — the crash simulation must use the same names recover
+    // looks for
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val base = new org.apache.hadoop.fs.Path(dir).getName
     def crashBucket(b: Int, stageNew: Boolean): Unit = {
       // simulate the mid-swap crash: marker down, live renamed away
       fs.createNewFile(new org.apache.hadoop.fs.Path(dir, s"_graft_commit_b$b"))
       fs.rename(new org.apache.hadoop.fs.Path(dir, s"kbucket=$b"),
-        new org.apache.hadoop.fs.Path(dir + s".__old_b$b"))
+        new org.apache.hadoop.fs.Path(parent, s".$base.__old_b$b"))
       if (stageNew) {
         // the staged replacement for this bucket exists → roll forward
-        val staged = dir + ".__staged"
-        Layout.readKeyBucketed(spark, dir) // (any frame) — build staged half
+        val staged = new org.apache.hadoop.fs.Path(parent, s".$base.__staged")
         (201 to 203).toDF("k").withColumn("kbucket", lit(b))
-          .write.mode("append").partitionBy("kbucket").parquet(staged)
+          .write.mode("append").partitionBy("kbucket").parquet(staged.toString)
       }
     }
     crashBucket(0, stageNew = false)
