@@ -41,7 +41,7 @@ object SessionState {
   /** Merge a new event into the sorted session list: extend a session it
     * touches (within gap on either side), bridge two sessions it
     * connects, or open a new one. */
-  private[streaming] def addEvent(sorted: List[OpenSession], t: Long,
+  private[graft] def addEvent(sorted: List[OpenSession], t: Long,
       gapMs: Long): List[OpenSession] = {
     val (before, after) = sorted.span(_.endMs < t - gapMs)
     // `after` sessions have end >= t - gap; those also starting <= t + gap

@@ -92,6 +92,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: session interval-merge invariants under random event order") {
+    import graft.streaming.SessionState
+    val gap = 100L
+    forAllSampled(Gen.listOfN(40, Gen.choose(0L, 2000L)), n = 8) { times =>
+      var sessions = List.empty[SessionState.OpenSession]
+      times.foreach(t => sessions = SessionState.addEvent(sessions, t, gap))
+      // every event is counted exactly once
+      assert(sessions.map(_.n).sum === times.length.toLong)
+      // sorted, well-formed, and separated by MORE than the gap
+      sessions.foreach(s => assert(s.startMs <= s.endMs))
+      sessions.sliding(2).foreach {
+        case List(a, b) =>
+          assert(a.endMs < b.startMs - gap,
+            s"adjacent sessions within gap: $a | $b")
+        case _ => ()
+      }
+      // bounds cover exactly the events; arrival ORDER never matters
+      assert(sessions.map(_.startMs).min === times.min)
+      assert(sessions.map(_.endMs).max === times.max)
+      var reversed = List.empty[SessionState.OpenSession]
+      times.reverse.foreach(t => reversed = SessionState.addEvent(reversed, t, gap))
+      assert(reversed === sessions)
+    }
+  }
+
   test("property: salted join ≡ plain join for arbitrary key skew") {
     forAllSampled(Gen.zip(Gen.listOfN(60, Gen.choose(0, 5)), Gen.choose(2, 6))) { case (keys, salts) =>
       {
