@@ -259,6 +259,42 @@ object Dedup {
       .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
       .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
 
+  /** Incremental near-dup detection: which INCOMING docs near-dup a doc
+    * of the EXISTING corpus — the operational form at 100 TB, where each
+    * ingest batch dedups against the corpus index instead of re-running
+    * corpus × corpus. The corpus side's banded signature table is the
+    * persisted index (compute once, reuse every batch); the batch side
+    * signs only the delta, and the candidate join pairs strictly ACROSS
+    * the two sides — incoming×incoming and corpus×corpus pairs never
+    * form. Cost per batch: O(batch) signature work + a band-key join
+    * whose corpus side is pre-bucketed. Same stop-band cap as
+    * [[minhashNearDups]], applied to the corpus side where the
+    * degenerate buckets live. */
+  def minhashNearDupsAgainst(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8,
+      threshold: Double = 0.5, maxBandDocFreq: Long = 1000000L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, as: String, sigAs: String) =
+      minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+        .select(col("id").as(as), col("sig").as(sigAs),
+          explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val c = banded(corpus, "corpus_id", "sig_c")
+      .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
+    val i = banded(incoming, "incoming_id", "sig_i")
+    i.join(c, Seq("band"))
+      .select(col("incoming_id"), col("corpus_id"),
+        col("sig_i"), col("sig_c"))
+      .distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_i"), col("sig_c"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
+          x => x.isNotNull)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
   /** Per-doc boilerplate fraction: the share of a doc's n-gram shingles
     * that appear in ≥ `minDocs` documents — the passage-level repetition
     * screen (shared headers/footers/templates) that doc-level near-dup

@@ -87,6 +87,19 @@ object TrainingData {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  /** DuckDB twin of the MinHash signature (q27/q66 share it — one source
+    * of truth for the per-seed rehash list). */
+  private lazy val minhashSigSql: String = (0 until NumHashes).map { seed =>
+    s"coalesce(list_min(list_transform(hs, h -> ${graft.functions.PortableHash.rehashDuckSql("h", seed)})), 9223372036854775807)"
+  }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[graft.ops.Dedup.lshBandKeys]] over `sig`. */
+  private lazy val minhashBandSql: String = (0 until Bands).map { b =>
+    val lo = b * RowsPerBand + 1
+    val hi = b * RowsPerBand + RowsPerBand
+    h60(s"'$b:' || array_to_string(sig[$lo:$hi], ',')")
+  }.mkString("[", ", ", "]")
+
   // shared oracle CTEs for the embedding operators: corpus as DOUBLE[],
   // portable hyperplane constants, per-vector norms. The planes are
   // MD5-derived ([[graft.ops.Similarity.planeVal]]), so DuckDB regenerates
@@ -197,17 +210,9 @@ object TrainingData {
             numHashes = NumHashes, shingleN = 3, bands = Bands, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
       Some {
-        val sigList = (0 until NumHashes).map { seed =>
-          s"coalesce(list_min(list_transform(hs, h -> ${graft.functions.PortableHash.rehashDuckSql("h", seed)})), 9223372036854775807)"
-        }.mkString("[", ", ", "]")
-        val bandList = (0 until Bands).map { b =>
-          val lo = b * RowsPerBand + 1
-          val hi = b * RowsPerBand + RowsPerBand
-          h60(s"'$b:' || array_to_string(sig[$lo:$hi], ',')")
-        }.mkString("[", ", ", "]")
         s"""WITH $tokCte, ${shingleCte(3)},
-          sig AS (SELECT doc_id, $sigList AS sig FROM sh),
-          banded AS (SELECT doc_id, sig, unnest($bandList) AS bk FROM sig),
+          sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+          banded AS (SELECT doc_id, sig, unnest($minhashBandSql) AS bk FROM sig),
           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
         SELECT id_a, id_b,
@@ -831,6 +836,38 @@ object TrainingData {
             ROW_NUMBER() OVER (PARTITION BY source
               ORDER BY ${h60("'s65|' || doc_id")}, doc_id) AS rk
           FROM documents)
-        SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id"""))
+        SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q66
+    // Incremental dedup: which docs of an incoming batch (doc_id ≥ 250)
+    // near-dup the EXISTING corpus (doc_id < 250) — the operational form
+    // at 100 TB, where each ingest batch joins the persisted banded
+    // signature index instead of re-running corpus × corpus. Candidates
+    // form strictly ACROSS the split; batch×batch and corpus×corpus
+    // pairs never exist in the plan. Full bit-for-bit signature oracle,
+    // like q27.
+    QuerySpec(
+      "q66_incremental_dedup",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.minhashNearDupsAgainst(
+            docs.filter(col("doc_id") < 250),
+            docs.filter(col("doc_id") >= 250),
+            "doc_id", "text",
+            numHashes = NumHashes, shingleN = 3, bands = Bands, threshold = 0.5)
+          .orderBy(col("incoming_id"), col("corpus_id"))
+      },
+      Some(s"""WITH $tokCte, ${shingleCte(3)},
+        sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+        banded AS (SELECT doc_id, sig, unnest($minhashBandSql) AS bk FROM sig),
+        cand AS (SELECT DISTINCT i.doc_id AS incoming_id, c.doc_id AS corpus_id
+                 FROM banded i JOIN banded c ON i.bk = c.bk
+                 WHERE i.doc_id >= 250 AND c.doc_id < 250)
+        SELECT incoming_id, corpus_id,
+          ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} AS est_jaccard
+        FROM cand JOIN sig si ON si.doc_id = incoming_id
+                  JOIN sig sc ON sc.doc_id = corpus_id
+        WHERE ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} >= ${dbl("0.5")}
+        ORDER BY incoming_id, corpus_id"""))
   )
 }
