@@ -868,6 +868,49 @@ object TrainingData {
         FROM cand JOIN sig si ON si.doc_id = incoming_id
                   JOIN sig sc ON sc.doc_id = corpus_id
         WHERE ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} >= ${dbl("0.5")}
-        ORDER BY incoming_id, corpus_id"""))
+        ORDER BY incoming_id, corpus_id""")),
+
+    // ---------------------------------------------------------------- q67
+    // Top distinctive terms per source: term frequency within the source
+    // scored against corpus-wide document frequency (tf/df — the ln-free
+    // TF-IDF variant: IEEE division is bit-identical across engines,
+    // where ln's last-ulp could flip near-ties in the rank; production
+    // swaps in ln(N/df) unchanged). Two term-level aggregates + a
+    // rank-k window that plans as WindowGroupLimit; the shuffle carries
+    // (source, term) and (term) counts, never text.
+    QuerySpec(
+      "q67_distinctive_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.documents(s, d)
+        val terms = docs.select(col("source"), col("doc_id"),
+          explode(Text.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+        tf.join(df, Seq("term"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("term"), col("tf"), col("df"),
+            (col("tf").cast("double") / col("df")).as("score"))
+          .orderBy(col("source"), col("term"))
+      },
+      Some(s"""WITH $tokCte,
+        terms AS (SELECT d.source, toks.doc_id, unnest(toks.t) AS term
+                  FROM toks JOIN documents d USING (doc_id)),
+        tf AS (SELECT source, term, COUNT(*) AS tf
+               FROM terms GROUP BY source, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+               FROM terms GROUP BY term),
+        ranked AS (SELECT tf.source, tf.term, tf.tf, df.df,
+            ${dbl("tf.tf")} / df.df AS score,
+            ROW_NUMBER() OVER (PARTITION BY tf.source
+              ORDER BY ${dbl("tf.tf")} / df.df DESC, tf.term) AS rk
+          FROM tf JOIN df USING (term))
+        SELECT source, term, tf, df, score
+        FROM ranked WHERE rk <= 5 ORDER BY source, term"""))
   )
 }
