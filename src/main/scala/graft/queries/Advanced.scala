@@ -421,6 +421,38 @@ object Advanced {
         SELECT d.event_type, ANY_VALUE(md.med) AS med, ANY_VALUE(md.mad) AS mad,
           CAST(SUM(CASE WHEN d.adev > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM d JOIN md USING (event_type)
-        GROUP BY d.event_type ORDER BY event_type"""))
+        GROUP BY d.event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q69
+    // Moving-window statistics: per-user 5-event sliding sum/avg — the
+    // bounded ROWS frame the window family didn't yet cover (q08 is
+    // running/unbounded). One shuffle on user_id; the frame is O(1)
+    // state per row. Sums route through DECIMAL (exact, order-free);
+    // the avg divides two exact values in IEEE doubles — deterministic
+    // on both engines. The oracle orders frames by epoch_us to match
+    // Spark's microsecond timestamps.
+    QuerySpec(
+      "q69_moving_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        T.events(s, d).filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            sum(col("value").cast(dec18)).over(w).cast("double").as("mov_sum"),
+            count(lit(1)).over(w).as("mov_n"))
+          .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+          COUNT(*) OVER w AS mov_n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / (COUNT(*) OVER w) AS mov_avg
+        FROM events WHERE user_id < 100
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""))
   )
 }

@@ -911,6 +911,23 @@ object TrainingData {
               ORDER BY ${dbl("tf.tf")} / df.df DESC, tf.term) AS rk
           FROM tf JOIN df USING (term))
         SELECT source, term, tf, df, score
-        FROM ranked WHERE rk <= 5 ORDER BY source, term"""))
+        FROM ranked WHERE rk <= 5 ORDER BY source, term""")),
+
+    // ---------------------------------------------------------------- q68
+    // Exact embedding dedup: group by the raw vector value (arrays are
+    // groupable in both engines — no float-to-string round trip, no
+    // portability hazard), keep the min id per group. One shuffle on the
+    // vector bytes; at 100 TB pre-hash to 64 bits first and verify
+    // in-bucket, exactly like the text path (q26).
+    QuerySpec(
+      "q68_embedding_exact_dedup",
+      (s, d) =>
+        T.embeddings(s, d)
+          .groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id")),
+      Some("""SELECT MIN(vec_id) AS keep_id, COUNT(*) AS n_copies
+        FROM embeddings GROUP BY embedding ORDER BY keep_id"""))
   )
 }
