@@ -868,7 +868,8 @@ object TrainingData {
         FROM cand JOIN sig si ON si.doc_id = incoming_id
                   JOIN sig sc ON sc.doc_id = corpus_id
         WHERE ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} >= ${dbl("0.5")}
-        ORDER BY incoming_id, corpus_id""")),
+        ORDER BY incoming_id, corpus_id"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q67
     // Top distinctive terms per source: term frequency within the source
