@@ -69,19 +69,42 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** (id, sig) signature table: one MD5 pass for the shingle hashes, then
-    * the arithmetic families. Cached — the LSH candidate join reads it
-    * from both sides (at 100 TB: persist to disk or a bucketed table
-    * instead of recomputing the corpus scan twice). */
+    * the arithmetic families. Docs with NO shingles (fewer than shingleN
+    * tokens) are excluded: their all-sentinel signatures would compare
+    * equal to each other, scoring unrelated short docs as est_jaccard
+    * 1.0 near-dups. `cache` defaults on for the self-join form that
+    * reads the table twice; single-pass consumers pass false (at 100 TB:
+    * persist to disk or a bucketed table instead). */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int): DataFrame = {
+      numHashes: Int, shingleN: Int, cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    spread(docs).select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    val sigs = spread(docs)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), Text.shingleHashesOf(col("toks"), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("id"),
         call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
-      .cache()
+    if (cache) sigs.cache() else sigs
   }
+
+  /** Banded signature table (id, sig, band) — for a corpus, this IS the
+    * persistable dedup index that [[minhashNearDupsAgainstIndex]] joins
+    * on every ingest batch. */
+  def bandedSignatureIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8,
+      cache: Boolean = true): DataFrame =
+    minhashSignatures(docs, idCol, textCol, numHashes, shingleN, cache)
+      .select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
+
+  /** Signature-agreement Jaccard estimate — ONE definition, shared by the
+    * self-join and cross-corpus forms so they cannot drift. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b,
+        (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
+      v => v.isNotNull)).cast("double") / lit(numHashes.toDouble)
 
   /** LSH band keys: split the signature into `bands` slices of
     * `rowsPerBand`, hash each slice. Two docs share a band key iff their
@@ -117,23 +140,17 @@ object Dedup {
       numHashes: Int = 24, shingleN: Int = 3,
       bands: Int = 8, threshold: Double = 0.5,
       maxBandDocFreq: Long = 1000000L): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-      .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
-    val pairs = banded.as("a")
+    val banded =
+      bandedSignatureIndex(docs, idCol, textCol, numHashes, shingleN, bands)
+        .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
+        .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
-          v => v.isNotNull)).cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
@@ -274,23 +291,34 @@ object Dedup {
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8,
       threshold: Double = 0.5, maxBandDocFreq: Long = 1000000L): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame, as: String, sigAs: String) =
-      minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-        .select(col("id").as(as), col("sig").as(sigAs),
-          explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val c = banded(corpus, "corpus_id", "sig_c")
+    val index = bandedSignatureIndex(corpus, idCol, textCol,
+        numHashes, shingleN, bands, cache = false)
       .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
-    val i = banded(incoming, "incoming_id", "sig_i")
+    minhashNearDupsAgainstIndex(index, incoming, idCol, textCol,
+      numHashes, shingleN, bands, threshold)
+  }
+
+  /** The steady-state form: join a PRE-BUILT corpus index (persist the
+    * [[bandedSignatureIndex]] output once — e.g. to a parquet table
+    * bucketed on `band` — and reuse it every batch). Per-batch cost is
+    * then O(batch) signature work plus the band join; the corpus is
+    * never re-scanned, which is what the SCALE.md steady-state cost
+    * model refers to. */
+  def minhashNearDupsAgainstIndex(
+      corpusIndex: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val c = corpusIndex.select(col("id").as("corpus_id"),
+      col("sig").as("sig_c"), col("band"))
+    val i = bandedSignatureIndex(incoming, idCol, textCol,
+        numHashes, shingleN, bands, cache = false)
+      .select(col("id").as("incoming_id"), col("sig").as("sig_i"), col("band"))
     i.join(c, Seq("band"))
-      .select(col("incoming_id"), col("corpus_id"),
-        col("sig_i"), col("sig_c"))
+      .select(col("incoming_id"), col("corpus_id"), col("sig_i"), col("sig_c"))
       .distinct()
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_i"), col("sig_c"),
-            (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
-          x => x.isNotNull)).cast("double") / lit(numHashes.toDouble))
+      .withColumn("est_jaccard", estJaccard(col("sig_i"), col("sig_c"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("incoming_id"), col("corpus_id"), col("est_jaccard"))
   }

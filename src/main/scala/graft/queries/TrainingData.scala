@@ -211,7 +211,7 @@ object TrainingData {
           .orderBy(col("id_a"), col("id_b")),
       Some {
         s"""WITH $tokCte, ${shingleCte(3)},
-          sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+          sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh WHERE len(hs) > 0),
           banded AS (SELECT doc_id, sig, unnest($minhashBandSql) AS bk FROM sig),
           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
@@ -858,7 +858,7 @@ object TrainingData {
           .orderBy(col("incoming_id"), col("corpus_id"))
       },
       Some(s"""WITH $tokCte, ${shingleCte(3)},
-        sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh),
+        sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh WHERE len(hs) > 0),
         banded AS (SELECT doc_id, sig, unnest($minhashBandSql) AS bk FROM sig),
         cand AS (SELECT DISTINCT i.doc_id AS incoming_id, c.doc_id AS corpus_id
                  FROM banded i JOIN banded c ON i.bk = c.bk
@@ -886,10 +886,14 @@ object TrainingData {
         val docs = T.documents(s, d)
         val terms = docs.select(col("source"), col("doc_id"),
           explode(Text.tokens(col("text"))).as("term"))
+        // ONE pass over the exploded tokens: tf and the per-source
+        // distinct-doc count aggregate together; df(term) is then the sum
+        // of the per-source distinct counts (each doc has exactly one
+        // source), so the scan + tokenize never runs twice
         val tf = terms.groupBy(col("source"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = terms.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .agg(count(lit(1)).as("tf"),
+            countDistinct(col("doc_id")).as("dfs"))
+        val df = tf.groupBy(col("term")).agg(sum(col("dfs")).as("df"))
         val w = Window.partitionBy(col("source"))
           .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
         tf.join(df, Seq("term"))

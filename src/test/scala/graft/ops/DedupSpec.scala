@@ -70,6 +70,41 @@ class DedupSpec extends SparkSpec {
     assert(native(1L).length === 24)
   }
 
+  test("minhash: shingle-less docs never pair (sentinel signatures excluded)") {
+    import spark.implicits._
+    // one-token docs have no 3-gram shingles; their sentinel signatures
+    // would otherwise all agree and score unrelated docs as 1.0 dups
+    val docs = Seq((1L, "hello"), (2L, "world"), (3L, "hi"),
+        (4L, "a real document with several tokens inside of it"),
+        (5L, "a real document with several tokens inside of it"))
+      .toDF("doc_id", "text")
+    val self = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(self === Set((4L, 5L)))
+    val cross = Dedup.minhashNearDupsAgainst(
+        docs.filter($"doc_id" <= 3), docs.filter($"doc_id" > 3),
+        "doc_id", "text", threshold = 0.5)
+      .count()
+    assert(cross === 0L)
+  }
+
+  test("minhash incremental: index form equals the direct cross form") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 7 == 0) "the quick brown fox jumps over the lazy dog again"
+            else s"unique document number $i with its own words ${i * 31}"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" <= 20)
+    val batch = docs.filter($"doc_id" > 20)
+    val direct = Dedup.minhashNearDupsAgainst(corpus, batch, "doc_id", "text",
+      threshold = 0.5)
+    val index = Dedup.bandedSignatureIndex(corpus, "doc_id", "text")
+    val viaIndex = Dedup.minhashNearDupsAgainstIndex(index, batch,
+      "doc_id", "text", threshold = 0.5)
+    assert(direct.count() > 0)
+    assert(direct.except(viaIndex).isEmpty && viaIndex.except(direct).isEmpty)
+  }
+
   test("minhash-LSH stop-band cap: a degenerate bucket is dropped, real pairs survive") {
     // boilerplate-heavy corpus: 10 identical docs share EVERY band key
     // (one degenerate bucket per band → 45 candidate pairs from
