@@ -54,7 +54,8 @@ class PlanSpec extends SparkSpec {
     // the entire point of the bucketed forms: q31's exact path plans a
     // BroadcastNestedLoopJoin by design; these must not
     for (q <- Seq("q27_minhash_lsh", "q29b_simhash_neardups_full",
-        "q31b_embedding_neardups_lsh", "q33_ann_lsh")) {
+        "q31b_embedding_neardups_lsh", "q33_ann_lsh",
+        "q66_incremental_dedup")) {
       val bad = initial(q).collect {
         case j: BroadcastNestedLoopJoinExec => j
         case c: CartesianProductExec        => c
