@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim: sbt's default logger
+// prefixes every line with "[info] ", which breaks consumers that parse
+// Bench's bare-JSON stdout contract (BENCH_r02 recorded parsed:null
+// because the JSON line arrived as "[info] {...}").
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

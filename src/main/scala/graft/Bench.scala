@@ -78,8 +78,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // a filtered local iteration must not clobber the full-suite artifact
+    val outFile = if (only.isDefined) "BENCH.partial.json" else "BENCH.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH.json"),
+      java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // last bare stdout line, after session shutdown logging has quiesced

@@ -197,6 +197,10 @@ object Advanced {
     // window() + agg graph behind a watermark). One hash agg on
     // (window, type): the window start is derived per-row, so this is a
     // plain partial+final agg — no range machinery, no second exchange.
+    // Window starts are emitted as epoch micros (like every timestamp
+    // output here): Spark parquet timestamps are instant-typed while
+    // DuckDB's are naive, and the comparator treats that as a schema
+    // mismatch — bigint micros are unambiguous in both engines.
     QuerySpec(
       "q56_tumbling_windows",
       (s, d) =>
@@ -205,13 +209,13 @@ object Advanced {
           .agg(count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"),
             sum(col("value").cast(dec18)).cast("double").as("sum_value"))
-          .select(col("w.start").as("w_start"), col("event_type"),
+          .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
             col("n"), col("n_users"), col("sum_value"))
-          .orderBy(col("w_start"), col("event_type")),
-      Some("""SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+          .orderBy(col("w_start_us"), col("event_type")),
+      Some("""SELECT epoch_us(time_bucket(INTERVAL 6 HOUR, ts)) AS w_start_us, event_type,
           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+        FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""")),
 
     // ---------------------------------------------------------------- q57
     // Cohort retention: users bucketed by first-seen week, activity
@@ -234,16 +238,18 @@ object Advanced {
             (datediff(col("act_week"), col("cohort_week")) / 7)
               .cast("long").as("weeks_since"))
           .agg(countDistinct(col("user_id")).as("active_users"))
-          .orderBy(col("cohort_week"), col("weeks_since"))
+          .select(unix_micros(col("cohort_week")).as("cohort_week_us"),
+            col("weeks_since"), col("active_users"))
+          .orderBy(col("cohort_week_us"), col("weeks_since"))
       },
       Some("""WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
             FROM events GROUP BY user_id),
         a AS (SELECT user_id, date_trunc('week', ts) AS act_week FROM events)
-        SELECT f.cohort_week,
+        SELECT epoch_us(f.cohort_week) AS cohort_week_us,
           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT) AS weeks_since,
           COUNT(DISTINCT a.user_id) AS active_users
         FROM a JOIN f USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""")),
+        GROUP BY 1, 2 ORDER BY cohort_week_us, weeks_since""")),
 
     // ---------------------------------------------------------------- q58
     // Ordered funnel: users who viewed, then clicked AFTER the first
@@ -298,17 +304,17 @@ object Advanced {
           .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"))
-          .select(col("w.start").as("w_start"), col("event_type"),
+          .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
             col("n"), col("n_users"))
-          .orderBy(col("w_start"), col("event_type")),
+          .orderBy(col("w_start_us"), col("event_type")),
       Some("""WITH b AS (SELECT user_id, event_type,
             time_bucket(INTERVAL 6 HOUR, ts) AS tb FROM events),
         slid AS (SELECT user_id, event_type,
-            tb - k * INTERVAL 6 HOUR AS w_start
+            epoch_us(tb - k * INTERVAL 6 HOUR) AS w_start_us
           FROM b, range(0, 4) t(k))
-        SELECT w_start, event_type, COUNT(*) AS n,
+        SELECT w_start_us, event_type, COUNT(*) AS n,
           COUNT(DISTINCT user_id) AS n_users
-        FROM slid GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+        FROM slid GROUP BY 1, 2 ORDER BY w_start_us, event_type""")),
 
     // ---------------------------------------------------------------- q60
     // FORWARD as-of join — q36's mirror: each click matched to the

@@ -684,7 +684,11 @@ object TrainingData {
     // posexplode+avg alternative would shuffle rows × dims. Outputs are
     // rounded to 1e-6 on both sides: cross-row float summation order
     // differs between engines at ~1e-16 relative, and the rounding
-    // quantum absorbs it.
+    // quantum absorbs it. The centroid is emitted one dimension per row
+    // (label, dim, m): the comparator sorts every output column, which
+    // an array column breaks — and the exploded form is |labels|×64
+    // rows, still tiny. The aggregation itself stays vectorized; only
+    // the final projection explodes.
     QuerySpec(
       "q53_embedding_centroids",
       (s, d) => {
@@ -693,18 +697,20 @@ object TrainingData {
           .groupBy(col("label"))
           .agg(VecCentroid(col("embedding")).as("raw"),
             count(lit(1)).as("n"))
-          .select(col("label"),
-            transform(col("raw"), x => round(x, 6)).as("centroid"), col("n"))
-          .orderBy(col("label"))
+          .select(col("label"), col("n"),
+            posexplode(transform(col("raw"), x => round(x, 6))))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+            col("col").as("m"), col("n"))
+          .orderBy(col("label"), col("dim"))
       },
       Some("""WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS i,
             unnest(embedding) AS e FROM embeddings),
         m AS (SELECT label, i, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS m
               FROM u GROUP BY 1, 2)
-        SELECT m.label, list(m.m ORDER BY m.i) AS centroid, n.n
+        SELECT m.label, CAST(m.i AS BIGINT) AS dim, m.m AS m, n.n
         FROM m JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1) n
           ON n.label = m.label
-        GROUP BY m.label, n.n ORDER BY m.label""")),
+        ORDER BY m.label, dim""")),
 
     // ---------------------------------------------------------------- q54
     // The kept set — the dedup pipeline's actual OUTPUT: near-dup pairs

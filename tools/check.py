@@ -43,6 +43,23 @@ def main(sf_dir: str, out_dir: str) -> None:
         try:
             want = con.sql(sql).fetchdf()
             got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            # mirror the driver's strict schema compare BEFORE normalizing:
+            # a tz-aware Spark timestamp vs DuckDB's naive one is a driver
+            # schema_match failure (bit us in r2: q56/q57/q59), and an
+            # array-typed output column crashes its pandas sort (q53)
+            strict = []
+            for c in sorted(set(want.columns) & set(got.columns)):
+                wt, gt = str(want[c].dtype), str(got[c].dtype)
+                if wt != gt and (wt.startswith("datetime") or gt.startswith("datetime")):
+                    strict.append(f"{c}: spark={gt} oracle={wt}")
+                if want[c].dtype == object and len(want) and any(
+                        hasattr(v, "__len__") and not isinstance(v, str)
+                        for v in want[c].head(3)):
+                    strict.append(f"{c}: array-typed output (driver sort crashes)")
+            if strict:
+                print(f"FAIL {name}: driver-strict schema {strict}")
+                n_fail += 1
+                continue
             w, g = norm(want), norm(got)
             if list(w.columns) != list(g.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
