@@ -99,6 +99,46 @@ object Dedup {
       .select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
 
+  /** Persist a [[bandedSignatureIndex]] together with its build
+    * parameters. The parameters are part of the index's identity: a
+    * batch joining an index built with different numHashes/bands/shingleN
+    * gets silently wrong scores (or silently zero candidates — band keys
+    * from different slicings never collide), so they travel with the
+    * data in an underscore-prefixed sidecar (invisible to parquet
+    * readers) and [[readSignatureIndex]] refuses a mismatch. */
+  def writeSignatureIndex(index: DataFrame, dir: String,
+      numHashes: Int, shingleN: Int, bands: Int): Unit = {
+    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
+    val fs = p.getFileSystem(
+      index.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(indexMeta(numHashes, shingleN, bands).getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Load a persisted signature index, asserting it was built with the
+    * parameters the caller is about to join with. */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$dir has no _graft_index_meta.json — not a persisted signature index " +
+        "(write it with Dedup.writeSignatureIndex)")
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val expected = indexMeta(numHashes, shingleN, bands)
+    require(meta == expected,
+      s"signature index at $dir was built with $meta but the caller expects " +
+        s"$expected — rebuild the index or match its parameters")
+    spark.read.parquet(dir)
+  }
+
+  private def indexMeta(numHashes: Int, shingleN: Int, bands: Int): String =
+    s"""{"numHashes":$numHashes,"shingleN":$shingleN,"bands":$bands}"""
+
   /** Signature-agreement Jaccard estimate — ONE definition, shared by the
     * self-join and cross-corpus forms so they cannot drift. */
   private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
@@ -310,8 +350,19 @@ object Dedup {
       idCol: String, textCol: String,
       numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // An index built with a different numHashes would not fail: zip_with
+    // pads the shorter signature with nulls and estJaccard divides by the
+    // wrong width, silently mis-scoring every pair. Guard the width
+    // per-row (a size() compare — no extra job); raise_error fails the
+    // query loudly on first contact with a mis-shaped index. Parameter
+    // drift that shape alone can't reveal (bands/shingleN) is covered by
+    // the [[readSignatureIndex]] sidecar check.
+    val sigChecked = when(size(col("sig")) === numHashes, col("sig"))
+      .otherwise(raise_error(concat(
+        lit("corpus index signature width "), size(col("sig")).cast("string"),
+        lit(s" != numHashes=$numHashes — index built with different parameters"))))
     val c = corpusIndex.select(col("id").as("corpus_id"),
-      col("sig").as("sig_c"), col("band"))
+      sigChecked.as("sig_c"), col("band"))
     val i = bandedSignatureIndex(incoming, idCol, textCol,
         numHashes, shingleN, bands, cache = false)
       .select(col("id").as("incoming_id"), col("sig").as("sig_i"), col("band"))

@@ -129,6 +129,12 @@ object Layout {
   def partialOverwrite(spark: SparkSession, dir: String, key: String,
       numBuckets: Int, updateKeys: DataFrame)(
       merge: DataFrame => DataFrame): Unit = {
+    // A crashed prior merge leaves a commit marker with the live bucket
+    // renamed away and its only copies in the .__staged / .__old_b<b>
+    // halves — which the writes below would overwrite and delete. Repair
+    // FIRST (idempotent, metadata-only), so this merge reads a complete
+    // table and never destroys the halves recovery needs.
+    recoverPartialOverwrite(spark, dir)
     val touched = updateKeys
       .select(bucketCol(key, numBuckets).as("kbucket")).distinct()
       .collect().map(_.getInt(0)).sorted

@@ -88,11 +88,30 @@ private[sources] class JsonArrayScan(required: StructType, path: String)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
+    // Recurse: day-partitioned layouts nest files under subdirectories,
+    // and a top-level-only listing would silently read fewer rows. A
+    // file is hidden iff ANY path component below the root is
+    // underscore/dot-prefixed (same rule as Spark's file index — covers
+    // files inside `_temporary`/dot-staging dirs, not just hidden names).
+    def hidden(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && cur != p) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath)
-          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-      else Array(p)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (!hidden(f)) buf += f
+        }
+        buf.toArray
+      } else Array(p)
     files.sortBy(_.toString)
       .map(f => JsonFilePartition(f.toString): InputPartition)
   }
@@ -121,9 +140,15 @@ private[sources] class JsonArrayReader(file: String, fields: Array[String],
     val p = new Path(file)
     p.getFileSystem(conf).open(p)
   }
-  private val parser = new JsonFactory().createParser(in: java.io.InputStream)
-  require(parser.nextToken() == JsonToken.START_ARRAY,
-    s"$file is not an array-framed JSON file")
+  // the framing check throws for non-array files; the opened stream must
+  // not leak with it (close() is never called on a reader that failed
+  // construction)
+  private val parser = try {
+    val pr = new JsonFactory().createParser(in: java.io.InputStream)
+    require(pr.nextToken() == JsonToken.START_ARRAY,
+      s"$file is not an array-framed JSON file")
+    pr
+  } catch { case e: Throwable => in.close(); throw e }
   private var row: InternalRow = _
 
   override def next(): Boolean = parser.nextToken() match {

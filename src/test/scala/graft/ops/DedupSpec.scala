@@ -105,6 +105,45 @@ class DedupSpec extends SparkSpec {
     assert(direct.except(viaIndex).isEmpty && viaIndex.except(direct).isEmpty)
   }
 
+  test("minhash index: persisted round-trip carries parameters; mismatch refused") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"document number $i with several words"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("sigidx") + "/idx"
+    Dedup.writeSignatureIndex(
+      Dedup.bandedSignatureIndex(docs, "doc_id", "text"), dir, 24, 3, 8)
+    assert(Dedup.readSignatureIndex(spark, dir, 24, 3, 8).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readSignatureIndex(spark, dir, numHashes = 16, shingleN = 3, bands = 8)
+    }
+    assert(e.getMessage.contains("numHashes"))
+    // a bare parquet dir without the sidecar is not a trusted index
+    val bare = tmpDir("sigidx2") + "/bare"
+    docs.write.parquet(bare)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.readSignatureIndex(spark, bare, 24, 3, 8)
+    }
+    assert(e2.getMessage.contains("_graft_index_meta"))
+  }
+
+  test("minhash index: mis-shaped signatures fail loudly, never mis-score") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // index actually built at width 16, joined as if width 24: zip_with
+    // would null-pad and estJaccard divide by the wrong width
+    val bad = Dedup.bandedSignatureIndex(docs, "doc_id", "text",
+      numHashes = 16, bands = 8)
+    val err = intercept[Exception] {
+      Dedup.minhashNearDupsAgainstIndex(bad, docs, "doc_id", "text",
+        numHashes = 24).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(err).contains("signature width"))
+  }
+
   test("minhash-LSH stop-band cap: a degenerate bucket is dropped, real pairs survive") {
     // boilerplate-heavy corpus: 10 identical docs share EVERY band key
     // (one degenerate bucket per band → 45 candidate pairs from

@@ -164,6 +164,31 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.recoverPartialOverwrite(spark, dir) === 0) // idempotent
   }
 
+  test("partialOverwrite after a mid-swap crash repairs first, loses nothing") {
+    val dir = tmpDir("recover2") + "/t"
+    val base = (1 to 100).map(i => (i, i * 10)).toDF("k", "v")
+    Layout.writeKeyBucketed(base, dir, "k", numBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val baseName = new org.apache.hadoop.fs.Path(dir).getName
+    // crash state: marker down, bucket 2's only copy is the .__old_b2 half
+    fs.createNewFile(new org.apache.hadoop.fs.Path(dir, "_graft_commit_b2"))
+    fs.rename(new org.apache.hadoop.fs.Path(dir, "kbucket=2"),
+      new org.apache.hadoop.fs.Path(parent, s".$baseName.__old_b2"))
+    assert(Layout.readKeyBucketed(spark, dir).count() < 100)
+    // the next merge must NOT read the truncated table or delete the
+    // backup half — it repairs before staging anything
+    val updates = Seq((7, -7)).toDF("k", "v")
+    Layout.partialOverwrite(spark, dir, "k", 4, updates.select("k")) { existing =>
+      existing.as("e").join(updates.as("u"), Seq("k"), "left_outer")
+        .select($"k", coalesce($"u.v", $"e.v").as("v"))
+    }
+    val got = Layout.readKeyBucketed(spark, dir).as[(Int, Int)].collect().toMap
+    assert(got.size === 100, "rows from the crashed bucket were lost")
+    assert(got(7) === -7 && got(8) === 80)
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))

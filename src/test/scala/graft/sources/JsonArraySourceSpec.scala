@@ -29,6 +29,36 @@ class JsonArraySourceSpec extends SparkSpec {
     assert(got.except(viaMultiline).isEmpty && viaMultiline.except(got).isEmpty)
   }
 
+  test("nested (day-partitioned) layout reads every file; hidden dirs skipped") {
+    val dir = tmpDir("dsv2n")
+    new java.io.File(s"$dir/day=1").mkdirs()
+    new java.io.File(s"$dir/day=2").mkdirs()
+    writeFixture(s"$dir/day=1", "a.json", Seq(("1", "4008"), ("2", "4009")))
+    writeFixture(s"$dir/day=2", "b.json", Seq(("3", "4010")))
+    // files under staging/temp dirs must stay invisible even though the
+    // listing is now recursive
+    new java.io.File(s"$dir/_temporary").mkdirs()
+    new java.io.File(s"$dir/.t.__staged").mkdirs()
+    writeFixture(s"$dir/_temporary", "x.json", Seq(("90", "bad")))
+    writeFixture(s"$dir/.t.__staged", "y.json", Seq(("91", "bad")))
+    val got = spark.read.format("graft-jsonarray").load(dir)
+    assert(got.count() === 3)
+    assert(got.select($"EVENT_NO_TRIP").as[String].collect().toSet
+      === Set("1", "2", "3"))
+  }
+
+  test("a non-array-framed file fails loudly") {
+    val dir = tmpDir("dsv2bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/obj.json"), """{"EVENT_NO_TRIP": "1"}""")
+    val err = intercept[Exception] {
+      spark.read.format("graft-jsonarray").load(dir).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(err).contains("not an array-framed"))
+  }
+
   test("one input partition per file") {
     val dir = tmpDir("dsv2p")
     (1 to 5).foreach(i => writeFixture(dir, s"f$i.json", Seq((s"$i", "4008"))))
