@@ -83,6 +83,8 @@ object GraftFunctions {
       "minhash_sig",
       (exprs: Seq[Expression]) => MinHashSig(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "byte_entropy", (exprs: Seq[Expression]) => ByteEntropy(exprs(0)), "built-in")
     // typed Aggregator → SQL surface: SELECT vec_centroid(embedding) …
     spark.udf.register("vec_centroid",
       org.apache.spark.sql.functions.udaf(VecCentroid))

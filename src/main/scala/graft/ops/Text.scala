@@ -117,6 +117,50 @@ object Text {
     * identical fingerprint, cross-engine. */
   def fingerprint(text: Column): Column = PortableHash.md5Long(text)
 
+  /** Shannon entropy (bits) of the text's byte distribution — the cheap
+    * garbage screen (base64/compressed blobs ≈ 6-8 bits, padding ≈ 0,
+    * prose ≈ 4-5). Native codegen'd expression
+    * ([[graft.functions.ByteEntropy]]): one histogram pass per row, no
+    * explode, no shuffle. Requires
+    * [[graft.functions.GraftFunctions.ensureRegistered]] (implicit via
+    * [[graft.Tables]]). */
+  def byteEntropy(text: Column): Column =
+    call_function("byte_entropy", text)
+
+  /** Per-doc average unigram log-probability under the corpus's OWN
+    * unigram LM — the CCNet-style fluency filter: word salads and
+    * off-distribution docs score low without any external model.
+    *
+    * Plan: the token explode feeds the vocab count (hash agg on token,
+    * map-side combined — the exchange carries per-task distinct-token
+    * counts, not the corpus) and the scoring join; the corpus total is a
+    * WINDOW over the vocab-sized count table (an `agg`+crossJoin would
+    * re-tokenize the whole corpus a third time — Catalyst does not reuse
+    * the subplan); the scored vocab is BROADCAST back, so the corpus-side
+    * token stream is never shuffled for the join — its only exchange is
+    * the final per-doc agg. At web scale with a heavy-tailed vocab above
+    * broadcast size, drop the `broadcast` hint and let both sides shuffle
+    * on token (the agg already paid that partitioning), and persist the
+    * token stream to tokenize once instead of twice.
+    * Docs with zero tokens surface with n_tokens=0 and a null score. */
+  def unigramLogProbs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val scored = freq
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("tok"),
+        log2(col("cnt").cast("double") / col("total").cast("double")).as("logp"))
+    val per = toks.join(broadcast(scored), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("logp")).as("avg_logprob"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logprob"))
+  }
+
   // ------------------------------------------------------------------- PII
   // Conservative format-anchored patterns, written in the regex subset the
   // Java engine and RE2 (the oracle engine's dialect) interpret

@@ -459,6 +459,39 @@ object Advanced {
         FROM events WHERE user_id < 100
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ---------------------------------------------------------------- q72
+    // SCD2 historization (ops.Scd.historize): each user's event_type
+    // change log collapses into validity intervals — gaps-and-islands
+    // with ONE exchange on user_id (the change-detect lag, segment-id
+    // running sum, per-segment agg, and interval-close lead all reuse
+    // that partitioning; the agg's (key, seg) grouping is clustered by
+    // the key alone). The close window orders by segment id, which stays
+    // deterministic even when adjacent segments share a start micro.
+    QuerySpec(
+      "q72_scd2_history",
+      (s, d) =>
+        graft.ops.Scd.historize(
+            T.events(s, d).filter(col("user_id") < 200),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy(col("user_id"), col("valid_from_us"), col("event_type")),
+      Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+            LAG(event_type) OVER w AS prev
+          FROM events WHERE user_id < 200
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+            THEN 1 ELSE 0 END AS chg FROM o),
+        s AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS seg
+          FROM m),
+        g AS (SELECT user_id, event_type, seg,
+            MIN(epoch_us(ts)) AS valid_from_us, COUNT(*) AS n_events
+          FROM s GROUP BY 1, 2, 3)
+        SELECT user_id, event_type, valid_from_us,
+          LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg)
+            AS valid_to_us,
+          n_events
+        FROM g ORDER BY user_id, valid_from_us, event_type"""))
   )
 }

@@ -939,6 +939,56 @@ object TrainingData {
           .select(col("keep_id"), col("n_copies"))
           .orderBy(col("keep_id")),
       Some("""SELECT MIN(vec_id) AS keep_id, COUNT(*) AS n_copies
-        FROM embeddings GROUP BY embedding ORDER BY keep_id"""))
+        FROM embeddings GROUP BY embedding ORDER BY keep_id""")),
+
+    // ---------------------------------------------------------------- q70
+    // Byte-entropy garbage screen via the native codegen'd expression
+    // (functions.ByteEntropy): one histogram pass per row inside
+    // whole-stage codegen — no explode, no shuffle; the relational
+    // alternative pays two exchanges of corpus × doc-length rows for
+    // this purely row-local quantity. The oracle rebuilds it with a
+    // character unnest + DuckDB's log2-based entropy() aggregate (equal
+    // to the byte form on this ASCII corpus); round-6 absorbs the
+    // engines' summation-order ulps.
+    QuerySpec(
+      "q70_byte_entropy",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            round(Text.byteEntropy(col("text")), 6).as("entropy_bits"))
+          .orderBy(col("doc_id")),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+        ent AS (SELECT doc_id, entropy(c) AS e FROM ch GROUP BY doc_id)
+        SELECT d.doc_id, ROUND(COALESCE(ent.e, 0.0), 6) AS entropy_bits
+        FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q71
+    // Unigram-LM fluency scoring (Text.unigramLogProbs): the corpus is
+    // its own language model — vocab counts are one map-side-combined
+    // agg whose output is vocab-sized, the scored vocab broadcasts back
+    // (the corpus token stream is never shuffled for the join), and the
+    // only corpus-sized exchange is the per-doc average. log2 on both
+    // engines; round-6 on the cross-row average.
+    QuerySpec(
+      "q71_unigram_logprob",
+      (s, d) =>
+        Text.unigramLogProbs(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("avg_logprob"), 6).as("avg_logprob"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCte,
+        u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        f AS (SELECT tok, COUNT(*) AS cnt FROM u GROUP BY tok),
+        tot AS (SELECT SUM(cnt) AS total FROM f),
+        lp AS (SELECT f.tok, log2(${dbl("f.cnt")} / ${dbl("tot.total")}) AS logp
+               FROM f, tot),
+        per AS (SELECT u.doc_id, COUNT(*) AS n_tokens, AVG(lp.logp) AS alp
+                FROM u JOIN lp USING (tok) GROUP BY u.doc_id)
+        SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+          ROUND(per.alp, 6) AS avg_logprob
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }
