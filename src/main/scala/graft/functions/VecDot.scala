@@ -85,6 +85,11 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "byte_entropy", (exprs: Seq[Expression]) => ByteEntropy(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_minhash",
+      (exprs: Seq[Expression]) => ShingleMinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
     // typed Aggregator → SQL surface: SELECT vec_centroid(embedding) …
     spark.udf.register("vec_centroid",
       org.apache.spark.sql.functions.udaf(VecCentroid))

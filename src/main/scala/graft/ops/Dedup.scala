@@ -81,10 +81,14 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = spread(docs)
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("id"), Text.shingleHashesOf(col("toks"), shingleN).as("hs"))
-      .filter(size(col("hs")) > 0)
+      // fused tokenize→shingle→hash→minima expression: the composable
+      // shingleHashesOf + minhash_sig form leaves the shingle/MD5 stage
+      // in interpreted HOFs, which dominated the whole near-dup build
+      // (see ShingleMinHash scaladoc); NULL = too short to shingle
       .select(col("id"),
-        call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
+        call_function("shingle_minhash", col("toks"),
+          lit(shingleN), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
     if (cache) sigs.cache() else sigs
   }
 
@@ -331,8 +335,13 @@ object Dedup {
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 24, shingleN: Int = 3, bands: Int = 8,
       threshold: Double = 0.5, maxBandDocFreq: Long = 1000000L): DataFrame = {
+    // cache = true: the corpus index IS the reusable artifact of this
+    // operator — every subsequent batch (or repeat run) joins the same
+    // index, so recomputing corpus signatures per call would charge the
+    // steady state for the build. (The durable form is
+    // writeSignatureIndex + minhashNearDupsAgainstIndex.)
     val index = bandedSignatureIndex(corpus, idCol, textCol,
-        numHashes, shingleN, bands, cache = false)
+        numHashes, shingleN, bands, cache = true)
       .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
     minhashNearDupsAgainstIndex(index, incoming, idCol, textCol,
@@ -400,6 +409,63 @@ object Dedup {
         when(coalesce(col("n_shingles"), lit(0L)) > 0,
           col("n_common").cast("double") / col("n_shingles").cast("double"))
           .as("boilerplate_frac"))
+  }
+
+  /** Cross-document line-level boilerplate REMOVAL (the transform twin of
+    * [[boilerplateFractions]]'s score): every non-empty physical line that
+    * occurs in at least `minDocs` distinct documents is deleted from every
+    * document, and each text is rebuilt from its surviving lines in
+    * original order — the classic web-corpus cleanup (navigation bars,
+    * cookie banners, shared footers) applied at line granularity.
+    *
+    * Plan: one posexplode into (doc, pos, line); the doc-frequency
+    * aggregate runs on the line's 60-bit [[PortableHash]] — the exchange
+    * carries (hash, doc) pairs (16 B), never line text, and partial
+    * distinct aggregation shrinks it map-side. The common set (lines in
+    * ≥ minDocs docs) is tiny by construction and broadcasts back, so the
+    * corpus-side line stream is never shuffled for the membership join;
+    * its only corpus-sized exchange is the per-doc rebuild, whose
+    * `array_sort` on (pos, line) makes reconstruction deterministic under
+    * any partitioning. At a corpus where the common set outgrows the
+    * broadcast ceiling, drop the hint and both sides shuffle on the hash
+    * the aggregate already partitioned by. A 60-bit collision could
+    * delete an innocent line; at 2⁻⁶⁰ per pair that is noise against the
+    * boilerplate signal this targets.
+    *
+    * Empty lines are never removal candidates (they are structure, not
+    * content) and survive reconstruction byte-exactly. Documents whose
+    * every line is removed surface with `clean_text = ""`.
+    */
+  def removeCommonLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", PortableHash.md5Long(col("line")))
+    val common = lines
+      .filter(length(col("line")) > 0)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("_rm"))
+    val kept = lines
+      .join(broadcast(common), Seq("h"), "left_outer")
+      .filter(col("_rm").isNull || length(col("line")) === 0)
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line"))).as("clean_text"))
+    docs
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_lines_removed"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:

@@ -989,6 +989,76 @@ object TrainingData {
         SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
           ROUND(per.alp, 6) AS avg_logprob
         FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q73
+    // Cross-doc line-level boilerplate REMOVAL (Dedup.removeCommonLines):
+    // doc frequency aggregates on the line's 60-bit hash (the exchange
+    // carries (hash, doc) pairs, never text), the tiny common set
+    // broadcasts back, and the rebuild's array_sort keeps reconstruction
+    // deterministic under any partitioning. This corpus has single-line
+    // docs, so the oracle pins the hard part — byte-exact split→filter→
+    // rejoin reconstruction across engines with zero removals — while
+    // DedupSpec pins the removal semantics on multi-line fixtures.
+    QuerySpec(
+      "q73_line_dedup",
+      (s, d) =>
+        Dedup.removeCommonLines(T.documents(s, d), "doc_id", "text",
+            minDocs = 5)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+            FROM documents),
+        ln AS (SELECT doc_id, unnest(l) AS line,
+            unnest(generate_series(1, len(l))) AS pos FROM ls),
+        lh AS (SELECT doc_id, pos, line, ${h60("line")} AS h FROM ln),
+        common AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+            FROM lh WHERE length(line) > 0 GROUP BY h) WHERE df >= 5),
+        kept AS (SELECT doc_id, pos, line FROM lh
+          WHERE length(line) = 0 OR h NOT IN (SELECT h FROM common)),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+            string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+          CAST(len(string_split(d.text, chr(10))) - COALESCE(a.n_kept, 0)
+            AS BIGINT) AS n_lines_removed
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q74
+    // BM25 corpus search (Search.bm25): the term explode is filtered to
+    // the query bag BEFORE any exchange, so every shuffle carries only
+    // matching postings; df and the scalar (N, avgdl) stats broadcast
+    // back. Ranking orders by the ROUNDED score so the top-100 boundary
+    // cannot flip on cross-engine ln/summation ulps; doc_id breaks ties
+    // totally.
+    QuerySpec(
+      "q74_bm25_search",
+      (s, d) =>
+        graft.ops.Search.bm25(T.documents(s, d), "doc_id", "text",
+            Seq("spark", "vector", "hash", "window"))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(100),
+      Some(s"""WITH $tokCte,
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            AVG(CAST(len(t) AS BIGINT)) AS avgdl FROM toks),
+        tr AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+            unnest(t) AS term FROM toks),
+        qt AS (SELECT * FROM tr
+          WHERE term IN ('spark', 'vector', 'hash', 'window')),
+        tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM qt GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM qt GROUP BY term),
+        sc AS (SELECT tf.doc_id,
+            SUM(ln(1.0 + (${dbl("st.n - dfx.df")} + 0.5)
+                / (${dbl("dfx.df")} + 0.5))
+              * (${dbl("tf.tf")} * (1.2 + 1.0))
+              / (${dbl("tf.tf")}
+                 + 1.2 * ((1.0 - 0.75) + 0.75 * ${dbl("tf.dl")} / st.avgdl)))
+              AS score
+          FROM tf JOIN dfx USING (term), st GROUP BY tf.doc_id)
+        SELECT doc_id, ROUND(score, 6) AS score FROM sc
+        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 100"""))
   )
 }

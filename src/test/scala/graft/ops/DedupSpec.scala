@@ -251,4 +251,42 @@ class DedupSpec extends SparkSpec {
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
   }
+
+  // --------------------------------------------- cross-doc line removal
+
+  private lazy val linedDocs = Seq(
+    (1L, "COOKIE BANNER\nunique first body\n\nCOPYRIGHT FOOT"),
+    (2L, "COOKIE BANNER\nunique second body\nCOPYRIGHT FOOT"),
+    (3L, "COOKIE BANNER\nunique third body\nCOPYRIGHT FOOT"),
+    (4L, "COOKIE BANNER\nCOPYRIGHT FOOT"),
+    (5L, "no boilerplate at all\njust content")
+  ).toDF("doc_id", "text")
+
+  test("removeCommonLines strips lines in >= minDocs docs, keeps order and empties") {
+    val r = Dedup.removeCommonLines(linedDocs, "doc_id", "text", minDocs = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_lines_removed"))).toMap
+    assert(r(1L) === (("unique first body\n", 2L)))   // empty line survives
+    assert(r(2L) === (("unique second body", 2L)))
+    assert(r(4L) === (("", 2L)))                      // fully-boilerplate doc
+    assert(r(5L) === (("no boilerplate at all\njust content", 0L)))
+  }
+
+  test("removeCommonLines reconstruction is byte-exact when nothing is common") {
+    val r = Dedup.removeCommonLines(linedDocs.repartition(7), "doc_id", "text",
+        minDocs = 99)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("clean_text"))
+      .toMap
+    val orig = linedDocs.collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    assert(r === orig)
+  }
+
+  test("removeCommonLines result is independent of partitioning") {
+    val a = Dedup.removeCommonLines(linedDocs, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Dedup.removeCommonLines(linedDocs.repartition(13), "doc_id", "text", 3)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
