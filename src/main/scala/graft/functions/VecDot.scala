@@ -85,6 +85,14 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "byte_entropy", (exprs: Seq[Expression]) => ByteEntropy(exprs(0)), "built-in")
+    // Spark's own runtime-filter probe expression, surfaced for explicit
+    // cross-job bloom pruning (ops.Prune): args = (serialized sketch
+    // literal, xxhash64(key))
+    reg.createOrReplaceTempFunction(
+      "bloom_might",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_minhash",
       (exprs: Seq[Expression]) => ShingleMinHash(exprs(0),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout tools for 100 TB joins: bucketing (co-located joins —
@@ -225,6 +225,50 @@ object Layout {
       fs.delete(m, false)
     }
     markers.length
+  }
+
+  // -------------------------------------------------- multi-dim clustering
+
+  /** Morton (Z-order) key over two 16-bit bucketized dimensions: the bits
+    * of `x` and `y` interleaved into one 32-bit value. Rows close in z are
+    * close in BOTH dimensions, so range-partitioning + sorting by z gives
+    * every parquet file a tight bounding box in (x, y) — and parquet
+    * min/max stats then prune 2-D box predicates on EITHER column, where a
+    * plain sort clusters only its leading column. Pure bit arithmetic
+    * (shift/mask spreading), so it stays inside whole-stage codegen and is
+    * replayable in any engine.
+    *
+    * Inputs are masked to their low 16 bits; callers bucketize wider
+    * domains first (e.g. `(floor(v * 100)) % 65536`). */
+  def mortonKey(x: Column, y: Column): Column = {
+    def spread(v0: Column): Column = {
+      val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+      v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val xv = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val yv = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    spread(xv).bitwiseOR(shiftleft(spread(yv), 1))
+  }
+
+  /** Z-order clustered rewrite: route rows to `nFiles` range partitions of
+    * the Morton key and sort within each, so both `xCol` and `yCol` end up
+    * min/max-clustered per file. A 2-D box query on the result scans the
+    * few files whose bounding box intersects the box instead of the whole
+    * table — at 100 TB this is the difference between a full scan and
+    * touching a handful of row groups, for BOTH filter columns at once.
+    * The z column itself is dropped before writing (the clustering lives
+    * in the file layout and the per-file x/y statistics, not the schema).
+    * Goes through [[atomicOverwrite]]: crash-safe, and safe even when `df`
+    * reads from `dir` itself. */
+  def zorderWrite(df: DataFrame, dir: String, xCol: String, yCol: String,
+      nFiles: Int): Unit = {
+    val z = df.withColumn("_zkey", mortonKey(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+    atomicOverwrite(z, dir)
   }
 
   /** Inner equi-join with salted keys: the big side's rows get a

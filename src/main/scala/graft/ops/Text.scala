@@ -214,6 +214,54 @@ object Text {
         size(sh).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Per-group distribution drift: Jensen–Shannon divergence (log2 base,
+    * so JSD ∈ [0, 1]) between each group's unigram token distribution and
+    * the whole corpus's. The corpus-QA primitive behind "did this source's
+    * language shift?" / "is one crawl snapshot polluting the mix?".
+    *
+    * Scale shape: the token stream collapses to (group, token) COUNTS in
+    * one map-side-combined aggregate — the only corpus-sized input is the
+    * scan, and every later exchange is vocab-bounded. Scoring tokens a
+    * group LACKS (p = 0 still contributes 0.5·q to JSD) needs the
+    * |groups| × |vocab| grid, with |groups| a small constant (sources,
+    * snapshots), so the grid is a few× vocab — never corpus-sized.
+    *
+    * Float parity: each token's term is deterministic per row (doubles
+    * derived from exact counts; no cross-row order dependence); the SUM
+    * routes through round-12 → DECIMAL(28,14) — decimal addition is
+    * associative, so the result is partitioning-independent and replays
+    * bit-exactly in any engine with the same term formula. */
+  def sourceDrift(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("_src"),
+      explode(tokens(col(textCol))).as("_tok"))
+    val perGrp = toks.groupBy(col("_src"), col("_tok"))
+      .agg(count(lit(1)).as("_c_s"))
+    val vocab = perGrp.groupBy(col("_tok")).agg(sum(col("_c_s")).as("_c_all"))
+    val grpTotals = perGrp.groupBy(col("_src")).agg(sum(col("_c_s")).as("_n_s"))
+    val corpusTotal = vocab.agg(sum(col("_c_all")).as("_n_tot"))
+
+    val p = coalesce(col("_c_s"), lit(0L)).cast("double") /
+      col("_n_s").cast("double")
+    val q = col("_c_all").cast("double") / col("_n_tot").cast("double")
+    val m = (p + q) / lit(2.0)
+    // p·log2(p/m) is 0 at p = 0 (guarded: 0·log2(0) is NaN in IEEE); the
+    // q-side term is always defined (every vocab token has q > 0)
+    val term = (when(col("_c_s").isNotNull, p * log2(p / m))
+      .otherwise(lit(0.0)) + q * log2(q / m)) * lit(0.5)
+
+    grpTotals.crossJoin(vocab)
+      .join(perGrp, Seq("_src", "_tok"), "left_outer")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("_src"), col("_n_s"), term.as("_term"))
+      .groupBy(col("_src"), col("_n_s"))
+      .agg(sum(round(col("_term"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+        .cast("double").as("jsd"))
+      .select(col("_src").as(groupCol), col("_n_s").as("n_tokens"),
+        col("jsd"))
+  }
+
   /** Per-doc top-bigram share as a relational aggregate — the scale form:
     * posexplode the TOKEN column, pair each token with its neighbor via
     * `element_at`, then count per (doc, bigram) → max/total. Every step

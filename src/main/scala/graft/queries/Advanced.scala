@@ -492,6 +492,74 @@ object Advanced {
           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg)
             AS valid_to_us,
           n_events
-        FROM g ORDER BY user_id, valid_from_us, event_type"""))
+        FROM g ORDER BY user_id, valid_from_us, event_type""")),
+
+    // ---------------------------------------------------------------- q75
+    // Bloom-pruned shuffle join (ops.Prune): fact ⋈ selective dim where
+    // the dim is modeled as too big to broadcast (shuffle_hash hint — the
+    // 100 TB posture). The dim keys' Bloom filter ships to the fact scan
+    // and drops ~80% of fact rows BEFORE the exchange; false positives
+    // die at the real join, so the result is exact at any fpp and the
+    // oracle is the plain join. PruneSpec pins the plan shape (the
+    // might_contain filter sits below the shuffle). This is the manual
+    // twin of Spark's runtime row-level filtering, for key sets the
+    // planner can't see (cross-job indexes, incremental batches).
+    QuerySpec(
+      "q75_bloom_join",
+      (s, d) => {
+        val urgent = T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val pruned = graft.ops.Prune.bloomPrune(
+          T.lineitem(s, d), "l_orderkey",
+          urgent, "o_orderkey",
+          expectedItems = urgent.count(), fpp = 0.01)
+        pruned.join(urgent.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l.l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY 1"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q77
+    // Z-order clustering key (Layout.mortonKey): bit-interleave of the
+    // 16-bit bucketized (user_id, value-cents) pair. The full value
+    // oracle replays the shift/mask spreading in DuckDB bit arithmetic —
+    // pinning the exact layout key Layout.zorderWrite clusters by, so
+    // the 2-D pruning property (ZorderSpec) rests on an oracle-checked
+    // key, not a trusted one. Pure per-row projection: no shuffle, runs
+    // at scan speed at any scale.
+    QuerySpec(
+      "q77_zorder_key",
+      (s, d) => {
+        val x = col("user_id")
+        val y = floor(col("value") * 100).cast("long")
+        T.events(s, d)
+          .select(col("event_id"),
+            x.cast("long").bitwiseAND(lit(0xFFFFL)).as("zx"),
+            y.bitwiseAND(lit(0xFFFFL)).as("zy"),
+            graft.ops.Layout.mortonKey(x, y).as("zkey"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        def spread(v: String): String = {
+          val v1 = s"((($v) | (($v) << 8)) & 16711935)"
+          val v2 = s"((($v1) | (($v1) << 4)) & 252645135)"
+          val v3 = s"((($v2) | (($v2) << 2)) & 858993459)"
+          s"((($v3) | (($v3) << 1)) & 1431655765)"
+        }
+        val x = "(user_id & 65535)"
+        val y = "(CAST(FLOOR(value * 100) AS BIGINT) & 65535)"
+        s"""SELECT event_id, $x AS zx, $y AS zy,
+          (${spread(x)} | (${spread(y)} << 1)) AS zkey
+        FROM events ORDER BY event_id"""
+      })
   )
 }

@@ -1059,6 +1059,49 @@ object TrainingData {
               AS score
           FROM tf JOIN dfx USING (term), st GROUP BY tf.doc_id)
         SELECT doc_id, ROUND(score, 6) AS score FROM sc
-        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 100"""))
+        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 100""")),
+
+    // ---------------------------------------------------------------- q76
+    // Per-source distribution drift (Text.sourceDrift): Jensen–Shannon
+    // divergence between each source's unigram distribution and the
+    // corpus's — the "did one crawl pollute the mix?" monitor. The token
+    // stream collapses to (source, token) counts map-side; every later
+    // exchange is vocab-bounded, and the absent-token grid is
+    // |sources| × |vocab| with |sources| a small constant. Per-token
+    // terms are order-free doubles; the cross-token SUM routes through
+    // round-12 → DECIMAL so both engines add exactly.
+    QuerySpec(
+      "q76_source_drift",
+      (s, d) =>
+        Text.sourceDrift(T.documents(s, d), "source", "text")
+          .select(col("source"), col("n_tokens"),
+            round(col("jsd"), 6).as("jsd"))
+          .orderBy(col("source")),
+      Some(s"""WITH st AS (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+            FROM documents),
+        cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+            FROM st GROUP BY 1, 2),
+        ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+        v AS (SELECT tok, SUM(c_s) AS c_all FROM cs GROUP BY 1),
+        nt AS (SELECT SUM(c_all) AS n_tot FROM v),
+        grid AS (SELECT ns.source, ns.n_s, v.tok, v.c_all, cs.c_s, nt.n_tot
+            FROM ns CROSS JOIN v
+            LEFT JOIN cs ON cs.source = ns.source AND cs.tok = v.tok
+            CROSS JOIN nt),
+        terms AS (SELECT source, n_s,
+            0.5 * ((CASE WHEN c_s IS NOT NULL THEN
+                (${dbl("c_s")} / ${dbl("n_s")})
+                  * log2((${dbl("c_s")} / ${dbl("n_s")})
+                    / (((${dbl("c_s")} / ${dbl("n_s")})
+                       + (${dbl("c_all")} / ${dbl("n_tot")})) / 2.0))
+              ELSE ${dbl("0")} END)
+              + (${dbl("c_all")} / ${dbl("n_tot")})
+                * log2((${dbl("c_all")} / ${dbl("n_tot")})
+                  / (((CASE WHEN c_s IS NOT NULL THEN ${dbl("c_s")} / ${dbl("n_s")} ELSE ${dbl("0")} END)
+                     + (${dbl("c_all")} / ${dbl("n_tot")})) / 2.0))) AS term
+          FROM grid)
+        SELECT source, n_s AS n_tokens,
+          ROUND(CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(28,14))) AS DOUBLE), 6) AS jsd
+        FROM terms GROUP BY source, n_s ORDER BY source"""))
   )
 }

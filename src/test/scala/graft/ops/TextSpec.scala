@@ -108,4 +108,20 @@ class TextSpec extends SparkSpec {
     assert(r(0) !== r(2))
     assert(r.forall(_ >= 0L)) // 60-bit, never negative
   }
+
+  test("sourceDrift: corpus-identical source ≈ 0, alien source ≫, JSD ∈ [0,1]") {
+    // two sources with the SAME distribution, one with a disjoint vocab
+    val docs = (Seq.fill(10)(("a", "x y z")) ++ Seq.fill(10)(("b", "x y z")) ++
+      Seq.fill(10)(("c", "q r s"))).toDF("source", "text")
+    val got = Text.sourceDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    got.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"JSD $v out of range"))
+    assert(got("a") === got("b")) // same distribution → same drift
+    assert(got("c") > got("a") + 0.2, s"alien source not flagged: $got")
+    // n_tokens carried through
+    val n = Text.sourceDrift(docs, "source", "text")
+      .filter($"source" === "a").head().getLong(1)
+    assert(n === 30L)
+  }
 }
