@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
+      (exprs: Seq[Expression]) => graft.functions.PqAdc(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

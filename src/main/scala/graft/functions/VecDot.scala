@@ -85,6 +85,8 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
       "byte_entropy", (exprs: Seq[Expression]) => ByteEntropy(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_adc", (exprs: Seq[Expression]) => PqAdc(exprs(0), exprs(1)), "built-in")
     // Spark's own runtime-filter probe expression, surfaced for explicit
     // cross-job bloom pruning (ops.Prune): args = (serialized sketch
     // literal, xxhash64(key))

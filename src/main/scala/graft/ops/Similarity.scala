@@ -108,7 +108,6 @@ object Similarity {
     * `limit` makes the bound a guarantee. */
   private[graft] def ivfTrainSet(
       corpus: DataFrame, vecCol: String, maxFitRows: Int): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     // No full-corpus count: the bound is decided by early-terminating
     // limit-probes (each scans until maxFitRows+1 survivors, then stops).
     // On overflow a deterministic hash filter geometrically shrinks the
@@ -130,7 +129,7 @@ object Similarity {
         n = maxFitRows // prefix fallback: bounded and never empty
       }
     }
-    keep.limit(maxFitRows).select(array_to_vector(col(vecCol)).as("fv"))
+    keep.limit(maxFitRows).select(col(vecCol))
   }
 
   /** K-means cell centroids from a bounded sample of the corpus. Compute
@@ -140,9 +139,11 @@ object Similarity {
       corpus: DataFrame, vecCol: String, nCells: Int,
       maxFitRows: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     new KMeans().setK(nCells).setSeed(42).setFeaturesCol("fv")
       .setPredictionCol("cell")
-      .fit(ivfTrainSet(corpus, vecCol, maxFitRows))
+      .fit(ivfTrainSet(corpus, vecCol, maxFitRows)
+        .select(array_to_vector(col(vecCol)).as("fv")))
       .clusterCenters.map(_.toArray)
   }
 
@@ -183,6 +184,156 @@ object Similarity {
     * hyperplane bucket or any bucket at Hamming distance 1 (multi-probe),
     * rank within. Shuffle is on bucket ids only; the corpus is scanned
     * once. */
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace PQ codebooks: the vector is split into `m` contiguous
+    * subvectors and each subspace gets `kCodes` k-means centroids, fit on
+    * the same bounded deterministic sample as IVF ([[ivfTrainSet]] — at
+    * 100 TB the train never reads the corpus). Returns
+    * `books(j)(code) = centroid`, the one-time index artifact to persist
+    * and reuse across query batches. */
+  def pqCodebooks(
+      corpus: DataFrame, vecCol: String, m: Int = 16, kCodes: Int = 16,
+      maxFitRows: Int = 100000): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = ivfTrainSet(corpus, vecCol, maxFitRows).cache()
+    try {
+      val dim = train.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      // the m fits are independent 4–8-dim problems on the same cached
+      // sample — run them as concurrent Spark jobs (the fit wall-clock is
+      // scheduling overhead, not compute; 10 Lloyd iterations place
+      // 16 centroids on ≤1e5 points far past convergence)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        Await.result(Future.sequence((0 until m).toList.map { j =>
+          Future {
+            new KMeans().setK(kCodes).setSeed(42L + j).setMaxIter(10)
+              .setFeaturesCol("fv").setPredictionCol("code")
+              .fit(train.select(array_to_vector(
+                slice(col(vecCol), j * sub + 1, sub)).as("fv")))
+              .clusterCenters.map(_.toArray)
+          }
+        }), Duration.Inf).toArray
+      } finally { pool.shutdown() }
+    } finally { train.unpersist(); () }
+  }
+
+  /** PQ encode as a Column: per subspace, the nearest codebook centroid's
+    * index (‖x−c‖² ranking with the ‖x‖² term dropped — constant per
+    * subvector). `array<int>` of length m: the corpus's 64 floats become
+    * m small ints (4 bits at kCodes=16) — a 256-byte vector stored in
+    * ~8–16 bytes, which is what lets a 100 TB embedding store live in
+    * cluster memory for scoring. Ties break to the lower code. */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val sub = books(0)(0).length
+    array((0 until m).map { j =>
+      val sv = slice(vec, j * sub + 1, sub)
+      val ranked = sort_array(array(books(j).zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(v => lit(v.toFloat)): _*)
+        struct(
+          (lit(-2.0) * dot(sv, cLit) + lit(c.map(v => v * v).sum)).as("score"),
+          lit(i).as("code"))
+      }: _*))
+      element_at(ranked, 1).getField("code")
+    }: _*)
+  }
+
+  /** Query-side ADC lookup table, flattened `m × kCodes` floats:
+    * `lut[j*kCodes + c]` = dot(query subvector j, books(j)(c)). Computed
+    * once per query row; [[graft.functions.PqAdc]] then scores each
+    * (query, doc) pair with m table lookups. */
+  def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sub = books(0)(0).length
+    array(books.zipWithIndex.flatMap { case (codes, j) =>
+      val sv = slice(vec, j * sub + 1, sub)
+      codes.map { c =>
+        dot(sv, array(c.map(v => lit(v.toFloat)): _*)).cast("float")
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** PQ approximate top-k by cosine: corpus encoded once (one scan, codes
+    * + reconstructed-norm per doc), queries broadcast with their LUTs,
+    * every pair scored by codegen'd `pq_adc` lookups — the brute-force
+    * scan shape of [[bruteForceTopK]] at ~32× less memory traffic and no
+    * full-width float math per pair. Approximate cosine =
+    * adc_dot / (‖q‖ · ‖x̂‖) with ‖x̂‖ the reconstruction's norm (per-
+    * subspace orthogonality makes it Σ_j ‖c_j‖², one more `pq_adc` over a
+    * norm table). Recall is pinned vs the exact path in SimilaritySpec. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 16, kCodes: Int = 16,
+      maxFitRows: Int = 100000, shortlist: Int = -1): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val books = pqCodebooks(corpus, vecCol, m, kCodes, maxFitRows)
+    pqTopKWith(corpus, queries, idCol, vecCol, k, books,
+      if (shortlist < 0) 10 * k else shortlist)
+  }
+
+  /** PQ query path against prebuilt codebooks (see [[pqTopK]]).
+    *
+    * Two phases, the standard production split:
+    *  1. ADC shortlist — every (query, doc) pair scored from the codes
+    *     alone (m table lookups, no full-width vectors in flight); keep
+    *     the top `shortlist` candidates per query.
+    *  2. Exact re-rank — the shortlist (|queries| × shortlist pairs,
+    *     corpus-size-independent) broadcasts back against the corpus for
+    *     one true-cosine pass; top k of that is the answer.
+    * The quantization error only costs recall when a true neighbor falls
+    * outside the ~10×k shortlist, not when its coarse score is merely
+    * re-ordered inside it. `shortlist = 0` skips phase 2 (pure ADC,
+    * returns `cos_pq` — the quantized estimate). */
+  def pqTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]],
+      shortlist: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // ‖x̂‖² table: norm2Lut[j*kCodes + c] = ‖books(j)(c)‖²
+    val norm2Lut = array(books.flatMap(_.map(c =>
+      lit(c.map(v => v * v).sum.toFloat))).toIndexedSeq: _*)
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      pqEncode(col(vecCol), books).as("codes"))
+      .withColumn("nbr_norm",
+        sqrt(call_function("pq_adc", col("codes"), norm2Lut)))
+    val q = queries.select(col(idCol).as("query_id"),
+      pqLut(col(vecCol), books).as("lut"),
+      norm(col(vecCol)).as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("nbr_id"))
+    val adc = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (call_function("pq_adc", col("codes"), col("lut")) /
+          (col("q_norm") * col("nbr_norm"))).as("cos_pq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    if (shortlist <= 0) {
+      adc.filter(col("rank") <= k)
+        .select(col("query_id"), col("nbr_id"), col("rank"), col("cos_pq"))
+    } else {
+      val cand = adc.filter(col("rank") <= math.max(k, shortlist))
+        .select(col("query_id"), col("nbr_id"))
+      val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      cv.join(broadcast(cand), Seq("nbr_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("nbr_id"),
+          cosine(col("qv"), col("cv")).as("cos"))
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+    }
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

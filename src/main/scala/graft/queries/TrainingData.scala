@@ -1102,6 +1102,45 @@ object TrainingData {
           FROM grid)
         SELECT source, n_s AS n_tokens,
           ROUND(CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(28,14))) AS DOUBLE), 6) AS jsd
-        FROM terms GROUP BY source, n_s ORDER BY source"""))
+        FROM terms GROUP BY source, n_s ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q78
+    // Product-quantized ANN (Similarity.pqTopK): the corpus's 64-float
+    // vectors collapse to 16 4-bit codes (+1 reconstructed norm) in ONE
+    // encode scan; each (query, doc) pair is then scored by 16 codegen'd
+    // table lookups (functions.PqAdc) instead of 64 float multiplies —
+    // the memory-bound ANN path that lets a 100 TB embedding store score
+    // from RAM. k-means codebooks fit on the same bounded sample as IVF.
+    // No oracle (k-means isn't replayable in SQL) → rows-only check here;
+    // SimilaritySpec pins recall vs the exact q32 ranking.
+    QuerySpec(
+      "q78_ann_pq",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, maxFitRows = 2000)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---------------------------------------------------------------- q79
+    // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over
+    // the corpus token stream. O(maxItemsTracked) state per partition,
+    // map-side combined — the exchange carries ONE sketch per task, never
+    // the token stream, and capacity (not cardinality) bounds memory: the
+    // fleet-scale form of q55's exact vocabulary top-k. Sketch output
+    // isn't SQL-replayable → rows-only here (q16 HLL precedent);
+    // HeavyHitterSpec pins the estimates against exact counts.
+    QuerySpec(
+      "q79_heavy_hitters",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+        toks.agg(expr("approx_top_k(tok, 20, 10000)").as("top"))
+          .select(explode(col("top")).as("hh"))
+          .select(col("hh.item").as("tok"), col("hh.count").as("est_count"))
+          .orderBy(col("est_count").desc, col("tok"))
+      },
+      None)
   )
 }

@@ -91,4 +91,55 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("PQ ANN: codebooks from a bounded fit, recall holds, codes tiny") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val books = Similarity.pqCodebooks(e, "embedding", m = 16, kCodes = 16,
+      maxFitRows = 100000)
+    assert(books.length === 16 && books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 4))) // 64 / 16 subspaces
+    // pure ADC ranking: coarse (random vectors are PQ's worst case) but
+    // must still beat chance by a wide margin
+    val adcOnly = Similarity.pqTopKWith(e, q, "vec_id", "embedding", k = 5,
+        books, shortlist = 0)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val adcRecall = (exact & adcOnly).size.toDouble / exact.size
+    assert(adcRecall >= 0.2, s"ADC recall $adcRecall")
+    // shortlist + exact re-rank (the production path): high recall
+    val pq = Similarity.pqTopKWith(e, q, "vec_id", "embedding", k = 5,
+        books, shortlist = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"re-ranked recall $recall")
+    // the codes really are m small ints (the 32× compression claim)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val codes = e.select(Similarity.pqEncode($"embedding", books).as("c"))
+      .select(explode($"c").as("code"))
+    assert(codes.agg(max($"code"), min($"code"))
+      .head().toSeq.asInstanceOf[Seq[Int]].forall(c => c >= 0 && c < 16))
+  }
+
+  test("pq_adc scores match a driver-side replay; shape mismatch is loud") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val lut = (0 until 8).flatMap(j => (0 until 4).map(c => (j * 10 + c).toFloat))
+    val codes = Seq(0, 1, 2, 3, 0, 1, 2, 3)
+    val expected = codes.zipWithIndex.map { case (c, j) => (j * 10 + c).toDouble }.sum
+    val got = Seq((codes, lut)).toDF("codes", "lut")
+      .select(call_function("pq_adc", $"codes", $"lut"))
+      .head().getDouble(0)
+    assert(got === expected)
+    // LUT not a multiple of m → loud failure, not silent mis-score
+    val bad = Seq((Seq(0, 1, 2), lut)).toDF("codes", "lut")
+      .select(call_function("pq_adc", $"codes", $"lut"))
+    val ex = intercept[Exception] { bad.head() }
+    assert(ex.getMessage != null)
+    // code out of range → loud failure
+    val oob = Seq((Seq(9, 0, 0, 0, 0, 0, 0, 0), lut)).toDF("codes", "lut")
+      .select(call_function("pq_adc", $"codes", $"lut"))
+    val ex2 = intercept[Exception] { oob.head() }
+    assert(ex2.getMessage != null)
+  }
 }
