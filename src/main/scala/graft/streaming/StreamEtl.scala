@@ -97,6 +97,19 @@ object StreamEtl {
     bc.withWatermark("tstamp", "48 hours")
       .dropDuplicates(Seq("trip_id", "tstamp"))
 
+  /** T6, id-keyed form: dedup on the business id ALONE, for transports
+    * that re-stamp event time on retransmit — `(id, tstamp)` dedup
+    * misses those duplicates because the key differs. Spark's
+    * `dropDuplicatesWithinWatermark` keeps per-id state only until the
+    * watermark passes the first occurrence's event time + delay, so
+    * state stays bounded by the lateness envelope (not the key
+    * cardinality history) while catching every duplicate that can still
+    * legally arrive. */
+  def dedupIdsWithinWatermark(events: DataFrame, idCols: Seq[String],
+      eventTimeCol: String = "tstamp", lateness: String = "48 hours"): DataFrame =
+    events.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** T5 — native event-time windowed aggregation: the reference computed
     * its per-day message volumes post-hoc in SQL (A9); in-stream this is a
     * watermarked tumbling-window count. State is bounded by the watermark

@@ -7,6 +7,33 @@ import graft.SparkSpec
   * data — the reference's at-least-once failure mode, fixed by the
   * anti-join). */
 class StreamEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupIdsWithinWatermark: a re-stamped retransmit is dropped, late state evicted") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamEtl.dedupIdsWithinWatermark(
+        input.toDF().toDF("event_id", "tstamp"), Seq("event_id"),
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_ids")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // the retransmit carries a NEW event time — (id, tstamp) dedup
+      // would pass it through; id-keyed within-watermark dedup must not
+      input.addData((1L, ts("2024-01-01 10:03:00")),
+        (2L, ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_ids")
+        .select($"event_id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
 
   private def writeBatch(dir: String, name: String, rows: Seq[String]): Unit =
     java.nio.file.Files.writeString(
