@@ -220,46 +220,47 @@ object Text {
     * language shift?" / "is one crawl snapshot polluting the mix?".
     *
     * Scale shape: the token stream collapses to (group, token) COUNTS in
-    * one map-side-combined aggregate — the only corpus-sized input is the
-    * scan, and every later exchange is vocab-bounded. Scoring tokens a
-    * group LACKS (p = 0 still contributes 0.5·q to JSD) needs the
-    * |groups| × |vocab| grid, with |groups| a small constant (sources,
-    * snapshots), so the grid is a few× vocab — never corpus-sized.
+    * one map-side-combined aggregate; per-token and per-group totals are
+    * WINDOWS over those counts (vocab-bounded exchanges, nothing ever
+    * broadcasts the vocab). Tokens a group lacks contribute
+    * 0.5·q·log2(q/(q/2)) = 0.5·q each, so their total has the closed form
+    * 0.5·(1 − Σ_present q) — no |groups| × |vocab| grid, no cross join,
+    * and the whole computation is ONE derivation chain from the scan
+    * (plus a count for the scalar corpus total; at fleet scale persist
+    * the (group, token) counts and both passes read that, not the
+    * corpus).
     *
-    * Float parity: each token's term is deterministic per row (doubles
-    * derived from exact counts; no cross-row order dependence); the SUM
-    * routes through round-12 → DECIMAL(28,14) — decimal addition is
-    * associative, so the result is partitioning-independent and replays
-    * bit-exactly in any engine with the same term formula. */
+    * Float parity: each present token's term is deterministic per row
+    * (doubles derived from exact counts; no cross-row order dependence);
+    * both cross-token SUMs route through round-12 → DECIMAL(28,14) —
+    * decimal addition is associative, so the result is partitioning-
+    * independent and replays bit-exactly in any engine with the same
+    * term formula. */
   def sourceDrift(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 14)
     val toks = docs.select(col(groupCol).as("_src"),
       explode(tokens(col(textCol))).as("_tok"))
     val perGrp = toks.groupBy(col("_src"), col("_tok"))
       .agg(count(lit(1)).as("_c_s"))
-    val vocab = perGrp.groupBy(col("_tok")).agg(sum(col("_c_s")).as("_c_all"))
-    val grpTotals = perGrp.groupBy(col("_src")).agg(sum(col("_c_s")).as("_n_s"))
-    val corpusTotal = vocab.agg(sum(col("_c_all")).as("_n_tot"))
+    val tot = toks.agg(count(lit(1)).as("_n_tot"))
+    val g = perGrp
+      .withColumn("_c_all", sum(col("_c_s")).over(Window.partitionBy(col("_tok"))))
+      .withColumn("_n_s", sum(col("_c_s")).over(Window.partitionBy(col("_src"))))
+      .crossJoin(broadcast(tot))
 
-    val p = coalesce(col("_c_s"), lit(0L)).cast("double") /
-      col("_n_s").cast("double")
+    val p = col("_c_s").cast("double") / col("_n_s").cast("double")
     val q = col("_c_all").cast("double") / col("_n_tot").cast("double")
     val m = (p + q) / lit(2.0)
-    // p·log2(p/m) is 0 at p = 0 (guarded: 0·log2(0) is NaN in IEEE); the
-    // q-side term is always defined (every vocab token has q > 0)
-    val term = (when(col("_c_s").isNotNull, p * log2(p / m))
-      .otherwise(lit(0.0)) + q * log2(q / m)) * lit(0.5)
+    val term = (p * log2(p / m) + q * log2(q / m)) * lit(0.5)
 
-    grpTotals.crossJoin(vocab)
-      .join(perGrp, Seq("_src", "_tok"), "left_outer")
-      .crossJoin(broadcast(corpusTotal))
-      .select(col("_src"), col("_n_s"), term.as("_term"))
+    g.select(col("_src"), col("_n_s"), term.as("_term"), q.as("_q"))
       .groupBy(col("_src"), col("_n_s"))
-      .agg(sum(round(col("_term"), 12)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
-        .cast("double").as("jsd"))
+      .agg(sum(round(col("_term"), 12).cast(dec)).cast("double").as("_a"),
+        sum(round(col("_q"), 12).cast(dec)).cast("double").as("_b"))
       .select(col("_src").as(groupCol), col("_n_s").as("n_tokens"),
-        col("jsd"))
+        (col("_a") + lit(0.5) * (lit(1.0) - col("_b"))).as("jsd"))
   }
 
   /** Per-doc top-bigram share as a relational aggregate — the scale form:

@@ -1081,28 +1081,29 @@ object TrainingData {
             FROM documents),
         cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
             FROM st GROUP BY 1, 2),
-        ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cs GROUP BY 1),
-        v AS (SELECT tok, SUM(c_s) AS c_all FROM cs GROUP BY 1),
-        nt AS (SELECT SUM(c_all) AS n_tot FROM v),
-        grid AS (SELECT ns.source, ns.n_s, v.tok, v.c_all, cs.c_s, nt.n_tot
-            FROM ns CROSS JOIN v
-            LEFT JOIN cs ON cs.source = ns.source AND cs.tok = v.tok
-            CROSS JOIN nt),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM st),
+        g AS (SELECT source, tok, c_s,
+            CAST(SUM(c_s) OVER (PARTITION BY tok) AS BIGINT) AS c_all,
+            CAST(SUM(c_s) OVER (PARTITION BY source) AS BIGINT) AS n_s
+          FROM cs),
         terms AS (SELECT source, n_s,
-            0.5 * ((CASE WHEN c_s IS NOT NULL THEN
-                (${dbl("c_s")} / ${dbl("n_s")})
-                  * log2((${dbl("c_s")} / ${dbl("n_s")})
-                    / (((${dbl("c_s")} / ${dbl("n_s")})
-                       + (${dbl("c_all")} / ${dbl("n_tot")})) / 2.0))
-              ELSE ${dbl("0")} END)
+            0.5 * ((${dbl("c_s")} / ${dbl("n_s")})
+                * log2((${dbl("c_s")} / ${dbl("n_s")})
+                  / (((${dbl("c_s")} / ${dbl("n_s")})
+                     + (${dbl("c_all")} / ${dbl("n_tot")})) / 2.0))
               + (${dbl("c_all")} / ${dbl("n_tot")})
                 * log2((${dbl("c_all")} / ${dbl("n_tot")})
-                  / (((CASE WHEN c_s IS NOT NULL THEN ${dbl("c_s")} / ${dbl("n_s")} ELSE ${dbl("0")} END)
-                     + (${dbl("c_all")} / ${dbl("n_tot")})) / 2.0))) AS term
-          FROM grid)
+                  / (((${dbl("c_s")} / ${dbl("n_s")})
+                     + (${dbl("c_all")} / ${dbl("n_tot")})) / 2.0))) AS term,
+            ${dbl("c_all")} / ${dbl("n_tot")} AS q
+          FROM g CROSS JOIN tot),
+        agg AS (SELECT source, n_s,
+            CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(28,14))) AS DOUBLE) AS a,
+            CAST(SUM(CAST(ROUND(q, 12) AS DECIMAL(28,14))) AS DOUBLE) AS b
+          FROM terms GROUP BY 1, 2)
         SELECT source, n_s AS n_tokens,
-          ROUND(CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(28,14))) AS DOUBLE), 6) AS jsd
-        FROM terms GROUP BY source, n_s ORDER BY source""")),
+          ROUND(a + 0.5 * (1.0 - b), 6) AS jsd
+        FROM agg ORDER BY source""")),
 
     // ---------------------------------------------------------------- q78
     // Product-quantized ANN (Similarity.pqTopK): the corpus's 64-float
