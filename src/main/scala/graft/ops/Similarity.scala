@@ -334,6 +334,71 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ: the composed production ANN shape. IVF cells bound WHICH
+    * docs each query touches (candidates = nProbe cells, not the
+    * corpus); PQ codes bound HOW MUCH each touch costs (m table lookups
+    * against 8–16 bytes, not 256 float bytes); the exact re-rank bounds
+    * the recall cost of both approximations to shortlist membership.
+    * One corpus pass builds (cell, codes, norm); scoring shuffles only
+    * cell keys. Codes are plain PQ (not cell residuals) — residual
+    * encoding is the next accuracy step and changes only [[pqEncode]]'s
+    * input, not this plan. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 3,
+      m: Int = 16, kCodes: Int = 16,
+      maxFitRows: Int = 100000, shortlist: Int = -1): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val centers = ivfCentroids(corpus, vecCol, nCells, maxFitRows)
+    val books = pqCodebooks(corpus, vecCol, m, kCodes, maxFitRows)
+    val short = if (shortlist < 0) 10 * k else math.max(k, shortlist)
+
+    def cellScore(vec: Column, c: Array[Double]): Column = {
+      val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      lit(-2.0) * dot(vec, cLit) + lit(c.map(v => v * v).sum)
+    }
+    def cellRanking(vec: Column): Column =
+      sort_array(array(centers.zipWithIndex.map { case (cn, i) =>
+        struct(cellScore(vec, cn).as("score"), lit(i).as("cell"))
+      }: _*))
+
+    val norm2Lut = array(books.flatMap(_.map(c =>
+      lit(c.map(v => v * v).sum.toFloat))).toIndexedSeq: _*)
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      element_at(cellRanking(col(vecCol)), 1).getField("cell").as("cell"),
+      pqEncode(col(vecCol), books).as("codes"))
+      .withColumn("nbr_norm",
+        sqrt(call_function("pq_adc", col("codes"), norm2Lut)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(cellRanking(col(vecCol)), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("probe.cell").as("cell"),
+        pqLut(col("qv"), books).as("lut"), norm(col("qv")).as("q_norm"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("nbr_id"))
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (call_function("pq_adc", col("codes"), col("lut")) /
+          (col("q_norm") * col("nbr_norm"))).as("cos_pq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= short)
+      .select(col("query_id"), col("nbr_id"))
+
+    val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cv.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

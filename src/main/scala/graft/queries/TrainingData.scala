@@ -1124,6 +1124,23 @@ object TrainingData {
       },
       None),
 
+    // --------------------------------------------------------------- q78b
+    // IVF-PQ composed ANN: cells bound WHICH docs a query touches, codes
+    // bound the COST per touch, the exact re-rank bounds the recall cost
+    // to shortlist membership. The full production shape at 100 TB: one
+    // corpus pass builds (cell, codes, norm); scoring shuffles cell keys
+    // only. Rows-only (k-means); recall pinned in SimilaritySpec.
+    QuerySpec(
+      "q78b_ann_ivfpq",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+            maxFitRows = 2000)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over
     // the corpus token stream. O(maxItemsTracked) state per partition,

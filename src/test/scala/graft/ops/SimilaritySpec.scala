@@ -122,6 +122,28 @@ class SimilaritySpec extends SparkSpec {
       .head().toSeq.asInstanceOf[Seq[Int]].forall(c => c >= 0 && c < 16))
   }
 
+  test("IVF-PQ composed ANN: candidates from cells, recall still holds") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val got = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 4, maxFitRows = 100000)
+      .collect()
+    val pairs = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact & pairs).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // the re-rank phase reports TRUE cosines: every returned score must
+    // match the exact score for that pair (approximation only selects)
+    val exactCos = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 500)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")) ->
+        r.getAs[Double]("cos")).toMap
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))
+      assert(math.abs(r.getAs[Double]("cos") - exactCos(key)) < 1e-12)
+    }
+  }
+
   test("pq_adc scores match a driver-side replay; shape mismatch is loud") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val lut = (0 until 8).flatMap(j => (0 until 4).map(c => (j * 10 + c).toFloat))
