@@ -686,4 +686,79 @@ object Dedup {
       .distinct()
       .filter(col("cos") >= threshold)
   }
+
+  // ------------------------------------------------- cross-doc substrings
+
+  /** Cross-document repeated-substring detection: every `windowTokens`-long
+    * token window is hashed; windows whose hash appears in ≥ `minDocs`
+    * DISTINCT documents mark their span [pos, pos+w−1] as duplicated, and
+    * overlapping spans merge per doc into maximal covered regions.
+    *
+    * This is the span-level complement of whole-doc similarity (MinHash /
+    * SimHash measure "are these docs alike?"; this measures "which PARTS of
+    * this doc are copied from elsewhere?") — the screen that catches license
+    * boilerplate, quoted passages and template fragments embedded in
+    * otherwise-unique documents.
+    *
+    * Shape at 100 TB: the window explode is corpus × tokens rows but
+    * collapses immediately into a distinct-doc-frequency aggregate on the
+    * 60-bit window hash (two-phase, map-side combined — the exchange
+    * carries (hash, doc) pairs, 16 B each, never text). The join back is an
+    * equi-join on that same hash key, and the interval merge is ONE shuffle
+    * on doc id with a running-max window — no O(n²) step anywhere. Interval
+    * merging via the gaps-and-islands running max avoids the naïve
+    * "explode every covered position" ×w blow-up.
+    *
+    * Output per input doc: `n_tokens`, `n_dup_windows` (windows shared with
+    * another doc), `n_spans` (maximal merged regions), `covered_tokens`,
+    * `dup_fraction` = covered/n_tokens. Docs shorter than the window, or
+    * with no shared windows, report zeros — internal repetition within a
+    * single doc does NOT count (doc frequency is distinct-doc).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val w = windowTokens
+    require(w >= 1, "windowTokens must be >= 1")
+    val toked = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("t"))
+    // (doc, pos, h): one row per window; pos is 1-based token position
+    val wins = toked
+      .select(col("doc_id"), posexplode(
+        when(size(col("t")) >= w,
+          transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+            i => PortableHash.md5Long(concat_ws(" ", slice(col("t"), i, lit(w))))))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    // hashes seen in >= minDocs distinct docs (two-phase distinct agg)
+    val dupH = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+    // keep duplicated windows, merge overlapping spans per doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = wins.join(dupH, "h")
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(w - 1)).as("e"))
+      .withColumn("pme", max(col("e"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+          when(col("pos") > coalesce(col("pme"), lit(0L)), 1).otherwise(0))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"),
+        count(lit(1)).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"))
+    toked.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+            coalesce(col("covered_tokens"), lit(0L)).cast("double")
+              / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("dup_fraction"))
+  }
 }

@@ -1159,6 +1159,62 @@ object TrainingData {
           .select(col("hh.item").as("tok"), col("hh.count").as("est_count"))
           .orderBy(col("est_count").desc, col("tok"))
       },
-      None)
+      None),
+
+    // ---------------------------------------------------------------- q80
+    // Cross-doc repeated-substring spans (Dedup.duplicatedSpans): which
+    // PARTS of each doc are copied from elsewhere — the span-level
+    // complement of MinHash's whole-doc similarity, catching boilerplate
+    // and quoted passages inside otherwise-unique docs. The window
+    // explode collapses straight into a distinct-doc-frequency agg on the
+    // 60-bit window hash (the exchange carries 16 B pairs, never text);
+    // the join back is an equi-join on that hash; the interval merge is
+    // one doc-keyed shuffle with a running-max window — the
+    // gaps-and-islands form that avoids exploding every covered position.
+    // Full value oracle: portable window hashes + the same island SQL.
+    QuerySpec(
+      "q80_substring_dupes",
+      (s, d) =>
+        Dedup.duplicatedSpans(T.documents(s, d), "doc_id", "text",
+            windowTokens = 8, minDocs = 2)
+          .orderBy(col("doc_id")),
+      Some {
+        val win8 = (0 until 8).map(i => s"t[pos + $i]").mkString(" || ' ' || ")
+        s"""WITH $tokCte,
+        win AS (SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS pos, t
+            FROM toks WHERE len(t) >= 8),
+        wh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${h60(win8)} AS h
+            FROM win),
+        duph AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+            FROM wh GROUP BY h) WHERE df >= 2),
+        dw AS (SELECT doc_id, pos, pos + 7 AS e FROM wh
+            WHERE h IN (SELECT h FROM duph)),
+        m AS (SELECT doc_id, pos, e, MAX(e) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          FROM dw),
+        isl AS (SELECT doc_id, pos, e,
+            SUM(CASE WHEN pos > COALESCE(pme, 0) THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m),
+        sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e,
+            COUNT(*) AS nw FROM isl GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS ndw,
+            CAST(COUNT(*) AS BIGINT) AS nsp,
+            CAST(SUM(e - s + 1) AS BIGINT) AS covered
+          FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+          COALESCE(a.ndw, CAST(0 AS BIGINT)) AS n_dup_windows,
+          COALESCE(a.nsp, CAST(0 AS BIGINT)) AS n_spans,
+          COALESCE(a.covered, CAST(0 AS BIGINT)) AS covered_tokens,
+          ROUND(CASE WHEN len(regexp_extract_all(d.text, '\\S+')) > 0
+            THEN CAST(COALESCE(a.covered, 0) AS DOUBLE)
+              / len(regexp_extract_all(d.text, '\\S+'))
+            ELSE 0.0 END, 6) AS dup_fraction
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
+      },
+      headline = true)
   )
 }

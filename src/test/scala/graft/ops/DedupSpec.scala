@@ -289,4 +289,63 @@ class DedupSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------------------ duplicatedSpans
+
+  // 10 shared tokens embedded in otherwise-unique 20-token docs: with
+  // w=4 the shared run yields windows at 7 consecutive positions that
+  // must merge into ONE 10-token span.
+  private val sharedRun = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private lazy val spanDocs = Seq(
+    (1L, s"u11 u12 u13 u14 u15 $sharedRun u16 u17 u18 u19 u20"),
+    (2L, s"v11 v12 v13 v14 v15 $sharedRun v16 v17 v18 v19 v20"),
+    (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"),
+    // internal repetition only — same 4-gram twice within ONE doc
+    (4L, "x1 x2 rep1 rep2 rep3 rep4 x3 x4 rep1 rep2 rep3 rep4 x5 x6"),
+    (5L, "short doc")) // fewer tokens than the window
+    .toDF("doc_id", "text")
+
+  test("duplicatedSpans merges overlapping shared windows into one span") {
+    val r = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", windowTokens = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // shared run = tokens 6..15 → windows at pos 6..12 (7 windows, 1 span)
+    for (id <- Seq(1L, 2L)) {
+      assert(r(id).getAs[Long]("n_dup_windows") === 7L)
+      assert(r(id).getAs[Long]("n_spans") === 1L)
+      assert(r(id).getAs[Long]("covered_tokens") === 10L)
+      assert(r(id).getAs[Double]("dup_fraction") === 0.5) // 10 of 20 tokens
+    }
+  }
+
+  test("duplicatedSpans: unique, internal-repeat-only and short docs report zero") {
+    val r = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", windowTokens = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    for (id <- Seq(3L, 4L, 5L)) {
+      assert(r(id).getAs[Long]("n_dup_windows") === 0L, s"doc $id")
+      assert(r(id).getAs[Long]("covered_tokens") === 0L, s"doc $id")
+      assert(r(id).getAs[Double]("dup_fraction") === 0.0, s"doc $id")
+    }
+    assert(r(5L).getAs[Long]("n_tokens") === 2L)
+  }
+
+  test("duplicatedSpans: disjoint shared regions stay separate spans") {
+    val run2 = "mu nu xi omicron pi rho"
+    val docs2 = Seq(
+      (1L, s"a1 a2 $sharedRun a3 a4 a5 a6 $run2 a7 a8"),
+      (2L, s"b1 b2 b3 $sharedRun b4 b5 b6 b7 $run2 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs2, "doc_id", "text", windowTokens = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_spans") === 2L)
+    assert(r(1L).getAs[Long]("covered_tokens") === 16L) // 10 + 6
+    assert(r(2L).getAs[Long]("n_spans") === 2L)
+  }
+
+  test("duplicatedSpans is independent of partitioning") {
+    val a = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", 4)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Dedup.duplicatedSpans(spanDocs.repartition(13), "doc_id", "text", 4)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
