@@ -560,6 +560,27 @@ object Advanced {
         s"""SELECT event_id, $x AS zx, $y AS zy,
           (${spread(x)} | (${spread(y)} << 1)) AS zkey
         FROM events ORDER BY event_id"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- q81
+    // Fuzzy entity matching (Fuzzy.nameMatch): all part-name pairs within
+    // edit distance 2, found via a positional q-gram inverted-index join
+    // (pigeonhole-exact recall) + levenshtein verify on candidates only —
+    // never names². Because recall is provably exact, the oracle states
+    // the SEMANTICS directly: levenshtein ≤ 2 over all distinct-name
+    // pairs. DuckDB and Spark agree on unit-cost edit distance.
+    QuerySpec(
+      "q81_fuzzy_names",
+      (s, d) =>
+        graft.ops.Fuzzy.nameMatch(T.part(s, d), "p_name", maxDist = 2)
+          .orderBy(col("name_a"), col("name_b")),
+      Some("""WITH n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+            FROM part GROUP BY 1)
+        SELECT a.name AS name_a, b.name AS name_b,
+          CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+          a.n AS n_a, b.n AS n_b
+        FROM n a JOIN n b
+          ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
+        ORDER BY name_a, name_b"""))
   )
 }
