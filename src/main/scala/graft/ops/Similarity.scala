@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -421,5 +422,37 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+  }
+
+  /** Margin-based pair mining between two embedding sets (the bitext-mining
+    * shape: src = one language/modality, tgt = another; mined pairs become
+    * parallel training data). For each src vector, its best tgt neighbor is
+    * kept with a margin score — best cosine over the mean of the top-`k`
+    * cosines — so a src vector "close to everything" (a hub) scores ≈ 1 and
+    * is filtered, while a vector with ONE standout match scores high. The
+    * forward-margin simplification of Artetxe & Schwenk's bidirectional
+    * ratio margin.
+    *
+    * Candidates come from [[bruteForceTopK]] here (exact — and the form the
+    * oracle can replay); at corpus scale swap the first line for
+    * [[ivfPqTopK]] with the same downstream margin — the margin only needs
+    * the top-k list, not how it was found.
+    *
+    * Determinism: the top-k mean routes through round-12 → DECIMAL so both
+    * engines sum exactly; cosine itself is the sequential-fold
+    * [[graft.functions.VecDot]] double, bit-identical cross-engine.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 0.0): DataFrame = {
+    val topk = bruteForceTopK(tgt, src, idCol, vecCol, k)
+    val w = Window.partitionBy(col("query_id"))
+    topk
+      .withColumn("avg_cos",
+        (sum(round(col("cos"), 12).cast(DecimalType(28, 14))).over(w)
+          .cast("double") / count(lit(1)).over(w)))
+      .filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"), col("nbr_id").as("tgt_id"),
+        col("cos"), (col("cos") / col("avg_cos")).as("margin"))
+      .filter(col("margin") >= minMargin)
   }
 }

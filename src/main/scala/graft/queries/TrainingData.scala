@@ -1215,6 +1215,47 @@ object TrainingData {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id"""
       },
-      headline = true)
+      headline = true),
+
+    // ---------------------------------------------------------------- q82
+    // Margin-based bitext mining (Similarity.marginMine): label-0
+    // embeddings paired to their best label-1 neighbor, scored by best-cos
+    // over mean-of-top-4-cos — hubs score ≈ 1, standout matches score
+    // high. Exact top-k here (the oracle replays it); at corpus scale the
+    // candidate stage swaps to IVF-PQ with the same margin downstream.
+    // Cosines are the sequential-fold VecDot double (bit-identical in
+    // DuckDB, q32 precedent); the top-k mean routes through round-12 →
+    // DECIMAL so the only cross-row sum is exact.
+    QuerySpec(
+      "q82_bitext_mining",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.marginMine(
+            e.filter(col("label") === 0), e.filter(col("label") === 1),
+            "vec_id", "embedding", k = 4)
+          .orderBy(col("src_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+        s AS (SELECT vec_id, v FROM e WHERE label = 0),
+        t AS (SELECT vec_id, v FROM e WHERE label = 1),
+        scored AS (SELECT s.vec_id AS query_id, t.vec_id AS nbr_id,
+            list_sum(list_transform(list_zip(s.v, t.v), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(list_zip(s.v, s.v), x -> x[1] * x[2])))
+               * sqrt(list_sum(list_transform(list_zip(t.v, t.v), x -> x[1] * x[2])))) AS cos
+          FROM s CROSS JOIN t),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, nbr_id) AS rank
+          FROM scored),
+        top AS (SELECT * FROM ranked WHERE rank <= 4),
+        ag AS (SELECT query_id,
+            CAST(SUM(CAST(ROUND(cos, 12) AS DECIMAL(28,14))) AS DOUBLE)
+              / COUNT(*) AS avgc
+          FROM top GROUP BY query_id)
+        SELECT top.query_id AS src_id, top.nbr_id AS tgt_id, top.cos AS cos,
+          top.cos / ag.avgc AS margin
+        FROM top JOIN ag USING (query_id) WHERE rank = 1
+        ORDER BY src_id"""))
   )
 }

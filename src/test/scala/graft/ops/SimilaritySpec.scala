@@ -164,4 +164,26 @@ class SimilaritySpec extends SparkSpec {
     val ex2 = intercept[Exception] { oob.head() }
     assert(ex2.getMessage != null)
   }
+
+  test("marginMine: standout pairs score high, hub vectors score ~1") {
+    val tgt = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val src = Seq(
+      (101L, Array(0.99f, 0.1f, 0.1f, 0f)),   // standout match: t1
+      (102L, Array(0.58f, 0.57f, 0.59f, 0f))) // hub: close to all three
+      .toDF("vec_id", "embedding")
+    val r = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 3)
+      .collect().map(x => x.getAs[Long]("src_id") ->
+        (x.getAs[Long]("tgt_id"), x.getAs[Double]("margin"))).toMap
+    assert(r(101L)._1 === 1L)
+    assert(r(101L)._2 > 1.3)                    // standout margin
+    assert(math.abs(r(102L)._2 - 1.0) < 0.05)   // hub margin ~ 1
+    // minMargin screens the hub out
+    val kept = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = 1.2)
+      .collect().map(_.getAs[Long]("src_id")).toSet
+    assert(kept === Set(101L))
+  }
 }
