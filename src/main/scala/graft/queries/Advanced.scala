@@ -581,6 +581,62 @@ object Advanced {
           a.n AS n_a, b.n AS n_b
         FROM n a JOIN n b
           ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
-        ORDER BY name_a, name_b"""))
+        ORDER BY name_a, name_b""")),
+
+    // ---------------------------------------------------------------- q83
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns — the feature-drift / multicollinearity profile. Spark's
+    // native corr() is an order-dependent streaming co-moment (merge
+    // order varies with partitioning), so instead ONE full-agg pass
+    // collects exact DECIMAL power sums (count, Σx, Σx², Σxy — all
+    // associative, bit-identical under any partitioning) and corr is
+    // derived per pair from the closed form afterward. 15 aggregates,
+    // one exchange of a single row; the melt to (col_a, col_b, corr)
+    // rows is a constant-width explode on the driver-side literal pairs.
+    QuerySpec(
+      "q83_corr_matrix",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val dec = DecimalType(28, 8)
+        def sd(name: String, c: Column) =
+          sum(round(c, 8).cast(dec)).cast("double").as(name)
+        val sums = cols.map(x => sd(s"s_$x", col(x))) ++
+          cols.map(x => sd(s"ss_${x}", col(x) * col(x))) ++
+          cols.combinations(2).map { case Seq(x, y) =>
+            sd(s"sp_${x}_${y}", col(x) * col(y)) }.toSeq
+        val g = T.lineitem(s, d)
+          .agg(count(lit(1)).cast("double").as("n"), sums: _*)
+        val pairRows = cols.combinations(2).map { case Seq(x, y) =>
+          struct(lit(x).as("col_a"), lit(y).as("col_b"),
+            round((col("n") * col(s"sp_${x}_${y}")
+                - col(s"s_$x") * col(s"s_$y"))
+              / (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"))
+               * sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))),
+              6).as("corr"))
+        }.toSeq
+        g.select(explode(array(pairRows: _*)).as("p"))
+          .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def sd(e: String) = s"CAST(SUM(CAST(ROUND($e, 8) AS DECIMAL(28,8))) AS DOUBLE)"
+        val sums = (cols.map(x => s"${sd(x)} AS s_$x") ++
+          cols.map(x => s"${sd(s"$x * $x")} AS ss_$x") ++
+          cols.combinations(2).map { case Seq(x, y) =>
+            s"${sd(s"$x * $y")} AS sp_${x}_${y}" }).mkString(",\n          ")
+        val selects = cols.combinations(2).map { case Seq(x, y) =>
+          s"""SELECT '$x' AS col_a, '$y' AS col_b,
+            ROUND((n * sp_${x}_${y} - s_$x * s_$y)
+              / (sqrt(n * ss_$x - s_$x * s_$x)
+               * sqrt(n * ss_$y - s_$y * s_$y)), 6) AS corr FROM g"""
+        }.mkString("\n        UNION ALL\n        ")
+        s"""WITH g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          $sums
+          FROM lineitem)
+        $selects
+        ORDER BY col_a, col_b"""
+      })
   )
 }
