@@ -138,6 +138,49 @@ object SqlSurface {
                CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS month_start,
                LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
                DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
-             FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+             FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q84
+    // Row-level provenance via the parquet `_metadata` hidden column —
+    // the lineage audit every curated dataset ships with ("which input
+    // file did each row come from, and what key range does each file
+    // hold?"). Per-file summaries aggregate AT THE SCAN (map-side: the
+    // file name is constant within a split), so the exchange carries one
+    // row per file, never per record; at a 100 TB layout this is the
+    // manifest builder that later feeds file-skipping. DuckDB twin:
+    // read_parquet(..., filename=true).
+    QuerySpec(
+      "q84_provenance",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        def perFile(name: String, keyCol: String) =
+          T.table(s, d, name)
+            .select(col(keyCol), col("_metadata.file_name").as("file_name"))
+            .groupBy(col("file_name"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col(keyCol)).cast("long").as("min_key"),
+              max(col(keyCol)).cast("long").as("max_key"))
+            .select(lit(name).as("table_name"), col("file_name"),
+              col("n_rows"), col("min_key"), col("max_key"))
+        perFile("documents", "doc_id")
+          .unionByName(perFile("orders", "o_orderkey"))
+          .unionByName(perFile("lineitem", "l_orderkey"))
+          .orderBy(col("table_name"), col("file_name"))
+      },
+      Some {
+        def perFile(name: String, keyCol: String, dir: String) =
+          s"""SELECT '$name' AS table_name, parse_filename(filename) AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN($keyCol) AS BIGINT) AS min_key,
+               CAST(MAX($keyCol) AS BIGINT) AS max_key
+             FROM read_parquet('$dir/$name.parquet', filename=true)
+             GROUP BY filename"""
+        // the driver substitutes the sf dir when creating views, but this
+        // query addresses files directly; {SF_DIR} is replaced by Verify
+        s"""${perFile("documents", "doc_id", "{SF_DIR}")}
+        UNION ALL ${perFile("orders", "o_orderkey", "{SF_DIR}")}
+        UNION ALL ${perFile("lineitem", "l_orderkey", "{SF_DIR}")}
+        ORDER BY table_name, file_name"""
+      })
   )
 }
