@@ -1256,6 +1256,24 @@ object TrainingData {
         SELECT top.query_id AS src_id, top.nbr_id AS tgt_id, top.cos AS cos,
           top.cos / ag.avgc AS margin
         FROM top JOIN ag USING (query_id) WHERE rank = 1
-        ORDER BY src_id"""))
+        ORDER BY src_id""")),
+
+    // ---------------------------------------------------------------- q85
+    // Learned quality filter (Classify.qualityClassifier): fasttext-style
+    // hashed bag-of-words + dense stats → logistic regression on weak
+    // rule labels, scored over the whole corpus. The hashing trick fixes
+    // feature width regardless of vocabulary (bounded driver memory at
+    // any corpus size); each L-BFGS iteration is one map-side-combined
+    // treeAggregate pass. Model outputs are float-merge-order dependent →
+    // rows-only here; ClassifySpec pins held-out AUC instead.
+    QuerySpec(
+      "q85_quality_classifier",
+      (s, d) =>
+        graft.ops.Classify.qualityClassifier(
+            T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("label"),
+            round(col("p_high"), 4).as("p_high"), col("pred"))
+          .orderBy(col("doc_id")),
+      None)
   )
 }
