@@ -44,5 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interval-containment joins plan as hash joins, not nested loops
     // (opt-in via spark.graft.rangeJoin.binSeconds)
     ext.injectOptimizerRule(session => graft.plans.RangeJoinBinning(session))
+    // native as-of join: AsOfJoinPlan → AsOfJoinExec (sort-merge)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,271 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Native AS-OF join — a whole-operator extension through the full
+  * Catalyst stack: custom [[AsOfJoinPlan]] logical node, planned by
+  * [[AsOfJoinStrategy]] into the custom [[AsOfJoinExec]] physical
+  * operator (SURVEY §2.10 tier (c): LogicalPlan + SparkStrategy +
+  * SparkPlan via `SparkSessionExtensions.injectPlannerStrategy`).
+  *
+  * Semantics (= DuckDB `ASOF LEFT JOIN`, pandas `merge_asof`): every left
+  * row is matched to AT MOST ONE right row — the right row with the same
+  * key whose time is the latest at-or-before the left time (`Backward`),
+  * or the earliest at-or-after it (`Forward`). Unmatched left rows emit
+  * nulls for the right columns (left-outer).
+  *
+  * Why a physical operator and not the union+window rewrite (q36/q60):
+  * the rewrite materializes left∪right into ONE window state and pays a
+  * full-width sort of both sides' payloads through the window buffer. The
+  * native operator instead:
+  *   - hash-partitions each side on the key (the only shuffle; at 100 TB
+  *     both sides co-partition and the merge is embarrassingly parallel),
+  *   - sorts each side within partitions by (key, time) — Spark's
+  *     external radix/Tungsten sort, spill-safe,
+  *   - streams BOTH sorted iterators through a single-pass merge with
+  *     O(1) state per partition (one buffered match row) — no window
+  *     buffer, no union, no side/tag columns, and the right payload is
+  *     never widened onto left rows until the instant of emission.
+  *
+  * The reference's pipeline has no as-of join, but its data model begs
+  * for one (match each GPS breadcrumb to the latest stop event
+  * at-or-before it); the operator is keyed to that shape: few keys ×
+  * long time-sorted runs.
+  *
+  * Determinism: if several right rows share the match (key, time) the
+  * winner is positional — pre-dedup the right side per (key, time) for a
+  * deterministic result (the registered queries q85/q86 do, mirroring
+  * what DuckDB's ASOF requires of its build side).
+  *
+  * Column pruning does NOT traverse an opaque custom node — project both
+  * inputs down to needed columns before calling [[AsOfJoin.backward]] /
+  * [[AsOfJoin.forward]] (the registered queries do; their scans show
+  * 3-column ReadSchemas, guarded in PlanSpec).
+  */
+object AsOfJoin {
+
+  sealed trait Direction extends Serializable
+  /** match the latest right time <= left time */
+  case object Backward extends Direction
+  /** match the earliest right time >= left time */
+  case object Forward extends Direction
+
+  /** Left-outer as-of join on equi-key `on`, matching the latest
+    * `right.rightTime` at-or-before `left.leftTime`. */
+  def backward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, on, leftTime, rightTime, Backward)
+
+  /** Left-outer as-of join matching the earliest right time at-or-after
+    * the left time (time-to-next-event shape). */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, on, leftTime, rightTime, Forward)
+
+  private def join(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, dir: Direction): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    // Self-join safety: re-alias every right column so the node's two
+    // sides never share attribute ids (the analyzer dedups `Join`, not
+    // custom nodes). Null keys/times never match (SQL join semantics);
+    // the merge's natural ordering would treat NULL as a small value, so
+    // drop them from the build side up front.
+    val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+      .where((on :+ rightTime).map(col(_).isNotNull).reduce(_ && _))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of join column '$name' not in ${plan.output.map(_.name)}"))
+    val node = AsOfJoinPlan(
+      on.map(resolve(lPlan, _)), on.map(resolve(rPlan, _)),
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      dir, lPlan, rPlan)
+    require(node.leftKeys.map(_.dataType) == node.rightKeys.map(_.dataType),
+      "as-of join key types must match on both sides")
+    require(node.leftTime.dataType == node.rightTime.dataType,
+      "as-of join time types must match on both sides")
+    GraftPlanBridge.ofRows(spark, node)
+  }
+
+  /** Idempotent runtime registration for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions` (the driver's). */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+}
+
+/** Logical as-of join. USING-join-style output: left columns ++ the right
+  * side's PAYLOAD columns (keys and time dropped — they'd duplicate the
+  * left's; re-select the right time as an extra payload column first if
+  * the match time is wanted), right side forced nullable (left-outer).
+  * Opaque to rewrite rules by design — the exactness of the operator
+  * lives in [[AsOfJoinExec]]'s merge. */
+case class AsOfJoinPlan(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    direction: AsOfJoin.Direction,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  def rightPayload: Seq[Attribute] = {
+    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
+    right.output.filterNot(a => dropped(a.exprId)).map(_.withNullability(true))
+  }
+  override def output: Seq[Attribute] = left.output ++ rightPayload
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Registered by
+  * [[graft.GraftExtensions]] (`injectPlannerStrategy`) or at runtime by
+  * [[AsOfJoin.ensureStrategy]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(lk, rk, lt, rt, dir, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sort-merge as-of join.
+  *
+  * Requires both children clustered on the key (one hash exchange per
+  * side, satisfied for free when a side is already partitioned right) and
+  * sorted by (key, time). Each co-partition is merged in one pass:
+  *
+  *   - `Backward`: the right cursor advances while its (key, time) is
+  *     at-or-before the current left row's, remembering the last
+  *     same-key row it passed — that row IS the match (right times are
+  *     ascending, so the last one consumed is the latest `<=`).
+  *   - `Forward`: the right cursor advances while it is strictly before
+  *     the left (key, time) WITHOUT remembering; the row it halts on is
+  *     the match iff keys agree (the earliest `>=`). The halted-on row is
+  *     not consumed — it may match many left rows.
+  *
+  * State per partition = one buffered right row + one key projection:
+  * O(1) memory regardless of partition size; sorting is the children's
+  * (external, spill-safe). Left rows stream out in their sorted order.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    direction: AsOfJoin.Direction,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = {
+    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
+    left.output ++
+      right.output.filterNot(a => dropped(a.exprId)).map(_.withNullability(true))
+  }
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = false, None) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = false, None) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // left rows keep their (key, time) sort through the merge
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val allOut = output
+    val dir = direction
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key₀..keyₖ₋₁, time) projections; natural orderings compare the
+      // first |fields-of-their-types| positions, so keyOrd over the key
+      // types alone ignores the appended time field
+      val keyTypes = lKeys.map(_.dataType)
+      val lProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
+      val rProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val ktOrd =
+        RowOrdering.createNaturalAscendingOrdering(keyTypes :+ lTime.dataType)
+      // the joined row carries the FULL right row; the projection keeps
+      // only the output attributes (payload — keys/time dropped). The
+      // right attrs MUST bind as nullable here: an unmatched left row
+      // joins the all-null row, and a non-nullable binding would skip
+      // the isNullAt check and read garbage zeros instead of NULL
+      val resultProj =
+        UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      var rHead: InternalRow = null        // next unconsumed right row
+      var rHeadKt: UnsafeRow = null        // its (key, time) projection
+      def advanceRight(): Unit =
+        if (rIter.hasNext) { rHead = rIter.next(); rHeadKt = rProj(rHead) }
+        else { rHead = null; rHeadKt = null }
+      advanceRight()
+
+      // Backward state: last consumed same-key right row (copied — the
+      // iterators reuse row buffers) and its projected key+time
+      var lastMatch: InternalRow = null
+      var lastMatchKt: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lKt = lProj(lRow)
+        val matched: InternalRow = dir match {
+          case AsOfJoin.Backward =>
+            // consume right rows at-or-before (key, time); remember the
+            // last with an equal key. Null left key/time: NULL sorts
+            // low in the natural ordering, so an all-null prefix never
+            // equals a (null-filtered) right key — no match, by design.
+            var continue = rHead != null
+            while (continue) {
+              val kc = keyOrd.compare(rHeadKt, lKt)
+              if (kc < 0 || (kc == 0 && ktOrd.compare(rHeadKt, lKt) <= 0)) {
+                if (kc == 0 && !lKt.anyNull) {
+                  lastMatch = rHead.copy()
+                  lastMatchKt = rHeadKt.copy()
+                }
+                advanceRight()
+                continue = rHead != null
+              } else continue = false
+            }
+            if (lastMatchKt != null && !lKt.anyNull &&
+                keyOrd.compare(lastMatchKt, lKt) == 0) lastMatch
+            else null
+          case AsOfJoin.Forward =>
+            // halt on the first right row at-or-after (key, time); match
+            // iff it has the same key. Never consumed — later left rows
+            // (larger time) may still need it.
+            var continue = rHead != null
+            while (continue) {
+              val kc = keyOrd.compare(rHeadKt, lKt)
+              if (kc < 0 || (kc == 0 && ktOrd.compare(rHeadKt, lKt) < 0)) {
+                advanceRight()
+                continue = rHead != null
+              } else continue = false
+            }
+            if (rHead != null && !lKt.anyNull &&
+                keyOrd.compare(rHeadKt, lKt) == 0) rHead
+            else null
+        }
+        resultProj(joined(lRow, if (matched == null) nullRight else matched))
+      }
+    }
+  }
+}

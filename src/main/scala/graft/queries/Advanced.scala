@@ -637,6 +637,67 @@ object Advanced {
           FROM lineitem)
         $selects
         ORDER BY col_a, col_b"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- q85
+    // q36's as-of join through the NATIVE operator (AsOfJoinPlan →
+    // AsOfJoinStrategy → AsOfJoinExec, graft.plans.AsOfJoin): one hash
+    // exchange per side on user_id, in-partition (key, time) sort,
+    // single-pass streaming merge with O(1) state — no union, no window
+    // buffer, right payload never widened onto clicks before emission.
+    // Hash-compared against DuckDB's real ASOF LEFT JOIN: the custom
+    // physical operator's semantics are oracle-pinned, not just spec'd.
+    // Both inputs are pre-projected to 3 columns (an opaque custom node
+    // blocks column pruning; PlanSpec guards the narrow scans).
+    QuerySpec(
+      "q85_asof_native",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.AsOfJoin.backward(
+            clicks, purchases, Seq("user_id"), "ts", "ts")
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          p.purchase_id
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY click_id"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- q86
+    // q60's FORWARD as-of (time-to-next-purchase) through the same
+    // native operator — the merge halts on (never consumes) the first
+    // at-or-after right row, so one purchase can match many clicks.
+    QuerySpec(
+      "q86_asof_native_forward",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.AsOfJoin.forward(
+            clicks, purchases, Seq("user_id"), "ts", "ts")
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          p.purchase_id
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY click_id"""))
   )
 }

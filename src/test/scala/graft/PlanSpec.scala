@@ -83,4 +83,19 @@ class PlanSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"q52 plans a nested-loop/cartesian join:\n${bad.mkString("\n")}")
   }
+
+  test("q85: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
+    val p = initial("q85_asof_native")
+    assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
+      s"expected the native as-of operator in:\n$p")
+    // a custom node is opaque to ColumnPruning — the query pre-projects,
+    // so the events scans must still read only (event_id, user_id, ts,
+    // event_type), never the untouched value/payload columns
+    assert(!p.toString.contains("value"),
+      "as-of inputs read unpruned events columns")
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    // purchase agg + the two as-of key exchanges share the user_id
+    // clustering where possible; the final orderBy adds a range exchange
+    assert(exchanges.size <= 4, s"unexpected shuffles: ${exchanges.size}")
+  }
 }

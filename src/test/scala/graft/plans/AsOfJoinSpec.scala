@@ -1,0 +1,140 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native as-of join (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec).
+  * Semantics pinned against hand-computed matches and against the
+  * union+window rewrite (q36's technique) on a generated workload; the
+  * physical plan is asserted to actually BE the custom operator. */
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private lazy val quotes: DataFrame = Seq(
+    // key, time, quote payload
+    ("msft", ts(100), 1.0),
+    ("msft", ts(200), 2.0),
+    ("msft", ts(300), 3.0),
+    ("goog", ts(150), 10.0),
+    ("amzn", ts(999), 99.0)
+  ).toDF("sym", "qts", "px")
+
+  private lazy val trades: DataFrame = Seq(
+    ("msft", ts(50), 1L),   // before any quote  -> null / first quote fwd
+    ("msft", ts(200), 2L),  // equal ts          -> inclusive both ways
+    ("msft", ts(250), 3L),  // between           -> 2.0 back, 3.0 fwd
+    ("msft", ts(900), 4L),  // after all         -> 3.0 back, null fwd
+    ("goog", ts(151), 5L),  // other key         -> 10.0 back
+    ("nvda", ts(100), 6L)   // key absent on right -> null
+  ).toDF("sym", "tts", "tid")
+
+  test("backward: latest quote at-or-before each trade") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> Some(3.0), 5L -> Some(10.0), 6L -> None))
+  }
+
+  test("forward: earliest quote at-or-after each trade") {
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("output shape: left columns then right payload, keys/time dropped") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts")
+    assert(out.columns.toSeq === Seq("sym", "tts", "tid", "px"))
+  }
+
+  test("null left key or time never matches; null right rows are dropped") {
+    val l = Seq((Option("a"), Option(ts(10)), 1L),
+      (Option.empty[String], Option(ts(10)), 2L),
+      (Option("a"), Option.empty[Timestamp], 3L))
+      .toDF("k", "t", "id")
+    val r = Seq((Option("a"), Option(ts(5)), 1.0),
+      (Option.empty[String], Option(ts(1)), 2.0),
+      (Option("a"), Option.empty[Timestamp], 3.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", "t")
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
+  test("physical plan is AsOfJoinExec — no nested-loop join, merge runs") {
+    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: AsOfJoinExec => e
+    }.nonEmpty, plan.toString)
+    assert(collectWithSubqueries(plan) {
+      case b if b.nodeName.contains("BroadcastNestedLoop") => b
+    }.isEmpty, plan.toString)
+  }
+
+  test("matches the union+window rewrite on a generated workload") {
+    // 40 keys x irregular times, duplicates on neither side's (key, time)
+    val left = spark.range(2000).select(
+      (col("id") % 40).as("k"),
+      timestamp_seconds(col("id") * 7 % 1000).as("t"),
+      col("id").as("lid"))
+    val right = spark.range(700).select(
+      (col("id") % 40).as("k"),
+      timestamp_seconds(col("id") * 13 % 1000).as("t"),
+      (col("id") * 2).as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+
+    val native = AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+      .select($"lid", $"rv").as[(Long, Option[Long])].collect().toMap
+
+    import org.apache.spark.sql.expressions.Window
+    val l2 = left.select($"k", $"t", lit(1).as("side"), $"lid",
+      lit(null).cast("long").as("rv"))
+    val r2 = right.select($"k", $"t", lit(0).as("side"),
+      lit(null).cast("long").as("lid"), $"rv")
+    val w = Window.partitionBy($"k").orderBy($"t", $"side", $"lid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rewrite = l2.unionByName(r2)
+      .withColumn("m", last($"rv", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"lid", $"m").as[(Long, Option[Long])].collect().toMap
+
+    assert(native === rewrite)
+  }
+
+  test("deterministic under adversarial input partitioning") {
+    val a = AsOfJoin.backward(trades.repartition(7), quotes.repartition(3),
+      Seq("sym"), "tts", "qts")
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    val b = AsOfJoin.backward(trades.coalesce(1), quotes.coalesce(1),
+      Seq("sym"), "tts", "qts")
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(a === b)
+  }
+
+  test("self-join: both sides from the same DataFrame resolve cleanly") {
+    val e = trades.select($"sym", $"tts", $"tid")
+    val out = AsOfJoin.backward(
+      e, e.withColumnRenamed("tid", "prev_tid"), Seq("sym"), "tts", "tts")
+    // every row matches at least itself (equal ts is inclusive)
+    assert(out.filter($"prev_tid".isNull).count() === 0)
+  }
+
+  test("numeric (non-timestamp) time axis works") {
+    val l = Seq(("a", 10L, 1L), ("a", 20L, 2L)).toDF("k", "pos", "id")
+    val r = Seq(("a", 9L, "x"), ("a", 15L, "y")).toDF("k", "pos", "tag")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "pos", "pos")
+      .select($"id", $"tag").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("x"), 2L -> Some("y")))
+  }
+}
