@@ -57,20 +57,43 @@ object AsOfJoin {
   /** match the earliest right time >= left time */
   case object Forward extends Direction
 
+  /** Physical-strategy hint — the BHJ-vs-SMJ choice, as-of flavored. */
+  sealed trait Hint extends Serializable
+  /** broadcast when the build side's estimated size clears
+    * `spark.sql.autoBroadcastJoinThreshold` (and the time axis is
+    * integral), else sort-merge */
+  case object Auto extends Hint
+  /** force the co-partitioned sort-merge ([[AsOfJoinExec]]) */
+  case object Merge extends Hint
+  /** force the broadcast probe ([[BroadcastAsOfJoinExec]]): the 100 TB
+    * shape when the build side is dimension-sized — the probe side
+    * needs NO shuffle and NO sort */
+  case object Broadcast extends Hint
+
   /** Left-outer as-of join on equi-key `on`, matching the latest
-    * `right.rightTime` at-or-before `left.leftTime`. */
+    * `right.rightTime` at-or-before `left.leftTime`.
+    *
+    * @param tolerance maximum allowed time gap between a left row and
+    *   its match, in the axis's native unit (MICROSECONDS for
+    *   timestamps): matches farther back than `leftTime - tolerance`
+    *   are discarded (pandas `merge_asof(tolerance=…)`). Requires an
+    *   integral/timestamp time axis.
+    */
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTime: String, rightTime: String): DataFrame =
-    join(left, right, on, leftTime, rightTime, Backward)
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None, hint: Hint = Auto): DataFrame =
+    join(left, right, on, leftTime, rightTime, Backward, tolerance, hint)
 
   /** Left-outer as-of join matching the earliest right time at-or-after
     * the left time (time-to-next-event shape). */
   def forward(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTime: String, rightTime: String): DataFrame =
-    join(left, right, on, leftTime, rightTime, Forward)
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None, hint: Hint = Auto): DataFrame =
+    join(left, right, on, leftTime, rightTime, Forward, tolerance, hint)
 
   private def join(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTime: String, rightTime: String, dir: Direction): DataFrame = {
+      leftTime: String, rightTime: String, dir: Direction,
+      tolerance: Option[Long], hint: Hint): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     // Self-join safety: re-alias every right column so the node's two
@@ -89,11 +112,17 @@ object AsOfJoin {
     val node = AsOfJoinPlan(
       on.map(resolve(lPlan, _)), on.map(resolve(rPlan, _)),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      dir, lPlan, rPlan)
+      dir, tolerance, hint, lPlan, rPlan)
     require(node.leftKeys.map(_.dataType) == node.rightKeys.map(_.dataType),
       "as-of join key types must match on both sides")
     require(node.leftTime.dataType == node.rightTime.dataType,
       "as-of join time types must match on both sides")
+    require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
+    if (tolerance.isDefined || hint == Broadcast) {
+      require(AsOfTime.supports(node.leftTime.dataType),
+        s"tolerance/broadcast need an integral or timestamp time axis, " +
+          s"got ${node.leftTime.dataType}")
+    }
     GraftPlanBridge.ofRows(spark, node)
   }
 
@@ -116,6 +145,7 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     direction: AsOfJoin.Direction,
+    tolerance: Option[Long], hint: AsOfJoin.Hint,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   def rightPayload: Seq[Attribute] = {
     val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
@@ -127,14 +157,50 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Registered by
+/** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]] / [[BroadcastAsOfJoinExec]],
+  * picking the broadcast probe under `Auto` exactly the way Spark picks
+  * BroadcastHashJoin: build-side size estimate vs
+  * `spark.sql.autoBroadcastJoinThreshold`. Registered by
   * [[graft.GraftExtensions]] (`injectPlannerStrategy`) or at runtime by
   * [[AsOfJoin.ensureStrategy]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, dir, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
+    case p @ AsOfJoinPlan(lk, rk, lt, rt, dir, tol, hint, l, r) =>
+      val broadcast = hint match {
+        case AsOfJoin.Broadcast => true
+        case AsOfJoin.Merge     => false
+        case AsOfJoin.Auto =>
+          val threshold =
+            org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+          threshold > 0 && r.stats.sizeInBytes <= threshold &&
+            AsOfTime.supports(lt.dataType)
+      }
+      if (broadcast) {
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, dir, tol,
+          planLater(l), planLater(r)) :: Nil
+      } else {
+        AsOfJoinExec(lk, rk, lt, rt, dir, tol,
+          planLater(l), planLater(r)) :: Nil
+      }
     case _ => Nil
+  }
+}
+
+/** The time axes [[BroadcastAsOfJoinExec]] and tolerance support, and
+  * their extraction to a comparable Long in the axis's native unit. */
+private[plans] object AsOfTime {
+  import org.apache.spark.sql.types._
+  def supports(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType |
+         DateType | ShortType => true
+    case _ => false
+  }
+  /** (row, fieldIndex) => long; only call for [[supports]]ed types */
+  def extractor(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case TimestampType | TimestampNTZType | LongType => (r, i) => r.getLong(i)
+    case IntegerType | DateType                      => (r, i) => r.getInt(i).toLong
+    case ShortType                                   => (r, i) => r.getShort(i).toLong
+    case other => throw new IllegalArgumentException(s"unsupported time axis $other")
   }
 }
 
@@ -160,7 +226,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    direction: AsOfJoin.Direction,
+    direction: AsOfJoin.Direction, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = {
@@ -193,11 +259,26 @@ case class AsOfJoinExec(
     val lOut = left.output; val rOut = right.output
     val allOut = output
     val dir = direction
+    val tol = tolerance
+    val timeType = leftTime.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key₀..keyₖ₋₁, time) projections; natural orderings compare the
       // first |fields-of-their-types| positions, so keyOrd over the key
       // types alone ignores the appended time field
       val keyTypes = lKeys.map(_.dataType)
+      val timeIdx = keyTypes.length
+      // tolerance gate on the (key, time) projections; None → always in
+      val inTol: (UnsafeRow, UnsafeRow) => Boolean = tol match {
+        case None => (_, _) => true
+        case Some(t) =>
+          val timeOf = AsOfTime.extractor(timeType)
+          dir match {
+            case AsOfJoin.Backward =>
+              (m, l) => timeOf(l, timeIdx) - timeOf(m, timeIdx) <= t
+            case AsOfJoin.Forward =>
+              (m, l) => timeOf(m, timeIdx) - timeOf(l, timeIdx) <= t
+          }
+      }
       val lProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
       val rProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -245,8 +326,11 @@ case class AsOfJoinExec(
                 continue = rHead != null
               } else continue = false
             }
+            // the latest <= match is the CLOSEST one, so if it falls
+            // outside the tolerance no earlier row can fall inside it
             if (lastMatchKt != null && !lKt.anyNull &&
-                keyOrd.compare(lastMatchKt, lKt) == 0) lastMatch
+                keyOrd.compare(lastMatchKt, lKt) == 0 &&
+                inTol(lastMatchKt, lKt)) lastMatch
             else null
           case AsOfJoin.Forward =>
             // halt on the first right row at-or-after (key, time); match
@@ -261,8 +345,120 @@ case class AsOfJoinExec(
               } else continue = false
             }
             if (rHead != null && !lKt.anyNull &&
-                keyOrd.compare(rHeadKt, lKt) == 0) rHead
+                keyOrd.compare(rHeadKt, lKt) == 0 &&
+                inTol(rHeadKt, lKt)) rHead
             else null
+        }
+        resultProj(joined(lRow, if (matched == null) nullRight else matched))
+      }
+    }
+  }
+}
+
+/** Physical broadcast as-of join — the dimension-sized-build-side plan.
+  *
+  * The build (right) side is collected to the driver, grouped per key
+  * into a time-sorted array, and broadcast once; the probe (left) side
+  * then streams IN PLACE: no shuffle, no sort, no pipeline break — each
+  * left row binary-searches its key's time array. At 100 TB this is the
+  * difference between re-shuffling the whole fact table and touching it
+  * exactly once where it already lives (the same judgment call Spark
+  * itself makes for BroadcastHashJoin, applied to the as-of shape).
+  *
+  * Build-side cost: O(|right|) driver memory + one broadcast; probe
+  * cost: O(log groupSize) per row. Guarded by
+  * `spark.sql.autoBroadcastJoinThreshold` under `Auto`, or forced via
+  * `hint = Broadcast` when the caller knows the dimension is small.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    direction: AsOfJoin.Direction, tolerance: Option[Long],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = {
+    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
+    left.output ++
+      right.output.filterNot(a => dropped(a.exprId)).map(_.withNullability(true))
+  }
+
+  // probe side passes through untouched — partitioning AND ordering hold
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val allOut = output
+    val dir = direction
+    val tol = tolerance
+    val timeOf = AsOfTime.extractor(leftTime.dataType)
+
+    // ---- build (driver): key -> (sorted times, rows in that order)
+    val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+    val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
+    right.executeCollect()
+      .map(r => (rKeyProj(r).copy(), timeOf(rTimeProj(r), 0), r))
+      .groupBy(_._1)
+      .foreach { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        built.put(k, (sorted.map(_._2), sorted.map(_._3: InternalRow)))
+      }
+    val bc = sparkContext.broadcast(built)
+
+    left.execute().mapPartitions { lIter =>
+      val groups = bc.value
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val resultProj =
+        UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      // greatest index with times(i) <= t, or -1
+      def floorIdx(times: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = times.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        ans
+      }
+      // least index with times(i) >= t, or times.length
+      def ceilIdx(times: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = times.length - 1; var ans = times.length
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) >= t) { ans = mid; hi = mid - 1 } else lo = mid + 1
+        }
+        ans
+      }
+
+      lIter.map { lRow =>
+        val lk = lKeyProj(lRow)
+        val ltRow = lTimeProj(lRow)
+        var matched: InternalRow = null
+        if (!lk.anyNull && !ltRow.isNullAt(0)) {
+          val group = groups.get(lk)
+          if (group != null) {
+            val (times, rows) = group
+            val t = timeOf(ltRow, 0)
+            dir match {
+              case AsOfJoin.Backward =>
+                val i = floorIdx(times, t)
+                if (i >= 0 && tol.forall(t - times(i) <= _)) matched = rows(i)
+              case AsOfJoin.Forward =>
+                val i = ceilIdx(times, t)
+                if (i < times.length && tol.forall(times(i) - t <= _))
+                  matched = rows(i)
+            }
+          }
         }
         resultProj(joined(lRow, if (matched == null) nullRight else matched))
       }

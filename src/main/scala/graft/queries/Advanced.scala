@@ -659,7 +659,8 @@ object Advanced {
         val clicks = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
         graft.plans.AsOfJoin.backward(
-            clicks, purchases, Seq("user_id"), "ts", "ts")
+            clicks, purchases, Seq("user_id"), "ts", "ts",
+            hint = graft.plans.AsOfJoin.Merge)
           .select(col("click_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
           .orderBy(col("click_id"))
@@ -698,6 +699,71 @@ object Advanced {
         SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
           p.purchase_id
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY click_id""")),
+
+    // ---------------------------------------------------------------- q87
+    // q85 through the BROADCAST as-of plan (BroadcastAsOfJoinExec): the
+    // purchases dimension is collected/broadcast once and the click side
+    // streams IN PLACE — zero shuffle, zero sort on the probe (the plan
+    // a 100 TB fact ⋈ dimension as-of should pick; PlanSpec asserts no
+    // exchange exists below the operator). Same DuckDB ASOF oracle as
+    // q85 ⇒ the two physical paths are hash-proven interchangeable.
+    QuerySpec(
+      "q87_asof_broadcast",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.AsOfJoin.backward(
+            clicks, purchases, Seq("user_id"), "ts", "ts",
+            hint = graft.plans.AsOfJoin.Broadcast)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          p.purchase_id
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY click_id""")),
+
+    // ---------------------------------------------------------------- q88
+    // Bounded-staleness as-of: a purchase only explains a click made
+    // within the next 30 minutes (merge_asof tolerance). At scale the
+    // bound is also what keeps state finite — matches beyond the horizon
+    // are meaningless and never buffered. DuckDB's ASOF can't express a
+    // bound, so the oracle is the literal spec: a correlated arg_max
+    // over the tolerance window.
+    QuerySpec(
+      "q88_asof_tolerance",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.AsOfJoin.backward(
+            clicks, purchases, Seq("user_id"), "ts", "ts",
+            tolerance = Some(30L * 60 * 1000000), // 30 min in micros
+            hint = graft.plans.AsOfJoin.Merge)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          (SELECT arg_max(p.purchase_id, p.ts) FROM p
+            WHERE p.user_id = c.user_id AND p.ts <= c.ts
+              AND p.ts >= c.ts - INTERVAL 30 MINUTE) AS purchase_id
+        FROM c
         ORDER BY click_id"""))
   )
 }

@@ -71,7 +71,8 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("physical plan is AsOfJoinExec — no nested-loop join, merge runs") {
-    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts")
+    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+      hint = AsOfJoin.Merge)
     df.collect()
     val plan = df.queryExecution.executedPlan
     assert(collectWithSubqueries(plan) {
@@ -136,5 +137,64 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val out = AsOfJoin.backward(l, r, Seq("k"), "pos", "pos")
       .select($"id", $"tag").as[(Long, Option[String])].collect().toMap
     assert(out === Map(1L -> Some("x"), 2L -> Some("y")))
+  }
+
+  test("tolerance: matches farther than the bound are discarded (both dirs)") {
+    // trade 4 at t=900: latest quote t=300 — gap 600 s > 500 s bound
+    val back = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+        tolerance = Some(500L * 1000000))
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(back === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> None, 5L -> Some(10.0), 6L -> None))
+    // trade 1 at t=50: next quote t=100 — gap 50 s; bound 10 s kills it
+    val fwd = AsOfJoin.forward(trades, quotes, Seq("sym"), "tts", "qts",
+        tolerance = Some(10L * 1000000))
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(fwd === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> None,
+      4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("broadcast plan: BroadcastAsOfJoinExec, no exchange on the probe side") {
+    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+      hint = AsOfJoin.Broadcast)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val ex = collectWithSubqueries(plan) { case e: BroadcastAsOfJoinExec => e }
+    assert(ex.nonEmpty, plan.toString)
+    // the whole point: the probe (and build) stream with NO exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(ex.head.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      ex.head.toString)
+  }
+
+  test("broadcast and merge paths agree on a generated workload, all modes") {
+    val left = spark.range(3000).select(
+      (col("id") % 37).as("k"),
+      (col("id") * 7919 % 10000).as("t"),
+      col("id").as("lid"))
+    val right = spark.range(400).select(
+      (col("id") % 37).as("k"),
+      (col("id") * 104729 % 10000).as("t"),
+      (col("id") * 3).as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    for (dir <- Seq("b", "f"); tol <- Seq(None, Some(250L))) {
+      def run(hint: AsOfJoin.Hint) = {
+        val out =
+          if (dir == "b") AsOfJoin.backward(left, right, Seq("k"), "t", "t", tol, hint)
+          else AsOfJoin.forward(left, right, Seq("k"), "t", "t", tol, hint)
+        out.select($"lid", $"rv").as[(Long, Option[Long])].collect().toMap
+      }
+      assert(run(AsOfJoin.Merge) === run(AsOfJoin.Broadcast),
+        s"merge vs broadcast disagree: dir=$dir tol=$tol")
+    }
+  }
+
+  test("auto hint: dimension-sized build side picks the broadcast plan") {
+    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts")
+    assert(collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: BroadcastAsOfJoinExec => e
+    }.nonEmpty, "tiny build side should auto-broadcast")
   }
 }
