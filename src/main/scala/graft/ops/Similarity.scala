@@ -455,4 +455,84 @@ object Similarity {
         col("cos"), (col("cos") / col("avg_cos")).as("margin"))
       .filter(col("margin") >= minMargin)
   }
+
+  /** Embedding-space benchmark decontamination: for every corpus doc, its
+    * max cosine against the benchmark/eval set, and the contamination flag
+    * `max_cos >= threshold` — the semantic complement of the n-gram
+    * containment check (q49), catching paraphrased leakage that exact
+    * n-grams miss.
+    *
+    * Scale shape: the benchmark set is dimension-sized (thousands) —
+    * broadcast it; the corpus streams ONCE with no input shuffle and
+    * reduces via `max(struct(cos, -bench_id))`, a partial-aggregable
+    * (map-side combined) one-exchange argmax, deterministic because the
+    * [[graft.functions.VecDot]] fold is bit-stable and max is
+    * order-independent. Nothing here is approximate: at 100 TB this is
+    * O(|corpus| × |benchmark| × dim) FLOPs of embarrassing parallelism —
+    * for a cheaper screen, gate it behind the LSH-bucketed path first.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val d = docs.select(col(idCol).as("doc_id"), col(vecCol).as("dv"))
+    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    d.join(broadcast(b))
+      .select(col("doc_id"), col("bench_id"),
+        cosine(col("dv"), col("bv")).as("cos"))
+      // argmax with smallest-bench-id tiebreak, as one associative max
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("doc_id"), (-col("m.nb")).as("nearest_bench_id"),
+        col("m.cos").as("max_cos"),
+        (col("m.cos") >= threshold).as("contaminated"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus into k-means cells (the [[ivfCentroids]] bounded-sample
+    * fit), then search for near-duplicate pairs ONLY within a cell —
+    * cosine ≥ threshold inside a cell-equi self-join, never an all-pairs
+    * product. Of each duplicate pair the smaller id is kept; a doc is
+    * dropped if ANY kept-or-dropped smaller-id partner exceeds the
+    * threshold (greedy — conservative: the kept set provably contains no
+    * intra-cell pair above the threshold, at the cost of occasionally
+    * dropping a transitive neighbor a clique-exact method would keep).
+    *
+    * Scale shape: pair work is Σ|cell|² not |corpus|², bounded by cell
+    * granularity (`nCells` scales with corpus so cells stay ~10⁴-10⁵);
+    * the join is a plain shuffled hash join on the cell id, so AQE skew
+    * handling applies to a hot cell. Cross-cell duplicates are the
+    * recall trade — the standard SemDeDup regime. Returns
+    * (doc_id, cell, kept).
+    */
+  def semDeDup(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16,
+      maxFitRows: Int = 100000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val centers = ivfCentroids(docs, vecCol, nCells, maxFitRows)
+    // nearest cell = min (euclidean score, cell idx) struct — one VecDot
+    // per (doc, cell), deterministic idx tiebreak
+    def cellScore(vec: Column, c: Array[Double]): Column = {
+      val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      lit(-2.0) * dot(vec, cLit) + lit(c.map(v => v * v).sum)
+    }
+    def cellOf(vec: Column): Column =
+      array_min(array(centers.zipWithIndex.map { case (c, i) =>
+        struct(cellScore(vec, c).as("s"), lit(i).as("cell"))
+      }: _*)).getField("cell")
+
+    val assigned = docs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+    val a = assigned.select(col("doc_id").as("a_id"), col("v").as("av"),
+      col("cell"))
+    val b = assigned.select(col("doc_id").as("b_id"), col("v").as("bv"),
+      col("cell"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("av"), col("bv")) >= threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    assigned.join(dropped.withColumn("is_dup", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell").cast("long").as("cell"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
 }

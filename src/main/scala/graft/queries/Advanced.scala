@@ -639,7 +639,7 @@ object Advanced {
         ORDER BY col_a, col_b"""
       }),
 
-    // ---------------------------------------------------------------- q85
+    // ---------------------------------------------------------------- q90
     // q36's as-of join through the NATIVE operator (AsOfJoinPlan →
     // AsOfJoinStrategy → AsOfJoinExec, graft.plans.AsOfJoin): one hash
     // exchange per side on user_id, in-partition (key, time) sort,
@@ -650,7 +650,7 @@ object Advanced {
     // Both inputs are pre-projected to 3 columns (an opaque custom node
     // blocks column pruning; PlanSpec guards the narrow scans).
     QuerySpec(
-      "q85_asof_native",
+      "q90_asof_native",
       (s, d) => {
         val e = T.events(s, d)
         val purchases = e.filter(col("event_type") === "purchase")
@@ -674,12 +674,12 @@ object Advanced {
         ORDER BY click_id"""),
       headline = true),
 
-    // ---------------------------------------------------------------- q86
+    // ---------------------------------------------------------------- q91
     // q60's FORWARD as-of (time-to-next-purchase) through the same
     // native operator — the merge halts on (never consumes) the first
     // at-or-after right row, so one purchase can match many clicks.
     QuerySpec(
-      "q86_asof_native_forward",
+      "q91_asof_forward_native",
       (s, d) => {
         val e = T.events(s, d)
         val purchases = e.filter(col("event_type") === "purchase")
@@ -701,7 +701,7 @@ object Advanced {
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         ORDER BY click_id""")),
 
-    // ---------------------------------------------------------------- q87
+    // ---------------------------------------------------------------- q92
     // q85 through the BROADCAST as-of plan (BroadcastAsOfJoinExec): the
     // purchases dimension is collected/broadcast once and the click side
     // streams IN PLACE — zero shuffle, zero sort on the probe (the plan
@@ -709,7 +709,7 @@ object Advanced {
     // exchange exists below the operator). Same DuckDB ASOF oracle as
     // q85 ⇒ the two physical paths are hash-proven interchangeable.
     QuerySpec(
-      "q87_asof_broadcast",
+      "q92_asof_broadcast",
       (s, d) => {
         val e = T.events(s, d)
         val purchases = e.filter(col("event_type") === "purchase")
@@ -732,7 +732,7 @@ object Advanced {
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY click_id""")),
 
-    // ---------------------------------------------------------------- q88
+    // ---------------------------------------------------------------- q93
     // Bounded-staleness as-of: a purchase only explains a click made
     // within the next 30 minutes (merge_asof tolerance). At scale the
     // bound is also what keeps state finite — matches beyond the horizon
@@ -740,7 +740,7 @@ object Advanced {
     // bound, so the oracle is the literal spec: a correlated arg_max
     // over the tolerance window.
     QuerySpec(
-      "q88_asof_tolerance",
+      "q93_asof_tolerance",
       (s, d) => {
         val e = T.events(s, d)
         val purchases = e.filter(col("event_type") === "purchase")

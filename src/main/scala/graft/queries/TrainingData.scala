@@ -1274,6 +1274,55 @@ object TrainingData {
           .select(col("doc_id"), col("label"),
             round(col("p_high"), 4).as("p_high"), col("pred"))
           .orderBy(col("doc_id")),
+      None),
+
+    // ---------------------------------------------------------------- q94
+    // Embedding-space benchmark decontamination: max cosine of every
+    // corpus vector against the broadcast eval set (vec_id < 50 stands in
+    // for the benchmark embeddings) — the semantic complement of q49's
+    // n-gram containment, catching paraphrased leakage. One corpus pass,
+    // no input shuffle; the argmax is a map-side-combined max(struct).
+    // Full value oracle: VecDot's sequential double fold matches DuckDB's
+    // list fold bit-for-bit (q32's parity machinery).
+    QuerySpec(
+      "q94_embedding_decontam",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        graft.ops.Similarity.decontaminate(
+            e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", threshold = 0.35)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $embCte,
+        b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id < 50),
+        d AS (SELECT vec_id AS doc_id, v FROM e WHERE vec_id >= 50),
+        scored AS (SELECT doc_id, bench_id,
+            list_sum(list_transform(list_zip(d.v, b.v), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(list_zip(d.v, d.v), x -> x[1] * x[2])))
+               * sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1] * x[2])))) AS cos
+          FROM d CROSS JOIN b),
+        ranked AS (SELECT doc_id, bench_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cos DESC, bench_id) AS rn
+          FROM scored)
+        SELECT doc_id, bench_id AS nearest_bench_id, cos AS max_cos,
+          cos >= 0.35 AS contaminated
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q95
+    // SemDeDup semantic dedup (Abbas et al. 2023): k-means cells from the
+    // bounded-sample IVF fit, near-dup pairs searched within cells only
+    // (Σ|cell|², never |corpus|²), greedy keep-smallest-id. K-means
+    // centroids are float-merge-order dependent → rows-only here;
+    // SimilaritySpec pins the no-kept-pair-above-threshold invariant and
+    // the collapse of near-identical clusters.
+    QuerySpec(
+      "q95_semdedup",
+      (s, d) =>
+        graft.ops.Similarity.semDeDup(
+            T.embeddings(s, d), "vec_id", "embedding",
+            threshold = 0.9, nCells = 16)
+          .orderBy(col("doc_id")),
       None)
   )
 }

@@ -84,8 +84,8 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"q52 plans a nested-loop/cartesian join:\n${bad.mkString("\n")}")
   }
 
-  test("q85: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
-    val p = initial("q85_asof_native")
+  test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
+    val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
       s"expected the native as-of operator in:\n$p")
     // a custom node is opaque to ColumnPruning — the query pre-projects,

@@ -92,6 +92,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("decontaminate: exact max-cos per doc, flag at threshold") {
+    // docs 2,3 vs benchmark {0: (1,0), 1: (.8,.6)}: doc 2 (0,1) has
+    // max cos .6 (vs bench 1); doc 3 (-1,0) has max cos 0 (vs bench 1...
+    // cos(3,0)=-1, cos(3,1)=-0.8 → max -0.8)
+    val out = Similarity.decontaminate(
+        vecs.filter($"vec_id" >= 2), vecs.filter($"vec_id" < 2),
+        "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nearest_bench_id"), r.getAs[Double]("max_cos"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(2L)._1 === 1L && math.abs(out(2L)._2 - 0.6) < 1e-6)
+    assert(out(2L)._3 === true)
+    assert(out(3L)._1 === 1L && math.abs(out(3L)._2 + 0.8) < 1e-6)
+    assert(out(3L)._3 === false)
+  }
+
+  test("semDeDup: kept set has no intra-cell pair above threshold") {
+    // 5 tight clusters × 20 near-identical members: intra-cluster cosine
+    // ≥ ~0.99 — SemDeDup should keep ~1 doc per cluster
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for { c <- centers.indices; i <- 0 until 20 } yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(e, "vec_id", "embedding",
+      threshold = 0.95, nCells = 5)
+    val kept = out.filter($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(out.count() === 100L) // every doc gets a verdict
+    // near-identical clusters collapse hard: ≤ 3 survivors per 20-member
+    // cluster (cells may split a cluster; never the reverse at this sep)
+    assert(kept.size <= 15, s"kept ${kept.size}")
+    assert(kept.nonEmpty)
+    // the invariant: no two KEPT docs in the same cell are ≥ threshold
+    val keptVecs = out.filter($"kept")
+      .join(e, out("doc_id") === e("vec_id"))
+      .select($"doc_id", $"cell", $"embedding")
+    val viol = keptVecs.as("a").join(keptVecs.as("b"),
+        $"a.cell" === $"b.cell" && $"a.doc_id" < $"b.doc_id")
+      .filter(Similarity.cosine($"a.embedding", $"b.embedding") >= 0.95)
+    assert(viol.count() === 0L)
+  }
+
   test("PQ ANN: codebooks from a bounded fit, recall holds, codes tiny") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
