@@ -245,6 +245,12 @@ case class AsOfJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   // left rows keep their (key, time) sort through the merge
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
@@ -261,6 +267,8 @@ case class AsOfJoinExec(
     val dir = direction
     val tol = tolerance
     val timeType = leftTime.dataType
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key₀..keyₖ₋₁, time) projections; natural orderings compare the
       // first |fields-of-their-types| positions, so keyOrd over the key
@@ -349,6 +357,8 @@ case class AsOfJoinExec(
                 inTol(rHeadKt, lKt)) rHead
             else null
         }
+        outRows += 1
+        if (matched != null) matchedRows += 1
         resultProj(joined(lRow, if (matched == null) nullRight else matched))
       }
     }
@@ -386,6 +396,14 @@ case class BroadcastAsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"),
+    "buildRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "broadcast build rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -399,11 +417,16 @@ case class BroadcastAsOfJoinExec(
     val tol = tolerance
     val timeOf = AsOfTime.extractor(leftTime.dataType)
 
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
+
     // ---- build (driver): key -> (sorted times, rows in that order)
     val rKeyProj = UnsafeProjection.create(rKeys, rOut)
     val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
     val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
-    right.executeCollect()
+    val collected = right.executeCollect()
+    longMetric("buildRows") += collected.length
+    collected
       .map(r => (rKeyProj(r).copy(), timeOf(rTimeProj(r), 0), r))
       .groupBy(_._1)
       .foreach { case (k, rows) =>
@@ -460,6 +483,8 @@ case class BroadcastAsOfJoinExec(
             }
           }
         }
+        outRows += 1
+        if (matched != null) matchedRows += 1
         resultProj(joined(lRow, if (matched == null) nullRight else matched))
       }
     }

@@ -131,4 +131,20 @@ object StreamEtl {
       .agg(count(lit(1)).as("n_events"))
       .select(col("trip_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
+
+  /** Stream-static as-of enrichment: stamp each breadcrumb micro-batch
+    * with the latest status-series row at-or-before it for the same
+    * vehicle (the shape the reference's data begs for — GPS readings vs
+    * the most recent stop event). Runs INSIDE `foreachBatch`, where each
+    * micro-batch is a plain DataFrame, so the native
+    * [[graft.plans.AsOfJoin]] applies unchanged; the status table is
+    * dimension-sized, so the Broadcast plan probes the batch in place —
+    * no shuffle added to the streaming graph. The watermark-shaped
+    * `tolerance` keeps matches honest: a status row older than the bound
+    * explains nothing and is dropped rather than matched. */
+  def enrichAsOf(batch: DataFrame, status: DataFrame,
+      keyCols: Seq[String], batchTime: String, statusTime: String,
+      toleranceUs: Option[Long] = None): DataFrame =
+    graft.plans.AsOfJoin.backward(batch, status, keyCols,
+      batchTime, statusTime, toleranceUs, graft.plans.AsOfJoin.Broadcast)
 }

@@ -35,6 +35,51 @@ class StreamEtlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichAsOf in foreachBatch: batches stamped with the latest status row") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // static status series: vehicle 7's stop events through the day
+    val status = Seq(
+      (7L, ts("2024-01-01 08:00:00"), "stop_A"),
+      (7L, ts("2024-01-01 09:00:00"), "stop_B"))
+      .toDF("vehicle_id", "sts", "stop")
+    val input = MemoryStream[(Long, Timestamp)]
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Option[String])]
+    val q = input.toDF().toDF("vehicle_id", "tstamp").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = StreamEtl.enrichAsOf(batch, status,
+          Seq("vehicle_id"), "tstamp", "sts",
+          toleranceUs = Some(2L * 3600 * 1000000)) // 2 h staleness bound
+        collected.synchronized {
+          collected ++= out.collect().map(r =>
+            (r.getAs[Long]("vehicle_id"), r.getAs[Timestamp]("tstamp"),
+              Option(r.getAs[String]("stop"))))
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((7L, ts("2024-01-01 08:30:00"))) // after A, before B
+      q.processAllAvailable()
+      input.addData(
+        (7L, ts("2024-01-01 09:30:00")),  // after B
+        (7L, ts("2024-01-01 12:00:00")),  // B is 3 h stale > 2 h bound
+        (8L, ts("2024-01-01 09:30:00")))  // unknown vehicle
+      q.processAllAvailable()
+      val got = collected.synchronized { collected.toSet }
+      assert(got === Set(
+        (7L, ts("2024-01-01 08:30:00"), Some("stop_A")),
+        (7L, ts("2024-01-01 09:30:00"), Some("stop_B")),
+        (7L, ts("2024-01-01 12:00:00"), None),
+        (8L, ts("2024-01-01 09:30:00"), None)))
+    } finally q.stop()
+  }
+
   private def writeBatch(dir: String, name: String, rows: Seq[String]): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/$name"), rows.mkString("\n"))
