@@ -479,6 +479,10 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
     val sh = shingleHashIndex(docs, idCol, textCol, shingleN, "id")
+    // NOT cached: measured at sf0.1 (q46, min-of-5) — a MEMORY_AND_DISK
+    // persist here is timing-neutral because ReusedExchange already
+    // shares the df-window exchange between both sides of the self-join,
+    // and the sizes branch is one cheap narrow agg
     val filtered = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxShingleDocFreq).drop("df")

@@ -161,6 +161,50 @@ object Text {
         col("avg_logprob"))
   }
 
+  /** Per-doc average bigram log-probability under the corpus's own
+    * add-k-smoothed bigram LM — one order up from [[unigramLogProbs]]:
+    * scrambled text keeps its unigram score but collapses here, because
+    * p(w₂|w₁) = (c(w₁w₂)+k) / (c(w₁·)+k·V) punishes never-seen
+    * transitions. V is the corpus unigram vocabulary; c(w₁·) is derived
+    * from the bigram table itself (one narrow re-agg, not a third
+    * corpus pass).
+    *
+    * Plan shape mirrors the unigram filter: bigram explode feeds the
+    * count (map-side combined) and the scoring join; the scored bigram
+    * table is broadcast back so the corpus stream's only exchange is the
+    * final per-doc agg. Above broadcast size, drop the hint and both
+    * sides shuffle on (w1, w2) — and persist the bigram stream to
+    * explode once instead of twice. Docs with < 2 tokens surface with
+    * n_bigrams = 0 and a null score. */
+  def bigramLogProbs(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+    val bi = toked
+      .select(col(idCol), when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bs"))
+      .select(col(idCol), explode(col("bs")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = cnt2.join(cnt1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log2((col("c2").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * col("v").cast("double")))
+          .as("logp"))
+    val per = bi.join(broadcast(scored), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logprob"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+  }
+
   // ------------------------------------------------------------------- PII
   // Conservative format-anchored patterns, written in the regex subset the
   // Java engine and RE2 (the oracle engine's dialect) interpret

@@ -1323,6 +1323,40 @@ object TrainingData {
             T.embeddings(s, d), "vec_id", "embedding",
             threshold = 0.9, nCells = 16)
           .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // ---------------------------------------------------------------- q96
+    // Bigram-LM fluency (Text.bigramLogProbs): the order-2 upgrade of
+    // q71 — scrambled or templated text keeps its unigram score but
+    // collapses on never-seen transitions. Add-0.5 smoothing over the
+    // corpus's own bigram table; c(w1·) derived from the bigram counts,
+    // V from the unigram vocab. Same exchange discipline as q71 (scored
+    // table broadcast back; the corpus stream's only shuffle is the
+    // per-doc agg). Round-6 average, full value oracle.
+    QuerySpec(
+      "q96_bigram_logprob",
+      (s, d) =>
+        graft.ops.Text.bigramLogProbs(T.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("avg_logprob"), 6).as("avg_logprob"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCte,
+        bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks)),
+        sc AS (SELECT c2.w1, c2.w2,
+            log2((${dbl("c2.c2")} + 0.5) / (${dbl("c1.c1")} + 0.5 * ${dbl("v.v")})) AS logp
+          FROM c2 JOIN c1 USING (w1), v),
+        per AS (SELECT bi.doc_id, COUNT(*) AS n_bigrams, AVG(sc.logp) AS alp
+          FROM bi JOIN sc ON sc.w1 = bi.w1 AND sc.w2 = bi.w2
+          GROUP BY bi.doc_id)
+        SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+          ROUND(per.alp, 6) AS avg_logprob
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

@@ -124,4 +124,27 @@ class TextSpec extends SparkSpec {
       .filter($"source" === "a").head().getLong(1)
     assert(n === 30L)
   }
+
+  test("bigramLogProbs: word salad collapses where unigram LM can't see it") {
+    // same unigram multiset per doc — the natural docs repeat the
+    // transition "the cat sat", the salad uses the same words with
+    // never-repeated transitions
+    val natural = "the cat sat the cat sat the cat sat"
+    val salad   = "the the the cat cat cat sat sat sat"
+    val docs = (Seq.fill(9)((1L, natural)) :+ (2L, salad))
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val uni = Text.unigramLogProbs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val big = Text.bigramLogProbs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unigram: identical multisets → identical scores
+    assert(math.abs(uni(9L) - uni(0L)) < 1e-9)
+    // bigram: the salad's transitions are (near-)unseen → clearly lower
+    assert(big(9L) < big(0L) - 1.0, s"salad ${big(9L)} vs natural ${big(0L)}")
+    // short doc: no bigrams, null score
+    val short = Seq((0L, "one")).toDF("doc_id", "text")
+    val r = Text.bigramLogProbs(short, "doc_id", "text").head()
+    assert(r.getLong(1) === 0L && r.isNullAt(2))
+  }
 }
