@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,30 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame =
     df.filter(PortableHash.md5Long(col(keyCol), salt) < lit(cutoff(fraction)))
+
+  /** Deterministic disjoint split assignment (train/val/test): the key's
+    * hash maps to a point in [0, 2⁶⁰) and the cumulative weight ranges
+    * claim it — every row gets EXACTLY one label, membership depends only
+    * on (salt, key), never on partitioning or cluster size, and any
+    * engine with the portable hash reproduces the assignment. A pure
+    * per-row projection: no shuffle, no state, survives incremental
+    * ingest (a doc's split never changes as the corpus grows — the
+    * property that keeps eval sets honest across corpus versions).
+    * Weights must sum to 1 (the last range absorbs the rounding ulp). */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0), "bad split weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(cutoff)
+    val h = PortableHash.md5Long(col(keyCol), salt)
+    // last range is unconditional: cumulative rounding can leave an ulp
+    val expr = splits.init.zip(bounds.init).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), b), rest) =>
+      when(h < lit(b), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
 
   /** Weighted mixture of named sources: each is hash-sampled at its rate
     * (salted by its own name — independent decisions per source), tagged

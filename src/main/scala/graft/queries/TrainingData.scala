@@ -1357,6 +1357,27 @@ object TrainingData {
         SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
           ROUND(per.alp, 6) AS avg_logprob
         FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- q97
+    // Deterministic train/val/test split (Sampling.splitAssign 80/10/10):
+    // the portable hash claims a point in [0, 2⁶⁰), cumulative ranges
+    // label it — disjoint, exhaustive, partition-independent, and STABLE
+    // under corpus growth (a doc's split never changes across versions,
+    // so eval sets stay honest). Pure projection: no shuffle.
+    QuerySpec(
+      "q97_train_val_test",
+      (s, d) =>
+        graft.ops.Sampling.splitAssign(T.documents(s, d), "doc_id",
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          CASE WHEN ${h60("'split|' || doc_id")}
+                 < ${graft.ops.Sampling.cutoff(0.8)} THEN 'train'
+               WHEN ${h60("'split|' || doc_id")}
+                 < ${graft.ops.Sampling.cutoff(0.9)} THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -116,4 +116,27 @@ class SamplingSpec extends SparkSpec {
       Seq(("web", web, 0.3), ("code", code, 0.8)), "id")
     assert(ids(mixed) === ids(again))
   }
+
+  test("splitAssign: disjoint+exhaustive, ~proportional, stable under growth") {
+    import spark.implicits._
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val small = spark.range(1000).select($"id".cast("string").as("k"))
+    val big = spark.range(5000).select($"id".cast("string").as("k"))
+    val s1 = Sampling.splitAssign(small, "k", w)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // exhaustive: every row labeled with a declared split
+    assert(s1.size === 1000 && s1.values.toSet.subsetOf(w.map(_._1).toSet))
+    // roughly proportional
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 740 && counts("train") < 860, counts.toString)
+    assert(counts("val") > 55 && counts("val") < 150, counts.toString)
+    // growth-stable: the same key keeps its split in the larger corpus
+    val s2 = Sampling.splitAssign(big, "k", w)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    s1.foreach { case (k, v) => assert(s2(k) === v, s"key $k moved") }
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(small, "k", Seq(("a", 0.5), ("b", 0.1)))
+    }
+  }
 }
