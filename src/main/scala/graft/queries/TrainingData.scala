@@ -1378,6 +1378,77 @@ object TrainingData {
                WHEN ${h60("'split|' || doc_id")}
                  < ${graft.ops.Sampling.cutoff(0.9)} THEN 'val'
                ELSE 'test' END AS split
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q98
+    // The END-TO-END corpus build (ops.Curate.buildCorpus): quality →
+    // entropy → fluency → near-dup → decontamination gates with pinned
+    // precedence, per-doc audit verdicts, and a growth-stable split for
+    // survivors — every screening family of this library composed into
+    // the one query a training-data team ships. Docs 0-24 stand in for
+    // the benchmark (q49's convention); the oracle replays all five
+    // gates and the split assignment, so the COMPOSITION is
+    // hash-checked, not just the parts.
+    QuerySpec(
+      "q98_corpus_build",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        graft.ops.Curate.buildCorpus(
+            docs.filter(col("doc_id") >= 25), "doc_id", "text",
+            docs.filter(col("doc_id") < 25))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $tokCte, ${shingleCte(3)},
+        $baseCte,
+        ${qualCte()},
+        ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+               FROM documents WHERE doc_id >= 25),
+        ent AS (SELECT doc_id, entropy(c) AS en FROM ch GROUP BY doc_id),
+        u AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id >= 25),
+        f AS (SELECT tok, COUNT(*) AS cnt FROM u GROUP BY tok),
+        tot AS (SELECT SUM(cnt) AS total FROM f),
+        lp AS (SELECT f.tok, log2(${dbl("f.cnt")} / ${dbl("tot.total")}) AS logp
+               FROM f, tot),
+        per AS (SELECT u.doc_id, AVG(lp.logp) AS alp
+                FROM u JOIN lp USING (tok) GROUP BY u.doc_id),
+        e AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 25),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM common
+                  JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE ${dbl("c")} / ${dbl("(sa.n + sb.n - c)")} >= ${dbl("0.5")}),
+        dup AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+        bsh AS (SELECT doc_id AS bench_id, unnest(hs) AS h FROM sh
+                WHERE doc_id < 25),
+        bs AS (SELECT bench_id, COUNT(*) AS n_bench FROM bsh GROUP BY bench_id),
+        cm AS (SELECT e.doc_id, bsh.bench_id, COUNT(*) AS n_common
+               FROM e JOIN bsh ON e.h = bsh.h GROUP BY 1, 2),
+        contam AS (SELECT DISTINCT cm.doc_id FROM cm JOIN bs USING (bench_id)
+                   WHERE ${dbl("n_common")} / ${dbl("n_bench")} >= ${dbl("0.5")}),
+        verdict AS (SELECT d.doc_id,
+            CASE WHEN q.quality < ${dbl("0.8")} THEN 'quality'
+                 WHEN ROUND(COALESCE(ent.en, 0.0), 6) < 3.8 THEN 'entropy'
+                 WHEN per.alp IS NULL OR ROUND(per.alp, 6) < -5.0 THEN 'fluency'
+                 WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+                 WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+            END AS reason
+          FROM documents d
+          JOIN qual q ON q.doc_id = d.doc_id
+          LEFT JOIN ent ON ent.doc_id = d.doc_id
+          LEFT JOIN per ON per.doc_id = d.doc_id
+          LEFT JOIN dup ON dup.doc_id = d.doc_id
+          LEFT JOIN contam ON contam.doc_id = d.doc_id
+          WHERE d.doc_id >= 25)
+        SELECT doc_id, reason IS NULL AS kept, reason,
+          CASE WHEN reason IS NOT NULL THEN NULL
+               WHEN ${h60("'split|' || doc_id")}
+                 < ${graft.ops.Sampling.cutoff(0.8)} THEN 'train'
+               WHEN ${h60("'split|' || doc_id")}
+                 < ${graft.ops.Sampling.cutoff(0.9)} THEN 'val'
+               ELSE 'test' END AS split
+        FROM verdict ORDER BY doc_id"""))
   )
 }
