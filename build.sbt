@@ -16,6 +16,10 @@ run / fork := true
 // Bench's bare-JSON stdout contract (BENCH_r02 recorded parsed:null
 // because the JSON line arrived as "[info] {...}").
 run / outputStrategy := Some(StdoutOutput)
+// ...and don't print "[success] Total time: …" AFTER the program's
+// output — with it suppressed, Bench's bare JSON is the LAST stdout
+// line, so even a strict last-line parser gets valid JSON.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

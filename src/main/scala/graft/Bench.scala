@@ -85,6 +85,10 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // last bare stdout line, after session shutdown logging has quiesced
+    // (build.sbt: outputStrategy=StdoutOutput removes the "[info] "
+    // prefix, showSuccess=false removes the trailing "[success]" line);
+    // mirrored to stderr for consumers that capture combined output
     println(json)
+    System.err.println(json)
   }
 }
