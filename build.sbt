@@ -20,6 +20,7 @@ run / outputStrategy := Some(StdoutOutput)
 // output — with it suppressed, Bench's bare JSON is the LAST stdout
 // line, so even a strict last-line parser gets valid JSON.
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

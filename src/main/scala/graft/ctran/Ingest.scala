@@ -63,6 +63,25 @@ object Ingest {
       .select(from_json(col("value").cast("string"), Schemas.rawBreadcrumb).as("r"))
       .select(col("r.*"))
 
+  /** S3 decode, schema-on-read form: the same frames through Spark 4's
+    * VARIANT type — `parse_json` keeps the whole object as a binary
+    * variant, fields are extracted lazily with `try_variant_get`. The
+    * upstream can add/reorder fields without a schema change on our
+    * side, and untouched fields are never decoded. Same output contract
+    * as [[breadcrumbsFromKafkaFrame]] (round-trip-pinned in IngestSpec):
+    * malformed JSON → `try_parse_json` nulls → F1/F2 validation drops.
+    * Prefer the declared-schema path when the field set is stable (a
+    * StructType decode vectorizes better); this is the evolution-proof
+    * alternative. */
+  def breadcrumbsFromKafkaFrameVariant(frames: DataFrame): DataFrame = {
+    val v = try_parse_json(col("value").cast("string"))
+    def f(name: String) =
+      try_variant_get(v, s"$$.$name", "string").as(name)
+    frames.select(
+      f("EVENT_NO_TRIP"), f("OPD_DATE"), f("ACT_TIME"), f("VEHICLE_ID"),
+      f("GPS_LATITUDE"), f("GPS_LONGITUDE"), f("DIRECTION"), f("VELOCITY"))
+  }
+
   /** K2: exact array-framed JSON file (reference raw archive). Driver
     * streams partition iterators — bounded memory, single output file by
     * contract (the reference writes one file per day). */

@@ -49,6 +49,36 @@ class IngestSpec extends SparkSpec {
     assert(Transform.enrich(junkRows).filter(Transform.isValid).count() === 0) // ...validation drops them
   }
 
+  test("S3 variant decode ≡ declared-schema decode, junk still nulls out") {
+    import org.apache.spark.sql.functions.col
+    val raw = Ingest.breadcrumbsFromJsonBody(spark, Seq(body).toDS())
+    val frames = Ingest.kafkaPayload(raw, "reading")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+    val viaVariant = Ingest.breadcrumbsFromKafkaFrameVariant(frames)
+    val viaSchema = Ingest.breadcrumbsFromKafkaFrame(frames)
+    assert(viaVariant.schema === viaSchema.schema)
+    assert(viaVariant.except(viaSchema).isEmpty &&
+      viaSchema.except(viaVariant).isEmpty)
+    // schema evolution: an upstream extra field is simply ignored
+    val evolved = Seq(
+      ("""{"EVENT_NO_TRIP":"1","OPD_DATE":"05-OCT-20","ACT_TIME":"10",
+          "VEHICLE_ID":"4008","GPS_LATITUDE":"45.5","GPS_LONGITUDE":"-122.6",
+          "DIRECTION":"117","VELOCITY":"25","NEW_FIELD":"surprise"}""",
+        "x"))
+      .toDF("value", "key")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+    val row = Ingest.breadcrumbsFromKafkaFrameVariant(evolved).head()
+    assert(row.getAs[String]("EVENT_NO_TRIP") === "1")
+    assert(row.getAs[String]("VELOCITY") === "25")
+    // junk frames null out (try_parse_json) and fall to validation
+    val junk = Seq(("reading", "still not json"))
+      .toDF("key", "value")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+    val junkRows = Ingest.breadcrumbsFromKafkaFrameVariant(junk)
+    assert(junkRows.count() === 1)
+    assert(Transform.enrich(junkRows).filter(Transform.isValid).count() === 0)
+  }
+
   test("K2: array-framed JSON file round-trips through the array reader") {
     val df = Ingest.breadcrumbsFromJsonBody(spark, Seq(body).toDS())
     val path = s"${tmpDir("k2")}/archive.json"
