@@ -764,6 +764,37 @@ object Advanced {
             WHERE p.user_id = c.user_id AND p.ts <= c.ts
               AND p.ts >= c.ts - INTERVAL 30 MINUTE) AS purchase_id
         FROM c
-        ORDER BY click_id"""))
+        ORDER BY click_id""")),
+
+    // ---------------------------------------------------------------- q99
+    // Semi-structured analytics through Spark 4's VARIANT type: the
+    // events.props JSON column is parsed ONCE into a binary variant per
+    // row (`parse_json`), fields extracted lazily and typed at use
+    // (`try_variant_get`) — the schema-on-read path that replaces
+    // per-access string re-parsing (`get_json_object` re-tokenizes the
+    // JSON text on every call) and survives upstream schema drift. The
+    // aggregate shapes are the usual partial+final hash agg; the oracle
+    // replays the extraction with DuckDB's JSON accessors.
+    QuerySpec(
+      "q99_variant_props",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        T.events(s, d)
+          .select(col("event_type"),
+            try_variant_get(v, "$.k", "long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n"),
+            sum(col("k").cast(DecimalType(20, 0))).cast("long").as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            countDistinct(col("k")).as("n_distinct_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+          COUNT(CAST(props->>'k' AS BIGINT)) AS n,
+          CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+          MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+          MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+          COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
