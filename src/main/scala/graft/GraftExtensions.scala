@@ -46,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => graft.plans.RangeJoinBinning(session))
     // native as-of join: AsOfJoinPlan → AsOfJoinExec (sort-merge)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // column pruning through the (otherwise opaque) as-of node
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }
 }

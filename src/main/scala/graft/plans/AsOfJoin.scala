@@ -44,10 +44,13 @@ import org.apache.spark.sql.functions.col
   * deterministic result (the registered queries q85/q86 do, mirroring
   * what DuckDB's ASOF requires of its build side).
   *
-  * Column pruning does NOT traverse an opaque custom node — project both
-  * inputs down to needed columns before calling [[AsOfJoin.backward]] /
-  * [[AsOfJoin.forward]] (the registered queries do; their scans show
-  * 3-column ReadSchemas, guarded in PlanSpec).
+  * Column pruning: Catalyst's own ColumnPruning does not traverse an
+  * unknown node, so [[AsOfJoinPruning]] (registered alongside the
+  * strategy) pushes a parent Project's column set through the node into
+  * both children — a bare `select` above the join reaches the scans
+  * (spec-pinned). For a non-Project parent (e.g. an aggregate directly
+  * on the join) pre-project the inputs by hand, as the registered
+  * queries do.
   */
 object AsOfJoin {
 
@@ -128,11 +131,43 @@ object AsOfJoin {
 
   /** Idempotent runtime registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions` (the driver's). */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruning
+    }
+  }
+}
+
+/** Column pruning through the as-of join: Catalyst's ColumnPruning does
+  * not traverse unknown nodes, so without this rule a `select` above an
+  * as-of join still scans EVERY input column. When the parent Project
+  * uses only a subset of the node's output, push narrowing Projects into
+  * both children (keys and time axes always survive — the merge needs
+  * them); the ordinary pruning rules then carry the narrow schema all
+  * the way into the parquet scan. Fires only when it strictly narrows a
+  * side, so the fixed-point batch terminates. */
+object AsOfJoinPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, a: AsOfJoinPlan) =>
+      val needed = AttributeSet(p.projectList.flatMap(_.references)) ++
+        AttributeSet(a.leftKeys) ++ AttributeSet(a.rightKeys) ++
+        AttributeSet(Seq(a.leftTime, a.rightTime))
+      val keepL = a.left.output.filter(needed.contains)
+      val keepR = a.right.output.filter(needed.contains)
+      if (keepL.length == a.left.output.length &&
+          keepR.length == a.right.output.length) p
+      else p.copy(child = a.copy(
+        left = Project(keepL, a.left), right = Project(keepR, a.right)))
+  }
 }
 
 /** Logical as-of join. USING-join-style output: left columns ++ the right

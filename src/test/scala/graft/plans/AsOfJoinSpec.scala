@@ -197,4 +197,25 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case e: BroadcastAsOfJoinExec => e
     }.nonEmpty, "tiny build side should auto-broadcast")
   }
+
+  test("AsOfJoinPruning: a select above the join narrows the scans") {
+    // wide parquet inputs, NO manual pre-projection — the optimizer rule
+    // must push the narrowing through the custom node into the scans
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"),
+        max($"value").as("unused_payload"))
+    val out = AsOfJoin.backward(ev, purchases, Seq("user_id"), "ts", "ts",
+        hint = AsOfJoin.Merge)
+      .select($"event_id", $"purchase_id")
+    val plan = out.queryExecution.executedPlan.toString
+    // the left events scan must not read props/value/event_type anymore
+    val leftScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("events.parquet")).toSeq
+    assert(leftScans.nonEmpty)
+    assert(!plan.contains("unused_payload"),
+      s"right payload not pruned:\n$plan")
+    // semantics unchanged by pruning
+    assert(out.count() === ev.count())
+  }
 }
