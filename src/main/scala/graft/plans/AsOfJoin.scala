@@ -143,18 +143,28 @@ object AsOfJoin {
   }
 }
 
-/** Column pruning through the as-of join: Catalyst's ColumnPruning does
-  * not traverse unknown nodes, so without this rule a `select` above an
-  * as-of join still scans EVERY input column. When the parent Project
-  * uses only a subset of the node's output, push narrowing Projects into
-  * both children (keys and time axes always survive — the merge needs
-  * them); the ordinary pruning rules then carry the narrow schema all
-  * the way into the parquet scan. Fires only when it strictly narrows a
-  * side, so the fixed-point batch terminates. */
+/** Column pruning and filter pushdown through the as-of join: Catalyst's
+  * stock rules do not traverse unknown nodes, so without this rule a
+  * `select`/`where` above an as-of join still scans EVERY input column
+  * and filters only AFTER the merge.
+  *
+  *  - Project parent: push narrowing Projects into both children (keys
+  *    and time axes always survive — the merge needs them); the stock
+  *    rules then carry the narrow schema into the parquet scan.
+  *  - Filter parent: a deterministic conjunct referencing ONLY left
+  *    columns pushes into the left child — sound because the join is a
+  *    1:1 left-outer map (each left row yields exactly one output row
+  *    with its left values intact, and dropping a left row never
+  *    changes another row's match). Conjuncts touching the right
+  *    payload stay above (they must see the nulls of unmatched rows).
+  *
+  * Each case fires only when it strictly narrows/pushes something, so
+  * the fixed-point batch terminates. */
 object AsOfJoinPruning
-    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
-  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(_, a: AsOfJoinPlan) =>
@@ -167,6 +177,15 @@ object AsOfJoinPruning
           keepR.length == a.right.output.length) p
       else p.copy(child = a.copy(
         left = Project(keepL, a.left), right = Project(keepR, a.right)))
+
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).fold(pushed: LogicalPlan)(Filter(_, pushed))
+      }
   }
 }
 

@@ -218,4 +218,26 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // semantics unchanged by pruning
     assert(out.count() === ev.count())
   }
+
+  test("AsOfJoinPruning: left-column filters push below the join") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    val joined = AsOfJoin.backward(ev, purchases, Seq("user_id"), "ts", "ts",
+      hint = AsOfJoin.Merge)
+    val filtered = joined.filter($"event_type" === "click" &&
+      $"purchase_id".isNotNull)
+    // left-only conjunct reaches the scan as a pushed filter; the
+    // right-payload conjunct must stay above the join (null semantics)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,click)"),
+      s"left filter not pushed to scan:\n$plan")
+    // semantics: identical to filtering the input first
+    val expected = AsOfJoin.backward(ev.filter($"event_type" === "click"),
+        purchases, Seq("user_id"), "ts", "ts", hint = AsOfJoin.Merge)
+      .filter($"purchase_id".isNotNull)
+    assert(filtered.count() === expected.count())
+    assert(filtered.except(expected).isEmpty)
+  }
 }
