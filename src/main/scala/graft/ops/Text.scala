@@ -205,6 +205,34 @@ object Text {
         col("avg_logprob"))
   }
 
+  /** Deterministic overlapping-window chunking — the doc → training/RAG
+    * unit splitter: windows of `chunkTokens` tokens starting every
+    * `chunkTokens - overlap` positions, so consecutive chunks share
+    * `overlap` tokens and no boundary sentence is lost to a hard cut.
+    * Every doc yields ≥ 1 chunk (short/empty docs yield exactly one);
+    * the final chunk may be shorter. Chunk text re-joins tokens with
+    * single spaces (whitespace-normalized — chunk identity is then a
+    * pure function of the token stream, stable across engines).
+    *
+    * Pure per-row explode: no shuffle, no state; chunk ids are
+    * (doc_id, chunk_idx), reproducible under any partitioning — safe to
+    * use as join keys for embeddings computed in a later pass. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("t")) - overlap, lit(1)), lit(stride)),
+          s => slice(col("t"), s, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("chunk_tokens"),
+        array_join(col("col"), " ").as("chunk"))
+  }
+
   // ------------------------------------------------------------------- PII
   // Conservative format-anchored patterns, written in the regex subset the
   // Java engine and RE2 (the oracle engine's dialect) interpret

@@ -1380,6 +1380,29 @@ object TrainingData {
                ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- q100
+    // Overlapping-window chunking (Text.chunk): docs → 64-token chunks
+    // with 16-token overlap, the doc→training/RAG unit splitter. Pure
+    // per-row explode (no shuffle); (doc_id, chunk_idx) ids are
+    // partition-independent, so embeddings computed later join back
+    // exactly. Full value oracle down to the rejoined chunk text.
+    QuerySpec(
+      "q100_chunking",
+      (s, d) =>
+        graft.ops.Text.chunk(T.documents(s, d), "doc_id", "text",
+            chunkTokens = 64, overlap = 16)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH $tokCte,
+        st AS (SELECT doc_id, t,
+            unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS s
+          FROM toks),
+        c AS (SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+            t[s : s + 63] AS ck FROM st)
+        SELECT doc_id, chunk_idx,
+          CAST(len(ck) AS BIGINT) AS chunk_tokens,
+          array_to_string(ck, ' ') AS chunk
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
     // ---------------------------------------------------------------- q98
     // The END-TO-END corpus build (ops.Curate.buildCorpus): quality →
     // entropy → fluency → near-dup → decontamination gates with pinned

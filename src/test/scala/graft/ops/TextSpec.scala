@@ -125,6 +125,26 @@ class TextSpec extends SparkSpec {
     assert(n === 30L)
   }
 
+  test("chunk: overlap coverage, short and empty docs, stable ids") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "just five little tokens here"),            // < chunk size
+      (3L, "")                                          // empty
+    ).toDF("doc_id", "text")
+    val out = Text.chunk(docs, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts at 1 and 49: chunks of 64 and 52 tokens, sharing 16
+    assert(d1.map(c => (c._2, c._3)).toSeq === Seq((0L, 64L), (1L, 52L)))
+    assert(d1(0)._4.endsWith("w64") && d1(1)._4.startsWith("w49"))
+    // every token appears in some chunk
+    assert(d1.flatMap(_._4.split(" ")).toSet.size === 100)
+    // short doc: exactly one whole chunk; empty doc: one empty chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 5L,
+      "just five little tokens here")))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, "")))
+  }
+
   test("bigramLogProbs: word salad collapses where unigram LM can't see it") {
     // same unigram multiset per doc — the natural docs repeat the
     // transition "the cat sat", the salad uses the same words with
