@@ -1403,6 +1403,46 @@ object TrainingData {
           array_to_string(ck, ' ') AS chunk
         FROM c ORDER BY doc_id, chunk_idx""")),
 
+    // ---------------------------------------------------------------- q101
+    // Chunk → pack composition: q100's overlapping chunks packed into
+    // 512-token training sequences per language (q50's cumulative-sum
+    // bin assignment over deterministic (doc_id, chunk_idx) order). The
+    // whole doc→chunk→sequence path a tokenizer feeds from, as ONE
+    // hash-checked plan: the chunk explode is shuffle-free and the only
+    // exchange is the per-language packing window.
+    QuerySpec(
+      "q101_chunk_pack",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val chunks = graft.ops.Text.chunk(docs, "doc_id", "text",
+            chunkTokens = 64, overlap = 16)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("ord",
+            col("doc_id") * 1000000L + col("chunk_idx"))
+        graft.ops.Sampling.packSequences(chunks, "lang", "ord",
+            "chunk_tokens", budget = 512L)
+          .select(col("doc_id"), col("chunk_idx"), col("lang"),
+            col("chunk_tokens"), col("seq_id"), col("seq_offset"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH $tokCte,
+        st AS (SELECT doc_id, t,
+            unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS s
+          FROM toks),
+        c AS (SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+            CAST(len(t[s : s + 63]) AS BIGINT) AS chunk_tokens FROM st),
+        j AS (SELECT c.doc_id, c.chunk_idx, d.lang, c.chunk_tokens,
+            c.doc_id * 1000000 + c.chunk_idx AS ord
+          FROM c JOIN documents d ON d.doc_id = c.doc_id),
+        w AS (SELECT doc_id, chunk_idx, lang, chunk_tokens,
+            CAST(SUM(chunk_tokens) OVER (PARTITION BY lang ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM j)
+        SELECT doc_id, chunk_idx, lang, chunk_tokens,
+          CAST(floor((cum - chunk_tokens) / 512) AS BIGINT) AS seq_id,
+          (cum - chunk_tokens) % 512 AS seq_offset
+        FROM w ORDER BY doc_id, chunk_idx""")),
+
     // ---------------------------------------------------------------- q98
     // The END-TO-END corpus build (ops.Curate.buildCorpus): quality →
     // entropy → fluency → near-dup → decontamination gates with pinned
