@@ -84,6 +84,12 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"q52 plans a nested-loop/cartesian join:\n${bad.mkString("\n")}")
   }
 
+  test("q100: chunking is a pure explode — no exchange except the output sort") {
+    val exchanges = initial("q100_chunking")
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, s"chunking should not shuffle: ${exchanges.size}")
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,

@@ -130,4 +130,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: native as-of ≡ reference scan, all modes, random inputs") {
+    import graft.plans.AsOfJoin
+    // random left rows and (key, time)-unique right rows, few keys so
+    // empty groups, singleton groups, and dense groups all occur
+    val sides = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 50L))),
+      Gen.listOfN(15, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 50L))))
+    forAllSampled(sides, n = 4) { case (lRows, rRowsRaw) =>
+      val rRows = rRowsRaw.distinct // unique (key, time) build side
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val right = rRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "rid")
+      // reference: per left row, linear scan over the right list
+      def expect(back: Boolean, tol: Option[Long]) = lRows.zipWithIndex.map {
+        case ((k, t), i) =>
+          val cands = rRows.zipWithIndex.filter { case ((rk, rt), _) =>
+            rk == k && (if (back) rt <= t else rt >= t) &&
+              tol.forall(b => math.abs(rt - t) <= b)
+          }
+          val best =
+            if (cands.isEmpty) None
+            else if (back) Some(cands.maxBy(_._1._2)._2.toLong)
+            else Some(cands.minBy(_._1._2)._2.toLong)
+          i.toLong -> best
+      }.toMap
+      for (back <- Seq(true, false); tol <- Seq(None, Some(7L));
+           hint <- Seq(AsOfJoin.Merge, AsOfJoin.Broadcast)) {
+        val out =
+          (if (back) AsOfJoin.backward(left, right, Seq("k"), "t", "t", tol, hint)
+           else AsOfJoin.forward(left, right, Seq("k"), "t", "t", tol, hint))
+            .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+        assert(out === expect(back, tol),
+          s"mismatch back=$back tol=$tol hint=$hint")
+      }
+    }
+  }
 }
