@@ -181,6 +181,30 @@ object SqlSurface {
         UNION ALL ${perFile("orders", "o_orderkey", "{SF_DIR}")}
         UNION ALL ${perFile("lineitem", "l_orderkey", "{SF_DIR}")}
         ORDER BY table_name, file_name"""
-      })
+      }),
+
+    // --------------------------------------------------------------- q102
+    // Correlated LATERAL join — top-2 orders PER CUSTOMER as the inner
+    // table of a lateral subquery with ORDER BY + LIMIT. Catalyst
+    // decorrelates this into a window/rank plan (DecorrelateInnerQuery),
+    // so the declared per-row-subquery shape executes as ONE set-based
+    // pass, not |customers| probes — the SQL front door's equivalent of
+    // q07's WindowGroupLimit. DuckDB runs the identical text.
+    QuerySpec(
+      "q102_lateral_topk",
+      sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             WHERE c.c_acctbal > 9900
+             ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             WHERE c.c_acctbal > 9900
+             ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""))
   )
 }
