@@ -99,22 +99,33 @@ object AsOfJoin {
       tolerance: Option[Long], hint: Hint): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
-    // Self-join safety: re-alias every right column so the node's two
-    // sides never share attribute ids (the analyzer dedups `Join`, not
-    // custom nodes). Null keys/times never match (SQL join semantics);
-    // the merge's natural ordering would treat NULL as a small value, so
-    // drop them from the build side up front.
-    val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
-      .where((on :+ rightTime).map(col(_).isNotNull).reduce(_ && _))
+    require(on.nonEmpty, "as-of join needs at least one equi-key column")
+    // Self-join safety: re-alias every right column (fresh exprIds — the
+    // analyzer dedups `Join`, not custom nodes) and drop null keys/times
+    // from the build side (SQL join semantics; the merge's natural
+    // ordering would otherwise treat NULL as a small value). Built as
+    // raw catalyst nodes, not `col(name)` — a column literally named
+    // "a.b" must stay a literal name, never a nested-field path.
     val lPlan = left.queryExecution.analyzed
-    val rPlan = rightFresh.queryExecution.analyzed
-    def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))
-        .getOrElse(throw new IllegalArgumentException(
-          s"as-of join column '$name' not in ${plan.output.map(_.name)}"))
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliased: LogicalPlan = org.apache.spark.sql.catalyst.plans.logical
+      .Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def resolve(plan: LogicalPlan, name: String): Attribute = {
+      val hits =
+        plan.output.filter(a => spark.sessionState.analyzer.resolver(a.name, name))
+      require(hits.nonEmpty,
+        s"as-of join column '$name' not in ${plan.output.map(_.name)}")
+      require(hits.size == 1,
+        s"as-of join column '$name' is ambiguous (${hits.size} matches)")
+      hits.head
+    }
+    val rKeys = on.map(resolve(rAliased, _))
+    val rTime = resolve(rAliased, rightTime)
+    val rPlan: LogicalPlan = org.apache.spark.sql.catalyst.plans.logical
+      .Filter((rKeys :+ rTime).map(IsNotNull).reduce[Expression](And), rAliased)
     val node = AsOfJoinPlan(
-      on.map(resolve(lPlan, _)), on.map(resolve(rPlan, _)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      on.map(resolve(lPlan, _)), rKeys,
+      resolve(lPlan, leftTime), rTime,
       dir, tolerance, hint, lPlan, rPlan)
     require(node.leftKeys.map(_.dataType) == node.rightKeys.map(_.dataType),
       "as-of join key types must match on both sides")
@@ -130,16 +141,38 @@ object AsOfJoin {
   }
 
   /** Idempotent runtime registration for sessions not built with
-    * `spark.sql.extensions=graft.GraftExtensions` (the driver's). */
+    * `spark.sql.extensions=graft.GraftExtensions` (the driver's). An
+    * extensions-built session already carries both (checked via the
+    * planner/optimizer, not just `experimental`) — don't double-run the
+    * rule there. Note the runtime-registered pruning rule executes in
+    * the late "User Provided Optimizers" batch: for V1 parquet scans
+    * (the default) pruning still reaches the scan, but a DSv2 scan's
+    * schema is fixed earlier — use the extensions registration when
+    * running on pure-DSv2 sources. */
   def ensureStrategy(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy) &&
+        !spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning) &&
+        !spark.sessionState.optimizer.batches
+          .exists(_.rules.contains(AsOfJoinPruning))) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsOfJoinPruning
     }
+  }
+}
+
+/** The USING-style output contract shared by the logical node and both
+  * physical operators: left columns ++ right payload (right keys/time
+  * dropped — they'd duplicate the left's), right side forced nullable. */
+private[plans] object AsOfOutput {
+  def apply(leftOut: Seq[Attribute], rightOut: Seq[Attribute],
+      rightKeys: Seq[Attribute], rightTime: Attribute): Seq[Attribute] = {
+    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
+    leftOut ++ rightOut.filterNot(a => dropped(a.exprId))
+      .map(_.withNullability(true))
   }
 }
 
@@ -201,11 +234,8 @@ case class AsOfJoinPlan(
     direction: AsOfJoin.Direction,
     tolerance: Option[Long], hint: AsOfJoin.Hint,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
-  def rightPayload: Seq[Attribute] = {
-    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
-    right.output.filterNot(a => dropped(a.exprId)).map(_.withNullability(true))
-  }
-  override def output: Seq[Attribute] = left.output ++ rightPayload
+  override def output: Seq[Attribute] =
+    AsOfOutput(left.output, right.output, rightKeys, rightTime)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -283,11 +313,8 @@ case class AsOfJoinExec(
     direction: AsOfJoin.Direction, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = {
-    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
-    left.output ++
-      right.output.filterNot(a => dropped(a.exprId)).map(_.withNullability(true))
-  }
+  override def output: Seq[Attribute] =
+    AsOfOutput(left.output, right.output, rightKeys, rightTime)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -358,9 +385,17 @@ case class AsOfJoinExec(
 
       var rHead: InternalRow = null        // next unconsumed right row
       var rHeadKt: UnsafeRow = null        // its (key, time) projection
-      def advanceRight(): Unit =
-        if (rIter.hasNext) { rHead = rIter.next(); rHeadKt = rProj(rHead) }
-        else { rHead = null; rHeadKt = null }
+      // the API layer null-filters the build side, but the exec must not
+      // DEPEND on that: a null key/time row constructed through the
+      // public case class would sort first and poison lastMatch
+      def advanceRight(): Unit = {
+        rHead = null; rHeadKt = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val kt = rProj(r)
+          if (!kt.anyNull) { rHead = r; rHeadKt = kt }
+        }
+      }
       advanceRight()
 
       // Backward state: last consumed same-key right row (copied — the
@@ -440,11 +475,8 @@ case class BroadcastAsOfJoinExec(
     direction: AsOfJoin.Direction, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = {
-    val dropped = (rightKeys :+ rightTime).map(_.exprId).toSet
-    left.output ++
-      right.output.filterNot(a => dropped(a.exprId)).map(_.withNullability(true))
-  }
+  override def output: Seq[Attribute] =
+    AsOfOutput(left.output, right.output, rightKeys, rightTime)
 
   // probe side passes through untouched — partitioning AND ordering hold
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -481,6 +513,10 @@ case class BroadcastAsOfJoinExec(
     val collected = right.executeCollect()
     longMetric("buildRows") += collected.length
     collected
+      // defensive: null keys/times never match (the API layer filters
+      // them, but a directly-constructed exec must not read a NULL time
+      // as epoch 0 and match it)
+      .filter(r => !rKeyProj(r).anyNull && !rTimeProj(r).isNullAt(0))
       .map(r => (rKeyProj(r).copy(), timeOf(rTimeProj(r), 0), r))
       .groupBy(_._1)
       .foreach { case (k, rows) =>

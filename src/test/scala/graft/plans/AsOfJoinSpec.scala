@@ -219,6 +219,19 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() === ev.count())
   }
 
+  test("duplicate-named columns raise instead of silently binding the first") {
+    val dup = trades.select($"sym", $"tts", $"tts", $"tid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(dup, quotes, Seq("sym"), "tts", "qts")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // empty key list is rejected up front, uniformly across hints
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, quotes, Seq.empty, "tts", "qts")
+    }
+    assert(e2.getMessage.contains("equi-key"))
+  }
+
   test("AsOfJoinPruning: left-column filters push below the join") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"ts", $"event_type")
