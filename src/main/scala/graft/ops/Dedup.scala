@@ -730,7 +730,11 @@ object Dedup {
     // the duplicated-window join probe — without the cache every window's
     // tokenize + 8-token concat + MD5 is computed twice (measured ~20%
     // of q80's wall time at sf0.1). Narrow (id, pos, h) rows only,
-    // spill-safe, same pattern as the cached MinHash signature table.
+    // spill-safe, same pattern as the cached MinHash signature table —
+    // and like that table the cache entry deliberately lives for the
+    // session (a lazily-evaluated result can't unpersist behind its own
+    // consumer; Spark evicts LRU under memory pressure, and
+    // `spark.catalog.clearCache()` reclaims it explicitly).
     val wins = toked
       .select(col("doc_id"), posexplode(
         when(size(col("t")) >= w,

@@ -476,15 +476,18 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val d = docs.select(col(idCol).as("doc_id"), col(vecCol).as("dv"))
     val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
-    d.join(broadcast(b))
+    // LEFT join, not inner: an empty benchmark set must yield every doc
+    // with contaminated=false, not silently drop the whole corpus
+    d.join(broadcast(b), lit(true), "left")
       .select(col("doc_id"), col("bench_id"),
         cosine(col("dv"), col("bv")).as("cos"))
       // argmax with smallest-bench-id tiebreak, as one associative max
+      // (null cos rows — the unmatched-left case — are ignored by max)
       .groupBy(col("doc_id"))
       .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
       .select(col("doc_id"), (-col("m.nb")).as("nearest_bench_id"),
         col("m.cos").as("max_cos"),
-        (col("m.cos") >= threshold).as("contaminated"))
+        coalesce(col("m.cos") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions.col
   *
   * Determinism: if several right rows share the match (key, time) the
   * winner is positional — pre-dedup the right side per (key, time) for a
-  * deterministic result (the registered queries q85/q86 do, mirroring
+  * deterministic result (the registered queries q90/q92 do, mirroring
   * what DuckDB's ASOF requires of its build side).
   *
   * Column pruning: Catalyst's own ColumnPruning does not traverse an
@@ -177,13 +177,22 @@ private[plans] object AsOfOutput {
 }
 
 /** Column pruning and filter pushdown through the as-of join: Catalyst's
-  * stock rules do not traverse unknown nodes, so without this rule a
-  * `select`/`where` above an as-of join still scans EVERY input column
-  * and filters only AFTER the merge.
+  * stock rules do not traverse unknown nodes, so without this rule ANY
+  * parent above an as-of join still scans EVERY input column and filters
+  * only AFTER the merge.
   *
-  *  - Project parent: push narrowing Projects into both children (keys
-  *    and time axes always survive — the merge needs them); the stock
-  *    rules then carry the narrow schema into the parquet scan.
+  *  - Column pruning: a top-down required-attribute pass. Column-boundary
+  *    parents (Project, Aggregate — nodes whose output is fully
+  *    determined by their expressions) reset the requirement to their
+  *    `references`; known pass-through parents (Filter, Sort, limits,
+  *    Window, Generate, Join, …) forward the ancestors' requirement plus
+  *    their own references; UNKNOWN nodes conservatively require
+  *    everything. At each [[AsOfJoinPlan]] the surviving requirement
+  *    (keys and time axes always added — the merge needs them) becomes a
+  *    narrowing Project over each child, which V1 physical planning and
+  *    the stock rules carry into the parquet scan. So an
+  *    `agg(max(payload))` DIRECTLY above the join — no hand
+  *    pre-projection — still yields a narrow `ReadSchema` (spec-pinned).
   *  - Filter parent: a deterministic conjunct referencing ONLY left
   *    columns pushes into the left child — sound because the join is a
   *    1:1 left-outer map (each left row yields exactly one output row
@@ -191,35 +200,67 @@ private[plans] object AsOfOutput {
   *    changes another row's match). Conjuncts touching the right
   *    payload stay above (they must see the nulls of unmatched rows).
   *
-  * Each case fires only when it strictly narrows/pushes something, so
+  * Each step fires only when it strictly narrows/pushes something, so
   * the fixed-point batch terminates. */
 object AsOfJoinPruning
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
     with PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
+    Distinct, Filter, Generate, GlobalLimit, Join, LocalLimit, Offset,
+    Project, Repartition, RepartitionByExpression, Sample, Sort,
+    SubqueryAlias, Window}
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(_, a: AsOfJoinPlan) =>
-      val needed = AttributeSet(p.projectList.flatMap(_.references)) ++
-        AttributeSet(a.leftKeys) ++ AttributeSet(a.rightKeys) ++
-        AttributeSet(Seq(a.leftTime, a.rightTime))
-      val keepL = a.left.output.filter(needed.contains)
-      val keepR = a.right.output.filter(needed.contains)
-      if (keepL.length == a.left.output.length &&
-          keepR.length == a.right.output.length) p
-      else p.copy(child = a.copy(
-        left = Project(keepL, a.left), right = Project(keepR, a.right)))
-
-    case f @ Filter(cond, a: AsOfJoinPlan) =>
-      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
-        c.deterministic && c.references.subsetOf(a.left.outputSet))
-      if (push.isEmpty) f
-      else {
-        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
-        keep.reduceOption(And).fold(pushed: LogicalPlan)(Filter(_, pushed))
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!plan.exists(_.isInstanceOf[AsOfJoinPlan])) return plan
+    val pushed = plan.transform {
+      case f @ Filter(cond, a: AsOfJoinPlan) =>
+        val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+          c.deterministic && c.references.subsetOf(a.left.outputSet))
+        if (push.isEmpty) f
+        else {
+          val filtered = a.copy(left = Filter(push.reduce(And), a.left))
+          keep.reduceOption(And).fold(filtered: LogicalPlan)(Filter(_, filtered))
+        }
+    }
+    prune(pushed, pushed.outputSet)
   }
+
+  /** Top-down pass: `required` = the attributes of `node`'s output its
+    * ancestors still need. Only [[AsOfJoinPlan]] consumes the set (to
+    * narrow its children); every other case just propagates it with the
+    * correct per-node-type semantics, defaulting to require-everything
+    * for operators this rule doesn't know. */
+  private def prune(node: LogicalPlan, required: AttributeSet): LogicalPlan =
+    node match {
+      case a: AsOfJoinPlan =>
+        val needed = required ++ AttributeSet(a.leftKeys) ++
+          AttributeSet(a.rightKeys) ++
+          AttributeSet(Seq(a.leftTime, a.rightTime))
+        def narrowed(child: LogicalPlan): LogicalPlan = {
+          val keep = child.output.filter(needed.contains)
+          val inner = prune(child, AttributeSet(keep))
+          if (keep.length == child.output.length) inner
+          else Project(keep, inner)
+        }
+        val (l, r) = (narrowed(a.left), narrowed(a.right))
+        if ((l eq a.left) && (r eq a.right)) a
+        else a.copy(left = l, right = r)
+      // column boundaries: output is fully determined by the node's own
+      // expressions, so children owe exactly the node's references
+      case p: Project => p.mapChildren(prune(_, p.references))
+      case ag: Aggregate => ag.mapChildren(prune(_, ag.references))
+      // pass-through operators (output ⊇ child output, same exprIds):
+      // children owe the ancestors' requirement plus this node's own
+      case u @ (_: Filter | _: Sort | _: LocalLimit | _: GlobalLimit |
+                _: Offset | _: SubqueryAlias | _: Distinct | _: Deduplicate |
+                _: Repartition | _: RepartitionByExpression | _: Sample |
+                _: Window | _: Generate | _: Join) =>
+        u.mapChildren(c =>
+          prune(c, (required ++ u.references).intersect(c.outputSet)))
+      // unknown operator: conservative — children keep every column
+      case other => other.mapChildren(c => prune(c, c.outputSet))
+    }
 }
 
 /** Logical as-of join. USING-join-style output: left columns ++ the right
@@ -454,18 +495,56 @@ case class AsOfJoinExec(
   }
 }
 
+/** The probe-side index over a broadcast build side: per join key, the
+  * build rows time-sorted plus their extracted times — probe rows
+  * binary-search `times` and index `rows` at the found slot. */
+private[plans] final class AsOfGroups(
+    val groups: java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])])
+
+/** Executor-local memo of [[AsOfGroups]] indexes, so the per-key sort of
+  * a broadcast build side runs ONCE per executor, not once per task.
+  *
+  * Keyed by the IDENTITY of the broadcast `Array[InternalRow]` — each
+  * executor materializes a broadcast value exactly once, so every task
+  * of every partition sees the same array instance — plus a descriptor
+  * of the key/time ordinals (two joins may index the same broadcast
+  * differently). The outer map is weak: when the executor's block
+  * manager drops the broadcast block, the index entry is collectable
+  * with it, so the cache can never outgrow the set of LIVE broadcasts. */
+private[plans] object AsOfGroupsCache {
+  private val cache = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[String, AsOfGroups]]()
+  def getOrBuild(rows: AnyRef, descriptor: String)
+      (build: () => AsOfGroups): AsOfGroups =
+    cache.synchronized {
+      var m = cache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AsOfGroups]()
+        cache.put(rows, m)
+      }
+      m
+    }.computeIfAbsent(descriptor, _ => build())
+}
+
 /** Physical broadcast as-of join — the dimension-sized-build-side plan.
   *
-  * The build (right) side is collected to the driver, grouped per key
-  * into a time-sorted array, and broadcast once; the probe (left) side
-  * then streams IN PLACE: no shuffle, no sort, no pipeline break — each
-  * left row binary-searches its key's time array. At 100 TB this is the
-  * difference between re-shuffling the whole fact table and touching it
-  * exactly once where it already lives (the same judgment call Spark
-  * itself makes for BroadcastHashJoin, applied to the as-of shape).
+  * The build (right) side is required to arrive as a
+  * `BroadcastDistribution(IdentityBroadcastMode)`: `EnsureRequirements`
+  * plants a standard `BroadcastExchangeExec`, so the build rows are
+  * collected and shipped inside Spark's broadcast machinery — memory
+  * accounting, size/row limits, job-group attribution — and the exchange
+  * is visible to AQE and reusable via `ReuseExchange` across plans (the
+  * identity mode canonicalizes trivially). Each executor then folds the
+  * broadcast rows into a per-key time-sorted index once
+  * ([[AsOfGroupsCache]]); the probe (left) side streams IN PLACE: no
+  * shuffle, no sort, no pipeline break — each left row binary-searches
+  * its key's time array. At 100 TB this is the difference between
+  * re-shuffling the whole fact table and touching it exactly once where
+  * it already lives (the same judgment call Spark itself makes for
+  * BroadcastHashJoin, applied to the as-of shape).
   *
-  * Build-side cost: O(|right|) driver memory + one broadcast; probe
-  * cost: O(log groupSize) per row. Guarded by
+  * Build-side cost: one broadcast of the O(|right|) rows + one per-
+  * executor index fold; probe cost: O(log groupSize) per row. Guarded by
   * `spark.sql.autoBroadcastJoinThreshold` under `Auto`, or forced via
   * `hint = Broadcast` when the caller knows the dimension is small.
   */
@@ -481,6 +560,13 @@ case class BroadcastAsOfJoinExec(
   // probe side passes through untouched — partitioning AND ordering hold
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def requiredChildDistribution:
+      Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode
+      ) :: Nil
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -506,27 +592,35 @@ case class BroadcastAsOfJoinExec(
     val outRows = longMetric("numOutputRows")
     val matchedRows = longMetric("numMatched")
 
-    // ---- build (driver): key -> (sorted times, rows in that order)
-    val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-    val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
-    val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
-    val collected = right.executeCollect()
-    longMetric("buildRows") += collected.length
-    collected
-      // defensive: null keys/times never match (the API layer filters
-      // them, but a directly-constructed exec must not read a NULL time
-      // as epoch 0 and match it)
-      .filter(r => !rKeyProj(r).anyNull && !rTimeProj(r).isNullAt(0))
-      .map(r => (rKeyProj(r).copy(), timeOf(rTimeProj(r), 0), r))
-      .groupBy(_._1)
-      .foreach { case (k, rows) =>
-        val sorted = rows.sortBy(_._2)
-        built.put(k, (sorted.map(_._2), sorted.map(_._3: InternalRow)))
-      }
-    val bc = sparkContext.broadcast(built)
+    // the exchange child collected + broadcast the build rows under
+    // Spark's broadcast accounting (see class doc)
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    longMetric("buildRows") += bc.value.length
+    // which ordinals this join indexes the broadcast rows by — the cache
+    // key alongside the array identity
+    val descriptor = (rKeys.map(rOut.indexOf) :+ rOut.indexOf(rTime))
+      .mkString("k", ",", "")
 
     left.execute().mapPartitions { lIter =>
-      val groups = bc.value
+      val groups = AsOfGroupsCache.getOrBuild(bc.value, descriptor) { () =>
+        // key -> (sorted times, rows in that order); null keys/times never
+        // match (the API layer filters them, but a directly-constructed
+        // exec must not read a NULL time as epoch 0 and match it). The
+        // broadcast rows are materialized copies — safe to reference.
+        val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+        val built =
+          new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
+        bc.value
+          .filter(r => !rKeyProj(r).anyNull && !rTimeProj(r).isNullAt(0))
+          .map(r => (rKeyProj(r).copy(), timeOf(rTimeProj(r), 0), r))
+          .groupBy(_._1)
+          .foreach { case (k, rws) =>
+            val sorted = rws.sortBy(_._2)
+            built.put(k, (sorted.map(_._2), sorted.map(_._3: InternalRow)))
+          }
+        new AsOfGroups(built)
+      }.groups
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val resultProj =

@@ -702,12 +702,13 @@ object Advanced {
         ORDER BY click_id""")),
 
     // ---------------------------------------------------------------- q92
-    // q85 through the BROADCAST as-of plan (BroadcastAsOfJoinExec): the
-    // purchases dimension is collected/broadcast once and the click side
-    // streams IN PLACE — zero shuffle, zero sort on the probe (the plan
-    // a 100 TB fact ⋈ dimension as-of should pick; PlanSpec asserts no
-    // exchange exists below the operator). Same DuckDB ASOF oracle as
-    // q85 ⇒ the two physical paths are hash-proven interchangeable.
+    // q90 through the BROADCAST as-of plan (BroadcastAsOfJoinExec): the
+    // purchases dimension is built into a broadcast relation once and the
+    // click side streams IN PLACE — zero shuffle, zero sort on the probe
+    // (the plan a 100 TB fact ⋈ dimension as-of should pick; PlanSpec
+    // asserts no exchange exists below the operator). Same DuckDB ASOF
+    // oracle as q90 ⇒ the two physical paths are hash-proven
+    // interchangeable.
     QuerySpec(
       "q92_asof_broadcast",
       (s, d) => {

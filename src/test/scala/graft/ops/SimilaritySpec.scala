@@ -108,6 +108,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L)._3 === false)
   }
 
+  test("decontaminate: empty benchmark keeps every doc, contaminated=false") {
+    val out = Similarity.decontaminate(
+        vecs.filter($"vec_id" >= 2), vecs.filter($"vec_id" < 0),
+        "vec_id", "embedding", threshold = 0.5)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet ===
+      vecs.filter($"vec_id" >= 2).select($"vec_id").as[Long].collect().toSet)
+    assert(out.forall(!_.getAs[Boolean]("contaminated")))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("max_cos"))))
+  }
+
   test("semDeDup: kept set has no intra-cell pair above threshold") {
     // 5 tight clusters × 20 near-identical members: intra-cluster cosine
     // ≥ ~0.99 — SemDeDup should keep ~1 doc per cluster

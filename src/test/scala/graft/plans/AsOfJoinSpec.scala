@@ -169,6 +169,46 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       ex.head.toString)
   }
 
+  test("broadcast build side arrives through a real BroadcastExchange") {
+    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "tts", "qts",
+      hint = AsOfJoin.Broadcast)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // the build index is produced INSIDE Spark's broadcast machinery
+    // (memory-accounted, AQE/ReuseExchange-visible), not by a bare
+    // driver-side executeCollect
+    val exch = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    assert(exch.nonEmpty, plan.toString)
+    import org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode
+    assert(exch.head.mode == IdentityBroadcastMode, exch.head.mode.toString)
+  }
+
+  test("AsOfJoinPruning: an aggregate directly above the join narrows the probe scan") {
+    // wide parquet input, NO hand pre-projection, and the join's parent is
+    // an Aggregate (not a Project) — the rule must still push the needed
+    // column set through the custom node into the probe-side scan
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    val out = AsOfJoin.backward(ev, purchases, Seq("user_id"), "ts", "ts",
+        hint = AsOfJoin.Merge)
+      .agg(max($"purchase_id").as("latest_purchase"))
+    val joinNode = out.queryExecution.optimizedPlan.collectFirst {
+      case a: AsOfJoinPlan => a
+    }.get
+    // probe child narrowed to exactly the columns the merge + agg need
+    assert(joinNode.left.output.map(_.name).toSet === Set("user_id", "ts"),
+      out.queryExecution.optimizedPlan.toString)
+    // and the physical probe-side scan reads a narrow schema (no props)
+    val scans = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Scan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(!_.contains("props")),
+      scans.mkString("\n"))
+    // semantics unchanged by pruning
+    assert(out.as[Option[Long]].head().nonEmpty)
+  }
+
   test("broadcast and merge paths agree on a generated workload, all modes") {
     val left = spark.range(3000).select(
       (col("id") % 37).as("k"),
