@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => graft.plans.RangeJoinBinning(session))
     // native as-of join: AsOfJoinPlan → AsOfJoinExec (sort-merge)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL front door: SELECT ... FROM asof_join(TABLE(l), TABLE(r), …)
+    ext.injectTableFunction(graft.plans.AsOfJoin.tvfRegistration)
     // column pruning through the (otherwise opaque) as-of node
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }

@@ -140,6 +140,120 @@ object AsOfJoin {
     GraftPlanBridge.ofRows(spark, node)
   }
 
+  /** Builder for the `asof_join` table-valued function — the SQL front
+    * door to the native operator, so a SQL-only user reaches the same
+    * plan DuckDB's `ASOF LEFT JOIN` syntax gives them:
+    *
+    * {{{
+    *   SELECT * FROM asof_join(TABLE(trades), TABLE(quotes),
+    *                           'sym', 'tts', 'qts', 'backward')
+    * }}}
+    *
+    * Positional arguments: TABLE(left), TABLE(right), the equi-key
+    * column list (comma-separated), the left and right time columns,
+    * then optionally direction (`'backward'` (default) | `'forward'`),
+    * tolerance (integral literal in the time axis's native unit —
+    * MICROSECONDS for timestamps), and the physical hint (`'auto'`
+    * (default) | `'merge'` | `'broadcast'`). TABLE args take a
+    * table/view name or an inline subquery (`TABLE(SELECT …)`); a
+    * WITH-clause CTE name is rejected with a workaround message (the arg
+    * plan analyzes outside the enclosing tree, where a CTE ref dangles).
+    *
+    * The table arguments arrive as
+    * `FunctionTableSubqueryArgumentExpression`s; their plans are analyzed
+    * here (nested, same session) and handed to [[backward]]/[[forward]],
+    * so every validation and self-join safety rule of the Scala API
+    * applies verbatim to the SQL door. Registered by
+    * [[graft.GraftExtensions]] (`injectTableFunction`) or at runtime via
+    * [[ensureSqlDoor]]. */
+  private[graft] def tvfBuilder(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      FunctionTableSubqueryArgumentExpression => TableArg}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(args.length >= 5 && args.length <= 8,
+      "usage: asof_join(TABLE(left), TABLE(right), 'k1[,k2…]', " +
+        "'leftTime', 'rightTime'[, 'backward'|'forward'[, tolerance[, " +
+        "'auto'|'merge'|'broadcast']]])")
+    val spark = SparkSession.active
+    def tableArg(i: Int): DataFrame = args(i) match {
+      case t: TableArg =>
+        require(t.partitionByExpressions.isEmpty &&
+            t.orderByExpressions.isEmpty,
+          "asof_join TABLE args take no PARTITION BY / ORDER BY — keys " +
+            "and times are the function's scalar arguments")
+        // the arg plan is analyzed HERE, outside the enclosing query's
+        // tree — a WITH-clause name would arrive as a dangling
+        // CTERelationRef that cannot resolve in isolation; fail with the
+        // workaround instead of an analyzer internal error
+        if (t.plan.collectFirst({
+          case r: org.apache.spark.sql.catalyst.plans.logical
+            .CTERelationRef => r }).nonEmpty) {
+          throw new IllegalArgumentException(
+            "asof_join TABLE args cannot name a WITH-clause CTE — inline " +
+              "the subquery (TABLE(SELECT …)) or use a temp view")
+        }
+        GraftPlanBridge.ofRows(spark, t.plan)
+      case other => throw new IllegalArgumentException(
+        s"asof_join argument ${i + 1} must be TABLE(...), got: ${other.sql}")
+    }
+    def str(i: Int, what: String): String = args(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_join $what (argument ${i + 1}) must be a string literal, " +
+          s"got: ${other.sql}")
+    }
+    val (left, right) = (tableArg(0), tableArg(1))
+    val on = str(2, "key list").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val (lt, rt) = (str(3, "left time column"), str(4, "right time column"))
+    val tol: Option[Long] =
+      if (args.length <= 6) None
+      else args(6) match {
+        case Literal(null, _) => None // NULL = unbounded, skips to the hint
+        case Literal(v: Long, LongType) => Some(v)
+        case Literal(v: Int, IntegerType) => Some(v.toLong)
+        case other => throw new IllegalArgumentException(
+          s"asof_join tolerance (argument 7) must be an integral literal " +
+            s"or NULL, got: ${other.sql}")
+      }
+    val hint =
+      if (args.length <= 7) Auto
+      else str(7, "hint").toLowerCase match {
+        case "auto" => Auto
+        case "merge" => Merge
+        case "broadcast" => Broadcast
+        case other => throw new IllegalArgumentException(
+          s"unknown asof_join hint '$other' (want auto|merge|broadcast)")
+      }
+    val joined =
+      (if (args.length <= 5) "backward" else str(5, "direction").toLowerCase) match {
+        case "backward" => backward(left, right, on, lt, rt, tol, hint)
+        case "forward"  => forward(left, right, on, lt, rt, tol, hint)
+        case other => throw new IllegalArgumentException(
+          s"unknown asof_join direction '$other' (want backward|forward)")
+      }
+    joined.queryExecution.analyzed
+  }
+
+  /** The `asof_join` TVF registration triple for
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def tvfRegistration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("asof_join"),
+      new ExpressionInfo(AsOfJoin.getClass.getName, "asof_join"),
+      tvfBuilder _)
+
+  /** Idempotent runtime registration of [[ensureStrategy]] plus the
+    * `asof_join` table-valued function, for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions` (the driver's). */
+  def ensureSqlDoor(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    val (ident, info, builder) = tvfRegistration
+    val reg = spark.sessionState.tableFunctionRegistry
+    if (!reg.functionExists(ident)) {
+      reg.registerFunction(ident, info, builder)
+    }
+  }
+
   /** Idempotent runtime registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions` (the driver's). An
     * extensions-built session already carries both (checked via the

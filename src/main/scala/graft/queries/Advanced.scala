@@ -674,6 +674,39 @@ object Advanced {
         ORDER BY click_id"""),
       headline = true),
 
+    // --------------------------------------------------------------- q90b
+    // q90 through the SQL FRONT DOOR: the entire query is SQL text — the
+    // native operator is reached via the `asof_join` table-valued
+    // function (AsOfJoin.tvfBuilder, registered by GraftExtensions'
+    // injectTableFunction or AsOfJoin.ensureSqlDoor), the engine-parity
+    // answer to DuckDB's `ASOF LEFT JOIN` syntax the oracle itself uses.
+    // Identical oracle and hash as q90 ⇒ the SQL door and the Scala API
+    // are proven to produce the same operator (PlanSpec asserts the text
+    // plans AsOfJoinExec).
+    QuerySpec(
+      "q90b_asof_sql",
+      (s, d) => {
+        graft.plans.AsOfJoin.ensureSqlDoor(s)
+        T.events(s, d).createOrReplaceTempView("graft_q90b_events")
+        s.sql("""
+          SELECT click_id, user_id, unix_micros(ts) AS ts_us, purchase_id
+          FROM asof_join(
+            TABLE(SELECT user_id, ts, event_id AS click_id
+                  FROM graft_q90b_events WHERE event_type = 'click'),
+            TABLE(SELECT user_id, ts, MAX(event_id) AS purchase_id
+                  FROM graft_q90b_events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts),
+            'user_id', 'ts', 'ts', 'backward', NULL, 'merge')
+          ORDER BY click_id""")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          p.purchase_id
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY click_id""")),
+
     // ---------------------------------------------------------------- q91
     // q60's FORWARD as-of (time-to-next-purchase) through the same
     // native operator — the merge halts on (never consumes) the first

@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"chunking should not shuffle: ${exchanges.size}")
   }
 
+  test("q90b: pure SQL text through the asof_join TVF plans AsOfJoinExec") {
+    val p = initial("q90b_asof_sql")
+    assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
+      s"the SQL door did not reach the native operator:\n$p")
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,

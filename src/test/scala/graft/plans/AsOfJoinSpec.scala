@@ -259,6 +259,72 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() === ev.count())
   }
 
+  test("SQL door: asof_join TVF matches the Scala API, all positional args") {
+    AsOfJoin.ensureSqlDoor(spark)
+    trades.createOrReplaceTempView("asof_tvf_trades")
+    quotes.createOrReplaceTempView("asof_tvf_quotes")
+    val out = spark.sql(
+      """SELECT tid, px FROM asof_join(TABLE(asof_tvf_trades),
+           TABLE(asof_tvf_quotes), 'sym', 'tts', 'qts')""")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> Some(3.0), 5L -> Some(10.0), 6L -> None))
+    // direction + tolerance + hint, fully positional
+    val fwd = spark.sql(
+      """SELECT tid, px FROM asof_join(TABLE(asof_tvf_trades),
+           TABLE(asof_tvf_quotes), 'sym', 'tts', 'qts',
+           'forward', 10000000, 'merge')""")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fwd === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> None,
+      4L -> None, 5L -> None, 6L -> None))
+    // NULL tolerance = unbounded, skips through to the hint argument
+    val nullTol = spark.sql(
+      """SELECT tid, px FROM asof_join(TABLE(asof_tvf_trades),
+           TABLE(asof_tvf_quotes), 'sym', 'tts', 'qts',
+           'backward', NULL, 'broadcast')""")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(nullTol === out)
+  }
+
+  test("SQL door: TABLE takes inline subqueries; CTE names fail loudly") {
+    AsOfJoin.ensureSqlDoor(spark)
+    trades.createOrReplaceTempView("asof_tvf_trades")
+    quotes.createOrReplaceTempView("asof_tvf_quotes")
+    val inline = spark.sql(
+      """SELECT tid, px FROM asof_join(
+           TABLE(SELECT * FROM asof_tvf_trades WHERE tid <= 4),
+           TABLE(SELECT * FROM asof_tvf_quotes), 'sym', 'tts', 'qts')""")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(inline === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0), 4L -> Some(3.0)))
+    // a WITH-clause name would dangle when the arg plan analyzes outside
+    // the enclosing tree — the door must say so, not internal-error
+    val e = intercept[Exception] {
+      spark.sql(
+        """WITH t AS (SELECT sym, tts, tid FROM asof_tvf_trades)
+           SELECT tid, px FROM asof_join(TABLE(t), TABLE(asof_tvf_quotes),
+             'sym', 'tts', 'qts')""").collect()
+    }
+    assert(e.getMessage.contains("CTE"), e.getMessage)
+  }
+
+  test("SQL door: malformed calls raise clear errors") {
+    AsOfJoin.ensureSqlDoor(spark)
+    trades.createOrReplaceTempView("asof_tvf_trades")
+    quotes.createOrReplaceTempView("asof_tvf_quotes")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(TABLE(asof_tvf_trades), 'notatable', 'sym', 'tts', 'qts')").collect()
+    }
+    assert(e1.getMessage.contains("must be TABLE("), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("""SELECT * FROM asof_join(TABLE(asof_tvf_trades),
+        TABLE(asof_tvf_quotes), 'sym', 'tts', 'qts', 'sideways')""").collect()
+    }
+    assert(e2.getMessage.contains("direction"), e2.getMessage)
+  }
+
   test("duplicate-named columns raise instead of silently binding the first") {
     val dup = trades.select($"sym", $"tts", $"tts", $"tid")
     val e = intercept[IllegalArgumentException] {
