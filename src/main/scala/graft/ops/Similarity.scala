@@ -501,17 +501,29 @@ object Similarity {
     * dropping a transitive neighbor a clique-exact method would keep).
     *
     * Scale shape: pair work is Σ|cell|² not |corpus|², bounded by cell
-    * granularity (`nCells` scales with corpus so cells stay ~10⁴-10⁵);
-    * the join is a plain shuffled hash join on the cell id, so AQE skew
+    * granularity — so `nCells` MUST scale with the corpus. The default
+    * (`nCells = -1`, auto) therefore derives the cell count from an
+    * actual corpus count via [[semDeDupCells]] (cells ≈ `targetCellRows`
+    * ≈ 10⁵ rows each) instead of trusting a constant: a caller who kept
+    * a fixed 16 at 10⁹ docs would get Σ|cell|² ≈ (n/16)²·16. The count
+    * is one metadata-weight pass (parquet row-group footers); pass an
+    * explicit `nCells` to skip it when the corpus size is known. The
+    * pair join is a plain shuffled hash join on the cell id, so AQE skew
     * handling applies to a hot cell. Cross-cell duplicates are the
     * recall trade — the standard SemDeDup regime. Returns
     * (doc_id, cell, kept).
     */
   def semDeDup(docs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 16,
-      maxFitRows: Int = 100000): DataFrame = {
+      threshold: Double, nCells: Int = -1,
+      maxFitRows: Int = 100000, targetCellRows: Long = 100000L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val centers = ivfCentroids(docs, vecCol, nCells, maxFitRows)
+    val k = if (nCells > 0) nCells
+            else {
+              val n = docs.count()
+              // never more cells than rows (k-means can't place them)
+              math.max(1L, math.min(n, semDeDupCells(n, targetCellRows))).toInt
+            }
+    val centers = ivfCentroids(docs, vecCol, k, maxFitRows)
     // nearest cell = min (euclidean score, cell idx) struct — one VecDot
     // per (doc, cell), deterministic idx tiebreak
     def cellScore(vec: Column, c: Array[Double]): Column = {
@@ -538,4 +550,14 @@ object Similarity {
       .select(col("doc_id"), col("cell").cast("long").as("cell"),
         coalesce(!col("is_dup"), lit(true)).as("kept"))
   }
+
+  /** [[semDeDup]]'s auto cell count: enough cells that each holds
+    * ~`targetCellRows` rows (pair work per cell stays ~targetCellRows²),
+    * floored at 16 so tiny corpora still partition, capped at 2¹⁶ where
+    * the bounded-sample k-means fit itself (≤ maxFitRows points) stops
+    * being able to place more distinct centroids meaningfully. */
+  private[graft] def semDeDupCells(
+      corpusRows: Long, targetCellRows: Long): Int =
+    math.min(1L << 16,
+      math.max(16L, corpusRows / math.max(1L, targetCellRows))).toInt
 }

@@ -119,6 +119,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("max_cos"))))
   }
 
+  test("semDeDup: auto cell count scales with the corpus, floored and capped") {
+    // cells ≈ corpus / targetCellRows — the constant-16 default at 1e9
+    // docs would have made pair work (n/16)²·16
+    assert(Similarity.semDeDupCells(1000L, 100000L) === 16) // floor
+    assert(Similarity.semDeDupCells(1000000000L, 100000L) === 10000)
+    assert(Similarity.semDeDupCells(1000000000000L, 100000L) === 65536) // cap
+    // and the auto path actually runs end-to-end (small corpus → floor,
+    // clamped to the row count)
+    val rnd = new scala.util.Random(7)
+    val distinct = (1L to 39L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val e = (distinct :+ (40L, distinct.head._2)) // 40 duplicates 1 exactly
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", threshold = 0.999)
+    assert(out.count() === 40)
+    val kept = out.filter($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(40L))
+  }
+
   test("semDeDup: kept set has no intra-cell pair above threshold") {
     // 5 tight clusters × 20 near-identical members: intra-cluster cosine
     // ≥ ~0.99 — SemDeDup should keep ~1 doc per cluster
