@@ -49,9 +49,12 @@ object Verify {
     } + "\""
     // {SF_DIR} lets an oracle address parquet files directly (e.g. the
     // provenance query's read_parquet(..., filename=true)) — resolved to
-    // the sf dir this dump ran against, so the driver replays the same SQL
+    // the sf dir this dump ran against, so the driver replays the same
+    // SQL. OracleLiterals then bakes the fitted centroid/codebook tokens
+    // into VALUES literals from the same in-process memo the queries used.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(OracleLiterals.substitute(
+        v.replace("{SF_DIR}", sfDir), spark, sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

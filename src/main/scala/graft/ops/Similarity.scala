@@ -349,10 +349,22 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 3,
       m: Int = 16, kCodes: Int = 16,
-      maxFitRows: Int = 100000, shortlist: Int = -1): DataFrame = {
+      maxFitRows: Int = 100000, shortlist: Int = -1): DataFrame =
+    ivfPqTopKWith(corpus, queries, idCol, vecCol, k,
+      ivfCentroids(corpus, vecCol, nCells, maxFitRows),
+      pqCodebooks(corpus, vecCol, m, kCodes, maxFitRows),
+      nProbe, shortlist)
+
+  /** IVF-PQ query path against prebuilt centroids + codebooks (see
+    * [[ivfPqTopK]]) — the reuse form: both index artifacts are one-time
+    * builds to persist, not per-query-batch costs. */
+  def ivfPqTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nProbe: Int, shortlist: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val centers = ivfCentroids(corpus, vecCol, nCells, maxFitRows)
-    val books = pqCodebooks(corpus, vecCol, m, kCodes, maxFitRows)
     val short = if (shortlist < 0) 10 * k else math.max(k, shortlist)
 
     def cellScore(vec: Column, c: Array[Double]): Column = {
@@ -516,14 +528,20 @@ object Similarity {
   def semDeDup(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = -1,
       maxFitRows: Int = 100000, targetCellRows: Long = 100000L): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val k = if (nCells > 0) nCells
             else {
               val n = docs.count()
               // never more cells than rows (k-means can't place them)
               math.max(1L, math.min(n, semDeDupCells(n, targetCellRows))).toInt
             }
-    val centers = ivfCentroids(docs, vecCol, k, maxFitRows)
+    semDeDupWith(docs, idCol, vecCol, threshold,
+      ivfCentroids(docs, vecCol, k, maxFitRows))
+  }
+
+  /** [[semDeDup]] against prebuilt cell centroids — the reuse form. */
+  def semDeDupWith(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centers: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // nearest cell = min (euclidean score, cell idx) struct — one VecDot
     // per (doc, cell), deterministic idx tiebreak
     def cellScore(vec: Column, c: Array[Double]): Column = {

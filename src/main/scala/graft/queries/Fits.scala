@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{Tables => T}
+import graft.ops.Similarity
+
+/** Process-wide memo of the deterministic bounded-sample index fits the
+  * ANN / semantic-dedup queries share with their DuckDB oracles.
+  *
+  * Why memoize (and not just refit): the oracle SQL for q33b/q78/q78b/q95
+  * embeds the fitted centroids/codebooks as VALUES literals (rendered by
+  * [[graft.OracleLiterals]] when Verify dumps `oracle_sql.json`).
+  * Distributed float reduction makes a k-means REFIT order-sensitive at
+  * the last-ulp level, so the promotion is sound because BOTH consumers
+  * read the SAME in-process fit: the registered queries pull from this
+  * memo, and the oracle dump runs in the very process that ran the
+  * queries it checks. At production scale this is also simply the right
+  * shape — the fit is a one-time index artifact, not a per-query cost
+  * (the same reason [[Similarity.ivfTopKWith]]/`pqTopKWith` exist).
+  */
+object Fits {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** IVF cell centroids over `embeddings.embedding` at `sfDir`. */
+  def ivfCentroids(s: SparkSession, sfDir: String, nCells: Int,
+      maxFitRows: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(s"ivf:$sfDir:$nCells:$maxFitRows", _ =>
+      Similarity.ivfCentroids(T.embeddings(s, sfDir), "embedding",
+        nCells, maxFitRows)).asInstanceOf[Array[Array[Double]]]
+
+  /** PQ subspace codebooks over `embeddings.embedding` at `sfDir`. */
+  def pqCodebooks(s: SparkSession, sfDir: String, m: Int, kCodes: Int,
+      maxFitRows: Int): Array[Array[Array[Double]]] =
+    cache.computeIfAbsent(s"pq:$sfDir:$m:$kCodes:$maxFitRows", _ =>
+      Similarity.pqCodebooks(T.embeddings(s, sfDir), "embedding",
+        m, kCodes, maxFitRows)).asInstanceOf[Array[Array[Array[Double]]]]
+}

@@ -122,6 +122,46 @@ object TrainingData {
      sig AS (SELECT vec_id, SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sg
        FROM dots GROUP BY vec_id)"""
 
+  /** Fitted-centroid literals CTE: `{token}` is replaced at Verify dump
+    * time ([[graft.OracleLiterals]]) with (cell, cf REAL[], c2 DOUBLE)
+    * VALUES rows from the SAME memoized fit ([[Fits]]) the Spark query
+    * consumed — what promotes the k-means queries to full hash oracles. */
+  private def centCte(token: String): String =
+    s"cent AS (SELECT * FROM (VALUES {$token}) AS t(cell, cf, c2))"
+
+  /** DuckDB twin of the IVF cell score `-2·x·c + ‖c‖²` over every
+    * (vector, cell) pair — float32 centroid dot, DOUBLE constant term,
+    * exactly the Spark Column expression's mixed precision. */
+  private val cscoreCte =
+    """cscore AS (SELECT e.vec_id, cent.cell,
+         -2.0 * list_sum(list_transform(list_zip(e.v, cent.cf), x -> x[1] * x[2])) + cent.c2 AS s
+       FROM e CROSS JOIN cent)"""
+
+  /** Codebook literals CTE for the PQ oracles:
+    * (j, code, bf REAL[], b2d DOUBLE, b2f REAL) rows. */
+  private def bookCte(token: String): String =
+    s"book AS (SELECT * FROM (VALUES {$token}) AS t(j, code, bf, b2d, b2f))"
+
+  /** DuckDB twin of [[graft.ops.Similarity.pqEncode]] + `pqLut` over `e`
+    * (m=16 subspaces of 4 dims): per (vector, subspace) the nearest-code
+    * argmin (enc) and every candidate dot (subscore — the query side's
+    * LUT values before their float32 cast). */
+  private val pqEncCte =
+    """js AS (SELECT unnest(range(16)) AS j),
+     sub AS (SELECT e.vec_id, js.j, e.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv
+       FROM e CROSS JOIN js),
+     subscore AS (SELECT s.vec_id, s.j, b.code, b.b2f,
+         -2.0 * list_sum(list_transform(list_zip(s.sv, b.bf), x -> x[1] * x[2])) + b.b2d AS sc,
+         list_sum(list_transform(list_zip(s.sv, b.bf), x -> x[1] * x[2])) AS dp
+       FROM sub s JOIN book b ON b.j = s.j),
+     enc AS (SELECT vec_id, j, code, b2f FROM (SELECT vec_id, j, code, b2f,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY sc, code) AS rn
+       FROM subscore) WHERE rn = 1),
+     nrm2 AS (SELECT vec_id, sqrt(list_sum(list(CAST(b2f AS DOUBLE) ORDER BY j))) AS nn
+       FROM enc GROUP BY vec_id),
+     qlut AS (SELECT vec_id AS query_id, j, code, CAST(dp AS REAL) AS lv
+       FROM subscore WHERE vec_id < 20)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---------------------------------------------------------------- q24
@@ -434,17 +474,43 @@ object TrainingData {
 
     // --------------------------------------------------------------- q33b
     // IVF-bucketed approximate top-k (the other scale path beside LSH):
-    // k-means cells + nProbe probing. KMeans isn't reproducible in the
-    // oracle engine → rows-only; the ScalaTest spec pins recall.
+    // k-means cells + nProbe probing. FULL value oracle since round 4:
+    // the bounded-sample k-means fit is memoized ([[Fits]]) and its
+    // centroids are baked into the DuckDB SQL as literals at Verify dump
+    // time ({CENT16_100K} → graft.OracleLiterals), so the oracle replays
+    // cell assignment, probing, and the ranked cosines bit-for-bit. The
+    // ScalaTest spec additionally pins recall vs the exact q32 path.
     QuerySpec(
       "q33b_ann_ivf",
       (s, d) => {
         val e = T.embeddings(s, d)
-        Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
-            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3)
+        Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5,
+            Fits.ivfCentroids(s, d, 16, 100000), nProbe = 3)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH $embCte, $nrmCte,
+        ${centCte("CENT16_100K")}, $cscoreCte,
+        ccell AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore WHERE vec_id < 20) WHERE rn <= 3),
+        cand AS (SELECT p.query_id, c.vec_id AS nbr_id
+          FROM probes p JOIN ccell c
+            ON c.cell = p.cell AND c.vec_id <> p.query_id),
+        scored AS (SELECT query_id, nbr_id,
+            list_sum(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2]))
+              / (nq.n * nc.n) AS cos
+          FROM cand
+            JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id
+            JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = nbr_id),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+          FROM scored)
+        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     // ---------------------------------------------------------------- q34
     // Multimodal plumbing: binary media column → per-partition batched
@@ -1112,34 +1178,98 @@ object TrainingData {
     // table lookups (functions.PqAdc) instead of 64 float multiplies —
     // the memory-bound ANN path that lets a 100 TB embedding store score
     // from RAM. k-means codebooks fit on the same bounded sample as IVF.
-    // No oracle (k-means isn't replayable in SQL) → rows-only check here;
-    // SimilaritySpec pins recall vs the exact q32 ranking.
+    // FULL value oracle since round 4: the memoized codebooks ([[Fits]])
+    // are baked into the SQL as literals ({BOOKS16_2K}), so DuckDB
+    // replays the encode argmin, the float32 LUT, the sequential pq_adc
+    // fold, the ADC shortlist, and the exact re-rank bit-for-bit.
+    // SimilaritySpec additionally pins recall vs the exact q32 ranking.
     QuerySpec(
       "q78_ann_pq",
       (s, d) => {
         val e = T.embeddings(s, d)
-        Similarity.pqTopK(e, e.filter(col("vec_id") < 20),
-            "vec_id", "embedding", k = 5, maxFitRows = 2000)
+        Similarity.pqTopKWith(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5,
+            Fits.pqCodebooks(s, d, 16, 16, 2000), shortlist = 50)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH $embCte, $nrmCte, ${bookCte("BOOKS16_2K")}, $pqEncCte,
+        adc AS (SELECT q.query_id, en.vec_id AS nbr_id,
+            list_sum(list(CAST(q.lv AS DOUBLE) ORDER BY q.j)) AS a
+          FROM qlut q JOIN enc en ON en.j = q.j AND en.code = q.code
+          WHERE q.query_id <> en.vec_id
+          GROUP BY q.query_id, en.vec_id),
+        cospq AS (SELECT a.query_id, a.nbr_id, a.a / (nq.n * n2.nn) AS cp
+          FROM adc a JOIN nrm nq ON nq.vec_id = a.query_id
+            JOIN nrm2 n2 ON n2.vec_id = a.nbr_id),
+        cand AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cp DESC, nbr_id) AS rn
+          FROM cospq) WHERE rn <= 50),
+        rescored AS (SELECT query_id, nbr_id,
+            list_sum(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2]))
+              / (nq.n * nc.n) AS cos
+          FROM cand
+            JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id
+            JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = nbr_id),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+          FROM rescored)
+        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     // --------------------------------------------------------------- q78b
     // IVF-PQ composed ANN: cells bound WHICH docs a query touches, codes
     // bound the COST per touch, the exact re-rank bounds the recall cost
     // to shortlist membership. The full production shape at 100 TB: one
     // corpus pass builds (cell, codes, norm); scoring shuffles cell keys
-    // only. Rows-only (k-means); recall pinned in SimilaritySpec.
+    // only. FULL value oracle since round 4: both fitted artifacts
+    // ({CENT16_2K} + {BOOKS16_2K}) are literal-baked, so the oracle
+    // composes the q33b cell routing with the q78 ADC scoring exactly.
     QuerySpec(
       "q78b_ann_ivfpq",
       (s, d) => {
         val e = T.embeddings(s, d)
-        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20),
-            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
-            maxFitRows = 2000)
+        Similarity.ivfPqTopKWith(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5,
+            Fits.ivfCentroids(s, d, 16, 2000),
+            Fits.pqCodebooks(s, d, 16, 16, 2000),
+            nProbe = 4, shortlist = 50)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH $embCte, $nrmCte, ${centCte("CENT16_2K")}, $cscoreCte,
+        ${bookCte("BOOKS16_2K")}, $pqEncCte,
+        ccell AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore WHERE vec_id < 20) WHERE rn <= 4),
+        cand0 AS (SELECT p.query_id, c.vec_id AS nbr_id
+          FROM probes p JOIN ccell c
+            ON c.cell = p.cell AND c.vec_id <> p.query_id),
+        adc AS (SELECT c0.query_id, c0.nbr_id,
+            list_sum(list(CAST(q.lv AS DOUBLE) ORDER BY q.j)) AS a
+          FROM cand0 c0
+            JOIN qlut q ON q.query_id = c0.query_id
+            JOIN enc en ON en.vec_id = c0.nbr_id
+              AND en.j = q.j AND en.code = q.code
+          GROUP BY c0.query_id, c0.nbr_id),
+        cospq AS (SELECT a.query_id, a.nbr_id, a.a / (nq.n * n2.nn) AS cp
+          FROM adc a JOIN nrm nq ON nq.vec_id = a.query_id
+            JOIN nrm2 n2 ON n2.vec_id = a.nbr_id),
+        cand AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cp DESC, nbr_id) AS rn
+          FROM cospq) WHERE rn <= 50),
+        rescored AS (SELECT query_id, nbr_id,
+            list_sum(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2]))
+              / (nq.n * nc.n) AS cos
+          FROM cand
+            JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id
+            JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = nbr_id),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+          FROM rescored)
+        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over
@@ -1312,18 +1442,33 @@ object TrainingData {
     // ---------------------------------------------------------------- q95
     // SemDeDup semantic dedup (Abbas et al. 2023): k-means cells from the
     // bounded-sample IVF fit, near-dup pairs searched within cells only
-    // (Σ|cell|², never |corpus|²), greedy keep-smallest-id. K-means
-    // centroids are float-merge-order dependent → rows-only here;
-    // SimilaritySpec pins the no-kept-pair-above-threshold invariant and
-    // the collapse of near-identical clusters.
+    // (Σ|cell|², never |corpus|²), greedy keep-smallest-id. FULL value
+    // oracle since round 4 via the {CENT16_100K} centroid literals;
+    // SimilaritySpec additionally pins the no-kept-pair-above-threshold
+    // invariant and the collapse of near-identical clusters.
     QuerySpec(
       "q95_semdedup",
       (s, d) =>
-        graft.ops.Similarity.semDeDup(
+        graft.ops.Similarity.semDeDupWith(
             T.embeddings(s, d), "vec_id", "embedding",
-            threshold = 0.9, nCells = 16)
+            threshold = 0.9, Fits.ivfCentroids(s, d, 16, 100000))
           .orderBy(col("doc_id")),
-      None),
+      Some(s"""WITH $embCte, $nrmCte, ${centCte("CENT16_100K")}, $cscoreCte,
+        ccell AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore) WHERE rn = 1),
+        pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM ccell a JOIN ccell b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        dropped AS (SELECT DISTINCT b_id FROM pairs
+            JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+            JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id
+          WHERE list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]))
+              / (na.n * nb.n) >= ${dbl("0.9")})
+        SELECT c.vec_id AS doc_id, CAST(c.cell AS BIGINT) AS cell,
+          dr.b_id IS NULL AS kept
+        FROM ccell c LEFT JOIN dropped dr ON dr.b_id = c.vec_id
+        ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- q96
     // Bigram-LM fluency (Text.bigramLogProbs): the order-2 upgrade of
