@@ -227,6 +227,146 @@ object Layout {
     markers.length
   }
 
+  // -------------------------------------------------- manifest snapshots
+
+  /** Object-store-safe table commits: the evolution of [[atomicOverwrite]]
+    * for filesystems with NO atomic rename (S3-class stores), prototyped
+    * on the local FS. The primitive every real table format (Iceberg,
+    * Delta) builds on:
+    *
+    *  - data files are IMMUTABLE and uniquely located — each snapshot
+    *    writes under `<dir>/data/v<N>/`, never touching prior versions
+    *    (so a snapshot derived FROM the table it replaces is safe by
+    *    construction: its input files are never overwritten);
+    *  - a snapshot's file list lives in ONE manifest object,
+    *    `<dir>/_snapshots/v<N>.manifest` — the successful creation of
+    *    that object IS the commit (create-if-absent = the object store's
+    *    conditional PUT; two racing writers of the same version: one
+    *    wins, the loser retries at N+1);
+    *  - readers list the manifest directory and take the HIGHEST
+    *    complete manifest. A manifest is complete iff its final line is
+    *    the commit footer — a torn write (possible in this HDFS-API
+    *    emulation; impossible on a real store's atomic PUT, kept anyway
+    *    as defense in depth) is ignored, and the reader falls back to
+    *    the previous snapshot.
+    *
+    * Crash matrix (spec-pinned): die after data files, before manifest →
+    * orphan data directory, readers unaffected; die mid-manifest →
+    * incomplete manifest ignored, readers unaffected; die after manifest
+    * → the commit simply happened. No window where a reader sees a
+    * partial or missing table — the property the rename-based protocol
+    * could only bracket with markers. Old snapshots stay readable
+    * ([[snapshotRead]] takes a version) until [[snapshotExpire]] drops
+    * them. */
+  def snapshotCommit(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"snapshotCommit: lost the commit race 5× at $dir")
+      // next version counts EVERY manifest object, torn ones included — a
+      // crashed writer's incomplete vN must not be re-contended forever
+      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      // writer-unique data prefix: two writers racing for the same
+      // version NEVER share a directory, so neither can list the other's
+      // in-flight files into its manifest (the reason real table formats
+      // key data files by UUID, not by version)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val rel = f"data/v$v%08d-$token"
+      val dataDir = new Path(dir, rel)
+      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      val files = fs.listStatus(dataDir).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .sorted
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      try {
+        // overwrite=false: creation is the commit — the conditional PUT
+        val out = fs.create(manifest, false)
+        try {
+          files.foreach(f => out.write(s"$rel/$f\n".getBytes("UTF-8")))
+          out.write("#commit\n".getBytes("UTF-8"))
+        } finally out.close()
+        committed = v
+      } catch {
+        case _: java.io.IOException => // lost the race: vN exists; retry
+          fs.delete(dataDir, true)
+      }
+    }
+    committed
+  }
+
+  /** Every manifest object's version number, complete or not. */
+  private def listManifestVersions(
+      spark: SparkSession, dir: String): Seq[Long] = {
+    val snaps = new Path(dir, "_snapshots")
+    val fs = snaps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(snaps)) return Seq.empty
+    fs.listStatus(snaps).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  /** Data file paths of the latest (or given) COMPLETE snapshot. */
+  private def snapshotFiles(spark: SparkSession, dir: String,
+      version: Long): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(dir, f"_snapshots/v$version%08d.manifest")
+    val in = fs.open(manifest)
+    val lines = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    } finally in.close()
+    require(lines.lastOption.contains("#commit"),
+      s"snapshot v$version at $dir is incomplete (no commit footer)")
+    lines.dropRight(1).map(rel => new Path(dir, rel).toString)
+  }
+
+  /** Versions with a COMPLETE manifest, ascending. Incomplete (torn)
+    * manifests are invisible — the reader-side half of the protocol. */
+  def snapshotVersions(spark: SparkSession, dir: String): Seq[Long] =
+    listManifestVersions(spark, dir).filter { v =>
+      try { snapshotFiles(spark, dir, v); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  /** Read the latest complete snapshot (or pinned `version` — time
+    * travel). Reads ONLY the manifest's file list: orphaned data from a
+    * crashed writer and newer in-flight snapshots are invisible. */
+  def snapshotRead(spark: SparkSession, dir: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version
+            else snapshotVersions(spark, dir).lastOption.getOrElse(
+              sys.error(s"no committed snapshot at $dir"))
+    spark.read.parquet(snapshotFiles(spark, dir, v): _*)
+  }
+
+  /** Drop all but the newest `keep` snapshots: their manifests, then
+    * every data directory no SURVIVING manifest references — which also
+    * sweeps a crashed writer's orphans (data written, never committed)
+    * and a lost racer's duplicates. Returns the number of snapshots
+    * removed. */
+  def snapshotExpire(spark: SparkSession, dir: String, keep: Int): Int = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = snapshotVersions(spark, dir).dropRight(keep)
+    drop.foreach { v =>
+      fs.delete(new Path(dir, f"_snapshots/v$v%08d.manifest"), false)
+    }
+    val referenced = snapshotVersions(spark, dir)
+      .flatMap(v => snapshotFiles(spark, dir, v))
+      .map(p => new Path(p).getParent.getName).toSet
+    val dataRoot = new Path(dir, "data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).map(_.getPath)
+        .filterNot(p => referenced.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
+    drop.length
+  }
+
   // -------------------------------------------------- multi-dim clustering
 
   /** Morton (Z-order) key over two 16-bit bucketized dimensions: the bits

@@ -189,6 +189,71 @@ class LayoutSpec extends SparkSpec {
     assert(got(7) === -7 && got(8) === 80)
   }
 
+  test("snapshotCommit: versioned reads, self-referential rewrite, time travel") {
+    val dir = tmpDir("snap") + "/t"
+    val v1 = Layout.snapshotCommit((1 to 50).toDF("v"), dir)
+    assert(v1 === 1L)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 50))
+    // derived FROM the snapshot it replaces — safe by construction: the
+    // new version's files live in a fresh data/v2 directory
+    val v2 = Layout.snapshotCommit(
+      Layout.snapshotRead(spark, dir).withColumn("v", $"v" + 100), dir)
+    assert(v2 === 2L)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().min === 101)
+    // time travel: v1 still readable until expired
+    assert(Layout.snapshotRead(spark, dir, version = 1).as[Int]
+      .collect().sorted.toSeq === (1 to 50))
+    assert(Layout.snapshotVersions(spark, dir) === Seq(1L, 2L))
+  }
+
+  test("snapshotCommit: crash between data files and manifest is invisible") {
+    val dir = tmpDir("snap2") + "/t"
+    Layout.snapshotCommit((1 to 10).toDF("v"), dir)
+    // "kill" after the data write, before the manifest: simulate by
+    // writing the next version's data directory with no manifest object
+    (100 to 120).toDF("v").write.parquet(s"$dir/data/v00000002")
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 10), "orphan data directory leaked into a read")
+    assert(Layout.snapshotVersions(spark, dir) === Seq(1L))
+    // the next commit claims version 2 in its OWN writer-unique data
+    // directory — the dead writer's orphan is never shared, never read
+    val v = Layout.snapshotCommit((21 to 30).toDF("v"), dir)
+    assert(v === 2L)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (21 to 30))
+    // expire drops old snapshots AND sweeps every unreferenced data dir
+    // (the crashed writer's orphan included)
+    Layout.snapshotExpire(spark, dir, keep = 1)
+    assert(Layout.snapshotVersions(spark, dir) === Seq(2L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).toSeq
+    assert(dataDirs.length === 1 && dataDirs.head.startsWith("v00000002-"),
+      dataDirs.mkString(","))
+  }
+
+  test("snapshotCommit: a torn manifest is ignored and never re-contended") {
+    val dir = tmpDir("snap3") + "/t"
+    Layout.snapshotCommit((1 to 10).toDF("v"), dir)
+    // "kill" mid-manifest: a manifest object missing the commit footer
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/_snapshots/v00000002.manifest")
+    val out = fs.create(torn, false)
+    out.write("data/v00000002/part-zzz.parquet\n".getBytes("UTF-8"))
+    out.close()
+    // readers fall back to v1; the torn version is not a committed snapshot
+    assert(Layout.snapshotVersions(spark, dir) === Seq(1L))
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 10))
+    // a new commit allocates v3 — it never fights the dead writer's v2
+    assert(Layout.snapshotCommit((11 to 15).toDF("v"), dir) === 3L)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (11 to 15))
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))
