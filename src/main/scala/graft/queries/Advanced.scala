@@ -764,7 +764,8 @@ object Advanced {
         SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
           p.purchase_id
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-        ORDER BY click_id""")),
+        ORDER BY click_id"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q93
     // Bounded-staleness as-of: a purchase only explains a click made

@@ -1437,7 +1437,8 @@ object TrainingData {
         SELECT doc_id, bench_id AS nearest_bench_id, cos AS max_cos,
           cos >= 0.35 AS contaminated
         FROM ranked WHERE rn = 1
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q95
     // SemDeDup semantic dedup (Abbas et al. 2023): k-means cells from the
@@ -1586,7 +1587,8 @@ object TrainingData {
         SELECT doc_id, chunk_idx, lang, chunk_tokens,
           CAST(floor((cum - chunk_tokens) / 512) AS BIGINT) AS seq_id,
           (cum - chunk_tokens) % 512 AS seq_offset
-        FROM w ORDER BY doc_id, chunk_idx""")),
+        FROM w ORDER BY doc_id, chunk_idx"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q98
     // The END-TO-END corpus build (ops.Curate.buildCorpus): quality →
@@ -1657,6 +1659,7 @@ object TrainingData {
                WHEN ${h60("'split|' || doc_id")}
                  < ${graft.ops.Sampling.cutoff(0.9)} THEN 'val'
                ELSE 'test' END AS split
-        FROM verdict ORDER BY doc_id"""))
+        FROM verdict ORDER BY doc_id"""),
+      headline = true)
   )
 }
