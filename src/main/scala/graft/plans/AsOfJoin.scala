@@ -147,91 +147,100 @@ object AsOfJoin {
     * {{{
     *   SELECT * FROM asof_join(TABLE(trades), TABLE(quotes),
     *                           'sym', 'tts', 'qts', 'backward')
+    *   -- optional args also bind by name:
+    *   SELECT * FROM asof_join(TABLE(t), TABLE(q), 'sym', 'tts', 'qts',
+    *                           hint => 'merge', tolerance => 5000000)
     * }}}
     *
     * Positional arguments: TABLE(left), TABLE(right), the equi-key
     * column list (comma-separated), the left and right time columns,
     * then optionally direction (`'backward'` (default) | `'forward'`),
     * tolerance (integral literal in the time axis's native unit —
-    * MICROSECONDS for timestamps), and the physical hint (`'auto'`
-    * (default) | `'merge'` | `'broadcast'`). TABLE args take a
-    * table/view name or an inline subquery (`TABLE(SELECT …)`); a
-    * WITH-clause CTE name is rejected with a workaround message (the arg
-    * plan analyzes outside the enclosing tree, where a CTE ref dangles).
+    * MICROSECONDS for timestamps; NULL = unbounded), and the physical
+    * hint (`'auto'` (default) | `'merge'` | `'broadcast'`); the three
+    * optional ones may instead be passed as `name => value` named
+    * arguments in any order. TABLE args take a table/view name, an
+    * inline subquery (`TABLE(SELECT …)`), or a WITH-clause CTE name.
     *
     * The table arguments arrive as
-    * `FunctionTableSubqueryArgumentExpression`s; their plans are analyzed
-    * here (nested, same session) and handed to [[backward]]/[[forward]],
-    * so every validation and self-join safety rule of the Scala API
-    * applies verbatim to the SQL door. Registered by
-    * [[graft.GraftExtensions]] (`injectTableFunction`) or at runtime via
-    * [[ensureSqlDoor]]. */
+    * `FunctionTableSubqueryArgumentExpression`s; their (possibly still
+    * unresolved — e.g. CTE-referencing) plans become the children of an
+    * [[AsOfJoinSqlNode]], so they resolve INSIDE the enclosing query's
+    * tree like any other relation, and [[AsOfJoinPruning]] lowers the
+    * name-based node to the real [[AsOfJoinPlan]] once analysis is done.
+    * Registered by [[graft.GraftExtensions]] (`injectTableFunction`) or
+    * at runtime via [[ensureSqlDoor]]. */
   private[graft] def tvfBuilder(args: Seq[Expression]): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{
-      FunctionTableSubqueryArgumentExpression => TableArg}
+      FunctionTableSubqueryArgumentExpression => TableArg,
+      NamedArgumentExpression => NamedArg}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    require(args.length >= 5 && args.length <= 8,
+    val usage =
       "usage: asof_join(TABLE(left), TABLE(right), 'k1[,k2…]', " +
         "'leftTime', 'rightTime'[, 'backward'|'forward'[, tolerance[, " +
-        "'auto'|'merge'|'broadcast']]])")
-    val spark = SparkSession.active
-    def tableArg(i: Int): DataFrame = args(i) match {
+        "'auto'|'merge'|'broadcast']]]) — the trailing three also bind " +
+        "as direction/tolerance/hint named args"
+    val (positional, named) = args.span(!_.isInstanceOf[NamedArg])
+    require(positional.length >= 5 && positional.length <= 8 &&
+        named.forall(_.isInstanceOf[NamedArg]),
+      usage + " (named args must follow all positional ones)")
+    val byName = named.map {
+      case NamedArg(key, value) => key.toLowerCase -> value
+    }.toMap
+    require(byName.keySet.subsetOf(Set("direction", "tolerance", "hint")),
+      s"unknown asof_join named argument(s) " +
+        s"${byName.keySet -- Set("direction", "tolerance", "hint")}; $usage")
+    def opt(i: Int, name: String): Option[Expression] =
+      if (positional.length > i) {
+        require(!byName.contains(name),
+          s"asof_join $name given both positionally and by name")
+        Some(positional(i))
+      } else byName.get(name)
+    def tableArg(i: Int): LogicalPlan = positional(i) match {
       case t: TableArg =>
         require(t.partitionByExpressions.isEmpty &&
             t.orderByExpressions.isEmpty,
           "asof_join TABLE args take no PARTITION BY / ORDER BY — keys " +
             "and times are the function's scalar arguments")
-        // the arg plan is analyzed HERE, outside the enclosing query's
-        // tree — a WITH-clause name would arrive as a dangling
-        // CTERelationRef that cannot resolve in isolation; fail with the
-        // workaround instead of an analyzer internal error
-        if (t.plan.collectFirst({
-          case r: org.apache.spark.sql.catalyst.plans.logical
-            .CTERelationRef => r }).nonEmpty) {
-          throw new IllegalArgumentException(
-            "asof_join TABLE args cannot name a WITH-clause CTE — inline " +
-              "the subquery (TABLE(SELECT …)) or use a temp view")
-        }
-        GraftPlanBridge.ofRows(spark, t.plan)
+        t.plan
       case other => throw new IllegalArgumentException(
         s"asof_join argument ${i + 1} must be TABLE(...), got: ${other.sql}")
     }
-    def str(i: Int, what: String): String = args(i) match {
+    def str(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
       case other => throw new IllegalArgumentException(
-        s"asof_join $what (argument ${i + 1}) must be a string literal, " +
+        s"asof_join $what must be a string literal, got: ${other.sql}")
+    }
+    val on = str(positional(2), "key list (argument 3)")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(on.nonEmpty, "as-of join needs at least one equi-key column")
+    val lt = str(positional(3), "left time column (argument 4)")
+    val rt = str(positional(4), "right time column (argument 5)")
+    val dir = opt(5, "direction").map(str(_, "direction").toLowerCase)
+        .getOrElse("backward") match {
+      case "backward" => Backward
+      case "forward"  => Forward
+      case other => throw new IllegalArgumentException(
+        s"unknown asof_join direction '$other' (want backward|forward)")
+    }
+    val tol: Option[Long] = opt(6, "tolerance").flatMap {
+      case Literal(null, _) => None // NULL = unbounded
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case other => throw new IllegalArgumentException(
+        s"asof_join tolerance must be an integral literal or NULL, " +
           s"got: ${other.sql}")
     }
-    val (left, right) = (tableArg(0), tableArg(1))
-    val on = str(2, "key list").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val (lt, rt) = (str(3, "left time column"), str(4, "right time column"))
-    val tol: Option[Long] =
-      if (args.length <= 6) None
-      else args(6) match {
-        case Literal(null, _) => None // NULL = unbounded, skips to the hint
-        case Literal(v: Long, LongType) => Some(v)
-        case Literal(v: Int, IntegerType) => Some(v.toLong)
-        case other => throw new IllegalArgumentException(
-          s"asof_join tolerance (argument 7) must be an integral literal " +
-            s"or NULL, got: ${other.sql}")
-      }
-    val hint =
-      if (args.length <= 7) Auto
-      else str(7, "hint").toLowerCase match {
-        case "auto" => Auto
-        case "merge" => Merge
-        case "broadcast" => Broadcast
-        case other => throw new IllegalArgumentException(
-          s"unknown asof_join hint '$other' (want auto|merge|broadcast)")
-      }
-    val joined =
-      (if (args.length <= 5) "backward" else str(5, "direction").toLowerCase) match {
-        case "backward" => backward(left, right, on, lt, rt, tol, hint)
-        case "forward"  => forward(left, right, on, lt, rt, tol, hint)
-        case other => throw new IllegalArgumentException(
-          s"unknown asof_join direction '$other' (want backward|forward)")
-      }
-    joined.queryExecution.analyzed
+    require(tol.forall(_ >= 0), "as-of tolerance must be >= 0")
+    val hint = opt(7, "hint").map(str(_, "hint").toLowerCase)
+        .getOrElse("auto") match {
+      case "auto" => Auto
+      case "merge" => Merge
+      case "broadcast" => Broadcast
+      case other => throw new IllegalArgumentException(
+        s"unknown asof_join hint '$other' (want auto|merge|broadcast)")
+    }
+    AsOfJoinSqlNode(on, lt, rt, dir, tol, hint, tableArg(0), tableArg(1))
   }
 
   /** The `asof_join` TVF registration triple for
@@ -290,6 +299,84 @@ private[plans] object AsOfOutput {
   }
 }
 
+/** The name-based intermediate the `asof_join` TVF builds during
+  * analysis. Its children may still be UNRESOLVED when the builder runs
+  * (a `TABLE(cte_name)` argument arrives as a dangling `CTERelationRef`
+  * that only resolves inside the enclosing query's tree), so column
+  * names can't yet bind to attributes; this node carries the names,
+  * resolves itself once its children do, and is lowered to the
+  * attribute-based [[AsOfJoinPlan]] — adding the build-side null filter
+  * the Scala API adds — by [[AsOfJoinPruning]] before planning (with
+  * [[AsOfJoinStrategy]] lowering on sight as a fallback). Output
+  * attributes are the children's own (left columns ++ right payload,
+  * nullable), so the lowering is exprId-stable under every parent the
+  * analyzer resolved against this node.
+  *
+  * Self-join note: if both TABLE args resolve to the SAME relation the
+  * analyzer's `DeduplicateRelations` renews one side's exprIds (as for
+  * any binary operator); should the sides ever still overlap, `resolved`
+  * stays false and analysis fails loudly instead of mis-binding. */
+case class AsOfJoinSqlNode(
+    on: Seq[String], leftTimeName: String, rightTimeName: String,
+    direction: AsOfJoin.Direction, tolerance: Option[Long],
+    hint: AsOfJoin.Hint,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+
+  private def find(side: LogicalPlan, name: String): Option[Attribute] = {
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    side.output.filter(a => resolver(a.name, name)) match {
+      case scala.collection.Seq(one) => Some(one)
+      case _ => None // absent or ambiguous
+    }
+  }
+  private[plans] def leftKeys: Seq[Attribute] = on.flatMap(find(left, _))
+  private[plans] def rightKeys: Seq[Attribute] = on.flatMap(find(right, _))
+  private[plans] def leftTime: Option[Attribute] = find(left, leftTimeName)
+  private[plans] def rightTime: Option[Attribute] = find(right, rightTimeName)
+
+  override lazy val resolved: Boolean = childrenResolved &&
+    leftKeys.length == on.length && rightKeys.length == on.length &&
+    leftTime.isDefined && rightTime.isDefined &&
+    leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
+    leftTime.get.dataType == rightTime.get.dataType &&
+    ((tolerance.isEmpty && hint != AsOfJoin.Broadcast) ||
+      AsOfTime.supports(leftTime.get.dataType)) &&
+    left.outputSet.intersect(right.outputSet).isEmpty
+
+  override def output: Seq[Attribute] =
+    AsOfOutput(left.output, right.output, rightKeys,
+      rightTime.getOrElse(throw new org.apache.spark.sql.catalyst
+        .analysis.UnresolvedException("output")))
+
+  /** This node stores column NAMES, not expressions, so the default
+    * (expression-derived) references are empty — and reference-driven
+    * rules like ColumnPruning would then strip the key/time columns out
+    * of the children. Surface the resolved attributes as references so
+    * the stock rules treat the merge's inputs as used. (Payload columns
+    * are safe without this: the output passes them through with the
+    * children's own exprIds, so a parent's references cover them.) */
+  override def references: AttributeSet =
+    AttributeSet(leftKeys ++ rightKeys ++ leftTime.toSeq ++ rightTime.toSeq)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinSqlNode =
+    copy(left = newLeft, right = newRight)
+}
+
+private[plans] object AsOfJoinSqlNode {
+  /** Lower the resolved name-based node to the real operator; exprId-
+    * stable (the null filter preserves the right child's output). */
+  def lower(n: AsOfJoinSqlNode): AsOfJoinPlan = {
+    require(n.resolved, s"cannot lower an unresolved asof_join: $n")
+    val rKeys = n.rightKeys
+    val rTime = n.rightTime.get
+    val filtered = org.apache.spark.sql.catalyst.plans.logical.Filter(
+      (rKeys :+ rTime).map(IsNotNull).reduce[Expression](And), n.right)
+    AsOfJoinPlan(n.leftKeys, rKeys, n.leftTime.get, rTime,
+      n.direction, n.tolerance, n.hint, n.left, filtered)
+  }
+}
+
 /** Column pruning and filter pushdown through the as-of join: Catalyst's
   * stock rules do not traverse unknown nodes, so without this rule ANY
   * parent above an as-of join still scans EVERY input column and filters
@@ -326,8 +413,14 @@ object AsOfJoinPruning
     SubqueryAlias, Window}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!plan.exists(_.isInstanceOf[AsOfJoinPlan])) return plan
-    val pushed = plan.transform {
+    if (!plan.exists(p => p.isInstanceOf[AsOfJoinPlan] ||
+        p.isInstanceOf[AsOfJoinSqlNode])) return plan
+    // lower the SQL door's name-based node first, so the pruning and
+    // pushdown below see one operator shape
+    val lowered = plan.transform {
+      case n: AsOfJoinSqlNode => AsOfJoinSqlNode.lower(n)
+    }
+    val pushed = lowered.transform {
       case f @ Filter(cond, a: AsOfJoinPlan) =>
         val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
           c.deterministic && c.references.subsetOf(a.left.outputSet))
@@ -404,6 +497,9 @@ case class AsOfJoinPlan(
   * [[AsOfJoin.ensureStrategy]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // normally lowered by AsOfJoinPruning; kept as a fallback for
+    // sessions where only the strategy got registered
+    case n: AsOfJoinSqlNode => apply(AsOfJoinSqlNode.lower(n))
     case p @ AsOfJoinPlan(lk, rk, lt, rt, dir, tol, hint, l, r) =>
       val broadcast = hint match {
         case AsOfJoin.Broadcast => true

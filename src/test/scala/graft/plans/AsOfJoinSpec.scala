@@ -288,26 +288,56 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nullTol === out)
   }
 
-  test("SQL door: TABLE takes inline subqueries; CTE names fail loudly") {
+  test("SQL door: TABLE takes inline subqueries, CTE names, self-joins") {
     AsOfJoin.ensureSqlDoor(spark)
     trades.createOrReplaceTempView("asof_tvf_trades")
     quotes.createOrReplaceTempView("asof_tvf_quotes")
+    val expected = Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0), 4L -> Some(3.0))
     val inline = spark.sql(
       """SELECT tid, px FROM asof_join(
            TABLE(SELECT * FROM asof_tvf_trades WHERE tid <= 4),
            TABLE(SELECT * FROM asof_tvf_quotes), 'sym', 'tts', 'qts')""")
       .as[(Long, Option[Double])].collect().toMap
-    assert(inline === Map(
-      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0), 4L -> Some(3.0)))
-    // a WITH-clause name would dangle when the arg plan analyzes outside
-    // the enclosing tree — the door must say so, not internal-error
+    assert(inline === expected)
+    // WITH-clause names resolve inside the enclosing tree (the arg plan
+    // becomes a child of the name-based AsOfJoinSqlNode, so the CTE ref
+    // is no longer dangling)
+    val cte = spark.sql(
+      """WITH t AS (SELECT sym, tts, tid FROM asof_tvf_trades WHERE tid <= 4),
+              q AS (SELECT sym, qts, px FROM asof_tvf_quotes)
+         SELECT tid, px FROM asof_join(TABLE(t), TABLE(q), 'sym', 'tts', 'qts')""")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(cte === expected)
+    // self-join: both sides the same view — DeduplicateRelations must
+    // renew one side (every trade matches at least itself backward)
+    val self = spark.sql(
+      """SELECT * FROM asof_join(TABLE(asof_tvf_trades),
+           TABLE(SELECT sym, tts, tid AS prev_tid FROM asof_tvf_trades),
+           'sym', 'tts', 'tts')""")
+    assert(self.filter($"prev_tid".isNull).count() === 0)
+  }
+
+  test("SQL door: optional args bind by name in any order") {
+    AsOfJoin.ensureSqlDoor(spark)
+    trades.createOrReplaceTempView("asof_tvf_trades")
+    quotes.createOrReplaceTempView("asof_tvf_quotes")
+    val named = spark.sql(
+      """SELECT tid, px FROM asof_join(TABLE(asof_tvf_trades),
+           TABLE(asof_tvf_quotes), 'sym', 'tts', 'qts',
+           hint => 'merge', tolerance => 10000000, direction => 'forward')""")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(named === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> None,
+      4L -> None, 5L -> None, 6L -> None))
     val e = intercept[Exception] {
       spark.sql(
-        """WITH t AS (SELECT sym, tts, tid FROM asof_tvf_trades)
-           SELECT tid, px FROM asof_join(TABLE(t), TABLE(asof_tvf_quotes),
-             'sym', 'tts', 'qts')""").collect()
+        """SELECT * FROM asof_join(TABLE(asof_tvf_trades),
+             TABLE(asof_tvf_quotes), 'sym', 'tts', 'qts', 'forward',
+             direction => 'backward')""").collect()
     }
-    assert(e.getMessage.contains("CTE"), e.getMessage)
+    assert(e.getMessage.contains("both positionally and by name"),
+      e.getMessage)
   }
 
   test("SQL door: malformed calls raise clear errors") {
