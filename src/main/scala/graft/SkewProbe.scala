@@ -151,6 +151,9 @@ object SkewProbe {
     java.nio.file.Files.write(java.nio.file.Paths.get("SKEW.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // the staged fact/dim copies are hundreds of MB at sf0.1 — repeated
+    // probe runs would otherwise fill /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     println(json)
     System.err.println(json)
   }

@@ -51,8 +51,12 @@ object Verify {
     // provenance query's read_parquet(..., filename=true)) — resolved to
     // the sf dir this dump ran against, so the driver replays the same
     // SQL. OracleLiterals then bakes the fitted centroid/codebook tokens
-    // into VALUES literals from the same in-process memo the queries used.
+    // into VALUES literals from the same in-process memo the queries used
+    // — which is why the dump honors `only` too: substituting for a query
+    // that did NOT re-run would trigger a FRESH fit here and bake
+    // literals a stale parquet dump never saw.
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(OracleLiterals.substitute(
         v.replace("{SF_DIR}", sfDir), spark, sfDir))}" }
       .mkString("{", ",", "}")

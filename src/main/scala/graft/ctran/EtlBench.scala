@@ -53,5 +53,7 @@ object EtlBench {
 
     println(f"""{"metric":"etl_records_per_sec","value":${consumed / sec}%.0f,"unit":"rec/sec","consumed":$consumed,"inserted":$inserted,"skipped":$skipped,"sec":$sec%.2f,"baseline_daily_msgs":375773}""")
     spark.stop()
+    // staged JSON + written tables are sizable; don't leak them per run
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }

@@ -282,20 +282,58 @@ object Layout {
         .sorted
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      try {
-        // overwrite=false: creation is the commit — the conditional PUT
-        val out = fs.create(manifest, false)
-        try {
-          files.foreach(f => out.write(s"$rel/$f\n".getBytes("UTF-8")))
-          out.write("#commit\n".getBytes("UTF-8"))
-        } finally out.close()
-        committed = v
-      } catch {
-        case _: java.io.IOException => // lost the race: vN exists; retry
-          fs.delete(dataDir, true)
-      }
+      val body = (files.map(f => s"$rel/$f\n") :+ "#commit\n")
+        .mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+      else fs.delete(dataDir, true) // lost the race: vN exists; retry
     }
     committed
+  }
+
+  /** Create `target` with `body` iff it does not already exist; false =
+    * lost the race (someone else owns this version). The commit linchpin,
+    * so the create must be genuinely conditional per filesystem:
+    *
+    *  - `file:` — Hadoop's LocalFileSystem does exists-then-create, which
+    *    is NOT atomic, so instead the body is written to a writer-unique
+    *    temp object and promoted via `Files.createLink` — one link(2)
+    *    syscall that the kernel fails with EEXIST atomically. Bonus: the
+    *    manifest appears fully written (no torn-read window at all).
+    *  - HDFS — `create(overwrite=false)` IS atomic (a single namenode
+    *    operation), used directly.
+    *  - object stores — stands in for the store's conditional PUT
+    *    (`If-None-Match: *`); S3A exposes it via
+    *    `fs.s3a.create.conditional.enabled` in recent Hadoop.
+    *
+    * Only existence-conflicts report a lost race; any other I/O failure
+    * (disk full, permission) propagates — mislabeling a genuine write
+    * failure as a lost race would loop the writer five times and then
+    * blame a phantom contender. */
+  private def atomicCreate(
+      fs: org.apache.hadoop.fs.FileSystem, target: Path,
+      body: Array[Byte]): Boolean = {
+    import java.nio.file.{FileAlreadyExistsException => NioExists, Files, Paths}
+    if ("file" == target.toUri.getScheme ||
+        fs.getScheme == "file") {
+      val dst = Paths.get(target.toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".${dst.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, body)
+      try { Files.createLink(dst, tmp); true }
+      catch { case _: NioExists => false }
+      finally Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(target, false)
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("exist") => false
+      }
+    }
   }
 
   /** Every manifest object's version number, complete or not. */
@@ -334,21 +372,40 @@ object Layout {
 
   /** Read the latest complete snapshot (or pinned `version` — time
     * travel). Reads ONLY the manifest's file list: orphaned data from a
-    * crashed writer and newer in-flight snapshots are invisible. */
+    * crashed writer and newer in-flight snapshots are invisible.
+    *
+    * The latest-version probe walks the manifest listing DESCENDING and
+    * stops at the first complete manifest — one listing plus (almost
+    * always) one manifest GET, not one GET per historical snapshot; on an
+    * object store with hundreds of unexpired versions that O(V) → O(1)
+    * difference is the read path's dominant latency. */
   def snapshotRead(spark: SparkSession, dir: String,
       version: Long = -1L): DataFrame = {
-    val v = if (version > 0) version
-            else snapshotVersions(spark, dir).lastOption.getOrElse(
-              sys.error(s"no committed snapshot at $dir"))
-    spark.read.parquet(snapshotFiles(spark, dir, v): _*)
+    val files = if (version > 0) snapshotFiles(spark, dir, version)
+    else listManifestVersions(spark, dir).reverseIterator
+      .map(v => try Some(snapshotFiles(spark, dir, v))
+                catch { case scala.util.control.NonFatal(_) => None })
+      .collectFirst { case Some(fs) => fs }
+      .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    spark.read.parquet(files: _*)
   }
 
   /** Drop all but the newest `keep` snapshots: their manifests, then
     * every data directory no SURVIVING manifest references — which also
     * sweeps a crashed writer's orphans (data written, never committed)
     * and a lost racer's duplicates. Returns the number of snapshots
-    * removed. */
-  def snapshotExpire(spark: SparkSession, dir: String, keep: Int): Int = {
+    * removed.
+    *
+    * `orphanGraceMs` protects LIVE writers: a concurrent
+    * [[snapshotCommit]] has a window where its data directory exists but
+    * its manifest does not yet — indistinguishable from a crashed
+    * writer's orphan by state alone, so (as Iceberg's
+    * remove-orphan-files does) unreferenced data is only swept once its
+    * modification time is older than the grace period. The default of
+    * 24h comfortably exceeds any real commit's write time; tests that
+    * build crash fixtures synchronously pass 0. */
+  def snapshotExpire(spark: SparkSession, dir: String, keep: Int,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(keep >= 1, "must keep at least one snapshot")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val drop = snapshotVersions(spark, dir).dropRight(keep)
@@ -358,11 +415,13 @@ object Layout {
     val referenced = snapshotVersions(spark, dir)
       .flatMap(v => snapshotFiles(spark, dir, v))
       .map(p => new Path(p).getParent.getName).toSet
+    val sweepBefore = System.currentTimeMillis() - orphanGraceMs
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
-      fs.listStatus(dataRoot).map(_.getPath)
-        .filterNot(p => referenced.contains(p.getName))
-        .foreach(p => fs.delete(p, true))
+      fs.listStatus(dataRoot)
+        .filterNot(s => referenced.contains(s.getPath.getName))
+        .filter(_.getModificationTime < sweepBefore)
+        .foreach(s => fs.delete(s.getPath, true))
     }
     drop.length
   }

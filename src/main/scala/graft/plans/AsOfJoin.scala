@@ -46,11 +46,11 @@ import org.apache.spark.sql.functions.col
   *
   * Column pruning: Catalyst's own ColumnPruning does not traverse an
   * unknown node, so [[AsOfJoinPruning]] (registered alongside the
-  * strategy) pushes a parent Project's column set through the node into
-  * both children — a bare `select` above the join reaches the scans
-  * (spec-pinned). For a non-Project parent (e.g. an aggregate directly
-  * on the join) pre-project the inputs by hand, as the registered
-  * queries do.
+  * strategy) seeds the needed-column set from ANY parent shape —
+  * Project, Aggregate, Window, Filter, Sort, Join, … — and pushes it
+  * through the node into both children, so an `agg(max(payload))`
+  * directly on the join still narrows the scans (spec-pinned); unknown
+  * parent operators conservatively keep every column.
   */
 object AsOfJoin {
 
@@ -184,9 +184,14 @@ object AsOfJoin {
     require(positional.length >= 5 && positional.length <= 8 &&
         named.forall(_.isInstanceOf[NamedArg]),
       usage + " (named args must follow all positional ones)")
-    val byName = named.map {
+    val namedPairs = named.map {
       case NamedArg(key, value) => key.toLowerCase -> value
-    }.toMap
+    }
+    require(namedPairs.map(_._1).distinct.length == namedPairs.length,
+      s"asof_join named argument(s) given more than once: " +
+        s"${namedPairs.groupBy(_._1).collect { case (k, vs) if vs.length > 1 => k }
+          .mkString(", ")}; $usage")
+    val byName = namedPairs.toMap
     require(byName.keySet.subsetOf(Set("direction", "tolerance", "hint")),
       s"unknown asof_join named argument(s) " +
         s"${byName.keySet -- Set("direction", "tolerance", "hint")}; $usage")
@@ -408,7 +413,7 @@ object AsOfJoinPruning
     with PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
-    Distinct, Filter, Generate, GlobalLimit, Join, LocalLimit, Offset,
+    Filter, Generate, GlobalLimit, Join, LocalLimit, Offset,
     Project, Repartition, RepartitionByExpression, Sample, Sort,
     SubqueryAlias, Window}
 
@@ -458,14 +463,22 @@ object AsOfJoinPruning
       case p: Project => p.mapChildren(prune(_, p.references))
       case ag: Aggregate => ag.mapChildren(prune(_, ag.references))
       // pass-through operators (output ⊇ child output, same exprIds):
-      // children owe the ancestors' requirement plus this node's own
+      // children owe the ancestors' requirement plus this node's own.
+      // Deduplicate(keys) is multiplicity-safe under pruning (one row per
+      // key value regardless of the other columns); Distinct is NOT — it
+      // compares ALL columns, so dropping one below it would collapse
+      // rows. Distinct never reaches this rule today
+      // (ReplaceDistinctWithAggregate runs in an earlier batch), but it
+      // deliberately falls to the conservative default below so a future
+      // batch reorder can't turn it into a wrong-answer path.
       case u @ (_: Filter | _: Sort | _: LocalLimit | _: GlobalLimit |
-                _: Offset | _: SubqueryAlias | _: Distinct | _: Deduplicate |
+                _: Offset | _: SubqueryAlias | _: Deduplicate |
                 _: Repartition | _: RepartitionByExpression | _: Sample |
                 _: Window | _: Generate | _: Join) =>
         u.mapChildren(c =>
           prune(c, (required ++ u.references).intersect(c.outputSet)))
-      // unknown operator: conservative — children keep every column
+      // unknown operator (including Distinct): conservative — children
+      // keep every column
       case other => other.mapChildren(c => prune(c, c.outputSet))
     }
 }
@@ -807,8 +820,13 @@ case class BroadcastAsOfJoinExec(
     val bc = right.executeBroadcast[Array[InternalRow]]()
     longMetric("buildRows") += bc.value.length
     // which ordinals this join indexes the broadcast rows by — the cache
-    // key alongside the array identity
-    val descriptor = (rKeys.map(rOut.indexOf) :+ rOut.indexOf(rTime))
+    // key alongside the array identity. Resolved by exprId (the same
+    // identity BindReferences uses): Seq.indexOf would compare the whole
+    // AttributeReference including nullability, which the build side's
+    // IsNotNull filter narrows, yielding -1 for every column and
+    // collapsing all descriptors to one string.
+    val descriptor = (rKeys :+ rTime)
+      .map(a => rOut.indexWhere(_.exprId == a.exprId))
       .mkString("k", ",", "")
 
     left.execute().mapPartitions { lIter =>

@@ -222,12 +222,18 @@ class LayoutSpec extends SparkSpec {
     assert(v === 2L)
     assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
       === (21 to 30))
-    // expire drops old snapshots AND sweeps every unreferenced data dir
-    // (the crashed writer's orphan included)
+    // under the default orphan grace, a just-written unreferenced data
+    // dir is NOT swept — it is indistinguishable from a live writer's
+    // in-flight commit (data written, manifest not yet created)
     Layout.snapshotExpire(spark, dir, keep = 1)
-    assert(Layout.snapshotVersions(spark, dir) === Seq(2L))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/v00000002")),
+      "expire swept a fresh orphan inside the grace period")
+    // with the grace waived (test-only), expire drops old snapshots AND
+    // sweeps every unreferenced data dir (the crashed writer's included)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(Layout.snapshotVersions(spark, dir) === Seq(2L))
     val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
       .map(_.getPath.getName).toSeq
     assert(dataDirs.length === 1 && dataDirs.head.startsWith("v00000002-"),

@@ -368,6 +368,45 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e2.getMessage.contains("equi-key"))
   }
 
+  test("swapped key/time roles over ONE reused broadcast stay distinct") {
+    // Two broadcast as-of joins against the same dimension, with a and b
+    // exchanging key/time roles. Their build plans canonicalize equal
+    // (And is commutative-normalized), so ReuseExchange hands both joins
+    // the SAME broadcast row array — and the executor-local index cache
+    // must then discriminate by the key/time ORDINALS. The ordinals are
+    // resolved by exprId: through the SQL door the build side is a bare
+    // Filter(IsNotNull…) whose FilterExec NARROWS output nullability, so
+    // an equality-based Seq.indexOf lookup (which compares nullability)
+    // misses every column, collapses both descriptors to "k-1,-1", and
+    // join 2 silently probes join 1's index (keyed by a, sorted by b) —
+    // returning a1t10 here instead of a10t1. Build columns are Option
+    // (nullable) because non-nullable ones would mask the narrowing.
+    Seq((Some(1L), Some(10L), "a1t10"), (Some(10L), Some(1L), "a10t1"),
+        (Some(2L), Some(20L), "a2t20"))
+      .toDF("a", "b", "pay").createOrReplaceTempView("swap_dim")
+    Seq((1L, 11L, 1L)).toDF("a", "b", "id")
+      .createOrReplaceTempView("swap_p1") // keys=[a], time=b
+    Seq((1L, 11L, 2L)).toDF("b", "a", "id")
+      .createOrReplaceTempView("swap_p2") // keys=[b], time=a
+    AsOfJoin.ensureSqlDoor(spark)
+    val u = spark.sql(
+      """SELECT id, pay FROM asof_join(TABLE(swap_p1), TABLE(swap_dim),
+        |                              'a', 'b', 'b', hint => 'broadcast')
+        |UNION ALL
+        |SELECT id, pay FROM asof_join(TABLE(swap_p2), TABLE(swap_dim),
+        |                              'b', 'a', 'a', hint => 'broadcast')
+        |""".stripMargin)
+    val rows = u.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a1t10", 2L -> "a10t1"))
+    // pin that the scenario really flows through ONE shared broadcast —
+    // otherwise this test would stop exercising the cache discrimination
+    val reused = collectWithSubqueries(u.queryExecution.executedPlan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty, "expected ReuseExchange to share the build side:\n" +
+      u.queryExecution.executedPlan)
+  }
+
   test("AsOfJoinPruning: left-column filters push below the join") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"ts", $"event_type")
