@@ -329,9 +329,12 @@ object Layout {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // some FileSystem impls signal the conflict as a plain
+        // IOException; match the full "already exist(s)" phrase so a
+        // "does not exist" write failure still propagates as an error
         case e: java.io.IOException
             if e.getMessage != null &&
-              e.getMessage.toLowerCase.contains("exist") => false
+              e.getMessage.toLowerCase.contains("already exist") => false
       }
     }
   }
@@ -412,10 +415,24 @@ object Layout {
     drop.foreach { v =>
       fs.delete(new Path(dir, f"_snapshots/v$v%08d.manifest"), false)
     }
-    val referenced = snapshotVersions(spark, dir)
+    val sweepBefore = System.currentTimeMillis() - orphanGraceMs
+    // a crashed writer's torn manifest (no #commit line) is never a
+    // "complete dropped version", so the loop above skips it — sweep
+    // torn manifests behind the newest complete snapshot here, past the
+    // same grace window (a LIVE writer's manifest is always newer than
+    // that). Version numbers stay consumed either way.
+    val surviving = snapshotVersions(spark, dir)
+    surviving.lastOption.foreach { newest =>
+      val complete = surviving.toSet
+      listManifestVersions(spark, dir)
+        .filter(v => v < newest && !complete.contains(v))
+        .map(v => new Path(dir, f"_snapshots/v$v%08d.manifest"))
+        .filter(p => fs.getFileStatus(p).getModificationTime < sweepBefore)
+        .foreach(p => fs.delete(p, false))
+    }
+    val referenced = surviving
       .flatMap(v => snapshotFiles(spark, dir, v))
       .map(p => new Path(p).getParent.getName).toSet
-    val sweepBefore = System.currentTimeMillis() - orphanGraceMs
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot)

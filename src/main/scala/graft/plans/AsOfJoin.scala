@@ -818,7 +818,10 @@ case class BroadcastAsOfJoinExec(
     // the exchange child collected + broadcast the build rows under
     // Spark's broadcast accounting (see class doc)
     val bc = right.executeBroadcast[Array[InternalRow]]()
-    longMetric("buildRows") += bc.value.length
+    // counted inside the executor-side index build (post null-filter) —
+    // dereferencing bc.value here would materialize the whole broadcast
+    // array on the driver purely for a metric
+    val buildRowsM = longMetric("buildRows")
     // which ordinals this join indexes the broadcast rows by — the cache
     // key alongside the array identity. Resolved by exprId (the same
     // identity BindReferences uses): Seq.indexOf would compare the whole
@@ -839,8 +842,10 @@ case class BroadcastAsOfJoinExec(
         val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
         val built =
           new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]
-        bc.value
+        val indexed = bc.value
           .filter(r => !rKeyProj(r).anyNull && !rTimeProj(r).isNullAt(0))
+        buildRowsM += indexed.length
+        indexed
           .map(r => (rKeyProj(r).copy(), timeOf(rTimeProj(r), 0), r))
           .groupBy(_._1)
           .foreach { case (k, rws) =>

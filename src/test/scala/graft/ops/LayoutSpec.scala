@@ -258,6 +258,13 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotCommit((11 to 15).toDF("v"), dir) === 3L)
     assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
       === (11 to 15))
+    // expire also sweeps the torn manifest once it is older than the
+    // grace period AND behind a newer complete snapshot — torn objects
+    // must not accumulate forever (v2 stays consumed: next commit is v4)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(!fs.exists(torn), "torn manifest survived expiry")
+    assert(Layout.snapshotVersions(spark, dir) === Seq(3L))
+    assert(Layout.snapshotCommit((16 to 18).toDF("v"), dir) === 4L)
   }
 
   test("salted join: identical result to the plain join under skew") {
