@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL front door: SELECT ... FROM asof_join(TABLE(l), TABLE(r), …)
     ext.injectTableFunction(graft.plans.AsOfJoin.tvfRegistration)
+    // SQL front door, DuckDB-syntax half: `l ASOF [LEFT] JOIN r ON …`
+    // (parser rewrite + resolution-time conversion, see AsOfSyntax)
+    ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
+    ext.injectResolutionRule(_ => graft.plans.AsOfSyntaxRule)
     // column pruning through the (otherwise opaque) as-of node
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }

@@ -707,6 +707,47 @@ object Advanced {
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY click_id""")),
 
+    // --------------------------------------------------------------- q90c
+    // q90 through the ASOF JOIN *SYNTAX* — the Spark text below is the
+    // DuckDB oracle's own dialect, token for token (modulo the
+    // epoch-micros function name): `c ASOF LEFT JOIN p ON c.user_id =
+    // p.user_id AND c.ts >= p.ts`. GraftSqlParser (injectParser) rewrites
+    // the text, AsOfSyntaxRule converts the marked join to AsOfJoinPlan
+    // during analysis (graft/plans/AsOfSyntax.scala). Parser injection
+    // has no runtime registration path, so the lambda derives the
+    // extensions-built sibling session via GraftSessionBridge — a user
+    // launching with spark.sql.extensions=graft.GraftExtensions gets the
+    // syntax on their own session directly. Selecting p.ts AS match_ts
+    // also pins the syntax door's DuckDB-parity output contract: the
+    // build side's matched key/time columns stay visible (NULL on miss),
+    // unlike the Scala API's USING-style contract that drops them.
+    QuerySpec(
+      "q90c_asof_syntax",
+      (s, d) => {
+        val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+        T.events(x, d).createOrReplaceTempView("graft_q90c_events")
+        x.sql("""
+          WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+                     FROM graft_q90c_events WHERE event_type = 'purchase'
+                     GROUP BY user_id, ts),
+               c AS (SELECT user_id, ts, event_id AS click_id
+                     FROM graft_q90c_events WHERE event_type = 'click')
+          SELECT c.click_id, c.user_id, unix_micros(c.ts) AS ts_us,
+                 unix_micros(p.ts) AS match_ts_us, p.purchase_id
+          FROM c ASOF LEFT JOIN p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+          ORDER BY click_id""")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id AS click_id
+              FROM events WHERE event_type = 'click')
+        SELECT c.click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          epoch_us(p.ts) AS match_ts_us, p.purchase_id
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY click_id""")),
+
     // ---------------------------------------------------------------- q91
     // q60's FORWARD as-of (time-to-next-purchase) through the same
     // native operator — the merge halts on (never consumes) the first

@@ -13,3 +13,41 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
+
+/** Derives a sibling session carrying [[graft.GraftExtensions]] from any
+  * existing session (same `SparkContext`, session conf copied). Parser
+  * injection is the ONE extension point with no runtime registration
+  * path — `sessionState.sqlParser` is fixed at session build — so a
+  * session we did not construct (the driver's) reaches the `ASOF JOIN`
+  * SQL syntax through this bridge. Built with the public
+  * `Builder.withExtensions` path: the default/active session slots are
+  * cleared for the duration of `getOrCreate` (else it would return the
+  * base session unchanged) and restored after, so the caller's session
+  * remains the process default. Memoized per SparkContext.
+  */
+object GraftSessionBridge {
+  @volatile private var cached: SparkSession = _
+
+  def withGraftExtensions(base: SparkSession): SparkSession = {
+    val c = base.asInstanceOf[classic.SparkSession]
+    if (c.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser]) c
+    else synchronized {
+      if (cached == null || cached.sparkContext != c.sparkContext) {
+        val active = classic.SparkSession.getActiveSession
+        val default = classic.SparkSession.getDefaultSession
+        try {
+          classic.SparkSession.clearActiveSession()
+          classic.SparkSession.clearDefaultSession()
+          val b = classic.SparkSession.builder()
+            .withExtensions(new graft.GraftExtensions)
+          c.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+          cached = b.getOrCreate()
+        } finally {
+          default.foreach(classic.SparkSession.setDefaultSession)
+          active.foreach(classic.SparkSession.setActiveSession)
+        }
+      }
+      cached
+    }
+  }
+}

@@ -96,6 +96,13 @@ class PlanSpec extends SparkSpec {
       s"the SQL door did not reach the native operator:\n$p")
   }
 
+  test("q90c: literal ASOF LEFT JOIN syntax plans AsOfJoinExec") {
+    val p = initial("q90c_asof_syntax")
+    assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty ||
+        p.collect { case e: graft.plans.BroadcastAsOfJoinExec => e }.nonEmpty,
+      s"the ASOF syntax door did not reach the native operator:\n$p")
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
