@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SparkSpec
+
+/** Streaming backward as-of join (StreamAsOf): exact-once emission once
+  * the watermark finalizes a probe, late-build correctness, tolerance,
+  * and bounded build-side state — semantics pinned against the native
+  * batch operator on the same data. */
+class StreamAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  case class Probe(sym: String, pts: Timestamp, tid: Long)
+  case class Build(sym: String, bts: Timestamp, px: Double)
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** run a streaming backward as-of over the batches, collecting the
+    * append output after each batch */
+  private def run(name: String, lateness: String = "10 seconds",
+      tolMicros: Option[Long] = None)(
+      batches: (MemoryStream[Probe], MemoryStream[Build],
+        StreamingQuery) => Unit): Seq[(Long, Option[Double])] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[Probe]
+    val builds = MemoryStream[Build]
+    val out = StreamAsOf.backward(probes.toDF(), builds.toDF(),
+      key = "sym", probeTs = "pts", buildTs = "bts",
+      lateness = lateness, toleranceMicros = tolMicros)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir(s"asof-$name"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try batches(probes, builds, q)
+    finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+    spark.table(name).collect()
+      .map(r => (r.getAs[Long]("tid"), Option(r.getAs[org.apache.spark.sql.Row](
+        "matched")).map(_.getAs[Double]("px")))).toSeq
+  }
+
+  test("matches the batch operator once the watermark finalizes") {
+    val got = run("asof_parity") { (p, b, q) =>
+      b.addData(Build("msft", ts(100), 1.0), Build("msft", ts(200), 2.0),
+        Build("goog", ts(150), 10.0))
+      p.addData(Probe("msft", ts(50), 1L), Probe("msft", ts(200), 2L),
+        Probe("msft", ts(250), 3L), Probe("goog", ts(151), 5L),
+        Probe("nvda", ts(100), 6L))
+      q.processAllAvailable()
+      // advance event time far past the probes: watermark (10 s behind)
+      // passes them and the held matches all emit
+      b.addData(Build("zzzz", ts(10000), 0.0))
+      p.addData(Probe("zzzz", ts(10000), 99L))
+      q.processAllAvailable()
+      p.addData(Probe("zzzz", ts(20000), 98L))
+      q.processAllAvailable()
+    }
+    val byTid = got.toMap
+    // same data through the native batch operator's semantics
+    assert(byTid(1L) === None)          // before any quote
+    assert(byTid(2L) === Some(2.0))     // inclusive at-or-before
+    assert(byTid(3L) === Some(2.0))     // latest of the two
+    assert(byTid(5L) === Some(10.0))    // other key
+    assert(byTid(6L) === None)          // key absent on build side
+    // each probe emitted exactly once
+    assert(got.map(_._1).sorted === got.map(_._1).distinct.sorted)
+  }
+
+  test("a late build row within the watermark still wins") {
+    val got = run("asof_late", lateness = "60 seconds") { (p, b, q) =>
+      p.addData(Probe("msft", ts(100), 1L))
+      b.addData(Build("msft", ts(50), 1.0))
+      q.processAllAvailable()
+      // ts(90) arrives AFTER the probe, but the watermark (60 s back)
+      // has not passed it — the match must pick it up, not 50
+      b.addData(Build("msft", ts(90), 9.0))
+      q.processAllAvailable()
+      p.addData(Probe("zzzz", ts(1000), 99L)); b.addData(Build("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(Probe("zzzz", ts(2000), 98L))
+      q.processAllAvailable()
+    }
+    assert(got.toMap.apply(1L) === Some(9.0))
+  }
+
+  test("tolerance discards too-old matches") {
+    val got = run("asof_tol", tolMicros = Some(5L * 1000 * 1000)) { (p, b, q) =>
+      b.addData(Build("msft", ts(100), 1.0))
+      p.addData(Probe("msft", ts(104), 1L), Probe("msft", ts(110), 2L))
+      q.processAllAvailable()
+      p.addData(Probe("zzzz", ts(1000), 99L)); b.addData(Build("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(Probe("zzzz", ts(2000), 98L))
+      q.processAllAvailable()
+    }
+    val byTid = got.toMap
+    assert(byTid(1L) === Some(1.0)) // 4 s gap, within 5 s
+    assert(byTid(2L) === None)      // 10 s gap, beyond tolerance
+  }
+
+  test("build-side state stays bounded as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[Probe]
+    val builds = MemoryStream[Build]
+    val out = StreamAsOf.backward(probes.toDF(), builds.toDF(),
+      key = "sym", probeTs = "pts", buildTs = "bts", lateness = "1 second")
+    val q = out.writeStream.format("memory").queryName("asof_bounded")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof-bounded"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // 200 build rows on ONE key, watermark advancing the whole way:
+      // everything but the newest at-or-below-watermark build is shadowed
+      (1 to 20).foreach { batch =>
+        builds.addData((1 to 10).map(i =>
+          Build("msft", ts(batch * 100L + i), i.toDouble)): _*)
+        q.processAllAvailable()
+      }
+      probes.addData(Probe("msft", ts(5000), 1L))
+      builds.addData(Build("msft", ts(5000), 0.0))
+      q.processAllAvailable()
+      // the union's watermark is the MIN across both inputs — advance
+      // the build side too, else an idle build stream holds every probe
+      probes.addData(Probe("msft", ts(6000), 2L))
+      builds.addData(Build("zzzz", ts(6000), 0.0))
+      q.processAllAvailable()
+      // one more batch: the watermark computed at the END of the last
+      // one (5999 s) now fires msft's held-probe timer
+      probes.addData(Probe("zzzz", ts(7000), 99L))
+      builds.addData(Build("zzzz", ts(7000), 0.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.asScala
+        .map(_.numRowsTotal).sum
+      // 201 build rows went in; far fewer may remain (shadowed evicted)
+      assert(stateRows < 50, s"state grew: $stateRows rows")
+      val matched = spark.table("asof_bounded").collect()
+        .map(r => (r.getAs[Long]("tid"),
+          Option(r.getAs[org.apache.spark.sql.Row]("matched"))
+            .map(_.getAs[Double]("px"))))
+      assert(matched.toMap.apply(1L) === Some(0.0))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
+  private implicit class ArrayAsScala[T](a: Array[T]) {
+    def asScala: Seq[T] = a.toSeq
+  }
+}
