@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity.{cosine, dot, norm}
+
+/** Persisted IVF-PQ ANN index — the on-disk form of
+  * [[Similarity.ivfPqTopK]], completing the index-artifact story the
+  * MinHash signature index ([[Dedup.writeSignatureIndex]]) started: at
+  * 100 TB the fit and the corpus encoding are one-time BUILD costs, and
+  * every retrieval job after that reads the index, not the corpus.
+  *
+  * Layout under `dir`:
+  *  - `coded/` — (id, codes, pq norm) parquet, PARTITIONED BY cell: a
+  *    query probing `nProbe` cells touches `nProbe` directories, the
+  *    rest are pruned at planning time (the broadcast cell join gives
+  *    dynamic partition pruning on top of the equi-join) — the I/O
+  *    contract that makes the index useful at scale;
+  *  - `_centroids/` — (cell, vec) parquet: the IVF routing table;
+  *  - `_books/` — (sub, code, vec) parquet: the PQ codebooks;
+  *  - `_graft_index_meta.json` — build parameters. They are the index's
+  *    identity: probing with a different (nCells, m, kCodes) silently
+  *    returns garbage distances, so [[read]] refuses a mismatch, same
+  *    contract as the signature index.
+  *
+  * Underscore-prefixed members are invisible to a plain
+  * `spark.read.parquet(dir)` (Hadoop hidden-file rules), so the coded
+  * table and its sidecars cannot be confused.
+  *
+  * Determinism: the fits are the same bounded-sample deterministic
+  * k-means the in-process queries use ([[Similarity.ivfCentroids]] /
+  * [[Similarity.pqCodebooks]]), so two builds over one corpus produce
+  * byte-identical routing — an index rebuild is reproducible, not a
+  * silent re-shuffle of neighbors.
+  */
+object VectorIndex {
+
+  final case class Params(nCells: Int, m: Int, kCodes: Int, dim: Int)
+
+  /** Handle to an opened index: routing tables decoded to driver arrays
+    * (they are vocabulary-sized — nCells×dim + m×kCodes×(dim/m) doubles
+    * — broadcast-friendly by construction), coded corpus left lazy. */
+  final case class Handle(params: Params, centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], coded: DataFrame)
+
+  private def metaJson(p: Params): String =
+    s"""{"nCells":${p.nCells},"m":${p.m},"kCodes":${p.kCodes},"dim":${p.dim}}"""
+
+  /** ascending (distance, cell) ranking of every IVF cell for `vec` —
+    * -2·v·c + |c|² orders like true L2 distance (|v|² is constant per
+    * row). Mirrors the in-process paths in [[Similarity]]. */
+  private def cellRanking(vec: Column,
+      centers: Array[Array[Double]]): Column =
+    sort_array(array(centers.zipWithIndex.map { case (cn, i) =>
+      struct(
+        (lit(-2.0) * dot(vec, array(cn.map(v => lit(v.toFloat)): _*)) +
+          lit(cn.map(v => v * v).sum)).as("score"),
+        lit(i).as("cell"))
+    }: _*))
+
+  /** Fit (deterministic bounded sample), encode the corpus, and write
+    * the index. Returns the build parameters. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      maxFitRows: Int = 100000): Params = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must split into m=$m subspaces")
+    val params = Params(nCells, m, kCodes, dim)
+
+    val centers = Similarity.ivfCentroids(corpus, vecCol, nCells, maxFitRows)
+    val books = Similarity.pqCodebooks(corpus, vecCol, m, kCodes, maxFitRows)
+    val norm2Lut = array(books.flatMap(_.map(c =>
+      lit(c.map(v => v * v).sum.toFloat))).toIndexedSeq: _*)
+
+    corpus.select(col(idCol).as("id"),
+        element_at(cellRanking(col(vecCol), centers), 1)
+          .getField("cell").as("cell"),
+        Similarity.pqEncode(col(vecCol), books).as("codes"))
+      .withColumn("pq_norm",
+        sqrt(call_function("pq_adc", col("codes"), norm2Lut)))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/coded")
+
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "vec").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_centroids")
+    books.zipWithIndex
+      .flatMap { case (sub, s) => sub.zipWithIndex.map { case (c, k) =>
+        (s, k, c.toSeq) } }.toSeq
+      .toDF("sub", "code", "vec").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_books")
+
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(metaJson(params).getBytes("UTF-8"))
+    out.close()
+    params
+  }
+
+  /** Open a persisted index, asserting it was built with the parameters
+    * the caller is about to probe with (pass -1 to accept the stored
+    * value). */
+  def read(spark: SparkSession, dir: String, nCells: Int = -1,
+      m: Int = -1, kCodes: Int = -1): Handle = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$dir has no _graft_index_meta.json — not a persisted vector " +
+        "index (write it with VectorIndex.build)")
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def field(name: String): Int =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"malformed index meta: $meta"))
+    val params = Params(field("nCells"), field("m"), field("kCodes"),
+      field("dim"))
+    Seq(("nCells", nCells, params.nCells), ("m", m, params.m),
+        ("kCodes", kCodes, params.kCodes)).foreach { case (n, want, got) =>
+      require(want < 0 || want == got,
+        s"vector index at $dir was built with $n=$got but the caller " +
+          s"expects $n=$want — rebuild the index or match its parameters")
+    }
+    val centers = spark.read.parquet(s"$dir/_centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("vec").toArray)
+    require(centers.length == params.nCells,
+      s"index at $dir: ${centers.length} centroids, meta says ${params.nCells}")
+    val books = spark.read.parquet(s"$dir/_books")
+      .orderBy("sub", "code").collect()
+      .groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getAs[Seq[Double]]("vec").toArray))
+      .toArray
+    Handle(params, centers, books, spark.read.parquet(s"$dir/coded"))
+  }
+
+  /** ADC top-k against the persisted index alone — one scan of `nProbe`
+    * cell partitions per query batch, no corpus access. Scores are the
+    * PQ cosine ESTIMATE (exact to the codebook resolution); follow with
+    * [[topKRerank]] when exact ordering matters. */
+  def topKAdc(index: Handle, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(cellRanking(col(vecCol), index.centers), 1, nProbe))
+          .as("probe"))
+      .select(col("query_id"), col("probe.cell").as("cell"),
+        Similarity.pqLut(col("qv"), index.books).as("lut"),
+        norm(col("qv")).as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("nbr_id"))
+    // broadcast the (small) query batch: the cell equi-join then prunes
+    // the coded table to the probed cell partitions (DPP)
+    index.coded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("nbr_id"),
+        (call_function("pq_adc", col("codes"), col("lut")) /
+          (col("q_norm") * col("pq_norm"))).as("cos_pq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Index-shortlisted exact top-k: ADC shortlist from the index, exact
+    * cosine rerank against caller-supplied corpus vectors (the index
+    * stores codes, not vectors — at scale the corpus join is the rerank
+    * cost and the shortlist bounds it to `shortlist` rows per query). */
+  def topKRerank(index: Handle, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      shortlist: Int = -1): DataFrame = {
+    val short = if (shortlist < 0) 10 * k else math.max(k, shortlist)
+    val cand = topKAdc(index, queries, idCol, vecCol, short, nProbe)
+      .select(col("query_id"), col("nbr_id"))
+    val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cv.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cos"))
+  }
+}

@@ -36,4 +36,18 @@ object Fits {
     cache.computeIfAbsent(s"pq:$sfDir:$m:$kCodes:$maxFitRows", _ =>
       Similarity.pqCodebooks(T.embeddings(s, sfDir), "embedding",
         m, kCodes, maxFitRows)).asInstanceOf[Array[Array[Array[Double]]]]
+
+  /** Persisted [[graft.ops.VectorIndex]] over `embeddings` at `sfDir`,
+    * built once per process with q78b's exact fit parameters (16 cells,
+    * m=16, 16 codes, 2000-row fit) so its results — and its DuckDB
+    * oracle — are q78b's own. */
+  def vectorIndexDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"vindex:$sfDir", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vindex").toString + "/idx"
+      graft.ops.VectorIndex.build(T.embeddings(s, sfDir), "vec_id",
+        "embedding", dir, nCells = 16, m = 16, kCodes = 16,
+        maxFitRows = 2000)
+      dir
+    }).asInstanceOf[String]
 }

@@ -146,6 +146,48 @@ object TrainingData {
     * (m=16 subspaces of 4 dims): per (vector, subspace) the nearest-code
     * argmin (enc) and every candidate dot (subscore — the query side's
     * LUT values before their float32 cast). */
+  /** IVF-PQ retrieval oracle (cell routing → ADC shortlist → exact
+    * rerank) — shared VERBATIM by q78b (in-process fitted artifacts) and
+    * q103 (the persisted [[graft.ops.VectorIndex]]): both hashing to the
+    * same DuckDB answer proves the on-disk index is a faithful
+    * serialization of the in-process fit, not a parallel implementation
+    * that happens to agree on recall. */
+  private lazy val ivfPqOracleSql = s"""WITH $embCte, $nrmCte, ${centCte("CENT16_2K")}, $cscoreCte,
+        ${bookCte("BOOKS16_2K")}, $pqEncCte,
+        ccell AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+          FROM cscore WHERE vec_id < 20) WHERE rn <= 4),
+        cand0 AS (SELECT p.query_id, c.vec_id AS nbr_id
+          FROM probes p JOIN ccell c
+            ON c.cell = p.cell AND c.vec_id <> p.query_id),
+        adc AS (SELECT c0.query_id, c0.nbr_id,
+            list_sum(list(CAST(q.lv AS DOUBLE) ORDER BY q.j)) AS a
+          FROM cand0 c0
+            JOIN qlut q ON q.query_id = c0.query_id
+            JOIN enc en ON en.vec_id = c0.nbr_id
+              AND en.j = q.j AND en.code = q.code
+          GROUP BY c0.query_id, c0.nbr_id),
+        cospq AS (SELECT a.query_id, a.nbr_id, a.a / (nq.n * n2.nn) AS cp
+          FROM adc a JOIN nrm nq ON nq.vec_id = a.query_id
+            JOIN nrm2 n2 ON n2.vec_id = a.nbr_id),
+        cand AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cp DESC, nbr_id) AS rn
+          FROM cospq) WHERE rn <= 50),
+        rescored AS (SELECT query_id, nbr_id,
+            list_sum(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2]))
+              / (nq.n * nc.n) AS cos
+          FROM cand
+            JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id
+            JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = nbr_id),
+        ranked AS (SELECT query_id, nbr_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+          FROM rescored)
+        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
   private val pqEncCte =
     """js AS (SELECT unnest(range(16)) AS j),
      sub AS (SELECT e.vec_id, js.j, e.v[js.j * 4 + 1 : js.j * 4 + 4] AS sv
@@ -1235,41 +1277,27 @@ object TrainingData {
             nProbe = 4, shortlist = 50)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH $embCte, $nrmCte, ${centCte("CENT16_2K")}, $cscoreCte,
-        ${bookCte("BOOKS16_2K")}, $pqEncCte,
-        ccell AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
-          FROM cscore) WHERE rn = 1),
-        probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
-          FROM cscore WHERE vec_id < 20) WHERE rn <= 4),
-        cand0 AS (SELECT p.query_id, c.vec_id AS nbr_id
-          FROM probes p JOIN ccell c
-            ON c.cell = p.cell AND c.vec_id <> p.query_id),
-        adc AS (SELECT c0.query_id, c0.nbr_id,
-            list_sum(list(CAST(q.lv AS DOUBLE) ORDER BY q.j)) AS a
-          FROM cand0 c0
-            JOIN qlut q ON q.query_id = c0.query_id
-            JOIN enc en ON en.vec_id = c0.nbr_id
-              AND en.j = q.j AND en.code = q.code
-          GROUP BY c0.query_id, c0.nbr_id),
-        cospq AS (SELECT a.query_id, a.nbr_id, a.a / (nq.n * n2.nn) AS cp
-          FROM adc a JOIN nrm nq ON nq.vec_id = a.query_id
-            JOIN nrm2 n2 ON n2.vec_id = a.nbr_id),
-        cand AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cp DESC, nbr_id) AS rn
-          FROM cospq) WHERE rn <= 50),
-        rescored AS (SELECT query_id, nbr_id,
-            list_sum(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2]))
-              / (nq.n * nc.n) AS cos
-          FROM cand
-            JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = nbr_id
-            JOIN nrm nq ON nq.vec_id = query_id JOIN nrm nc ON nc.vec_id = nbr_id),
-        ranked AS (SELECT query_id, nbr_id, cos,
-            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
-          FROM rescored)
-        SELECT query_id, nbr_id, rank, cos FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+      Some(ivfPqOracleSql)),
+
+    // --------------------------------------------------------------- q103
+    // q78b's retrieval through the PERSISTED vector index
+    // ([[graft.ops.VectorIndex]]): the fits are built ONCE, the coded
+    // corpus is written cell-partitioned to disk, and the query path
+    // reads the index — the 100 TB operating shape, where retrieval jobs
+    // never touch (or even see) the raw corpus except for the bounded
+    // exact rerank. Shares q78b's oracle VERBATIM: hash-equality proves
+    // the on-disk artifact reproduces the in-process fit bit-for-bit
+    // (deterministic k-means + exact parquet round-trip of doubles).
+    QuerySpec(
+      "q103_vector_index",
+      (s, d) => {
+        val h = graft.ops.VectorIndex.read(s, Fits.vectorIndexDir(s, d))
+        val e = T.embeddings(s, d)
+        graft.ops.VectorIndex.topKRerank(h, e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracleSql)),
 
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over

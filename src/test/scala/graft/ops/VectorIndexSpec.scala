@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted IVF-PQ vector index: build/read round-trip, parameter
+  * identity enforcement, cell-partitioned layout, rebuild determinism,
+  * and retrieval recall against the exact answer. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("build → read round-trip preserves routing tables and params") {
+    val dir = tmpDir("vindex") + "/idx"
+    val p = VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, kCodes = 16, maxFitRows = 200)
+    val h = VectorIndex.read(spark, dir)
+    assert(h.params === p)
+    assert(h.centers.length === 8)
+    assert(h.books.length === 8 && h.books.head.length === 16)
+    // routing tables match a fresh in-process fit bit-for-bit (the fit
+    // is deterministic) — a rebuilt index routes identically
+    val centers2 = Similarity.ivfCentroids(emb, "embedding", 8, 200)
+    assert(h.centers.map(_.toSeq).toSeq === centers2.map(_.toSeq).toSeq)
+  }
+
+  test("coded table is partitioned by cell; sidecars hidden from it") {
+    val dir = tmpDir("vindex2") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 4, m = 8, kCodes = 16, maxFitRows = 200)
+    val cellDirs = new java.io.File(s"$dir/coded").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    // a plain read of the index root sees ONLY the coded table
+    val h = VectorIndex.read(spark, dir)
+    assert(h.coded.columns.sorted.toSeq ===
+      Seq("cell", "codes", "id", "pq_norm"))
+    assert(h.coded.count() === emb.count())
+  }
+
+  test("read refuses mismatched build parameters") {
+    val dir = tmpDir("vindex3") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 4, m = 8, kCodes = 16, maxFitRows = 200)
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.read(spark, dir, m = 4))
+    assert(e.getMessage.contains("built with m=8"))
+    val e2 = intercept[IllegalArgumentException](
+      VectorIndex.read(spark, tmpDir("novindex")))
+    assert(e2.getMessage.contains("not a persisted vector index"))
+  }
+
+  test("rerank retrieval from the persisted index: recall vs exact") {
+    val dir = tmpDir("vindex4") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, kCodes = 16, maxFitRows = 200)
+    val h = VectorIndex.read(spark, dir)
+    val queries = emb.filter($"vec_id" < 20)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val viaIndex = VectorIndex.topKRerank(h, emb, queries,
+        "vec_id", "embedding", k, nProbe = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & viaIndex).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // exact rerank means every returned cosine is the TRUE cosine:
+    // agreement rows must carry identical scores
+    val exactCos = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k)
+      .select($"query_id", $"nbr_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    VectorIndex.topKRerank(h, emb, queries, "vec_id", "embedding", k,
+        nProbe = 4)
+      .select($"query_id", $"nbr_id", $"cos").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, c) =>
+        exactCos.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-9))
+      }
+  }
+
+  test("ADC-only retrieval touches just the probed cells") {
+    val dir = tmpDir("vindex5") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, kCodes = 16, maxFitRows = 200)
+    val h = VectorIndex.read(spark, dir)
+    val queries = emb.filter($"vec_id" === 0)
+    val out = VectorIndex.topKAdc(h, queries, "vec_id", "embedding",
+      k = 50, nProbe = 2)
+    // candidate set spans at most nProbe distinct cells — the scan's
+    // partition-pruning contract, asserted semantically
+    val cells = out.join(h.coded.select($"id".as("nbr_id"), $"cell"),
+        Seq("nbr_id"))
+      .select($"cell").distinct().count()
+    assert(cells <= 2, s"candidates from $cells cells, nProbe=2")
+  }
+}
