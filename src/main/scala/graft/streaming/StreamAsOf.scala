@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType, TimestampType}
 
 /** STREAMING as-of join — the unbounded twin of the native batch
   * operator ([[graft.plans.AsOfJoin]]): every probe event matches the
@@ -29,13 +30,27 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   *    emission when the watermark advances past a held probe even if no
   *    further row ever arrives for that key.
   *
-  * Payload transport is schema-agnostic: each side's full row rides as a
-  * JSON blob through the typed state (the same trick Spark's own
-  * foreachBatch-era patterns use), re-expanded to columns on the way
-  * out. The result carries every probe column plus a `matched` struct of
-  * the full matching build row — NULL when nothing matched — mirroring
-  * the ASOF SQL syntax's output contract rather than the Scala API's
-  * USING-style one.
+  * Payload transport is schema-agnostic AND binary: each side's full row
+  * rides as a native STRUCT column through `Encoders.row`, so state is
+  * the row's compact encoder representation, not JSON text (the original
+  * implementation round-tripped `to_json`/`from_json`, which inflates
+  * RocksDB state ~3-5× on numeric-heavy schemas and burns CPU parsing on
+  * every flush). The grouping key likewise keeps its NATIVE type,
+  * wrapped in a one-field struct row — a LongType key shuffles and
+  * stores as 8 bytes, not its decimal-string rendering. The result
+  * carries every probe column plus a `matched` struct of the full
+  * matching build row — NULL when nothing matched — mirroring the ASOF
+  * SQL syntax's output contract rather than the Scala API's USING-style
+  * one.
+  *
+  * NULL contract (mirrors the batch operator's IsNotNull semantics):
+  * build rows with a NULL key or NULL event time are filtered out — a
+  * NULL key never matches anything under SQL equality, and a NULL time
+  * cannot be ordered. Probe rows with a NULL key or NULL event time
+  * bypass the stateful operator entirely on a stateless branch and emit
+  * immediately with no match (left-outer semantics: the probe row is
+  * preserved, `matched` is NULL) — they never group with NULL-keyed
+  * build rows and never reach the timestamp arithmetic.
   *
   * Ties (several build rows at one (key, time)) resolve to the latest
   * arrival, like the batch operator's positional rule: pre-dedup the
@@ -43,7 +58,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * deliberately absent: "earliest build at-or-after" has no finality
   * point when no build arrives — a NULL can only be emitted after a
   * horizon bound, and that horizon-bounded shape is exactly
-  * [[StreamJoin.within]] plus a windowed argmin.
+  * [[StreamJoin.within]] plus a windowed argmin, packaged as
+  * [[StreamAsOf.forwardWithin]].
   *
   * Requires the RocksDB state store provider (as all transformWithState
   * operators do): `spark.sql.streaming.stateStore.providerClass =
@@ -59,45 +75,44 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   */
 object StreamAsOf {
 
-  /** one tagged event of either side; `ts` keeps its TimestampType so
-    * the pre-union watermark survives into the union */
-  final case class Ev(k: String, ts: Timestamp, build: Boolean,
-      payload: String)
-
-  /** probe row + its final backward match (JSON payloads, key-level) */
-  final case class Matched(k: String, probeTs: Timestamp, probe: String,
-      matchTs: Option[Timestamp], build: Option[String])
-
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
 
-  /** Per-key processor. `toleranceMicros < 0` = unbounded lookback. */
-  class BackwardProcessor(toleranceMicros: Long)
-      extends StatefulProcessor[String, Ev, Matched] {
+  /** Per-key processor over packed rows `(k, ts, build, p, b)`; state
+    * holds `(ts, p)` / `(ts, b)` rows in their native encoder form.
+    * `toleranceMicros < 0` = unbounded lookback. */
+  class BackwardProcessor(probeStateSchema: StructType,
+      buildStateSchema: StructType, outSchema: StructType,
+      toleranceMicros: Long)
+      extends StatefulProcessor[Row, Row, Row] {
 
-    @transient private var probesSt: ListState[Ev] = _
-    @transient private var buildsSt: ListState[Ev] = _
+    @transient private var probesSt: ListState[Row] = _
+    @transient private var buildsSt: ListState[Row] = _
     @transient private var timerSt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      probesSt = getHandle.getListState[Ev](
-        "probes", Encoders.product[Ev], TTLConfig.NONE)
-      buildsSt = getHandle.getListState[Ev](
-        "builds", Encoders.product[Ev], TTLConfig.NONE)
+      probesSt = getHandle.getListState[Row](
+        "probes", Encoders.row(probeStateSchema), TTLConfig.NONE)
+      buildsSt = getHandle.getListState[Row](
+        "builds", Encoders.row(buildStateSchema), TTLConfig.NONE)
       timerSt = getHandle.getValueState[Long](
         "timer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    override def handleInputRows(key: String, rows: Iterator[Ev],
-        timerValues: TimerValues): Iterator[Matched] = {
+    private def ts(r: Row): Timestamp = r.getAs[Timestamp](0)
+
+    override def handleInputRows(key: Row, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
       rows.foreach { e =>
-        if (e.build) buildsSt.appendValue(e) else probesSt.appendValue(e)
+        if (e.getBoolean(2))
+          buildsSt.appendValue(Row(e.get(1), e.get(4)))
+        else probesSt.appendValue(Row(e.get(1), e.get(3)))
       }
       flush(timerValues.getCurrentWatermarkInMs())
     }
 
-    override def handleExpiredTimer(key: String, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Matched] = {
+    override def handleExpiredTimer(key: Row, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
       timerSt.clear() // the fired timer is gone — don't try to delete it
       flush(timerValues.getCurrentWatermarkInMs())
     }
@@ -107,12 +122,12 @@ object StreamAsOf {
       * A probe with event time strictly below the watermark (ms) is
       * final: a build row that could change its match would have event
       * time <= the probe's < watermark — late, dropped at the source. */
-    private def flush(wm: Long): Iterator[Matched] = {
+    private def flush(wm: Long): Iterator[Row] = {
       val probes = probesSt.get().toArray
-      val (ready, hold) = probes.partition(_.ts.getTime < wm)
+      val (ready, hold) = probes.partition(ts(_).getTime < wm)
 
       // timer discipline: exactly one, at (earliest held probe) + 1 ms
-      val want = if (hold.nonEmpty) hold.map(_.ts.getTime).min + 1 else 0L
+      val want = if (hold.nonEmpty) hold.map(ts(_).getTime).min + 1 else 0L
       val cur = if (timerSt.exists()) timerSt.get() else 0L
       if (want != cur) {
         if (cur > 0) getHandle.deleteTimer(cur)
@@ -127,8 +142,8 @@ object StreamAsOf {
       if (hold.nonEmpty) probesSt.put(hold)
 
       // stable sort: ties at one time resolve to the latest arrival
-      val builds = buildsSt.get().toArray.sortBy(e => micros(e.ts))
-      val times = builds.map(e => micros(e.ts))
+      val builds = buildsSt.get().toArray.sortBy(e => micros(ts(e)))
+      val times = builds.map(e => micros(ts(e)))
       def floorIdx(t: Long): Int = {
         var lo = 0; var hi = times.length - 1; var res = -1
         while (lo <= hi) {
@@ -137,15 +152,15 @@ object StreamAsOf {
         }
         res
       }
-      val out = ready.sortBy(e => micros(e.ts)).iterator.map { p =>
-        val t = micros(p.ts)
+      val out = ready.sortBy(e => micros(ts(e))).iterator.map { p =>
+        val t = micros(ts(p))
         val i = floorIdx(t)
         val hit = i >= 0 &&
           (toleranceMicros < 0 || t - times(i) <= toleranceMicros)
+        val probeVals = p.getAs[Row](1).toSeq
         if (hit)
-          Matched(p.k, p.ts, p.payload, Some(builds(i).ts),
-            Some(builds(i).payload))
-        else Matched(p.k, p.ts, p.payload, None, None)
+          Row.fromSeq(probeVals ++ Seq(ts(builds(i)), builds(i).get(1)))
+        else Row.fromSeq(probeVals ++ Seq(null, null))
       }.toVector
       evict(wm, builds)
       out.iterator
@@ -154,10 +169,10 @@ object StreamAsOf {
     /** Future probes have event time >= watermark (ms); every build
       * strictly below the watermark except the newest such is shadowed
       * for all of them. Keeps state O(horizon), not O(stream). */
-    private def evict(wm: Long, builds: Array[Ev]): Unit = {
+    private def evict(wm: Long, builds: Array[Row]): Unit = {
       val sorted =
-        if (builds.length > 1) builds.sortBy(e => micros(e.ts)) else builds
-      val (below, above) = sorted.partition(_.ts.getTime < wm)
+        if (builds.length > 1) builds.sortBy(e => micros(ts(e))) else builds
+      val (below, above) = sorted.partition(ts(_).getTime < wm)
       if (below.length > 1) {
         buildsSt.clear()
         val keep = below.lastOption.toArray ++ above
@@ -179,25 +194,186 @@ object StreamAsOf {
   def backward(probe: DataFrame, build: DataFrame, key: String,
       probeTs: String, buildTs: String, lateness: String = "10 minutes",
       toleranceMicros: Option[Long] = None): DataFrame = {
-    val spark = probe.sparkSession
-    import spark.implicits._
-    def pack(df: DataFrame, ts: String, isBuild: Boolean): Dataset[Ev] =
-      df.withWatermark(ts, lateness)
-        .select(col(key).cast("string").as("k"), col(ts).as("ts"),
-          lit(isBuild).as("build"),
-          to_json(struct(df.columns.map(col): _*)).as("payload"))
-        .as[Ev]
-    val matched = pack(probe, probeTs, isBuild = false)
-      .unionByName(pack(build, buildTs, isBuild = true))
-      .groupByKey(_.k)
+    val keyType = probe.schema(key).dataType
+    val probeStruct = StructType(probe.schema.fields)
+    val buildStruct = StructType(build.schema.fields)
+
+    // packed shape both sides share: (k, ts, build, p, b)
+    def pack(df: DataFrame, ts: String, isBuild: Boolean): DataFrame =
+      df.withWatermark(ts, lateness).select(
+        col(key).cast(keyType).as("k"), col(ts).as("ts"),
+        lit(isBuild).as("build"),
+        (if (isBuild) lit(null).cast(probeStruct)
+         else struct(df.columns.map(col): _*)).as("p"),
+        (if (isBuild) struct(df.columns.map(col): _*)
+         else lit(null).cast(buildStruct)).as("b"))
+
+    val packedProbe = pack(probe, probeTs, isBuild = false)
+    // NULL contract: null-keyed/null-timed build rows can never match
+    val packedBuild = pack(build, buildTs, isBuild = true)
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+    // ... and null-keyed/null-timed probes emit no-match, statelessly
+    val probeOk = packedProbe.filter(col("k").isNotNull && col("ts").isNotNull)
+    val probeNull = packedProbe.filter(col("k").isNull || col("ts").isNull)
+
+    val keySchema = StructType(Seq(StructField("k", keyType)))
+    val probeStateSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("p", probeStruct)))
+    val buildStateSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("b", buildStruct)))
+    val outSchema = StructType(probe.schema.fields ++ Seq(
+      StructField("match_ts", TimestampType),
+      StructField("matched", buildStruct)))
+
+    val matched = probeOk.unionByName(packedBuild)
+      .groupByKey((r: Row) => Row(r.get(0)))(Encoders.row(keySchema))
       .transformWithState(
-        new BackwardProcessor(toleranceMicros.getOrElse(-1L)),
-        TimeMode.EventTime(), OutputMode.Append())
-    matched.toDF()
-      .select(
-        from_json(col("probe"), probe.schema).as("__p"),
-        col("matchTs").as("match_ts"),
-        from_json(col("build"), build.schema).as("matched"))
-      .select(col("__p.*"), col("match_ts"), col("matched"))
+        new BackwardProcessor(probeStateSchema, buildStateSchema, outSchema,
+          toleranceMicros.getOrElse(-1L)),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.row(outSchema))
+
+    val passThrough = probeNull.select(
+      probe.columns.map(c => col(s"p.`$c`").as(c)) ++ Seq(
+        lit(null).cast(TimestampType).as("match_ts"),
+        lit(null).cast(buildStruct).as("matched")): _*)
+
+    matched.toDF().unionByName(passThrough)
+  }
+
+  /** FORWARD streaming as-of with an explicit horizon: each probe row
+    * matches the EARLIEST build row with the same key in
+    * `[probeTs, probeTs + horizonSeconds]`, or NULL once the watermark
+    * proves no such build can still arrive. The horizon is what makes
+    * the operator exist at all (see the class doc: unbounded forward
+    * as-of has no finality point for the no-match case) — this packages
+    * the documented recipe, [[StreamJoin.within]] + windowed argmin, as
+    * a tested call instead of a comment.
+    *
+    * Shape: a left-outer interval stream-stream join (Spark evicts its
+    * state and emits the NULL row once the watermark passes
+    * `probeTs + horizon`), then a per-probe argmin over the matches via
+    * the same watermark-finalized `transformWithState` machinery as
+    * [[backward]] — run on the join output keyed by probe identity,
+    * picking the earliest build time. Both stages hold O(rate × horizon)
+    * state.
+    *
+    * Same NULL contract as [[backward]]: null-key/null-time build rows
+    * never match; null-key/null-time probe rows emit no-match.
+    * Column names of the two inputs must be disjoint (a stream-stream
+    * join constraint) — hence the separate `buildKey` name. Output:
+    * every probe column, plus `match_ts` and a `matched` struct of the
+    * full build row.
+    */
+  def forwardWithin(probe: DataFrame, build: DataFrame, key: String,
+      probeTs: String, buildKey: String, buildTs: String,
+      horizonSeconds: Long, lateness: String = "10 minutes"): DataFrame = {
+    val keyType = probe.schema(key).dataType
+    val buildStruct = StructType(build.schema.fields)
+
+    val p = probe.withWatermark(probeTs, lateness)
+      .filter(col(key).isNotNull && col(probeTs).isNotNull)
+    val b = build.withWatermark(buildTs, lateness)
+      .filter(col(buildKey).isNotNull && col(buildTs).isNotNull)
+      .select(col(buildKey).cast(keyType).as("__bk"),
+        col(buildTs).as("__bts"),
+        struct(build.columns.map(col): _*).as("__b"))
+
+    // left-outer interval join: Spark emits the unmatched (NULL) row
+    // exactly when the watermark passes probeTs + horizon — that event
+    // doubles as the argmin stage's finality signal for the no-match case
+    val joined = p.join(b,
+      col(key) === col("__bk") &&
+        col("__bts") >= col(probeTs) &&
+        col("__bts") <= col(probeTs) +
+          expr(s"INTERVAL $horizonSeconds SECONDS"),
+      "leftOuter")
+
+    // argmin per probe row: ride the backward machinery by treating the
+    // join output as its own probe stream keyed by (key, probeTs) — each
+    // candidate is final once the watermark passes probeTs + horizon, so
+    // shift the held-probe clock by the horizon via a synthetic ts
+    val probeCols = probe.columns
+    val candSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("bts", TimestampType),
+      StructField("b", buildStruct)))
+    val outSchema = StructType(probe.schema.fields ++ Seq(
+      StructField("match_ts", TimestampType),
+      StructField("matched", buildStruct)))
+    val keyed = joined.select(
+      struct(probeCols.map(col): _*).as("pk"),
+      (col(probeTs) + expr(s"INTERVAL $horizonSeconds SECONDS")).as("fin"),
+      col("__bts").as("bts"), col("__b").as("b"))
+    val keySchema = StructType(Seq(
+      StructField("pk", StructType(probe.schema.fields))))
+    val res = keyed
+      .groupByKey((r: Row) => Row(r.get(0)))(Encoders.row(keySchema))
+      .transformWithState(
+        new ForwardArgmin(candSchema, outSchema),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.row(outSchema))
+    res.toDF()
+  }
+
+  /** Argmin stage of [[forwardWithin]]: per probe row, hold the interval
+    * join's candidates until the watermark passes the probe's finality
+    * point (probeTs + horizon, precomputed as `fin`), then emit the
+    * earliest-build-time candidate once — or the NULL row the left-outer
+    * join produced if no candidate matched. State is the candidate set
+    * of in-flight probes only: O(rate × horizon). */
+  class ForwardArgmin(candSchema: StructType, outSchema: StructType)
+      extends StatefulProcessor[Row, Row, Row] {
+
+    @transient private var candsSt: ListState[Row] = _
+    @transient private var timerSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      candsSt = getHandle.getListState[Row](
+        "cands", Encoders.row(candSchema), TTLConfig.NONE)
+      timerSt = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Row, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
+      // input: (pk struct, fin, bts, b) — fin identical across the group
+      rows.foreach { r =>
+        candsSt.appendValue(Row(r.get(1), r.get(2), r.get(3)))
+      }
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Row, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
+      timerSt.clear()
+      flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    private def flush(key: Row, wm: Long): Iterator[Row] = {
+      val cands = candsSt.get().toArray
+      if (cands.isEmpty) return Iterator.empty
+      val fin = cands.head.getAs[Timestamp](0)
+      if (fin.getTime < wm) {
+        candsSt.clear()
+        if (timerSt.exists()) { getHandle.deleteTimer(timerSt.get()); timerSt.clear() }
+        val hits = cands.filter(_.get(1) != null)
+        val probeVals = key.getAs[Row](0).toSeq
+        if (hits.isEmpty)
+          Iterator.single(Row.fromSeq(probeVals ++ Seq(null, null)))
+        else {
+          val best = hits.minBy(r => micros(r.getAs[Timestamp](1)))
+          Iterator.single(Row.fromSeq(probeVals ++
+            Seq(best.getAs[Timestamp](1), best.get(2))))
+        }
+      } else {
+        val want = fin.getTime + 1
+        val cur = if (timerSt.exists()) timerSt.get() else 0L
+        if (want != cur) {
+          if (cur > 0) getHandle.deleteTimer(cur)
+          getHandle.registerTimer(want)
+          timerSt.update(want)
+        }
+        Iterator.empty
+      }
+    }
   }
 }

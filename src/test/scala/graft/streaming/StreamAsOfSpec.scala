@@ -160,6 +160,155 @@ class StreamAsOfSpec extends SparkSpec {
     }
   }
 
+  case class NProbe(sym: Option[String], pts: Option[Timestamp], tid: Long)
+  case class NBuild(sym: Option[String], bts: Option[Timestamp], px: Double)
+
+  test("NULL keys/times: probe emits no-match, build is filtered") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[NProbe]
+    val builds = MemoryStream[NBuild]
+    val out = StreamAsOf.backward(probes.toDF(), builds.toDF(),
+      key = "sym", probeTs = "pts", buildTs = "bts", lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_nulls")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof-nulls"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      builds.addData(
+        NBuild(Some("msft"), Some(ts(100)), 1.0),
+        NBuild(None, Some(ts(100)), -1.0),        // null build key: dropped
+        NBuild(Some("msft"), None, -2.0))         // null build time: dropped
+      probes.addData(
+        NProbe(Some("msft"), Some(ts(150)), 1L),  // normal: matches 1.0
+        NProbe(None, Some(ts(150)), 2L),          // null probe key: no-match
+        NProbe(Some("msft"), None, 3L))           // null probe time: no-match
+      q.processAllAvailable()
+      probes.addData(NProbe(Some("zzzz"), Some(ts(1000)), 99L))
+      builds.addData(NBuild(Some("zzzz"), Some(ts(1000)), 0.0))
+      q.processAllAvailable()
+      probes.addData(NProbe(Some("zzzz"), Some(ts(2000)), 98L))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+    val got = spark.table("asof_nulls").collect()
+      .map(r => (r.getAs[Long]("tid"), Option(r.getAs[org.apache.spark.sql.Row](
+        "matched")).map(_.getAs[Double]("px")))).toMap
+    assert(got(1L) === Some(1.0)) // the null-keyed/timed builds never match
+    assert(got(2L) === None)      // null probe key: row preserved, no match
+    assert(got(3L) === None)      // null probe time: row preserved, no match
+  }
+
+  case class LProbe(id: Long, pts: Timestamp, tid: Long)
+  case class LBuild(id: Long, bts: Timestamp, px: Double)
+
+  test("native non-string key type shuffles and matches correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[LProbe]
+    val builds = MemoryStream[LBuild]
+    val out = StreamAsOf.backward(probes.toDF(), builds.toDF(),
+      key = "id", probeTs = "pts", buildTs = "bts", lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_longkey")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof-longkey"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      builds.addData(LBuild(7L, ts(100), 1.0), LBuild(8L, ts(100), 2.0))
+      probes.addData(LProbe(7L, ts(150), 1L), LProbe(9L, ts(150), 2L))
+      q.processAllAvailable()
+      probes.addData(LProbe(0L, ts(1000), 99L))
+      builds.addData(LBuild(0L, ts(1000), 0.0))
+      q.processAllAvailable()
+      probes.addData(LProbe(0L, ts(2000), 98L))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+    val got = spark.table("asof_longkey").collect()
+      .map(r => (r.getAs[Long]("tid"), Option(r.getAs[org.apache.spark.sql.Row](
+        "matched")).map(_.getAs[Double]("px")))).toMap
+    assert(got(1L) === Some(1.0))
+    assert(got(2L) === None)
+  }
+
+  case class FProbe(psym: String, pts: Timestamp, tid: Long)
+  case class FBuild(bsym: String, bts: Timestamp, px: Double)
+
+  /** forwardWithin: earliest build in [pts, pts+horizon], NULL after the
+    * horizon passes with no build. */
+  private def runFwd(name: String, horizon: Long = 10L)(
+      batches: (MemoryStream[FProbe], MemoryStream[FBuild],
+        StreamingQuery) => Unit): Map[Long, Option[Double]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[FProbe]
+    val builds = MemoryStream[FBuild]
+    val out = StreamAsOf.forwardWithin(
+      probes.toDF(), builds.toDF(), key = "psym", probeTs = "pts",
+      buildKey = "bsym", buildTs = "bts",
+      horizonSeconds = horizon, lateness = "5 seconds")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir(s"fwd-$name"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try batches(probes, builds, q)
+    finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+    spark.table(name).collect()
+      .map(r => (r.getAs[Long]("tid"), Option(r.getAs[org.apache.spark.sql.Row](
+        "matched")).map(_.getAs[Double]("px")))).toMap
+  }
+
+  test("forwardWithin picks the earliest build within the horizon") {
+    val got = runFwd("fwd_basic") { (p, b, q) =>
+      p.addData(FProbe("msft", ts(100), 1L))
+      b.addData(FBuild("msft", ts(105), 5.0), FBuild("msft", ts(103), 3.0),
+        FBuild("msft", ts(150), 9.0)) // 150 outside [100,110]
+      q.processAllAvailable()
+      // drive the watermark far past fin=110 on both inputs
+      p.addData(FProbe("zzzz", ts(1000), 99L))
+      b.addData(FBuild("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(2000), 98L))
+      b.addData(FBuild("zzzz", ts(2000), 0.0))
+      q.processAllAvailable()
+    }
+    assert(got(1L) === Some(3.0)) // earliest at-or-after, not latest
+  }
+
+  test("forwardWithin: late build within lateness still wins; no-build emits NULL after horizon") {
+    val got = runFwd("fwd_late") { (p, b, q) =>
+      p.addData(FProbe("msft", ts(100), 1L), FProbe("nvda", ts(100), 2L))
+      q.processAllAvailable()
+      // arrives in a later batch but event-time 104 is within horizon
+      b.addData(FBuild("msft", ts(104), 4.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(1000), 99L))
+      b.addData(FBuild("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(2000), 98L))
+      b.addData(FBuild("zzzz", ts(2000), 0.0))
+      q.processAllAvailable()
+    }
+    assert(got(1L) === Some(4.0)) // late-arriving build still matched
+    assert(got(2L) === None)      // nvda never saw a build: NULL emitted
+  }
+
   private implicit class ArrayAsScala[T](a: Array[T]) {
     def asScala: Seq[T] = a.toSeq
   }
