@@ -330,11 +330,15 @@ object Layout {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         // some FileSystem impls signal the conflict as a plain
-        // IOException; match the full "already exist(s)" phrase so a
+        // IOException; match the known conflict phrasings — "already
+        // exist(s)" and the POSIX EEXIST-style "file exists" — so a
         // "does not exist" write failure still propagates as an error
         case e: java.io.IOException
-            if e.getMessage != null &&
-              e.getMessage.toLowerCase.contains("already exist") => false
+            if e.getMessage != null && {
+              val m = e.getMessage.toLowerCase
+              m.contains("already exist") ||
+                m.matches(".*\\bfile exists\\b.*")
+            } => false
       }
     }
   }
@@ -427,8 +431,17 @@ object Layout {
       listManifestVersions(spark, dir)
         .filter(v => v < newest && !complete.contains(v))
         .map(v => new Path(dir, f"_snapshots/v$v%08d.manifest"))
-        .filter(p => fs.getFileStatus(p).getModificationTime < sweepBefore)
-        .foreach(p => fs.delete(p, false))
+        .filter { p =>
+          // a concurrent expire (or the torn writer's own cleanup) may
+          // delete the file between listing and stat: already-gone is
+          // this sweep's goal state, not an error — skip, don't abort
+          try fs.getFileStatus(p).getModificationTime < sweepBefore
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+        .foreach { p =>
+          try fs.delete(p, false)
+          catch { case _: java.io.FileNotFoundException => () }
+        }
     }
     val referenced = surviving
       .flatMap(v => snapshotFiles(spark, dir, v))

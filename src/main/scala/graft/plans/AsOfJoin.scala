@@ -796,8 +796,15 @@ case class BroadcastAsOfJoinExec(
       .createMetric(sparkContext, "number of output rows"),
     "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of matched rows"),
+    // counted where the executor-side index is built, so it reads 0 when
+    // AsOfGroupsCache serves a cache hit (a re-run of the same join, or
+    // another join sharing the index) and, on a multi-executor cluster,
+    // sums one count per executor JVM that built the index — it is a
+    // per-build diagnostic, NOT the authoritative build-side row count
+    // (that is the broadcast exchange's own numOutputRows)
     "buildRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "broadcast build rows"))
+      .createMetric(sparkContext,
+        "indexed build rows (per index build; 0 on cache hit)"))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =

@@ -24,6 +24,22 @@ object GraftPlanBridge {
   * cleared for the duration of `getOrCreate` (else it would return the
   * base session unchanged) and restored after, so the caller's session
   * remains the process default. Memoized per SparkContext.
+  *
+  * Conf semantics: the sibling's conf is NOT a one-time snapshot — on
+  * every call the base session's current RUNTIME conf is re-synced onto
+  * the sibling (modifiable keys whose values differ, e.g. a
+  * `spark.sql.session.timeZone` flipped after first use — timezone skew
+  * would otherwise silently corrupt epoch-micros outputs). Static confs
+  * are fixed at sibling build, as they are for any session.
+  *
+  * Thread-safety: the `synchronized` block guards the bridge's own
+  * state only. The process-global default/active session slots are
+  * empty for the duration of the inner `getOrCreate`; an UNRELATED
+  * thread racing `SparkSession.builder().getOrCreate()` (or reading
+  * `getDefaultSession`) in that window can observe no session and build
+  * a stray one. That is acceptable for this bridge's use (bench/verify
+  * harnesses calling from one driver thread at a time); do not call it
+  * concurrently with session construction elsewhere.
   */
 object GraftSessionBridge {
   @volatile private var cached: SparkSession = _
@@ -46,6 +62,11 @@ object GraftSessionBridge {
           default.foreach(classic.SparkSession.setDefaultSession)
           active.foreach(classic.SparkSession.setActiveSession)
         }
+      }
+      // re-sync mutable confs changed on the base since the last call
+      c.conf.getAll.foreach { case (k, v) =>
+        if (cached.conf.getOption(k) != Some(v) && cached.conf.isModifiable(k))
+          cached.conf.set(k, v)
       }
       cached
     }

@@ -212,4 +212,21 @@ class AsOfSyntaxSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.toUpperCase.contains("ASOF") ||
       e.getMessage.toLowerCase.contains("syntax"))
   }
+
+  test("a conf set on the base session AFTER first bridge use reaches the sibling") {
+    ready // the sibling exists and has served queries by now
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val sib = GraftSessionBridge.withGraftExtensions(spark)
+      assert(sib.conf.get(key) === "America/New_York",
+        "bridge must re-sync mutable confs, not snapshot at first use")
+    } finally {
+      spark.conf.set(key, prev)
+      // and the reset flows through too
+      assert(GraftSessionBridge.withGraftExtensions(spark)
+        .conf.get(key) === prev)
+    }
+  }
 }
