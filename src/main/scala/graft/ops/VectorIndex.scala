@@ -104,6 +104,41 @@ object VectorIndex {
     params
   }
 
+  /** Incremental index maintenance: encode `batch`'s vectors against the
+    * index's FROZEN centroids and codebooks and append them to the cell
+    * partitions — the daily-ingest path. A 100 TB corpus is built once;
+    * every batch after that costs O(batch) encode + append, never a
+    * refit or a rewrite of existing cells (a refit would silently move
+    * the routing table under every previously coded row). The
+    * param sidecar is checked first: appending to an index whose stored
+    * `dim` differs from the batch's vectors is refused, same contract as
+    * [[read]]. Determinism: appending any split of a corpus yields the
+    * same coded rows as one [[build]] over the whole corpus fit on the
+    * same sample — retrieval over the appended index hash-matches the
+    * full-build oracle (pinned in VectorIndexSpec).
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      dir: String): Params = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val idx = read(spark, dir)
+    val dim = batch.select(size(col(vecCol))).head().getInt(0)
+    require(dim == idx.params.dim,
+      s"vector index at $dir stores dim=${idx.params.dim} vectors but " +
+        s"the batch has dim=$dim — wrong index for this corpus")
+    val norm2Lut = array(idx.books.flatMap(_.map(c =>
+      lit(c.map(v => v * v).sum.toFloat))).toIndexedSeq: _*)
+    batch.select(col(idCol).as("id"),
+        element_at(cellRanking(col(vecCol), idx.centers), 1)
+          .getField("cell").as("cell"),
+        Similarity.pqEncode(col(vecCol), idx.books).as("codes"))
+      .withColumn("pq_norm",
+        sqrt(call_function("pq_adc", col("codes"), norm2Lut)))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$dir/coded")
+    idx.params
+  }
+
   /** Open a persisted index, asserting it was built with the parameters
     * the caller is about to probe with (pass -1 to accept the stored
     * value). */

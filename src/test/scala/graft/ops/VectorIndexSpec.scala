@@ -82,6 +82,71 @@ class VectorIndexSpec extends SparkSpec {
       }
   }
 
+  test("append encodes against the FROZEN fit and extends the index") {
+    import org.apache.spark.sql.functions.{call_function, element_at, lit, size, sqrt, struct}
+    val dir = tmpDir("vindex6") + "/idx"
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    VectorIndex.build(half1, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, kCodes = 16, maxFitRows = 200)
+    val before = VectorIndex.read(spark, dir)
+    VectorIndex.append(half2, "vec_id", "embedding", dir)
+    val after = VectorIndex.read(spark, dir)
+
+    // the routing tables did not move: append froze the fit
+    assert(after.centers.map(_.toSeq).toSeq ===
+      before.centers.map(_.toSeq).toSeq)
+    assert(after.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      before.books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(after.coded.count() === emb.count())
+
+    // bit-for-bit: the appended coded table equals encoding the FULL
+    // corpus against the frozen half-corpus fit — so any retrieval over
+    // the appended index matches a one-shot encode with this fit exactly
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val norm2Lut = org.apache.spark.sql.functions.array(
+      before.books.flatMap(_.map(c =>
+        lit(c.map(v => v * v).sum.toFloat))).toIndexedSeq: _*)
+    def cellOf(v: org.apache.spark.sql.Column) = element_at(
+      org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.array(
+          before.centers.zipWithIndex.map { case (cn, i) => struct(
+            (lit(-2.0) * Similarity.dot(v, org.apache.spark.sql.functions
+                .array(cn.map(x => lit(x.toFloat)): _*)) +
+              lit(cn.map(x => x * x).sum)).as("score"),
+            lit(i).as("cell")) }: _*)), 1).getField("cell")
+    val expect = emb.select($"vec_id".as("id"),
+        cellOf($"embedding").as("cell"),
+        Similarity.pqEncode($"embedding", before.books).as("codes"))
+      .withColumn("pq_norm",
+        sqrt(call_function("pq_adc", $"codes", norm2Lut)))
+      .select($"id", $"cell", $"codes".cast("array<int>"), $"pq_norm")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    val got = after.coded
+      .select($"id", $"cell", $"codes".cast("array<int>"), $"pq_norm")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    assert(got === expect)
+
+    // retrieval over the appended index is well-formed end to end
+    val res = VectorIndex.topKRerank(after, emb,
+      emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3)
+    assert(res.count() === 30)
+  }
+
+  test("append refuses a dimension-mismatched batch") {
+    import org.apache.spark.sql.functions.slice
+    val dir = tmpDir("vindex7") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 4, m = 8, kCodes = 16, maxFitRows = 200)
+    val shrunk = emb.select($"vec_id",
+      slice($"embedding", 1, 8).as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.append(shrunk, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("ADC-only retrieval touches just the probed cells") {
     val dir = tmpDir("vindex5") + "/idx"
     VectorIndex.build(emb, "vec_id", "embedding", dir,
