@@ -321,16 +321,32 @@ object CoreRelational {
 
     // ---------------------------------------------------------------- q16
     // The 100 TB-scale variant of q15's distinct counts: HLL++ sketch, one
-    // pass, O(1) state per partition. No DuckDB oracle (different sketch) —
-    // rows-only check; the ScalaTest spec asserts the estimate is within 5%
-    // of the exact count.
+    // pass, O(1) state per partition. The raw estimate differs from
+    // DuckDB's sketch, so the query emits a CERTIFICATE row instead:
+    // the exact counts (hash-checked against the oracle) plus booleans
+    // asserting the HLL estimate landed within 5× its configured 1% rsd
+    // — TRUE on the oracle side, so a drifting sketch is a driver-visible
+    // hash failure, not an untested rows-only pass. The exact side here
+    // is the verification harness, not the operating shape: at 100 TB
+    // only the sketch runs (that is q16's point); the certificate exists
+    // because the gate runs at oracle scale.
     QuerySpec(
       "q16_approx_distinct",
       (s, d) =>
         T.lineitem(s, d).agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps")),
-      None),
+            approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+            approx_count_distinct(col("l_suppkey"), 0.01).as("asu"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"))
+          .select(col("exact_parts"), col("exact_supps"),
+            (abs(col("ap") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("parts_within_5pct"),
+            (abs(col("asu") - col("exact_supps")) <=
+              col("exact_supps") * 0.05).as("supps_within_5pct")),
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+          TRUE AS parts_within_5pct, TRUE AS supps_within_5pct
+        FROM lineitem""")),
 
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key

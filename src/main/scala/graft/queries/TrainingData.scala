@@ -1304,9 +1304,14 @@ object TrainingData {
     // the corpus token stream. O(maxItemsTracked) state per partition,
     // map-side combined — the exchange carries ONE sketch per task, never
     // the token stream, and capacity (not cardinality) bounds memory: the
-    // fleet-scale form of q55's exact vocabulary top-k. Sketch output
-    // isn't SQL-replayable → rows-only here (q16 HLL precedent);
-    // HeavyHitterSpec pins the estimates against exact counts.
+    // fleet-scale form of q55's exact vocabulary top-k. FULL hash oracle:
+    // a frequent-items sketch is EXACT while the distinct-item count
+    // stays under its tracking capacity (no eviction ever happens), and
+    // this corpus's whitespace vocabulary (31 tokens at every SF) is far
+    // under 10000 — so the estimates must equal DuckDB's exact counts
+    // bit-for-bit, and any sketch drift is a driver-visible hash
+    // failure. The over-capacity regime (where estimates diverge) is
+    // pinned separately in HeavyHitterSpec.
     QuerySpec(
       "q79_heavy_hitters",
       (s, d) => {
@@ -1314,10 +1319,14 @@ object TrainingData {
           .select(explode(Text.tokens(col("text"))).as("tok"))
         toks.agg(expr("approx_top_k(tok, 20, 10000)").as("top"))
           .select(explode(col("top")).as("hh"))
-          .select(col("hh.item").as("tok"), col("hh.count").as("est_count"))
+          .select(col("hh.item").as("tok"),
+            col("hh.count").cast("long").as("est_count"))
           .orderBy(col("est_count").desc, col("tok"))
       },
-      None),
+      Some(s"""WITH $tokCte,
+          tf AS (SELECT unnest(t) AS tok FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS est_count FROM tf
+        GROUP BY tok ORDER BY est_count DESC, tok LIMIT 20""")),
 
     // ---------------------------------------------------------------- q80
     // Cross-doc repeated-substring spans (Dedup.duplicatedSpans): which
@@ -1419,20 +1428,47 @@ object TrainingData {
     // ---------------------------------------------------------------- q85
     // Learned quality filter (Classify.qualityClassifier): fasttext-style
     // hashed bag-of-words + dense stats → logistic regression on weak
-    // rule labels, scored over the whole corpus. The hashing trick fixes
-    // feature width regardless of vocabulary (bounded driver memory at
-    // any corpus size); each L-BFGS iteration is one map-side-combined
-    // treeAggregate pass. Model outputs are float-merge-order dependent →
-    // rows-only here; ClassifySpec pins held-out AUC instead.
+    // rule labels. Model outputs are float-merge-order dependent, so the
+    // query emits a CERTIFICATE row the oracle CAN check: the corpus
+    // count and the weak-label count (both hash-checked — the label rule
+    // is the deterministic quality formula the oracle replays), plus a
+    // boolean asserting held-out ranking quality (binned Mann-Whitney
+    // AUC ≥ 0.80; ClassifySpec pins the exact-pairs AUC at ≥ 0.85) —
+    // TRUE on the oracle side, so a degraded model is a driver-visible
+    // hash failure, not an untested rows-only pass. The AUC is computed
+    // from a 1e4-bin score histogram: one map-side-combined aggregation
+    // pass and an O(bins) driver fold — no global sort, no O(pos·neg)
+    // pair loop — the shape that survives a 100 TB corpus.
     QuerySpec(
       "q85_quality_classifier",
-      (s, d) =>
-        graft.ops.Classify.qualityClassifier(
-            T.documents(s, d), "doc_id", "text")
-          .select(col("doc_id"), col("label"),
-            round(col("p_high"), 4).as("p_high"), col("pred"))
-          .orderBy(col("doc_id")),
-      None),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val held = graft.ops.Classify.qualityClassifier(
+          docs, "doc_id", "text", heldOutOnly = true)
+        val bins = held
+          .groupBy(floor(col("p_high") * 1e4).cast("long").as("bin"))
+          .agg(sum(col("label")).as("pos"),
+            sum(lit(1.0) - col("label")).as("neg"))
+          .orderBy(col("bin"))
+          .collect() // ≤ 1e4 rows whatever the corpus size
+        var negBelow = 0.0; var wins = 0.0; var nPos = 0.0; var nNeg = 0.0
+        bins.foreach { r =>
+          val p = r.getDouble(1); val n = r.getDouble(2)
+          wins += negBelow * p + 0.5 * p * n
+          negBelow += n; nPos += p; nNeg += n
+        }
+        val auc = if (nPos > 0 && nNeg > 0) wins / (nPos * nNeg) else 0.0
+        graft.ops.Classify.labeledFeatures(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("label")).cast("long").as("n_label_high"))
+          .withColumn("holdout_auc_ge_080", lit(auc >= 0.80))
+      },
+      Some(s"""WITH $tokCte, $baseCte, ${qualCte()}
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN quality >= ${dbl("0.7")} THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_label_high,
+          TRUE AS holdout_auc_ge_080
+        FROM qual""")),
 
     // ---------------------------------------------------------------- q94
     // Embedding-space benchmark decontamination: max cosine of every
