@@ -36,4 +36,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Reader for a snapshot-committed table ([[graft.ops.Layout.snapshotCommit]]):
+    * the latest committed version by default, or a pinned `asOfVersion`
+    * (time travel). The file list is resolved from the version's manifest
+    * at call time, so the returned frame keeps reading THAT snapshot's
+    * files even while later versions commit concurrently — a long
+    * analytics job is never torn across versions by a writer (files are
+    * immutable until [[graft.ops.Layout.snapshotExpire]] drops the
+    * version). */
+  def snapshot(s: SparkSession, dir: String,
+      asOfVersion: Long = -1L): DataFrame =
+    graft.ops.Layout.snapshotRead(s, dir, asOfVersion)
 }

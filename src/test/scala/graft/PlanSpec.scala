@@ -103,6 +103,40 @@ class PlanSpec extends SparkSpec {
       s"the ASOF syntax door did not reach the native operator:\n$p")
   }
 
+  test("q103/persisted index: probing prunes the coded scan to the probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    import spark.implicits._
+    val dir = tmpDir("planvindex") + "/idx"
+    val emb = Tables.embeddings(spark, sf)
+    graft.ops.VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, kCodes = 16, maxFitRows = 200)
+    val h = graft.ops.VectorIndex.read(spark, dir)
+    val df = graft.ops.VectorIndex.topKAdc(h,
+      emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 5, nProbe = 2)
+    df.collect() // execute: dynamic pruning resolves at runtime
+    val scans = helper.collect(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("coded"))
+        => s
+    }
+    assert(scans.nonEmpty, "no parquet scan of the coded index found")
+    val scan = scans.head
+    // the VectorIndex.scala:20-24 claim, pinned: the cell equi-join
+    // against the broadcast query batch plants a dynamic partition-
+    // pruning filter on the partition column...
+    assert(scan.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic cell-pruning filter on the coded scan: " +
+        s"${scan.partitionFilters}")
+    // ...and at runtime the scan READ at most nProbe of the 8 cell
+    // partitions (one query × nProbe=2)
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.exists(_ <= 2),
+      s"coded scan read $partsRead partitions, expected <= 2 (nProbe)")
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,

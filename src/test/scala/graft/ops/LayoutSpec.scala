@@ -207,6 +207,29 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotVersions(spark, dir) === Seq(1L, 2L))
   }
 
+  test("Tables.snapshot: a pinned reader survives a concurrent commit") {
+    val dir = tmpDir("snapc") + "/t"
+    val v1 = Layout.snapshotCommit((1 to 40).toDF("v"), dir)
+    // the reader resolves v1's file list NOW; a writer then commits v2
+    // while the read is outstanding
+    val pinned = graft.Tables.snapshot(spark, dir, asOfVersion = v1)
+    val latestBefore = graft.Tables.snapshot(spark, dir)
+    val writer = new Thread(() =>
+      Layout.snapshotCommit((101 to 140).toDF("v"), dir))
+    writer.start()
+    val seen = pinned.as[Int].collect().sorted.toSeq
+    writer.join()
+    // the pinned read is v1 exactly — never torn across versions
+    assert(seen === (1 to 40))
+    // a latest-reader opened BEFORE the commit also stays on its version
+    assert(latestBefore.as[Int].collect().sorted.toSeq === (1 to 40))
+    // and a fresh latest-reader sees v2
+    assert(graft.Tables.snapshot(spark, dir).as[Int].collect().min === 101)
+    // re-reading the pinned version after the commit: still v1
+    assert(graft.Tables.snapshot(spark, dir, asOfVersion = v1)
+      .as[Int].collect().sorted.toSeq === (1 to 40))
+  }
+
   test("snapshotCommit: crash between data files and manifest is invisible") {
     val dir = tmpDir("snap2") + "/t"
     Layout.snapshotCommit((1 to 10).toDF("v"), dir)
