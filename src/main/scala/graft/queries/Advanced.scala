@@ -746,7 +746,8 @@ object Advanced {
           epoch_us(p.ts) AS match_ts_us, p.purchase_id
         FROM c ASOF LEFT JOIN p
           ON c.user_id = p.user_id AND c.ts >= p.ts
-        ORDER BY click_id""")),
+        ORDER BY click_id"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q91
     // q60's FORWARD as-of (time-to-next-purchase) through the same
