@@ -102,7 +102,10 @@ object Bench {
     // run is the full suite — partial local iterations stay fast)
     val streaming = if (only.isDefined) "" else {
       val r = graft.ctran.EtlBench.drain(spark, 400000L)
-      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773}"""
+      // the stateful-streaming path's tracked number: probe rows
+      // watermark-finalized per second through StreamAsOf.backward
+      val a = graft.streaming.StreamAsOfBench.probe(spark)
+      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f}"""
     }
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"rep_spread":$qsSpread,"total_median":$totalMed%.4f,"reps":$Reps$streaming,"sf":"$sfDir"}"""

@@ -65,6 +65,14 @@ import org.apache.spark.sql.types.{BooleanType, StructField, StructType, Timesta
   * operators do): `spark.sql.streaming.stateStore.providerClass =
   * …RocksDBStateStoreProvider`.
   *
+  * Late-data note: rows whose event time is at-or-below the operator's
+  * current watermark are LATE and dropped by Spark's stateful-operator
+  * input filter before this processor sees them — the standard
+  * watermark contract. One degenerate corner: the watermark starts at
+  * epoch 0, so a row with event time EXACTLY 1970-01-01T00:00:00.000 is
+  * "late" in the very first batch and silently dropped (any real event
+  * time is strictly above epoch 0; synthetic test clocks must be too).
+  *
   * Watermark note: the operator unions the two inputs, so its watermark
   * is the MIN across both (Spark's multi-input default) — an idle build
   * stream holds every probe's emission back. That is the correct

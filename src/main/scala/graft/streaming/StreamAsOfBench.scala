@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+/** Throughput probe for the streaming as-of join ([[StreamAsOf]]):
+  * drives a synthetic two-sided event stream through
+  * `StreamAsOf.backward` in microbatches and reports end-to-end probe
+  * rows finalized per second — the per-round tracked number for the
+  * stateful-streaming path (BENCH.json `streaming.asof_rows_per_sec`),
+  * alongside the batch-ETL drain rate.
+  *
+  * Shape: `batches` microbatches of `perBatch` probes + `perBatch`
+  * builds over `keys` keys, event time advancing one second per row per
+  * key so the watermark (5 s lateness) finalizes all but the last
+  * batches' probes; a final far-future batch flushes the tail. Rows/sec
+  * counts every probe emitted (each exactly once) over the wall-clock of
+  * the whole run — state-store writes, timer churn and the union's
+  * watermark bookkeeping included, so the number is the operator's real
+  * microbatch cost, not a kernel best case.
+  */
+object StreamAsOfBench {
+
+  final case class P(k: Long, pts: Timestamp, v: Long)
+  final case class B(k: Long, bts: Timestamp, px: Double)
+
+  final case class Result(rowsPerSec: Double, emitted: Long, sec: Double)
+
+  /** Synthetic clock starts a day above epoch 0: an event time EXACTLY
+    * at epoch 0 equals the initial watermark and is dropped as late
+    * (see [[StreamAsOf]]'s late-data note). */
+  private val T0 = 86400L
+
+  def probe(spark: SparkSession, batches: Int = 10, perBatch: Int = 10000,
+      keys: Int = 1000): Result = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val pe: Encoder[P] = Encoders.product[P]
+    implicit val be: Encoder[B] = Encoders.product[B]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("asofbench").toString
+    val probes = MemoryStream[P]
+    val builds = MemoryStream[B]
+    val out = StreamAsOf.backward(probes.toDF(), builds.toDF(),
+      key = "k", probeTs = "pts", buildTs = "bts", lateness = "5 seconds")
+    val name = s"asof_bench_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/q")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val t0 = System.nanoTime()
+    try {
+      var t = T0
+      (1 to batches).foreach { _ =>
+        val tt = t
+        probes.addData((0 until perBatch).map(i =>
+          P(i % keys, new Timestamp((tt + i / keys) * 1000L), tt + i)))
+        builds.addData((0 until perBatch).map(i =>
+          B(i % keys, new Timestamp((tt + i / keys) * 1000L), i.toDouble)))
+        t += perBatch / keys
+        q.processAllAvailable()
+      }
+      // flush the tail: advance both sides' watermarks far past every
+      // held probe, then one more batch so the timers fire
+      (1 to 2).foreach { i =>
+        val far = new Timestamp((t + 100000L * i) * 1000L)
+        probes.addData(P(-1L, far, -1L)); builds.addData(B(-1L, far, 0.0))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val emitted = spark.table(name).count()
+      Result(emitted / sec, emitted, sec)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+}

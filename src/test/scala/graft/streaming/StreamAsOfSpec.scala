@@ -309,6 +309,15 @@ class StreamAsOfSpec extends SparkSpec {
     assert(got(2L) === None)      // nvda never saw a build: NULL emitted
   }
 
+  test("throughput probe emits every probe exactly once") {
+    val r = StreamAsOfBench.probe(spark, batches = 3, perBatch = 1000,
+      keys = 100)
+    // 3×1000 data probes + the first flush probe (the second stays held
+    // when the query stops — its watermark never passes it)
+    assert(r.emitted === 3001L, s"emitted ${r.emitted}")
+    assert(r.rowsPerSec > 0)
+  }
+
   private implicit class ArrayAsScala[T](a: Array[T]) {
     def asScala: Seq[T] = a.toSeq
   }
