@@ -121,22 +121,24 @@ object VectorIndex {
       dir: String): Params = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val idx = read(spark, dir)
+    // sidecars only — the coded table may be empty/absent (an index can
+    // be bootstrapped from a fit by appends alone)
+    val (params, centers, books) = sidecars(spark, dir, -1, -1, -1)
     val dim = batch.select(size(col(vecCol))).head().getInt(0)
-    require(dim == idx.params.dim,
-      s"vector index at $dir stores dim=${idx.params.dim} vectors but " +
+    require(dim == params.dim,
+      s"vector index at $dir stores dim=${params.dim} vectors but " +
         s"the batch has dim=$dim — wrong index for this corpus")
-    val norm2Lut = array(idx.books.flatMap(_.map(c =>
+    val norm2Lut = array(books.flatMap(_.map(c =>
       lit(c.map(v => v * v).sum.toFloat))).toIndexedSeq: _*)
     batch.select(col(idCol).as("id"),
-        element_at(cellRanking(col(vecCol), idx.centers), 1)
+        element_at(cellRanking(col(vecCol), centers), 1)
           .getField("cell").as("cell"),
-        Similarity.pqEncode(col(vecCol), idx.books).as("codes"))
+        Similarity.pqEncode(col(vecCol), books).as("codes"))
       .withColumn("pq_norm",
         sqrt(call_function("pq_adc", col("codes"), norm2Lut)))
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$dir/coded")
-    idx.params
+    params
   }
 
   /** Open a persisted index, asserting it was built with the parameters
@@ -144,6 +146,16 @@ object VectorIndex {
     * value). */
   def read(spark: SparkSession, dir: String, nCells: Int = -1,
       m: Int = -1, kCodes: Int = -1): Handle = {
+    val (params, centers, books) = sidecars(spark, dir, nCells, m, kCodes)
+    Handle(params, centers, books, spark.read.parquet(s"$dir/coded"))
+  }
+
+  /** Meta + routing tables, parameter-checked — everything except the
+    * coded table (which [[append]] must be able to skip: a just-built or
+    * wiped index has sidecars but no coded rows yet). */
+  private def sidecars(spark: SparkSession, dir: String, nCells: Int,
+      m: Int, kCodes: Int):
+      (Params, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -174,7 +186,7 @@ object VectorIndex {
       .groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
       .map(_._2.map(_.getAs[Seq[Double]]("vec").toArray))
       .toArray
-    Handle(params, centers, books, spark.read.parquet(s"$dir/coded"))
+    (params, centers, books)
   }
 
   /** ADC top-k against the persisted index alone — one scan of `nProbe`

@@ -50,4 +50,29 @@ object Fits {
         maxFitRows = 2000)
       dir
     }).asInstanceOf[String]
+
+  /** An APPEND-MAINTAINED twin of [[vectorIndexDir]]: same full-corpus
+    * fit (so the same DuckDB oracle applies verbatim), but the coded
+    * table is wiped after the build and reconstructed purely by two
+    * [[graft.ops.VectorIndex.append]] batches — the daily-ingest path.
+    * q104 hash-matching q103's oracle proves an index maintained by
+    * appends is bit-identical to a one-shot build with the same fit. */
+  def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vindex_app").toString + "/idx"
+      val emb = T.embeddings(s, sfDir)
+      graft.ops.VectorIndex.build(emb, "vec_id",
+        "embedding", dir, nCells = 16, m = 16, kCodes = 16,
+        maxFitRows = 2000)
+      val coded = new org.apache.hadoop.fs.Path(s"$dir/coded")
+      coded.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(coded, true)
+      import org.apache.spark.sql.functions.col
+      graft.ops.VectorIndex.append(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir)
+      graft.ops.VectorIndex.append(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", dir)
+      dir
+    }).asInstanceOf[String]
 }

@@ -1300,6 +1300,23 @@ object TrainingData {
       Some(ivfPqOracleSql),
       headline = true),
 
+    // --------------------------------------------------------------- q104
+    // q103's retrieval against an index whose coded table was built
+    // PURELY by VectorIndex.append (two ingest batches against the same
+    // frozen full-corpus fit). Shares q103's oracle VERBATIM:
+    // hash-equality proves append-maintained and one-shot-built indexes
+    // are bit-identical — incremental maintenance cannot drift retrieval.
+    QuerySpec(
+      "q104_vector_index_append",
+      (s, d) => {
+        val h = graft.ops.VectorIndex.read(s, Fits.vectorIndexAppendDir(s, d))
+        val e = T.embeddings(s, d)
+        graft.ops.VectorIndex.topKRerank(h, e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracleSql)),
+
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over
     // the corpus token stream. O(maxItemsTracked) state per partition,
