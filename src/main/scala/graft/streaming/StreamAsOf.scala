@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.types.{BooleanType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 /** STREAMING as-of join — the unbounded twin of the native batch
   * operator ([[graft.plans.AsOfJoin]]): every probe event matches the
