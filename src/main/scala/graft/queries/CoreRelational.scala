@@ -348,6 +348,46 @@ object CoreRelational {
           TRUE AS parts_within_5pct, TRUE AS supps_within_5pct
         FROM lineitem""")),
 
+    // --------------------------------------------------------------- q105
+    // MERGEABLE sketch state — the incremental form of q16: one HLL
+    // sketch per ingest partition (here: ship-year), persisted as binary
+    // state and UNIONED, so tomorrow's distinct count costs one new
+    // partition's scan plus a register-max merge, never a corpus rescan
+    // — the 100 TB daily-stats pattern (DataSketches HLL via Spark 4's
+    // hll_sketch_agg/hll_union_agg). Certificate row: the exact count
+    // hash-checks against the oracle; union_near_full pins the property
+    // that makes incrementality SOUND — union-of-parts estimates within
+    // 1% of the one-shot sketch (register maxes are order-independent,
+    // but DataSketches unions re-estimate through an HLL_8 composite
+    // path, so the guarantee is estimator-tolerance, not bit-equality
+    // — measured: equal at sf0.001, ~0.3% apart above); within_3pct
+    // bounds the estimate against the exact count — both literal TRUE
+    // on the oracle side, so drift in either is a hash failure.
+    QuerySpec(
+      "q105_sketch_union",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val perPart = li
+          .groupBy(year(col("l_shipdate")).as("ship_year"))
+          .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+        val unioned = perPart
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .as("est_union"))
+        val full = li.agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))")
+            .as("est_full"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        full.crossJoin(unioned).select(
+          col("exact_parts"),
+          (abs(col("est_union") - col("est_full")) <=
+            col("est_full") * 0.01).as("union_near_full"),
+          (abs(col("est_union") - col("exact_parts")) <=
+            col("exact_parts") * 0.03).as("within_3pct"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          TRUE AS union_near_full, TRUE AS within_3pct
+        FROM lineitem""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

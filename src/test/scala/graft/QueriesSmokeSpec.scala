@@ -17,6 +17,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q105: per-partition sketch union is a sound incremental estimator") {
+    val row = SparkEntry.queries("q105_sketch_union")(spark, sf).head()
+    assert(row.getAs[Boolean]("union_near_full"),
+      "union of per-year sketches drifted >1% from the one-shot sketch")
+    assert(row.getAs[Boolean]("within_3pct"),
+      "sketch estimate drifted >3% from the exact distinct count")
+  }
+
   for (q <- SparkEntry.allSpecs)
     test(s"${q.name} runs at sf0.001") {
       assert(q.run(spark, sf).count() >= 0)
