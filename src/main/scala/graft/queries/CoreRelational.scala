@@ -388,6 +388,45 @@ object CoreRelational {
           TRUE AS union_near_full, TRUE AS within_3pct
         FROM lineitem""")),
 
+    // --------------------------------------------------------------- q106
+    // Runtime bloom-filter join pruning (the 100 TB shuffle-join saver):
+    // when the dim side is too big to broadcast, Catalyst's
+    // InjectRuntimeFilter builds a bloom filter over the FILTERED dim
+    // keys and pushes might_contain(...) into the fact-side scan, so the
+    // shuffle carries ~matching rows instead of the whole fact table.
+    // The engine's job is to keep the join in the shape the rule
+    // recognizes (selective filter over a scan on the creation side,
+    // equi-join keys) — here we also scale the rule's size thresholds to
+    // the test corpus on a sibling session (at real scale the 10 GB
+    // defaults self-select). PlanSpec pins the injection: the optimized
+    // plan must contain bloom_filter_agg + might_contain — this oracle
+    // proves the rewrite is semantics-preserving, the spec proves it
+    // actually fired.
+    QuerySpec(
+      "q106_bloom_join_prune",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+          "applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = T.lineitem(s2, d)
+        val p  = T.part(s2, d).filter(col("p_size") <= 3)
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .cast(dec28)).cast("double").as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 3
+        GROUP BY p_brand ORDER BY p_brand""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpec {
       s"coded scan read $partsRead partitions, expected <= 2 (nProbe)")
   }
 
+  test("q106: Catalyst injects a runtime bloom filter into the fact scan") {
+    // the semantics-preserving half is q106's DuckDB oracle; this pins
+    // that the rewrite actually FIRED — the optimized plan must carry
+    // the injected bloom_filter_agg subquery and a might_contain guard
+    // on the fact side (InjectRuntimeFilter recognized the selective
+    // dim filter + equi-join shape the query is deliberately kept in).
+    val df = SparkEntry.allSpecs.find(_.name == "q106_bloom_join_prune")
+      .get.run(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+      s"no injected runtime bloom filter in optimized plan:\n$opt")
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
