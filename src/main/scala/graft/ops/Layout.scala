@@ -334,13 +334,18 @@ object Layout {
         // exist(s)" and the POSIX EEXIST-style "file exists" — so a
         // "does not exist" write failure still propagates as an error
         case e: java.io.IOException
-            if e.getMessage != null && {
-              val m = e.getMessage.toLowerCase
-              m.contains("already exist") ||
-                m.matches(".*\\bfile exists\\b.*")
-            } => false
+            if e.getMessage != null &&
+              existsConflictMessage(e.getMessage) => false
       }
     }
+  }
+
+  /** True iff an IOException message reads as an existence conflict.
+    * Substring checks, not anchored regexes: FS impls wrap the EEXIST
+    * phrase in multi-line context, and `.` does not cross newlines. */
+  private[ops] def existsConflictMessage(msg: String): Boolean = {
+    val m = msg.toLowerCase
+    m.contains("already exist") || m.contains("file exists")
   }
 
   /** Every manifest object's version number, complete or not. */

@@ -124,7 +124,11 @@ object VectorIndex {
     // sidecars only — the coded table may be empty/absent (an index can
     // be bootstrapped from a fit by appends alone)
     val (params, centers, books) = sidecars(spark, dir, -1, -1, -1)
-    val dim = batch.select(size(col(vecCol))).head().getInt(0)
+    // empty batch = legitimate no-op on the daily-ingest path (a day
+    // with no new vectors must not throw)
+    val dimRow = batch.select(size(col(vecCol))).head(1).headOption
+    if (dimRow.isEmpty) return params
+    val dim = dimRow.get.getInt(0)
     require(dim == params.dim,
       s"vector index at $dir stores dim=${params.dim} vectors but " +
         s"the batch has dim=$dim — wrong index for this corpus")

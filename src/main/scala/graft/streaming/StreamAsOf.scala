@@ -266,11 +266,21 @@ object StreamAsOf {
     * state.
     *
     * Same NULL contract as [[backward]]: null-key/null-time build rows
-    * never match; null-key/null-time probe rows emit no-match.
+    * never match; null-key/null-time probe rows emit no-match (on a
+    * stateless passthrough branch that never enters the join).
     * Column names of the two inputs must be disjoint (a stream-stream
     * join constraint) — hence the separate `buildKey` name. Output:
     * every probe column, plus `match_ts` and a `matched` struct of the
     * full build row.
+    *
+    * PROBE ROWS MUST BE UNIQUE across all columns: the argmin stage
+    * keys its state on the full probe-row struct (the only identity a
+    * stream row has), so two probe events identical in every column
+    * collapse into one state group and emit ONE output row — unlike
+    * [[backward]], which preserves duplicate probes. Callers with
+    * legitimately duplicate events should carry a unique id column on
+    * the probe side (an offset, a uuid minted at ingest); the collapse
+    * is pinned in StreamAsOfSpec.
     */
   def forwardWithin(probe: DataFrame, build: DataFrame, key: String,
       probeTs: String, buildKey: String, buildTs: String,
@@ -278,8 +288,14 @@ object StreamAsOf {
     val keyType = probe.schema(key).dataType
     val buildStruct = StructType(build.schema.fields)
 
-    val p = probe.withWatermark(probeTs, lateness)
-      .filter(col(key).isNotNull && col(probeTs).isNotNull)
+    val pAll = probe.withWatermark(probeTs, lateness)
+    val p = pAll.filter(col(key).isNotNull && col(probeTs).isNotNull)
+    // NULL contract, same as backward: null-key/null-time probes bypass
+    // the join + argmin entirely and emit no-match on a stateless branch
+    val probeNull = pAll.filter(col(key).isNull || col(probeTs).isNull)
+      .select(probe.columns.map(col) ++ Seq(
+        lit(null).cast(TimestampType).as("match_ts"),
+        lit(null).cast(buildStruct).as("matched")): _*)
     val b = build.withWatermark(buildTs, lateness)
       .filter(col(buildKey).isNotNull && col(buildTs).isNotNull)
       .select(col(buildKey).cast(keyType).as("__bk"),
@@ -319,7 +335,7 @@ object StreamAsOf {
       .transformWithState(
         new ForwardArgmin(candSchema, outSchema),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.row(outSchema))
-    res.toDF()
+    res.toDF().unionByName(probeNull)
   }
 
   /** Argmin stage of [[forwardWithin]]: per probe row, hold the interval

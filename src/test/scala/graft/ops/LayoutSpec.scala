@@ -290,6 +290,18 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotCommit((16 to 18).toDF("v"), dir) === 4L)
   }
 
+  test("exists-conflict detection: multi-line EEXIST messages, no false positives") {
+    // multi-line wrapper around the POSIX phrase — an anchored `.*` regex
+    // would miss it because `.` does not cross newlines
+    assert(Layout.existsConflictMessage(
+      "rename failed:\n/path/v2.manifest: File exists\n(details)"))
+    assert(Layout.existsConflictMessage("target already exists"))
+    assert(Layout.existsConflictMessage("Files Already Exist on remote"))
+    // a genuine write failure must NOT be classified as a lost race
+    assert(!Layout.existsConflictMessage("/path does not exist"))
+    assert(!Layout.existsConflictMessage("disk quota exceeded"))
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))

@@ -135,6 +135,18 @@ class VectorIndexSpec extends SparkSpec {
     assert(res.count() === 30)
   }
 
+  test("append of an empty batch is a no-op, not an exception") {
+    val dir = tmpDir("vindex8") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 4, m = 8, kCodes = 16, maxFitRows = 200)
+    val before = VectorIndex.read(spark, dir)
+    val p = VectorIndex.append(emb.filter($"vec_id" < 0), // empty
+      "vec_id", "embedding", dir)
+    assert(p.dim === before.params.dim) // params returned unchanged
+    val after = VectorIndex.read(spark, dir)
+    assert(after.coded.count() === before.coded.count())
+  }
+
   test("append refuses a dimension-mismatched batch") {
     import org.apache.spark.sql.functions.slice
     val dir = tmpDir("vindex7") + "/idx"
