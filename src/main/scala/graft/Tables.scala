@@ -23,16 +23,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects as a
-    * timestamp type. Read it as raw nanos (legacy long mode) and surface a
-    * standard microsecond `TimestampType` column — floor-division truncation,
-    * matching DuckDB's ns→µs epoch_us() semantics.
+  /** `events.ts` has shipped in two physical generations: nanosecond-int64
+    * parquet (which Spark 4 only reads via the legacy nanos-as-long mode) and
+    * native microsecond `timestamp[us]`. Branch on the type Spark actually
+    * decoded so the same reader survives either generation — and any future
+    * regeneration — always surfacing a session-TZ `TimestampType` column:
+    *
+    *   - `LongType` (legacy nanos): floor-divide to µs, matching DuckDB's
+    *     ns→µs epoch_us() truncation semantics.
+    *   - `TimestampNTZType` (µs parquet with isAdjustedToUTC=false, the
+    *     pandas/pyarrow default): reinterpret the wall-clock instant as UTC.
+    *     All entry points pin `spark.sql.session.timeZone=UTC`, so the cast
+    *     is a bitwise no-op and matches DuckDB's naive-TIMESTAMP reading.
+    *   - `TimestampType`: already what downstream operators expect.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts decoded as unsupported type $other — testdata schema drift; " +
+          "expected int64 nanos, timestamp_ntz, or timestamp")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -341,12 +341,16 @@ object Layout {
   }
 
   /** True iff an IOException message reads as an existence conflict.
-    * Substring checks, not anchored regexes: FS impls wrap the EEXIST
-    * phrase in multi-line context, and `.` does not cross newlines. */
-  private[ops] def existsConflictMessage(msg: String): Boolean = {
-    val m = msg.toLowerCase
-    m.contains("already exist") || m.contains("file exists")
-  }
+    * Unanchored word-boundary search: `find()` crosses newlines (FS impls
+    * wrap the EEXIST phrase in multi-line context) while the boundaries
+    * keep "profile exists" / "does not exist" from classifying as a
+    * conflict — a false positive here masks a genuine write failure as a
+    * lost race (atomicCreate doc). */
+  private val ExistsConflict = java.util.regex.Pattern.compile(
+    "\\b(?:already exists?|file exists)\\b",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  private[ops] def existsConflictMessage(msg: String): Boolean =
+    ExistsConflict.matcher(msg).find()
 
   /** Every manifest object's version number, complete or not. */
   private def listManifestVersions(

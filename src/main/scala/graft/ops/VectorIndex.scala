@@ -128,6 +128,9 @@ object VectorIndex {
     // with no new vectors must not throw)
     val dimRow = batch.select(size(col(vecCol))).head(1).headOption
     if (dimRow.isEmpty) return params
+    require(!dimRow.get.isNullAt(0),
+      s"batch has a NULL `$vecCol` vector — the index stores fixed-dim " +
+        "non-null vectors; drop or impute NULL rows before append")
     val dim = dimRow.get.getInt(0)
     require(dim == params.dim,
       s"vector index at $dir stores dim=${params.dim} vectors but " +

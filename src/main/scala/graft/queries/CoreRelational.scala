@@ -386,7 +386,8 @@ object CoreRelational {
       },
       Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
           TRUE AS union_near_full, TRUE AS within_3pct
-        FROM lineitem""")),
+        FROM lineitem"""),
+      headline = true),
 
     // --------------------------------------------------------------- q106
     // Runtime bloom-filter join pruning (the 100 TB shuffle-join saver):
@@ -425,7 +426,8 @@ object CoreRelational {
         COUNT(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size <= 3
-        GROUP BY p_brand ORDER BY p_brand""")),
+        GROUP BY p_brand ORDER BY p_brand"""),
+      headline = true),
 
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key

@@ -1315,7 +1315,8 @@ object TrainingData {
             "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOracleSql)),
+      Some(ivfPqOracleSql),
+      headline = true),
 
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over

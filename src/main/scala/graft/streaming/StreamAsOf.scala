@@ -273,14 +273,18 @@ object StreamAsOf {
     * every probe column, plus `match_ts` and a `matched` struct of the
     * full build row.
     *
-    * PROBE ROWS MUST BE UNIQUE across all columns: the argmin stage
-    * keys its state on the full probe-row struct (the only identity a
-    * stream row has), so two probe events identical in every column
-    * collapse into one state group and emit ONE output row — unlike
-    * [[backward]], which preserves duplicate probes. Callers with
-    * legitimately duplicate events should carry a unique id column on
-    * the probe side (an offset, a uuid minted at ingest); the collapse
-    * is pinned in StreamAsOfSpec.
+    * Duplicate probes are PRESERVED, matching [[backward]]'s left-outer
+    * cardinality: the argmin stage keys state on the full probe-row
+    * struct (the only identity a stream row has), which would collapse
+    * N identical probe events into one group — and N cannot be recovered
+    * from the join output alone (N probes × M builds and 1 probe × N·M
+    * builds produce the same candidate multiset). So a stateless MARKER
+    * branch unions one marker per probe row straight from the probe
+    * stream into the argmin stage, the join runs inner (the marker, not
+    * the left-outer NULL row, is now the no-match signal — finality
+    * comes from the event-time timer either way), and the group emits
+    * `count(markers)` copies of its argmin result. Pinned in
+    * StreamAsOfSpec ("identical probes each emit a row").
     */
   def forwardWithin(probe: DataFrame, build: DataFrame, key: String,
       probeTs: String, buildKey: String, buildTs: String,
@@ -302,32 +306,43 @@ object StreamAsOf {
         col(buildTs).as("__bts"),
         struct(build.columns.map(col): _*).as("__b"))
 
-    // left-outer interval join: Spark emits the unmatched (NULL) row
-    // exactly when the watermark passes probeTs + horizon — that event
-    // doubles as the argmin stage's finality signal for the no-match case
+    // inner interval join for the candidates; the no-match case is
+    // covered by the marker branch below + the argmin stage's event-time
+    // timer at fin+1 (finality never depended on the left-outer NULL row
+    // alone — the timer always fires once the watermark passes fin)
     val joined = p.join(b,
       col(key) === col("__bk") &&
         col("__bts") >= col(probeTs) &&
         col("__bts") <= col(probeTs) +
           expr(s"INTERVAL $horizonSeconds SECONDS"),
-      "leftOuter")
+      "inner")
 
     // argmin per probe row: ride the backward machinery by treating the
-    // join output as its own probe stream keyed by (key, probeTs) — each
-    // candidate is final once the watermark passes probeTs + horizon, so
-    // shift the held-probe clock by the horizon via a synthetic ts
+    // join output as its own probe stream keyed by the full probe row —
+    // each candidate is final once the watermark passes probeTs + horizon
     val probeCols = probe.columns
     val candSchema = StructType(Seq(
       StructField("ts", TimestampType),
+      StructField("mark", org.apache.spark.sql.types.BooleanType),
       StructField("bts", TimestampType),
       StructField("b", buildStruct)))
     val outSchema = StructType(probe.schema.fields ++ Seq(
       StructField("match_ts", TimestampType),
       StructField("matched", buildStruct)))
-    val keyed = joined.select(
-      struct(probeCols.map(col): _*).as("pk"),
-      (col(probeTs) + expr(s"INTERVAL $horizonSeconds SECONDS")).as("fin"),
-      col("__bts").as("bts"), col("__b").as("b"))
+    val finCol = (col(probeTs) + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .as("fin")
+    // one marker per probe ROW (not per distinct probe value): the
+    // group's marker count is its output multiplicity, which the join
+    // output cannot encode
+    val markers = p.select(
+      struct(probeCols.map(col): _*).as("pk"), finCol,
+      lit(true).as("mark"),
+      lit(null).cast(TimestampType).as("bts"),
+      lit(null).cast(buildStruct).as("b"))
+    val keyed = markers.unionByName(joined.select(
+      struct(probeCols.map(col): _*).as("pk"), finCol,
+      lit(false).as("mark"),
+      col("__bts").as("bts"), col("__b").as("b")))
     val keySchema = StructType(Seq(
       StructField("pk", StructType(probe.schema.fields))))
     val res = keyed
@@ -338,12 +353,16 @@ object StreamAsOf {
     res.toDF().unionByName(probeNull)
   }
 
-  /** Argmin stage of [[forwardWithin]]: per probe row, hold the interval
-    * join's candidates until the watermark passes the probe's finality
-    * point (probeTs + horizon, precomputed as `fin`), then emit the
-    * earliest-build-time candidate once — or the NULL row the left-outer
-    * join produced if no candidate matched. State is the candidate set
-    * of in-flight probes only: O(rate × horizon). */
+  /** Argmin stage of [[forwardWithin]]: per probe-row group, hold the
+    * interval join's candidates plus the probe stream's markers until
+    * the watermark passes the probe's finality point (probeTs + horizon,
+    * precomputed as `fin`), then emit `count(markers)` copies of the
+    * earliest-build-time candidate — or of the NULL no-match row when no
+    * candidate joined. The marker count is the group's probe-row
+    * multiplicity (N identical probe events are one state group but N
+    * markers), so duplicate probes keep [[backward]]'s left-outer
+    * cardinality. State is the candidate set of in-flight probes only:
+    * O(rate × horizon). */
   class ForwardArgmin(candSchema: StructType, outSchema: StructType)
       extends StatefulProcessor[Row, Row, Row] {
 
@@ -359,9 +378,10 @@ object StreamAsOf {
 
     override def handleInputRows(key: Row, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
-      // input: (pk struct, fin, bts, b) — fin identical across the group
+      // input: (pk struct, fin, mark, bts, b) — fin identical across the
+      // group (it is a function of the probe row the group is keyed on)
       rows.foreach { r =>
-        candsSt.appendValue(Row(r.get(1), r.get(2), r.get(3)))
+        candsSt.appendValue(Row(r.get(1), r.get(2), r.get(3), r.get(4)))
       }
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
@@ -379,14 +399,20 @@ object StreamAsOf {
       if (fin.getTime < wm) {
         candsSt.clear()
         if (timerSt.exists()) { getHandle.deleteTimer(timerSt.get()); timerSt.clear() }
-        val hits = cands.filter(_.get(1) != null)
+        // multiplicity = markers seen; a group whose markers were all
+        // late-dropped emits nothing (the probe itself was late)
+        val n = cands.count(_.getBoolean(1))
+        val hits = cands.filter(r => !r.getBoolean(1) && r.get(2) != null)
         val probeVals = key.getAs[Row](0).toSeq
-        if (hits.isEmpty)
-          Iterator.single(Row.fromSeq(probeVals ++ Seq(null, null)))
+        if (n == 0) Iterator.empty
         else {
-          val best = hits.minBy(r => micros(r.getAs[Timestamp](1)))
-          Iterator.single(Row.fromSeq(probeVals ++
-            Seq(best.getAs[Timestamp](1), best.get(2))))
+          val out =
+            if (hits.isEmpty) Row.fromSeq(probeVals ++ Seq(null, null))
+            else {
+              val best = hits.minBy(r => micros(r.getAs[Timestamp](2)))
+              Row.fromSeq(probeVals ++ Seq(best.getAs[Timestamp](2), best.get(3)))
+            }
+          Iterator.fill(n)(out)
         }
       } else {
         val want = fin.getTime + 1

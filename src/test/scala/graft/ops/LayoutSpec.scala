@@ -300,6 +300,8 @@ class LayoutSpec extends SparkSpec {
     // a genuine write failure must NOT be classified as a lost race
     assert(!Layout.existsConflictMessage("/path does not exist"))
     assert(!Layout.existsConflictMessage("disk quota exceeded"))
+    // word boundary: "file exists" embedded in another word is no conflict
+    assert(!Layout.existsConflictMessage("user profile exists but is locked"))
   }
 
   test("salted join: identical result to the plain join under skew") {

@@ -355,10 +355,12 @@ class StreamAsOfSpec extends SparkSpec {
     assert(got(3L) === None) // null probe time: row PRESERVED with NULL match
   }
 
-  test("forwardWithin: fully-identical probe rows collapse (documented)") {
-    // the argmin stage keys state on the full probe-row struct — two
-    // probes identical in EVERY column are one state group and emit one
-    // row; carry a unique id column to preserve duplicates (scaladoc)
+  test("forwardWithin: fully-identical probe rows each emit a row") {
+    // the argmin stage keys state on the full probe-row struct, but the
+    // marker branch carries each probe ROW's multiplicity into the group,
+    // so N identical probes emit N identical output rows — matching
+    // backward's left-outer cardinality (no caller-minted unique id
+    // column needed)
     val got = runFwd("fwd_dups") { (p, b, q) =>
       p.addData(FProbe("msft", ts(100), 1L), FProbe("msft", ts(100), 1L))
       b.addData(FBuild("msft", ts(105), 5.0))
@@ -372,8 +374,28 @@ class StreamAsOfSpec extends SparkSpec {
     }
     // runFwd returns a tid-keyed map; assert via raw table for cardinality
     val rows = spark.table("fwd_dups").collect().filter(_.getAs[Long]("tid") == 1L)
-    assert(rows.length === 1, "identical probes collapse to one output row")
+    assert(rows.length === 2, "each identical probe emits its own output row")
+    assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("matched")
+      .getAs[Double]("px") === 5.0), "both duplicates carry the same match")
     assert(got(1L) === Some(5.0))
+  }
+
+  test("forwardWithin: duplicate probes with NO match each emit a NULL row") {
+    runFwd("fwd_dups_null") { (p, b, q) =>
+      p.addData(FProbe("msft", ts(100), 7L), FProbe("msft", ts(100), 7L),
+        FProbe("msft", ts(100), 7L))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(1000), 99L))
+      b.addData(FBuild("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(2000), 98L))
+      b.addData(FBuild("zzzz", ts(2000), 0.0))
+      q.processAllAvailable()
+    }
+    val rows = spark.table("fwd_dups_null").collect()
+      .filter(_.getAs[Long]("tid") == 7L)
+    assert(rows.length === 3, "three identical no-match probes emit three rows")
+    assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("matched") == null))
   }
 
   test("throughput probe emits every probe exactly once") {
