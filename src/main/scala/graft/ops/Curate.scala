@@ -43,7 +43,10 @@ object Curate {
       splits: Seq[(String, Double)] =
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // every gate below is per-row-heavy (regex quality, byte entropy,
+    // token LM, shingle hashing) — rebalance once ahead of all of them
+    val base = Par.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val sig = base.select(col("doc_id"),
       Text.qualityScore(col("text")).as("quality"),
       round(Text.byteEntropy(col("text")), 6).as("entropy"))

@@ -64,9 +64,9 @@ object Dedup {
   /** Spread a frame across the cluster before per-row-heavy compute: a
     * single small parquet file scans as one partition, which would
     * serialize the hash pass onto one core. The shuffle moves only the
-    * raw text — trivial next to the compute it parallelizes. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * raw text — trivial next to the compute it parallelizes (the general
+    * form of this argument lives on [[Par.fanOut]]). */
+  private def spread(df: DataFrame): DataFrame = Par.fanOut(df)
 
   /** (id, sig) signature table: one MD5 pass for the shingle hashes, then
     * the arithmetic families. Docs with NO shingles (fewer than shingleN
@@ -723,8 +723,9 @@ object Dedup {
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
     val w = windowTokens
     require(w >= 1, "windowTokens must be >= 1")
-    val toked = docs.select(col(idCol).as("doc_id"),
-      Text.tokens(col(textCol)).as("t"))
+    // spread BEFORE tokenizing: the window-hash pass below is the cost
+    val toked = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), Text.tokens(col(textCol)).as("t"))
     // (doc, pos, h): one row per window; pos is 1-based token position.
     // Cached: the frame feeds BOTH the document-frequency aggregation and
     // the duplicated-window join probe — without the cache every window's

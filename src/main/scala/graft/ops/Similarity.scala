@@ -43,7 +43,10 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    // fan out the scored side: the O(|corpus|·|queries|·dim) FLOPs must
+    // not run at the accident of the input file's row-group parallelism
+    val c = Par.fanOut(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
@@ -486,7 +489,8 @@ object Similarity {
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val d = docs.select(col(idCol).as("doc_id"), col(vecCol).as("dv"))
+    val d = Par.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(vecCol).as("dv")))
     val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
     // LEFT join, not inner: an empty benchmark set must yield every doc
     // with contaminated=false, not silently drop the whole corpus

@@ -707,7 +707,8 @@ object TrainingData {
     QuerySpec(
       "q47_quality_signals",
       (s, d) => {
-        val base = T.documents(s, d)
+        val base = graft.ops.Par.fanOut(
+            T.documents(s, d).select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
         // top-bigram share via the posexplode aggregate form: the per-row
         // HOF variant is O(len²) interpreted (measured 146 s vs 1.2 s at
