@@ -429,6 +429,60 @@ object CoreRelational {
         GROUP BY p_brand ORDER BY p_brand"""),
       headline = true),
 
+    // --------------------------------------------------------------- q107
+    // MERGEABLE quantile state — q105's pattern for the OTHER canonical
+    // daily-stats sketch (DataSketches KLL via Spark 4's
+    // kll_sketch_agg_double / kll_merge_agg_double): one KLL sketch per
+    // ingest partition (ship-year), persisted as binary state and
+    // MERGED, so tomorrow's p50/p90/p99 latency/price panel costs one
+    // new partition's scan plus a sketch merge, never a corpus re-sort
+    // (the exact form is a full shuffle-sort per refresh at 100 TB).
+    // Certificate row (q105 convention — booleans literal TRUE on the
+    // oracle side, so any drift is a driver-visible hash failure), in
+    // RANK space because that is what KLL bounds: for each estimated
+    // quantile v̂_q, the EXACT rank of v̂_q in the corpus must be within
+    // 5 percentage points of q (KLL k=200 keeps ~99%-confidence rank
+    // error ≈1.65%, observed ≪1% — the margin is ≥3× the bound, so the
+    // flag is stable despite KLL's randomized compaction), and the
+    // union-of-parts p50 must sit within the same band of the one-shot
+    // sketch's p50 — the property that makes incrementality sound.
+    QuerySpec(
+      "q107_quantile_sketch_merge",
+      (s, d) => {
+        val li = T.lineitem(s, d).select(
+          col("l_extendedprice").as("v"),
+          year(col("l_shipdate")).as("ship_year"))
+        val perPart = li.groupBy(col("ship_year"))
+          .agg(expr("kll_sketch_agg_double(v, 200)").as("sk"))
+        val merged = perPart
+          .agg(expr("kll_merge_agg_double(sk)").as("msk"))
+        val oneshot = li.agg(expr("kll_sketch_agg_double(v, 200)").as("osk"))
+        val ests = merged.crossJoin(oneshot).select(
+          expr("kll_sketch_get_quantile_double(msk," +
+            " array(0.5D, 0.9D, 0.99D))").as("eq"),
+          expr("kll_sketch_get_quantile_double(osk, 0.5D)").as("os50"))
+        // exact ranks of the estimates: one corpus pass, map-side combined
+        def rankOf(est: org.apache.spark.sql.Column) =
+          avg(when(col("v") <= est, 1.0).otherwise(0.0))
+        li.crossJoin(broadcast(ests)).agg(
+            count(lit(1)).as("n_rows"),
+            rankOf(element_at(col("eq"), 1)).as("r50"),
+            rankOf(element_at(col("eq"), 2)).as("r90"),
+            rankOf(element_at(col("eq"), 3)).as("r99"),
+            rankOf(col("os50")).as("r50_os"))
+          .select(col("n_rows"),
+            (abs(col("r50") - 0.5) <= 0.05).as("p50_within_rank_eps"),
+            (abs(col("r90") - 0.9) <= 0.05).as("p90_within_rank_eps"),
+            (abs(col("r99") - 0.99) <= 0.05).as("p99_within_rank_eps"),
+            (abs(col("r50") - col("r50_os")) <= 0.05)
+              .as("merge_matches_oneshot"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          TRUE AS p50_within_rank_eps, TRUE AS p90_within_rank_eps,
+          TRUE AS p99_within_rank_eps, TRUE AS merge_matches_oneshot
+        FROM lineitem"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

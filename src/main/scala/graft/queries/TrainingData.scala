@@ -1348,6 +1348,42 @@ object TrainingData {
         SELECT tok, CAST(count(*) AS BIGINT) AS est_count FROM tf
         GROUP BY tok ORDER BY est_count DESC, tok LIMIT 20""")),
 
+    // --------------------------------------------------------------- q108
+    // MERGEABLE heavy-hitter state — q79's sketch split into the
+    // accumulate/combine form (Spark 4's approx_top_k_accumulate /
+    // approx_top_k_combine): one frequency sketch per ingest source,
+    // persistable as binary state, COMBINED into the fleet-wide top-k.
+    // This is the daily-vocabulary pattern at 100 TB — each ingest
+    // partition accumulates its own sketch once, and the global panel is
+    // a combine over |sources| sketch blobs, never a re-scan of the
+    // token stream. Same exactness certificate as q79: a frequent-items
+    // sketch is EXACT while distinct items stay under capacity (no
+    // eviction), combine SUMS exact counts, and this corpus's
+    // whitespace vocabulary (31 tokens) is far under 10000 — so the
+    // combined estimates must equal DuckDB's exact counts bit-for-bit
+    // (q79's oracle, verbatim).
+    QuerySpec(
+      "q108_topk_state_merge",
+      (s, d) => {
+        val st = T.documents(s, d)
+          .select(col("source"),
+            explode(Text.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"))
+          .agg(expr("approx_top_k_accumulate(tok, 10000)").as("st"))
+        st.agg(expr(
+            "approx_top_k_estimate(approx_top_k_combine(st, 10000), 20)")
+            .as("top"))
+          .select(explode(col("top")).as("hh"))
+          .select(col("hh.item").as("tok"),
+            col("hh.count").cast("long").as("est_count"))
+          .orderBy(col("est_count").desc, col("tok"))
+      },
+      Some(s"""WITH $tokCte,
+          tf AS (SELECT unnest(t) AS tok FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS est_count FROM tf
+        GROUP BY tok ORDER BY est_count DESC, tok LIMIT 20"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q80
     // Cross-doc repeated-substring spans (Dedup.duplicatedSpans): which
     // PARTS of each doc are copied from elsewhere — the span-level
