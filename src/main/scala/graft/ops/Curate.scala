@@ -52,6 +52,19 @@ object Curate {
       round(Text.byteEntropy(col("text")), 6).as("entropy"))
     val flu = Text.unigramLogProbs(base, "doc_id", "text")
       .select(col("doc_id"), round(col("avg_logprob"), 6).as("alp"))
+    // The near-dup and contamination gates each build their own corpus
+    // posting index. In-plan sharing was tried both ways at sf0.1 (q98
+    // min-of-5: shared persisted index, shared unpersisted expression
+    // with ReusedExchange, independent subtrees) and showed NO
+    // measurable win — all three land within the host's ±25%
+    // run-to-run noise band, because the duplicated work is one narrow
+    // shingle pass that overlaps with other stages. Independent
+    // subtrees stay as the default (no cache lifetime to manage).
+    // Cross-JOB reuse — a standing corpus index consumed by every
+    // daily build — is where sharing genuinely pays: write
+    // [[Dedup.shingleIndex]] to a bucketed table once and feed
+    // [[Dedup.ngramJaccardPairsOnIndex]] /
+    // [[Dedup.benchmarkContaminationOnIndex]] per run.
     val dup = Dedup.ngramJaccardPairs(base, "doc_id", "text",
         shingleN = 3, threshold = jaccard)
       .select(col("id_b").as("doc_id")).distinct()

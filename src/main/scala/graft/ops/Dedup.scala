@@ -320,6 +320,15 @@ object Dedup {
       .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
       .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
 
+  /** The `(<as>, h)` shingle-hash posting index the n-gram gates join on,
+    * exposed for compositions that reuse one corpus index across several
+    * gates (pair with [[ngramJaccardPairsOnIndex]] /
+    * [[benchmarkContaminationOnIndex]] and persist the narrow index —
+    * id + 60-bit hash rows — between them). */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, as: String = "id"): DataFrame =
+    shingleHashIndex(docs, idCol, textCol, shingleN, as)
+
   /** Incremental near-dup detection: which INCOMING docs near-dup a doc
     * of the EXISTING corpus — the operational form at 100 TB, where each
     * ingest batch dedups against the corpus index instead of re-running
@@ -477,8 +486,20 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleDocFreq: Long = 1000000L): DataFrame =
+    ngramJaccardPairsOnIndex(
+      shingleHashIndex(docs, idCol, textCol, shingleN, "id"),
+      threshold, maxShingleDocFreq)
+
+  /** [[ngramJaccardPairs]] over a prebuilt `(id, h)` posting index (from
+    * [[shingleIndex]]): lets a composition that needs the SAME corpus
+    * index for several gates (near-dup + contamination in
+    * [[Curate.buildCorpus]]) tokenize/shingle/hash the corpus once,
+    * persist the narrow index, and share it — instead of paying the
+    * full text pass per gate. */
+  def ngramJaccardPairsOnIndex(
+      sh: DataFrame, threshold: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    val sh = shingleHashIndex(docs, idCol, textCol, shingleN, "id")
     // NOT cached: measured at sf0.1 (q46, min-of-5) — a MEMORY_AND_DISK
     // persist here is timing-neutral because ReusedExchange already
     // shares the df-window exchange between both sides of the self-join,
@@ -519,11 +540,24 @@ object Dedup {
       docs: DataFrame, docIdCol: String, docTextCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       shingleN: Int = 3, minContainment: Double = 0.5,
+      maxShingleDocFreq: Long = 1000000L): DataFrame =
+    benchmarkContaminationOnIndex(
+      shingleHashIndex(docs, docIdCol, docTextCol, shingleN, "doc_id"),
+      shingleHashIndex(bench, benchIdCol, benchTextCol, shingleN, "bench_id"),
+      minContainment, maxShingleDocFreq)
+
+  /** [[benchmarkContamination]] over prebuilt posting indexes —
+    * `docIndex` with columns `(doc_id, h)`, `benchIndex` with
+    * `(bench_id, h)` (from [[shingleIndex]]). Same sharing rationale as
+    * [[ngramJaccardPairsOnIndex]]. */
+  def benchmarkContaminationOnIndex(
+      docIndex: DataFrame, benchIndex: DataFrame,
+      minContainment: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    val d = shingleHashIndex(docs, docIdCol, docTextCol, shingleN, "doc_id")
+    val d = docIndex
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= maxShingleDocFreq).drop("df")
-    val b = shingleHashIndex(bench, benchIdCol, benchTextCol, shingleN, "bench_id")
+    val b = benchIndex
     val benchSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     d.join(b, Seq("h"))
       .groupBy(col("doc_id"), col("bench_id"))

@@ -43,6 +43,37 @@ class DedupSpec extends SparkSpec {
     assert(sk.values.forall(_ >= 0L)) // 60-bit domain
   }
 
+  test("OnIndex forms ≡ the direct forms over a shared shingle index") {
+    // the cross-job reuse path: one persisted corpus index feeding both
+    // n-gram gates must reproduce the direct per-gate builds exactly
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", shingleN = 3)
+    val direct = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2)).toSeq
+    val viaIdx = Dedup.ngramJaccardPairsOnIndex(idx, threshold = 0.1)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2)).toSeq
+    assert(viaIdx === direct)
+
+    val bench = Seq((100L, docA)).toDF("doc_id", "text")
+    val directC = Dedup.benchmarkContamination(docs, "doc_id", "text",
+        bench, "doc_id", "text", shingleN = 3, minContainment = 0.1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Double]("containment")))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val viaIdxC = Dedup.benchmarkContaminationOnIndex(
+        idx.withColumnRenamed("id", "doc_id"),
+        Dedup.shingleIndex(bench, "doc_id", "text", shingleN = 3,
+          as = "bench_id"),
+        minContainment = 0.1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Double]("containment")))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(viaIdxC === directC)
+  }
+
   test("ngram jaccard: hand-checked value") {
     // A has 12 distinct 3-shingles, B differs in one word -> shares 9
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
