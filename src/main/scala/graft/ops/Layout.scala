@@ -366,6 +366,14 @@ object Layout {
 
   /** Data file paths of the latest (or given) COMPLETE snapshot. */
   private def snapshotFiles(spark: SparkSession, dir: String,
+      version: Long): Seq[String] =
+    snapshotRelFiles(spark, dir, version)
+      .map(rel => new Path(dir, rel).toString)
+
+  /** Manifest-relative file list of a COMPLETE snapshot — the identity
+    * under which files are carried forward by [[snapshotAppend]] and
+    * diffed by [[snapshotChanges]]. */
+  private def snapshotRelFiles(spark: SparkSession, dir: String,
       version: Long): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(dir, f"_snapshots/v$version%08d.manifest")
@@ -375,7 +383,94 @@ object Layout {
     } finally in.close()
     require(lines.lastOption.contains("#commit"),
       s"snapshot v$version at $dir is incomplete (no commit footer)")
-    lines.dropRight(1).map(rel => new Path(dir, rel).toString)
+    lines.dropRight(1)
+  }
+
+  /** APPEND commit: a new snapshot whose manifest carries the previous
+    * snapshot's file list forward plus this batch's files — the
+    * Iceberg-append-snapshot shape, and the WRITE half of the table's
+    * incremental story ([[snapshotChanges]] is the read half). Data
+    * files stay immutable and writer-unique exactly as in
+    * [[snapshotCommit]]; only the manifest grows, so an append costs
+    * O(batch) data writes + one manifest PUT regardless of table size —
+    * at 100 TB a daily ingest never rewrites the corpus. The batch's
+    * schema must be read-compatible with the table's (parquet schema
+    * merge rules); the commit race, torn-manifest, and expiry semantics
+    * are [[snapshotCommit]]'s verbatim — [[snapshotExpire]] keeps every
+    * data directory a SURVIVING manifest references, so expiring old
+    * versions never breaks a newer append's carried-forward files. */
+  def snapshotAppend(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"snapshotAppend: lost the commit race 5× at $dir")
+      val versions = listManifestVersions(spark, dir)
+      val v = versions.lastOption.getOrElse(0L) + 1
+      // carried-forward base: the latest COMPLETE manifest (recomputed
+      // per attempt — a lost race means someone else's files must now
+      // be carried too)
+      val prev = versions.reverseIterator
+        .map(pv => try Some(snapshotRelFiles(spark, dir, pv))
+                   catch { case scala.util.control.NonFatal(_) => None })
+        .collectFirst { case Some(fls) => fls }
+        .getOrElse(Seq.empty)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val rel = f"data/v$v%08d-$token"
+      val dataDir = new Path(dir, rel)
+      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      val files = fs.listStatus(dataDir).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .sorted
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((prev ++ files.map(f => s"$rel/$f")).map(_ + "\n")
+        :+ "#commit\n").mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+      else fs.delete(dataDir, true)
+    }
+    committed
+  }
+
+  /** Incremental scan: the rows ADDED between two snapshot versions,
+    * read from exactly the manifest-diff files — never a scan of the
+    * full table. This is what feeds the library's incremental
+    * consumers ([[graft.ops.VectorIndex.append]],
+    * [[Dedup.minhashNearDupsAgainstIndex]], the q105/q107/q108 sketch
+    * merges): "index yesterday's corpus once, process only today's
+    * appended files".
+    *
+    * File-granular and therefore APPEND-ONLY by contract: if any file
+    * of `fromVersion` is absent at `toVersion` (a [[snapshotCommit]]
+    * full rewrite, or an interleaved compaction), a file diff can no
+    * longer represent the row delta and the call REFUSES — mirroring
+    * Iceberg's incremental append scan — instead of silently
+    * re-surfacing rewritten rows; fall back to a full recompute off
+    * [[snapshotRead]] for that interval. `fromVersion = 0` bootstraps
+    * (every file of `toVersion`); `toVersion = -1` means latest. */
+  def snapshotChanges(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion > 0) toVersion
+      else snapshotVersions(spark, dir).lastOption
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"snapshotChanges: need 0 <= fromVersion <= toVersion, " +
+        s"got $fromVersion..$to")
+    val fromF = if (fromVersion == 0) Set.empty[String]
+      else snapshotRelFiles(spark, dir, fromVersion).toSet
+    val toF = snapshotRelFiles(spark, dir, to)
+    val dropped = fromF -- toF.toSet
+    require(dropped.isEmpty,
+      s"snapshotChanges: v$fromVersion..v$to is not append-only — " +
+        s"${dropped.size} file(s) of v$fromVersion are gone at v$to " +
+        "(full rewrite or compaction in the interval); recompute from " +
+        "snapshotRead instead")
+    val added = toF.filterNot(fromF)
+    if (added.isEmpty) snapshotRead(spark, dir, to).limit(0)
+    else spark.read.parquet(
+      added.map(rel => new Path(dir, rel).toString): _*)
   }
 
   /** Versions with a COMPLETE manifest, ascending. Incomplete (torn)

@@ -483,6 +483,34 @@ object CoreRelational {
         FROM lineitem"""),
       headline = true),
 
+    // --------------------------------------------------------------- q109
+    // Incremental snapshot scan (Layout.snapshotAppend/snapshotChanges):
+    // the READ half of the table-format story — consume exactly the
+    // files appended between two committed versions, never a scan of the
+    // full table. This is what turns the library's incremental operators
+    // (VectorIndex.append, minhashNearDupsAgainstIndex, the
+    // q105/q107/q108 sketch merges) into a PIPELINE at 100 TB: "index
+    // yesterday's corpus once, feed today's snapshotChanges batch". The
+    // fixture appends orders in thirds (keys mod 3 = 0, 1, 2 → v1, v2,
+    // v3); changes(v1 → v3) must be exactly the mod-1 and mod-2 rows,
+    // which the oracle replays from the base table without seeing the
+    // snapshot machinery. Append-only refusal (a rewrite in the interval
+    // breaks file-granular deltas) is pinned in LayoutSpec.
+    QuerySpec(
+      "q109_snapshot_changes",
+      (s, d) => {
+        val dir = Fits.snapshotTableDir(s, d)
+        graft.ops.Layout.snapshotChanges(s, dir, fromVersion = 1L,
+            toVersion = 3L)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        ORDER BY o_orderkey"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -57,6 +57,26 @@ object Fits {
     * [[graft.ops.VectorIndex.append]] batches — the daily-ingest path.
     * q104 hash-matching q103's oracle proves an index maintained by
     * appends is bit-identical to a one-shot build with the same fit. */
+  /** A three-append snapshot table over `orders` (keys mod 3), the
+    * fixture for q109's incremental-scan oracle: versions v1/v2/v3 carry
+    * disjoint thirds of the table, so `snapshotChanges(v1, v3)` must be
+    * EXACTLY the rows with `o_orderkey % 3 IN (1, 2)` — replayable in
+    * SQL by the oracle without seeing the snapshot machinery. Built once
+    * per process (the table is an on-disk artifact, like the vector
+    * index). */
+  def snapshotTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaptab:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snaptab").toString + "/t"
+      val o = T.orders(s, sfDir)
+      (0 to 2).foreach { m =>
+        graft.ops.Layout.snapshotAppend(
+          o.filter(col("o_orderkey") % 3 === m), dir)
+      }
+      dir
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

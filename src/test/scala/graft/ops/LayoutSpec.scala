@@ -230,6 +230,56 @@ class LayoutSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === (1 to 40))
   }
 
+  test("snapshotAppend: carried-forward reads, file-granular change feed") {
+    val dir = tmpDir("snapa") + "/t"
+    val v1 = Layout.snapshotAppend((1 to 20).toDF("v"), dir)
+    val v2 = Layout.snapshotAppend((21 to 30).toDF("v"), dir)
+    val v3 = Layout.snapshotAppend((31 to 35).toDF("v"), dir)
+    assert((v1, v2, v3) === (1L, 2L, 3L))
+    // full reads see the union at each version (time travel included)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 35))
+    assert(Layout.snapshotRead(spark, dir, version = 2).as[Int]
+      .collect().sorted.toSeq === (1 to 30))
+    // the change feed is exactly the appended rows, file-granular
+    assert(Layout.snapshotChanges(spark, dir, fromVersion = 1).as[Int]
+      .collect().sorted.toSeq === (21 to 35))
+    assert(Layout.snapshotChanges(spark, dir, 1, 2).as[Int]
+      .collect().sorted.toSeq === (21 to 30))
+    // bootstrap (from 0) and empty (from == to) intervals
+    assert(Layout.snapshotChanges(spark, dir, 0, 3).as[Int]
+      .collect().sorted.toSeq === (1 to 35))
+    assert(Layout.snapshotChanges(spark, dir, 3, 3).count() === 0L)
+  }
+
+  test("snapshotChanges: refuses an interval containing a full rewrite") {
+    val dir = tmpDir("snapr") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)
+    // v2 is a COMPACTING rewrite: drops v1's files from the manifest
+    Layout.snapshotCommit(Layout.snapshotRead(spark, dir), dir)
+    Layout.snapshotAppend((11 to 15).toDF("v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.snapshotChanges(spark, dir, fromVersion = 1)
+    }
+    assert(e.getMessage.contains("not append-only"),
+      s"refusal should name the cause; got: ${e.getMessage}")
+    // the append-only tail after the rewrite still diffs fine
+    assert(Layout.snapshotChanges(spark, dir, 2, 3).as[Int]
+      .collect().sorted.toSeq === (11 to 15))
+  }
+
+  test("snapshotAppend: expire keeps data files a surviving append references") {
+    val dir = tmpDir("snape") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)
+    Layout.snapshotAppend((11 to 20).toDF("v"), dir)
+    Layout.snapshotAppend((21 to 30).toDF("v"), dir)
+    // drop v1 and v2 manifests; v3's manifest still references v1/v2 data
+    assert(Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0) === 2)
+    assert(Layout.snapshotVersions(spark, dir) === Seq(3L))
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 30))
+  }
+
   test("snapshotCommit: crash between data files and manifest is invisible") {
     val dir = tmpDir("snap2") + "/t"
     Layout.snapshotCommit((1 to 10).toDF("v"), dir)
