@@ -372,8 +372,22 @@ object Layout {
 
   /** Manifest-relative file list of a COMPLETE snapshot — the identity
     * under which files are carried forward by [[snapshotAppend]] and
-    * diffed by [[snapshotChanges]]. */
+    * diffed by [[snapshotChanges]]. `#`-prefixed lines are metadata
+    * ([[snapshotMetaOf]]), not files. */
   private def snapshotRelFiles(spark: SparkSession, dir: String,
+      version: Long): Seq[String] =
+    snapshotManifestLines(spark, dir, version).filterNot(_.startsWith("#"))
+
+  /** The metadata lines a commit attached (without their `#` prefix and
+    * without the commit footer) — e.g. the streaming sink's
+    * `batch=<id>` replay marker ([[graft.streaming.SnapshotSink]]). */
+  def snapshotMetaOf(spark: SparkSession, dir: String,
+      version: Long): Seq[String] =
+    snapshotManifestLines(spark, dir, version)
+      .filter(l => l.startsWith("#") && l != "#commit")
+      .map(_.stripPrefix("#"))
+
+  private def snapshotManifestLines(spark: SparkSession, dir: String,
       version: Long): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(dir, f"_snapshots/v$version%08d.manifest")
@@ -399,7 +413,10 @@ object Layout {
     * are [[snapshotCommit]]'s verbatim — [[snapshotExpire]] keeps every
     * data directory a SURVIVING manifest references, so expiring old
     * versions never breaks a newer append's carried-forward files. */
-  def snapshotAppend(df: DataFrame, dir: String): Long = {
+  def snapshotAppend(df: DataFrame, dir: String,
+      meta: Seq[String] = Nil): Long = {
+    meta.foreach(m => require(!m.contains("\n") && m != "commit",
+      s"snapshot meta line may not contain newlines or be 'commit': $m"))
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -426,7 +443,8 @@ object Layout {
         .sorted
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((prev ++ files.map(f => s"$rel/$f")).map(_ + "\n")
+      val body = ((meta.map(m => s"#$m") ++ prev
+          ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
       else fs.delete(dataDir, true)
