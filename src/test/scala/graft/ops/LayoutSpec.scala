@@ -252,6 +252,28 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotChanges(spark, dir, 3, 3).count() === 0L)
   }
 
+  test("snapshotAppend: racing appenders both land, loser carries winner's files") {
+    val dir = tmpDir("snaparace") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)
+    // two appenders race for v2; the loser must retry at v3 AND carry
+    // the winner's files forward (the recompute-per-attempt path)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq((11 to 20), (21 to 30)).map { r =>
+      new Thread(() =>
+        try { Layout.snapshotAppend(r.toDF("v"), dir); () }
+        catch { case t: Throwable => errs.add(t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"appender failed: ${Option(errs.peek())}")
+    assert(Layout.snapshotVersions(spark, dir) === Seq(1L, 2L, 3L))
+    // the FINAL version sees every row exactly once, whoever won
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 30))
+    // and the change feed across the race is both batches
+    assert(Layout.snapshotChanges(spark, dir, 1).as[Int]
+      .collect().sorted.toSeq === (11 to 30))
+  }
+
   test("snapshotChanges: refuses an interval containing a full rewrite") {
     val dir = tmpDir("snapr") + "/t"
     Layout.snapshotAppend((1 to 10).toDF("v"), dir)
