@@ -140,7 +140,7 @@ object Layout {
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
     val existing = spark.read.parquet(dir)
-      .filter(col("kbucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(col("kbucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
       .drop("kbucket")
     val merged = merge(existing)
     val stagedRoot = hiddenSibling(dir, ".__staged").toString

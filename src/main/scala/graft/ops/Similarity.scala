@@ -159,11 +159,11 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     // score(x, c) = −2·x·c + ‖c‖² orders cells by euclidean distance to x
     def cellScore(vec: Column, c: Array[Double]): Column = {
-      val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      val cLit = array(c.map(v => lit(v.toFloat)).toIndexedSeq: _*)
       lit(-2.0) * call_function("vec_dot", vec, cLit) + lit(c.map(v => v * v).sum)
     }
     def cellRanking(vec: Column): Column =
-      sort_array(array(centers.zipWithIndex.map { case (c, i) =>
+      sort_array(array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
       }: _*))
 
@@ -239,8 +239,8 @@ object Similarity {
     val sub = books(0)(0).length
     array((0 until m).map { j =>
       val sv = slice(vec, j * sub + 1, sub)
-      val ranked = sort_array(array(books(j).zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      val ranked = sort_array(array(books(j).zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        val cLit = array(c.map(v => lit(v.toFloat)).toIndexedSeq: _*)
         struct(
           (lit(-2.0) * dot(sv, cLit) + lit(c.map(v => v * v).sum)).as("score"),
           lit(i).as("code"))
@@ -258,7 +258,7 @@ object Similarity {
     array(books.zipWithIndex.flatMap { case (codes, j) =>
       val sv = slice(vec, j * sub + 1, sub)
       codes.map { c =>
-        dot(sv, array(c.map(v => lit(v.toFloat)): _*)).cast("float")
+        dot(sv, array(c.map(v => lit(v.toFloat)).toIndexedSeq: _*)).cast("float")
       }
     }.toIndexedSeq: _*)
   }
@@ -371,11 +371,11 @@ object Similarity {
     val short = if (shortlist < 0) 10 * k else math.max(k, shortlist)
 
     def cellScore(vec: Column, c: Array[Double]): Column = {
-      val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      val cLit = array(c.map(v => lit(v.toFloat)).toIndexedSeq: _*)
       lit(-2.0) * dot(vec, cLit) + lit(c.map(v => v * v).sum)
     }
     def cellRanking(vec: Column): Column =
-      sort_array(array(centers.zipWithIndex.map { case (cn, i) =>
+      sort_array(array(centers.zipWithIndex.toIndexedSeq.map { case (cn, i) =>
         struct(cellScore(vec, cn).as("score"), lit(i).as("cell"))
       }: _*))
 
@@ -549,11 +549,11 @@ object Similarity {
     // nearest cell = min (euclidean score, cell idx) struct — one VecDot
     // per (doc, cell), deterministic idx tiebreak
     def cellScore(vec: Column, c: Array[Double]): Column = {
-      val cLit = array(c.map(v => lit(v.toFloat)): _*)
+      val cLit = array(c.map(v => lit(v.toFloat)).toIndexedSeq: _*)
       lit(-2.0) * dot(vec, cLit) + lit(c.map(v => v * v).sum)
     }
     def cellOf(vec: Column): Column =
-      array_min(array(centers.zipWithIndex.map { case (c, i) =>
+      array_min(array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(cellScore(vec, c).as("s"), lit(i).as("cell"))
       }: _*)).getField("cell")
 

@@ -53,9 +53,9 @@ object VectorIndex {
     * row). Mirrors the in-process paths in [[Similarity]]. */
   private def cellRanking(vec: Column,
       centers: Array[Array[Double]]): Column =
-    sort_array(array(centers.zipWithIndex.map { case (cn, i) =>
+    sort_array(array(centers.zipWithIndex.toIndexedSeq.map { case (cn, i) =>
       struct(
-        (lit(-2.0) * dot(vec, array(cn.map(v => lit(v.toFloat)): _*)) +
+        (lit(-2.0) * dot(vec, array(cn.map(v => lit(v.toFloat)).toIndexedSeq: _*)) +
           lit(cn.map(v => v * v).sum)).as("score"),
         lit(i).as("cell"))
     }: _*))

@@ -212,8 +212,8 @@ object StreamAsOf {
         col(key).cast(keyType).as("k"), col(ts).as("ts"),
         lit(isBuild).as("build"),
         (if (isBuild) lit(null).cast(probeStruct)
-         else struct(df.columns.map(col): _*)).as("p"),
-        (if (isBuild) struct(df.columns.map(col): _*)
+         else struct(df.columns.toIndexedSeq.map(col): _*)).as("p"),
+        (if (isBuild) struct(df.columns.toIndexedSeq.map(col): _*)
          else lit(null).cast(buildStruct)).as("b"))
 
     val packedProbe = pack(probe, probeTs, isBuild = false)
@@ -241,7 +241,7 @@ object StreamAsOf {
         TimeMode.EventTime(), OutputMode.Append())(Encoders.row(outSchema))
 
     val passThrough = probeNull.select(
-      probe.columns.map(c => col(s"p.`$c`").as(c)) ++ Seq(
+      probe.columns.toIndexedSeq.map(c => col(s"p.`$c`").as(c)) ++ Seq(
         lit(null).cast(TimestampType).as("match_ts"),
         lit(null).cast(buildStruct).as("matched")): _*)
 
@@ -297,14 +297,14 @@ object StreamAsOf {
     // NULL contract, same as backward: null-key/null-time probes bypass
     // the join + argmin entirely and emit no-match on a stateless branch
     val probeNull = pAll.filter(col(key).isNull || col(probeTs).isNull)
-      .select(probe.columns.map(col) ++ Seq(
+      .select(probe.columns.toIndexedSeq.map(col) ++ Seq(
         lit(null).cast(TimestampType).as("match_ts"),
         lit(null).cast(buildStruct).as("matched")): _*)
     val b = build.withWatermark(buildTs, lateness)
       .filter(col(buildKey).isNotNull && col(buildTs).isNotNull)
       .select(col(buildKey).cast(keyType).as("__bk"),
         col(buildTs).as("__bts"),
-        struct(build.columns.map(col): _*).as("__b"))
+        struct(build.columns.toIndexedSeq.map(col): _*).as("__b"))
 
     // inner interval join for the candidates; the no-match case is
     // covered by the marker branch below + the argmin stage's event-time
@@ -335,12 +335,12 @@ object StreamAsOf {
     // group's marker count is its output multiplicity, which the join
     // output cannot encode
     val markers = p.select(
-      struct(probeCols.map(col): _*).as("pk"), finCol,
+      struct(probeCols.toIndexedSeq.map(col): _*).as("pk"), finCol,
       lit(true).as("mark"),
       lit(null).cast(TimestampType).as("bts"),
       lit(null).cast(buildStruct).as("b"))
     val keyed = markers.unionByName(joined.select(
-      struct(probeCols.map(col): _*).as("pk"), finCol,
+      struct(probeCols.toIndexedSeq.map(col): _*).as("pk"), finCol,
       lit(false).as("mark"),
       col("__bts").as("bts"), col("__b").as("b")))
     val keySchema = StructType(Seq(
