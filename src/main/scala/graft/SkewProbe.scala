@@ -45,6 +45,8 @@ object SkewProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // legacy ns-int64 events.ts generations decode as long (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // thresholds sized for this corpus — the 256 MB production default
       // is tuned for hundred-GB shuffles and would never fire at sf0.1
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")

@@ -30,7 +30,11 @@ object Tables {
     * regeneration — always surfacing a session-TZ `TimestampType` column:
     *
     *   - `LongType` (legacy nanos): floor-divide to µs, matching DuckDB's
-    *     ns→µs epoch_us() truncation semantics.
+    *     ns→µs epoch_us() truncation semantics. Decoding ns-int64 AS long
+    *     requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    *     entry point pins at session build next to the UTC pin (Verify,
+    *     Bench, PlanDump, probes, SparkSpec) — a reader must not mutate
+    *     shared session conf as a side effect.
     *   - `TimestampNTZType` (µs parquet with isAdjustedToUTC=false, the
     *     pandas/pyarrow default): reinterpret the wall-clock instant as UTC.
     *     All entry points pin `spark.sql.session.timeZone=UTC`, so the cast
@@ -40,7 +44,6 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -15,6 +15,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // legacy ns-int64 events.ts generations decode as long (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // micros (not INT96) so the driver's pyarrow/DuckDB compare reads the
       // same logical type our oracle produces

@@ -387,8 +387,15 @@ object Layout {
       .filter(l => l.startsWith("#") && l != "#commit")
       .map(_.stripPrefix("#"))
 
+  /** Manifest GETs performed by this JVM — the metric the snapshot
+    * protocol's O(1)-per-operation claims are specced against
+    * (SnapshotSinkSpec pins a bounded per-commit delta). Test
+    * instrumentation only; never read on a query path. */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   private def snapshotManifestLines(spark: SparkSession, dir: String,
       version: Long): Seq[String] = {
+    manifestReads.incrementAndGet()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(dir, f"_snapshots/v$version%08d.manifest")
     val in = fs.open(manifest)
@@ -399,6 +406,27 @@ object Layout {
       s"snapshot v$version at $dir is incomplete (no commit footer)")
     lines.dropRight(1)
   }
+
+  /** Newest committed metadata line starting with `prefix`, resolved by a
+    * DESCENDING lazy walk that stops at the first complete manifest
+    * carrying one — the same O(1)-GETs-in-the-common-case probe shape as
+    * [[snapshotRead]]'s latest-version resolution, and the fix for the
+    * quadratic-metadata trap a per-micro-batch caller
+    * ([[graft.streaming.SnapshotSink.appendOnce]]) would otherwise hit:
+    * eagerly validating EVERY historical manifest per commit is
+    * O(versions × manifest size) I/O over a long-running stream. Torn
+    * manifests and versions without the marker are skipped (marker-less
+    * versions appear under mixed use with plain [[snapshotAppend]] and
+    * after a [[snapshotCompact]] rewrite, whose only marker is its
+    * `rewrite-of=` lineage line). */
+  def snapshotNewestMeta(spark: SparkSession, dir: String,
+      prefix: String): Option[String] =
+    listManifestVersions(spark, dir).reverseIterator
+      .flatMap { v =>
+        try snapshotMetaOf(spark, dir, v).find(_.startsWith(prefix))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      .nextOption()
 
   /** APPEND commit: a new snapshot whose manifest carries the previous
     * snapshot's file list forward plus this batch's files — the
@@ -452,6 +480,16 @@ object Layout {
     committed
   }
 
+  /** The lineage marker [[snapshotCompact]] attaches to a pure-rewrite
+    * version (`rewrite-of=<base>`): same rows, new files. It is what
+    * lets [[snapshotChanges]] skip the version when diffing instead of
+    * refusing the whole interval. */
+  private[graft] val RewriteTag = "rewrite-of="
+
+  private def isRewriteVersion(spark: SparkSession, dir: String,
+      version: Long): Boolean =
+    snapshotMetaOf(spark, dir, version).exists(_.startsWith(RewriteTag))
+
   /** Incremental scan: the rows ADDED between two snapshot versions,
     * read from exactly the manifest-diff files — never a scan of the
     * full table. This is what feeds the library's incremental
@@ -460,35 +498,113 @@ object Layout {
     * merges): "index yesterday's corpus once, process only today's
     * appended files".
     *
-    * File-granular and therefore APPEND-ONLY by contract: if any file
-    * of `fromVersion` is absent at `toVersion` (a [[snapshotCommit]]
-    * full rewrite, or an interleaved compaction), a file diff can no
-    * longer represent the row delta and the call REFUSES — mirroring
-    * Iceberg's incremental append scan — instead of silently
-    * re-surfacing rewritten rows; fall back to a full recompute off
-    * [[snapshotRead]] for that interval. `fromVersion = 0` bootstraps
-    * (every file of `toVersion`); `toVersion = -1` means latest. */
+    * File-granular: each APPEND version's delta is its manifest minus
+    * its predecessor's, accumulated version by version across the
+    * interval. A version carrying [[snapshotCompact]]'s `rewrite-of=`
+    * lineage marker is a PURE rewrite — same rows, new files — so its
+    * file churn is skipped rather than mis-read as a delta, and the
+    * next append diffs against the compacted manifest: routine
+    * compaction no longer forces downstream incremental consumers into
+    * a full recompute (an append superseded by a later in-interval
+    * rewrite still reads its ORIGINAL delta files, which
+    * [[snapshotExpire]] keeps alive until their manifest is expired).
+    * Any OTHER file removal (a [[snapshotCommit]] full rewrite, a
+    * manual overwrite) still REFUSES — mirroring Iceberg's incremental
+    * append scan — instead of silently re-surfacing rewritten rows;
+    * fall back to a full recompute off [[snapshotRead]] for that
+    * interval. `fromVersion = 0` bootstraps (every file of
+    * `toVersion`); `toVersion = -1` (the ONLY sentinel — an explicit 0
+    * or negative is a caller bug and errors) means latest. */
   def snapshotChanges(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long = -1L): DataFrame = {
-    val to = if (toVersion > 0) toVersion
-      else snapshotVersions(spark, dir).lastOption
+    require(toVersion == -1L || toVersion >= 1,
+      s"snapshotChanges: toVersion must be a committed version (>= 1) or " +
+        s"the latest-version sentinel -1, got $toVersion")
+    val to = if (toVersion == -1L)
+      snapshotVersions(spark, dir).lastOption
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
       s"snapshotChanges: need 0 <= fromVersion <= toVersion, " +
         s"got $fromVersion..$to")
-    val fromF = if (fromVersion == 0) Set.empty[String]
+    // complete versions inside the interval, ascending; `to` must itself
+    // be complete (its manifest read below throws on a torn one)
+    val steps = snapshotVersions(spark, dir)
+      .filter(v => v > fromVersion && v <= to)
+    require(to == fromVersion || steps.lastOption.contains(to),
+      s"snapshotChanges: v$to at $dir is not a committed snapshot")
+    var prev: Set[String] = if (fromVersion == 0) Set.empty[String]
       else snapshotRelFiles(spark, dir, fromVersion).toSet
-    val toF = snapshotRelFiles(spark, dir, to)
-    val dropped = fromF -- toF.toSet
-    require(dropped.isEmpty,
-      s"snapshotChanges: v$fromVersion..v$to is not append-only — " +
-        s"${dropped.size} file(s) of v$fromVersion are gone at v$to " +
-        "(full rewrite or compaction in the interval); recompute from " +
-        "snapshotRead instead")
-    val added = toF.filterNot(fromF)
-    if (added.isEmpty) snapshotRead(spark, dir, to).limit(0)
+    val added = Seq.newBuilder[String]
+    steps.foreach { v =>
+      val files = snapshotRelFiles(spark, dir, v)
+      if (isRewriteVersion(spark, dir, v)) {
+        // pure rewrite: zero row delta by contract — adopt its file set
+        // as the new diff base, count nothing
+      } else {
+        val dropped = prev -- files.toSet
+        require(dropped.isEmpty,
+          s"snapshotChanges: v$fromVersion..v$to is not append-only — " +
+            s"${dropped.size} file(s) vanish at v$v without a " +
+            s"$RewriteTag lineage marker (full rewrite in the " +
+            "interval); recompute from snapshotRead instead")
+        added ++= files.filterNot(prev)
+      }
+      prev = files.toSet
+    }
+    val addedFiles = added.result()
+    if (addedFiles.isEmpty) snapshotRead(spark, dir, to).limit(0)
     else spark.read.parquet(
-      added.map(rel => new Path(dir, rel).toString): _*)
+      addedFiles.map(rel => new Path(dir, rel).toString): _*)
+  }
+
+  /** Compaction for a SNAPSHOT table: rewrite the newest snapshot's rows
+    * into ⌈size/targetBytes⌉ files and commit them as a new version whose
+    * manifest carries the `rewrite-of=<base>` lineage marker — a PURE
+    * rewrite (same rows, new files) that [[snapshotChanges]] skips when
+    * diffing, so at 100 TB — where compaction is routine — downstream
+    * incremental consumers keep their file-granular deltas instead of
+    * being forced into a full recompute (the [[compact]]-on-a-directory
+    * story, re-expressed in the rename-free manifest protocol).
+    *
+    * Optimistic concurrency, composing with concurrent [[snapshotAppend]]
+    * racers exactly as commits do: the manifest is created at the next
+    * free version; LOSING the race (an append landed first) discards the
+    * staged rewrite and retries against the new base, so an interleaved
+    * append's files are never silently dropped — and a racer that loses
+    * to US carries the compacted manifest forward on its retry. Returns
+    * the committed version. */
+  def snapshotCompact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"snapshotCompact: lost the commit race 5× at $dir")
+      val base = snapshotVersions(spark, dir).lastOption
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
+      // next version counts torn manifests too (same rule as the commits)
+      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      val bytes = snapshotFiles(spark, dir, base)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val rel = f"data/v$v%08d-$token"
+      val dataDir = new Path(dir, rel)
+      snapshotRead(spark, dir, base).coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      val files = fs.listStatus(dataDir).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .sorted
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((s"#$RewriteTag$base" +: files.map(f => s"$rel/$f"))
+        .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+      else fs.delete(dataDir, true) // lost the race: retry on the new base
+    }
+    committed
   }
 
   /** Versions with a COMPLETE manifest, ascending. Incomplete (torn)

@@ -55,16 +55,43 @@ object SnapshotSink {
     * {{{
     *   .foreachBatch((b: DataFrame, id: Long) =>
     *     SnapshotSink.appendOnce(b, id, dir): Unit)
-    * }}} */
+    * }}}
+    *
+    * The newest committed marker is resolved by
+    * [[Layout.snapshotNewestMeta]]'s descending lazy probe — O(1)
+    * manifest GETs per commit on a sink-owned table, where the previous
+    * eager validation of every historical manifest made per-batch
+    * metadata I/O grow quadratically over a long-running stream
+    * (manifests grow O(total files), versions grow one per batch).
+    *
+    * Failure containment for a RESET checkpoint: structured streaming
+    * replays at most the one in-flight batch, so a batchId more than one
+    * below the newest committed marker cannot come from the engine's
+    * normal recovery — it means the query's checkpoint was deleted or
+    * forked (batchIds restarted at 0) or a second query is writing the
+    * table. Silently treating that as "replay" would drop every future
+    * batch as a duplicate; this throws instead. (A reset can still
+    * shadow batches while the restarted counter is within 1 of the
+    * newest marker — ids 0..newest-1 re-deliver DIFFERENT data under
+    * replayed ids; exactly-once is only meaningful against one
+    * checkpoint lineage. Recovery from a genuine reset: start the new
+    * query against a fresh table, or snapshotExpire + bootstrap.) */
   def appendOnce(batch: DataFrame, batchId: Long, dir: String): Boolean = {
     val spark = batch.sparkSession
-    val newest = Layout.snapshotVersions(spark, dir).reverseIterator
-      .flatMap(v => Layout.snapshotMetaOf(spark, dir, v).collectFirst {
-        case m if m.startsWith(BatchTag) => m.stripPrefix(BatchTag).toLong
-      })
-      .nextOption()
-    if (newest.exists(batchId <= _)) return false
-    Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"))
-    true
+    val newest = Layout.snapshotNewestMeta(spark, dir, BatchTag)
+      .map(_.stripPrefix(BatchTag).toLong)
+    newest match {
+      case Some(n) if batchId < n - 1 =>
+        throw new IllegalStateException(
+          s"SnapshotSink at $dir: batchId $batchId is ${n - batchId} " +
+            s"behind the newest committed marker $n — engine recovery " +
+            "replays at most one batch, so this is a deleted/forked " +
+            "checkpoint or a second writer; refusing to silently drop " +
+            "the batch as a replay")
+      case Some(n) if batchId <= n => false
+      case _ =>
+        Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"))
+        true
+    }
   }
 }

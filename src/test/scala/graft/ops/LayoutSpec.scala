@@ -290,6 +290,41 @@ class LayoutSpec extends SparkSpec {
       .collect().sorted.toSeq === (11 to 15))
   }
 
+  test("snapshotCompact: changes skip the rewrite; full rewrite still refuses") {
+    val dir = tmpDir("snapc") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)          // v1
+    Layout.snapshotAppend((11 to 20).toDF("v"), dir)         // v2
+    val vr = Layout.snapshotCompact(spark, dir)              // v3: pure rewrite
+    assert(vr === 3L)
+    val v4 = Layout.snapshotAppend((21 to 25).toDF("v"), dir)
+    assert(v4 === 4L)
+    // the rewrite carries the lineage marker and the same rows
+    assert(Layout.snapshotMetaOf(spark, dir, vr) === Seq("rewrite-of=2"))
+    assert(Layout.snapshotRead(spark, dir, vr).as[Int].collect().sorted.toSeq
+      === (1 to 20))
+    // changes across the compaction: exactly the post-compaction append,
+    // never the rewritten copies of v1/v2's rows
+    assert(Layout.snapshotChanges(spark, dir, 2, 4).as[Int]
+      .collect().sorted.toSeq === (21 to 25))
+    // an interval ENDING at the rewrite is an empty delta
+    assert(Layout.snapshotChanges(spark, dir, 2, 3).count() === 0L)
+    // an append inside the interval BEFORE the rewrite still reads its
+    // original delta files (v1→v4 = v2's rows + v4's rows)
+    assert(Layout.snapshotChanges(spark, dir, 1, 4).as[Int]
+      .collect().sorted.toSeq === (11 to 25))
+    // a marker-less full rewrite in the interval still refuses
+    Layout.snapshotCommit(Layout.snapshotRead(spark, dir), dir) // v5
+    val e = intercept[IllegalArgumentException] {
+      Layout.snapshotChanges(spark, dir, 4)
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // explicit toVersion=0 is a caller bug, not "latest"
+    val e0 = intercept[IllegalArgumentException] {
+      Layout.snapshotChanges(spark, dir, 1, 0)
+    }
+    assert(e0.getMessage.contains("sentinel"))
+  }
+
   test("snapshotAppend: expire keeps data files a surviving append references") {
     val dir = tmpDir("snape") + "/t"
     Layout.snapshotAppend((1 to 10).toDF("v"), dir)

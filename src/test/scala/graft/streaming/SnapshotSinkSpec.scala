@@ -33,6 +33,41 @@ class SnapshotSinkSpec extends SparkSpec {
       === (1 to 25))
   }
 
+  test("appendOnce: per-commit manifest reads stay O(1) as versions accumulate") {
+    val dir = tmpDir("snapsink-o1") + "/t"
+    (0 until 12).foreach { i =>
+      assert(SnapshotSink.appendOnce(Seq(i).toDF("v"), i.toLong, dir))
+    }
+    // the 13th commit must not pay for the 12 historical manifests: one
+    // GET resolves the newest batch marker (descending lazy probe), one
+    // GET resolves the carried-forward file base inside snapshotAppend
+    val before = Layout.manifestReads.get()
+    assert(SnapshotSink.appendOnce(Seq(99).toDF("v"), 12L, dir))
+    val reads = Layout.manifestReads.get() - before
+    assert(reads <= 3,
+      s"commit #13 read $reads manifests — the probe is walking history")
+    // and a replay probe is O(1) too
+    val before2 = Layout.manifestReads.get()
+    assert(SnapshotSink.appendOnce(Seq(99).toDF("v"), 12L, dir) === false)
+    assert(Layout.manifestReads.get() - before2 <= 2)
+  }
+
+  test("appendOnce: a batchId far below the newest marker fails loudly") {
+    val dir = tmpDir("snapsink-reset") + "/t"
+    (0 until 5).foreach { i =>
+      SnapshotSink.appendOnce(Seq(i).toDF("v"), i.toLong, dir)
+    }
+    // engine recovery replays at most one batch: ids 4 and 3 are replays
+    assert(SnapshotSink.appendOnce(Seq(4).toDF("v"), 4L, dir) === false)
+    assert(SnapshotSink.appendOnce(Seq(3).toDF("v"), 3L, dir) === false)
+    // a reset/forked checkpoint restarting at 0 must not silently drop
+    // every future batch as a "replay"
+    val e = intercept[IllegalStateException] {
+      SnapshotSink.appendOnce(Seq(0).toDF("v"), 0L, dir)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
   test("a real stream through foreachBatch lands versioned + change-scannable") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
