@@ -77,6 +77,82 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** The END-TO-END incremental pipeline fixture (q110): an embeddings
+    * table committed through [[graft.streaming.SnapshotSink.appendOnce]]
+    * exactly as `foreachBatch` drives it — batches 0/1/2 carry
+    * `vec_id % 3 == 0/1/2`, batch 1 is REPLAYED (must no-op: a double
+    * commit doubles coded rows, shifts retrieval ranks, and fails q110's
+    * hash oracle), and a [[graft.ops.Layout.snapshotCompact]] rewrite
+    * lands between batches 1 and 2 (its zero row delta must be skipped
+    * by the change feed, not re-ingested) — feeding a vector index whose
+    * coded table is reconstructed PURELY from the per-version
+    * [[graft.ops.Layout.snapshotChanges]] feeds. The fit is q103's
+    * full-corpus fit, so q103's DuckDB oracle applies verbatim:
+    * hash-equality proves sink → change feed → index append composes to
+    * the one-shot build bit-for-bit, replay and compaction included. */
+  def snapshotPipelineVectorIndexDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snappipe:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.{Layout, VectorIndex}
+      import graft.streaming.SnapshotSink
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snappipe").toString
+      val tab = s"$root/emb"
+      val emb = T.embeddings(s, sfDir)
+      def batch(m: Int) = emb.filter(col("vec_id") % 3 === m)
+      require(SnapshotSink.appendOnce(batch(0), 0L, tab))
+      require(SnapshotSink.appendOnce(batch(1), 1L, tab))
+      require(!SnapshotSink.appendOnce(batch(1), 1L, tab),
+        "replayed micro-batch must not re-commit")
+      Layout.snapshotCompact(s, tab)
+      require(SnapshotSink.appendOnce(batch(2), 2L, tab))
+      val idx = s"$root/idx"
+      VectorIndex.build(emb, "vec_id", "embedding", idx,
+        nCells = 16, m = 16, kCodes = 16, maxFitRows = 2000)
+      val coded = new org.apache.hadoop.fs.Path(s"$idx/coded")
+      coded.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(coded, true)
+      // the incremental consumer: walk the committed versions pairwise,
+      // append each change feed (the compaction step's feed is empty)
+      val versions = Layout.snapshotVersions(s, tab)
+      (0L +: versions).zip(versions).foreach { case (a, b) =>
+        VectorIndex.append(Layout.snapshotChanges(s, tab, a, b),
+          "vec_id", "embedding", idx)
+      }
+      idx
+    }).asInstanceOf[String]
+
+  /** q111's half of the incremental pipeline story: a DOCUMENTS table
+    * committed through the sink (batch 0 = the dedup corpus,
+    * `doc_id < 250`; batch 1 = `[250, 375)`, REPLAYED as a no-op; batch
+    * 2 = `>= 375`), a MinHash signature index persisted from the v1
+    * bootstrap change feed, and every later batch deduped against it via
+    * the v1→latest feed. Parameters match q66's oracle (24 hashes / 3-
+    * shingles / 8 bands). Returns (table dir, signature index dir). */
+  def snapshotDocsPipeline(s: SparkSession, sfDir: String): (String, String) =
+    cache.computeIfAbsent(s"snapdocs:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.{Dedup, Layout}
+      import graft.streaming.SnapshotSink
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapdocs").toString
+      val tab = s"$root/docs"
+      val docs = T.documents(s, sfDir)
+      val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+      require(SnapshotSink.appendOnce(docs.filter(col("doc_id") < 250), 0L, tab))
+      require(SnapshotSink.appendOnce(b1, 1L, tab))
+      require(!SnapshotSink.appendOnce(b1, 1L, tab),
+        "replayed micro-batch must not re-commit")
+      require(SnapshotSink.appendOnce(docs.filter(col("doc_id") >= 375), 2L, tab))
+      val idx = s"$root/sigidx"
+      Dedup.writeSignatureIndex(
+        Dedup.bandedSignatureIndex(Layout.snapshotChanges(s, tab, 0L, 1L),
+          "doc_id", "text", numHashes = 24, shingleN = 3, bands = 8,
+          cache = false),
+        idx, numHashes = 24, shingleN = 3, bands = 8)
+      (tab, idx)
+    }).asInstanceOf[(String, String)]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

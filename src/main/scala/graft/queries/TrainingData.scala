@@ -87,6 +87,24 @@ object TrainingData {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  /** Shared by q66 (direct two-frame form) and q111 (the same dedup fed
+    * through the snapshot-table pipeline): incoming (`doc_id >= 250`)
+    * vs corpus (`< 250`) MinHash near-dups, full bit-for-bit signature
+    * oracle. One source of truth so the two entries cannot drift. */
+  private lazy val incrementalDedupOracleSql =
+    s"""WITH $tokCte, ${shingleCte(3)},
+        sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh WHERE len(hs) > 0),
+        banded AS (SELECT doc_id, sig, unnest($minhashBandSql) AS bk FROM sig),
+        cand AS (SELECT DISTINCT i.doc_id AS incoming_id, c.doc_id AS corpus_id
+                 FROM banded i JOIN banded c ON i.bk = c.bk
+                 WHERE i.doc_id >= 250 AND c.doc_id < 250)
+        SELECT incoming_id, corpus_id,
+          ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} AS est_jaccard
+        FROM cand JOIN sig si ON si.doc_id = incoming_id
+                  JOIN sig sc ON sc.doc_id = corpus_id
+        WHERE ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} >= ${dbl("0.5")}
+        ORDER BY incoming_id, corpus_id"""
+
   /** DuckDB twin of the MinHash signature (q27/q66 share it — one source
     * of truth for the per-seed rehash list). */
   private lazy val minhashSigSql: String = (0 until NumHashes).map { seed =>
@@ -972,18 +990,31 @@ object TrainingData {
             numHashes = NumHashes, shingleN = 3, bands = Bands, threshold = 0.5)
           .orderBy(col("incoming_id"), col("corpus_id"))
       },
-      Some(s"""WITH $tokCte, ${shingleCte(3)},
-        sig AS (SELECT doc_id, $minhashSigSql AS sig FROM sh WHERE len(hs) > 0),
-        banded AS (SELECT doc_id, sig, unnest($minhashBandSql) AS bk FROM sig),
-        cand AS (SELECT DISTINCT i.doc_id AS incoming_id, c.doc_id AS corpus_id
-                 FROM banded i JOIN banded c ON i.bk = c.bk
-                 WHERE i.doc_id >= 250 AND c.doc_id < 250)
-        SELECT incoming_id, corpus_id,
-          ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} AS est_jaccard
-        FROM cand JOIN sig si ON si.doc_id = incoming_id
-                  JOIN sig sc ON sc.doc_id = corpus_id
-        WHERE ${dbl(s"len(list_filter(list_zip(si.sig, sc.sig), x -> x[1] = x[2]))")} / ${dbl(s"$NumHashes")} >= ${dbl("0.5")}
-        ORDER BY incoming_id, corpus_id"""),
+      Some(incrementalDedupOracleSql),
+      headline = true),
+
+    // --------------------------------------------------------------- q111
+    // q66's incremental dedup fed end-to-end by the TABLE-FORMAT pipeline
+    // (Fits.snapshotDocsPipeline): the corpus arrives as a SnapshotSink
+    // micro-batch, the persisted signature index is built from the v1
+    // bootstrap change feed, and the incoming batches (one of them
+    // REPLAYED — the exactly-once skip keeps it a no-op) reach the dedup
+    // join through Layout.snapshotChanges, never a table scan. Shares
+    // q66's oracle VERBATIM: the split (corpus < 250 <= incoming) is the
+    // batch boundary, so sink → change feed → index join must reproduce
+    // the direct two-frame computation bit-for-bit.
+    QuerySpec(
+      "q111_pipeline_incremental_dedup",
+      (s, d) => {
+        val (tab, idx) = Fits.snapshotDocsPipeline(s, d)
+        Dedup.minhashNearDupsAgainstIndex(
+            Dedup.readSignatureIndex(s, idx, NumHashes, 3, Bands),
+            graft.ops.Layout.snapshotChanges(s, tab, fromVersion = 1L),
+            "doc_id", "text",
+            numHashes = NumHashes, shingleN = 3, bands = Bands, threshold = 0.5)
+          .orderBy(col("incoming_id"), col("corpus_id"))
+      },
+      Some(incrementalDedupOracleSql),
       headline = true),
 
     // ---------------------------------------------------------------- q67
@@ -1311,6 +1342,30 @@ object TrainingData {
       "q104_vector_index_append",
       (s, d) => {
         val h = graft.ops.VectorIndex.read(s, Fits.vectorIndexAppendDir(s, d))
+        val e = T.embeddings(s, d)
+        graft.ops.VectorIndex.topKRerank(h, e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracleSql),
+      headline = true),
+
+    // --------------------------------------------------------------- q110
+    // The END-TO-END incremental pipeline (round-8 pieces composed):
+    // SnapshotSink micro-batch commits — one batch REPLAYED, one
+    // snapshotCompact rewrite interleaved — feed Layout.snapshotChanges
+    // per-version deltas into VectorIndex.append, and retrieval over the
+    // resulting index shares q103's oracle VERBATIM. Hash-equality is the
+    // composition proof: a replay double-commit would double coded rows
+    // and shift ranks; a change feed that re-surfaced the compaction's
+    // rewritten files would do the same; a dropped delta would lose
+    // neighbors — every incremental-correctness failure mode lands in
+    // the same driver-visible hash. Fixture: Fits.snapshotPipelineVectorIndexDir.
+    QuerySpec(
+      "q110_incremental_pipeline",
+      (s, d) => {
+        val h = graft.ops.VectorIndex.read(s,
+          Fits.snapshotPipelineVectorIndexDir(s, d))
         val e = T.embeddings(s, d)
         graft.ops.VectorIndex.topKRerank(h, e, e.filter(col("vec_id") < 20),
             "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)

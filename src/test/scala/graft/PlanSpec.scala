@@ -150,6 +150,49 @@ class PlanSpec extends SparkSpec {
       s"no injected runtime bloom filter in optimized plan:\n$opt")
   }
 
+  test("q107: KLL sketch state is partial+final — the exchange carries sketches") {
+    // the mergeable-state claim, pinned mechanically: the per-ship_year
+    // sketch build AND the sketch-of-sketches merge must each plan as
+    // partial (map-side) + final ObjectHashAggregate, so the only data
+    // crossing an exchange is O(k) sketch state — never a re-sort of the
+    // value column (the exact form's cost at 100 TB)
+    val p = initial("q107_quantile_sketch_merge").toString
+    assert(p.contains("partial_kll_sketch_agg_double") &&
+        p.contains("kll_sketch_agg_double("),
+      s"per-partition KLL agg lost its partial/final split:\n$p")
+    assert(p.contains("partial_kll_merge_agg_double") &&
+        p.contains("kll_merge_agg_double("),
+      s"KLL union lost its partial/final split:\n$p")
+    // the exact-rank certificate pass reads the corpus ONCE with a
+    // map-side combined avg against the broadcast 1-row estimates
+    assert(p.contains("partial_avg") && p.contains("BroadcastExchange"),
+      s"rank-certificate pass is not a broadcast + combined agg:\n$p")
+  }
+
+  test("q108: top-k sketch state is partial+final — tokens never cross twice") {
+    val p = initial("q108_topk_state_merge").toString
+    assert(p.contains("partial_approx_top_k_accumulate") &&
+        p.contains("approx_top_k_accumulate("),
+      s"per-source top-k accumulate lost its partial/final split:\n$p")
+    assert(p.contains("partial_approx_top_k_combine") &&
+        p.contains("approx_top_k_combine("),
+      s"top-k combine lost its partial/final split:\n$p")
+  }
+
+  test("q109: the incremental scan reads exactly the delta files") {
+    // snapshotChanges(v1, v3) over the three-append fixture must plan a
+    // scan whose file list is the v2+v3 manifest diff — never v1's files
+    // and never a full-table directory listing
+    val files = SparkEntry.allSpecs.find(_.name == "q109_snapshot_changes")
+      .get.run(spark, sf).inputFiles
+    assert(files.nonEmpty, "q109 scan has no input files")
+    assert(files.forall(f =>
+        f.contains("/data/v00000002-") || f.contains("/data/v00000003-")),
+      s"q109 reads beyond the delta versions:\n${files.mkString("\n")}")
+    assert(!files.exists(_.contains("/data/v00000001-")),
+      s"q109 re-reads the base version's files:\n${files.mkString("\n")}")
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,

@@ -13,6 +13,31 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("registry completeness: every source query literal registered, count pinned") {
+    // a query that falls out of SparkEntry.allSpecs doesn't FAIL the
+    // driver's correctness gate — it silently vanishes from it and looks
+    // green by absence. Two tripwires: (1) every "qNN_*" literal in the
+    // queries sources must be a registered name; (2) the total is pinned,
+    // so adding or removing a query is always a deliberate edit here too.
+    import scala.jdk.CollectionConverters._
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    assert(java.nio.file.Files.isDirectory(srcRoot),
+      s"query sources not found at $srcRoot (cwd moved?)")
+    val pat = java.util.regex.Pattern.compile("\"(q\\d+[a-z]?_[a-z0-9_]+)\"")
+    val inSource = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val m = pat.matcher(java.nio.file.Files.readString(p))
+        Iterator.continually(m).takeWhile(_.find()).map(_.group(1)).toList
+      }.toSet
+    val registered = SparkEntry.queries.keySet
+    val lost = inSource -- registered
+    assert(lost.isEmpty, s"query names in source but not registered: $lost")
+    assert(registered.size === 114,
+      s"registry count drifted to ${registered.size} — if a query was " +
+        "added/removed deliberately, bump this pin in the same commit")
+  }
+
   test("entry: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
