@@ -50,9 +50,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // local iteration: SPARK_GRAFT_BENCH_ONLY=q04_join_multiway,q22_hotspot
+    // (the special name "streaming" runs ONLY the streaming lines — the
+    // ETL drain + as-of probes take ~30 s and would otherwise only be
+    // measurable behind the full 20-minute suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val streamingOnly = only.contains(Set("streaming"))
     val headline = SparkEntry.allSpecs.filter(_.headline)
-      .filter(q => only.forall(_.contains(q.name)))
+      .filter(q => !streamingOnly && only.forall(_.contains(q.name)))
 
     // a FAILED rep must not produce a time: min-of-N assumes noise only
     // ADDS time, but a fast failure (transient OOM, cache churn) would
@@ -102,11 +106,16 @@ object Bench {
     // the ingest path's tracked number: full-pipeline drain of one
     // synthetic day at the reference's floor volume (skipped unless the
     // run is the full suite — partial local iterations stay fast)
-    val streaming = if (only.isDefined) "" else {
+    val streaming = if (only.isDefined && !streamingOnly) "" else {
       val r = graft.ctran.EtlBench.drain(spark, 400000L)
       // the stateful-streaming path's tracked number: probe rows
-      // watermark-finalized per second through StreamAsOf.backward
-      val a = graft.streaming.StreamAsOfBench.probe(spark)
+      // watermark-finalized per second through StreamAsOf.backward.
+      // MAX of 3 runs — the rate analog of the per-query MIN-time rule
+      // (host contention is one-sided: it only ever SUBTRACTS rate), and
+      // the first run doubles as the codegen/RocksDB-JNI warm-up every
+      // headline query already gets
+      val a = (1 to 3).map(_ => graft.streaming.StreamAsOfBench.probe(spark))
+        .maxBy(_.rowsPerSec)
       f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f}"""
     }
     val json =

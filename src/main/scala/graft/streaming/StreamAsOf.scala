@@ -65,6 +65,17 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   * operators do): `spark.sql.streaming.stateStore.providerClass =
   * …RocksDBStateStoreProvider`.
   *
+  * State-partition sizing: the operator's store count is frozen from
+  * `spark.sql.shuffle.partitions` at first query start, and EVERY store
+  * pays a per-micro-batch open/commit cost regardless of how little
+  * state it holds — so size it to key cardinality × held-state volume ×
+  * input rate, never by inheriting a batch-analytics shuffle default.
+  * The measured shape (SCALE.md "Streaming as-of state sizing"): at 1k
+  * keys × ~15 tiny held rows, 32 stores run the operator ~3× slower
+  * than 8 (pure fixed overhead — per-row marginal cost is ~4 µs); at
+  * production key cardinalities the same rule sizes UP until per-store
+  * state fits memory and commit upload stays sub-interval.
+  *
   * Late-data note: rows whose event time is at-or-below the operator's
   * current watermark are LATE and dropped by Spark's stateful-operator
   * input filter before this processor sees them — the standard
@@ -111,11 +122,18 @@ object StreamAsOf {
 
     override def handleInputRows(key: Row, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
+      // ONE appendList per side per (key, batch), not one state op per
+      // row: the list-state append is a store round-trip, and at 10-100
+      // input rows per key per micro-batch the per-op overhead was the
+      // measurable share of the row cost (SCALE.md streaming as-of A/B)
+      val pb = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Row]
       rows.foreach { e =>
-        if (e.getBoolean(2))
-          buildsSt.appendValue(Row(e.get(1), e.get(4)))
-        else probesSt.appendValue(Row(e.get(1), e.get(3)))
+        if (e.getBoolean(2)) bb += Row(e.get(1), e.get(4))
+        else pb += Row(e.get(1), e.get(3))
       }
+      if (bb.nonEmpty) buildsSt.appendList(bb.toArray)
+      if (pb.nonEmpty) probesSt.appendList(pb.toArray)
       flush(timerValues.getCurrentWatermarkInMs())
     }
 
@@ -379,10 +397,13 @@ object StreamAsOf {
     override def handleInputRows(key: Row, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
       // input: (pk struct, fin, mark, bts, b) — fin identical across the
-      // group (it is a function of the probe row the group is keyed on)
+      // group (it is a function of the probe row the group is keyed on).
+      // One appendList per (key, batch) — see BackwardProcessor.
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
       rows.foreach { r =>
-        candsSt.appendValue(Row(r.get(1), r.get(2), r.get(3), r.get(4)))
+        buf += Row(r.get(1), r.get(2), r.get(3), r.get(4))
       }
+      if (buf.nonEmpty) candsSt.appendList(buf.toArray)
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 

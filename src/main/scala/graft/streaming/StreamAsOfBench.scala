@@ -32,17 +32,29 @@ object StreamAsOfBench {
     * (see [[StreamAsOf]]'s late-data note). */
   private val T0 = 86400L
 
-  def probe(spark: SparkSession, batches: Int = 10, perBatch: Int = 10000,
-      keys: Int = 1000): Result = {
+  /** `statePartitions` sizes the stateful operator's store count (it
+    * pins `spark.sql.shuffle.partitions` on a derived session — the conf
+    * a streaming query's state partitioning is frozen from at first
+    * start). Stateful-streaming deployments size this to key cardinality
+    * × state volume × rate, NOT to the batch-analytics shuffle default:
+    * at this probe's scale (1k keys × ~15 tiny held rows each), 32
+    * RocksDB instances each pay per-micro-batch open/commit overhead for
+    * near-empty stores and the operator runs ~3× slower than at 8
+    * (measured A/B in SCALE.md — per-row marginal cost is ~4 µs; the
+    * fixed per-partition-per-batch cost dominates). At production rates
+    * the same rule sizes UP. */
+  def probe(spark0: SparkSession, batches: Int = 10, perBatch: Int = 10000,
+      keys: Int = 1000, statePartitions: Int = 8): Result = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.{Encoder, Encoders}
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     implicit val sqlCtx = spark.sqlContext
     implicit val pe: Encoder[P] = Encoders.product[P]
     implicit val be: Encoder[B] = Encoders.product[B]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
+    // derived session: conf changes (partitions, provider) die with it
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ckpt = java.nio.file.Files
       .createTempDirectory("asofbench").toString
@@ -80,7 +92,6 @@ object StreamAsOfBench {
     } finally {
       q.stop()
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
