@@ -148,6 +148,30 @@ object VectorIndex {
     params
   }
 
+  /** Small-file compaction for the coded table: every [[append]] batch
+    * adds one file per touched cell, so a daily-ingest index accumulates
+    * O(days) files per cell and retrieval pays a task + footer read for
+    * each — the same cliff [[Layout.compact]] documents, landing here on
+    * the index's hot read path (a probed cell's scan). Rewrites each
+    * cell partition directory through [[Layout.compact]] (stage + atomic
+    * swap per directory; the dot-prefixed staging sibling is invisible
+    * to partition discovery, so concurrent readers of the parent table
+    * never see a phantom cell). The fits and meta are untouched — codes
+    * are rewritten byte-identically, so retrieval before and after
+    * hash-matches (spec-pinned). Returns the number of cell directories
+    * compacted. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val codedRoot = new org.apache.hadoop.fs.Path(s"$dir/coded")
+    val fs = codedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(codedRoot)) return 0
+    val cells = fs.listStatus(codedRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath)
+    cells.foreach(c => Layout.compact(spark, c.toString, targetBytes))
+    cells.length
+  }
+
   /** Open a persisted index, asserting it was built with the parameters
     * the caller is about to probe with (pass -1 to accept the stored
     * value). */

@@ -323,6 +323,11 @@ class LayoutSpec extends SparkSpec {
       Layout.snapshotChanges(spark, dir, 1, 0)
     }
     assert(e0.getMessage.contains("sentinel"))
+    // expire after the rewrite chain: only the newest version survives
+    // and still reads every row (the rewrite's files are self-contained)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 25))
   }
 
   test("snapshotAppend: expire keeps data files a surviving append references") {

@@ -159,6 +159,36 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("compact merges per-cell append files; retrieval is unchanged") {
+    val dir = tmpDir("vindex9") + "/idx"
+    // fit on the full corpus, then reconstruct the coded table by 4
+    // appends — each writes its own files into every touched cell, the
+    // daily-ingest accumulation compact() exists to undo
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 4, m = 8, kCodes = 16, maxFitRows = 200)
+    val coded = new java.io.File(s"$dir/coded")
+    def parquetFiles = coded.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(coded)
+    (0 until 4).foreach { m =>
+      VectorIndex.append(emb.filter($"vec_id" % 4 === m),
+        "vec_id", "embedding", dir)
+    }
+    val filesBefore = parquetFiles
+    val resBefore = VectorIndex.topKRerank(VectorIndex.read(spark, dir),
+        emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(VectorIndex.compact(spark, dir) >= 1)
+    assert(parquetFiles < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $parquetFiles")
+    val h = VectorIndex.read(spark, dir)
+    assert(h.coded.count() === emb.count())
+    val resAfter = VectorIndex.topKRerank(h, emb,
+        emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(resAfter === resBefore)
+  }
+
   test("ADC-only retrieval touches just the probed cells") {
     val dir = tmpDir("vindex5") + "/idx"
     VectorIndex.build(emb, "vec_id", "embedding", dir,
