@@ -330,6 +330,33 @@ class LayoutSpec extends SparkSpec {
       === (1 to 25))
   }
 
+  test("snapshotCompact racing a concurrent append loses no rows either way") {
+    // the optimistic-concurrency claim on snapshotCompact: whichever
+    // side wins the version race, the final table carries every row —
+    // the compactor re-reads the new base on a lost race, and an
+    // appender that loses to the compactor carries the compacted
+    // manifest forward on its retry
+    val dir = tmpDir("snapcrace") + "/t"
+    Layout.snapshotAppend((1 to 50).toDF("v"), dir)
+    Layout.snapshotAppend((51 to 100).toDF("v"), dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      new Thread(() =>
+        try { Layout.snapshotCompact(spark, dir); () }
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try { Layout.snapshotAppend((101 to 120).toDF("v"), dir); () }
+        catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racer failed: ${Option(errs.peek())}")
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 120))
+    // and the incremental feed across the whole history still refuses
+    // nothing: the only file-dropping version carries the rewrite marker
+    assert(Layout.snapshotChanges(spark, dir, 0).as[Int]
+      .collect().sorted.toSeq === (1 to 120))
+  }
+
   test("snapshotAppend: expire keeps data files a surviving append references") {
     val dir = tmpDir("snape") + "/t"
     Layout.snapshotAppend((1 to 10).toDF("v"), dir)
