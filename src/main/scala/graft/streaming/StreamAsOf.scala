@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 /** STREAMING as-of join — the unbounded twin of the native batch
   * operator ([[graft.plans.AsOfJoin]]): every probe event matches the
@@ -280,8 +280,9 @@ object StreamAsOf {
     * `probeTs + horizon`), then a per-probe argmin over the matches via
     * the same watermark-finalized `transformWithState` machinery as
     * [[backward]] — run on the join output keyed by probe identity,
-    * picking the earliest build time. Both stages hold O(rate × horizon)
-    * state.
+    * picking the earliest build time. The join stage holds
+    * O(rate × horizon) state; the argmin stage folds candidates into
+    * O(1) running state per in-flight probe ([[ForwardArgmin]]).
     *
     * Same NULL contract as [[backward]]: null-key/null-time build rows
     * never match; null-key/null-time probe rows emit no-match (on a
@@ -371,25 +372,36 @@ object StreamAsOf {
     res.toDF().unionByName(probeNull)
   }
 
-  /** Argmin stage of [[forwardWithin]]: per probe-row group, hold the
-    * interval join's candidates plus the probe stream's markers until
-    * the watermark passes the probe's finality point (probeTs + horizon,
-    * precomputed as `fin`), then emit `count(markers)` copies of the
-    * earliest-build-time candidate — or of the NULL no-match row when no
-    * candidate joined. The marker count is the group's probe-row
+  /** Argmin stage of [[forwardWithin]]: per probe-row group, fold the
+    * interval join's candidates and the probe stream's markers into O(1)
+    * running state — `(fin, marker count, best bts, best build)` — and
+    * emit once the watermark passes the probe's finality point
+    * (probeTs + horizon, precomputed as `fin`): `count(markers)` copies
+    * of the earliest-build-time candidate, or of the NULL no-match row
+    * when none joined. The marker count is the group's probe-row
     * multiplicity (N identical probe events are one state group but N
     * markers), so duplicate probes keep [[backward]]'s left-outer
-    * cardinality. State is the candidate set of in-flight probes only:
-    * O(rate × horizon). */
+    * cardinality; ties at one build time keep the first arrival (the
+    * pre-fold `minBy` behavior). An argmin is foldable, so holding the
+    * full candidate list was pure waste: state is now O(in-flight
+    * probes), independent of how many builds land in each probe's
+    * horizon — with a dense build stream (B builds per key per horizon)
+    * that is a B× state and serde reduction on the stage. */
   class ForwardArgmin(candSchema: StructType, outSchema: StructType)
       extends StatefulProcessor[Row, Row, Row] {
 
-    @transient private var candsSt: ListState[Row] = _
+    private val aggSchema = StructType(Seq(
+      StructField("fin", TimestampType),
+      StructField("marks", LongType),
+      StructField("bts", TimestampType),
+      StructField("b", candSchema("b").dataType)))
+
+    @transient private var aggSt: ValueState[Row] = _
     @transient private var timerSt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      candsSt = getHandle.getListState[Row](
-        "cands", Encoders.row(candSchema), TTLConfig.NONE)
+      aggSt = getHandle.getValueState[Row](
+        "agg", Encoders.row(aggSchema), TTLConfig.NONE)
       timerSt = getHandle.getValueState[Long](
         "timer", Encoders.scalaLong, TTLConfig.NONE)
     }
@@ -398,12 +410,28 @@ object StreamAsOf {
         timerValues: TimerValues): Iterator[Row] = {
       // input: (pk struct, fin, mark, bts, b) — fin identical across the
       // group (it is a function of the probe row the group is keyed on).
-      // One appendList per (key, batch) — see BackwardProcessor.
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      rows.foreach { r =>
-        buf += Row(r.get(1), r.get(2), r.get(3), r.get(4))
+      // ONE state read + ONE write per (key, batch): fold the batch into
+      // the running aggregate in memory.
+      var fin: Timestamp = null
+      var marks = 0L
+      var bts: Timestamp = null
+      var b: Any = null
+      if (aggSt.exists()) {
+        val r = aggSt.get()
+        fin = r.getAs[Timestamp](0); marks = r.getLong(1)
+        bts = r.getAs[Timestamp](2); b = r.get(3)
       }
-      if (buf.nonEmpty) candsSt.appendList(buf.toArray)
+      rows.foreach { r =>
+        if (fin == null) fin = r.getAs[Timestamp](1)
+        if (r.getBoolean(2)) marks += 1
+        else {
+          val cb = r.getAs[Timestamp](3)
+          if (cb != null && (bts == null || micros(cb) < micros(bts))) {
+            bts = cb; b = r.get(4)
+          }
+        }
+      }
+      aggSt.update(Row(fin, marks, bts, b))
       flush(key, timerValues.getCurrentWatermarkInMs())
     }
 
@@ -414,26 +442,22 @@ object StreamAsOf {
     }
 
     private def flush(key: Row, wm: Long): Iterator[Row] = {
-      val cands = candsSt.get().toArray
-      if (cands.isEmpty) return Iterator.empty
-      val fin = cands.head.getAs[Timestamp](0)
+      if (!aggSt.exists()) return Iterator.empty
+      val r = aggSt.get()
+      val fin = r.getAs[Timestamp](0)
       if (fin.getTime < wm) {
-        candsSt.clear()
+        aggSt.clear()
         if (timerSt.exists()) { getHandle.deleteTimer(timerSt.get()); timerSt.clear() }
         // multiplicity = markers seen; a group whose markers were all
         // late-dropped emits nothing (the probe itself was late)
-        val n = cands.count(_.getBoolean(1))
-        val hits = cands.filter(r => !r.getBoolean(1) && r.get(2) != null)
-        val probeVals = key.getAs[Row](0).toSeq
+        val n = r.getLong(1)
         if (n == 0) Iterator.empty
         else {
+          val probeVals = key.getAs[Row](0).toSeq
           val out =
-            if (hits.isEmpty) Row.fromSeq(probeVals ++ Seq(null, null))
-            else {
-              val best = hits.minBy(r => micros(r.getAs[Timestamp](2)))
-              Row.fromSeq(probeVals ++ Seq(best.getAs[Timestamp](2), best.get(3)))
-            }
-          Iterator.fill(n)(out)
+            if (r.isNullAt(2)) Row.fromSeq(probeVals ++ Seq(null, null))
+            else Row.fromSeq(probeVals ++ Seq(r.get(2), r.get(3)))
+          Iterator.fill(n.toInt)(out)
         }
       } else {
         val want = fin.getTime + 1

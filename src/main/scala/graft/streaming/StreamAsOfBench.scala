@@ -95,4 +95,64 @@ object StreamAsOfBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  final case class Bf(bk: Long, bts: Timestamp, px: Double)
+
+  /** The FORWARD twin: [[StreamAsOf.forwardWithin]] throughput — an
+    * interval stream-stream join plus the marker/argmin stateful stage,
+    * so the per-row cost is inherently higher than [[probe]]'s single
+    * stateful operator; tracking it separately keeps the two shapes'
+    * regressions distinguishable. Same synthetic clock, horizon = the
+    * lateness window, tail flush identical. */
+  def probeForward(spark0: SparkSession, batches: Int = 10,
+      perBatch: Int = 10000, keys: Int = 1000,
+      statePartitions: Int = 8): Result = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    implicit val sqlCtx = spark.sqlContext
+    implicit val pe: Encoder[P] = Encoders.product[P]
+    implicit val be: Encoder[Bf] = Encoders.product[Bf]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("asoffwdbench").toString
+    val probes = MemoryStream[P]
+    val builds = MemoryStream[Bf]
+    val out = StreamAsOf.forwardWithin(probes.toDF(), builds.toDF(),
+      key = "k", probeTs = "pts", buildKey = "bk", buildTs = "bts",
+      horizonSeconds = 5, lateness = "5 seconds")
+    val name = s"asof_fwd_bench_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/q")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val t0 = System.nanoTime()
+    try {
+      var t = T0
+      (1 to batches).foreach { _ =>
+        val tt = t
+        probes.addData((0 until perBatch).map(i =>
+          P(i % keys, new Timestamp((tt + i / keys) * 1000L), tt + i)))
+        builds.addData((0 until perBatch).map(i =>
+          Bf(i % keys, new Timestamp((tt + i / keys) * 1000L), i.toDouble)))
+        t += perBatch / keys
+        q.processAllAvailable()
+      }
+      (1 to 2).foreach { i =>
+        val far = new Timestamp((t + 100000L * i) * 1000L)
+        probes.addData(P(-1L, far, -1L)); builds.addData(Bf(-1L, far, 0.0))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val emitted = spark.table(name).count()
+      Result(emitted / sec, emitted, sec)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }
