@@ -1017,6 +1017,56 @@ object TrainingData {
       Some(incrementalDedupOracleSql),
       headline = true),
 
+    // --------------------------------------------------------------- q112
+    // The THIRD consumer family on the change feed (q110 = vectors,
+    // q111 = dedup, this = sketch state): one HLL token sketch per
+    // snapshot DELTA of the sink-committed documents table, unioned into
+    // the running vocabulary estimate — the daily-stats refresh that
+    // costs one delta scan + a register merge, never a corpus rescan.
+    // Certificate row (q105 convention, booleans literal TRUE in the
+    // oracle): union-of-delta-sketches within 1% of the one-shot sketch
+    // and within 3% of the exact distinct count (exact at this corpus's
+    // vocabulary size, so drift = hash failure). n_docs = SUM of
+    // per-delta doc counts, hash-checked against COUNT(*) — a replayed
+    // micro-batch that double-committed would double a delta and break
+    // it (the distinct-token metrics alone are idempotent and would
+    // not notice duplicated rows).
+    QuerySpec(
+      "q112_pipeline_sketch_refresh",
+      (s, d) => {
+        import graft.ops.Layout
+        val (tab, _) = Fits.snapshotDocsPipeline(s, d)
+        val versions = Layout.snapshotVersions(s, tab)
+        val perDelta = (0L +: versions).zip(versions).map { case (a, b) =>
+          Layout.snapshotChanges(s, tab, a, b)
+            .select(col("doc_id"),
+              explode_outer(Text.tokens(col("text"))).as("tok"))
+            .agg(expr("hll_sketch_agg(tok, 14)").as("sk"),
+              countDistinct(col("doc_id")).as("n"))
+        }.reduce(_ unionByName _)
+        val merged = perDelta.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .as("est_union"),
+          sum(col("n")).as("n_docs"))
+        val full = T.documents(s, d)
+          .select(explode_outer(Text.tokens(col("text"))).as("tok"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(tok, 14))")
+              .as("est_full"),
+            countDistinct(col("tok")).as("exact_toks"))
+        full.crossJoin(merged).select(
+          col("n_docs"), col("exact_toks"),
+          (abs(col("est_union") - col("est_full")) <=
+            col("est_full") * 0.01).as("union_near_full"),
+          (abs(col("est_union") - col("exact_toks")) <=
+            col("exact_toks") * 0.03).as("within_3pct"))
+      },
+      Some(s"""WITH $tokCte, tf AS (SELECT unnest(t) AS tok FROM toks)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+          CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_toks,
+          TRUE AS union_near_full, TRUE AS within_3pct
+        FROM tf"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q67
     // Top distinctive terms per source: term frequency within the source
     // scored against corpus-wide document frequency (tf/df — the ln-free
