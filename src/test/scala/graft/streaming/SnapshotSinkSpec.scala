@@ -68,6 +68,36 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("foreachBatch restart: batchIds continue, no rows dropped or doubled") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("snapsink-rs") + "/t"
+    val ckpt = tmpDir("snapsink-rs-ckpt")
+    val in = MemoryStream[Int]
+    def start() = in.toDF().writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotSink.appendOnce(b, id, dir): Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try { in.addData(1 to 40: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart from the same checkpoint: the engine resumes numbering
+    // where the commit log left off, so the marker sequence must stay
+    // strictly increasing and nothing replays as a new version
+    val q2 = start()
+    try { in.addData(41 to 70: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (1 to 70))
+    val markers = Layout.snapshotVersions(spark, dir)
+      .flatMap(v => Layout.snapshotMetaOf(spark, dir, v))
+      .collect { case m if m.startsWith("batch=") =>
+        m.stripPrefix("batch=").toLong }
+    assert(markers === markers.sorted && markers.distinct === markers,
+      s"batch markers not strictly increasing across restart: $markers")
+  }
+
   test("a real stream through foreachBatch lands versioned + change-scannable") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

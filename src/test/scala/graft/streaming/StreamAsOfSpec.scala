@@ -110,6 +110,67 @@ class StreamAsOfSpec extends SparkSpec {
     assert(byTid(2L) === None)      // 10 s gap, beyond tolerance
   }
 
+  test("restart from checkpoint: held state survives, emission stays exactly-once") {
+    // the property no single-query test can pin: rows HELD in RocksDB
+    // state (a build with no probe finalized yet, a probe the watermark
+    // hasn't passed) must survive a stop + restart from the checkpoint,
+    // and the restart must not re-emit anything already delivered
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[Probe]
+    val builds = MemoryStream[Build]
+    val ckpt = tmpDir("asof-restart-ckpt")
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape, collecting into a driver-side queue
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Double])]()
+    def startQ() = {
+      val out = StreamAsOf.backward(probes.toDF(), builds.toDF(),
+        key = "sym", probeTs = "pts", buildTs = "bts",
+        lateness = "10 seconds")
+      out.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getAs[Long]("tid"),
+            Option(r.getAs[org.apache.spark.sql.Row]("matched"))
+              .map(_.getAs[Double]("px")))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+    }
+    try {
+      val q1 = startQ()
+      // phase 1: both rows end up HELD (watermark 140 < probe ts 150)
+      builds.addData(Build("msft", ts(100), 1.0))
+      probes.addData(Probe("msft", ts(150), 1L))
+      q1.processAllAvailable()
+      q1.stop()
+      // phase 2: new query, same checkpoint
+      val q2 = startQ()
+      // advance the watermark past the held probe: its match is the
+      // build row restored from the pre-restart state
+      builds.addData(Build("msft", ts(10000), 9.0))
+      probes.addData(Probe("msft", ts(10000), 2L))
+      q2.processAllAvailable()
+      builds.addData(Build("msft", ts(20000), 10.0))
+      probes.addData(Probe("msft", ts(20000), 3L))
+      q2.processAllAvailable()
+      q2.stop()
+      import scala.jdk.CollectionConverters._
+      val all = got.asScala.toSeq
+      val byTid = all.toMap
+      assert(byTid(1L) === Some(1.0), "held match lost across restart")
+      assert(byTid(2L) === Some(9.0))
+      // exactly-once across the restart boundary: no tid delivered twice
+      assert(all.map(_._1).sorted ===
+        all.map(_._1).distinct.sorted)
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
   test("build-side state stays bounded as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(providerKey)
