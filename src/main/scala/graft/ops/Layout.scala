@@ -428,6 +428,16 @@ object Layout {
       }
       .nextOption()
 
+  /** (name → type) field map a snapshot batch's schema is compared by:
+    * name-keyed (parquet reads by name, column order is irrelevant),
+    * case-folded to Spark's default resolution, `catalogString`-typed
+    * (nullability differences across parquet round-trips are noise, the
+    * type tree is not). */
+  private def schemaKey(
+      s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    s.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT),
+      f.dataType.catalogString)).sortBy(_._1).toSeq
+
   /** APPEND commit: a new snapshot whose manifest carries the previous
     * snapshot's file list forward plus this batch's files — the
     * Iceberg-append-snapshot shape, and the WRITE half of the table's
@@ -435,10 +445,18 @@ object Layout {
     * files stay immutable and writer-unique exactly as in
     * [[snapshotCommit]]; only the manifest grows, so an append costs
     * O(batch) data writes + one manifest PUT regardless of table size —
-    * at 100 TB a daily ingest never rewrites the corpus. The batch's
-    * schema must be read-compatible with the table's (parquet schema
-    * merge rules); the commit race, torn-manifest, and expiry semantics
-    * are [[snapshotCommit]]'s verbatim — [[snapshotExpire]] keeps every
+    * at 100 TB a daily ingest never rewrites the corpus.
+    *
+    * Schema contract: the batch's fields must MATCH the table's (by
+    * name and type, order- and nullability-insensitive) — checked
+    * against one carried-forward file's footer (one O(1) GET per
+    * commit). Without the check a drifted batch commits fine and
+    * [[snapshotRead]] then returns whichever file's schema the scan
+    * samples first — nondeterministic columns, the worst failure shape.
+    * Schema EVOLUTION goes through a [[snapshotCommit]] full rewrite
+    * (which downstream incremental consumers correctly refuse to diff
+    * across). The commit race, torn-manifest, and expiry semantics are
+    * [[snapshotCommit]]'s verbatim — [[snapshotExpire]] keeps every
     * data directory a SURVIVING manifest references, so expiring old
     * versions never breaks a newer append's carried-forward files. */
   def snapshotAppend(df: DataFrame, dir: String,
@@ -462,6 +480,15 @@ object Layout {
                    catch { case scala.util.control.NonFatal(_) => None })
         .collectFirst { case Some(fls) => fls }
         .getOrElse(Seq.empty)
+      prev.headOption.foreach { rel =>
+        val tableSchema = spark.read
+          .parquet(new Path(dir, rel).toString).schema
+        require(schemaKey(tableSchema) == schemaKey(df.schema),
+          s"snapshotAppend: batch schema ${df.schema.catalogString} does " +
+            s"not match the table's ${tableSchema.catalogString} at $dir — " +
+            "appends are same-schema by contract; evolve the schema via a " +
+            "snapshotCommit full rewrite")
+      }
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
@@ -577,29 +604,63 @@ object Layout {
   def snapshotCompact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commitDerived(spark, dir, "snapshotCompact",
+      base => Seq(s"$RewriteTag$base")) { base =>
+      val bytes = snapshotFiles(spark, dir, base)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      snapshotRead(spark, dir, base).coalesce(nOut)
+    }
+  }
+
+  /** Copy-on-write row DELETION: commit the newest snapshot minus the
+    * matching rows as a FULL rewrite — deliberately MARKER-LESS, because
+    * a delete changes the row set, so [[snapshotChanges]] must refuse to
+    * diff across it (a file diff cannot represent removed rows) and
+    * downstream incremental consumers recompute, which is exactly the
+    * refusal contract. The GDPR-takedown shape for the prototype; at
+    * 100 TB the production evolution is merge-on-read delete files
+    * (Iceberg's positional/equality deletes) — same commit protocol,
+    * deletes become O(matching) instead of O(table). Concurrency is
+    * [[snapshotCompact]]'s optimistic retry: losing the version race
+    * re-derives from the new base, so a concurrent append's rows are
+    * never resurrected or lost. Returns the committed version. */
+  def snapshotDeleteWhere(spark: SparkSession, dir: String,
+      cond: Column): Long =
+    commitDerived(spark, dir, "snapshotDeleteWhere", _ => Nil) { base =>
+      snapshotRead(spark, dir, base).filter(!cond)
+    }
+
+  /** Optimistic commit of a snapshot DERIVED from the newest committed
+    * version (shared by [[snapshotCompact]] / [[snapshotDeleteWhere]]):
+    * stage `derive(base)`'s data, then create the manifest at the next
+    * free version. LOSING the race (another writer committed meanwhile)
+    * discards the staged data and re-derives against the new base — a
+    * concurrent append's files are never silently dropped — and a racer
+    * that loses to US carries the derived manifest forward on its
+    * retry. */
+  private def commitDerived(spark: SparkSession, dir: String, op: String,
+      metaOf: Long => Seq[String])(derive: Long => DataFrame): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"snapshotCompact: lost the commit race 5× at $dir")
+      require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
       val base = snapshotVersions(spark, dir).lastOption
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
       // next version counts torn manifests too (same rule as the commits)
       val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
-      val bytes = snapshotFiles(spark, dir, base)
-        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
-      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
-      snapshotRead(spark, dir, base).coalesce(nOut)
-        .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      derive(base).write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
       val files = fs.listStatus(dataDir).map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
         .sorted
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((s"#$RewriteTag$base" +: files.map(f => s"$rel/$f"))
+      val body = ((metaOf(base).map(m => s"#$m") ++ files.map(f => s"$rel/$f"))
         .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
       else fs.delete(dataDir, true) // lost the race: retry on the new base

@@ -330,6 +330,49 @@ class LayoutSpec extends SparkSpec {
       === (1 to 25))
   }
 
+  test("snapshotAppend refuses a schema-drifted batch; evolution via full rewrite") {
+    val dir = tmpDir("snapschema") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)
+    // an extra column would commit fine and then make snapshotRead
+    // return whichever file's schema the scan samples — refuse loudly
+    val drifted = (11 to 15).toDF("v").withColumn("extra", lit("x"))
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotAppend(drifted, dir))
+    assert(e.getMessage.contains("schema"))
+    // a retyped column refuses too
+    intercept[IllegalArgumentException](Layout.snapshotAppend(
+      (11 to 15).toDF("v").select(col("v").cast("string").as("v")), dir))
+    // the evolution door: a snapshotCommit full rewrite with the new
+    // schema, after which same-schema appends flow again
+    Layout.snapshotCommit(
+      Layout.snapshotRead(spark, dir).withColumn("extra", lit("x")), dir)
+    Layout.snapshotAppend(drifted, dir)
+    assert(Layout.snapshotRead(spark, dir).columns.sorted.toSeq
+      === Seq("extra", "v"))
+    assert(Layout.snapshotRead(spark, dir).count() === 15)
+  }
+
+  test("snapshotDeleteWhere: copy-on-write delete; change feed refuses across it") {
+    val dir = tmpDir("snapdel") + "/t"
+    Layout.snapshotAppend((1 to 50).toDF("v"), dir)   // v1
+    Layout.snapshotAppend((51 to 100).toDF("v"), dir) // v2
+    val vd = Layout.snapshotDeleteWhere(spark, dir, col("v") <= 25) // v3
+    assert(vd === 3L)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (26 to 100))
+    // time travel still reaches the pre-delete rows until expiry
+    assert(Layout.snapshotRead(spark, dir, version = 2).count() === 100)
+    // a delete is a MARKER-LESS rewrite: the change feed must refuse to
+    // diff across it (a file diff cannot represent removed rows)...
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChanges(spark, dir, 1))
+    assert(e.getMessage.contains("not append-only"))
+    // ...and resumes cleanly from the post-delete base
+    Layout.snapshotAppend((101 to 110).toDF("v"), dir) // v4
+    assert(Layout.snapshotChanges(spark, dir, 3).as[Int]
+      .collect().sorted.toSeq === (101 to 110))
+  }
+
   test("snapshotCompact racing a concurrent append loses no rows either way") {
     // the optimistic-concurrency claim on snapshotCompact: whichever
     // side wins the version race, the final table carries every row —
