@@ -371,6 +371,14 @@ class LayoutSpec extends SparkSpec {
     Layout.snapshotAppend((101 to 110).toDF("v"), dir) // v4
     assert(Layout.snapshotChanges(spark, dir, 3).as[Int]
       .collect().sorted.toSeq === (101 to 110))
+    // delete-ALL is a legal state: the rewrite keeps a schema-bearing
+    // empty file, reads return zero rows, and appends (schema-checked
+    // against that empty file's footer) resume
+    Layout.snapshotDeleteWhere(spark, dir, lit(true))
+    assert(Layout.snapshotRead(spark, dir).count() === 0L)
+    Layout.snapshotAppend((200 to 205).toDF("v"), dir)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === (200 to 205))
   }
 
   test("snapshotCompact racing a concurrent append loses no rows either way") {
