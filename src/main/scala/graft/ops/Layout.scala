@@ -258,7 +258,8 @@ object Layout {
     * could only bracket with markers. Old snapshots stay readable
     * ([[snapshotRead]] takes a version) until [[snapshotExpire]] drops
     * them. */
-  def snapshotCommit(df: DataFrame, dir: String): Long = {
+  def snapshotCommit(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -280,10 +281,11 @@ object Layout {
       val files = fs.listStatus(dataDir).map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
         .sorted
+      val stats = statsMetaLines(spark, dir, rel, files, statsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = (files.map(f => s"$rel/$f\n") :+ "#commit\n")
-        .mkString.getBytes("UTF-8")
+      val body = (stats.map(m => s"#$m\n") ++ files.map(f => s"$rel/$f\n")
+        :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
       else fs.delete(dataDir, true) // lost the race: vN exists; retry
     }
@@ -460,7 +462,7 @@ object Layout {
     * data directory a SURVIVING manifest references, so expiring old
     * versions never breaks a newer append's carried-forward files. */
   def snapshotAppend(df: DataFrame, dir: String,
-      meta: Seq[String] = Nil): Long = {
+      meta: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
     meta.foreach(m => require(!m.contains("\n") && m != "commit",
       s"snapshot meta line may not contain newlines or be 'commit': $m"))
     val spark = df.sparkSession
@@ -475,11 +477,21 @@ object Layout {
       // carried-forward base: the latest COMPLETE manifest (recomputed
       // per attempt — a lost race means someone else's files must now
       // be carried too)
-      val prev = versions.reverseIterator
-        .map(pv => try Some(snapshotRelFiles(spark, dir, pv))
+      val prevLines = versions.reverseIterator
+        .map(pv => try Some(snapshotManifestLines(spark, dir, pv))
                    catch { case scala.util.control.NonFatal(_) => None })
-        .collectFirst { case Some(fls) => fls }
-        .getOrElse(Seq.empty)
+        .collectFirst { case Some(ls) => ls }
+        .getOrElse(Seq.empty)  // ONE manifest GET for files + stats both
+      val prev = prevLines.filterNot(_.startsWith("#"))
+      // carried-forward per-file column stats: a carried file's stats
+      // line travels with it version to version, so pruning never decays
+      // as the table grows (per-commit markers like `batch=` do NOT
+      // carry — they describe the commit, not its files)
+      val prevSet = prev.toSet
+      val prevStats = prevLines
+        .filter(_.startsWith("#" + StatsTag)).map(_.stripPrefix("#"))
+        .filter(m => prevSet.contains(
+          m.stripPrefix(StatsTag).takeWhile(_ != '|')))
       prev.headOption.foreach { rel =>
         val tableSchema = spark.read
           .parquet(new Path(dir, rel).toString).schema
@@ -496,9 +508,11 @@ object Layout {
       val files = fs.listStatus(dataDir).map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
         .sorted
+      val stats = statsMetaLines(spark, dir, rel, files, statsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((meta.map(m => s"#$m") ++ prev
+      val body = ((meta.map(m => s"#$m") ++ prevStats.map(m => s"#$m")
+          ++ stats.map(m => s"#$m") ++ prev
           ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
@@ -658,9 +672,18 @@ object Layout {
       val files = fs.listStatus(dataDir).map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
         .sorted
+      // a derived version replaces every base file, so carried stats die
+      // with them — recompute over the SAME column set the base tracked,
+      // or compaction would silently turn a skipping table into a
+      // full-scan table
+      val baseStatsCols = parseStatsMeta(
+        snapshotMetaOf(spark, dir, base))
+        .values.flatMap(_.keys).toSeq.distinct.sorted
+      val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((metaOf(base).map(m => s"#$m") ++ files.map(f => s"$rel/$f"))
+      val body = ((metaOf(base).map(m => s"#$m") ++ stats.map(m => s"#$m")
+        ++ files.map(f => s"$rel/$f"))
         .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
       else fs.delete(dataDir, true) // lost the race: retry on the new base
@@ -753,6 +776,371 @@ object Layout {
         .foreach(s => fs.delete(s.getPath, true))
     }
     drop.length
+  }
+
+  // ----------------------------------------------- manifest column stats
+
+  /** Stats meta-line prefix. One line per data file:
+    * `#stats=<rel/file>|<col>=<tag>:<min>:<max>|<col>=...` where `tag`
+    * is the value domain (`n` numeric, `s` string, `t` timestamp-micros,
+    * `a` date-days), values are the file's non-null min/max in that
+    * domain (strings URL-encoded so `|`/`:`/newlines can never corrupt
+    * the manifest), and an EMPTY min/max means the file holds no
+    * non-null value of the column (all-null, or a zero-row file). */
+  private[ops] val StatsTag = "stats="
+
+  /** Per-file, per-column stats as decoded from a manifest — `min`/`max`
+    * are still domain-encoded strings; `None` = no non-null values. */
+  private[ops] final case class ColStats(
+      tag: String, min: Option[String], max: Option[String])
+
+  /** One `stats=` meta line per data file of `rel`, computed by a single
+    * distributed pass over the just-written batch grouped by
+    * `input_file_name()` — O(batch) work and one driver row per FILE
+    * (never per row), the same footprint class as the write itself.
+    * Empty `statsCols` → no lines (stats are strictly opt-in). A file
+    * the scan yields no rows for (a zero-row part file) records
+    * all-empty stats — prunable by ANY comparison, which is exactly
+    * right for a file with nothing in it. */
+  private def statsMetaLines(spark: SparkSession, dir: String, rel: String,
+      files: Seq[String], statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampNTZType, TimestampType}
+    if (statsCols.isEmpty || files.isEmpty) return Nil
+    val df = spark.read.parquet(new Path(dir, rel).toString)
+    val specs = statsCols.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot statsCols: no column '$c' in batch schema " +
+            df.schema.catalogString))
+      val tag = f.dataType match {
+        case StringType                       => "s"
+        case TimestampType | TimestampNTZType => "t"
+        case DateType                         => "a"
+        case _: NumericType                   => "n"
+        case other => throw new IllegalArgumentException(
+          s"snapshot statsCols: unsupported type ${other.catalogString} " +
+            s"for '$c' — numeric, string, date, and timestamp columns " +
+            "are prunable")
+      }
+      (f.name.toLowerCase(java.util.Locale.ROOT), tag, f.name)
+    }
+    def norm(tag: String, e: Column): Column = tag match {
+      case "t" => unix_micros(e.cast(TimestampType)).cast(StringType)
+      case "a" => unix_date(e).cast(StringType)
+      case _   => e.cast(StringType)
+    }
+    val aggs = specs.flatMap { case (lower, tag, name) =>
+      Seq(norm(tag, min(col(name))).as(s"mn_$lower"),
+          norm(tag, max(col(name))).as(s"mx_$lower"))
+    }
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byName = rows.map(r => new Path(r.getString(0)).getName -> r).toMap
+    files.map { f =>
+      val row = byName.get(f)
+      val cols = specs.zipWithIndex.map { case ((lower, tag, _), i) =>
+        def enc(fieldIdx: Int): String = row match {
+          case Some(r) if !r.isNullAt(fieldIdx) =>
+            val v = r.getString(fieldIdx)
+            if (tag == "s") java.net.URLEncoder.encode(v, "UTF-8") else v
+          case _ => ""
+        }
+        s"$lower=$tag:${enc(1 + 2 * i)}:${enc(2 + 2 * i)}"
+      }
+      s"$StatsTag$rel/$f|${cols.mkString("|")}"
+    }
+  }
+
+  /** Decode every `stats=` meta line: rel file → (column → stats).
+    * Malformed fragments are dropped, never fatal — stats only ever
+    * REMOVE files a predicate provably can't match, so losing a
+    * fragment costs pruning, not correctness. */
+  private[ops] def parseStatsMeta(
+      meta: Seq[String]): Map[String, Map[String, ColStats]] =
+    meta.filter(_.startsWith(StatsTag)).flatMap { m =>
+      val parts = m.stripPrefix(StatsTag).split('|')
+      parts.headOption.map { file =>
+        file -> parts.tail.flatMap { p =>
+          val eq = p.indexOf('=')
+          if (eq <= 0) None
+          else p.substring(eq + 1).split(":", -1) match {
+            case Array(tag, mn, mx) => Some(p.substring(0, eq) ->
+              ColStats(tag,
+                if (mn.isEmpty) None else Some(mn),
+                if (mx.isEmpty) None else Some(mx)))
+            case _ => None
+          }
+        }.toMap
+      }
+    }.toMap
+
+  // ------------------------------------------------ stats-based pruning
+
+  /** A decoded stat/literal value in its comparison domain: numbers,
+    * timestamps (micros) and dates (days) all compare as exact decimals;
+    * strings compare as unsigned UTF-8 bytes — the SAME order Spark's
+    * `min`/`max` used to produce the stats (UTF8String binary order), so
+    * pruning can never disagree with the scan. */
+  private sealed trait StatVal
+  private final case class NumVal(v: BigDecimal) extends StatVal
+  private final case class StrVal(v: String) extends StatVal
+
+  private def cmpStat(a: StatVal, b: StatVal): Option[Int] = (a, b) match {
+    case (NumVal(x), NumVal(y)) => Some(x.compare(y))
+    case (StrVal(x), StrVal(y)) => Some(java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case _ => None
+  }
+
+  private def decodeStat(tag: String, enc: String): Option[StatVal] =
+    if (tag == "s")
+      Some(StrVal(java.net.URLDecoder.decode(enc, "UTF-8")))
+    else try Some(NumVal(BigDecimal(enc)))  // "NaN"/"Infinity" → no prune
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseTsMicros(s: String,
+      zone: java.time.ZoneId): Option[Long] = {
+    val t = s.trim
+    try {
+      val ldt =
+        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      val inst = ldt.atZone(zone).toInstant
+      Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Convert an evaluated literal `(value, dataType)` into the stat
+    * column's domain. Cross-type forms a user actually writes are
+    * honored (string date/timestamp literals against `t`/`a` columns,
+    * any numeric against `n`); anything else → `None` → no pruning. */
+  private def literalToDomain(tag: String, value: Any,
+      dt: org.apache.spark.sql.types.DataType,
+      zone: java.time.ZoneId): Option[StatVal] = {
+    import org.apache.spark.sql.types._
+    if (value == null) return None
+    (tag, dt) match {
+      case ("s", StringType) => Some(StrVal(value.toString))
+      case ("t", TimestampType | TimestampNTZType) =>
+        Some(NumVal(BigDecimal(value.asInstanceOf[Long])))
+      case ("t", StringType) =>
+        parseTsMicros(value.toString, zone).map(m => NumVal(BigDecimal(m)))
+      case ("t", DateType) =>
+        val days = value.asInstanceOf[Int]
+        val inst = java.time.LocalDate.ofEpochDay(days.toLong)
+          .atStartOfDay(zone).toInstant
+        Some(NumVal(BigDecimal(
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L)))
+      case ("a", DateType) =>
+        Some(NumVal(BigDecimal(value.asInstanceOf[Int])))
+      case ("a", StringType) =>
+        try Some(NumVal(BigDecimal(
+          java.time.LocalDate.parse(value.toString.trim).toEpochDay)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case ("n", ByteType | ShortType | IntegerType | LongType) =>
+        Some(NumVal(BigDecimal(value.toString)))
+      case ("n", FloatType) =>
+        val f = value.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None
+        else Some(NumVal(BigDecimal.decimal(f)))
+      case ("n", DoubleType) =>
+        val d = value.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None
+        else Some(NumVal(BigDecimal(d)))
+      case ("n", _: DecimalType) =>
+        Some(NumVal(BigDecimal(
+          value.asInstanceOf[Decimal].toJavaBigDecimal)))
+      case ("n", StringType) =>
+        try Some(NumVal(BigDecimal(value.toString.trim)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
+  private def statAttrName(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    e match {
+      case a: UnresolvedAttribute =>
+        Some(a.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case a: AttributeReference =>
+        Some(a.name.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
+    }
+  }
+
+  /** Evaluate a literal-side expression iff it is genuinely constant:
+    * resolved, foldable, deterministic. Session-TZ-aware nodes a raw
+    * `Column` carries unresolved (e.g. `lit("1996-01-01")
+    * .cast("timestamp")`) get the session zone injected first — the
+    * same zone the analyzer itself would fill in. */
+  private def evalFoldable(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, tz: String)
+      : Option[(Any, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
+    val fixed = e.transform {
+      case c: TimeZoneAwareExpression if c.timeZoneId.isEmpty =>
+        c.withTimeZone(tz)
+    }
+    if (fixed.resolved && fixed.foldable && fixed.deterministic)
+      try Some((fixed.eval(), fixed.dataType))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None
+  }
+
+  /** A Spark-4 `Column` tree reaches us PRE-analysis: comparisons,
+    * `and`, `in`, `isNotNull` are all `UnresolvedFunction` nodes named
+    * after the operator (the ColumnNode encoding), not the catalyst
+    * classes the analyzer later rewrites them to. Normalize the shapes
+    * the pruner understands; anything else stays opaque (→ no prune). */
+  private def normalizeExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case f: UnresolvedFunction
+          if f.nameParts.length == 1 && !f.isDistinct =>
+        val args = f.arguments.map(normalizeExpr)
+        (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), args) match {
+          case ("and", Seq(l, r))                  => And(l, r)
+          case (">", Seq(l, r))                    => GreaterThan(l, r)
+          case (">=", Seq(l, r))                   => GreaterThanOrEqual(l, r)
+          case ("<", Seq(l, r))                    => LessThan(l, r)
+          case ("<=", Seq(l, r))                   => LessThanOrEqual(l, r)
+          case ("=" | "==" | "equalto", Seq(l, r)) => EqualTo(l, r)
+          case ("in", l +: rest) if rest.nonEmpty  => In(l, rest)
+          case ("isnotnull", Seq(a))               => IsNotNull(a)
+          case _                                   => e
+        }
+      case other => other
+    }
+  }
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    normalizeExpr(e) match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitConjuncts(l) ++ splitConjuncts(r)
+      case other => Seq(other)
+    }
+
+  /** `(column, op, literal-side)` of a comparison conjunct, with the op
+    * flipped when the literal is on the left (`5 < c` ≡ `c > 5`). */
+  private def asRangeConjunct(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def side(l: Expression, r: Expression, op: String, flip: String) =
+      statAttrName(l).map(n => (n, op, r))
+        .orElse(statAttrName(r).map(n => (n, flip, l)))
+    e match {
+      case GreaterThan(l, r)        => side(l, r, ">", "<")
+      case GreaterThanOrEqual(l, r) => side(l, r, ">=", "<=")
+      case LessThan(l, r)           => side(l, r, "<", ">")
+      case LessThanOrEqual(l, r)    => side(l, r, "<=", ">=")
+      case EqualTo(l, r)            => side(l, r, "=", "=")
+      case _                        => None
+    }
+  }
+
+  /** True iff `conjunct` PROVES no row of a file with stats `st` can
+    * match — the only way pruning drops a file. Unknown shapes, missing
+    * stats, failed conversions all answer false (keep the file); the
+    * caller re-applies the FULL predicate after the scan, so pruning is
+    * purely a plan optimization and can never change the result. */
+  private def conjunctPrunesFile(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      st: Map[String, ColStats], zone: java.time.ZoneId,
+      tz: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{In, IsNotNull}
+    def litVal(tag: String,
+        le: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[StatVal] =
+      evalFoldable(le, tz).flatMap { case (v, dt) =>
+        literalToDomain(tag, v, dt, zone) }
+    def rangePrunes(name: String, op: String,
+        le: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      st.get(name).exists { cs =>
+        if (cs.min.isEmpty || cs.max.isEmpty)
+          // no non-null value in the file: no comparison can ever hold
+          true
+        else (for {
+          mn <- decodeStat(cs.tag, cs.min.get)
+          mx <- decodeStat(cs.tag, cs.max.get)
+          lv <- litVal(cs.tag, le)
+          r <- op match {
+            case ">"  => cmpStat(mx, lv).map(_ <= 0)
+            case ">=" => cmpStat(mx, lv).map(_ < 0)
+            case "<"  => cmpStat(mn, lv).map(_ >= 0)
+            case "<=" => cmpStat(mn, lv).map(_ > 0)
+            case "="  => for {
+              a <- cmpStat(lv, mn); b <- cmpStat(lv, mx)
+            } yield a < 0 || b > 0
+            case _ => None
+          }
+        } yield r).getOrElse(false)
+      }
+    e match {
+      case In(a, list) if list.nonEmpty =>
+        statAttrName(a).exists(n =>
+          list.forall(l => rangePrunes(n, "=", l)))
+      case IsNotNull(a) =>
+        statAttrName(a).exists(n => st.get(n).exists(_.min.isEmpty))
+      case _ =>
+        asRangeConjunct(e).exists { case (n, op, le) =>
+          rangePrunes(n, op, le) }
+    }
+  }
+
+  /** Predicate-pruned snapshot read — the manifest-stats twin of
+    * parquet's row-group skipping, one level earlier. Files whose
+    * recorded min/max prove the predicate unsatisfiable are dropped at
+    * PLANNING time, before any data-file or footer I/O: at 100 TB a
+    * selective predicate over a date- or key-clustered table (every
+    * append is naturally time-clustered; [[zorderWrite]] clusters two
+    * dims at once) touches the handful of matching files instead of
+    * listing, opening, and footer-reading hundreds of thousands.
+    *
+    * Correctness never rests on the stats: the FULL predicate is
+    * re-applied to the scan (Catalyst then pushes it to parquet
+    * row-group level as usual), so stats only remove files no row of
+    * which can match. Conjuncts are prunable when they compare a stat
+    * column to a constant (`>`, `>=`, `<`, `<=`, `=`, `IN`); every
+    * other conjunct simply keeps all files it can't decide. A table or
+    * version without stats degrades to `snapshotRead(...).filter` —
+    * same plan a caller would have written by hand. */
+  def snapshotReadWhere(spark: SparkSession, dir: String, pred: Column,
+      version: Long = -1L): DataFrame = {
+    val v =
+      if (version > 0) version
+      else listManifestVersions(spark, dir).reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    val rels = snapshotRelFiles(spark, dir, v)
+    val stats = parseStatsMeta(snapshotMetaOf(spark, dir, v))
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val zone = java.time.ZoneId.of(tz)
+    val conjuncts = splitConjuncts(
+      org.apache.spark.sql.GraftPlanBridge.expressionOf(pred))
+    val kept = rels.filterNot { rel =>
+      val st = stats.getOrElse(rel, Map.empty[String, ColStats])
+      conjuncts.exists(c => conjunctPrunesFile(c, st, zone, tz))
+    }
+    val base =
+      if (rels.isEmpty) snapshotRead(spark, dir, v)
+      else if (kept.isEmpty)
+        // schema-preserving empty scan: one file, zero rows
+        spark.read.parquet(new Path(dir, rels.head).toString).limit(0)
+      else spark.read.parquet(kept.map(r => new Path(dir, r).toString): _*)
+    base.filter(pred)
   }
 
   // -------------------------------------------------- multi-dim clustering

@@ -511,6 +511,38 @@ object CoreRelational {
         ORDER BY o_orderkey"""),
       headline = true),
 
+    // --------------------------------------------------------------- q113
+    // Manifest-stats file skipping (Layout.snapshotReadWhere): per-file
+    // min/max recorded at commit time prune a selective predicate to the
+    // matching files at PLANNING time — parquet row-group skipping one
+    // level earlier, with zero data-file or footer I/O for pruned files.
+    // At 100 TB a date-range query over a time-clustered append table
+    // (the shape daily ingest produces for free) touches one day's
+    // files, not the corpus. The fixture appends orders in three
+    // o_orderdate ranges; the predicate selects only the third, and
+    // PlanSpec pins that the scan's input files are exactly v3's. The
+    // full predicate is re-applied post-scan, so the oracle replays it
+    // over the base table without seeing the snapshot machinery.
+    QuerySpec(
+      "q113_snapshot_skipping",
+      (s, d) => {
+        val dir = Fits.snapshotStatsTableDir(s, d)
+        graft.ops.Layout.snapshotReadWhere(s, dir,
+            col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_totalprice") > 50000)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec18)).cast("double")
+                 .as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_totalprice > 50000
+        GROUP BY 1 ORDER BY o_orderstatus"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

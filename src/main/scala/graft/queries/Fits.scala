@@ -153,6 +153,30 @@ object Fits {
       (tab, idx)
     }).asInstanceOf[(String, String)]
 
+  /** q113's fixture: orders appended in three DATE-RANGE batches with
+    * manifest column stats on (o_orderdate, o_totalprice) — the
+    * time-clustered shape a daily ingest produces naturally, so a date
+    * predicate prunes to the matching batch's files at PLANNING time
+    * ([[graft.ops.Layout.snapshotReadWhere]]), before any data-file or
+    * footer I/O. The three batches cover the table exactly, so the
+    * oracle replays the same filter over the base `orders` table. */
+  def snapshotStatsTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapstats:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapstats").toString + "/t"
+      val o = T.orders(s, sfDir)
+      val c1 = lit("1994-07-01").cast("timestamp")
+      val c2 = lit("1996-07-01").cast("timestamp")
+      Seq(
+        o.filter(col("o_orderdate") < c1),
+        o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+        o.filter(col("o_orderdate") >= c2)
+      ).foreach(b => graft.ops.Layout.snapshotAppend(b, dir,
+        statsCols = Seq("o_orderdate", "o_totalprice")))
+      dir
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

@@ -12,6 +12,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The Catalyst expression a public `Column` wraps (`Column.expr` of
+    * Spark ≤3; a `ColumnNode` behind `private[sql]` converters in 4.x).
+    * `ExpressionUtils.expression` alone returns a LAZY
+    * `ColumnNodeExpression` shell — the node-to-catalyst conversion must
+    * be forced for callers that pattern-match the tree. Needed by plan-
+    * level analysis OUTSIDE a query — e.g. manifest-stats file pruning
+    * ([[graft.ops.Layout.snapshotReadWhere]]) decomposes a predicate
+    * into conjuncts before any Dataset exists to resolve it against. */
+  def expressionOf(c: Column): catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** Derives a sibling session carrying [[graft.GraftExtensions]] from any

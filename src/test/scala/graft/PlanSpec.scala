@@ -193,6 +193,19 @@ class PlanSpec extends SparkSpec {
       s"q109 re-reads the base version's files:\n${files.mkString("\n")}")
   }
 
+  test("q113: manifest stats prune the scan to the matching files only") {
+    // the date-range predicate covers only the THIRD append's
+    // o_orderdate range, so snapshotReadWhere must hand Spark a scan
+    // whose file list is v3's alone — pruned from the manifest's
+    // per-file min/max at planning time, zero I/O against v1/v2 files
+    val files = SparkEntry.allSpecs.find(_.name == "q113_snapshot_skipping")
+      .get.run(spark, sf).inputFiles
+    assert(files.nonEmpty, "q113 scan has no input files")
+    assert(files.forall(_.contains("/data/v00000003-")),
+      s"q113 reads files the manifest stats should have pruned:\n" +
+        files.mkString("\n"))
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
