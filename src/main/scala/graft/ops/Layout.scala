@@ -558,6 +558,22 @@ object Layout {
     * or negative is a caller bug and errors) means latest. */
   def snapshotChanges(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val (to, addedFiles) = changeFileWalk(spark, dir, fromVersion, toVersion)
+    if (addedFiles.isEmpty) snapshotRead(spark, dir, to).limit(0)
+    else spark.read.parquet(addedFiles: _*)
+  }
+
+  /** The file-list half of [[snapshotChanges]] — absolute paths of the
+    * files appended in `(fromVersion, toVersion]`, same append-only /
+    * rewrite-skipping / refusal contract. For callers that must build
+    * the scan themselves (the streaming change feed wraps these files
+    * in a streaming-tagged parquet relation instead of a batch read). */
+  def snapshotChangeFiles(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long = -1L): Seq[String] =
+    changeFileWalk(spark, dir, fromVersion, toVersion)._2
+
+  private def changeFileWalk(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): (Long, Seq[String]) = {
     require(toVersion == -1L || toVersion >= 1,
       s"snapshotChanges: toVersion must be a committed version (>= 1) or " +
         s"the latest-version sentinel -1, got $toVersion")
@@ -593,10 +609,7 @@ object Layout {
       }
       prev = files.toSet
     }
-    val addedFiles = added.result()
-    if (addedFiles.isEmpty) snapshotRead(spark, dir, to).limit(0)
-    else spark.read.parquet(
-      addedFiles.map(rel => new Path(dir, rel).toString): _*)
+    (to, added.result().map(rel => new Path(dir, rel).toString))
   }
 
   /** Compaction for a SNAPSHOT table: rewrite the newest snapshot's rows
@@ -710,14 +723,20 @@ object Layout {
     * difference is the read path's dominant latency. */
   def snapshotRead(spark: SparkSession, dir: String,
       version: Long = -1L): DataFrame = {
-    val files = if (version > 0) snapshotFiles(spark, dir, version)
-    else listManifestVersions(spark, dir).reverseIterator
-      .map(v => try Some(snapshotFiles(spark, dir, v))
-                catch { case scala.util.control.NonFatal(_) => None })
-      .collectFirst { case Some(fs) => fs }
+    val v = if (version > 0) version
+    else snapshotLatestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
-    spark.read.parquet(files: _*)
+    spark.read.parquet(snapshotFiles(spark, dir, v): _*)
   }
+
+  /** Newest COMPLETE version, by the descending lazy probe (one listing
+    * + one manifest GET in the common case — never one GET per
+    * historical version). The polling primitive for anything that tails
+    * the table, e.g. the streaming change feed's `getOffset`. */
+  def snapshotLatestVersion(spark: SparkSession, dir: String): Option[Long] =
+    listManifestVersions(spark, dir).reverseIterator
+      .find(v => try { snapshotManifestLines(spark, dir, v); true }
+                 catch { case scala.util.control.NonFatal(_) => false })
 
   /** Drop all but the newest `keep` snapshots: their manifests, then
     * every data directory no SURVIVING manifest references — which also
@@ -1120,9 +1139,7 @@ object Layout {
       version: Long = -1L): DataFrame = {
     val v =
       if (version > 0) version
-      else listManifestVersions(spark, dir).reverseIterator
-        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
-                    catch { case scala.util.control.NonFatal(_) => false })
+      else snapshotLatestVersion(spark, dir)
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val rels = snapshotRelFiles(spark, dir, v)
     val stats = parseStatsMeta(snapshotMetaOf(spark, dir, v))

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Layout
+
+/** The READ-STREAM half of the snapshot table's incremental story —
+  * [[SnapshotSink]] commits micro-batches as append snapshots; this
+  * source lets a DOWNSTREAM streaming query tail those commits:
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshot-changes").load(tableDir)
+  * }}}
+  *
+  * Offsets ARE snapshot versions: `getOffset` resolves the newest
+  * complete manifest (descending O(1) probe, never a walk of history),
+  * and each micro-batch `(start, end]` reads exactly the files the
+  * manifests appended in that version interval
+  * ([[Layout.snapshotChangeFiles]] — the same diff the batch
+  * [[Layout.snapshotChanges]] consumers use). That buys the streaming
+  * pipeline the table format's guarantees for free:
+  *
+  *  - **exactly-once end to end**: versions are monotone and manifests
+  *    immutable, so a replayed micro-batch (restart between sink commit
+  *    and checkpoint write) re-reads the SAME file list — deterministic
+  *    replay, the property file-listing sources approximate with log
+  *    compaction and mod-times;
+  *  - **no torn reads**: a version is visible only after its one-object
+  *    manifest PUT — the source can never see half an append;
+  *  - **compaction-transparent**: a `rewrite-of=` version contributes
+  *    zero delta (skipped by the walk), so routine file-size maintenance
+  *    never re-emits rows into the stream;
+  *  - **loud on rewrites**: a genuine row rewrite (snapshotDeleteWhere /
+  *    snapshotCommit) in the uncommitted interval fails the walk rather
+  *    than silently re-surfacing rewritten rows — restart the consumer
+  *    from a bootstrap if the table's history was rewritten.
+  *
+  * First start (no checkpoint) bootstraps from version 0: the initial
+  * micro-batch is the WHOLE current table, then the stream tails new
+  * appends — Delta's `readStream` default, and the right shape for
+  * "index the corpus, then keep it fresh". Retention contract:
+  * [[Layout.snapshotExpire]] must keep at least the versions between the
+  * consumer's checkpoint and head, or a lagging consumer fails loudly
+  * on the missing manifest (never silently skips data).
+  *
+  * V1 `Source` API by design: `getBatch` returns the parquet scan over
+  * the delta files as a streaming-tagged relation
+  * ([[GraftPlanBridge.parquetFilesAsStreaming]]), so the files flow
+  * through Spark's whole vectorized parquet read path — a DSv2
+  * `MicroBatchStream` would have to reimplement the reader per
+  * partition. (Same trade Delta Lake's source makes.)
+  */
+class SnapshotChangeFeed extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot-changes"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot-changes: .load(<snapshot table dir>) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      Layout.snapshotRead(sqlContext.sparkSession, dirOf(parameters))
+        .schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val dir = dirOf(parameters)
+    val resolved = schema.getOrElse(
+      Layout.snapshotRead(sqlContext.sparkSession, dir).schema)
+    new SnapshotChangesSource(sqlContext, dir, resolved)
+  }
+}
+
+private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
+    dir: String, override val schema: StructType) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  private def version(o: Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other               => other.json.toLong
+  }
+
+  /** Newest complete version — None until the first commit exists, so a
+    * stream may be started against a table its upstream has not created
+    * yet (the engine polls until data appears). */
+  override def getOffset: Option[Offset] =
+    Layout.snapshotLatestVersion(spark, dir).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(version).getOrElse(0L)
+    val files = Layout.snapshotChangeFiles(spark, dir, from, version(end))
+    GraftPlanBridge.parquetFilesAsStreaming(spark, files, schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotChangesSource[$dir]"
+}

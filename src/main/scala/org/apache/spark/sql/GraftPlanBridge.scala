@@ -23,6 +23,30 @@ object GraftPlanBridge {
     * into conjuncts before any Dataset exists to resolve it against. */
   def expressionOf(c: Column): catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** A parquet scan over an explicit file list, tagged `isStreaming` —
+    * what a V1 streaming `Source.getBatch` must return (the engine
+    * splices it in place of the streaming relation; a plain batch
+    * `spark.read.parquet` would fail the incremental planner). This is
+    * `FileStreamSource`'s own construction, reachable only from the sql
+    * package: `DataSource.resolveRelation` + `LogicalRelation(...,
+    * isStreaming = true)`. Empty file list → empty streaming relation
+    * with the given schema (a micro-batch whose versions were all
+    * compaction rewrites carries zero rows, not an error). */
+  def parquetFilesAsStreaming(spark: SparkSession, paths: Seq[String],
+      schema: types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (paths.isEmpty)
+      cs.internalCreateDataFrame(
+        cs.sparkContext.emptyRDD[catalyst.InternalRow], schema,
+        isStreaming = true)
+    else {
+      val ds = execution.datasources.DataSource(cs, paths = paths,
+        userSpecifiedSchema = Some(schema), className = "parquet")
+      classic.Dataset.ofRows(cs, execution.datasources.LogicalRelation(
+        ds.resolveRelation(checkFilesExist = false), isStreaming = true))
+    }
+  }
 }
 
 /** Derives a sibling session carrying [[graft.GraftExtensions]] from any

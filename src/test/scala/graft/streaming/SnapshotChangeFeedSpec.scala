@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Layout
+
+/** The snapshot change-feed streaming SOURCE: offsets are snapshot
+  * versions, a micro-batch reads exactly the interval's appended files,
+  * compaction rewrites contribute nothing, restarts resume from the
+  * checkpointed version, and a history rewrite fails loudly. */
+class SnapshotChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(dir: String, checkpoint: String, sink: String): Unit = {
+    val q = spark.readStream
+      .format("graft-snapshot-changes").load(dir)
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("bootstrap reads the whole table; restart emits only new appends") {
+    val root = tmpDir("snapfeed")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 100).toDF("v"), dir)
+    Layout.snapshotAppend((101 to 150).toDF("v"), dir)
+    val sink = s"$root/sink"; val cp = s"$root/cp"
+    drain(dir, cp, sink)
+    assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
+      === (1 to 150), "bootstrap must emit the full current table once")
+
+    // two more appends while the stream is down; restart from the same
+    // checkpoint must emit exactly the delta — never re-emit history
+    Layout.snapshotAppend((151 to 170).toDF("v"), dir)
+    Layout.snapshotAppend((171 to 180).toDF("v"), dir)
+    drain(dir, cp, sink)
+    assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
+      === (1 to 180), "restart re-emitted or dropped rows")
+
+    // nothing new → a drain emits nothing
+    drain(dir, cp, sink)
+    assert(spark.read.parquet(sink).count() === 180)
+  }
+
+  test("compaction between appends never re-emits rows into the stream") {
+    val root = tmpDir("snapfeed_c")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 50).toDF("v"), dir)
+    val sink = s"$root/sink"; val cp = s"$root/cp"
+    drain(dir, cp, sink)
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotAppend((51 to 60).toDF("v"), dir)
+    drain(dir, cp, sink)
+    assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
+      === (1 to 60), "a rewrite-of version leaked rows into the feed")
+  }
+
+  test("SnapshotSink → change feed → SnapshotSink composes exactly-once") {
+    val root = tmpDir("snapfeed_e2e")
+    val up = s"$root/up"; val down = s"$root/down"
+    // upstream commits three batches, one replayed (must not re-emit)
+    require(SnapshotSink.appendOnce((1 to 30).toDF("v"), 0L, up))
+    require(SnapshotSink.appendOnce((31 to 60).toDF("v"), 1L, up))
+    require(!SnapshotSink.appendOnce((31 to 60).toDF("v"), 1L, up))
+    require(SnapshotSink.appendOnce((61 to 90).toDF("v"), 2L, up))
+    // downstream: tail the upstream table, transform, commit through the
+    // sink again — a two-stage snapshot pipeline with one checkpoint
+    val q = spark.readStream
+      .format("graft-snapshot-changes").load(up)
+      .withColumn("v2", col("v") * 2)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        { SnapshotSink.appendOnce(b, id, down); () })
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = Layout.snapshotRead(spark, down)
+    assert(got.select("v").as[Int].collect().sorted.toSeq === (1 to 90))
+    assert(got.filter(col("v2") =!= col("v") * 2).isEmpty)
+  }
+
+  test("a history rewrite in the uncommitted interval fails loudly") {
+    val root = tmpDir("snapfeed_rw")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 20).toDF("v"), dir)
+    val sink = s"$root/sink"; val cp = s"$root/cp"
+    drain(dir, cp, sink)
+    // a row DELETE is not representable as a file delta — the feed must
+    // refuse the interval, not silently re-surface rewritten rows
+    Layout.snapshotDeleteWhere(spark, dir, col("v") > 10)
+    Layout.snapshotAppend((21 to 25).toDF("v"), dir)
+    val e = intercept[StreamingQueryException] { drain(dir, cp, sink) }
+    assert(e.getMessage.contains("not append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("not append-only")))
+  }
+
+  test("schema comes from the table; empty table dir refuses with a clear error") {
+    val root = tmpDir("snapfeed_s")
+    val dir = s"$root/t"
+    Layout.snapshotAppend(Seq((1, "a")).toDF("k", "s"), dir)
+    val df = spark.readStream.format("graft-snapshot-changes").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "s"))
+    assert(df.isStreaming)
+    intercept[Exception] {
+      spark.readStream.format("graft-snapshot-changes").load(s"$root/absent")
+    }
+  }
+}
