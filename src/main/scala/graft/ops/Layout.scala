@@ -451,18 +451,45 @@ object Layout {
     *
     * Schema contract: the batch's fields must MATCH the table's (by
     * name and type, order- and nullability-insensitive) — checked
-    * against one carried-forward file's footer (one O(1) GET per
-    * commit). Without the check a drifted batch commits fine and
+    * against the manifest's recorded `schema=` line when present, else
+    * one carried-forward file's footer (one O(1) GET per commit).
+    * Without the check a drifted batch commits fine and
     * [[snapshotRead]] then returns whichever file's schema the scan
     * samples first — nondeterministic columns, the worst failure shape.
-    * Schema EVOLUTION goes through a [[snapshotCommit]] full rewrite
-    * (which downstream incremental consumers correctly refuse to diff
-    * across). The commit race, torn-manifest, and expiry semantics are
-    * [[snapshotCommit]]'s verbatim — [[snapshotExpire]] keeps every
-    * data directory a SURVIVING manifest references, so expiring old
-    * versions never breaks a newer append's carried-forward files. */
+    * ADD-COLUMN schema evolution goes through [[snapshotEvolve]] (no
+    * rewrite, null backfill on read); anything else (drop, retype) is a
+    * [[snapshotCommit]] full rewrite, which downstream incremental
+    * consumers correctly refuse to diff across. The commit race,
+    * torn-manifest, and expiry semantics are [[snapshotCommit]]'s
+    * verbatim — [[snapshotExpire]] keeps every data directory a
+    * SURVIVING manifest references, so expiring old versions never
+    * breaks a newer append's carried-forward files. */
   def snapshotAppend(df: DataFrame, dir: String,
-      meta: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
+      meta: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long =
+    appendImpl(df, dir, meta, statsCols, evolve = false)
+
+  /** ADD-COLUMN schema evolution as an append commit — Iceberg's
+    * add-column semantics re-expressed in the manifest protocol. The
+    * batch's schema must be a SUPERSET of the table's (every existing
+    * column present, same type; new columns in any position); the
+    * commit writes the batch normally and records the widened schema as
+    * a `schema=` manifest line, which every append carries forward.
+    * NOTHING is rewritten: old files stay as they are, and schema-aware
+    * readers ([[snapshotRead]], [[snapshotReadWhere]],
+    * [[snapshotChanges]], the streaming change feed) scan with the
+    * recorded schema so parquet's by-name resolution null-fills the new
+    * columns in pre-evolution files — at 100 TB "add a quality-score
+    * column" costs one batch write, not a corpus rewrite. Time travel
+    * to a pre-evolution version still reads the schema of record THEN.
+    * Drops and type changes refuse — they cannot be null-backfilled and
+    * belong to a [[snapshotCommit]] full rewrite. */
+  def snapshotEvolve(df: DataFrame, dir: String,
+      meta: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long =
+    appendImpl(df, dir, meta, statsCols, evolve = true)
+
+  private def appendImpl(df: DataFrame, dir: String,
+      meta: Seq[String], statsCols: Seq[String], evolve: Boolean): Long = {
+    val op = if (evolve) "snapshotEvolve" else "snapshotAppend"
     meta.foreach(m => require(!m.contains("\n") && m != "commit",
       s"snapshot meta line may not contain newlines or be 'commit': $m"))
     val spark = df.sparkSession
@@ -471,7 +498,7 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"snapshotAppend: lost the commit race 5× at $dir")
+      require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
       val versions = listManifestVersions(spark, dir)
       val v = versions.lastOption.getOrElse(0L) + 1
       // carried-forward base: the latest COMPLETE manifest (recomputed
@@ -481,7 +508,7 @@ object Layout {
         .map(pv => try Some(snapshotManifestLines(spark, dir, pv))
                    catch { case scala.util.control.NonFatal(_) => None })
         .collectFirst { case Some(ls) => ls }
-        .getOrElse(Seq.empty)  // ONE manifest GET for files + stats both
+        .getOrElse(Seq.empty)  // ONE manifest GET for files/stats/schema
       val prev = prevLines.filterNot(_.startsWith("#"))
       // carried-forward per-file column stats: a carried file's stats
       // line travels with it version to version, so pruning never decays
@@ -492,15 +519,36 @@ object Layout {
         .filter(_.startsWith("#" + StatsTag)).map(_.stripPrefix("#"))
         .filter(m => prevSet.contains(
           m.stripPrefix(StatsTag).takeWhile(_ != '|')))
-      prev.headOption.foreach { rel =>
-        val tableSchema = spark.read
-          .parquet(new Path(dir, rel).toString).schema
-        require(schemaKey(tableSchema) == schemaKey(df.schema),
-          s"snapshotAppend: batch schema ${df.schema.catalogString} does " +
-            s"not match the table's ${tableSchema.catalogString} at $dir — " +
-            "appends are same-schema by contract; evolve the schema via a " +
-            "snapshotCommit full rewrite")
+      val prevSchema = prevLines.find(_.startsWith("#" + SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
+      // table schema of record: the manifest's schema line once one
+      // exists (post-evolution, file footers legitimately disagree),
+      // else a carried file's footer
+      val tableSchema = prevSchema.orElse(prev.headOption.map(rel =>
+        spark.read.parquet(new Path(dir, rel).toString).schema))
+      tableSchema.foreach { ts =>
+        if (evolve) {
+          val batchKey = schemaKey(df.schema).toMap
+          val lost = schemaKey(ts).filterNot { case (n, t) =>
+            batchKey.get(n).contains(t) }
+          require(lost.isEmpty,
+            s"$op: evolution is ADD-COLUMN only — batch schema " +
+              s"${df.schema.catalogString} drops or retypes " +
+              s"${lost.map(_._1).mkString(", ")} of the table's " +
+              s"${ts.catalogString} at $dir; use a snapshotCommit full " +
+              "rewrite for drops/retypes")
+        } else require(schemaKey(ts) == schemaKey(df.schema),
+          s"$op: batch schema ${df.schema.catalogString} does " +
+            s"not match the table's ${ts.catalogString} at $dir — " +
+            "appends are same-schema by contract; add columns via " +
+            "snapshotEvolve, drop/retype via a snapshotCommit full " +
+            "rewrite")
       }
+      // schema line of the NEW version: an evolve records the widened
+      // batch schema; an append carries the table's line forward
+      val schemaLine =
+        if (evolve) Some(s"$SchemaTag${df.schema.json}")
+        else prevSchema.map(s => s"$SchemaTag${s.json}")
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
@@ -511,7 +559,8 @@ object Layout {
       val stats = statsMetaLines(spark, dir, rel, files, statsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((meta.map(m => s"#$m") ++ prevStats.map(m => s"#$m")
+      val body = ((meta.map(m => s"#$m") ++ schemaLine.map(m => s"#$m")
+          ++ prevStats.map(m => s"#$m")
           ++ stats.map(m => s"#$m") ++ prev
           ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
@@ -520,6 +569,23 @@ object Layout {
     }
     committed
   }
+
+  /** Meta-line prefix for the table's schema of record (
+    * `schema=<StructType JSON>`), first written by [[snapshotEvolve]]
+    * and carried forward by every later commit. Versions without one
+    * predate any evolution: their files all agree, footers suffice. */
+  private[ops] val SchemaTag = "schema="
+
+  private def schemaFromJson(
+      json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The schema of record at `version`, when one is recorded. */
+  def snapshotSchemaOf(spark: SparkSession, dir: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    snapshotMetaOf(spark, dir, version).find(_.startsWith(SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
 
   /** The lineage marker [[snapshotCompact]] attaches to a pure-rewrite
     * version (`rewrite-of=<base>`): same rows, new files. It is what
@@ -560,7 +626,10 @@ object Layout {
       fromVersion: Long, toVersion: Long = -1L): DataFrame = {
     val (to, addedFiles) = changeFileWalk(spark, dir, fromVersion, toVersion)
     if (addedFiles.isEmpty) snapshotRead(spark, dir, to).limit(0)
-    else spark.read.parquet(addedFiles: _*)
+    else snapshotSchemaOf(spark, dir, to)
+      .map(s => spark.read.schema(s)).getOrElse(spark.read)
+      .parquet(addedFiles: _*)  // an interval spanning an evolution
+      // null-fills the new columns in its pre-evolution delta files
   }
 
   /** The file-list half of [[snapshotChanges]] — absolute paths of the
@@ -688,14 +757,18 @@ object Layout {
       // a derived version replaces every base file, so carried stats die
       // with them — recompute over the SAME column set the base tracked,
       // or compaction would silently turn a skipping table into a
-      // full-scan table
-      val baseStatsCols = parseStatsMeta(
-        snapshotMetaOf(spark, dir, base))
+      // full-scan table. The schema of record carries forward (derived
+      // files are written through the reconciled snapshotRead, so they
+      // materialize the evolved schema).
+      val baseMeta = snapshotMetaOf(spark, dir, base)
+      val baseStatsCols = parseStatsMeta(baseMeta)
         .values.flatMap(_.keys).toSeq.distinct.sorted
+      val baseSchemaLine = baseMeta.find(_.startsWith(SchemaTag))
       val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((metaOf(base).map(m => s"#$m") ++ stats.map(m => s"#$m")
+      val body = ((metaOf(base).map(m => s"#$m")
+        ++ baseSchemaLine.map(m => s"#$m") ++ stats.map(m => s"#$m")
         ++ files.map(f => s"$rel/$f"))
         .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
@@ -726,7 +799,17 @@ object Layout {
     val v = if (version > 0) version
     else snapshotLatestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
-    spark.read.parquet(snapshotFiles(spark, dir, v): _*)
+    val lines = snapshotManifestLines(spark, dir, v)
+    val files = lines.filterNot(_.startsWith("#"))
+      .map(rel => new Path(dir, rel).toString)
+    // post-evolution versions record a schema of record: scan with it so
+    // parquet's by-name resolution null-fills new columns in old files
+    // (footers legitimately disagree across an evolution)
+    lines.find(_.startsWith("#" + SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
+      .map(s => spark.read.schema(s))
+      .getOrElse(spark.read)
+      .parquet(files: _*)
   }
 
   /** Newest COMPLETE version, by the descending lazy probe (one listing
@@ -1141,8 +1224,14 @@ object Layout {
       if (version > 0) version
       else snapshotLatestVersion(spark, dir)
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
-    val rels = snapshotRelFiles(spark, dir, v)
-    val stats = parseStatsMeta(snapshotMetaOf(spark, dir, v))
+    val lines = snapshotManifestLines(spark, dir, v)
+    val rels = lines.filterNot(_.startsWith("#"))
+    val metaLines = lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
+    val stats = parseStatsMeta(metaLines)
+    val reader = metaLines.find(_.startsWith(SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+      .map(s => spark.read.schema(s)).getOrElse(spark.read)
     val tz = spark.conf.get("spark.sql.session.timeZone")
     val zone = java.time.ZoneId.of(tz)
     val conjuncts = splitConjuncts(
@@ -1155,8 +1244,8 @@ object Layout {
       if (rels.isEmpty) snapshotRead(spark, dir, v)
       else if (kept.isEmpty)
         // schema-preserving empty scan: one file, zero rows
-        spark.read.parquet(new Path(dir, rels.head).toString).limit(0)
-      else spark.read.parquet(kept.map(r => new Path(dir, r).toString): _*)
+        reader.parquet(new Path(dir, rels.head).toString).limit(0)
+      else reader.parquet(kept.map(r => new Path(dir, r).toString): _*)
     base.filter(pred)
   }
 

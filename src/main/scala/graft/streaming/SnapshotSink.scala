@@ -76,7 +76,13 @@ object SnapshotSink {
     * replayed ids; exactly-once is only meaningful against one
     * checkpoint lineage. Recovery from a genuine reset: start the new
     * query against a fresh table, or snapshotExpire + bootstrap.) */
-  def appendOnce(batch: DataFrame, batchId: Long, dir: String): Boolean = {
+  /** `statsCols` forwards to [[Layout.snapshotAppend]]'s manifest
+    * column stats, so a STREAMED table is born skippable: each
+    * micro-batch's files carry min/max for the given columns and
+    * [[Layout.snapshotReadWhere]] prunes them at planning time —
+    * no separate "optimize" pass to retrofit stats later. */
+  def appendOnce(batch: DataFrame, batchId: Long, dir: String,
+      statsCols: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
     val newest = Layout.snapshotNewestMeta(spark, dir, BatchTag)
       .map(_.stripPrefix(BatchTag).toLong)
@@ -90,7 +96,8 @@ object SnapshotSink {
             "the batch as a replay")
       case Some(n) if batchId <= n => false
       case _ =>
-        Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"))
+        Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"),
+          statsCols = statsCols)
         true
     }
   }

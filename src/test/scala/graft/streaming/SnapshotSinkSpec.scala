@@ -21,6 +21,19 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(Layout.snapshotRead(spark, dir).count() === 160)
   }
 
+  test("appendOnce with statsCols: a streamed table is born skippable") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("snapsink-stats") + "/t"
+    assert(SnapshotSink.appendOnce((1 to 100).toDF("v"), 0L, dir,
+      statsCols = Seq("v")))
+    assert(SnapshotSink.appendOnce((101 to 200).toDF("v"), 1L, dir,
+      statsCols = Seq("v")))
+    val pruned = Layout.snapshotReadWhere(spark, dir, col("v") > 150)
+    assert(pruned.as[Int].collect().sorted.toSeq === (151 to 200))
+    assert(pruned.inputFiles.forall(_.contains("/v00000002-")),
+      "batch 0's files should be pruned by the manifest stats")
+  }
+
   test("appendOnce: crash before the manifest is invisible, replay re-commits") {
     val dir = tmpDir("snapsink2") + "/t"
     SnapshotSink.appendOnce((1 to 10).toDF("v"), 0L, dir)
