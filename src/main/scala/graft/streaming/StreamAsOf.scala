@@ -271,203 +271,192 @@ object StreamAsOf {
     * `[probeTs, probeTs + horizonSeconds]`, or NULL once the watermark
     * proves no such build can still arrive. The horizon is what makes
     * the operator exist at all (see the class doc: unbounded forward
-    * as-of has no finality point for the no-match case) — this packages
-    * the documented recipe, [[StreamJoin.within]] + windowed argmin, as
-    * a tested call instead of a comment.
+    * as-of has no finality point for the no-match case).
     *
-    * Shape: a left-outer interval stream-stream join (Spark evicts its
-    * state and emits the NULL row once the watermark passes
-    * `probeTs + horizon`), then a per-probe argmin over the matches via
-    * the same watermark-finalized `transformWithState` machinery as
-    * [[backward]] — run on the join output keyed by probe identity,
-    * picking the earliest build time. The join stage holds
-    * O(rate × horizon) state; the argmin stage folds candidates into
-    * O(1) running state per in-flight probe ([[ForwardArgmin]]).
+    * ONE stateful operator, the forward twin of [[BackwardProcessor]]:
+    * probes are held until the watermark passes `probeTs + horizon`
+    * (only then is "no earlier build can still arrive" a theorem —
+    * any later-arriving build has event time above the watermark,
+    * hence outside the window), builds are held only while a held or
+    * future probe's window can still reach them, and an event-time
+    * timer at (earliest held probe's finality point + 1 ms) guarantees
+    * emission with no further input. Earlier revisions composed
+    * [[StreamJoin.within]] with a per-probe argmin stage; that shape
+    * pays THREE exchanges (two join sides + a re-key by full probe
+    * row) and two stateful operators against this operator's one — the
+    * measured difference is ~3× end-to-end probe throughput (SCALE.md),
+    * and the join's O(rate × horizon) duplicated-candidate state is
+    * gone entirely.
     *
     * Same NULL contract as [[backward]]: null-key/null-time build rows
-    * never match; null-key/null-time probe rows emit no-match (on a
-    * stateless passthrough branch that never enters the join).
-    * Column names of the two inputs must be disjoint (a stream-stream
-    * join constraint) — hence the separate `buildKey` name. Output:
+    * never match; null-key/null-time probe rows emit no-match on a
+    * stateless passthrough branch. Duplicate probes are naturally
+    * PRESERVED (each held probe ROW emits its own output — pinned in
+    * StreamAsOfSpec). Ties at one build time resolve to the first
+    * arrival. `buildKey` stays a separate parameter name for API
+    * compatibility with the original two-input-join signature; the
+    * operator itself no longer needs disjoint column names. Output:
     * every probe column, plus `match_ts` and a `matched` struct of the
     * full build row.
-    *
-    * Duplicate probes are PRESERVED, matching [[backward]]'s left-outer
-    * cardinality: the argmin stage keys state on the full probe-row
-    * struct (the only identity a stream row has), which would collapse
-    * N identical probe events into one group — and N cannot be recovered
-    * from the join output alone (N probes × M builds and 1 probe × N·M
-    * builds produce the same candidate multiset). So a stateless MARKER
-    * branch unions one marker per probe row straight from the probe
-    * stream into the argmin stage, the join runs inner (the marker, not
-    * the left-outer NULL row, is now the no-match signal — finality
-    * comes from the event-time timer either way), and the group emits
-    * `count(markers)` copies of its argmin result. Pinned in
-    * StreamAsOfSpec ("identical probes each emit a row").
     */
   def forwardWithin(probe: DataFrame, build: DataFrame, key: String,
       probeTs: String, buildKey: String, buildTs: String,
       horizonSeconds: Long, lateness: String = "10 minutes"): DataFrame = {
     val keyType = probe.schema(key).dataType
+    val probeStruct = StructType(probe.schema.fields)
     val buildStruct = StructType(build.schema.fields)
 
-    val pAll = probe.withWatermark(probeTs, lateness)
-    val p = pAll.filter(col(key).isNotNull && col(probeTs).isNotNull)
-    // NULL contract, same as backward: null-key/null-time probes bypass
-    // the join + argmin entirely and emit no-match on a stateless branch
-    val probeNull = pAll.filter(col(key).isNull || col(probeTs).isNull)
-      .select(probe.columns.toIndexedSeq.map(col) ++ Seq(
-        lit(null).cast(TimestampType).as("match_ts"),
-        lit(null).cast(buildStruct).as("matched")): _*)
-    val b = build.withWatermark(buildTs, lateness)
-      .filter(col(buildKey).isNotNull && col(buildTs).isNotNull)
-      .select(col(buildKey).cast(keyType).as("__bk"),
-        col(buildTs).as("__bts"),
-        struct(build.columns.toIndexedSeq.map(col): _*).as("__b"))
+    // packed shape both sides share: (k, ts, build, p, b)
+    def pack(df: DataFrame, keyCol: String, ts: String,
+        isBuild: Boolean): DataFrame =
+      df.withWatermark(ts, lateness).select(
+        col(keyCol).cast(keyType).as("k"), col(ts).as("ts"),
+        lit(isBuild).as("build"),
+        (if (isBuild) lit(null).cast(probeStruct)
+         else struct(df.columns.toIndexedSeq.map(col): _*)).as("p"),
+        (if (isBuild) struct(df.columns.toIndexedSeq.map(col): _*)
+         else lit(null).cast(buildStruct)).as("b"))
 
-    // inner interval join for the candidates; the no-match case is
-    // covered by the marker branch below + the argmin stage's event-time
-    // timer at fin+1 (finality never depended on the left-outer NULL row
-    // alone — the timer always fires once the watermark passes fin)
-    val joined = p.join(b,
-      col(key) === col("__bk") &&
-        col("__bts") >= col(probeTs) &&
-        col("__bts") <= col(probeTs) +
-          expr(s"INTERVAL $horizonSeconds SECONDS"),
-      "inner")
+    val packedProbe = pack(probe, key, probeTs, isBuild = false)
+    val packedBuild = pack(build, buildKey, buildTs, isBuild = true)
+      .filter(col("k").isNotNull && col("ts").isNotNull)
+    val probeOk = packedProbe.filter(col("k").isNotNull && col("ts").isNotNull)
+    val probeNull = packedProbe.filter(col("k").isNull || col("ts").isNull)
 
-    // argmin per probe row: ride the backward machinery by treating the
-    // join output as its own probe stream keyed by the full probe row —
-    // each candidate is final once the watermark passes probeTs + horizon
-    val probeCols = probe.columns
-    val candSchema = StructType(Seq(
-      StructField("ts", TimestampType),
-      StructField("mark", org.apache.spark.sql.types.BooleanType),
-      StructField("bts", TimestampType),
-      StructField("b", buildStruct)))
+    val keySchema = StructType(Seq(StructField("k", keyType)))
+    val probeStateSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("p", probeStruct)))
+    val buildStateSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("b", buildStruct)))
     val outSchema = StructType(probe.schema.fields ++ Seq(
       StructField("match_ts", TimestampType),
       StructField("matched", buildStruct)))
-    val finCol = (col(probeTs) + expr(s"INTERVAL $horizonSeconds SECONDS"))
-      .as("fin")
-    // one marker per probe ROW (not per distinct probe value): the
-    // group's marker count is its output multiplicity, which the join
-    // output cannot encode
-    val markers = p.select(
-      struct(probeCols.toIndexedSeq.map(col): _*).as("pk"), finCol,
-      lit(true).as("mark"),
-      lit(null).cast(TimestampType).as("bts"),
-      lit(null).cast(buildStruct).as("b"))
-    val keyed = markers.unionByName(joined.select(
-      struct(probeCols.toIndexedSeq.map(col): _*).as("pk"), finCol,
-      lit(false).as("mark"),
-      col("__bts").as("bts"), col("__b").as("b")))
-    val keySchema = StructType(Seq(
-      StructField("pk", StructType(probe.schema.fields))))
-    val res = keyed
+
+    val matched = probeOk.unionByName(packedBuild)
       .groupByKey((r: Row) => Row(r.get(0)))(Encoders.row(keySchema))
       .transformWithState(
-        new ForwardArgmin(candSchema, outSchema),
+        new ForwardProcessor(probeStateSchema, buildStateSchema, outSchema,
+          horizonSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.row(outSchema))
-    res.toDF().unionByName(probeNull)
+
+    val passThrough = probeNull.select(
+      probe.columns.toIndexedSeq.map(c => col(s"p.`$c`").as(c)) ++ Seq(
+        lit(null).cast(TimestampType).as("match_ts"),
+        lit(null).cast(buildStruct).as("matched")): _*)
+
+    matched.toDF().unionByName(passThrough)
   }
 
-  /** Argmin stage of [[forwardWithin]]: per probe-row group, fold the
-    * interval join's candidates and the probe stream's markers into O(1)
-    * running state — `(fin, marker count, best bts, best build)` — and
-    * emit once the watermark passes the probe's finality point
-    * (probeTs + horizon, precomputed as `fin`): `count(markers)` copies
-    * of the earliest-build-time candidate, or of the NULL no-match row
-    * when none joined. The marker count is the group's probe-row
-    * multiplicity (N identical probe events are one state group but N
-    * markers), so duplicate probes keep [[backward]]'s left-outer
-    * cardinality; ties at one build time keep the first arrival (the
-    * pre-fold `minBy` behavior). An argmin is foldable, so holding the
-    * full candidate list was pure waste: state is now O(in-flight
-    * probes), independent of how many builds land in each probe's
-    * horizon — with a dense build stream (B builds per key per horizon)
-    * that is a B× state and serde reduction on the stage. */
-  class ForwardArgmin(candSchema: StructType, outSchema: StructType)
+  /** Per-key processor of [[forwardWithin]] — [[BackwardProcessor]]'s
+    * machinery with the match direction flipped and finality pushed out
+    * by the horizon. A held probe at `pts` is final once the watermark
+    * strictly exceeds `pts + horizon` in ms: any build still to arrive
+    * carries an event time above the watermark, hence above the window's
+    * right edge — its match can never change. Builds are evicted once
+    * neither a HELD probe's window (micros(bts) >= earliest held pts)
+    * nor a FUTURE probe's (bts at-or-above the watermark — future
+    * probes' event times are strictly above it) can reach them, keeping
+    * per-key state O(rows within horizon + lateness), independent of
+    * stream lifetime. */
+  class ForwardProcessor(probeStateSchema: StructType,
+      buildStateSchema: StructType, outSchema: StructType,
+      horizonMicros: Long)
       extends StatefulProcessor[Row, Row, Row] {
 
-    private val aggSchema = StructType(Seq(
-      StructField("fin", TimestampType),
-      StructField("marks", LongType),
-      StructField("bts", TimestampType),
-      StructField("b", candSchema("b").dataType)))
+    private val horizonMs = horizonMicros / 1000L
 
-    @transient private var aggSt: ValueState[Row] = _
+    @transient private var probesSt: ListState[Row] = _
+    @transient private var buildsSt: ListState[Row] = _
     @transient private var timerSt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      aggSt = getHandle.getValueState[Row](
-        "agg", Encoders.row(aggSchema), TTLConfig.NONE)
+      probesSt = getHandle.getListState[Row](
+        "probes", Encoders.row(probeStateSchema), TTLConfig.NONE)
+      buildsSt = getHandle.getListState[Row](
+        "builds", Encoders.row(buildStateSchema), TTLConfig.NONE)
       timerSt = getHandle.getValueState[Long](
         "timer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
+    private def ts(r: Row): Timestamp = r.getAs[Timestamp](0)
+
     override def handleInputRows(key: Row, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
-      // input: (pk struct, fin, mark, bts, b) — fin identical across the
-      // group (it is a function of the probe row the group is keyed on).
-      // ONE state read + ONE write per (key, batch): fold the batch into
-      // the running aggregate in memory.
-      var fin: Timestamp = null
-      var marks = 0L
-      var bts: Timestamp = null
-      var b: Any = null
-      if (aggSt.exists()) {
-        val r = aggSt.get()
-        fin = r.getAs[Timestamp](0); marks = r.getLong(1)
-        bts = r.getAs[Timestamp](2); b = r.get(3)
+      // ONE appendList per side per (key, batch) — see BackwardProcessor
+      val pb = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Row]
+      rows.foreach { e =>
+        if (e.getBoolean(2)) bb += Row(e.get(1), e.get(4))
+        else pb += Row(e.get(1), e.get(3))
       }
-      rows.foreach { r =>
-        if (fin == null) fin = r.getAs[Timestamp](1)
-        if (r.getBoolean(2)) marks += 1
-        else {
-          val cb = r.getAs[Timestamp](3)
-          if (cb != null && (bts == null || micros(cb) < micros(bts))) {
-            bts = cb; b = r.get(4)
-          }
-        }
-      }
-      aggSt.update(Row(fin, marks, bts, b))
-      flush(key, timerValues.getCurrentWatermarkInMs())
+      if (bb.nonEmpty) buildsSt.appendList(bb.toArray)
+      if (pb.nonEmpty) probesSt.appendList(pb.toArray)
+      flush(timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(key: Row, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
-      timerSt.clear()
-      flush(key, timerValues.getCurrentWatermarkInMs())
+      timerSt.clear() // the fired timer is gone — don't try to delete it
+      flush(timerValues.getCurrentWatermarkInMs())
     }
 
-    private def flush(key: Row, wm: Long): Iterator[Row] = {
-      if (!aggSt.exists()) return Iterator.empty
-      val r = aggSt.get()
-      val fin = r.getAs[Timestamp](0)
-      if (fin.getTime < wm) {
-        aggSt.clear()
-        if (timerSt.exists()) { getHandle.deleteTimer(timerSt.get()); timerSt.clear() }
-        // multiplicity = markers seen; a group whose markers were all
-        // late-dropped emits nothing (the probe itself was late)
-        val n = r.getLong(1)
-        if (n == 0) Iterator.empty
-        else {
-          val probeVals = key.getAs[Row](0).toSeq
-          val out =
-            if (r.isNullAt(2)) Row.fromSeq(probeVals ++ Seq(null, null))
-            else Row.fromSeq(probeVals ++ Seq(r.get(2), r.get(3)))
-          Iterator.fill(n.toInt)(out)
+    private def flush(wm: Long): Iterator[Row] = {
+      val probes = probesSt.get().toArray
+      val (ready, hold) = probes.partition(ts(_).getTime + horizonMs < wm)
+
+      // timer discipline: exactly one, at (earliest finality point) + 1
+      val want =
+        if (hold.nonEmpty) hold.map(ts(_).getTime + horizonMs).min + 1 else 0L
+      val cur = if (timerSt.exists()) timerSt.get() else 0L
+      if (want != cur) {
+        if (cur > 0) getHandle.deleteTimer(cur)
+        if (want > 0) getHandle.registerTimer(want)
+        if (want > 0) timerSt.update(want) else timerSt.clear()
+      }
+      if (ready.isEmpty && probes.length == hold.length) {
+        evict(wm, buildsSt.get().toArray, hold)
+        return Iterator.empty
+      }
+      probesSt.clear()
+      if (hold.nonEmpty) probesSt.put(hold)
+
+      // stable sort: ties at one build time resolve to the FIRST arrival
+      val builds = buildsSt.get().toArray.sortBy(e => micros(ts(e)))
+      val times = builds.map(e => micros(ts(e)))
+      def ceilIdx(t: Long): Int = {
+        var lo = 0; var hi = times.length - 1; var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) >= t) { res = mid; hi = mid - 1 } else lo = mid + 1
         }
-      } else {
-        val want = fin.getTime + 1
-        val cur = if (timerSt.exists()) timerSt.get() else 0L
-        if (want != cur) {
-          if (cur > 0) getHandle.deleteTimer(cur)
-          getHandle.registerTimer(want)
-          timerSt.update(want)
-        }
-        Iterator.empty
+        res
+      }
+      val out = ready.sortBy(e => micros(ts(e))).iterator.map { p =>
+        val t = micros(ts(p))
+        val i = ceilIdx(t)
+        val hit = i >= 0 && times(i) - t <= horizonMicros
+        val probeVals = p.getAs[Row](1).toSeq
+        if (hit)
+          Row.fromSeq(probeVals ++ Seq(ts(builds(i)), builds(i).get(1)))
+        else Row.fromSeq(probeVals ++ Seq(null, null))
+      }.toVector
+      evict(wm, builds, hold)
+      out.iterator
+    }
+
+    /** Keep a build iff a held probe's window can still reach it
+      * (micros(bts) >= earliest held probe's pts — windows open at the
+      * probe time) or a future probe's could (bts at-or-above the
+      * watermark in ms; future probes arrive strictly above it). */
+    private def evict(wm: Long, builds: Array[Row], hold: Array[Row]): Unit = {
+      if (builds.isEmpty) return
+      val minHeld =
+        if (hold.isEmpty) Long.MaxValue else hold.map(e => micros(ts(e))).min
+      val keep = builds.filter(e =>
+        ts(e).getTime >= wm || micros(ts(e)) >= minHeld)
+      if (keep.length < builds.length) {
+        buildsSt.clear()
+        if (keep.nonEmpty) buildsSt.put(keep)
       }
     }
   }
