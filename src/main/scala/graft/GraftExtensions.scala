@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL front door: SELECT ... FROM asof_join(TABLE(l), TABLE(r), …)
     ext.injectTableFunction(graft.plans.AsOfJoin.tvfRegistration)
+    // SQL front door for the snapshot table format: snapshot_read(dir
+    // [, version]) / snapshot_changes(dir, from [, to])
+    graft.plans.SnapshotTvf.tvfRegistrations
+      .foreach(ext.injectTableFunction)
     // SQL front door, DuckDB-syntax half: `l ASOF [LEFT] JOIN r ON …`
     // (parser rewrite + resolution-time conversion, see AsOfSyntax)
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))

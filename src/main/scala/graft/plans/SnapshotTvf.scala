@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.ops.Layout
+
+/** SQL front door for the snapshot table format — table-valued
+  * functions over [[Layout]]'s read surface, registered alongside the
+  * `asof_join` TVF ([[AsOfJoin.tvfRegistration]]):
+  *
+  * {{{
+  *   SELECT * FROM snapshot_read('/path/to/table')          -- latest
+  *   SELECT * FROM snapshot_read('/path/to/table', 3)       -- time travel
+  *   SELECT * FROM snapshot_changes('/path/to/table', 1)    -- v1 → latest
+  *   SELECT * FROM snapshot_changes('/path/to/table', 1, 3) -- v1 → v3
+  * }}}
+  *
+  * The builders expand at ANALYSIS time into the same parquet scan the
+  * Scala API plans (pinned-version file list from the manifest, schema
+  * of record, change-feed diff semantics incl. rewrite skipping and the
+  * non-append refusal), so `spark.sql` users get the table format with
+  * no Scala in sight. Arguments must be literals — a version that
+  * depended on row values would make the scanned FILE SET data-
+  * dependent, which no Spark scan node can express. */
+object SnapshotTvf {
+
+  private def argString(e: Expression, fn: String, pos: String): String = {
+    require(e.foldable && e.dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$fn: $pos must be a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: $pos must not be NULL")
+    v.toString
+  }
+
+  private def argLong(e: Expression, fn: String, pos: String): Long = {
+    require(e.foldable && (e.dataType ==
+      org.apache.spark.sql.types.IntegerType || e.dataType ==
+      org.apache.spark.sql.types.LongType),
+      s"$fn: $pos must be an integer literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: $pos must not be NULL")
+    v.toString.toLong
+  }
+
+  private[graft] def readBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      s"snapshot_read(dir [, version]) takes 1-2 arguments, got ${args.size}")
+    val dir = argString(args(0), "snapshot_read", "dir")
+    val version =
+      if (args.size == 2) argLong(args(1), "snapshot_read", "version")
+      else -1L
+    Layout.snapshotRead(SparkSession.active, dir, version)
+      .queryExecution.logical
+  }
+
+  private[graft] def changesBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"snapshot_changes(dir, fromVersion [, toVersion]) takes 2-3 " +
+        s"arguments, got ${args.size}")
+    val dir = argString(args(0), "snapshot_changes", "dir")
+    val from = argLong(args(1), "snapshot_changes", "fromVersion")
+    val to =
+      if (args.size == 3) argLong(args(2), "snapshot_changes", "toVersion")
+      else -1L
+    Layout.snapshotChanges(SparkSession.active, dir, from, to)
+      .queryExecution.logical
+  }
+
+  /** Registration triples for
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def tvfRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("snapshot_read"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_read"),
+      readBuilder _),
+    (FunctionIdentifier("snapshot_changes"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_changes"),
+      changesBuilder _))
+
+  /** Idempotent runtime registration for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions` (the driver's) — the
+    * same pattern as [[AsOfJoin.ensureSqlDoor]]. */
+  def ensureSqlDoor(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    tvfRegistrations.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -543,6 +543,30 @@ object CoreRelational {
         GROUP BY 1 ORDER BY o_orderstatus"""),
       headline = true),
 
+    // --------------------------------------------------------------- q114
+    // SQL front door for the snapshot table format: the snapshot_changes
+    // TVF expands at analysis time into the same manifest-diff scan the
+    // Scala API plans (q109's semantics), so a pure-SQL user reads the
+    // change feed with no Scala in sight. Same fixture and oracle shape
+    // as q109, aggregated — the oracle replays the delta predicate over
+    // the base table.
+    QuerySpec(
+      "q114_snapshot_sql_tvf",
+      (s, d) => {
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        val dir = Fits.snapshotTableDir(s, d)
+        s.sql(s"""
+          SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM snapshot_changes('$dir', 1, 3)
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.
