@@ -762,7 +762,7 @@ object Layout {
       // materialize the evolved schema).
       val baseMeta = snapshotMetaOf(spark, dir, base)
       val baseStatsCols = parseStatsMeta(baseMeta)
-        .values.flatMap(_.keys).toSeq.distinct.sorted
+        .values.flatMap(_.cols.keys).toSeq.distinct.sorted
       val baseSchemaLine = baseMeta.find(_.startsWith(SchemaTag))
       val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
@@ -883,18 +883,30 @@ object Layout {
   // ----------------------------------------------- manifest column stats
 
   /** Stats meta-line prefix. One line per data file:
-    * `#stats=<rel/file>|<col>=<tag>:<min>:<max>|<col>=...` where `tag`
-    * is the value domain (`n` numeric, `s` string, `t` timestamp-micros,
-    * `a` date-days), values are the file's non-null min/max in that
-    * domain (strings URL-encoded so `|`/`:`/newlines can never corrupt
-    * the manifest), and an EMPTY min/max means the file holds no
-    * non-null value of the column (all-null, or a zero-row file). */
+    * `#stats=<rel/file>|rows:<n>|<col>=<tag>:<min>:<max>:<nonnull>|...`
+    * where `tag` is the value domain (`n` numeric, `s` string, `t`
+    * timestamp-micros, `a` date-days), min/max are the file's non-null
+    * extremes in that domain (strings URL-encoded so `|`/`:`/newlines
+    * can never corrupt the manifest), an EMPTY min/max means the file
+    * holds no non-null value of the column (all-null, or a zero-row
+    * file), `nonnull` is the column's non-null row count, and the
+    * `rows:` fragment is the file's total row count. The row/non-null
+    * counts buy `IS [NOT] NULL` pruning and manifest-only `COUNT(*)`
+    * ([[snapshotRowCount]]); a reader of the older 3-part encoding
+    * (`tag:min:max`) still decodes — counts are simply absent. */
   private[ops] val StatsTag = "stats="
 
   /** Per-file, per-column stats as decoded from a manifest — `min`/`max`
-    * are still domain-encoded strings; `None` = no non-null values. */
+    * are still domain-encoded strings; `None` = no non-null values.
+    * `nonNull` is absent on legacy 3-part lines. */
   private[ops] final case class ColStats(
-      tag: String, min: Option[String], max: Option[String])
+      tag: String, min: Option[String], max: Option[String],
+      nonNull: Option[Long] = None)
+
+  /** One data file's decoded stats: total row count (absent on legacy
+    * lines) and per-column stats. */
+  private[ops] final case class FileStats(
+      rows: Option[Long], cols: Map[String, ColStats])
 
   /** One `stats=` meta line per data file of `rel`, computed by a single
     * distributed pass over the just-written batch grouped by
@@ -932,15 +944,18 @@ object Layout {
       case "a" => unix_date(e).cast(StringType)
       case _   => e.cast(StringType)
     }
-    val aggs = specs.flatMap { case (lower, tag, name) =>
-      Seq(norm(tag, min(col(name))).as(s"mn_$lower"),
-          norm(tag, max(col(name))).as(s"mx_$lower"))
+    val aggs = count(lit(1)).as("_rows") +: specs.flatMap {
+      case (lower, tag, name) =>
+        Seq(norm(tag, min(col(name))).as(s"mn_$lower"),
+            norm(tag, max(col(name))).as(s"mx_$lower"),
+            count(col(name)).as(s"nn_$lower"))
     }
     val rows = df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val byName = rows.map(r => new Path(r.getString(0)).getName -> r).toMap
     files.map { f =>
       val row = byName.get(f)
+      val nRows = row.map(_.getLong(1)).getOrElse(0L) // zero-row file
       val cols = specs.zipWithIndex.map { case ((lower, tag, _), i) =>
         def enc(fieldIdx: Int): String = row match {
           case Some(r) if !r.isNullAt(fieldIdx) =>
@@ -948,9 +963,10 @@ object Layout {
             if (tag == "s") java.net.URLEncoder.encode(v, "UTF-8") else v
           case _ => ""
         }
-        s"$lower=$tag:${enc(1 + 2 * i)}:${enc(2 + 2 * i)}"
+        val nn = row.map(_.getLong(4 + 3 * i)).getOrElse(0L)
+        s"$lower=$tag:${enc(2 + 3 * i)}:${enc(3 + 3 * i)}:$nn"
       }
-      s"$StatsTag$rel/$f|${cols.mkString("|")}"
+      s"$StatsTag$rel/$f|rows:$nRows|${cols.mkString("|")}"
     }
   }
 
@@ -959,21 +975,30 @@ object Layout {
     * REMOVE files a predicate provably can't match, so losing a
     * fragment costs pruning, not correctness. */
   private[ops] def parseStatsMeta(
-      meta: Seq[String]): Map[String, Map[String, ColStats]] =
+      meta: Seq[String]): Map[String, FileStats] =
     meta.filter(_.startsWith(StatsTag)).flatMap { m =>
       val parts = m.stripPrefix(StatsTag).split('|')
       parts.headOption.map { file =>
-        file -> parts.tail.flatMap { p =>
+        val rows = parts.tail.find(_.startsWith("rows:"))
+          .flatMap(p => p.stripPrefix("rows:").toLongOption)
+        val cols = parts.tail.flatMap { p =>
           val eq = p.indexOf('=')
           if (eq <= 0) None
-          else p.substring(eq + 1).split(":", -1) match {
-            case Array(tag, mn, mx) => Some(p.substring(0, eq) ->
+          else {
+            def stats(tag: String, mn: String, mx: String,
+                nn: Option[Long]) = Some(p.substring(0, eq) ->
               ColStats(tag,
                 if (mn.isEmpty) None else Some(mn),
-                if (mx.isEmpty) None else Some(mx)))
-            case _ => None
+                if (mx.isEmpty) None else Some(mx), nn))
+            p.substring(eq + 1).split(":", -1) match {
+              case Array(tag, mn, mx) => stats(tag, mn, mx, None)
+              case Array(tag, mn, mx, nn) =>
+                stats(tag, mn, mx, nn.toLongOption)
+              case _ => None
+            }
           }
         }.toMap
+        file -> FileStats(rows, cols)
       }
     }.toMap
 
@@ -1117,6 +1142,7 @@ object Layout {
           case ("=" | "==" | "equalto", Seq(l, r)) => EqualTo(l, r)
           case ("in", l +: rest) if rest.nonEmpty  => In(l, rest)
           case ("isnotnull", Seq(a))               => IsNotNull(a)
+          case ("isnull", Seq(a))                  => IsNull(a)
           case _                                   => e
         }
       case other => other
@@ -1159,9 +1185,10 @@ object Layout {
     * purely a plan optimization and can never change the result. */
   private def conjunctPrunesFile(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      st: Map[String, ColStats], zone: java.time.ZoneId,
+      fs: FileStats, zone: java.time.ZoneId,
       tz: String): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{In, IsNotNull}
+    import org.apache.spark.sql.catalyst.expressions.{In, IsNotNull, IsNull}
+    val st = fs.cols
     def litVal(tag: String,
         le: org.apache.spark.sql.catalyst.expressions.Expression)
         : Option[StatVal] =
@@ -1194,7 +1221,13 @@ object Layout {
         statAttrName(a).exists(n =>
           list.forall(l => rangePrunes(n, "=", l)))
       case IsNotNull(a) =>
-        statAttrName(a).exists(n => st.get(n).exists(_.min.isEmpty))
+        statAttrName(a).exists(n => st.get(n).exists(cs =>
+          cs.min.isEmpty || cs.nonNull.contains(0L)))
+      case IsNull(a) =>
+        // prunable only with counts: no nulls ⇔ nonnull == total rows
+        statAttrName(a).exists(n => (for {
+          rows <- fs.rows; nn <- st.get(n).flatMap(_.nonNull)
+        } yield nn == rows).getOrElse(false))
       case _ =>
         asRangeConjunct(e).exists { case (n, op, le) =>
           rangePrunes(n, op, le) }
@@ -1237,7 +1270,7 @@ object Layout {
     val conjuncts = splitConjuncts(
       org.apache.spark.sql.GraftPlanBridge.expressionOf(pred))
     val kept = rels.filterNot { rel =>
-      val st = stats.getOrElse(rel, Map.empty[String, ColStats])
+      val st = stats.getOrElse(rel, FileStats(None, Map.empty))
       conjuncts.exists(c => conjunctPrunesFile(c, st, zone, tz))
     }
     val base =
@@ -1247,6 +1280,25 @@ object Layout {
         reader.parquet(new Path(dir, rels.head).toString).limit(0)
       else reader.parquet(kept.map(r => new Path(dir, r).toString): _*)
     base.filter(pred)
+  }
+
+  /** `COUNT(*)` of a snapshot from the MANIFEST alone — O(1 GET), zero
+    * data-file I/O — when every file of the version carries a row-count
+    * stats line (any table whose commits passed `statsCols`). `None`
+    * when any file lacks one: the caller falls back to a counting scan,
+    * never a silently-wrong number. The 100 TB shape of "how big is the
+    * table?" — the question every ingest reconciliation asks daily. */
+  def snapshotRowCount(spark: SparkSession, dir: String,
+      version: Long = -1L): Option[Long] = {
+    val v = if (version > 0) version
+    else snapshotLatestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    val lines = snapshotManifestLines(spark, dir, v)
+    val rels = lines.filterNot(_.startsWith("#"))
+    val stats = parseStatsMeta(lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#")))
+    val counts = rels.map(rel => stats.get(rel).flatMap(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   // -------------------------------------------------- multi-dim clustering

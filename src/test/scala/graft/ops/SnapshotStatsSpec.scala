@@ -151,6 +151,49 @@ class SnapshotStatsSpec extends SparkSpec {
     sameAsFullFilter(dir, col("id") < 100, all)
   }
 
+  test("IS NULL prunes no-null files via counts; mixed files stay") {
+    val dir = tmpDir("snapstats_in") + "/t"
+    // v1: no nulls at all; v2: mixed
+    Layout.snapshotAppend(
+      Seq[Option[Long]](Some(1L), Some(2L)).toDF("v"), dir,
+      statsCols = Seq("v"))
+    Layout.snapshotAppend(
+      Seq[Option[Long]](Some(3L), None).toDF("v"), dir,
+      statsCols = Seq("v"))
+    val all = Layout.snapshotRead(spark, dir)
+    val nulls = sameAsFullFilter(dir, col("v").isNull, all)
+    assert(nulls.count() === 1)
+    assert(nulls.inputFiles.forall(_.contains("/v00000002-")),
+      "v1 has zero nulls — its files must be pruned for IS NULL")
+  }
+
+  test("legacy 3-part stats lines (no counts) still decode and range-prune") {
+    val parsed = Layout.parseStatsMeta(Seq(
+      "stats=data/v00000001-x/part-0.parquet|id=n:0:99",
+      "stats=data/v00000002-x/part-0.parquet|rows:50|id=n:100:199:50"))
+    val legacy = parsed("data/v00000001-x/part-0.parquet")
+    assert(legacy.rows.isEmpty)
+    assert(legacy.cols("id") === Layout.ColStats("n", Some("0"), Some("99")))
+    val modern = parsed("data/v00000002-x/part-0.parquet")
+    assert(modern.rows === Some(50L))
+    assert(modern.cols("id").nonNull === Some(50L))
+  }
+
+  test("snapshotRowCount answers from the manifest; None without full stats") {
+    val dir = rangeTable()
+    assert(Layout.snapshotRowCount(spark, dir) === Some(300L))
+    // time travel counts the pinned version
+    assert(Layout.snapshotRowCount(spark, dir, 1L) === Some(100L))
+    // an append WITHOUT stats makes the total unknowable from metadata
+    Layout.snapshotAppend(
+      spark.range(300L, 320L)
+        .select(col("id"), concat(lit("x"), col("id")).as("name")), dir)
+    assert(Layout.snapshotRowCount(spark, dir) === None)
+    // compaction re-derives stats over all rows: countable again
+    Layout.snapshotCompact(spark, dir)
+    assert(Layout.snapshotRowCount(spark, dir) === Some(320L))
+  }
+
   test("carried-forward stats survive appends without them") {
     val dir = tmpDir("snapstats_cf") + "/t"
     Layout.snapshotAppend(spark.range(0, 100).toDF("id"), dir,
