@@ -709,23 +709,233 @@ object Layout {
     }
   }
 
-  /** Copy-on-write row DELETION: commit the newest snapshot minus the
-    * matching rows as a FULL rewrite — deliberately MARKER-LESS, because
-    * a delete changes the row set, so [[snapshotChanges]] must refuse to
-    * diff across it (a file diff cannot represent removed rows) and
-    * downstream incremental consumers recompute, which is exactly the
-    * refusal contract. The GDPR-takedown shape for the prototype; at
-    * 100 TB the production evolution is merge-on-read delete files
-    * (Iceberg's positional/equality deletes) — same commit protocol,
-    * deletes become O(matching) instead of O(table). Concurrency is
+  /** FILE-GRANULAR copy-on-write row DELETION (SQL `DELETE WHERE`
+    * semantics: rows where `cond` is TRUE are removed; FALSE and NULL
+    * survive). Only the files that actually CONTAIN a matching row are
+    * rewritten — found by a manifest-stats-pruned probe scan
+    * ([[snapshotReadWhere]], so on a key- or time-clustered table the
+    * probe never opens provably-unmatched files) — and every other file
+    * is carried forward in the manifest byte-identical, stats lines
+    * included. At 100 TB that turns "take down one author's documents"
+    * from an O(table) rewrite into O(files containing the author): the
+    * Delta/Iceberg copy-on-write DELETE shape, re-expressed in the
+    * manifest protocol.
+    *
+    * Deliberately MARKER-LESS: when files are dropped the row set
+    * changed, so [[snapshotChanges]] must refuse to diff across it (a
+    * file diff cannot represent removed rows) and downstream
+    * incremental consumers recompute — exactly the refusal contract. A
+    * delete that matches NOTHING rewrites nothing (pure carry-forward
+    * commit, still append-only diffable). Concurrency is
     * [[snapshotCompact]]'s optimistic retry: losing the version race
-    * re-derives from the new base, so a concurrent append's rows are
+    * re-probes against the new base, so a concurrent append's rows are
     * never resurrected or lost. Returns the committed version. */
   def snapshotDeleteWhere(spark: SparkSession, dir: String,
       cond: Column): Long =
-    commitDerived(spark, dir, "snapshotDeleteWhere", _ => Nil) { base =>
-      snapshotRead(spark, dir, base).filter(!cond)
+    commitFileGranular(spark, dir, "snapshotDeleteWhere",
+        (_, _) => Nil) { (base, reader, _) =>
+      val touched = probeTouchedFiles(
+        snapshotReadWhere(spark, dir, cond, base)
+          .select(col("_metadata.file_path").as("_gfile")))
+      val survivors =
+        if (touched.isEmpty) None
+        else Some(reader(touched)
+          // keep FALSE and NULL — SQL DELETE removes only TRUE
+          .filter(!coalesce(cond, lit(false))))
+      (touched, survivors)
     }
+
+  /** Meta marker a [[snapshotMergeInto]] commit attaches
+    * (`merge-into=<rewritten>/<carried>` — informational file counts). */
+  private[graft] val MergeTag = "merge-into="
+
+  /** FILE-GRANULAR copy-on-write MERGE (upsert): every row of `updates`
+    * whose `keyCols` match an existing row REPLACES it; every other
+    * updates row is INSERTED — `MERGE WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT`, the CDC-apply primitive the snapshot format needed
+    * to close its write-side story (SCALE.md's "transactional-format
+    * MERGE" knob).
+    *
+    * Only files that actually CONTAIN a matched key are rewritten:
+    *  1. the updates' per-key min/max bounds become a range predicate,
+    *     so [[snapshotReadWhere]]'s manifest-stats pruning drops
+    *     provably-unmatched files before any data I/O — on a
+    *     key-clustered table (the shape key-ranged ingest or
+    *     [[zorderWrite]] produces) the candidate set is the handful of
+    *     files overlapping the update's key range, not the corpus;
+    *  2. a key-column-only probe of the candidates (semi-join against
+    *     the updates keys, grouped by `_metadata.file_path`) finds the
+    *     files with a REAL match;
+    *  3. touched files are rewritten as (their rows anti-join the
+    *     updates keys) ∪ updates; every untouched file is carried
+    *     forward byte-identical, stats lines included, and new files
+    *     get fresh stats over the same tracked column set.
+    *
+    * A merge that matches NO existing key degrades to a pure insert —
+    * file-wise append-only, so [[snapshotChanges]] still diffs across
+    * it; a merge that rewrote files drops them from the manifest and
+    * the change feed correctly REFUSES the interval (replaced rows are
+    * not representable as a file delta) — recompute downstream from
+    * [[snapshotRead]].
+    *
+    * Contract: `updates` must match the table schema (same rule as
+    * [[snapshotAppend]]), carry NO null key, and hold at most one row
+    * per key (ambiguous multi-row upserts refuse — pre-aggregate
+    * last-writer-wins upstream). Concurrency is the optimistic retry of
+    * every derived commit. Returns the committed version. */
+  def snapshotMergeInto(spark: SparkSession, dir: String,
+      updates: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "snapshotMergeInto: keyCols must be non-empty")
+    val missing = keyCols.filterNot(k =>
+      updates.columns.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty,
+      s"snapshotMergeInto: key column(s) ${missing.mkString(", ")} absent " +
+        s"from updates schema ${updates.schema.catalogString}")
+    // one pass over updates: row count, distinct-key count, per-key null
+    // counts and min/max bounds (the stats-pruning probe predicate)
+    val aggs = Seq(count(lit(1)).as("_n"),
+      count_distinct(struct(keyCols.map(col): _*)).as("_nd")) ++
+      keyCols.flatMap(k => Seq(
+        sum(col(k).isNull.cast("long")).as(s"_nul_$k"),
+        min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+    val chk = updates.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nUpd = chk.getAs[Long]("_n")
+    if (nUpd == 0) return snapshotVersions(spark, dir).lastOption
+      .getOrElse(sys.error(s"no committed snapshot at $dir")) // no-op
+    keyCols.foreach { k =>
+      require(chk.getAs[Long](s"_nul_$k") == 0,
+        s"snapshotMergeInto: updates carry NULL in key column '$k' — a " +
+          "null key matches nothing and cannot be upserted")
+    }
+    require(chk.getAs[Long]("_nd") == nUpd,
+      s"snapshotMergeInto: updates hold ${nUpd - chk.getAs[Long]("_nd")} " +
+        "duplicate key(s) — at most one row per key (pre-aggregate " +
+        "last-writer-wins upstream)")
+    val rangePred = keyCols.map { k =>
+      col(k) >= lit(chk.getAs[Any](s"_mn_$k")) &&
+        col(k) <= lit(chk.getAs[Any](s"_mx_$k"))
+    }.reduce(_ && _)
+    val updKeys = updates.select(keyCols.map(col): _*)
+    commitFileGranular(spark, dir, "snapshotMergeInto",
+        (touched, carried) => Seq(s"$MergeTag${touched.size}/$carried")) {
+      (base, reader, tableSchema) =>
+        require(schemaKey(tableSchema) == schemaKey(updates.schema),
+          s"snapshotMergeInto: updates schema " +
+            s"${updates.schema.catalogString} does not match the " +
+            s"table's ${tableSchema.catalogString} at $dir — merges are " +
+            "same-schema by contract (add columns via snapshotEvolve " +
+            "first)")
+        val outCols = tableSchema.fieldNames.toSeq.map(col)
+        // the file path is materialized BEFORE the semi-join: updates may
+        // itself be file-backed, which would make `_metadata` ambiguous
+        // after the join
+        val touched = probeTouchedFiles(
+          snapshotReadWhere(spark, dir, rangePred, base)
+            .select(col("_metadata.file_path").as("_gfile") +:
+              keyCols.map(col): _*)
+            .join(updKeys, keyCols, "left_semi"))
+        val rows =
+          if (touched.isEmpty) updates.select(outCols: _*)
+          else reader(touched)
+            .join(updKeys, keyCols, "left_anti")
+            .select(outCols: _*)
+            .unionByName(updates.select(outCols: _*))
+        (touched, Some(rows))
+    }
+  }
+
+  /** Distinct manifest-relative paths (`data/<vdir>/<file>`) of the
+    * files contributing at least one row to `matches`, which carries
+    * the scan's `_metadata.file_path` as `_gfile` (materialized at the
+    * scan, before any join, so file-backed probe partners can never
+    * make the metadata column ambiguous) — the probe half of every
+    * file-granular rewrite. Only the file-path and probe-key columns
+    * are read: Catalyst prunes the probe scan to those plus whatever
+    * the pushed filters need. */
+  private def probeTouchedFiles(matches: DataFrame): Seq[String] =
+    matches.select("_gfile")
+      .distinct().collect()
+      .map { r =>
+        val p = new Path(r.getString(0))
+        s"${p.getParent.getParent.getName}/${p.getParent.getName}/${p.getName}"
+      }.toSeq
+
+  /** Optimistic FILE-GRANULAR commit (shared by [[snapshotDeleteWhere]]
+    * and [[snapshotMergeInto]]): `touch(base, readerOf, tableSchema)`
+    * names the manifest-relative files to REPLACE and the frame of
+    * replacement rows; every other file of `base` is carried forward
+    * byte-identical WITH its stats line, and replacement files get
+    * fresh stats over the same tracked column set. Losing the version
+    * race re-probes against the new base (a concurrent append's files
+    * are never dropped); a racer that loses to us carries our manifest
+    * forward on its retry. */
+  private def commitFileGranular(spark: SparkSession, dir: String,
+      op: String, metaOf: (Seq[String], Int) => Seq[String])(
+      touch: (Long, Seq[String] => DataFrame,
+        org.apache.spark.sql.types.StructType)
+        => (Seq[String], Option[DataFrame])): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
+      val base = snapshotVersions(spark, dir).lastOption
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      val schemaLine = metaLines.find(_.startsWith(SchemaTag))
+      val recorded = schemaLine
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+      val tableSchema = recorded
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+        .getOrElse(sys.error(s"$op: snapshot v$base at $dir has no files"))
+      def readerOf(rels: Seq[String]): DataFrame = {
+        val paths = rels.map(r => new Path(dir, r).toString)
+        recorded.map(s => spark.read.schema(s)).getOrElse(spark.read)
+          .parquet(paths: _*)
+      }
+      val (touched, replacement) = touch(base, readerOf, tableSchema)
+      val prevSet = prev.toSet
+      val unknown = touched.filterNot(prevSet)
+      require(unknown.isEmpty,
+        s"$op: probe returned file(s) not in snapshot v$base at $dir: " +
+          unknown.mkString(", "))
+      val touchedSet = touched.toSet
+      val carried = prev.filterNot(touchedSet)
+      val carriedSet = carried.toSet
+      val carriedStats = metaLines.filter(_.startsWith(StatsTag)).filter(m =>
+        carriedSet.contains(m.stripPrefix(StatsTag).takeWhile(_ != '|')))
+      val baseStatsCols = parseStatsMeta(metaLines)
+        .values.flatMap(_.cols.keys).toSeq.distinct.sorted
+      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val rel = f"data/v$v%08d-$token"
+      val dataDir = new Path(dir, rel)
+      val files = replacement match {
+        case Some(df) =>
+          df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+          fs.listStatus(dataDir).map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .sorted.toSeq
+        case None => Seq.empty[String]
+      }
+      val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((metaOf(touched, carried.size).map(m => s"#$m")
+          ++ schemaLine.map(m => s"#$m")
+          ++ carriedStats.map(m => s"#$m") ++ stats.map(m => s"#$m")
+          ++ carried ++ files.map(f => s"$rel/$f")).map(_ + "\n")
+        :+ "#commit\n").mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+      else if (replacement.isDefined) fs.delete(dataDir, true)
+    }
+    committed
+  }
 
   /** Optimistic commit of a snapshot DERIVED from the newest committed
     * version (shared by [[snapshotCompact]] / [[snapshotDeleteWhere]]):

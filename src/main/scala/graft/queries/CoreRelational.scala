@@ -567,6 +567,54 @@ object CoreRelational {
         FROM orders WHERE o_orderkey % 3 IN (1, 2)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // --------------------------------------------------------------- q115
+    // File-granular copy-on-write MERGE (Layout.snapshotMergeInto): the
+    // CDC-apply primitive of the snapshot format — `WHEN MATCHED UPDATE /
+    // WHEN NOT MATCHED INSERT` by key, rewriting ONLY the files that
+    // contain a matched key (found by a manifest-stats-pruned,
+    // key-column-only probe) and carrying every other file forward
+    // byte-identical. At 100 TB applying a day's upserts costs O(files
+    // overlapping the update's key range), not O(table). The fixture
+    // merges a price-bump UPDATE batch (keys % 100 == 0, < 500 — inside
+    // the first key-ranged append only) and a re-keyed INSERT batch
+    // (keys % 100 == 1, + 10M) into a three-version key-clustered
+    // table; both rules are pure SQL, so the oracle replays the merged
+    // state from the base table. File granularity itself is pinned in
+    // LayoutSpec (untouched files carried verbatim, stats included).
+    QuerySpec(
+      "q115_snapshot_merge",
+      (s, d) => {
+        val dir = Fits.snapshotMergeTableDir(s, d)
+        graft.ops.Layout.snapshotRead(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec18)).cast("double")
+                 .as("sum_price"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice + 100000.0 AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey < 500
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 100 = 1
+        ), merged AS (
+          SELECT * FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          UNION ALL SELECT * FROM upd
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key
+        FROM merged GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -177,6 +177,38 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q115's fixture: orders appended in three KEY-RANGE batches (stats
+    * on `o_orderkey`), then one [[graft.ops.Layout.snapshotMergeInto]]
+    * CDC batch — a price-bump + status-flip UPDATE for every key
+    * `% 100 == 0` below 500 (inside the FIRST batch's key range only,
+    * so the merge's stats-pruned probe rewrites only that batch's
+    * files) and a pure INSERT of every key `% 100 == 1` re-keyed past
+    * the corpus maximum. The update/insert rules are pure SQL over the
+    * base table, so the oracle replays the merged state without seeing
+    * the snapshot machinery. */
+  def snapshotMergeTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapmergeq:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapmerge").toString + "/t"
+      val o = T.orders(s, sfDir)
+      Seq(
+        o.filter(col("o_orderkey") < 500),
+        o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+        o.filter(col("o_orderkey") >= 1000)
+      ).foreach(b => Layout.snapshotAppend(b, dir,
+        statsCols = Seq("o_orderkey")))
+      val updates = o
+        .filter(col("o_orderkey") % 100 === 0 && col("o_orderkey") < 500)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(o.filter(col("o_orderkey") % 100 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      Layout.snapshotMergeInto(s, dir, updates, Seq("o_orderkey"))
+      dir
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

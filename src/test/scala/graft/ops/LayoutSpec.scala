@@ -494,6 +494,141 @@ class LayoutSpec extends SparkSpec {
     assert(!Layout.existsConflictMessage("user profile exists but is locked"))
   }
 
+  /** Data-file entries of a version's manifest, read off disk directly —
+    * the spec's independent view of what a commit recorded. */
+  private def manifestDataLines(dir: String, v: Long): Set[String] = {
+    val src = scala.io.Source.fromFile(
+      f"$dir/_snapshots/v$v%08d.manifest", "UTF-8")
+    try src.getLines().filterNot(_.startsWith("#")).toSet finally src.close()
+  }
+  private def manifestStatLines(dir: String, v: Long): Set[String] = {
+    val src = scala.io.Source.fromFile(
+      f"$dir/_snapshots/v$v%08d.manifest", "UTF-8")
+    try src.getLines().filter(_.startsWith("#stats=")).toSet
+    finally src.close()
+  }
+
+  test("snapshotMergeInto: upsert rewrites ONLY the files holding matched keys") {
+    val dir = tmpDir("snapmerge") + "/t"
+    // key-clustered appends, one file each, key stats tracked
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotAppend((101 to 200).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    Layout.snapshotAppend((201 to 300).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v3
+    val v1Files = manifestDataLines(dir, 1)
+    val v2Files = manifestDataLines(dir, 2) -- v1Files
+    val v3Files = manifestDataLines(dir, 3) -- manifestDataLines(dir, 2)
+    // two matched updates (both inside v2's key range) + two inserts
+    val updates = Seq((150, "UPD150"), (160, "UPD160"),
+      (400, "NEW400"), (401, "NEW401")).toDF("k", "s")
+    val vm = Layout.snapshotMergeInto(spark, dir, updates, Seq("k"))
+    assert(vm === 4L)
+    // row-level semantics: replaced, inserted, everything else untouched
+    val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got.size === 302)
+    assert(got(150) === "UPD150" && got(160) === "UPD160")
+    assert(got(400) === "NEW400" && got(401) === "NEW401")
+    assert(got(149) === "a149" && got(1) === "a1" && got(300) === "a300")
+    // file granularity: v1's and v3's files carried VERBATIM, v2's
+    // (the only files holding a matched key) replaced
+    val v4Files = manifestDataLines(dir, 4)
+    assert(v1Files.subsetOf(v4Files) && v3Files.subsetOf(v4Files),
+      "untouched files must be carried forward, not rewritten")
+    assert(v2Files.intersect(v4Files).isEmpty,
+      "files holding matched keys must be replaced")
+    // carried files keep their stats lines; replacement files get fresh
+    // ones over the same tracked column set (the table stays skippable)
+    val v3Stats = manifestStatLines(dir, 3)
+    val v4Stats = manifestStatLines(dir, 4)
+    val carriedStats = v3Stats.filter(l =>
+      (v1Files ++ v3Files).exists(f => l.startsWith(s"#stats=$f|")))
+    assert(carriedStats.subsetOf(v4Stats), "carried stats must survive")
+    assert(v4Stats.size === v4Files.size, "every file keeps a stats line")
+    // the informational marker names the rewrite's file counts
+    assert(Layout.snapshotMetaOf(spark, dir, 4)
+      .exists(_.startsWith("merge-into=")))
+    // time travel below the merge still sees the pre-merge rows
+    assert(Layout.snapshotRead(spark, dir, version = 3)
+      .as[(Int, String)].collect().toMap.apply(150) === "a150")
+    // a merge that rewrote files is NOT append-only: the change feed
+    // refuses the interval (replaced rows aren't a file delta)...
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChanges(spark, dir, 3))
+    assert(e.getMessage.contains("not append-only"))
+    // ...but a PURE-INSERT merge (no key matched) degrades to an
+    // append-only commit and stays diffable
+    val v5 = Layout.snapshotMergeInto(spark, dir,
+      Seq((500, "NEW500")).toDF("k", "s"), Seq("k"))
+    assert(v5 === 5L)
+    assert(Layout.snapshotChanges(spark, dir, 4, 5).as[(Int, String)]
+      .collect().toSeq === Seq((500, "NEW500")))
+    assert(Layout.snapshotRead(spark, dir).count() === 303)
+  }
+
+  test("snapshotMergeInto: refuses duplicate keys, null keys, schema drift") {
+    val dir = tmpDir("snapmergeref") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s"), dir)
+    val dup = intercept[IllegalArgumentException] {
+      Layout.snapshotMergeInto(spark, dir,
+        Seq((1, "x"), (1, "y")).toDF("k", "s"), Seq("k"))
+    }
+    assert(dup.getMessage.contains("duplicate key"))
+    val nul = intercept[IllegalArgumentException] {
+      Layout.snapshotMergeInto(spark, dir,
+        Seq((Some(1), "x"), (None, "y"))
+          .toDF("k", "s"), Seq("k"))
+    }
+    assert(nul.getMessage.contains("NULL"))
+    val drift = intercept[IllegalArgumentException] {
+      Layout.snapshotMergeInto(spark, dir,
+        Seq((1, 2.0)).toDF("k", "s"), Seq("k"))
+    }
+    assert(drift.getMessage.contains("schema"))
+    val badKey = intercept[IllegalArgumentException] {
+      Layout.snapshotMergeInto(spark, dir,
+        Seq((1, "x")).toDF("k", "s"), Seq("nope"))
+    }
+    assert(badKey.getMessage.contains("absent"))
+    // an empty updates frame is a no-op: no new version
+    val before = Layout.snapshotLatestVersion(spark, dir).get
+    val v = Layout.snapshotMergeInto(spark, dir,
+      Seq.empty[(Int, String)].toDF("k", "s"), Seq("k"))
+    assert(v === before)
+  }
+
+  test("snapshotDeleteWhere is file-granular; NULL-cond rows survive (SQL DELETE)") {
+    val dir = tmpDir("snapdelfg") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotAppend((101 to 200).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    val v1Files = manifestDataLines(dir, 1)
+    val v2Files = manifestDataLines(dir, 2) -- v1Files
+    // the predicate only matches v1's key range: v2's file must be carried
+    Layout.snapshotDeleteWhere(spark, dir, col("k") <= 10)           // v3
+    val v3Files = manifestDataLines(dir, 3)
+    assert(v2Files.subsetOf(v3Files),
+      "files with no matching row must be carried, not rewritten")
+    assert(v1Files.intersect(v3Files).isEmpty)
+    assert(Layout.snapshotRead(spark, dir).count() === 190)
+    // a no-match delete rewrites NOTHING and stays append-only diffable
+    Layout.snapshotDeleteWhere(spark, dir, col("k") > 100000)        // v4
+    assert(manifestDataLines(dir, 4) === v3Files)
+    assert(Layout.snapshotChanges(spark, dir, 3, 4).count() === 0L)
+    // SQL DELETE semantics: a NULL-evaluating condition KEEPS the row
+    Layout.snapshotAppend(
+      Seq((300, Some("x")), (301, None), (302, Some("y")))
+        .toDF("k", "s"), dir)                                        // v5
+    Layout.snapshotDeleteWhere(spark, dir, col("s") === "x")         // v6
+    val keys = Layout.snapshotRead(spark, dir)
+      .filter(col("k") >= 300).select("k").as[Int].collect().sorted
+    assert(keys.toSeq === Seq(301, 302),
+      "row with NULL condition must survive a DELETE")
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))
