@@ -784,7 +784,8 @@ object Layout {
     * last-writer-wins upstream). Concurrency is the optimistic retry of
     * every derived commit. Returns the committed version. */
   def snapshotMergeInto(spark: SparkSession, dir: String,
-      updates: DataFrame, keyCols: Seq[String]): Long = {
+      updates: DataFrame, keyCols: Seq[String],
+      meta: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "snapshotMergeInto: keyCols must be non-empty")
     val missing = keyCols.filterNot(k =>
       updates.columns.exists(_.equalsIgnoreCase(k)))
@@ -817,7 +818,8 @@ object Layout {
     }.reduce(_ && _)
     val updKeys = updates.select(keyCols.map(col): _*)
     commitFileGranular(spark, dir, "snapshotMergeInto",
-        (touched, carried) => Seq(s"$MergeTag${touched.size}/$carried")) {
+        (touched, carried) =>
+          meta :+ s"$MergeTag${touched.size}/$carried") {
       (base, reader, tableSchema) =>
         require(schemaKey(tableSchema) == schemaKey(updates.schema),
           s"snapshotMergeInto: updates schema " +
@@ -926,7 +928,10 @@ object Layout {
       val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = ((metaOf(touched, carried.size).map(m => s"#$m")
+      val metaOut = metaOf(touched, carried.size)
+      metaOut.foreach(m => require(!m.contains("\n") && m != "commit",
+        s"snapshot meta line may not contain newlines or be 'commit': $m"))
+      val body = ((metaOut.map(m => s"#$m")
           ++ schemaLine.map(m => s"#$m")
           ++ carriedStats.map(m => s"#$m") ++ stats.map(m => s"#$m")
           ++ carried ++ files.map(f => s"$rel/$f")).map(_ + "\n")

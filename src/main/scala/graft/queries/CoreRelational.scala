@@ -615,6 +615,45 @@ object CoreRelational {
             AS sum_key
         FROM merged GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // --------------------------------------------------------------- q116
+    // Streaming CDC apply (change feed → SnapshotSink.mergeOnce): a keyed
+    // materialized view maintained end-to-end by the engine's own
+    // streaming pieces — upstream exactly-once appends (one replayed),
+    // the snapshot change-feed source, and the file-granular MERGE as
+    // the foreachBatch body, with a last-writer-wins seq fold for
+    // micro-batches that drain several upstream versions of one key.
+    // This is the Delta-style "apply CDC stream as upserts" shape; at
+    // 100 TB each applied batch costs O(files overlapping its keys),
+    // never a table rewrite. The winning batch per key is arithmetic on
+    // the key, so the oracle replays the converged view from the base
+    // orders table with a CASE expression.
+    QuerySpec(
+      "q116_cdc_materialized_view",
+      (s, d) => {
+        val dir = Fits.snapshotCdcViewDir(s, d)
+        graft.ops.Layout.snapshotRead(s, dir)
+          .groupBy(col("o_seq"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec18)).cast("double")
+                 .as("sum_price"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"))
+          .orderBy(col("o_seq"))
+      },
+      Some("""WITH st AS (
+          SELECT o_orderkey, o_totalprice,
+            CAST(CASE WHEN o_orderkey % 4 = 0 THEN 0
+                      WHEN o_orderkey % 4 = 1 THEN 1
+                      ELSE 2 END AS BIGINT) AS o_seq
+          FROM orders
+        )
+        SELECT o_seq, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice + o_seq * 1000000.0
+            AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM st GROUP BY 1 ORDER BY o_seq"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -209,6 +209,55 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q116's fixture: a keyed MATERIALIZED VIEW maintained purely by the
+    * streaming CDC pipeline — upstream publishes three OVERLAPPING
+    * batches of orders through [[graft.streaming.SnapshotSink.appendOnce]]
+    * (batch `i` carries keys `% 4 ∈ {i, i+1}` with `o_totalprice`
+    * shifted by `i·1e6` and `o_seq = i`; batch 1 is REPLAYED as a
+    * no-op), and the downstream table is maintained ONLY by
+    * `readStream.format("graft-snapshot-changes")` →
+    * `foreachBatch(SnapshotSink.mergeOnce(..., seqCol = "o_seq"))`.
+    * The first drain folds batches 0+1 into ONE micro-batch (keys
+    * `% 4 == 1` appear twice → last-writer-wins fold), the second drain
+    * applies batch 2 as a restart delta (update `% 4 == 2`, insert
+    * `% 4 == 3`). The winning batch per key is pure arithmetic
+    * (`0→0, 1→1, 2→2, 3→2`), so the oracle replays the merged state
+    * from the base table with a CASE expression. */
+  def snapshotCdcViewDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapcdc:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.SnapshotSink
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapcdc").toString
+      val up = s"$root/up"; val down = s"$root/down"
+      val o = T.orders(s, sfDir)
+      def batch(i: Int) = o
+        .filter(col("o_orderkey") % 4 === i || col("o_orderkey") % 4 === i + 1)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(i * 1000000.0))
+        .withColumn("o_seq", lit(i.toLong))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft-snapshot-changes").load(up)
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            SnapshotSink.mergeOnce(b, id, down, Seq("o_orderkey"),
+              seqCol = Some("o_seq")): Unit)
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      require(SnapshotSink.appendOnce(batch(0), 0L, up))
+      require(SnapshotSink.appendOnce(batch(1), 1L, up))
+      require(!SnapshotSink.appendOnce(batch(1), 1L, up),
+        "replayed upstream micro-batch must not re-commit")
+      drain()
+      require(SnapshotSink.appendOnce(batch(2), 2L, up))
+      drain()
+      down
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

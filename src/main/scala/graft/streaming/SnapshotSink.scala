@@ -82,8 +82,94 @@ object SnapshotSink {
     * [[Layout.snapshotReadWhere]] prunes them at planning time —
     * no separate "optimize" pass to retrofit stats later. */
   def appendOnce(batch: DataFrame, batchId: Long, dir: String,
+      statsCols: Seq[String] = Nil): Boolean =
+    unlessReplay(batch.sparkSession, batchId, dir) {
+      Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"),
+        statsCols = statsCols): Unit
+    }
+
+  /** Exactly-once streaming UPSERT: commit `batch` into the keyed table
+    * at `dir` through [[Layout.snapshotMergeInto]] — rows whose
+    * `keyCols` match an existing row replace it, the rest insert — with
+    * [[appendOnce]]'s replay contract (the batchId travels in the
+    * manifest; a replayed micro-batch no-ops). The `foreachBatch` body
+    * for applying a CDC/change-feed stream as a continuously-upserted
+    * materialized table:
+    * {{{
+    *   .foreachBatch((b: DataFrame, id: Long) =>
+    *     SnapshotSink.mergeOnce(b, id, dir, Seq("key"),
+    *       seqCol = Some("seq")): Unit)
+    * }}}
+    *
+    * `seqCol`: a micro-batch may fold SEVERAL upstream versions of the
+    * same key (AvailableNow drains a whole backlog into one batch; the
+    * change-feed source spans `(checkpointed, latest]`), and
+    * [[Layout.snapshotMergeInto]] rightly refuses ambiguous duplicate
+    * keys. A CDC batch therefore names its ordering column — the
+    * upstream sequence/timestamp — and the batch is folded
+    * last-writer-wins per key BEFORE the merge. Ties on (key, seq)
+    * still refuse: genuinely ambiguous. Without `seqCol`, duplicates
+    * refuse (the strict contract, right for streams whose batches are
+    * unique-keyed by construction).
+    *
+    * The FIRST batch against a nonexistent table bootstraps it as an
+    * append commit (a merge into nothing is a pure insert); every later
+    * batch merges. Returns false iff the batchId was already
+    * committed. */
+  def mergeOnce(batch: DataFrame, batchId: Long, dir: String,
+      keyCols: Seq[String], seqCol: Option[String] = None,
       statsCols: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
+    unlessReplay(spark, batchId, dir) {
+      val folded = seqCol match {
+        case None => batch
+        case Some(seq) =>
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, count, lit, row_number}
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(seq).desc)
+          val ranked = batch
+            .withColumn("_rn", row_number().over(w))
+            .withColumn("_nTop", count(lit(1)).over(
+              Window.partitionBy(keyCols.map(col) :+ col(seq): _*)))
+          // a (key, seq) tie is genuinely ambiguous — refuse, never pick
+          val dup = ranked.filter(col("_rn") === 1 && col("_nTop") > 1)
+          require(dup.isEmpty,
+            s"SnapshotSink.mergeOnce at $dir: batch $batchId holds rows " +
+              s"tied on (${keyCols.mkString(", ")}, $seq) — last-writer-" +
+              "wins needs a strict order; disambiguate the sequence " +
+              "column upstream")
+          ranked.filter(col("_rn") === 1).drop("_rn", "_nTop")
+      }
+      if (Layout.snapshotLatestVersion(spark, dir).isEmpty) {
+        // the bootstrap append must uphold the merge's unique-key
+        // contract — a duplicate admitted here would silently persist
+        // until some later batch happens to touch the key
+        if (seqCol.isEmpty) {
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val dup = folded.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+          require(dup.isEmpty,
+            s"SnapshotSink.mergeOnce at $dir: bootstrap batch $batchId " +
+              s"holds duplicate (${keyCols.mkString(", ")}) keys and no " +
+              "seqCol to fold them last-writer-wins")
+        }
+        Layout.snapshotAppend(folded, dir,
+          meta = Seq(s"$BatchTag$batchId"), statsCols = statsCols): Unit
+      }
+      else
+        Layout.snapshotMergeInto(spark, dir, folded, keyCols,
+          meta = Seq(s"$BatchTag$batchId")): Unit
+    }
+  }
+
+  /** The shared replay gate: resolve the newest committed `batch=`
+    * marker (descending lazy probe, O(1) GETs), no-op a replay, fail
+    * loudly on a batchId regression deeper than engine recovery can
+    * produce, and run `commit` (which must attach `batch=<batchId>` to
+    * its manifest) otherwise. */
+  private def unlessReplay(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, dir: String)(commit: => Unit): Boolean = {
     val newest = Layout.snapshotNewestMeta(spark, dir, BatchTag)
       .map(_.stripPrefix(BatchTag).toLong)
     newest match {
@@ -95,10 +181,7 @@ object SnapshotSink {
             "checkpoint or a second writer; refusing to silently drop " +
             "the batch as a replay")
       case Some(n) if batchId <= n => false
-      case _ =>
-        Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"),
-          statsCols = statsCols)
-        true
+      case _ => commit; true
     }
   }
 }

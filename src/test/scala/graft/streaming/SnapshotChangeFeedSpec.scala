@@ -86,6 +86,48 @@ class SnapshotChangeFeedSpec extends SparkSpec {
     assert(got.filter(col("v2") =!= col("v") * 2).isEmpty)
   }
 
+  test("change feed → mergeOnce maintains a keyed materialized view (CDC apply)") {
+    val root = tmpDir("snapfeed_cdc")
+    val up = s"$root/up"; val down = s"$root/down"
+    // upstream publishes three batches with overlapping keys — later
+    // versions of a key supersede earlier ones (seq = batch number)
+    require(SnapshotSink.appendOnce(
+      Seq((1, "v1@0", 0L), (2, "v2@0", 0L)).toDF("k", "s", "seq"), 0L, up))
+    require(SnapshotSink.appendOnce(
+      Seq((2, "v2@1", 1L), (3, "v3@1", 1L)).toDF("k", "s", "seq"), 1L, up))
+    require(SnapshotSink.appendOnce(
+      Seq((3, "v3@2", 2L), (4, "v4@2", 2L)).toDF("k", "s", "seq"), 2L, up))
+    // downstream: ONE drain folds the whole backlog into one micro-batch
+    // (keys 2 and 3 appear twice in it) — mergeOnce's seqCol fold keeps
+    // the latest version of each before the upsert
+    def applyFeed(): Unit = {
+      val q = spark.readStream
+        .format("graft-snapshot-changes").load(up)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          SnapshotSink.mergeOnce(b, id, down, Seq("k"),
+            seqCol = Some("seq")): Unit)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    applyFeed()
+    def view = Layout.snapshotRead(spark, down)
+      .select("k", "s").as[(Int, String)].collect().toMap
+    assert(view === Map(1 -> "v1@0", 2 -> "v2@1", 3 -> "v3@2", 4 -> "v4@2"))
+    // upstream keeps publishing while the consumer is down; restart
+    // applies exactly the delta as upserts
+    require(SnapshotSink.appendOnce(
+      Seq((1, "v1@3", 3L), (5, "v5@3", 3L)).toDF("k", "s", "seq"), 3L, up))
+    applyFeed()
+    assert(view === Map(1 -> "v1@3", 2 -> "v2@1", 3 -> "v3@2",
+      4 -> "v4@2", 5 -> "v5@3"))
+    // a drain with nothing new leaves the view untouched
+    applyFeed()
+    assert(view.size === 5)
+  }
+
   test("a history rewrite in the uncommitted interval fails loudly") {
     val root = tmpDir("snapfeed_rw")
     val dir = s"$root/t"

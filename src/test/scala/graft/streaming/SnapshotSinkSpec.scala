@@ -137,4 +137,48 @@ class SnapshotSinkSpec extends SparkSpec {
       assert(Layout.snapshotChanges(spark, dir, versions.head)
         .as[Int].collect().sorted.toSeq === (51 to 80))
   }
+
+  test("mergeOnce: streaming upsert — replay no-ops, seqCol folds, bootstrap") {
+    val dir = tmpDir("snapsink-merge") + "/t"
+    val keys = Seq("k")
+    // batch 0 bootstraps the table (pure insert, replay contract active)
+    assert(SnapshotSink.mergeOnce(
+      Seq((1, "a", 0L), (2, "b", 0L)).toDF("k", "s", "seq"),
+      0L, dir, keys, seqCol = Some("seq")))
+    // batch 1 updates k=2 and inserts k=3; its replay must no-op
+    val b1 = Seq((2, "b2", 1L), (3, "c", 1L)).toDF("k", "s", "seq")
+    assert(SnapshotSink.mergeOnce(b1, 1L, dir, keys, seqCol = Some("seq")))
+    assert(!SnapshotSink.mergeOnce(b1, 1L, dir, keys, seqCol = Some("seq")))
+    // batch 2 folds two upstream versions of k=3 (a drained backlog):
+    // last-writer-wins by seq before the merge
+    assert(SnapshotSink.mergeOnce(
+      Seq((3, "c2", 2L), (3, "c3", 3L), (4, "d", 3L))
+        .toDF("k", "s", "seq"),
+      2L, dir, keys, seqCol = Some("seq")))
+    val got = Layout.snapshotRead(spark, dir)
+      .select("k", "s").as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> "a", 2 -> "b2", 3 -> "c3", 4 -> "d"))
+    // a (key, seq) tie is ambiguous — refuse, never pick a winner
+    val tie = intercept[IllegalArgumentException] {
+      SnapshotSink.mergeOnce(
+        Seq((5, "x", 9L), (5, "y", 9L)).toDF("k", "s", "seq"),
+        3L, dir, keys, seqCol = Some("seq"))
+    }
+    assert(tie.getMessage.contains("tied"))
+    // without seqCol, duplicate keys refuse (strict contract)...
+    val dup = intercept[IllegalArgumentException] {
+      SnapshotSink.mergeOnce(
+        Seq((6, "x", 0L), (6, "y", 0L)).toDF("k", "s", "seq"),
+        3L, dir, keys)
+    }
+    assert(dup.getMessage.contains("duplicate key"))
+    // ...including on a bootstrap batch
+    val dir2 = tmpDir("snapsink-merge2") + "/t"
+    val dupBoot = intercept[IllegalArgumentException] {
+      SnapshotSink.mergeOnce(
+        Seq((1, "x", 0L), (1, "y", 0L)).toDF("k", "s", "seq"),
+        0L, dir2, keys)
+    }
+    assert(dupBoot.getMessage.contains("duplicate"))
+  }
 }
