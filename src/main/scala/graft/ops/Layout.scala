@@ -778,6 +778,17 @@ object Layout {
     * not representable as a file delta) — recompute downstream from
     * [[snapshotRead]].
     *
+    * `deletes` (the CDC tombstone side — `WHEN MATCHED DELETE`): a
+    * frame whose `keyCols` name rows to REMOVE, applied in the same
+    * file-granular commit with its own stats-pruned probe (a tight
+    * delete-key range and a tight update range each prune better than
+    * their disjunction would). A tombstone for an absent key no-ops —
+    * normal in CDC replay; a key in BOTH updates and deletes refuses
+    * (ambiguous — fold the stream last-writer-wins upstream, which
+    * [[graft.streaming.SnapshotSink.mergeOnce]]'s `seqCol`/`deleteCol`
+    * does). Tombstones may repeat (they dedupe to a key set), and only
+    * their key columns are read.
+    *
     * Contract: `updates` must match the table schema (same rule as
     * [[snapshotAppend]]), carry NO null key, and hold at most one row
     * per key (ambiguous multi-row upserts refuse — pre-aggregate
@@ -785,64 +796,94 @@ object Layout {
     * every derived commit. Returns the committed version. */
   def snapshotMergeInto(spark: SparkSession, dir: String,
       updates: DataFrame, keyCols: Seq[String],
-      meta: Seq[String] = Nil): Long = {
+      meta: Seq[String] = Nil,
+      deletes: Option[DataFrame] = None): Long = {
     require(keyCols.nonEmpty, "snapshotMergeInto: keyCols must be non-empty")
-    val missing = keyCols.filterNot(k =>
-      updates.columns.exists(_.equalsIgnoreCase(k)))
-    require(missing.isEmpty,
-      s"snapshotMergeInto: key column(s) ${missing.mkString(", ")} absent " +
-        s"from updates schema ${updates.schema.catalogString}")
-    // one pass over updates: row count, distinct-key count, per-key null
-    // counts and min/max bounds (the stats-pruning probe predicate)
-    val aggs = Seq(count(lit(1)).as("_n"),
-      count_distinct(struct(keyCols.map(col): _*)).as("_nd")) ++
-      keyCols.flatMap(k => Seq(
-        sum(col(k).isNull.cast("long")).as(s"_nul_$k"),
-        min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
-    val chk = updates.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val nUpd = chk.getAs[Long]("_n")
-    if (nUpd == 0) return snapshotVersions(spark, dir).lastOption
-      .getOrElse(sys.error(s"no committed snapshot at $dir")) // no-op
-    keyCols.foreach { k =>
-      require(chk.getAs[Long](s"_nul_$k") == 0,
-        s"snapshotMergeInto: updates carry NULL in key column '$k' — a " +
-          "null key matches nothing and cannot be upserted")
+    // one pass per input frame: row count, distinct-key count, per-key
+    // null counts and min/max bounds (the stats-pruning probe predicate)
+    def analyze(df: DataFrame, what: String): (Long, Long, Option[Column]) = {
+      val missing = keyCols.filterNot(k =>
+        df.columns.exists(_.equalsIgnoreCase(k)))
+      require(missing.isEmpty,
+        s"snapshotMergeInto: key column(s) ${missing.mkString(", ")} " +
+          s"absent from $what schema ${df.schema.catalogString}")
+      val aggs = Seq(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_nd")) ++
+        keyCols.flatMap(k => Seq(
+          sum(col(k).isNull.cast("long")).as(s"_nul_$k"),
+          min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+      val chk = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = chk.getAs[Long]("_n")
+      keyCols.foreach { k =>
+        require(n == 0 || chk.getAs[Long](s"_nul_$k") == 0,
+          s"snapshotMergeInto: $what carry NULL in key column '$k' — a " +
+            "null key matches nothing and cannot be applied")
+      }
+      val pred = if (n == 0) None else Some(keyCols.map { k =>
+        col(k) >= lit(chk.getAs[Any](s"_mn_$k")) &&
+          col(k) <= lit(chk.getAs[Any](s"_mx_$k"))
+      }.reduce(_ && _))
+      (n, chk.getAs[Long]("_nd"), pred)
     }
-    require(chk.getAs[Long]("_nd") == nUpd,
-      s"snapshotMergeInto: updates hold ${nUpd - chk.getAs[Long]("_nd")} " +
+    val (nUpd, ndUpd, updPred) = analyze(updates, "updates")
+    require(ndUpd == nUpd,
+      s"snapshotMergeInto: updates hold ${nUpd - ndUpd} " +
         "duplicate key(s) — at most one row per key (pre-aggregate " +
         "last-writer-wins upstream)")
-    val rangePred = keyCols.map { k =>
-      col(k) >= lit(chk.getAs[Any](s"_mn_$k")) &&
-        col(k) <= lit(chk.getAs[Any](s"_mx_$k"))
-    }.reduce(_ && _)
+    // tombstones may legitimately repeat — they dedupe to a key SET
+    val delAnalyzed = deletes.map(d => (d, analyze(d, "deletes")))
+    val delKeys = delAnalyzed.collect { case (d, (n, _, _)) if n > 0 =>
+      d.select(keyCols.map(col): _*).distinct() }
+    val delPred = delAnalyzed.flatMap(_._2._3)
+    if (nUpd == 0 && delKeys.isEmpty)
+      return snapshotVersions(spark, dir).lastOption
+        .getOrElse(sys.error(s"no committed snapshot at $dir")) // no-op
     val updKeys = updates.select(keyCols.map(col): _*)
+    delKeys.foreach { dk =>
+      require(updKeys.join(dk, keyCols, "left_semi").isEmpty,
+        "snapshotMergeInto: a key appears in BOTH updates and deletes — " +
+          "ambiguous; fold the CDC stream last-writer-wins upstream " +
+          "(SnapshotSink.mergeOnce's seqCol does this)")
+    }
     commitFileGranular(spark, dir, "snapshotMergeInto",
         (touched, carried) =>
           meta :+ s"$MergeTag${touched.size}/$carried") {
       (base, reader, tableSchema) =>
-        require(schemaKey(tableSchema) == schemaKey(updates.schema),
+        if (nUpd > 0) require(schemaKey(tableSchema) == schemaKey(updates.schema),
           s"snapshotMergeInto: updates schema " +
             s"${updates.schema.catalogString} does not match the " +
             s"table's ${tableSchema.catalogString} at $dir — merges are " +
             "same-schema by contract (add columns via snapshotEvolve " +
             "first)")
         val outCols = tableSchema.fieldNames.toSeq.map(col)
-        // the file path is materialized BEFORE the semi-join: updates may
-        // itself be file-backed, which would make `_metadata` ambiguous
-        // after the join
-        val touched = probeTouchedFiles(
-          snapshotReadWhere(spark, dir, rangePred, base)
-            .select(col("_metadata.file_path").as("_gfile") +:
-              keyCols.map(col): _*)
-            .join(updKeys, keyCols, "left_semi"))
+        // each input gets its OWN stats-pruned probe (a tight update
+        // range and a tight delete range prune better than their
+        // disjunction, which the conjunct-wise pruner cannot use); the
+        // file path is materialized BEFORE the semi-join: a file-backed
+        // probe partner would make `_metadata` ambiguous after the join
+        def probe(pred: Column, keys: DataFrame): Seq[String] =
+          probeTouchedFiles(
+            snapshotReadWhere(spark, dir, pred, base)
+              .select(col("_metadata.file_path").as("_gfile") +:
+                keyCols.map(col): _*)
+              .join(keys, keyCols, "left_semi"))
+        val touched =
+          (updPred.map(probe(_, updKeys)).getOrElse(Nil) ++
+            delPred.zip(delKeys).toSeq.flatMap { case (p, k) => probe(p, k) })
+            .distinct
+        val dropKeys = delKeys
+          .map(dk => updKeys.unionByName(dk)).getOrElse(updKeys)
         val rows =
-          if (touched.isEmpty) updates.select(outCols: _*)
-          else reader(touched)
-            .join(updKeys, keyCols, "left_anti")
-            .select(outCols: _*)
-            .unionByName(updates.select(outCols: _*))
-        (touched, Some(rows))
+          if (touched.isEmpty && nUpd == 0) None
+          else if (touched.isEmpty) Some(updates.select(outCols: _*))
+          else {
+            val survivors = reader(touched)
+              .join(dropKeys, keyCols, "left_anti")
+              .select(outCols: _*)
+            Some(if (nUpd == 0) survivors
+              else survivors.unionByName(updates.select(outCols: _*)))
+          }
+        (touched, rows)
     }
   }
 

@@ -654,6 +654,41 @@ object CoreRelational {
         FROM st GROUP BY 1 ORDER BY o_seq"""),
       headline = true),
 
+    // --------------------------------------------------------------- q117
+    // CDC apply WITH TOMBSTONES: q116's streaming materialized-view
+    // pipeline carrying the full Debezium row shape — upsert/delete
+    // marker + sequence — applied by mergeOnce(deleteCol). Deletes ride
+    // the SAME file-granular commit as the batch's upserts (own
+    // stats-pruned probe, tombstones for absent keys no-op), and the
+    // seq fold resolves insert→tombstone / tombstone→reinsert chains
+    // before the merge. The converged view is arithmetic on the key, so
+    // the oracle replays it from the base table.
+    QuerySpec(
+      "q117_cdc_deletes",
+      (s, d) => {
+        val dir = Fits.snapshotCdcDeleteViewDir(s, d)
+        graft.ops.Layout.snapshotRead(s, dir)
+          .groupBy(col("o_seq"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec18)).cast("double")
+                 .as("sum_price"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"))
+          .orderBy(col("o_seq"))
+      },
+      Some("""WITH st AS (
+          SELECT o_orderkey, o_totalprice,
+            CASE WHEN o_orderkey % 8 = 0 THEN 0
+                 WHEN o_orderkey % 4 = 2 THEN 1
+                 WHEN o_orderkey % 4 = 3 THEN 2 END AS win
+          FROM orders
+        )
+        SELECT CAST(win AS BIGINT) AS o_seq, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice + win * 1000000.0
+            AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM st WHERE win IS NOT NULL GROUP BY 1 ORDER BY o_seq""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

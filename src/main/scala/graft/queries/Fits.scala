@@ -258,6 +258,59 @@ object Fits {
       down
     }).asInstanceOf[String]
 
+  /** q117's fixture: [[snapshotCdcViewDir]] WITH TOMBSTONES — the full
+    * Debezium-shaped CDC stream (upserts + deletes + a sequence) applied
+    * through `mergeOnce(deleteCol = "o_del")`. Batches: 0 inserts keys
+    * `% 4 ∈ {0, 1}`; 1 TOMBSTONES `% 4 == 1` (folded against batch 0's
+    * inserts in the same first drain) and inserts `% 4 == 2` at
+    * `+1e6`; 2 tombstones `% 8 == 4` and inserts `% 4 == 3` at `+2e6`.
+    * Converged view: keys `% 8 == 0` at seq 0, `% 4 == 2` at seq 1,
+    * `% 4 == 3` at seq 2 — pure arithmetic, replayed by the oracle with
+    * a CASE over the base table. */
+  def snapshotCdcDeleteViewDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapcdcdel:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.SnapshotSink
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapcdcdel").toString
+      val up = s"$root/up"; val down = s"$root/down"
+      val o = T.orders(s, sfDir)
+      def live(pred: org.apache.spark.sql.Column, seq: Long, bump: Double) =
+        o.filter(pred)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(bump))
+          .withColumn("o_seq", lit(seq)).withColumn("o_del", lit(false))
+      def dead(pred: org.apache.spark.sql.Column, seq: Long) =
+        o.filter(pred)
+          .withColumn("o_seq", lit(seq)).withColumn("o_del", lit(true))
+      val k = col("o_orderkey")
+      val b0 = live(k % 4 === 0 || k % 4 === 1, 0L, 0.0)
+      val b1 = dead(k % 4 === 1, 1L)
+        .unionByName(live(k % 4 === 2, 1L, 1000000.0))
+      val b2 = dead(k % 8 === 4, 2L)
+        .unionByName(live(k % 4 === 3, 2L, 2000000.0))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft-snapshot-changes").load(up)
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            SnapshotSink.mergeOnce(b, id, down, Seq("o_orderkey"),
+              seqCol = Some("o_seq"), deleteCol = Some("o_del")): Unit)
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      require(SnapshotSink.appendOnce(b0, 0L, up))
+      require(SnapshotSink.appendOnce(b1, 1L, up))
+      require(!SnapshotSink.appendOnce(b1, 1L, up),
+        "replayed upstream micro-batch must not re-commit")
+      drain()
+      require(SnapshotSink.appendOnce(b2, 2L, up))
+      drain()
+      down
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

@@ -112,16 +112,27 @@ object SnapshotSink {
     * refuse (the strict contract, right for streams whose batches are
     * unique-keyed by construction).
     *
+    * `deleteCol`: a boolean TRANSPORT column marking CDC tombstones —
+    * a row with it true DELETES its key instead of upserting. The fold
+    * happens first (so insert→…→tombstone resolves to the delete, and
+    * tombstone→re-insert resolves to the insert), then tombstoned keys
+    * go to [[Layout.snapshotMergeInto]]'s delete side and the column is
+    * DROPPED from the upserted rows (it describes the change stream,
+    * not the table — the table schema never carries it). A tombstone
+    * for a key the table never held no-ops, including in the bootstrap
+    * batch.
+    *
     * The FIRST batch against a nonexistent table bootstraps it as an
     * append commit (a merge into nothing is a pure insert); every later
     * batch merges. Returns false iff the batchId was already
     * committed. */
   def mergeOnce(batch: DataFrame, batchId: Long, dir: String,
       keyCols: Seq[String], seqCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Boolean = {
+      statsCols: Seq[String] = Nil,
+      deleteCol: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
     unlessReplay(spark, batchId, dir) {
-      val folded = seqCol match {
+      val folded0 = seqCol match {
         case None => batch
         case Some(seq) =>
           import org.apache.spark.sql.expressions.Window
@@ -141,6 +152,17 @@ object SnapshotSink {
               "column upstream")
           ranked.filter(col("_rn") === 1).drop("_rn", "_nTop")
       }
+      // split the folded change set into its upsert and tombstone sides;
+      // the tombstone marker is transport metadata, never table schema
+      val (folded, dels) = deleteCol match {
+        case None => (folded0, None)
+        case Some(dc) =>
+          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          val isDel = coalesce(col(dc), lit(false))
+          (folded0.filter(!isDel).drop(dc),
+            Some(folded0.filter(isDel)
+              .select(keyCols.map(col): _*)))
+      }
       if (Layout.snapshotLatestVersion(spark, dir).isEmpty) {
         // the bootstrap append must uphold the merge's unique-key
         // contract — a duplicate admitted here would silently persist
@@ -154,12 +176,13 @@ object SnapshotSink {
               s"holds duplicate (${keyCols.mkString(", ")}) keys and no " +
               "seqCol to fold them last-writer-wins")
         }
+        // a bootstrap tombstone deletes from an empty table: a no-op
         Layout.snapshotAppend(folded, dir,
           meta = Seq(s"$BatchTag$batchId"), statsCols = statsCols): Unit
       }
       else
         Layout.snapshotMergeInto(spark, dir, folded, keyCols,
-          meta = Seq(s"$BatchTag$batchId")): Unit
+          meta = Seq(s"$BatchTag$batchId"), deletes = dels): Unit
     }
   }
 

@@ -599,6 +599,51 @@ class LayoutSpec extends SparkSpec {
     assert(v === before)
   }
 
+  test("snapshotMergeInto deletes: tombstoned keys removed in the same commit") {
+    val dir = tmpDir("snapmergedel") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotAppend((101 to 200).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    val v1Files = manifestDataLines(dir, 1)
+    val v2Files = manifestDataLines(dir, 2) -- v1Files
+    // update k=150, insert k=400, delete k=5 and k=7 — one commit;
+    // a tombstone for an absent key (9999) no-ops; repeats dedupe
+    val vm = Layout.snapshotMergeInto(spark, dir,
+      Seq((150, "UPD"), (400, "NEW")).toDF("k", "s"), Seq("k"),
+      deletes = Some(Seq(5, 7, 7, 9999).toDF("k")))
+    assert(vm === 3L)
+    val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got.size === 199) // 200 - 2 deleted + 1 inserted
+    assert(!got.contains(5) && !got.contains(7))
+    assert(got(150) === "UPD" && got(400) === "NEW")
+    assert(got(6) === "a6")
+    // BOTH ranges probed file-granularly: v1 (deletes) and v2 (update)
+    // were each touched, so nothing carries — now delete from one file
+    // only and check the other carries
+    val v3Files = manifestDataLines(dir, 3)
+    assert(v1Files.intersect(v3Files).isEmpty &&
+      v2Files.intersect(v3Files).isEmpty)
+    val vd = Layout.snapshotMergeInto(spark, dir,
+      spark.emptyDataset[(Int, String)].toDF("k", "s"), Seq("k"),
+      deletes = Some(Seq(10).toDF("k")))
+    assert(vd === 4L)
+    assert(Layout.snapshotRead(spark, dir).count() === 198)
+    // a delete-only merge touching nothing is a pure carry-forward
+    val vn = Layout.snapshotMergeInto(spark, dir,
+      spark.emptyDataset[(Int, String)].toDF("k", "s"), Seq("k"),
+      deletes = Some(Seq(123456).toDF("k")))
+    assert(manifestDataLines(dir, vn) === manifestDataLines(dir, 4))
+    // a key in both updates and deletes is ambiguous — refuse
+    val both = intercept[IllegalArgumentException] {
+      Layout.snapshotMergeInto(spark, dir,
+        Seq((20, "x")).toDF("k", "s"), Seq("k"),
+        deletes = Some(Seq(20).toDF("k")))
+    }
+    assert(both.getMessage.contains("BOTH"))
+  }
+
   test("snapshotDeleteWhere is file-granular; NULL-cond rows survive (SQL DELETE)") {
     val dir = tmpDir("snapdelfg") + "/t"
     Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")

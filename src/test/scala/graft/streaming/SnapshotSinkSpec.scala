@@ -181,4 +181,35 @@ class SnapshotSinkSpec extends SparkSpec {
     }
     assert(dupBoot.getMessage.contains("duplicate"))
   }
+
+  test("mergeOnce deleteCol: tombstones delete; fold resolves del-then-reinsert") {
+    val dir = tmpDir("snapsink-cdc-del") + "/t"
+    val keys = Seq("k")
+    def b(rows: (Int, String, Long, Boolean)*) =
+      rows.toDF("k", "s", "seq", "del")
+    // bootstrap: one live row, one tombstone for a never-seen key (no-op),
+    // one insert-then-tombstone pair folded to a delete (no-op on empty)
+    assert(SnapshotSink.mergeOnce(
+      b((1, "a", 0L, false), (9, "zzz", 0L, true),
+        (2, "b", 0L, false), (2, "", 1L, true)),
+      0L, dir, keys, seqCol = Some("seq"), deleteCol = Some("del")))
+    val boot = Layout.snapshotRead(spark, dir)
+    // the tombstone marker never reaches the table schema
+    assert(boot.schema.fieldNames.toSeq === Seq("k", "s", "seq"))
+    assert(boot.select("k").as[Int].collect().toSeq === Seq(1))
+    // batch 1: delete k=1, insert k=3, and a tombstone-then-reinsert for
+    // k=4 that folds to the INSERT
+    assert(SnapshotSink.mergeOnce(
+      b((1, "", 1L, true), (3, "c", 1L, false),
+        (4, "", 1L, true), (4, "d2", 2L, false)),
+      1L, dir, keys, seqCol = Some("seq"), deleteCol = Some("del")))
+    val got = Layout.snapshotRead(spark, dir)
+      .select("k", "s").as[(Int, String)].collect().toMap
+    assert(got === Map(3 -> "c", 4 -> "d2"))
+    // replay of the tombstone batch no-ops
+    assert(!SnapshotSink.mergeOnce(
+      b((1, "", 1L, true), (3, "c", 1L, false)),
+      1L, dir, keys, seqCol = Some("seq"), deleteCol = Some("del")))
+    assert(Layout.snapshotRead(spark, dir).count() === 2)
+  }
 }
