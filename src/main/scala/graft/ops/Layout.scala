@@ -923,7 +923,17 @@ object Layout {
     while (committed < 0) {
       attempt += 1
       require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
-      val base = snapshotVersions(spark, dir).lastOption
+      // base AND the next version come from ONE listing: deriving them
+      // from two separate listings opens a lost-update window — a commit
+      // landing between the listings bumps the next version PAST itself,
+      // so our manifest creates conflict-free while silently dropping the
+      // interleaved commit's files. With one listing, any commit after it
+      // lands at OUR version → atomicCreate conflicts → we retry against
+      // the new base. (Same single-listing rule appendImpl follows.)
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
       val lines = snapshotManifestLines(spark, dir, base)
       val prev = lines.filterNot(_.startsWith("#"))
@@ -954,7 +964,8 @@ object Layout {
         carriedSet.contains(m.stripPrefix(StatsTag).takeWhile(_ != '|')))
       val baseStatsCols = parseStatsMeta(metaLines)
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted
-      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      // SAME listing as base (see above) — never re-list here
+      val v = listed.lastOption.getOrElse(0L) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
@@ -999,10 +1010,17 @@ object Layout {
     while (committed < 0) {
       attempt += 1
       require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
-      val base = snapshotVersions(spark, dir).lastOption
+      // base and next version from ONE listing (torn manifests count
+      // toward the next version, same rule as the commits): two separate
+      // listings would let a commit land between them and be silently
+      // dropped — the next version bumps past it, so our manifest
+      // creates conflict-free without carrying its rows
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
-      // next version counts torn manifests too (same rule as the commits)
-      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      val v = listed.lastOption.getOrElse(0L) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)

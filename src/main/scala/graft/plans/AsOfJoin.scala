@@ -59,6 +59,13 @@ object AsOfJoin {
   case object Backward extends Direction
   /** match the earliest right time >= left time */
   case object Forward extends Direction
+  /** match the right time with the smallest ABSOLUTE gap to the left
+    * time, looking both ways (pandas `merge_asof(direction='nearest')`);
+    * an exact tie prefers the backward (earlier) candidate —
+    * deterministic, and consistent with Backward being the default
+    * direction. Requires an integral/timestamp time axis (the two
+    * candidates' distances must be subtracted, not just ordered). */
+  case object Nearest extends Direction
 
   /** Physical-strategy hint — the BHJ-vs-SMJ choice, as-of flavored. */
   sealed trait Hint extends Serializable
@@ -93,6 +100,15 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       tolerance: Option[Long] = None, hint: Hint = Auto): DataFrame =
     join(left, right, on, leftTime, rightTime, Forward, tolerance, hint)
+
+  /** Left-outer as-of join matching the right time NEAREST to the left
+    * time in absolute distance, either side; ties prefer backward
+    * (sensor-alignment shape: snap each reading to the closest
+    * calibration point). Integral/timestamp time axis only. */
+  def nearest(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None, hint: Hint = Auto): DataFrame =
+    join(left, right, on, leftTime, rightTime, Nearest, tolerance, hint)
 
   private def join(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, dir: Direction,
@@ -132,10 +148,10 @@ object AsOfJoin {
     require(node.leftTime.dataType == node.rightTime.dataType,
       "as-of join time types must match on both sides")
     require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
-    if (tolerance.isDefined || hint == Broadcast) {
+    if (tolerance.isDefined || hint == Broadcast || dir == Nearest) {
       require(AsOfTime.supports(node.leftTime.dataType),
-        s"tolerance/broadcast need an integral or timestamp time axis, " +
-          s"got ${node.leftTime.dataType}")
+        s"tolerance/broadcast/nearest need an integral or timestamp " +
+          s"time axis, got ${node.leftTime.dataType}")
     }
     GraftPlanBridge.ofRows(spark, node)
   }
@@ -177,7 +193,7 @@ object AsOfJoin {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val usage =
       "usage: asof_join(TABLE(left), TABLE(right), 'k1[,k2…]', " +
-        "'leftTime', 'rightTime'[, 'backward'|'forward'[, tolerance[, " +
+        "'leftTime', 'rightTime'[, 'backward'|'forward'|'nearest'[, tolerance[, " +
         "'auto'|'merge'|'broadcast']]]) — the trailing three also bind " +
         "as direction/tolerance/hint named args"
     val (positional, named) = args.span(!_.isInstanceOf[NamedArg])
@@ -225,8 +241,10 @@ object AsOfJoin {
         .getOrElse("backward") match {
       case "backward" => Backward
       case "forward"  => Forward
+      case "nearest"  => Nearest
       case other => throw new IllegalArgumentException(
-        s"unknown asof_join direction '$other' (want backward|forward)")
+        s"unknown asof_join direction '$other' " +
+          "(want backward|forward|nearest)")
     }
     val tol: Option[Long] = opt(6, "tolerance").flatMap {
       case Literal(null, _) => None // NULL = unbounded
@@ -630,8 +648,16 @@ case class AsOfJoinExec(
               (m, l) => timeOf(l, timeIdx) - timeOf(m, timeIdx) <= t
             case AsOfJoin.Forward =>
               (m, l) => timeOf(m, timeIdx) - timeOf(l, timeIdx) <= t
+            case AsOfJoin.Nearest =>
+              (m, l) => math.abs(timeOf(m, timeIdx) - timeOf(l, timeIdx)) <= t
           }
       }
+      // Nearest compares the two candidates' absolute distances — needs
+      // the numeric time even when no tolerance is set (the API layer
+      // guarantees an integral/timestamp axis for Nearest)
+      val nearTimeOf: (UnsafeRow, Int) => Long =
+        if (dir == AsOfJoin.Nearest) AsOfTime.extractor(timeType)
+        else null
       val lProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
       val rProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -709,6 +735,41 @@ case class AsOfJoinExec(
                 keyOrd.compare(rHeadKt, lKt) == 0 &&
                 inTol(rHeadKt, lKt)) rHead
             else null
+          case AsOfJoin.Nearest =>
+            // Backward's advance (consume <=, remember the last same-key
+            // row) leaves TWO candidates standing: lastMatch = the
+            // latest <= (covers an exactly-equal time) and rHead = the
+            // earliest > — compare their absolute gaps, tie → backward.
+            // rHead stays unconsumed: later (larger-time) left rows may
+            // still need it as their backward side consumes past it.
+            var continue = rHead != null
+            while (continue) {
+              val kc = keyOrd.compare(rHeadKt, lKt)
+              if (kc < 0 || (kc == 0 && ktOrd.compare(rHeadKt, lKt) <= 0)) {
+                if (kc == 0 && !lKt.anyNull) {
+                  lastMatch = rHead.copy()
+                  lastMatchKt = rHeadKt.copy()
+                }
+                advanceRight()
+                continue = rHead != null
+              } else continue = false
+            }
+            if (lKt.anyNull) null
+            else {
+              val backOk = lastMatchKt != null &&
+                keyOrd.compare(lastMatchKt, lKt) == 0 && inTol(lastMatchKt, lKt)
+              val fwdOk = rHead != null &&
+                keyOrd.compare(rHeadKt, lKt) == 0 && inTol(rHeadKt, lKt)
+              if (backOk && fwdOk) {
+                val lt = nearTimeOf(lKt, timeIdx)
+                if (lt - nearTimeOf(lastMatchKt, timeIdx) <=
+                    nearTimeOf(rHeadKt, timeIdx) - lt) lastMatch
+                else rHead
+              }
+              else if (backOk) lastMatch
+              else if (fwdOk) rHead
+              else null
+            }
         }
         outRows += 1
         if (matched != null) matchedRows += 1
@@ -904,6 +965,18 @@ case class BroadcastAsOfJoinExec(
                 val i = ceilIdx(times, t)
                 if (i < times.length && tol.forall(times(i) - t <= _))
                   matched = rows(i)
+              case AsOfJoin.Nearest =>
+                // floor and ceil candidates; smaller |gap| wins, tie →
+                // backward (an exact-equal time IS both, same row)
+                val b = floorIdx(times, t)
+                val f = ceilIdx(times, t)
+                val backOk = b >= 0 && tol.forall(t - times(b) <= _)
+                val fwdOk = f < times.length && tol.forall(times(f) - t <= _)
+                if (backOk && fwdOk)
+                  matched = if (t - times(b) <= times(f) - t) rows(b)
+                            else rows(f)
+                else if (backOk) matched = rows(b)
+                else if (fwdOk) matched = rows(f)
             }
           }
         }

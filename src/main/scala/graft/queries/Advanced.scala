@@ -776,6 +776,53 @@ object Advanced {
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         ORDER BY click_id""")),
 
+    // --------------------------------------------------------------- q118
+    // NEAREST as-of through the native operator (pandas merge_asof
+    // direction='nearest'): each click aligns to the purchase with the
+    // smallest ABSOLUTE time gap, either side, ties preferring the
+    // backward candidate — the sensor-alignment/nearest-calibration
+    // shape. Same single-pass merge as backward (the forward candidate
+    // is the halted-on, never-consumed cursor row), so the plan still
+    // shuffles each side once and keeps O(1) state. DuckDB has no
+    // nearest ASOF, so the oracle composes its backward and forward
+    // ASOF joins and picks the closer side with the same tie rule.
+    QuerySpec(
+      "q118_asof_nearest",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.AsOfJoin.nearest(
+            clicks, purchases, Seq("user_id"), "ts", "ts")
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+        b AS (SELECT c.event_id AS click_id, c.user_id, c.ts,
+                p.ts AS bts, p.purchase_id AS bid
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.ts >= p.ts),
+        f AS (SELECT c.event_id AS click_id, p.ts AS fts,
+                p.purchase_id AS fid
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.ts <= p.ts)
+        SELECT b.click_id, b.user_id, epoch_us(b.ts) AS ts_us,
+          CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+               WHEN fts IS NULL THEN bid
+               WHEN bts IS NULL THEN fid
+               WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN bid
+               ELSE fid END AS purchase_id
+        FROM b JOIN f USING (click_id)
+        ORDER BY click_id""")),
+
     // ---------------------------------------------------------------- q92
     // q90 through the BROADCAST as-of plan (BroadcastAsOfJoinExec): the
     // purchases dimension is built into a broadcast relation once and the

@@ -408,6 +408,32 @@ class LayoutSpec extends SparkSpec {
       .collect().sorted.toSeq === (1 to 120))
   }
 
+  test("snapshotMergeInto racing a concurrent append loses no rows either way") {
+    // same optimistic-concurrency claim as the compact race: whichever
+    // side wins the version race, the final table carries the appended
+    // rows AND the merged state — the merge re-probes against the new
+    // base on a lost race, and an appender that loses carries the
+    // merge's manifest forward on its retry
+    val dir = tmpDir("snapmrace") + "/t"
+    Layout.snapshotAppend((1 to 50).map(i => (i, s"a$i")).toDF("k", "s"), dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      new Thread(() =>
+        try { Layout.snapshotMergeInto(spark, dir,
+          Seq((10, "UPD"), (200, "NEW")).toDF("k", "s"), Seq("k")); () }
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try { Layout.snapshotAppend(
+          (51 to 70).map(i => (i, s"a$i")).toDF("k", "s"), dir); () }
+        catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racer failed: ${Option(errs.peek())}")
+    val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got.size === 71) // 50 base + 20 appended + 1 insert; 1 updated
+    assert(got(10) === "UPD" && got(200) === "NEW" && got(60) === "a60")
+  }
+
   test("snapshotAppend: expire keeps data files a surviving append references") {
     val dir = tmpDir("snape") + "/t"
     Layout.snapshotAppend((1 to 10).toDF("v"), dir)

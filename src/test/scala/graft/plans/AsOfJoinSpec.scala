@@ -219,16 +219,53 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (col("id") * 104729 % 10000).as("t"),
       (col("id") * 3).as("rv"))
       .groupBy("k", "t").agg(max("rv").as("rv"))
-    for (dir <- Seq("b", "f"); tol <- Seq(None, Some(250L))) {
+    for (dir <- Seq("b", "f", "n"); tol <- Seq(None, Some(250L))) {
       def run(hint: AsOfJoin.Hint) = {
-        val out =
-          if (dir == "b") AsOfJoin.backward(left, right, Seq("k"), "t", "t", tol, hint)
-          else AsOfJoin.forward(left, right, Seq("k"), "t", "t", tol, hint)
+        val out = dir match {
+          case "b" => AsOfJoin.backward(left, right, Seq("k"), "t", "t", tol, hint)
+          case "f" => AsOfJoin.forward(left, right, Seq("k"), "t", "t", tol, hint)
+          case _   => AsOfJoin.nearest(left, right, Seq("k"), "t", "t", tol, hint)
+        }
         out.select($"lid", $"rv").as[(Long, Option[Long])].collect().toMap
       }
       assert(run(AsOfJoin.Merge) === run(AsOfJoin.Broadcast),
         s"merge vs broadcast disagree: dir=$dir tol=$tol")
     }
+  }
+
+  test("nearest: closest quote either side; tie prefers backward; tolerance") {
+    // t50 → fwd-only 1.0 (gap 50); t200 → exact 2.0; t250 → 50 s both
+    // ways, tie → backward 2.0; t900 → back-only 3.0; goog 151 → 10.0
+    val out = AsOfJoin.nearest(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> Some(3.0), 5L -> Some(10.0), 6L -> None))
+    // an asymmetric gap picks the strictly closer side
+    val near = AsOfJoin.nearest(
+      Seq(("msft", ts(260), 7L)).toDF("sym", "tts", "tid"),
+      quotes, Seq("sym"), "tts", "qts")
+      .select($"px").as[Option[Double]].collect().toSeq
+    assert(near === Seq(Some(3.0))) // 40 s fwd beats 60 s back
+    // tolerance bounds the ABSOLUTE gap on both sides
+    val tol = AsOfJoin.nearest(trades, quotes, Seq("sym"), "tts", "qts",
+        tolerance = Some(100L * 1000000))
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(tol === Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> None, 5L -> Some(10.0), 6L -> None))
+    // broadcast path agrees on the fixture
+    val bc = AsOfJoin.nearest(trades, quotes, Seq("sym"), "tts", "qts",
+        hint = AsOfJoin.Broadcast)
+      .select($"tid", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(bc === out)
+    // a non-numeric time axis refuses (|gap| needs subtraction)
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(
+        Seq(("a", "x", 1L)).toDF("k", "t", "id"),
+        Seq(("a", "y", 2.0)).toDF("k", "t", "v"), Seq("k"), "t", "t")
+    }
+    assert(e.getMessage.contains("nearest"))
   }
 
   test("auto hint: dimension-sized build side picks the broadcast plan") {
