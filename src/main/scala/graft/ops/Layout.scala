@@ -757,12 +757,15 @@ object Layout {
     * MERGE" knob).
     *
     * Only files that actually CONTAIN a matched key are rewritten:
-    *  1. the updates' per-key min/max bounds become a range predicate,
-    *     so [[snapshotReadWhere]]'s manifest-stats pruning drops
-    *     provably-unmatched files before any data I/O — on a
-    *     key-clustered table (the shape key-ranged ingest or
+    *  1. the updates' keys become a probe predicate — per-column IN
+    *     lists for a small change set (exact per-file pruning even for
+    *     keys scattered across the corpus; also pushed to parquet
+    *     row-group skipping in the probe scan), per-key min/max ranges
+    *     for a large one — so [[snapshotReadWhere]]'s manifest-stats
+    *     pruning drops provably-unmatched files before any data I/O; on
+    *     a key-clustered table (the shape key-ranged ingest or
     *     [[zorderWrite]] produces) the candidate set is the handful of
-    *     files overlapping the update's key range, not the corpus;
+    *     files overlapping the update's keys, not the corpus;
     *  2. a key-column-only probe of the candidates (semi-join against
     *     the updates keys, grouped by `_metadata.file_path`) finds the
     *     files with a REAL match;
@@ -819,10 +822,24 @@ object Layout {
           s"snapshotMergeInto: $what carry NULL in key column '$k' — a " +
             "null key matches nothing and cannot be applied")
       }
-      val pred = if (n == 0) None else Some(keyCols.map { k =>
-        col(k) >= lit(chk.getAs[Any](s"_mn_$k")) &&
-          col(k) <= lit(chk.getAs[Any](s"_mx_$k"))
-      }.reduce(_ && _))
+      // probe predicate: a small change set becomes per-column IN lists —
+      // min/max ranges prune NOTHING for scattered CDC keys (two keys at
+      // the corpus's ends cover every file), while the stats pruner
+      // drops a file from an IN iff EVERY listed value misses its
+      // range, which is exact for a single-column key. Large change
+      // sets keep the O(1)-size range predicate (a 10⁶-literal IN would
+      // bloat the plan past what it saves).
+      val pred =
+        if (n == 0) None
+        else if (n <= 1024) {
+          val keyVals = keyCols.map(k =>
+            k -> df.select(col(k)).distinct().collect().map(_.get(0)))
+          Some(keyVals.map { case (k, vs) => col(k).isin(vs.toIndexedSeq: _*) }
+            .reduce(_ && _))
+        } else Some(keyCols.map { k =>
+          col(k) >= lit(chk.getAs[Any](s"_mn_$k")) &&
+            col(k) <= lit(chk.getAs[Any](s"_mx_$k"))
+        }.reduce(_ && _))
       (n, chk.getAs[Long]("_nd"), pred)
     }
     val (nUpd, ndUpd, updPred) = analyze(updates, "updates")

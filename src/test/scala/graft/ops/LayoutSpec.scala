@@ -594,6 +594,28 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotRead(spark, dir).count() === 303)
   }
 
+  test("snapshotMergeInto: scattered keys rewrite only their files, not the span") {
+    // keys at the corpus's two ENDS: a min/max range predicate would
+    // cover every file — the small-change-set IN probe and the key
+    // semi-join must still leave the untouched middle file carried
+    val dir = tmpDir("snapmergescatter") + "/t"
+    (1 to 3).foreach { i =>
+      Layout.snapshotAppend(
+        ((i - 1) * 100 + 1 to i * 100).map(j => (j, s"a$j")).toDF("k", "s")
+          .repartition(1), dir, statsCols = Seq("k"))
+    }
+    val mid = manifestDataLines(dir, 2) -- manifestDataLines(dir, 1)
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "LOW"), (250, "HIGH")).toDF("k", "s"), Seq("k"))
+    val after = manifestDataLines(dir, 4)
+    assert(mid.subsetOf(after),
+      "the middle file holds no updated key and must be carried verbatim")
+    val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got.size === 300 && got(5) === "LOW" && got(250) === "HIGH" &&
+      got(150) === "a150")
+  }
+
   test("snapshotMergeInto: refuses duplicate keys, null keys, schema drift") {
     val dir = tmpDir("snapmergeref") + "/t"
     Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s"), dir)
