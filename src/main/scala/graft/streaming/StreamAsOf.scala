@@ -301,7 +301,22 @@ object StreamAsOf {
     */
   def forwardWithin(probe: DataFrame, build: DataFrame, key: String,
       probeTs: String, buildKey: String, buildTs: String,
-      horizonSeconds: Long, lateness: String = "10 minutes"): DataFrame = {
+      horizonSeconds: Long, lateness: String = "10 minutes"): DataFrame =
+    forwardShaped(probe, build, key, probeTs, buildKey, buildTs,
+      lateness) { (pSchema, bSchema, oSchema) =>
+      new ForwardProcessor(pSchema, bSchema, oSchema,
+        horizonSeconds * 1000000L)
+    }
+
+  /** The shared plan shape of [[forwardWithin]] / [[nearestWithin]]:
+    * pack both sides, route NULL-key/time probes to the stateless
+    * no-match branch, and run `mkProcessor`'s per-key operator over the
+    * union. */
+  private def forwardShaped(probe: DataFrame, build: DataFrame, key: String,
+      probeTs: String, buildKey: String, buildTs: String, lateness: String)(
+      mkProcessor: (StructType, StructType, StructType)
+        => org.apache.spark.sql.streaming.StatefulProcessor[Row, Row, Row])
+      : DataFrame = {
     val keyType = probe.schema(key).dataType
     val probeStruct = StructType(probe.schema.fields)
     val buildStruct = StructType(build.schema.fields)
@@ -335,8 +350,7 @@ object StreamAsOf {
     val matched = probeOk.unionByName(packedBuild)
       .groupByKey((r: Row) => Row(r.get(0)))(Encoders.row(keySchema))
       .transformWithState(
-        new ForwardProcessor(probeStateSchema, buildStateSchema, outSchema,
-          horizonSeconds * 1000000L),
+        mkProcessor(probeStateSchema, buildStateSchema, outSchema),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.row(outSchema))
 
     val passThrough = probeNull.select(
@@ -378,7 +392,7 @@ object StreamAsOf {
         "timer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def ts(r: Row): Timestamp = r.getAs[Timestamp](0)
+    protected def ts(r: Row): Timestamp = r.getAs[Timestamp](0)
 
     override def handleInputRows(key: Row, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
@@ -423,20 +437,11 @@ object StreamAsOf {
       // stable sort: ties at one build time resolve to the FIRST arrival
       val builds = buildsSt.get().toArray.sortBy(e => micros(ts(e)))
       val times = builds.map(e => micros(ts(e)))
-      def ceilIdx(t: Long): Int = {
-        var lo = 0; var hi = times.length - 1; var res = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (times(mid) >= t) { res = mid; hi = mid - 1 } else lo = mid + 1
-        }
-        res
-      }
       val out = ready.sortBy(e => micros(ts(e))).iterator.map { p =>
         val t = micros(ts(p))
-        val i = ceilIdx(t)
-        val hit = i >= 0 && times(i) - t <= horizonMicros
+        val i = matchIdx(t, times)
         val probeVals = p.getAs[Row](1).toSeq
-        if (hit)
+        if (i >= 0)
           Row.fromSeq(probeVals ++ Seq(ts(builds(i)), builds(i).get(1)))
         else Row.fromSeq(probeVals ++ Seq(null, null))
       }.toVector
@@ -444,20 +449,100 @@ object StreamAsOf {
       out.iterator
     }
 
+    /** Matched build index for a finalized probe at `t` µs, or -1:
+      * forward = the earliest at-or-after within the horizon.
+      * `times` is the sorted build-time array of this flush. */
+    protected def matchIdx(t: Long, times: Array[Long]): Int = {
+      val i = StreamAsOf.ceilIdx(times, t)
+      if (i >= 0 && times(i) - t <= horizonMicros) i else -1
+    }
+
     /** Keep a build iff a held probe's window can still reach it
       * (micros(bts) >= earliest held probe's pts — windows open at the
       * probe time) or a future probe's could (bts at-or-above the
       * watermark in ms; future probes arrive strictly above it). */
+    protected def keepBuild(e: Row, wm: Long, minHeldMicros: Long): Boolean =
+      ts(e).getTime >= wm || micros(ts(e)) >= minHeldMicros
+
     private def evict(wm: Long, builds: Array[Row], hold: Array[Row]): Unit = {
       if (builds.isEmpty) return
       val minHeld =
         if (hold.isEmpty) Long.MaxValue else hold.map(e => micros(ts(e))).min
-      val keep = builds.filter(e =>
-        ts(e).getTime >= wm || micros(ts(e)) >= minHeld)
+      val keep = builds.filter(keepBuild(_, wm, minHeld))
       if (keep.length < builds.length) {
         buildsSt.clear()
         if (keep.nonEmpty) buildsSt.put(keep)
       }
     }
   }
+
+  /** Per-key processor of [[nearestWithin]] — [[ForwardProcessor]] with
+    * the match rule widened to BOTH sides of the probe: the build with
+    * the smallest absolute gap within ±horizon wins, ties → backward
+    * (the batch [[graft.plans.AsOfJoin.Nearest]] rule). The forward
+    * finality point also finalizes the backward side: once the
+    * watermark strictly exceeds `pts + horizon`, any build still to
+    * arrive has an event time above the watermark — above `pts`, so it
+    * could only be a FORWARD candidate, and it is outside the window.
+    * Builds are kept while any held or future probe's ±horizon window
+    * can reach them (the extra `- horizon` on both eviction bounds is
+    * the backward half of the window). */
+  class NearestProcessor(probeStateSchema: StructType,
+      buildStateSchema: StructType, outSchema: StructType,
+      horizonMicros: Long)
+      extends ForwardProcessor(probeStateSchema, buildStateSchema,
+        outSchema, horizonMicros) {
+
+    private val horizonMs = horizonMicros / 1000L
+
+    override protected def matchIdx(t: Long, times: Array[Long]): Int = {
+      val f = StreamAsOf.ceilIdx(times, t)
+      val b = if (f == -1) times.length - 1 else f - 1
+      // b = latest strictly-before (an exactly-equal time lands in f and
+      // has gap 0 — it wins every comparison anyway)
+      val backOk = b >= 0 && t - times(b) <= horizonMicros
+      val fwdOk = f >= 0 && times(f) - t <= horizonMicros
+      if (backOk && fwdOk)
+        if (t - times(b) <= times(f) - t) b else f // tie → backward
+      else if (backOk) b
+      else if (fwdOk) f
+      else -1
+    }
+
+    override protected def keepBuild(e: Row, wm: Long,
+        minHeldMicros: Long): Boolean =
+      ts(e).getTime >= wm - horizonMs ||
+        micros(ts(e)) >= (if (minHeldMicros == Long.MaxValue) Long.MaxValue
+                          else minHeldMicros - horizonMicros)
+  }
+
+  /** least index with times(i) >= t, or -1 — shared by the forward and
+    * nearest processors' match rules. */
+  private[streaming] def ceilIdx(times: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = times.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) >= t) { res = mid; hi = mid - 1 } else lo = mid + 1
+    }
+    res
+  }
+
+  /** NEAREST streaming as-of with a symmetric horizon: each probe row
+    * matches the build row with the smallest ABSOLUTE time gap in
+    * `[probeTs - horizon, probeTs + horizon]`, ties preferring the
+    * backward (earlier) candidate — the streaming twin of the batch
+    * [[graft.plans.AsOfJoin.nearest]] with `tolerance = horizon` (the
+    * parity StreamAsOfSpec pins). Emission is exactly-once at the
+    * forward finality point (`watermark > probeTs + horizon`), which
+    * finalizes BOTH sides — see [[NearestProcessor]]. Same NULL
+    * contract, duplicate-probe preservation, and single-operator plan
+    * shape as [[forwardWithin]]. */
+  def nearestWithin(probe: DataFrame, build: DataFrame, key: String,
+      probeTs: String, buildKey: String, buildTs: String,
+      horizonSeconds: Long, lateness: String = "10 minutes"): DataFrame =
+    forwardShaped(probe, build, key, probeTs, buildKey, buildTs,
+      lateness) { (pSchema, bSchema, oSchema) =>
+      new NearestProcessor(pSchema, bSchema, oSchema,
+        horizonSeconds * 1000000L)
+    }
 }

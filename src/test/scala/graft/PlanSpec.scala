@@ -220,4 +220,19 @@ class PlanSpec extends SparkSpec {
     // clustering where possible; the final orderBy adds a range exchange
     assert(exchanges.size <= 4, s"unexpected shuffles: ${exchanges.size}")
   }
+
+  test("q118: nearest direction rides the SAME single-pass as-of plan as q90") {
+    // nearest must not regress to a second join or an extra pass — it is
+    // q90's plan shape with a different match rule inside the operator
+    val p = initial("q118_asof_nearest")
+    assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty ||
+        p.collect { case e: graft.plans.BroadcastAsOfJoinExec => e }.nonEmpty,
+      s"expected one native as-of operator in:\n$p")
+    val asofs =
+      p.collect { case e: graft.plans.AsOfJoinExec => e }.size +
+        p.collect { case e: graft.plans.BroadcastAsOfJoinExec => e }.size
+    assert(asofs === 1, s"nearest planned $asofs as-of operators (want 1)")
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 4, s"unexpected shuffles: ${exchanges.size}")
+  }
 }

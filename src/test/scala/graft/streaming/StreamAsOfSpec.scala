@@ -459,6 +459,96 @@ class StreamAsOfSpec extends SparkSpec {
     assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("matched") == null))
   }
 
+  /** nearestWithin: best |gap| in ±horizon, tie → backward. */
+  private def runNear(name: String, horizon: Long = 10L)(
+      batches: (MemoryStream[FProbe], MemoryStream[FBuild],
+        StreamingQuery) => Unit): Map[Long, Option[Double]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val probes = MemoryStream[FProbe]
+    val builds = MemoryStream[FBuild]
+    val out = StreamAsOf.nearestWithin(
+      probes.toDF(), builds.toDF(), key = "psym", probeTs = "pts",
+      buildKey = "bsym", buildTs = "bts",
+      horizonSeconds = horizon, lateness = "5 seconds")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir(s"near-$name"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try batches(probes, builds, q)
+    finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+    spark.table(name).collect()
+      .map(r => (r.getAs[Long]("tid"), Option(r.getAs[org.apache.spark.sql.Row](
+        "matched")).map(_.getAs[Double]("px")))).toMap
+  }
+
+  test("nearestWithin: closest build either side; tie prefers backward") {
+    val got = runNear("near_basic") { (p, b, q) =>
+      // probe 100: builds at 94 (back, gap 6) and 103 (fwd, gap 3) → 3.0
+      // probe 200: builds at 195 and 205 (gap 5 both ways) → tie → 195's
+      // probe 300: only a build at 330 — outside ±10 → NULL
+      // probe 400: backward-only build at 393 → 93.0
+      p.addData(FProbe("msft", ts(100), 1L), FProbe("msft", ts(200), 2L),
+        FProbe("msft", ts(300), 3L), FProbe("msft", ts(400), 4L))
+      b.addData(FBuild("msft", ts(94), 94.0), FBuild("msft", ts(103), 3.0),
+        FBuild("msft", ts(195), 95.0), FBuild("msft", ts(205), 5.0),
+        FBuild("msft", ts(330), 30.0), FBuild("msft", ts(393), 93.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(1000), 99L))
+      b.addData(FBuild("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(2000), 98L))
+      b.addData(FBuild("zzzz", ts(2000), 0.0))
+      q.processAllAvailable()
+    }
+    assert(got(1L) === Some(3.0))
+    assert(got(2L) === Some(95.0))
+    assert(got(3L) === None)
+    assert(got(4L) === Some(93.0))
+  }
+
+  test("nearestWithin: late BACKWARD build still wins; parity with batch nearest") {
+    val got = runNear("near_late") { (p, b, q) =>
+      p.addData(FProbe("msft", ts(100), 1L))
+      b.addData(FBuild("msft", ts(108), 8.0))
+      q.processAllAvailable()
+      // arrives in a later micro-batch, event time BEFORE the probe and
+      // closer (gap 4 back vs 8 fwd) — must win
+      b.addData(FBuild("msft", ts(96), 4.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(1000), 99L))
+      b.addData(FBuild("zzzz", ts(1000), 0.0))
+      q.processAllAvailable()
+      p.addData(FProbe("zzzz", ts(2000), 98L))
+      b.addData(FBuild("zzzz", ts(2000), 0.0))
+      q.processAllAvailable()
+    }
+    assert(got(1L) === Some(4.0))
+    // batch parity: the same rows through AsOfJoin.nearest(tol=horizon)
+    val probeDf = Seq(("msft", ts(100), 1L), ("zzzz", ts(1000), 99L),
+      ("zzzz", ts(2000), 98L)).toDF("psym", "pts", "tid")
+    val buildDf = Seq(("msft", ts(108), 8.0), ("msft", ts(96), 4.0),
+      ("zzzz", ts(1000), 0.0), ("zzzz", ts(2000), 0.0))
+      .toDF("psym", "bts", "px")
+    val batch = graft.plans.AsOfJoin.nearest(
+        probeDf, buildDf, Seq("psym"),
+        "pts", "bts", tolerance = Some(10L * 1000000L))
+    val batchMap = batch.selectExpr("tid", "px").collect()
+      .map(r => r.getAs[Long]("tid") ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    // the streamed rows that were finalized agree with the batch op
+    got.foreach { case (tid, px) =>
+      if (batchMap.contains(tid) && got.contains(tid))
+        assert(px === batchMap(tid), s"tid $tid disagrees with batch")
+    }
+  }
+
   test("throughput probe emits every probe exactly once") {
     val r = StreamAsOfBench.probe(spark, batches = 3, perBatch = 1000,
       keys = 100)
