@@ -1171,6 +1171,31 @@ object Layout {
     drop.length
   }
 
+  /** Time-based retention: expire every snapshot whose manifest was
+    * committed more than `maxAgeMs` ago, always keeping at least the
+    * newest — "time travel reaches back N days", the retention contract
+    * real tables state in wall-clock terms rather than version counts
+    * (a hot table commits thousands of versions a day, an archive
+    * table three a week; `keep = N` means nothing across them). Age is
+    * the manifest object's modification time — the commit instant under
+    * the no-rename protocol (manifests are created once, never
+    * touched). Delegates to [[snapshotExpire]], so the orphan-sweep and
+    * referenced-file guarantees are identical. Returns the number of
+    * snapshots removed. */
+  def snapshotExpireOlderThan(spark: SparkSession, dir: String,
+      maxAgeMs: Long, orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
+    require(maxAgeMs >= 0, "maxAgeMs must be >= 0")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val versions = snapshotVersions(spark, dir)
+    val fresh = versions.count { v =>
+      val m = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      try fs.getFileStatus(m).getModificationTime >= cutoff
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    snapshotExpire(spark, dir, keep = math.max(1, fresh), orphanGraceMs)
+  }
+
   // ----------------------------------------------- manifest column stats
 
   /** Stats meta-line prefix. One line per data file:

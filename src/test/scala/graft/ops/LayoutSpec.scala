@@ -446,6 +446,31 @@ class LayoutSpec extends SparkSpec {
       === (1 to 30))
   }
 
+  test("snapshotExpireOlderThan: wall-clock retention, newest always survives") {
+    val dir = tmpDir("snapage") + "/t"
+    (1 to 3).foreach(i =>
+      Layout.snapshotAppend((i * 10 to i * 10 + 5).toDF("v"), dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age v1 and v2 by two hours; v3 stays fresh
+    val old = System.currentTimeMillis() - 2L * 3600 * 1000
+    Seq(1, 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        dir, f"_snapshots/v$v%08d.manifest"), old, -1)
+    }
+    assert(Layout.snapshotExpireOlderThan(spark, dir,
+      maxAgeMs = 3600 * 1000, orphanGraceMs = 0) === 2)
+    assert(Layout.snapshotVersions(spark, dir) === Seq(3L))
+    // carried files survive expiry: the newest manifest references them
+    assert(Layout.snapshotRead(spark, dir).count() === 18)
+    // everything aged out → the newest still survives (keep >= 1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_snapshots/v00000003.manifest"), old, -1)
+    assert(Layout.snapshotExpireOlderThan(spark, dir,
+      maxAgeMs = 3600 * 1000, orphanGraceMs = 0) === 0)
+    assert(Layout.snapshotVersions(spark, dir) === Seq(3L))
+  }
+
   test("snapshotCommit: crash between data files and manifest is invisible") {
     val dir = tmpDir("snap2") + "/t"
     Layout.snapshotCommit((1 to 10).toDF("v"), dir)
