@@ -519,6 +519,11 @@ object Layout {
         .filter(_.startsWith("#" + StatsTag)).map(_.stripPrefix("#"))
         .filter(m => prevSet.contains(
           m.stripPrefix(StatsTag).takeWhile(_ != '|')))
+      // a live merge-on-read overlay travels with the files it applies
+      // to (an append's NEW files are above every carried delete's
+      // version, so the overlay never touches them)
+      val prevDeletes = prevLines
+        .filter(_.startsWith("#" + DeleteTag)).map(_.stripPrefix("#"))
       val prevSchema = prevLines.find(_.startsWith("#" + SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
       // table schema of record: the manifest's schema line once one
@@ -560,6 +565,7 @@ object Layout {
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((meta.map(m => s"#$m") ++ schemaLine.map(m => s"#$m")
+          ++ prevDeletes.map(m => s"#$m")
           ++ prevStats.map(m => s"#$m")
           ++ stats.map(m => s"#$m") ++ prev
           ++ files.map(f => s"$rel/$f")).map(_ + "\n")
@@ -596,6 +602,150 @@ object Layout {
   private def isRewriteVersion(spark: SparkSession, dir: String,
       version: Long): Boolean =
     snapshotMetaOf(spark, dir, version).exists(_.startsWith(RewriteTag))
+
+  // ------------------------------------------- merge-on-read deletes
+
+  /** Meta-line prefix for a MERGE-ON-READ equality-delete file
+    * ([[snapshotDeleteKeys]]): `delete=<rel dir>|<k1,k2,…>`, where the
+    * rel dir holds a parquet key-tuple set and applies to every data
+    * file committed AT-OR-BEFORE the delete's own version (parsed from
+    * the `data/vNNNNNNNN-…` dir prefix both carry) — a later append
+    * legitimately RE-INSERTS a deleted key. Carried forward by appends
+    * like stats lines; MATERIALIZED (applied and dropped) by
+    * [[snapshotCompact]]. */
+  private[graft] val DeleteTag = "delete="
+
+  /** Decoded delete lines of a manifest: (applies-to version, rel dir,
+    * key column names), ascending by version. */
+  private def parseDeleteMeta(
+      meta: Seq[String]): Seq[(Long, String, Seq[String])] =
+    meta.filter(_.startsWith(DeleteTag)).flatMap { m =>
+      m.stripPrefix(DeleteTag).split('|') match {
+        case Array(rel, cols) =>
+          relDirVersion(rel).map(v => (v, rel, cols.split(',').toSeq))
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  /** Commit version encoded in a manifest-relative path's
+    * `data/vNNNNNNNN-token` dir prefix. */
+  private def relDirVersion(rel: String): Option[Long] = {
+    val seg = rel.split('/')
+    if (seg.length >= 2 && seg(0) == "data" && seg(1).startsWith("v") &&
+        seg(1).length >= 9)
+      seg(1).substring(1, 9).toLongOption
+    else None
+  }
+
+  /** MERGE-ON-READ row deletion: commit a parquet file of KEY TUPLES and
+    * a `delete=` manifest line — zero data files touched, O(keys) write —
+    * and every reader ([[snapshotRead]], [[snapshotReadWhere]],
+    * [[Tables.snapshot]]) anti-joins the overlay at scan time. The
+    * 100 TB takedown shape: removing one author's documents costs one
+    * small parquet PUT now and is physically reclaimed by the next
+    * routine [[snapshotCompact]] (which applies the overlay and drops
+    * the line), instead of rewriting every file that holds a matching
+    * row at takedown time ([[snapshotDeleteWhere]]'s copy-on-write
+    * cost). Iceberg's equality-delete files, re-expressed in the
+    * manifest protocol.
+    *
+    * Sequencing: the overlay applies only to files committed at-or-
+    * before THIS version, so a later append re-inserting a deleted key
+    * is visible — exactly upsert-after-delete semantics. Honest-refusal
+    * contract: [[snapshotChanges]] (and the streaming change feed)
+    * refuse an interval where a delete line APPEARS (removed rows are
+    * not a file delta); [[snapshotRowCount]] returns None while an
+    * overlay is live; the file-granular rewrites
+    * ([[snapshotMergeInto]], [[snapshotDeleteWhere]]) refuse until a
+    * compaction materializes the overlay (their probe/rewrite reads
+    * raw files and would resurrect deleted rows). Time travel below
+    * the delete version still sees the rows.
+    *
+    * `keys` needs only the key columns (extra columns are dropped);
+    * tuples dedupe; NULL keys refuse (they can never equal a row).
+    * Returns the committed version. */
+  def snapshotDeleteKeys(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "snapshotDeleteKeys: keyCols must be non-empty")
+    val missing = keyCols.filterNot(k =>
+      keys.columns.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty,
+      s"snapshotDeleteKeys: key column(s) ${missing.mkString(", ")} absent " +
+        s"from keys schema ${keys.schema.catalogString}")
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    require(keySet.filter(keyCols.map(col(_).isNull)
+        .reduce[Column](_ || _)).isEmpty,
+      "snapshotDeleteKeys: NULL in a key tuple — a null key never equals " +
+        "any row and cannot mark a deletion")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"snapshotDeleteKeys: lost the commit race 5× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val carriedMeta = lines.filter(l => l.startsWith("#") && l != "#commit")
+      // the key columns must exist in the table schema (else the overlay
+      // anti-join fails at first read, far from the mistake)
+      val tableSchema = carriedMeta.map(_.stripPrefix("#"))
+        .find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+      tableSchema.foreach { ts =>
+        val absent = keyCols.filterNot(k =>
+          ts.fields.exists(_.name.equalsIgnoreCase(k)))
+        require(absent.isEmpty,
+          s"snapshotDeleteKeys: key column(s) ${absent.mkString(", ")} " +
+            s"not in the table schema ${ts.catalogString} at $dir")
+      }
+      val v = listed.lastOption.getOrElse(0L) + 1
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val rel = f"data/v$v%08d-$token"
+      keySet.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(dir, rel).toString)
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val delLine = s"#$DeleteTag$rel|${keyCols.mkString(",")}"
+      val body = ((carriedMeta :+ delLine) ++ prev)
+        .map(_ + "\n").mkString.getBytes("UTF-8") ++ "#commit\n".getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+      else fs.delete(new Path(dir, rel), true)
+    }
+    committed
+  }
+
+  /** Apply a manifest's merge-on-read delete overlay to its data files:
+    * group the files by WHICH delete lines apply (a delete applies to
+    * files committed at-or-before its version), anti-join each group,
+    * union. No overlay → the plain scan. */
+  private def overlayRead(spark: SparkSession, dir: String,
+      reader: Seq[String] => DataFrame, rels: Seq[String],
+      dels: Seq[(Long, String, Seq[String])]): DataFrame = {
+    if (rels.isEmpty || dels.isEmpty) return reader(rels)
+    // index of the first delete line applying to a file = the number of
+    // delete versions strictly below the file's commit version
+    def firstApplicable(rel: String): Int = {
+      val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+      dels.indexWhere(_._1 >= fv) match {
+        case -1 => dels.length // nothing applies (file newer than all)
+        case i  => i
+      }
+    }
+    rels.groupBy(firstApplicable).toSeq.sortBy(_._1).map { case (i, group) =>
+      dels.drop(i).foldLeft(reader(group)) { case (df, (_, delRel, cols)) =>
+        df.join(
+          spark.read.parquet(new Path(dir, delRel).toString),
+          cols, "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
 
   /** Incremental scan: the rows ADDED between two snapshot versions,
     * read from exactly the manifest-diff files — never a scan of the
@@ -661,9 +811,23 @@ object Layout {
       s"snapshotChanges: v$to at $dir is not a committed snapshot")
     var prev: Set[String] = if (fromVersion == 0) Set.empty[String]
       else snapshotRelFiles(spark, dir, fromVersion).toSet
+    var prevDels: Set[String] =
+      if (fromVersion == 0) Set.empty[String]
+      else parseDeleteMeta(snapshotMetaOf(spark, dir, fromVersion))
+        .map(_._2).toSet
     val added = Seq.newBuilder[String]
     steps.foreach { v =>
       val files = snapshotRelFiles(spark, dir, v)
+      // a NEW merge-on-read delete line removes rows without touching the
+      // file list — not representable as a file delta, refuse like any
+      // other rewrite (a delete line merely CARRIED forward is fine)
+      val delsHere = parseDeleteMeta(snapshotMetaOf(spark, dir, v))
+        .map(_._2).toSet
+      require(delsHere.subsetOf(prevDels) || isRewriteVersion(spark, dir, v),
+        s"snapshotChanges: v$fromVersion..v$to contains a merge-on-read " +
+          s"delete at v$v (snapshotDeleteKeys) — removed rows are not a " +
+          "file delta; recompute from snapshotRead instead")
+      prevDels = delsHere
       if (isRewriteVersion(spark, dir, v)) {
         // pure rewrite: zero row delta by contract — adopt its file set
         // as the new diff base, count nothing
@@ -956,6 +1120,13 @@ object Layout {
       val prev = lines.filterNot(_.startsWith("#"))
       val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
         .map(_.stripPrefix("#"))
+      // a file-granular rewrite reads RAW files — under a live
+      // merge-on-read overlay its survivors would resurrect deleted
+      // rows; materialize first
+      require(parseDeleteMeta(metaLines).isEmpty,
+        s"$op: table at $dir carries a live merge-on-read delete " +
+          "overlay (snapshotDeleteKeys) — run snapshotCompact to " +
+          "materialize it before a file-granular rewrite")
       val schemaLine = metaLines.find(_.startsWith(SchemaTag))
       val recorded = schemaLine
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
@@ -1091,16 +1262,19 @@ object Layout {
     else snapshotLatestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val lines = snapshotManifestLines(spark, dir, v)
-    val files = lines.filterNot(_.startsWith("#"))
-      .map(rel => new Path(dir, rel).toString)
+    val rels = lines.filterNot(_.startsWith("#"))
     // post-evolution versions record a schema of record: scan with it so
     // parquet's by-name resolution null-fills new columns in old files
     // (footers legitimately disagree across an evolution)
-    lines.find(_.startsWith("#" + SchemaTag))
+    val reader = lines.find(_.startsWith("#" + SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
       .map(s => spark.read.schema(s))
       .getOrElse(spark.read)
-      .parquet(files: _*)
+    val dels = parseDeleteMeta(lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#")))
+    overlayRead(spark, dir,
+      rs => reader.parquet(rs.map(r => new Path(dir, r).toString): _*),
+      rels, dels)
   }
 
   /** Newest COMPLETE version, by the descending lazy probe (one listing
@@ -1158,9 +1332,14 @@ object Layout {
           catch { case _: java.io.FileNotFoundException => () }
         }
     }
-    val referenced = surviving
+    val referenced = (surviving
       .flatMap(v => snapshotFiles(spark, dir, v))
-      .map(p => new Path(p).getParent.getName).toSet
+      .map(p => new Path(p).getParent.getName) ++
+      // merge-on-read delete key dirs are referenced by meta line, not
+      // by the file list — they must survive until their manifests do
+      surviving.flatMap(v =>
+        parseDeleteMeta(snapshotMetaOf(spark, dir, v)).map(d =>
+          new Path(dir, d._2).getName))).toSet
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot)
@@ -1589,12 +1768,18 @@ object Layout {
       val st = stats.getOrElse(rel, FileStats(None, Map.empty))
       conjuncts.exists(c => conjunctPrunesFile(c, st, zone, tz))
     }
+    // the merge-on-read overlay composes with pruning: an anti-join only
+    // REMOVES rows, so applying it to the pruned file set is the same
+    // result as applying it to all files and then filtering
+    val dels = parseDeleteMeta(metaLines)
     val base =
       if (rels.isEmpty) snapshotRead(spark, dir, v)
       else if (kept.isEmpty)
         // schema-preserving empty scan: one file, zero rows
         reader.parquet(new Path(dir, rels.head).toString).limit(0)
-      else reader.parquet(kept.map(r => new Path(dir, r).toString): _*)
+      else overlayRead(spark, dir,
+        rs => reader.parquet(rs.map(r => new Path(dir, r).toString): _*),
+        kept, dels)
     base.filter(pred)
   }
 
@@ -1611,8 +1796,12 @@ object Layout {
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val lines = snapshotManifestLines(spark, dir, v)
     val rels = lines.filterNot(_.startsWith("#"))
-    val stats = parseStatsMeta(lines
-      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#")))
+    val metaLines = lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
+    // a live merge-on-read delete overlay makes per-file counts an
+    // OVERcount — fall back to a counting scan, never a wrong number
+    if (parseDeleteMeta(metaLines).nonEmpty) return None
+    val stats = parseStatsMeta(metaLines)
     val counts = rels.map(rel => stats.get(rel).flatMap(_.rows))
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }

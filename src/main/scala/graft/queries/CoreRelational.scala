@@ -689,6 +689,44 @@ object CoreRelational {
           CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
         FROM st WHERE win IS NOT NULL GROUP BY 1 ORDER BY o_seq""")),
 
+    // --------------------------------------------------------------- q119
+    // MERGE-ON-READ deletes (Layout.snapshotDeleteKeys): the O(keys)
+    // takedown — one key-file commit and a `delete=` manifest line,
+    // ZERO data files rewritten; every reader anti-joins the overlay at
+    // scan time, applying it only to files at-or-below the delete's
+    // version so later appends re-insert cleanly. Physical reclamation
+    // rides the next routine compaction (LayoutSpec pins
+    // materialization, expiry protection, zero file churn, and the
+    // change feed's refusal). The fixture tombstones keys % 7 == 0 and
+    // re-inserts % 14 == 0 at +5e5; the oracle replays the overlaid
+    // read from the base table.
+    QuerySpec(
+      "q119_snapshot_mor_delete",
+      (s, d) => {
+        val dir = Fits.snapshotMorTableDir(s, d)
+        graft.ops.Layout.snapshotRead(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec18)).cast("double")
+                 .as("sum_price"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH merged AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice + 500000.0
+          FROM orders WHERE o_orderkey % 14 = 0
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM merged GROUP BY 1 ORDER BY o_orderstatus"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

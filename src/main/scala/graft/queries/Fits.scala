@@ -311,6 +311,33 @@ object Fits {
       down
     }).asInstanceOf[String]
 
+  /** q119's fixture: a MERGE-ON-READ deleted table — orders appended in
+    * two key ranges, every `% 7 == 0` key tombstoned by ONE
+    * [[graft.ops.Layout.snapshotDeleteKeys]] key-file commit (zero data
+    * files rewritten), then keys `% 14 == 0` RE-INSERTED at `+5e5` by a
+    * later append (the overlay applies only to files at-or-below its
+    * version, so the re-inserts are visible). Both rules are pure SQL,
+    * so the oracle replays the overlaid read from the base table. */
+  def snapshotMorTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapmorq:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapmor").toString + "/t"
+      val o = T.orders(s, sfDir)
+      val k = col("o_orderkey")
+      Layout.snapshotAppend(o.filter(k < 1000), dir,
+        statsCols = Seq("o_orderkey"))
+      Layout.snapshotAppend(o.filter(k >= 1000), dir,
+        statsCols = Seq("o_orderkey"))
+      Layout.snapshotDeleteKeys(s, dir,
+        o.filter(k % 7 === 0).select(k), Seq("o_orderkey"))
+      Layout.snapshotAppend(o.filter(k % 14 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500000.0)),
+        dir, statsCols = Seq("o_orderkey"))
+      dir
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

@@ -717,6 +717,89 @@ class LayoutSpec extends SparkSpec {
     assert(both.getMessage.contains("BOTH"))
   }
 
+  test("snapshotDeleteKeys: merge-on-read delete — zero file churn, overlay on read") {
+    val dir = tmpDir("snapmor") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotAppend((101 to 200).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    val vd = Layout.snapshotDeleteKeys(spark, dir,
+      Seq(5, 150, 150).toDF("k"), Seq("k"))                          // v3
+    assert(vd === 3L)
+    // ZERO data-file churn: the manifest's file list is v2's verbatim
+    assert(manifestDataLines(dir, 3) === manifestDataLines(dir, 2))
+    val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got.size === 198 && !got.contains(5) && !got.contains(150) &&
+      got(6) === "a6")
+    // composes with stats pruning: the predicate prunes to v1's file and
+    // the overlay still removes k=5
+    val rw = Layout.snapshotReadWhere(spark, dir, col("k") <= 100)
+      .select("k").as[Int].collect().toSet
+    assert(rw.size === 99 && !rw.contains(5))
+    // time travel below the delete still sees the rows
+    assert(Layout.snapshotRead(spark, dir, version = 2).count() === 200)
+    // manifest-only COUNT refuses under a live overlay (never overcounts)
+    assert(Layout.snapshotRowCount(spark, dir).isEmpty)
+    // the change feed refuses an interval where the delete line APPEARS
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChanges(spark, dir, 2))
+    assert(e.getMessage.contains("merge-on-read"))
+    // a LATER append legitimately re-inserts a deleted key: the overlay
+    // applies only to files at-or-below its version
+    Layout.snapshotAppend(Seq((5, "re")).toDF("k", "s"), dir)        // v4
+    val got2 = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got2.size === 199 && got2(5) === "re")
+    // ...and the feed resumes cleanly from the delete version onward
+    assert(Layout.snapshotChanges(spark, dir, 3).count() === 1L)
+    // file-granular rewrites refuse until the overlay is materialized
+    val m = intercept[IllegalArgumentException] {
+      Layout.snapshotMergeInto(spark, dir,
+        Seq((1, "x")).toDF("k", "s"), Seq("k"))
+    }
+    assert(m.getMessage.contains("materialize"))
+    // compaction MATERIALIZES: overlay applied, delete line dropped
+    val vc = Layout.snapshotCompact(spark, dir)                      // v5
+    assert(Layout.snapshotMetaOf(spark, dir, vc)
+      .forall(!_.startsWith("delete=")))
+    val got3 = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got3.size === 199 && !got3.contains(150) && got3(5) === "re")
+    // stats are recomputed by the compaction: manifest-only count returns
+    assert(Layout.snapshotRowCount(spark, dir) === Some(199L))
+    // and file-granular rewrites work again
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((150, "back")).toDF("k", "s"), Seq("k"))                   // v6
+    assert(Layout.snapshotRead(spark, dir).count() === 200)
+    // expire across the whole chain: newest version self-contained
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(Layout.snapshotRead(spark, dir).count() === 200)
+  }
+
+  test("snapshotDeleteKeys: delete key dir survives expiry while referenced") {
+    val dir = tmpDir("snapmor2") + "/t"
+    Layout.snapshotAppend((1 to 50).toDF("v"), dir)                  // v1
+    Layout.snapshotDeleteKeys(spark, dir, Seq(7, 9).toDF("v"), Seq("v")) // v2
+    // v2's manifest references the key dir only via its delete line —
+    // expiry must keep it alive or the overlay breaks
+    assert(Layout.snapshotExpire(spark, dir, keep = 1,
+      orphanGraceMs = 0) === 1)
+    assert(Layout.snapshotRead(spark, dir).as[Int].collect().sorted.toSeq
+      === ((1 to 50).filterNot(Set(7, 9))))
+    // appends carry the overlay forward
+    Layout.snapshotAppend((51 to 55).toDF("v"), dir)                 // v3
+    assert(Layout.snapshotRead(spark, dir).count() === 53)
+    // NULL key tuples refuse; unknown key columns refuse
+    intercept[IllegalArgumentException] {
+      Layout.snapshotDeleteKeys(spark, dir,
+        Seq[Option[Int]](Some(1), None).toDF("v"), Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.snapshotDeleteKeys(spark, dir, Seq(1).toDF("nope"), Seq("nope"))
+    }
+  }
+
   test("snapshotDeleteWhere is file-granular; NULL-cond rows survive (SQL DELETE)") {
     val dir = tmpDir("snapdelfg") + "/t"
     Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
