@@ -830,6 +830,87 @@ class LayoutSpec extends SparkSpec {
       "row with NULL condition must survive a DELETE")
   }
 
+  test("snapshot table model check: random op sequences match a keyed Map") {
+    // model-based check of the write-path INTERACTIONS: appends, keyed
+    // merges (upsert+insert+tombstone), merge-on-read deletes, compaction
+    // and expiry applied in a random but seeded order, with the logical
+    // table compared against a driver-side Map after every commit — the
+    // bugs this hunts (overlay applied to the wrong file generation, a
+    // carried delete dropped by a later commit, a merge resurrecting a
+    // deleted key) live between operators, not inside one.
+    val dir = tmpDir("snapmodel") + "/t"
+    val rnd = new scala.util.Random(20260814L)
+    val model = scala.collection.mutable.Map.empty[Int, String]
+    var morLive = false
+    var nextVal = 0
+    def fresh(): String = { nextVal += 1; s"v$nextVal" }
+    def freshKeys(n: Int): Seq[Int] =
+      rnd.shuffle((0 until 200).filterNot(model.contains).toList).take(n)
+    def existing(n: Int): Seq[Int] =
+      rnd.shuffle(model.keys.toList).take(n)
+    // bootstrap
+    val init = freshKeys(30).map(k => (k, fresh()))
+    Layout.snapshotAppend(init.toDF("k", "s").repartition(2), dir,
+      statsCols = Seq("k"))
+    model ++= init
+    def check(tag: String): Unit = {
+      val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+        .collect().toMap
+      assert(got === model.toMap, s"divergence after $tag")
+      Layout.snapshotRowCount(spark, dir).foreach(n =>
+        assert(n === model.size.toLong, s"rowCount after $tag"))
+    }
+    check("bootstrap")
+    (1 to 18).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // append fresh keys
+          val rows = freshKeys(1 + rnd.nextInt(5)).map(k => (k, fresh()))
+          if (rows.nonEmpty) {
+            Layout.snapshotAppend(rows.toDF("k", "s"), dir,
+              statsCols = Seq("k"))
+            model ++= rows
+            check(s"append@$step")
+          }
+        case 1 | 2 => // keyed merge: updates + inserts + tombstones
+          val ups = existing(rnd.nextInt(4)).map(k => (k, fresh()))
+          val ins = freshKeys(rnd.nextInt(3)).map(k => (k, fresh()))
+          val dels = existing(8).filterNot(ups.map(_._1).toSet)
+            .take(rnd.nextInt(3))
+          if (morLive) {
+            // an empty change set no-ops before the overlay check — only
+            // a real merge attempt must refuse
+            if (ups.nonEmpty || ins.nonEmpty || dels.nonEmpty)
+              intercept[IllegalArgumentException] {
+                Layout.snapshotMergeInto(spark, dir,
+                  (ups ++ ins).toDF("k", "s"), Seq("k"),
+                  deletes = Some(dels.toDF("k")))
+              }
+          } else if (ups.nonEmpty || ins.nonEmpty || dels.nonEmpty) {
+            Layout.snapshotMergeInto(spark, dir,
+              (ups ++ ins).toDF("k", "s"), Seq("k"),
+              deletes = if (dels.isEmpty) None else Some(dels.toDF("k")))
+            model ++= ups; model ++= ins; dels.foreach(model.remove)
+            check(s"merge@$step")
+          }
+        case 3 => // merge-on-read delete (sometimes of absent keys too)
+          val keys = (existing(rnd.nextInt(4)) ++
+            Seq(300 + rnd.nextInt(50))).distinct
+          Layout.snapshotDeleteKeys(spark, dir, keys.toDF("k"), Seq("k"))
+          keys.foreach(model.remove)
+          morLive = true
+          check(s"morDelete@$step")
+        case 4 => // compact: materializes any overlay, rows unchanged
+          Layout.snapshotCompact(spark, dir)
+          morLive = false
+          check(s"compact@$step")
+        case 5 => // expire: history shrinks, the logical table must not
+          Layout.snapshotExpire(spark, dir, keep = 2, orphanGraceMs = 0)
+          check(s"expire@$step")
+      }
+    }
+    assert(model.nonEmpty, "degenerate run: model drained completely")
+  }
+
   test("salted join: identical result to the plain join under skew") {
     // 90% of the big side carries one hot key
     val big = ((1 to 900).map(_ => (7, "hot")) ++ (1 to 100).map(i => (i % 5, s"v$i")))
