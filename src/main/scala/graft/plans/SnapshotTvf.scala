@@ -70,6 +70,31 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_read_where('<dir>', '<predicate sql>' [, version])` — the
+    * manifest-stats PRUNED read ([[Layout.snapshotReadWhere]]) for SQL
+    * users: the predicate string is parsed with the session's own SQL
+    * parser, files its stats prove unsatisfiable are dropped at
+    * analysis time, and the full predicate is re-applied to the scan.
+    * A plain `WHERE` on `snapshot_read` cannot do this — by the time
+    * the filter exists in the plan the TVF has already expanded to a
+    * scan of every file; pruning must see the predicate while the file
+    * list is being CHOSEN. */
+  private[graft] def readWhereBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"snapshot_read_where(dir, predicate [, version]) takes 2-3 " +
+        s"arguments, got ${args.size}")
+    val dir = argString(args(0), "snapshot_read_where", "dir")
+    val predSql = argString(args(1), "snapshot_read_where", "predicate")
+    val version =
+      if (args.size == 3) argLong(args(2), "snapshot_read_where", "version")
+      else -1L
+    val spark = SparkSession.active
+    val pred = org.apache.spark.sql.GraftPlanBridge.columnOf(
+      spark.sessionState.sqlParser.parseExpression(predSql))
+    Layout.snapshotReadWhere(spark, dir, pred, version)
+      .queryExecution.logical
+  }
+
   /** Registration triples for
     * `SparkSessionExtensions.injectTableFunction`. */
   def tvfRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -77,6 +102,9 @@ object SnapshotTvf {
     (FunctionIdentifier("snapshot_read"),
       new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_read"),
       readBuilder _),
+    (FunctionIdentifier("snapshot_read_where"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_read_where"),
+      readWhereBuilder _),
     (FunctionIdentifier("snapshot_changes"),
       new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_changes"),
       changesBuilder _))

@@ -24,6 +24,14 @@ object GraftPlanBridge {
   def expressionOf(c: Column): catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** The inverse wrap: a public `Column` over a raw Catalyst expression
+    * — needed where an expression comes from the SQL PARSER rather than
+    * the fluent API (e.g. the `snapshot_read_where` TVF parses its
+    * predicate string with the session parser and must hand
+    * [[graft.ops.Layout.snapshotReadWhere]] the Column it expects). */
+  def columnOf(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** A parquet scan over an explicit file list, tagged `isStreaming` —
     * what a V1 streaming `Source.getBatch` must return (the engine
     * splices it in place of the streaming relation; a plain batch

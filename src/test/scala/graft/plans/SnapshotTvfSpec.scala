@@ -50,6 +50,37 @@ class SnapshotTvfSpec extends SparkSpec {
       .head().getLong(0) === 150)
   }
 
+  test("snapshot_read_where: pruned scan through pure SQL, same result") {
+    SnapshotTvf.ensureSqlDoor(spark)
+    val dir = tmpDir("snaptvf_rw") + "/t"
+    Layout.snapshotAppend((1 to 100).toDF("v").repartition(1), dir,
+      statsCols = Seq("v"))
+    Layout.snapshotAppend((101 to 200).toDF("v").repartition(1), dir,
+      statsCols = Seq("v"))
+    val df = spark.sql(
+      s"SELECT v FROM snapshot_read_where('$dir', 'v > 150') ORDER BY v")
+    assert(df.as[Int].collect().toSeq === (151 to 200))
+    // the POINT of the TVF: the predicate reaches file selection — the
+    // first append's file is pruned before the scan is planned
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("/v00000002-")),
+      df.inputFiles.mkString(","))
+    // a plain WHERE on snapshot_read cannot prune (the TVF expands first)
+    val unpruned = spark.sql(
+      s"SELECT v FROM snapshot_read('$dir') WHERE v > 150")
+    assert(unpruned.inputFiles.length > df.inputFiles.length)
+    // version pinning composes
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM snapshot_read_where('$dir', 'v > 50', 1)")
+      .head().getLong(0) === 50)
+    // a malformed predicate string refuses at analysis, loudly
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_read_where('$dir', 'v >')")
+        .collect()
+    }
+    assert(bad.getMessage.nonEmpty)
+  }
+
   test("non-literal and malformed arguments refuse with a clear error") {
     SnapshotTvf.ensureSqlDoor(spark)
     val dir = table()
