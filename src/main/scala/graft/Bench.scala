@@ -120,18 +120,23 @@ object Bench {
       // headline query already gets
       val a = (1 to 3).map(_ => graft.streaming.StreamAsOfBench.probe(spark))
         .maxBy(_.rowsPerSec)
-      // forward as-of (interval join + argmin — two stateful stages, so
-      // a separate tracked number keeps its regressions distinguishable
-      // from the backward operator's); max of 2, run 1 warms the shape
+      // forward / nearest as-of (one stateful operator each since the
+      // single-operator rewrite; separate tracked numbers keep each
+      // direction's regressions distinguishable); max of 2, run 1
+      // warms the shape
       val f = (1 to 2)
         .map(_ => graft.streaming.StreamAsOfBench.probeForward(spark))
+        .maxBy(_.rowsPerSec)
+      val n = (1 to 2)
+        .map(_ => graft.streaming.StreamAsOfBench
+          .probeForward(spark, nearest = true))
         .maxBy(_.rowsPerSec)
       // snapshot change-feed pipeline: SnapshotSink commits drained by
       // the graft-snapshot-changes source (bootstrap + tail); max of 2
       val sf = (1 to 2)
         .map(_ => graft.streaming.SnapshotFeedBench.probe(spark))
         .maxBy(_.rowsPerSec)
-      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f}"""
+      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f}"""
     }
     // fixture-layout separability (judge r8 ask #7): the driver's
     // regenerated testdata ships ONE parquet row group per table, so

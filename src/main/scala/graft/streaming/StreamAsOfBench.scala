@@ -98,15 +98,17 @@ object StreamAsOfBench {
 
   final case class Bf(bk: Long, bts: Timestamp, px: Double)
 
-  /** The FORWARD twin: [[StreamAsOf.forwardWithin]] throughput — an
-    * interval stream-stream join plus the marker/argmin stateful stage,
-    * so the per-row cost is inherently higher than [[probe]]'s single
-    * stateful operator; tracking it separately keeps the two shapes'
-    * regressions distinguishable. Same synthetic clock, horizon = the
-    * lateness window, tail flush identical. */
+  /** The FORWARD twin: [[StreamAsOf.forwardWithin]] throughput — since
+    * the round-9 single-operator rewrite the same machinery class as
+    * [[probe]] with finality pushed out by the horizon; tracking it
+    * separately keeps the two shapes' regressions distinguishable.
+    * `nearest = true` swaps in [[StreamAsOf.nearestWithin]] (identical
+    * plan shape, ±horizon match rule) so the third direction's
+    * throughput is tracked under the same synthetic clock. Horizon =
+    * the lateness window, tail flush identical. */
   def probeForward(spark0: SparkSession, batches: Int = 10,
       perBatch: Int = 10000, keys: Int = 1000,
-      statePartitions: Int = 8): Result = {
+      statePartitions: Int = 8, nearest: Boolean = false): Result = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -121,9 +123,13 @@ object StreamAsOfBench {
       .createTempDirectory("asoffwdbench").toString
     val probes = MemoryStream[P]
     val builds = MemoryStream[Bf]
-    val out = StreamAsOf.forwardWithin(probes.toDF(), builds.toDF(),
-      key = "k", probeTs = "pts", buildKey = "bk", buildTs = "bts",
-      horizonSeconds = 5, lateness = "5 seconds")
+    val out =
+      if (nearest) StreamAsOf.nearestWithin(probes.toDF(), builds.toDF(),
+        key = "k", probeTs = "pts", buildKey = "bk", buildTs = "bts",
+        horizonSeconds = 5, lateness = "5 seconds")
+      else StreamAsOf.forwardWithin(probes.toDF(), builds.toDF(),
+        key = "k", probeTs = "pts", buildKey = "bk", buildTs = "bts",
+        horizonSeconds = 5, lateness = "5 seconds")
     val name = s"asof_fwd_bench_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append")

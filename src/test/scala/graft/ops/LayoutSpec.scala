@@ -800,6 +800,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDeleteKeys + snapshotEvolve: overlay survives an add-column evolution") {
+    val dir = tmpDir("snapmorevo") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s"), dir)
+    Layout.snapshotDeleteKeys(spark, dir, Seq(3, 7).toDF("k"), Seq("k"))
+    // widen the schema while the overlay is live (evolve is append-only
+    // above the overlay — legal); the evolved batch re-uses key 3
+    Layout.snapshotEvolve(
+      Seq((3, "re3", 1.0), (21, "c21", 2.0)).toDF("k", "s", "score"), dir)
+    val got = Layout.snapshotRead(spark, dir)
+      .select("k", "s", "score").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    // deleted keys stay deleted in pre-evolution files, the re-insert is
+    // visible with its score, old rows null-fill the new column
+    assert(got.size === 20)
+    assert(!got.contains(7))
+    assert(got(3) === (("re3", Some(1.0))))
+    assert(got(21) === (("c21", Some(2.0))))
+    assert(got(5) === (("a5", None)))
+  }
+
   test("snapshotDeleteWhere is file-granular; NULL-cond rows survive (SQL DELETE)") {
     val dir = tmpDir("snapdelfg") + "/t"
     Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
