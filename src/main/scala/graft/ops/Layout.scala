@@ -1277,6 +1277,25 @@ object Layout {
       rels, dels)
   }
 
+  /** Wall-clock time travel: the newest COMPLETE version committed
+    * at-or-before `tsMillis` (manifest modification time = the commit
+    * instant under the no-rename protocol) — `FOR SYSTEM_TIME AS OF`,
+    * resolved against the same clock [[snapshotExpireOlderThan]]'s
+    * retention promises are stated in. None when the table's oldest
+    * surviving version is younger than the asked-for instant (history
+    * before it was expired, or the table did not exist yet) — the
+    * caller distinguishes "expired" from "wrong path" by whether ANY
+    * version exists. Pass the result to [[snapshotRead]]. */
+  def snapshotVersionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Option[Long] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshotVersions(spark, dir).reverseIterator.find { v =>
+      val m = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      try fs.getFileStatus(m).getModificationTime <= tsMillis
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+  }
+
   /** Newest COMPLETE version, by the descending lazy probe (one listing
     * + one manifest GET in the common case — never one GET per
     * historical version). The polling primitive for anything that tails

@@ -777,6 +777,50 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotRead(spark, dir).count() === 200)
   }
 
+  test("snapshotVersionAsOf: wall-clock time travel resolves the right version") {
+    val dir = tmpDir("snapasof") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)                  // v1
+    Layout.snapshotAppend((11 to 20).toDF("v"), dir)                 // v2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin distinct commit instants (local-fs mtime granularity is coarse)
+    val t1 = 1700000000000L; val t2 = t1 + 60000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_snapshots/v00000001.manifest"), t1, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_snapshots/v00000002.manifest"), t2, -1)
+    assert(Layout.snapshotVersionAsOf(spark, dir, t1 - 1).isEmpty)
+    assert(Layout.snapshotVersionAsOf(spark, dir, t1) === Some(1L))
+    assert(Layout.snapshotVersionAsOf(spark, dir, t2 - 1) === Some(1L))
+    assert(Layout.snapshotVersionAsOf(spark, dir, t2 + 1) === Some(2L))
+    val v = Layout.snapshotVersionAsOf(spark, dir, t1 + 1).get
+    assert(Layout.snapshotRead(spark, dir, v).count() === 10)
+  }
+
+  test("snapshotDeleteKeys racing a concurrent append loses neither side") {
+    val dir = tmpDir("snapmorrace") + "/t"
+    Layout.snapshotAppend((1 to 50).toDF("v"), dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      new Thread(() =>
+        try { Layout.snapshotDeleteKeys(spark, dir,
+          Seq(5, 6).toDF("v"), Seq("v")); () }
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try { Layout.snapshotAppend((51 to 60).toDF("v"), dir); () }
+        catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racer failed: ${Option(errs.peek())}")
+    val got = Layout.snapshotRead(spark, dir).as[Int].collect().toSet
+    // whichever side won the version race: the append's rows all landed
+    // and the delete removed 5 and 6 IF its manifest is the newer one —
+    // if the append won the LAST version it carried the delete line
+    // forward, so 5/6 are gone either way (appends carry delete lines)
+    assert((51 to 60).forall(got.contains), "appended rows lost")
+    assert(!got.contains(5) && !got.contains(6), "delete overlay lost")
+    assert(got.size === 58)
+  }
+
   test("snapshotDeleteKeys: delete key dir survives expiry while referenced") {
     val dir = tmpDir("snapmor2") + "/t"
     Layout.snapshotAppend((1 to 50).toDF("v"), dir)                  // v1
