@@ -221,6 +221,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size <= 4, s"unexpected shuffles: ${exchanges.size}")
   }
 
+  test("q119: the MOR overlay is a broadcast anti-join — the corpus never shuffles for it") {
+    val p = initial("q119_snapshot_mor_delete")
+    val anti = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty,
+      s"expected the delete overlay as a broadcast LeftAnti join in:\n$p")
+    // the key set broadcasts; the data side must NOT pay a shuffle or a
+    // sort-merge join for the overlay
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"overlay degraded to a sort-merge join:\n$p")
+  }
+
   test("q118: nearest direction rides the SAME single-pass as-of plan as q90") {
     // nearest must not regress to a second join or an extra pass — it is
     // q90's plan shape with a different match rule inside the operator
