@@ -727,6 +727,35 @@ object CoreRelational {
         FROM merged GROUP BY 1 ORDER BY o_orderstatus"""),
       headline = true),
 
+    // --------------------------------------------------------------- q120
+    // q113's manifest-stats pruned read through PURE SQL
+    // (snapshot_read_where TVF): the predicate STRING is parsed with the
+    // session parser and pruning happens while the file list is chosen —
+    // a plain WHERE over snapshot_read would arrive after the TVF
+    // expanded to a full-table scan. Same fixture and oracle as q113, so
+    // hash-equality proves the SQL door and the Scala API plan the same
+    // read; the pruned input-file list itself is pinned in
+    // SnapshotTvfSpec.
+    QuerySpec(
+      "q120_snapshot_sql_pruned_read",
+      (s, d) => {
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        val dir = Fits.snapshotStatsTableDir(s, d)
+        s.sql(s"""
+          SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM snapshot_read_where('$dir',
+            'o_orderdate >= TIMESTAMP ''1996-07-01''
+             AND o_totalprice > 50000')
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_totalprice > 50000
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.
