@@ -641,6 +641,30 @@ class LayoutSpec extends SparkSpec {
       got(150) === "a150")
   }
 
+  test("snapshotMergeInto: composite keys — match on the full tuple only") {
+    val dir = tmpDir("snapmergeck") + "/t"
+    Layout.snapshotAppend(Seq(
+      ("a", 1, "x1"), ("a", 2, "x2"), ("b", 1, "y1"), ("b", 2, "y2"))
+      .toDF("g", "k", "s"), dir, statsCols = Seq("g", "k"))
+    // (a,2) updates; (b,3) inserts; (a,1)/(b,1)/(b,2) untouched — a
+    // single-column match on either key part would corrupt them
+    val vm = Layout.snapshotMergeInto(spark, dir,
+      Seq(("a", 2, "UPD"), ("b", 3, "NEW")).toDF("g", "k", "s"),
+      Seq("g", "k"), deletes = Some(Seq(("b", 1)).toDF("g", "k")))
+    assert(vm === 2L)
+    val got = Layout.snapshotRead(spark, dir)
+      .as[(String, Int, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("a", 1) -> "x1", ("a", 2) -> "UPD",
+      ("b", 2) -> "y2", ("b", 3) -> "NEW"))
+    // composite-key MOR delete: only the exact tuple vanishes
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(("a", 2)).toDF("g", "k"), Seq("g", "k"))
+    val got2 = Layout.snapshotRead(spark, dir)
+      .as[(String, Int, String)].collect().map(r => (r._1, r._2)).toSet
+    assert(got2 === Set(("a", 1), ("b", 2), ("b", 3)))
+  }
+
   test("snapshotMergeInto: refuses duplicate keys, null keys, schema drift") {
     val dir = tmpDir("snapmergeref") + "/t"
     Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s"), dir)
