@@ -1369,6 +1369,36 @@ object Layout {
     drop.length
   }
 
+  /** One-call table maintenance — the documented best practice as a
+    * policy: compact when the newest snapshot has more than
+    * `maxSmallFiles` data files under `targetBytes` each OR a
+    * merge-on-read delete overlay is live (compaction both fixes the
+    * small-file read tax and MATERIALIZES the overlay, re-enabling
+    * file-granular rewrites and manifest-only counts), then expire
+    * history older than `keepAgeMs` (newest always kept). Runs nothing
+    * when nothing qualifies, so it is safe — and cheap — on any cadence:
+    * the scheduled-job shape ("maintain my tables nightly") every real
+    * table format grows operational tooling for. Returns
+    * (compacted?, snapshots expired). */
+  def snapshotMaintain(spark: SparkSession, dir: String,
+      maxSmallFiles: Int = 8, targetBytes: Long = 128L << 20,
+      keepAgeMs: Long = 7L * 24 * 3600 * 1000,
+      orphanGraceMs: Long = 24L * 3600 * 1000): (Boolean, Int) = {
+    val v = snapshotLatestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val overlayLive =
+      parseDeleteMeta(snapshotMetaOf(spark, dir, v)).nonEmpty
+    val smallFiles = snapshotFiles(spark, dir, v).count { f =>
+      try fs.getFileStatus(new Path(f)).getLen < targetBytes
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val compacted = overlayLive || smallFiles > maxSmallFiles
+    if (compacted) snapshotCompact(spark, dir, targetBytes): Unit
+    val expired = snapshotExpireOlderThan(spark, dir, keepAgeMs, orphanGraceMs)
+    (compacted, expired)
+  }
+
   /** Time-based retention: expire every snapshot whose manifest was
     * committed more than `maxAgeMs` ago, always keeping at least the
     * newest — "time travel reaches back N days", the retention contract

@@ -801,6 +801,42 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotRead(spark, dir).count() === 200)
   }
 
+  test("snapshotMaintain: compacts on small files or a live overlay, else no-op") {
+    val dir = tmpDir("snapmaint") + "/t"
+    // many small files → compaction triggers
+    (1 to 4).foreach(i => Layout.snapshotAppend(
+      ((i * 10) to (i * 10 + 5)).toDF("v").repartition(3), dir))
+    val (c1, _) = Layout.snapshotMaintain(spark, dir, maxSmallFiles = 8,
+      keepAgeMs = Long.MaxValue / 2)
+    assert(c1, "12 small files must trigger compaction")
+    val rows = Layout.snapshotRead(spark, dir).as[Int].collect().sorted
+    assert(rows.length === 24)
+    // already compact → nothing runs
+    val (c2, e2) = Layout.snapshotMaintain(spark, dir, maxSmallFiles = 8,
+      keepAgeMs = Long.MaxValue / 2)
+    assert(!c2 && e2 === 0)
+    // a live merge-on-read overlay forces compaction regardless of size
+    Layout.snapshotDeleteKeys(spark, dir, Seq(10, 11).toDF("v"), Seq("v"))
+    val (c3, _) = Layout.snapshotMaintain(spark, dir, maxSmallFiles = 8,
+      keepAgeMs = Long.MaxValue / 2)
+    assert(c3, "a live overlay must be materialized by maintenance")
+    assert(Layout.snapshotMetaOf(spark, dir,
+      Layout.snapshotLatestVersion(spark, dir).get)
+      .forall(!_.startsWith("delete=")))
+    assert(Layout.snapshotRead(spark, dir).count() === 22)
+    // age-based expiry folds in: everything old goes, newest survives
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    Layout.snapshotVersions(spark, dir).dropRight(1).foreach(v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        dir, f"_snapshots/v$v%08d.manifest"), old, -1))
+    val (_, e4) = Layout.snapshotMaintain(spark, dir, maxSmallFiles = 8,
+      orphanGraceMs = 0)
+    assert(e4 > 0)
+    assert(Layout.snapshotRead(spark, dir).count() === 22)
+  }
+
   test("snapshotVersionAsOf: wall-clock time travel resolves the right version") {
     val dir = tmpDir("snapasof") + "/t"
     Layout.snapshotAppend((1 to 10).toDF("v"), dir)                  // v1
