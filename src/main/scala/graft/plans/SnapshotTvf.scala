@@ -48,12 +48,27 @@ object SnapshotTvf {
 
   private[graft] def readBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1 || args.size == 2,
-      s"snapshot_read(dir [, version]) takes 1-2 arguments, got ${args.size}")
+      s"snapshot_read(dir [, version | 'timestamp']) takes 1-2 " +
+        s"arguments, got ${args.size}")
+    val spark = SparkSession.active
     val dir = argString(args(0), "snapshot_read", "dir")
+    // second arg: a version number, or a timestamp STRING for
+    // wall-clock time travel (FOR SYSTEM_TIME AS OF) resolved against
+    // manifest commit instants via Layout.snapshotVersionAsOf
     val version =
-      if (args.size == 2) argLong(args(1), "snapshot_read", "version")
-      else -1L
-    Layout.snapshotRead(SparkSession.active, dir, version)
+      if (args.size < 2) -1L
+      else if (args(1).dataType ==
+          org.apache.spark.sql.types.StringType) {
+        val s = argString(args(1), "snapshot_read", "as-of timestamp")
+        val ms = java.sql.Timestamp.valueOf(
+          if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
+          else s + " 00:00:00").getTime
+        Layout.snapshotVersionAsOf(spark, dir, ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot_read: no snapshot at $dir committed at or " +
+              s"before '$s' (history expired, or the table is newer)"))
+      } else argLong(args(1), "snapshot_read", "version")
+    Layout.snapshotRead(spark, dir, version)
       .queryExecution.logical
   }
 

@@ -50,6 +50,32 @@ class SnapshotTvfSpec extends SparkSpec {
       .head().getLong(0) === 150)
   }
 
+  test("snapshot_read: a timestamp string second arg is wall-clock time travel") {
+    SnapshotTvf.ensureSqlDoor(spark)
+    val dir = tmpDir("snaptvf_ts") + "/t"
+    Layout.snapshotAppend((1 to 100).toDF("v"), dir)
+    Layout.snapshotAppend((101 to 150).toDF("v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_snapshots/v00000001.manifest"), 1700000000000L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      dir, "_snapshots/v00000002.manifest"), 1800000000000L, -1)
+    // 2023-11-15 is after v1's pinned instant, before v2's
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM snapshot_read('$dir', '2023-11-15 00:00:00')")
+      .head().getLong(0) === 100)
+    // an instant before any commit refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM snapshot_read('$dir', '2000-01-01')").collect()
+    }
+    assert(e.getMessage.contains("at or before"))
+    // integer versions still work unchanged
+    assert(spark.sql(s"SELECT count(*) AS n FROM snapshot_read('$dir', 2)")
+      .head().getLong(0) === 150)
+  }
+
   test("snapshot_read_where: pruned scan through pure SQL, same result") {
     SnapshotTvf.ensureSqlDoor(spark)
     val dir = tmpDir("snaptvf_rw") + "/t"

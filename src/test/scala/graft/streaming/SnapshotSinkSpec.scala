@@ -182,6 +182,40 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(dupBoot.getMessage.contains("duplicate"))
   }
 
+  test("mergeOnce restart: upserts resume from the checkpoint, view converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("snapsink-mrs") + "/t"
+    val ckpt = tmpDir("snapsink-mrs-ckpt")
+    val in = MemoryStream[(Int, String, Long)]
+    def start() = in.toDF().toDF("k", "s", "seq").writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotSink.mergeOnce(b, id, dir, Seq("k"),
+          seqCol = Some("seq")): Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q1 = start()
+    try {
+      in.addData((1, "a", 0L), (2, "b", 0L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: engine batchIds continue; the first post-restart batch
+    // updates an existing key and inserts a new one — neither dropped
+    // as a phantom replay nor applied twice
+    val q2 = start()
+    try {
+      in.addData((2, "b2", 1L), (3, "c", 1L))
+      q2.processAllAvailable()
+      in.addData((1, "a2", 2L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = Layout.snapshotRead(spark, dir)
+      .select("k", "s").as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> "a2", 2 -> "b2", 3 -> "c"))
+  }
+
   test("mergeOnce deleteCol: tombstones delete; fold resolves del-then-reinsert") {
     val dir = tmpDir("snapsink-cdc-del") + "/t"
     val keys = Seq("k")
