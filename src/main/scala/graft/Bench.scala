@@ -136,7 +136,13 @@ object Bench {
       val sf = (1 to 2)
         .map(_ => graft.streaming.SnapshotFeedBench.probe(spark))
         .maxBy(_.rowsPerSec)
-      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f}"""
+      // CDC-apply write path: file-granular merges (updates spread over
+      // every file group + inserts + tombstones) against a key-clustered
+      // table at the bench SF; max of 2
+      val mg = (1 to 2)
+        .map(_ => graft.ops.MergeBench.probe(spark, sfDir))
+        .maxBy(_.rowsPerSec)
+      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f}"""
     }
     // fixture-layout separability (judge r8 ask #7): the driver's
     // regenerated testdata ships ONE parquet row group per table, so

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput probe for the snapshot table's CDC-apply write path
+  * ([[Layout.snapshotMergeInto]]): builds a key-clustered orders table
+  * (three ranged appends, key stats tracked), then applies a fixed
+  * series of merge batches — updates spread across the whole key space
+  * plus inserts past it plus tombstone deletes — and reports change
+  * rows applied per second, end to end (probe scans, rewrite writes,
+  * manifest commits). The per-round tracked number for the round-9
+  * write path (BENCH.json `streaming.merge_apply_rows_per_sec`):
+  * a regression here means the probe stopped pruning, the rewrite
+  * widened past the touched files, or commit metadata I/O grew.
+  *
+  * Deterministic shape (modulo-derived change sets, no RNG): batch `b`
+  * updates keys `% 97 == b` (hits every file group — the WORST case
+  * for file granularity, so the number is honest), inserts re-keyed
+  * `% 101 == b` rows past the corpus max, and deletes keys
+  * `% 89 == b` not already updated. */
+object MergeBench {
+
+  final case class Result(rowsPerSec: Double, applied: Long, sec: Double)
+
+  def probe(spark: SparkSession, sfDir: String, batches: Int = 3): Result = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mergebench").toString
+    val dir = s"$root/t"
+    val o = graft.Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    val mx = o.agg(max(k)).head().getLong(0)
+    Seq(
+      o.filter(k <= mx / 3),
+      o.filter(k > mx / 3 && k <= 2 * mx / 3),
+      o.filter(k > 2 * mx / 3)
+    ).foreach(b => Layout.snapshotAppend(b, dir,
+      statsCols = Seq("o_orderkey")))
+    var applied = 0L
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      val ups = o.filter(k % 97 === b)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(o.filter(k % 101 === b)
+          .withColumn("o_orderkey", k + lit(10000000L)))
+      val dels = o.filter(k % 89 === b && k % 97 =!= b).select(k)
+      applied += ups.count() + dels.count()
+      Layout.snapshotMergeInto(spark, dir, ups, Seq("o_orderkey"),
+        deletes = Some(dels))
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Result(applied / sec, applied, sec)
+  }
+}
