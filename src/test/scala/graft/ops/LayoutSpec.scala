@@ -408,6 +408,33 @@ class LayoutSpec extends SparkSpec {
       .collect().sorted.toSeq === (1 to 120))
   }
 
+  test("snapshotMergeInto: crash before the manifest is invisible, retry clean") {
+    val dir = tmpDir("snapmergecrash") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s"), dir)
+    // simulate a merge writer dying after its rewrite data landed but
+    // before the manifest PUT: an orphan data dir at the next version
+    Seq((5, "GHOST")).toDF("k", "s")
+      .write.parquet(s"$dir/data/v00000002-deadbeef")
+    assert(Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap.apply(5) === "a5", "orphan rewrite leaked into a read")
+    // a fresh merge attempt commits cleanly at the SAME version number
+    // (data-only orphans consume nothing — only a manifest object does)
+    // under its own writer-unique token dir, never sharing the orphan's
+    val vm = Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "UPD")).toDF("k", "s"), Seq("k"))
+    assert(vm === 2L)
+    val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(got.size === 20 && got(5) === "UPD")
+    // expiry sweeps the orphan (grace waived), live data intact
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(Layout.snapshotRead(spark, dir).count() === 20)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/data/v00000002-deadbeef")), "orphan merge data not swept")
+  }
+
   test("snapshotMergeInto racing a concurrent append loses no rows either way") {
     // same optimistic-concurrency claim as the compact race: whichever
     // side wins the version race, the final table carries the appended
