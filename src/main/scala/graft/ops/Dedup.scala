@@ -121,6 +121,38 @@ object Dedup {
     out.close()
   }
 
+  /** TAKEDOWN PROPAGATION: remove `ids` from a persisted signature
+    * index. A corpus-table delete does not touch derived artifacts, so
+    * without this a removed document keeps matching future ingest
+    * batches as a dedup candidate — its shingles live on in the index.
+    * Crash-safe anti-join rewrite ([[graft.ops.Layout.atomicOverwrite]],
+    * safe self-referential); the parameter sidecar — which the staged
+    * swap replaces along with the directory — is re-created verbatim,
+    * so [[readSignatureIndex]]'s identity check keeps holding. Returns
+    * the number of index rows removed. */
+  def signatureIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$dir has no _graft_index_meta.json — not a persisted signature " +
+        "index (write it with Dedup.writeSignatureIndex)")
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val idx = spark.read.parquet(dir)
+    val keys = ids.select(col(idCol).as("id")).distinct()
+    val removed = idx.join(keys, Seq("id"), "left_semi").count()
+    if (removed > 0) {
+      graft.ops.Layout.atomicOverwrite(
+        idx.join(keys, Seq("id"), "left_anti"), dir)
+      val out = fs.create(p, true)
+      out.write(meta.getBytes("UTF-8"))
+      out.close()
+    }
+    removed
+  }
+
   /** Load a persisted signature index, asserting it was built with the
     * parameters the caller is about to join with. */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,

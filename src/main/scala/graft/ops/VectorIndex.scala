@@ -160,6 +160,36 @@ object VectorIndex {
     * are rewritten byte-identically, so retrieval before and after
     * hash-matches (spec-pinned). Returns the number of cell directories
     * compacted. */
+  /** TAKEDOWN PROPAGATION: remove `ids` from the coded table —
+    * cell-granular, the index analog of a merge-on-read materialization.
+    * A corpus-table delete (e.g. [[Layout.snapshotDeleteKeys]]) does not
+    * touch derived artifacts, so without this a removed document keeps
+    * SURFACING as a retrieval hit; the propagation must be part of the
+    * takedown runbook, not an afterthought. The probe scans only the id
+    * column (column-pruned) to find the cells holding a matching row;
+    * only those cell partition directories are rewritten
+    * ([[Layout.atomicOverwrite]] per cell — crash-safe staged swap,
+    * untouched cells byte-identical). Fits and sidecars never change:
+    * deletion cannot move the routing table under surviving rows.
+    * Returns the number of cell directories rewritten. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Int = {
+    val codedRoot = new org.apache.hadoop.fs.Path(s"$dir/coded")
+    val fs = codedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(codedRoot)) return 0
+    val keys = ids.select(col(idCol).as("id")).distinct()
+    val cells = spark.read.parquet(codedRoot.toString)
+      .join(keys, Seq("id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    cells.foreach { c =>
+      val cellDir = s"${codedRoot.toString}/cell=$c"
+      Layout.atomicOverwrite(
+        spark.read.parquet(cellDir).join(keys, Seq("id"), "left_anti"),
+        cellDir)
+    }
+    cells.length
+  }
+
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Int = {
     val codedRoot = new org.apache.hadoop.fs.Path(s"$dir/coded")

@@ -157,6 +157,34 @@ class DedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("_graft_index_meta"))
   }
 
+  test("signatureIndexDelete: a removed doc stops matching; sidecar survives") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog every day"
+    val docs = ((1L to 10L).map(i =>
+        (i, s"unique document number $i with its own words ${i * 31}"))
+      :+ (11L, dup)).toDF("doc_id", "text")
+    val dir = tmpDir("sigidxdel") + "/idx"
+    Dedup.writeSignatureIndex(
+      Dedup.bandedSignatureIndex(docs, "doc_id", "text"), dir, 24, 3, 8)
+    val batch = Seq((100L, dup)).toDF("doc_id", "text")
+    def matches() = Dedup.minhashNearDupsAgainstIndex(
+      Dedup.readSignatureIndex(spark, dir, 24, 3, 8), batch,
+      "doc_id", "text", threshold = 0.5).count()
+    assert(matches() === 1L, "fixture: the near-dup must match pre-delete")
+    // takedown: doc 11 leaves the corpus — its signatures must leave
+    // the derived index too, or it keeps matching forever
+    val removed = Dedup.signatureIndexDelete(spark, dir,
+      Seq(11L).toDF("doc_id"), "doc_id")
+    assert(removed > 0)
+    assert(matches() === 0L, "deleted doc still matches from the index")
+    // the parameter sidecar survives the rewrite (identity check holds)
+    assert(Dedup.readSignatureIndex(spark, dir, 24, 3, 8).count() > 0)
+    // deleting an absent id is a no-op (0 removed, index untouched)
+    assert(Dedup.signatureIndexDelete(spark, dir,
+      Seq(999L).toDF("doc_id"), "doc_id") === 0L)
+    assert(Dedup.readSignatureIndex(spark, dir, 24, 3, 8).count() > 0)
+  }
+
   test("minhash index: mis-shaped signatures fail loudly, never mis-score") {
     import spark.implicits._
     val docs = (1L to 10L).map(i =>

@@ -189,6 +189,46 @@ class VectorIndexSpec extends SparkSpec {
     assert(resAfter === resBefore)
   }
 
+  test("delete: removed ids stop surfacing; untouched cells byte-identical") {
+    val dir = tmpDir("vindexdel") + "/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, kCodes = 16, maxFitRows = 200)
+    val h0 = VectorIndex.read(spark, dir)
+    // probe with the victim's own vector under a FOREIGN id (retrieval
+    // self-filters on equal ids): exact rerank must put the victim at
+    // cosine ~1 pre-delete, and the index must stop producing it after
+    val victim = 5L
+    val queries = emb.filter($"vec_id" === victim)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    def hits() = VectorIndex.topKRerank(VectorIndex.read(spark, dir),
+        emb, queries, "vec_id", "embedding", k = 10, nProbe = 8)
+      .select($"nbr_id").as[Long].collect().toSet
+    assert(hits().contains(victim))
+    // capture the per-cell file layout and which cells hold the victim
+    def cellFiles(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(s"$dir/coded").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length())).toSeq.sorted).toMap
+    val before = cellFiles()
+    val victimCells = h0.coded.filter($"id" === victim)
+      .select($"cell").as[Int].collect().map(c => s"cell=$c").toSet
+    val rewritten = VectorIndex.delete(spark, dir,
+      Seq(victim).toDF("vec_id"), "vec_id")
+    assert(rewritten === victimCells.size)
+    assert(!hits().contains(victim), "deleted id still retrieved")
+    // cell granularity: every cell NOT holding the victim is untouched
+    val after = cellFiles()
+    before.keys.filterNot(victimCells).foreach { c =>
+      assert(after(c) === before(c), s"untouched $c was rewritten")
+    }
+    // the rest of the corpus still retrieves (fits unchanged)
+    assert(hits().nonEmpty)
+    // deleting an absent id rewrites nothing
+    assert(VectorIndex.delete(spark, dir,
+      Seq(999999L).toDF("vec_id"), "vec_id") === 0)
+  }
+
   test("ADC-only retrieval touches just the probed cells") {
     val dir = tmpDir("vindex5") + "/idx"
     VectorIndex.build(emb, "vec_id", "embedding", dir,
