@@ -338,6 +338,27 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q121's fixture: q103's one-shot index with a TAKEDOWN applied —
+    * every `vec_id % 10 == 3` removed from the coded table by
+    * [[graft.ops.VectorIndex.delete]] (cell-granular rewrite; fits and
+    * sidecars untouched, so q103's oracle literals still describe the
+    * routing). The oracle replays retrieval with those ids excluded
+    * from the CANDIDATE side only — queries still span vec_id < 20,
+    * including deleted ones (a removed doc may still be someone's
+    * query; it must simply never be ANSWERED with). */
+  def vectorIndexDeleteDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"vindexdel:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vindex_del").toString + "/idx"
+      val emb = T.embeddings(s, sfDir)
+      graft.ops.VectorIndex.build(emb, "vec_id", "embedding", dir,
+        nCells = 16, m = 16, kCodes = 16, maxFitRows = 2000)
+      graft.ops.VectorIndex.delete(s, dir,
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
+      dir
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

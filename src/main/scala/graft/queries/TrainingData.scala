@@ -170,11 +170,16 @@ object TrainingData {
     * same DuckDB answer proves the on-disk index is a faithful
     * serialization of the in-process fit, not a parallel implementation
     * that happens to agree on recall. */
-  private lazy val ivfPqOracleSql = s"""WITH $embCte, $nrmCte, ${centCte("CENT16_2K")}, $cscoreCte,
+  private lazy val ivfPqOracleSql = ivfPqOracle()
+
+  /** The same oracle with a corpus-side candidate filter — q121 excludes
+    * TAKEN-DOWN ids from the index's candidate set (queries still come
+    * from the full embeddings table, like the engine's). */
+  private def ivfPqOracle(candFilter: String = "TRUE") = s"""WITH $embCte, $nrmCte, ${centCte("CENT16_2K")}, $cscoreCte,
         ${bookCte("BOOKS16_2K")}, $pqEncCte,
         ccell AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
-          FROM cscore) WHERE rn = 1),
+          FROM cscore) WHERE rn = 1 AND ($candFilter)),
         probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
           FROM cscore WHERE vec_id < 20) WHERE rn <= 4),
@@ -1423,6 +1428,27 @@ object TrainingData {
       },
       Some(ivfPqOracleSql),
       headline = true),
+
+    // --------------------------------------------------------------- q121
+    // TAKEDOWN PROPAGATION, oracle-checked end to end: q103's index with
+    // every vec_id % 10 == 3 removed by VectorIndex.delete (cell-granular
+    // rewrite, fits untouched — q103's routing literals still apply),
+    // retrieved with q103's exact query workload. The oracle replays
+    // retrieval with those ids excluded from the CANDIDATE side only:
+    // hash-equality proves deleted vectors can never be answered with,
+    // surviving neighbors re-rank exactly as a from-scratch index over
+    // the reduced corpus would rank them, and deletion disturbed nothing
+    // else. The derived-artifact half of the q119 takedown story.
+    QuerySpec(
+      "q121_vector_index_delete",
+      (s, d) => {
+        val h = graft.ops.VectorIndex.read(s, Fits.vectorIndexDeleteDir(s, d))
+        val e = T.embeddings(s, d)
+        graft.ops.VectorIndex.topKRerank(h, e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracle("vec_id % 10 <> 3"))),
 
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over
