@@ -690,7 +690,16 @@ object Layout {
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
       val lines = snapshotManifestLines(spark, dir, base)
       val prev = lines.filterNot(_.startsWith("#"))
-      val carriedMeta = lines.filter(l => l.startsWith("#") && l != "#commit")
+      // carry ONLY the file-describing meta (schema / stats / older
+      // delete lines) — per-commit markers describe the commit they were
+      // written by, and carrying them would be actively wrong: an
+      // inherited `rewrite-of=` would make the change feed SKIP this
+      // delete as a zero-delta rewrite instead of refusing it, silently
+      // leaving removed rows alive downstream; an inherited `batch=`
+      // would claim the delete was a streaming micro-batch
+      val carriedMeta = lines.filter(l =>
+        l.startsWith("#" + SchemaTag) || l.startsWith("#" + StatsTag) ||
+          l.startsWith("#" + DeleteTag))
       // the key columns must exist in the table schema (else the overlay
       // anti-join fails at first read, far from the mistake)
       val tableSchema = carriedMeta.map(_.stripPrefix("#"))

@@ -908,6 +908,39 @@ class LayoutSpec extends SparkSpec {
     assert(got.size === 58)
   }
 
+  test("snapshotDeleteKeys right after a compaction: feed still refuses (no inherited rewrite marker)") {
+    val dir = tmpDir("snapmorcompact") + "/t"
+    Layout.snapshotAppend((1 to 30).toDF("v"), dir)                  // v1
+    Layout.snapshotCompact(spark, dir)                               // v2 (rewrite-of=1)
+    val vd = Layout.snapshotDeleteKeys(spark, dir,
+      Seq(5).toDF("v"), Seq("v"))                                    // v3
+    // the delete must NOT inherit the compaction's rewrite-of marker —
+    // that would make the change feed skip it as a zero-delta rewrite
+    // and leave the deleted row alive in every incremental consumer
+    assert(!Layout.snapshotMetaOf(spark, dir, vd)
+      .exists(_.startsWith("rewrite-of=")),
+      "delete version inherited the compaction's lineage marker")
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChanges(spark, dir, 2))
+    assert(e.getMessage.contains("merge-on-read"))
+    assert(Layout.snapshotRead(spark, dir).count() === 29)
+    // nor a streaming sink's batch marker: a delete on a sink-owned
+    // table must not claim to be a micro-batch commit
+    val dir2 = tmpDir("snapmorsink") + "/t"
+    require(graft.streaming.SnapshotSink.appendOnce(
+      (1 to 10).toDF("v"), 0L, dir2))
+    val vd2 = Layout.snapshotDeleteKeys(spark, dir2,
+      Seq(3).toDF("v"), Seq("v"))
+    assert(!Layout.snapshotMetaOf(spark, dir2, vd2)
+      .exists(_.startsWith("batch=")),
+      "delete version inherited the sink's batch marker")
+    // the sink's newest-marker resolution still finds batch 0 and the
+    // next real batch commits normally
+    require(graft.streaming.SnapshotSink.appendOnce(
+      (11 to 15).toDF("v"), 1L, dir2))
+    assert(Layout.snapshotRead(spark, dir2).count() === 14)
+  }
+
   test("snapshotDeleteKeys: delete key dir survives expiry while referenced") {
     val dir = tmpDir("snapmor2") + "/t"
     Layout.snapshotAppend((1 to 50).toDF("v"), dir)                  // v1
