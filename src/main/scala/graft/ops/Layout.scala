@@ -661,6 +661,14 @@ object Layout {
     * raw files and would resurrect deleted rows). Time travel below
     * the delete version still sees the rows.
     *
+    * Change-feed lifecycle: while the delete version (or any manifest
+    * still carrying its line) survives, file-granular feeds over an
+    * interval containing it refuse — INCLUDING a `fromVersion = 0`
+    * bootstrap, whose file union would resurrect the deleted rows. A
+    * routine [[snapshotMaintain]] (compact materializes, expire drops
+    * the pre-compaction manifests) restores bootstrap-ability; until
+    * then new consumers start from [[snapshotRead]] state directly.
+    *
     * `keys` needs only the key columns (extra columns are dropped);
     * tuples dedupe; NULL keys refuse (they can never equal a row).
     * Returns the committed version. */
