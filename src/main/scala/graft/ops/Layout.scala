@@ -832,6 +832,9 @@ object Layout {
       if (fromVersion == 0) Set.empty[String]
       else parseDeleteMeta(snapshotMetaOf(spark, dir, fromVersion))
         .map(_._2).toSet
+    // a fromVersion=0 bootstrap has no diff base: its FIRST step counts
+    // fully even when marked rewrite-of (the base was expired away)
+    var bootstrapFirstStep = fromVersion == 0
     val added = Seq.newBuilder[String]
     steps.foreach { v =>
       val files = snapshotRelFiles(spark, dir, v)
@@ -845,9 +848,14 @@ object Layout {
           s"delete at v$v (snapshotDeleteKeys) — removed rows are not a " +
           "file delta; recompute from snapshotRead instead")
       prevDels = delsHere
-      if (isRewriteVersion(spark, dir, v)) {
-        // pure rewrite: zero row delta by contract — adopt its file set
-        // as the new diff base, count nothing
+      if (isRewriteVersion(spark, dir, v) && !bootstrapFirstStep) {
+        // pure rewrite: zero row delta RELATIVE TO ITS BASE — adopt its
+        // file set as the new diff base, count nothing. When the walk
+        // STARTS at the rewrite (fromVersion = 0 and every earlier
+        // manifest expired), there is no base to be relative to: the
+        // rewrite IS the table, and skipping it would bootstrap a new
+        // consumer with zero rows — so it falls through to the counting
+        // branch instead and contributes its full file set.
       } else {
         val dropped = prev -- files.toSet
         require(dropped.isEmpty,
@@ -858,6 +866,7 @@ object Layout {
         added ++= files.filterNot(prev)
       }
       prev = files.toSet
+      bootstrapFirstStep = false
     }
     (to, added.result().map(rel => new Path(dir, rel).toString))
   }

@@ -941,6 +941,32 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.snapshotRead(spark, dir2).count() === 14)
   }
 
+  test("snapshotDeleteKeys lifecycle: bootstrap refuses until maintain, then clean") {
+    val dir = tmpDir("snapmorlife") + "/t"
+    Layout.snapshotAppend((1 to 40).toDF("v").repartition(1), dir)   // v1
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(7, 9).toDF("v"), Seq("v"))                                 // v2
+    // a NEW consumer's file-granular bootstrap would union v1's raw
+    // files and resurrect 7 and 9 — it must refuse while the overlay
+    // (or any manifest carrying it) survives
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChanges(spark, dir, 0))
+    assert(e.getMessage.contains("merge-on-read"))
+    // routine maintenance: compact materializes, expire drops the
+    // pre-compaction manifests — bootstrap-ability returns
+    val (compacted, _) = Layout.snapshotMaintain(spark, dir,
+      maxSmallFiles = 0, keepAgeMs = 0, orphanGraceMs = 0)
+    assert(compacted, "a live overlay must force the compaction")
+    assert(Layout.snapshotChanges(spark, dir, 0).as[Int]
+      .collect().sorted.toSeq === (1 to 40).filterNot(Set(7, 9)),
+      "post-maintain bootstrap must deliver the reduced table")
+    // and the feed tails new appends normally from here
+    Layout.snapshotAppend(Seq(100).toDF("v"), dir)
+    assert(Layout.snapshotChanges(spark, dir,
+      Layout.snapshotVersions(spark, dir).head).as[Int]
+      .collect().toSeq === Seq(100))
+  }
+
   test("snapshotDeleteKeys: delete key dir survives expiry while referenced") {
     val dir = tmpDir("snapmor2") + "/t"
     Layout.snapshotAppend((1 to 50).toDF("v"), dir)                  // v1
