@@ -128,6 +128,28 @@ class SnapshotChangeFeedSpec extends SparkSpec {
     assert(view.size === 5)
   }
 
+  test("a NEW consumer bootstraps a maintained table (first survivor = compaction)") {
+    val root = tmpDir("snapfeed_boot")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 40).toDF("v"), dir)
+    Layout.snapshotAppend((41 to 60).toDF("v"), dir)
+    // routine maintenance leaves the compaction as the OLDEST surviving
+    // version — the exact state a long-lived table is in when a new
+    // consumer arrives; its bootstrap must deliver the full table, not
+    // skip the rewrite as a zero delta
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    val sink = s"$root/sink"
+    drain(dir, s"$root/cp", sink)
+    assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
+      === (1 to 60), "bootstrap on a maintained table lost rows")
+    // and the same consumer tails new appends without re-emitting
+    Layout.snapshotAppend((61 to 70).toDF("v"), dir)
+    drain(dir, s"$root/cp", sink)
+    assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
+      === (1 to 70))
+  }
+
   test("a history rewrite in the uncommitted interval fails loudly") {
     val root = tmpDir("snapfeed_rw")
     val dir = s"$root/t"
