@@ -823,6 +823,63 @@ object Advanced {
         FROM b JOIN f USING (click_id)
         ORDER BY click_id""")),
 
+    // --------------------------------------------------------------- q122
+    // q118's NEAREST direction with a TOLERANCE: the absolute gap is
+    // bounded on BOTH sides (pandas merge_asof(direction='nearest',
+    // tolerance=...)), completing the oracle-checked direction ×
+    // tolerance matrix (backward+tol = q93, forward/backward = q90/q91,
+    // nearest = q118). The oracle composes DuckDB's two ASOF joins,
+    // invalidates candidates past the bound, then picks the nearer
+    // survivor with the tie → backward rule.
+    QuerySpec(
+      "q122_asof_nearest_tolerance",
+      (s, d) => {
+        val e = T.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.AsOfJoin.nearest(
+            clicks, purchases, Seq("user_id"), "ts", "ts",
+            tolerance = Some(600L * 1000000L)) // |gap| <= 10 minutes
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        c AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click'),
+        b AS (SELECT c.event_id AS click_id, c.user_id, c.ts,
+                p.ts AS bts, p.purchase_id AS bid
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.ts >= p.ts),
+        f AS (SELECT c.event_id AS click_id, p.ts AS fts,
+                p.purchase_id AS fid
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.ts <= p.ts),
+        g AS (SELECT b.click_id, b.user_id, b.ts,
+                CASE WHEN bts IS NOT NULL AND
+                       epoch_us(b.ts) - epoch_us(bts) <= 600000000
+                     THEN bid END AS vbid,
+                CASE WHEN bts IS NOT NULL AND
+                       epoch_us(b.ts) - epoch_us(bts) <= 600000000
+                     THEN epoch_us(b.ts) - epoch_us(bts) END AS bgap,
+                CASE WHEN fts IS NOT NULL AND
+                       epoch_us(fts) - epoch_us(b.ts) <= 600000000
+                     THEN fid END AS vfid,
+                CASE WHEN fts IS NOT NULL AND
+                       epoch_us(fts) - epoch_us(b.ts) <= 600000000
+                     THEN epoch_us(fts) - epoch_us(b.ts) END AS fgap
+              FROM b JOIN f USING (click_id))
+        SELECT click_id, user_id, epoch_us(ts) AS ts_us,
+          CASE WHEN vbid IS NOT NULL AND vfid IS NOT NULL
+                 THEN CASE WHEN bgap <= fgap THEN vbid ELSE vfid END
+               WHEN vbid IS NOT NULL THEN vbid
+               ELSE vfid END AS purchase_id
+        FROM g ORDER BY click_id""")),
+
     // ---------------------------------------------------------------- q92
     // q90 through the BROADCAST as-of plan (BroadcastAsOfJoinExec): the
     // purchases dimension is built into a broadcast relation once and the
