@@ -144,11 +144,18 @@ object Dedup {
     val keys = ids.select(col(idCol).as("id")).distinct()
     val removed = idx.join(keys, Seq("id"), "left_semi").count()
     if (removed > 0) {
-      graft.ops.Layout.atomicOverwrite(
+      // the meta sidecar is written INTO the staged directory before the
+      // swap, so the commit is atomic sidecar-included — a crash can
+      // never leave a live index directory readSignatureIndex refuses
+      // for a missing _graft_index_meta.json
+      val staged = graft.ops.Layout.stageOverwrite(
         idx.join(keys, Seq("id"), "left_anti"), dir)
-      val out = fs.create(p, true)
+      val sp = new org.apache.hadoop.fs.Path(staged,
+        "_graft_index_meta.json")
+      val out = fs.create(sp, true)
       out.write(meta.getBytes("UTF-8"))
       out.close()
+      graft.ops.Layout.commitOverwrite(spark, dir)
     }
     removed
   }

@@ -685,6 +685,12 @@ object Layout {
         .reduce[Column](_ || _)).isEmpty,
       "snapshotDeleteKeys: NULL in a key tuple — a null key never equals " +
         "any row and cannot mark a deletion")
+    // an EMPTY key set deletes nothing: committing a live overlay for it
+    // would needlessly disable snapshotRowCount, change-feed intervals,
+    // and file-granular rewrites until the next compaction
+    if (keySet.isEmpty)
+      return snapshotVersions(spark, dir).lastOption
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L

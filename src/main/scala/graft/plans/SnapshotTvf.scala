@@ -60,9 +60,17 @@ object SnapshotTvf {
       else if (args(1).dataType ==
           org.apache.spark.sql.types.StringType) {
         val s = argString(args(1), "snapshot_read", "as-of timestamp")
-        val ms = java.sql.Timestamp.valueOf(
-          if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
-          else s + " 00:00:00").getTime
+        // resolved in the SESSION time zone (spark.sql.session.timeZone),
+        // not the JVM default — the zone every other timestamp literal in
+        // the query is interpreted in; a JVM-zone parse would silently
+        // shift the AS-OF instant and return a different version
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone"))
+        val t = s.trim
+        val ldt =
+          if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+          else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        val ms = ldt.atZone(zone).toInstant.toEpochMilli
         Layout.snapshotVersionAsOf(spark, dir, ms).getOrElse(
           throw new IllegalArgumentException(
             s"snapshot_read: no snapshot at $dir committed at or " +

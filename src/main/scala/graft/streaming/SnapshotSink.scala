@@ -175,6 +175,17 @@ object SnapshotSink {
             s"SnapshotSink.mergeOnce at $dir: bootstrap batch $batchId " +
               s"holds duplicate (${keyCols.mkString(", ")}) keys and no " +
               "seqCol to fold them last-writer-wins")
+          // mirror snapshotMergeInto's updates∩deletes refusal: with no
+          // seqCol a key appearing as BOTH a live row and a tombstone is
+          // genuinely ambiguous — later batches refuse it in the merge,
+          // and silently keeping the insert here would let the ambiguity
+          // bootstrap itself into the table
+          dels.foreach { dk =>
+            require(folded.join(dk, keyCols, "left_semi").isEmpty,
+              s"SnapshotSink.mergeOnce at $dir: bootstrap batch $batchId " +
+                s"holds a key as BOTH a live row and a tombstone and no " +
+                "seqCol to order them — disambiguate upstream")
+          }
         }
         // a bootstrap tombstone deletes from an empty table: a no-op
         Layout.snapshotAppend(folded, dir,
