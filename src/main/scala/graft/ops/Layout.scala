@@ -627,6 +627,40 @@ object Layout {
       }
     }.sortBy(_._1)
 
+  /** Meta-line prefix recording a commit's row-level CHANGE-DATA record
+    * (`cdc=<upserts rel dir | '-'>|<delete-keys rel dir | '-'>|<k1,k2,…>`)
+    * — the delta a file diff cannot represent, captured AT COMMIT TIME
+    * while the writer still knows it. Written by [[snapshotDeleteKeys]]
+    * (delete side = its own key file, reused verbatim) and
+    * [[snapshotMergeInto]] (delete side = the keys whose rows were
+    * actually dropped from touched files; upsert side = the update rows
+    * written once more into their own O(batch) directory — the
+    * Delta-CDF `_change_data` trade: a small extra write per commit so
+    * incremental consumers never rescan the table). Per-commit metadata,
+    * never carried forward; [[snapshotExpire]] keeps the referenced
+    * directories alive as long as the manifest that names them. */
+  private[graft] val CdcTag = "cdc="
+
+  /** Decoded `cdc=` record: rel dirs of the upsert rows / delete key
+    * tuples (absent side = `-`), and the key column names. */
+  private[ops] final case class CdcMeta(ups: Option[String],
+      dels: Option[String], keyCols: Seq[String])
+
+  private def parseCdcMeta(meta: Seq[String]): Option[CdcMeta] =
+    meta.find(_.startsWith(CdcTag)).flatMap { m =>
+      m.stripPrefix(CdcTag).split('|') match {
+        case Array(u, d, cols) => Some(CdcMeta(
+          Some(u).filter(_ != "-"), Some(d).filter(_ != "-"),
+          cols.split(',').toSeq.filter(_.nonEmpty)))
+        case _ => None
+      }
+    }
+
+  /** The change-data frames a file-granular commit asks
+    * [[commitFileGranular]] to persist alongside its manifest. */
+  private[ops] final case class CdcData(ups: Option[DataFrame],
+      delKeys: Option[DataFrame], keyCols: Seq[String])
+
   /** Commit version encoded in a manifest-relative path's
     * `data/vNNNNNNNN-token` dir prefix. */
   private def relDirVersion(rel: String): Option[Long] = {
@@ -736,7 +770,11 @@ object Layout {
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val delLine = s"#$DeleteTag$rel|${keyCols.mkString(",")}"
-      val body = ((carriedMeta :+ delLine) ++ prev)
+      // the key file doubles as the commit's typed change record: the
+      // typed feed (snapshotChangesTyped) emits its tuples as delete
+      // rows instead of refusing the interval
+      val cdcLine = s"#$CdcTag-|$rel|${keyCols.mkString(",")}"
+      val body = ((carriedMeta :+ delLine :+ cdcLine) ++ prev)
         .map(_ + "\n").mkString.getBytes("UTF-8") ++ "#commit\n".getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
       else fs.delete(new Path(dir, rel), true)
@@ -877,6 +915,166 @@ object Layout {
     (to, added.result().map(rel => new Path(dir, rel).toString))
   }
 
+  /** DELETE-AWARE (row-level) incremental scan — the typed generation of
+    * [[snapshotChanges]]: every change in `(fromVersion, toVersion]` as
+    * rows of the table schema plus two metadata columns,
+    * `_change_type` (`"insert"` | `"delete"`) and `_commit_version`
+    * (the version that made the change) — Delta's CDF shape,
+    * re-expressed in the manifest protocol. Where the file-granular
+    * feed REFUSES any interval containing a [[snapshotDeleteKeys]] or
+    * [[snapshotMergeInto]] version (removed rows are not a file
+    * delta), this feed replays them from the change records those
+    * commits persist (`cdc=` lines):
+    *
+    *  - an APPEND version contributes its added files as inserts;
+    *  - a [[snapshotDeleteKeys]] version contributes its key tuples as
+    *    DELETE rows — key columns populated, every other column NULL
+    *    (the commit stores keys, not rows: a delete row is the
+    *    assertion "this key is absent after this version", and may name
+    *    a key that was never present — idempotent-consumer semantics);
+    *  - a [[snapshotMergeInto]] version contributes delete rows for the
+    *    keys whose rows were actually dropped and insert rows for every
+    *    update row (an update = delete + insert at the same version);
+    *  - a [[snapshotCompact]] rewrite contributes nothing — INCLUDING
+    *    one that materializes a live delete overlay, whose removed rows
+    *    were already emitted when their delete version was walked;
+    *  - [[snapshotDeleteWhere]] and full rewrites still refuse: a
+    *    predicate delete records no key set to replay.
+    *
+    * Consumer contract: apply changes in `_commit_version` order, and
+    * within one version deletes BEFORE inserts (a merge replaces rows).
+    * `fromVersion = 0` bootstraps with the overlay-APPLIED state of the
+    * first surviving version as inserts — so unlike the file-granular
+    * feed, a new consumer can bootstrap while a merge-on-read overlay
+    * is live. This is what keeps downstream incremental artifacts
+    * (vector index, signature index, sketch panels) incremental when
+    * takedowns flow: feed → [[VectorIndex.delete]]/append instead of a
+    * full recompute. */
+  def snapshotChangesTyped(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long = -1L): DataFrame =
+    typedChangesPlan(spark, dir, fromVersion, toVersion,
+      (paths, schema) =>
+        if (paths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(paths: _*))
+
+  /** The plan half of [[snapshotChangesTyped]], generic over HOW a
+    * parquet file set becomes a DataFrame so the streaming change-feed
+    * source can reuse the walk verbatim with streaming-tagged relations
+    * ([[org.apache.spark.sql.GraftPlanBridge.parquetFilesAsStreaming]]).
+    * `reader(paths, schema)` must honor the schema (by-name parquet
+    * resolution null-fills evolved columns) and return an EMPTY frame of
+    * that schema for an empty path list. */
+  private[graft] def typedChangesPlan(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long,
+      reader: (Seq[String], org.apache.spark.sql.types.StructType)
+        => DataFrame): DataFrame = {
+    require(toVersion == -1L || toVersion >= 1,
+      s"snapshotChangesTyped: toVersion must be a committed version " +
+        s"(>= 1) or the latest-version sentinel -1, got $toVersion")
+    val to = if (toVersion == -1L)
+      snapshotVersions(spark, dir).lastOption
+        .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    else toVersion
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"snapshotChangesTyped: need 0 <= fromVersion <= toVersion, " +
+        s"got $fromVersion..$to")
+    val steps = snapshotVersions(spark, dir)
+      .filter(v => v > fromVersion && v <= to)
+    require(to == fromVersion || steps.lastOption.contains(to),
+      s"snapshotChangesTyped: v$to at $dir is not a committed snapshot")
+    // every piece reconciles to the schema of record at `to`
+    val toLines = snapshotManifestLines(spark, dir, to)
+    val tableSchema = toLines.find(_.startsWith("#" + SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
+      .orElse(toLines.filterNot(_.startsWith("#")).headOption.map(rel =>
+        spark.read.parquet(new Path(dir, rel).toString).schema))
+      .getOrElse(sys.error(
+        s"snapshotChangesTyped: v$to at $dir has no files and no " +
+          "recorded schema — nothing to derive the feed schema from"))
+    val tableCols = tableSchema.fieldNames.toIndexedSeq.map(col)
+    def withMeta(df: DataFrame, ct: String, v: Long): DataFrame =
+      df.select(tableCols: _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    var prev: Set[String] = if (fromVersion == 0) Set.empty[String]
+      else snapshotRelFiles(spark, dir, fromVersion).toSet
+    var prevDels: Set[String] =
+      if (fromVersion == 0) Set.empty[String]
+      else parseDeleteMeta(snapshotMetaOf(spark, dir, fromVersion))
+        .map(_._2).toSet
+    var bootstrapFirstStep = fromVersion == 0
+    val pieces = Seq.newBuilder[DataFrame]
+    steps.foreach { v =>
+      val lines = snapshotManifestLines(spark, dir, v)
+      val files = lines.filterNot(_.startsWith("#"))
+      val meta = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      val delsHere = parseDeleteMeta(meta)
+      val cdc = parseCdcMeta(meta)
+      if (bootstrapFirstStep) {
+        // no diff base: the table STATE at v — overlay applied, so a
+        // live merge-on-read delete never bootstraps removed rows
+        pieces += withMeta(overlayRead(spark, dir,
+          rs => reader(rs.map(r => new Path(dir, r).toString), tableSchema),
+          files, delsHere), "insert", v)
+      } else if (cdc.isDefined) {
+        val c = cdc.get
+        c.dels.foreach { dRel =>
+          val keySchema = org.apache.spark.sql.types.StructType(
+            c.keyCols.map { k =>
+              tableSchema.fields.find(_.name.equalsIgnoreCase(k))
+                .getOrElse(sys.error(
+                  s"snapshotChangesTyped: cdc key column '$k' of v$v is " +
+                    s"not in the table schema ${tableSchema.catalogString}"))
+                .copy(name = k)
+            })
+          val keys = reader(
+            Seq(new Path(dir, dRel).toString), keySchema)
+          val cols = tableSchema.fields.toIndexedSeq.map { f =>
+            c.keyCols.find(_.equalsIgnoreCase(f.name))
+              .map(k => col(k).cast(f.dataType).as(f.name))
+              .getOrElse(lit(null).cast(f.dataType).as(f.name))
+          }
+          pieces += withMeta(keys.select(cols: _*), "delete", v)
+        }
+        c.ups.foreach { uRel =>
+          pieces += withMeta(
+            reader(Seq(new Path(dir, uRel).toString), tableSchema),
+            "insert", v)
+        }
+      } else if (isRewriteVersion(spark, dir, v)) {
+        // pure rewrite: zero row delta relative to its base (a
+        // compaction materializing an overlay included — those rows
+        // were emitted as deletes at their own version)
+      } else {
+        require(delsHere.map(_._2).toSet.subsetOf(prevDels),
+          s"snapshotChangesTyped: v$v at $dir adds a merge-on-read " +
+            "delete with no cdc record (pre-CDC table?); recompute " +
+            "from snapshotRead instead")
+        val dropped = prev -- files.toSet
+        require(dropped.isEmpty,
+          s"snapshotChangesTyped: v$fromVersion..v$to is not " +
+            s"append-only — ${dropped.size} file(s) vanish at v$v with " +
+            "no cdc record and no rewrite marker (snapshotDeleteWhere " +
+            "or a full rewrite); recompute from snapshotRead instead")
+        val added = files.filterNot(prev)
+        if (added.nonEmpty)
+          pieces += withMeta(reader(
+            added.map(r => new Path(dir, r).toString), tableSchema),
+            "insert", v)
+      }
+      prev = files.toSet
+      prevDels = delsHere.map(_._2).toSet
+      bootstrapFirstStep = false
+    }
+    pieces.result() match {
+      case Seq() => withMeta(reader(Nil, tableSchema), "insert", to)
+      case ps    => ps.reduce(_ unionByName _)
+    }
+  }
+
   /** Compaction for a SNAPSHOT table: rewrite the newest snapshot's rows
     * into ⌈size/targetBytes⌉ files and commit them as a new version whose
     * manifest carries the `rewrite-of=<base>` lineage marker — a PURE
@@ -938,7 +1136,9 @@ object Layout {
         else Some(reader(touched)
           // keep FALSE and NULL — SQL DELETE removes only TRUE
           .filter(!coalesce(cond, lit(false))))
-      (touched, survivors)
+      // deliberately NO cdc record: a predicate delete has no key set to
+      // replay, so the typed feed refuses across it (doc contract)
+      (touched, survivors, None)
     }
 
   /** Meta marker a [[snapshotMergeInto]] commit attaches
@@ -1096,7 +1296,23 @@ object Layout {
             Some(if (nUpd == 0) survivors
               else survivors.unionByName(updates.select(outCols: _*)))
           }
-        (touched, rows)
+        // change record for the typed feed: delete side = the keys whose
+        // rows were ACTUALLY dropped (matched in a touched file — a
+        // tombstone for an absent key is a no-op, not a change); upsert
+        // side = every update row. An updated key thus replays as
+        // delete(old key) + insert(new row), an unmatched one as a bare
+        // insert — exactly the CDC shape downstream consumers apply.
+        val matchedKeys =
+          if (touched.isEmpty) None
+          else Some(reader(touched)
+            .join(dropKeys, keyCols, "left_semi")
+            .select(keyCols.map(col): _*).distinct())
+        val cdc =
+          if (nUpd == 0 && matchedKeys.isEmpty) None
+          else Some(CdcData(
+            if (nUpd > 0) Some(updates.select(outCols: _*)) else None,
+            matchedKeys, keyCols))
+        (touched, rows, cdc)
     }
   }
 
@@ -1118,18 +1334,21 @@ object Layout {
 
   /** Optimistic FILE-GRANULAR commit (shared by [[snapshotDeleteWhere]]
     * and [[snapshotMergeInto]]): `touch(base, readerOf, tableSchema)`
-    * names the manifest-relative files to REPLACE and the frame of
-    * replacement rows; every other file of `base` is carried forward
-    * byte-identical WITH its stats line, and replacement files get
-    * fresh stats over the same tracked column set. Losing the version
-    * race re-probes against the new base (a concurrent append's files
-    * are never dropped); a racer that loses to us carries our manifest
-    * forward on its retry. */
+    * names the manifest-relative files to REPLACE, the frame of
+    * replacement rows, and (optionally) the commit's [[CdcData]] change
+    * record — persisted to its own `-cdcu`/`-cdcd` data directories and
+    * recorded as a `cdc=` manifest line so [[snapshotChangesTyped]] can
+    * replay the commit row-level. Every untouched file of `base` is
+    * carried forward byte-identical WITH its stats line, and
+    * replacement files get fresh stats over the same tracked column
+    * set. Losing the version race re-probes against the new base (a
+    * concurrent append's files are never dropped); a racer that loses
+    * to us carries our manifest forward on its retry. */
   private def commitFileGranular(spark: SparkSession, dir: String,
       op: String, metaOf: (Seq[String], Int) => Seq[String])(
       touch: (Long, Seq[String] => DataFrame,
         org.apache.spark.sql.types.StructType)
-        => (Seq[String], Option[DataFrame])): Long = {
+        => (Seq[String], Option[DataFrame], Option[CdcData])): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
@@ -1171,7 +1390,7 @@ object Layout {
         recorded.map(s => spark.read.schema(s)).getOrElse(spark.read)
           .parquet(paths: _*)
       }
-      val (touched, replacement) = touch(base, readerOf, tableSchema)
+      val (touched, replacement, cdcData) = touch(base, readerOf, tableSchema)
       val prevSet = prev.toSet
       val unknown = touched.filterNot(prevSet)
       require(unknown.isEmpty,
@@ -1197,10 +1416,28 @@ object Layout {
             .sorted.toSeq
         case None => Seq.empty[String]
       }
+      // persist the commit's change record next to its data (own dirs,
+      // O(batch) writes) and name it in a cdc= line the typed feed reads
+      val cdcDirs = Seq.newBuilder[Path]
+      val cdcLine = cdcData.flatMap { c =>
+        def put(side: Option[DataFrame], tag: String): Option[String] =
+          side.map { d =>
+            val r = f"data/v$v%08d-$token-$tag"
+            d.write.mode(SaveMode.Overwrite)
+              .parquet(new Path(dir, r).toString)
+            cdcDirs += new Path(dir, r)
+            r
+          }
+        val u = put(c.ups, "cdcu")
+        val dl = put(c.delKeys, "cdcd")
+        if (u.isEmpty && dl.isEmpty) None
+        else Some(s"$CdcTag${u.getOrElse("-")}|${dl.getOrElse("-")}|" +
+          c.keyCols.mkString(","))
+      }
       val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val metaOut = metaOf(touched, carried.size)
+      val metaOut = metaOf(touched, carried.size) ++ cdcLine
       metaOut.foreach(m => require(!m.contains("\n") && m != "commit",
         s"snapshot meta line may not contain newlines or be 'commit': $m"))
       val body = ((metaOut.map(m => s"#$m")
@@ -1209,7 +1446,10 @@ object Layout {
           ++ carried ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
-      else if (replacement.isDefined) fs.delete(dataDir, true)
+      else {
+        if (replacement.isDefined) fs.delete(dataDir, true)
+        cdcDirs.result().foreach(fs.delete(_, true))
+      }
     }
     committed
   }
@@ -1390,7 +1630,13 @@ object Layout {
       // by the file list — they must survive until their manifests do
       surviving.flatMap(v =>
         parseDeleteMeta(snapshotMetaOf(spark, dir, v)).map(d =>
-          new Path(dir, d._2).getName))).toSet
+          new Path(dir, d._2).getName)) ++
+      // change-data dirs (cdc= lines) likewise live exactly as long as
+      // the manifest naming them — the typed feed reads them per version
+      surviving.flatMap(v =>
+        parseCdcMeta(snapshotMetaOf(spark, dir, v)).toSeq
+          .flatMap(c => c.ups.toSeq ++ c.dels.toSeq)
+          .map(rel => new Path(dir, rel).getName))).toSet
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot)

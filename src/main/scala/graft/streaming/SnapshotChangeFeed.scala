@@ -61,27 +61,60 @@ class SnapshotChangeFeed extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot-changes: .load(<snapshot table dir>) is required"))
 
+  /** `.option("changeTypes", true)`: emit the DELETE-AWARE typed feed —
+    * table columns plus `_change_type` / `_commit_version`
+    * ([[Layout.snapshotChangesTyped]] semantics per micro-batch), so a
+    * downstream consumer keeps derived state incremental across
+    * takedowns (`snapshotDeleteKeys`) and merges instead of the
+    * file-granular feed's refusal. */
+  private def typedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changeTypes").exists(_.trim.equalsIgnoreCase("true"))
+
+  private def typedSchema(s: StructType): StructType =
+    org.apache.spark.sql.types.StructType(s.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
       Layout.snapshotRead(sqlContext.sparkSession, dirOf(parameters))
-        .schema))
+        .schema)
+    (shortName(), if (typedOf(parameters)) typedSchema(base) else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
-    val resolved = schema.getOrElse(
-      Layout.snapshotRead(sqlContext.sparkSession, dir).schema)
-    new SnapshotChangesSource(sqlContext, dir, resolved)
+    val typed = typedOf(parameters)
+    // `schema` arrives as sourceSchema's answer on restart paths — strip
+    // the meta columns so the base schema round-trips
+    val resolved = schema.map { s =>
+      if (typed) StructType(s.fields.filterNot(f =>
+        f.name == "_change_type" || f.name == "_commit_version"))
+      else s
+    }.getOrElse(Layout.snapshotRead(sqlContext.sparkSession, dir).schema)
+    new SnapshotChangesSource(sqlContext, dir, resolved, typed)
   }
 }
 
 private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
-    dir: String, override val schema: StructType) extends Source {
+    dir: String, baseSchema: StructType,
+    typed: Boolean = false) extends Source {
 
   private val spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    if (!typed) baseSchema
+    else org.apache.spark.sql.types.StructType(baseSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset       => l.offset
@@ -97,8 +130,17 @@ private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(0L)
-    val files = Layout.snapshotChangeFiles(spark, dir, from, version(end))
-    GraftPlanBridge.parquetFilesAsStreaming(spark, files, schema)
+    if (typed)
+      // the SAME typed walk the batch API plans, with every file set
+      // wrapped as a streaming-tagged relation (projections/unions/the
+      // static-side overlay anti-join all preserve the streaming tag)
+      Layout.typedChangesPlan(spark, dir, from, version(end),
+        (paths, s) =>
+          GraftPlanBridge.parquetFilesAsStreaming(spark, paths, s))
+    else {
+      val files = Layout.snapshotChangeFiles(spark, dir, from, version(end))
+      GraftPlanBridge.parquetFilesAsStreaming(spark, files, baseSchema)
+    }
   }
 
   override def stop(): Unit = ()

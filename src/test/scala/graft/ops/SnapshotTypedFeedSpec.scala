@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DELETE-AWARE typed change feed ([[Layout.snapshotChangesTyped]]):
+  * inserts from appends, delete rows from merge-on-read key files and
+  * merge drop-sets, update = delete + insert at one version, rewrite
+  * transparency, bootstrap across a live overlay, refusal only where no
+  * change record exists, and cdc-dir lifetime under expiry. */
+class SnapshotTypedFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, String, Int)] =
+    df.select(col("_commit_version"), col("_change_type"), col("k"))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+
+  /** k-keyed table: v1 appends 1-10, v2 appends 11-20. */
+  private def twoAppends(dir: String): Unit = {
+    Layout.snapshotAppend((1 to 10).map(k => (k, s"a$k")).toDF("k", "s"), dir)
+    Layout.snapshotAppend((11 to 20).map(k => (k, s"a$k")).toDF("k", "s"), dir)
+  }
+
+  test("appends emit inserts with their commit version") {
+    val dir = s"${tmpDir("typedfeed")}/t"
+    twoAppends(dir)
+    val ev = events(Layout.snapshotChangesTyped(spark, dir, 0L))
+    assert(ev === (1 to 10).map(k => (1L, "insert", k)) ++
+      (11 to 20).map(k => (2L, "insert", k)))
+    // interval (1, 2] sees only the second append
+    assert(events(Layout.snapshotChangesTyped(spark, dir, 1L)) ===
+      (11 to 20).map(k => (2L, "insert", k)))
+  }
+
+  test("snapshotDeleteKeys emits key-only delete rows; non-key columns NULL") {
+    val dir = s"${tmpDir("typedfeed_d")}/t"
+    twoAppends(dir)
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(3, 15).toDF("k"), Seq("k"))
+    val typed = Layout.snapshotChangesTyped(spark, dir, 2L)
+    assert(events(typed) === Seq((3L, "delete", 3), (3L, "delete", 15)))
+    // delete rows carry NULL in every non-key column
+    assert(typed.filter(col("_change_type") === "delete" &&
+      col("s").isNotNull).isEmpty)
+    // schema = table columns + the two meta columns
+    assert(typed.columns.toSeq ===
+      Seq("k", "s", "_change_type", "_commit_version"))
+  }
+
+  test("merge emits delete for dropped keys + insert for every update row") {
+    val dir = s"${tmpDir("typedfeed_m")}/t"
+    twoAppends(dir)
+    // update k=5 (exists → delete+insert), insert k=99 (absent → insert
+    // only), tombstone k=7 (exists → delete), tombstone k=888 (absent →
+    // nothing: a no-op tombstone is not a change)
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "UPD"), (99, "NEW")).toDF("k", "s"), Seq("k"),
+      deletes = Some(Seq(7, 888).toDF("k")))
+    val ev = events(Layout.snapshotChangesTyped(spark, dir, 2L))
+    assert(ev === Seq((3L, "delete", 5), (3L, "delete", 7),
+      (3L, "insert", 5), (3L, "insert", 99)))
+    // replaying the typed feed over the pre-merge state converges to the
+    // merged table: deletes before inserts within a version
+    val before = (1 to 20).map(k => (k, s"a$k")).toDF("k", "s")
+    val typed = Layout.snapshotChangesTyped(spark, dir, 2L)
+    val dels = typed.filter(col("_change_type") === "delete").select("k")
+    val ins = typed.filter(col("_change_type") === "insert").select("k", "s")
+    val replayed = before.join(dels, Seq("k"), "left_anti").unionByName(ins)
+    val want = Layout.snapshotRead(spark, dir).select("k", "s")
+    assert(replayed.except(want).isEmpty && want.except(replayed).isEmpty)
+  }
+
+  test("compaction (incl. one materializing a live overlay) emits nothing") {
+    val dir = s"${tmpDir("typedfeed_c")}/t"
+    twoAppends(dir)
+    Layout.snapshotDeleteKeys(spark, dir, Seq(4).toDF("k"), Seq("k"))
+    Layout.snapshotCompact(spark, dir) // materializes the overlay
+    Layout.snapshotAppend(Seq((21, "a21")).toDF("k", "s"), dir)
+    val ev = events(Layout.snapshotChangesTyped(spark, dir, 2L))
+    // delete surfaced ONCE (at v3), the compaction contributed nothing
+    assert(ev === Seq((3L, "delete", 4), (5L, "insert", 21)))
+  }
+
+  test("bootstrap (from=0) across a LIVE overlay replays history incl. the delete") {
+    val dir = s"${tmpDir("typedfeed_b")}/t"
+    twoAppends(dir)
+    Layout.snapshotDeleteKeys(spark, dir, Seq(4, 18).toDF("k"), Seq("k"))
+    // no compaction: the overlay is live. The file-granular feed refuses
+    // this bootstrap outright; the typed feed replays the full history —
+    // inserts at their append versions, the takedown as delete rows —
+    // which folds to the overlay-applied state
+    intercept[IllegalArgumentException] {
+      Layout.snapshotChanges(spark, dir, 0L)
+    }
+    val ev = events(Layout.snapshotChangesTyped(spark, dir, 0L))
+    assert(ev === (1 to 10).map(k => (1L, "insert", k)) ++
+      (11 to 20).map(k => (2L, "insert", k)) ++
+      Seq((3L, "delete", 4), (3L, "delete", 18)))
+    // and once maintenance leaves the materializing compaction as the
+    // first survivor, a new consumer bootstraps the overlay-applied STATE
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    val boot = events(Layout.snapshotChangesTyped(spark, dir, 0L))
+    assert(boot === (1 to 20).filterNot(k => k == 4 || k == 18)
+      .map(k => (4L, "insert", k)))
+  }
+
+  test("update after a bootstrap interval replays in version order") {
+    val dir = s"${tmpDir("typedfeed_o")}/t"
+    twoAppends(dir)
+    Layout.snapshotDeleteKeys(spark, dir, Seq(6).toDF("k"), Seq("k"))
+    Layout.snapshotAppend(Seq((6, "reborn")).toDF("k", "s"), dir)
+    // delete at v3, re-insert at v4 — both visible, ordered by version
+    val ev = events(Layout.snapshotChangesTyped(spark, dir, 2L))
+    assert(ev === Seq((3L, "delete", 6), (4L, "insert", 6)))
+  }
+
+  test("snapshotDeleteWhere still refuses (no change record to replay)") {
+    val dir = s"${tmpDir("typedfeed_r")}/t"
+    twoAppends(dir)
+    Layout.snapshotDeleteWhere(spark, dir, col("k") > 15)
+    val e = intercept[IllegalArgumentException] {
+      Layout.snapshotChangesTyped(spark, dir, 1L).collect()
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // a bootstrap walks the same history, so it refuses too — until
+    // maintenance expires the pre-delete versions, after which the first
+    // survivor IS the post-delete state
+    intercept[IllegalArgumentException] {
+      Layout.snapshotChangesTyped(spark, dir, 0L).collect()
+    }
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(events(Layout.snapshotChangesTyped(spark, dir, 0L))
+      .map(_._3).toSet === (1 to 15).toSet)
+  }
+
+  test("expire keeps cdc dirs exactly as long as their manifest survives") {
+    val dir = s"${tmpDir("typedfeed_e")}/t"
+    twoAppends(dir)
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "UPD")).toDF("k", "s"), Seq("k"))
+    Layout.snapshotAppend(Seq((21, "a21")).toDF("k", "s"), dir)
+    // v2 (the consumer's checkpoint), v3 (the merge, whose cdc dirs the
+    // feed reads) and v4 survive → the typed interval must still replay
+    Layout.snapshotExpire(spark, dir, keep = 3, orphanGraceMs = 0)
+    val ev = events(Layout.snapshotChangesTyped(spark, dir, 2L))
+    assert(ev === Seq((3L, "delete", 5), (3L, "insert", 5),
+      (4L, "insert", 21)))
+    // expire past v3 → cdc dirs for it are swept with the manifest
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).filter(_.contains("-cdc"))
+    assert(leftover.isEmpty, s"cdc dirs leaked past expiry: ${leftover.toSeq}")
+  }
+
+  test("typed feed across an add-column evolution null-fills old delta files") {
+    val dir = s"${tmpDir("typedfeed_ev")}/t"
+    Layout.snapshotAppend((1 to 5).map(k => (k, s"a$k")).toDF("k", "s"), dir)
+    Layout.snapshotEvolve(
+      (6 to 8).map(k => (k, s"a$k", k * 1.5)).toDF("k", "s", "q"), dir)
+    val typed = Layout.snapshotChangesTyped(spark, dir, 0L)
+    assert(typed.columns.toSeq ===
+      Seq("k", "s", "q", "_change_type", "_commit_version"))
+    assert(typed.filter(col("_commit_version") === 1 &&
+      col("q").isNotNull).isEmpty)
+    assert(typed.filter(col("_commit_version") === 2).count() === 3)
+  }
+
+  test("empty interval yields an empty, correctly-shaped frame") {
+    val dir = s"${tmpDir("typedfeed_0")}/t"
+    twoAppends(dir)
+    val typed = Layout.snapshotChangesTyped(spark, dir, 2L, 2L)
+    assert(typed.columns.toSeq ===
+      Seq("k", "s", "_change_type", "_commit_version"))
+    assert(typed.isEmpty)
+  }
+}

@@ -165,6 +165,126 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not append-only")))
   }
 
+  test("typed feed (changeTypes): deletes and merges stream as _change_type rows") {
+    val root = tmpDir("snapfeed_t")
+    val dir = s"$root/t"; val sink = s"$root/sink"; val cp = s"$root/cp"
+    Layout.snapshotAppend(
+      (1 to 20).map(k => (k, s"a$k")).toDF("k", "s"), dir)
+    def drainTyped(): Unit = {
+      val q = spark.readStream
+        .format("graft-snapshot-changes").option("changeTypes", "true")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainTyped()
+    def ev = spark.read.parquet(sink)
+      .select("_commit_version", "_change_type", "k")
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(ev === (1 to 20).map(k => (1L, "insert", k)))
+
+    // a takedown + a merge land while the consumer is down; the restart
+    // delta streams them as typed rows instead of refusing
+    Layout.snapshotDeleteKeys(spark, dir, Seq(3, 7).toDF("k"), Seq("k"))
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "UPD"), (99, "NEW")).toDF("k", "s"), Seq("k"),
+      deletes = Some(Seq(10).toDF("k")))
+    drainTyped()
+    assert(ev === (1 to 20).map(k => (1L, "insert", k)) ++ Seq(
+      (2L, "delete", 3), (2L, "delete", 7),
+      (4L, "delete", 5), (4L, "delete", 10),
+      (4L, "insert", 5), (4L, "insert", 99)))
+    // delete rows carry NULL non-key columns on the stream too
+    assert(spark.read.parquet(sink)
+      .filter(col("_change_type") === "delete" && col("s").isNotNull)
+      .isEmpty)
+    // nothing new → a drain emits nothing
+    drainTyped()
+    assert(spark.read.parquet(sink).count() === 26)
+  }
+
+  test("typed feed: a micro-batch REPLAYED across the delete version no-ops downstream") {
+    val root = tmpDir("snapfeed_tr")
+    val up = s"$root/up"; val down = s"$root/down"; val cp = s"$root/cp"
+    Layout.snapshotAppend((1 to 10).map(k => (k, s"a$k")).toDF("k", "s"), up)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft-snapshot-changes").option("changeTypes", "true")
+        .load(up)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          { SnapshotSink.appendOnce(b, id, down); () })
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    Layout.snapshotDeleteKeys(spark, up, Seq(2, 9).toDF("k"), Seq("k"))
+    Layout.snapshotAppend(Seq((2, "reborn")).toDF("k", "s"), up)
+    drain()
+    def ev = Layout.snapshotRead(spark, down)
+      .select("_commit_version", "_change_type", "k")
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    val want = (1 to 10).map(k => (1L, "insert", k)) ++
+      Seq((2L, "delete", 2), (2L, "delete", 9), (3L, "insert", 2))
+    assert(ev === want)
+    // crash window: the sink committed batch 1 but the checkpoint's
+    // commit record was lost — the engine re-runs the SAME batchId over
+    // the SAME version interval (the one containing the delete), and the
+    // downstream sink must recognize the replay and no-op
+    val commits = new org.apache.hadoop.fs.Path(cp, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = fs.listStatus(commits).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    fs.delete(newest, false)
+    drain()
+    assert(ev === want, "replayed typed micro-batch re-committed downstream")
+  }
+
+  test("typed feed drives a keyed view through mergeOnce: takedowns propagate") {
+    val root = tmpDir("snapfeed_tm")
+    val up = s"$root/up"; val down = s"$root/down"
+    Layout.snapshotAppend(
+      (1 to 8).map(k => (k, s"a$k")).toDF("k", "s"), up)
+    def applyTyped(): Unit = {
+      val q = spark.readStream
+        .format("graft-snapshot-changes").option("changeTypes", "true")
+        .load(up)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          SnapshotSink.mergeOnce(
+            // consumer contract: within a version deletes apply BEFORE
+            // inserts — encoded as a strict per-key order so the fold
+            // resolves an update's delete+insert pair to the insert
+            b.withColumn("_del", col("_change_type") === "delete")
+              .withColumn("_seq", col("_commit_version") * 2 +
+                when(col("_del"), 0L).otherwise(1L))
+              .drop("_change_type", "_commit_version"),
+            id, down, Seq("k"), seqCol = Some("_seq"),
+            deleteCol = Some("_del")): Unit)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    applyTyped()
+    Layout.snapshotDeleteKeys(spark, up, Seq(3, 6).toDF("k"), Seq("k"))
+    Layout.snapshotCompact(spark, up) // materialize before the merge
+    Layout.snapshotMergeInto(spark, up,
+      Seq((1, "UPD")).toDF("k", "s"), Seq("k"))
+    applyTyped()
+    val view = Layout.snapshotRead(spark, down)
+      .select("k", "s").as[(Int, String)].collect().toMap
+    assert(view === Map(1 -> "UPD", 2 -> "a2", 4 -> "a4", 5 -> "a5",
+      7 -> "a7", 8 -> "a8"))
+  }
+
   test("schema comes from the table; empty table dir refuses with a clear error") {
     val root = tmpDir("snapfeed_s")
     val dir = s"$root/t"
