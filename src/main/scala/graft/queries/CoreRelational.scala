@@ -756,6 +756,61 @@ object CoreRelational {
         WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_totalprice > 50000
         GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // --------------------------------------------------------------- q123
+    // The DELETE-AWARE typed change feed (Layout.snapshotChangesTyped):
+    // the row-level CDC surface the file-granular feed cannot express —
+    // merge-on-read takedowns and MERGE rewrites replay as
+    // _change_type delete/insert rows ordered by _commit_version, from
+    // change records persisted AT COMMIT TIME (the Delta-CDF trade), so
+    // downstream incremental consumers survive exactly the operations
+    // that used to force a full recompute. The fixture's history is two
+    // appends → a % 7 takedown → the materializing compaction (feeds
+    // NOTHING) → a merge (updates % 10 == 1, tombstones % 10 == 2);
+    // every rule is key arithmetic, so the oracle replays the whole
+    // event stream from the base table — including that the merge's
+    // delete side is only the keys that still EXISTED (% 7 <> 0), and a
+    // tombstone for an absent key is a no-op, not an event.
+    QuerySpec(
+      "q123_typed_change_feed",
+      (s, d) => {
+        val dir = Fits.snapshotTypedFeedDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 0L)
+          .select(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"),
+            col("o_orderkey"), col("o_totalprice"))
+          .groupBy(col("commit_version"), col("change_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"),
+               sum(coalesce(col("o_totalprice"), lit(0.0)).cast(dec18))
+                 .cast("double").as("sum_price"))
+          .orderBy(col("commit_version"), col("change_type"))
+      },
+      Some("""WITH ev AS (
+          SELECT 1 AS v, 'insert' AS ct, o_orderkey AS k, o_totalprice AS p
+            FROM orders WHERE o_orderkey < 1000
+          UNION ALL
+          SELECT 2, 'insert', o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey >= 1000
+          UNION ALL
+          SELECT 3, 'delete', o_orderkey, NULL
+            FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT 5, 'delete', o_orderkey, NULL
+            FROM orders
+            WHERE o_orderkey % 10 IN (1, 2) AND o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT 5, 'insert', o_orderkey, o_totalprice + 1000000.0
+            FROM orders WHERE o_orderkey % 10 = 1
+        )
+        SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(k AS DECIMAL(18,2))) AS DOUBLE) AS sum_key,
+          CAST(SUM(CAST(COALESCE(p, 0) AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM ev GROUP BY 1, 2 ORDER BY commit_version, change_type"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

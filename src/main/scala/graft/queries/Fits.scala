@@ -359,6 +359,83 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q123's fixture: a snapshot table whose history exercises every
+    * TYPED-change-feed source shape — two key-ranged appends, a
+    * merge-on-read takedown ([[graft.ops.Layout.snapshotDeleteKeys]],
+    * keys `% 7 == 0`), the compaction that materializes it (must feed
+    * NOTHING), and a [[graft.ops.Layout.snapshotMergeInto]] CDC batch
+    * (updates `% 10 == 1` at `+1e6`, tombstones `% 10 == 2`). Every rule
+    * is key arithmetic, so the oracle replays the full event stream
+    * (insert/delete rows by commit version) from the base table: the
+    * merge's delete side is exactly the keys that still EXISTED at merge
+    * time (`% 7 <> 0`), its insert side every update row. */
+  def snapshotTypedFeedDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaptyped:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snaptyped").toString + "/t"
+      val o = T.orders(s, sfDir)
+      val k = col("o_orderkey")
+      Layout.snapshotAppend(o.filter(k < 1000), dir,
+        statsCols = Seq("o_orderkey"))                           // v1
+      Layout.snapshotAppend(o.filter(k >= 1000), dir,
+        statsCols = Seq("o_orderkey"))                           // v2
+      Layout.snapshotDeleteKeys(s, dir,
+        o.filter(k % 7 === 0).select(k), Seq("o_orderkey"))      // v3
+      Layout.snapshotCompact(s, dir)                             // v4
+      Layout.snapshotMergeInto(s, dir,
+        o.filter(k % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000000.0)),
+        Seq("o_orderkey"),
+        deletes = Some(o.filter(k % 10 === 2).select(k)))        // v5
+      dir
+    }).asInstanceOf[String]
+
+  /** q124's fixture: the q110 incremental-pipeline story WITH A TAKEDOWN
+    * flowing through it — an embeddings snapshot table (appends `% 3 ==
+    * 0/1`, a `% 10 == 3` merge-on-read takedown, the materializing
+    * compaction, then a `% 3 == 2` append that legitimately RE-INSERTS
+    * `% 10 == 3` ids) consumed PURELY through the typed change feed:
+    * delete rows drive [[graft.ops.VectorIndex.delete]], insert rows
+    * drive append, deletes before inserts per version. The fit is
+    * q103's, so q103's oracle applies with the candidate set reduced to
+    * exactly the surviving corpus — retrieval over the feed-maintained
+    * index must hash-match a from-scratch index over that corpus. */
+  def snapshotTypedPipelineIndexDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaptypedidx:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.{Layout, VectorIndex}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snaptypedidx").toString
+      val tab = s"$root/emb"
+      val emb = T.embeddings(s, sfDir)
+      val id = col("vec_id")
+      Layout.snapshotAppend(emb.filter(id % 3 === 0), tab)       // v1
+      Layout.snapshotAppend(emb.filter(id % 3 === 1), tab)       // v2
+      Layout.snapshotDeleteKeys(s, tab,
+        emb.filter(id % 10 === 3).select(id), Seq("vec_id"))     // v3
+      Layout.snapshotCompact(s, tab)                             // v4
+      Layout.snapshotAppend(emb.filter(id % 3 === 2), tab)       // v5
+      val idx = s"$root/idx"
+      VectorIndex.build(emb, "vec_id", "embedding", idx,
+        nCells = 16, m = 16, kCodes = 16, maxFitRows = 2000)
+      val coded = new org.apache.hadoop.fs.Path(s"$idx/coded")
+      coded.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(coded, true)
+      val versions = Layout.snapshotVersions(s, tab)
+      (0L +: versions).zip(versions).foreach { case (a, b) =>
+        val typed = Layout.snapshotChangesTyped(s, tab, a, b)
+        VectorIndex.delete(s, idx,
+          typed.filter(col("_change_type") === "delete")
+            .select("vec_id"), "vec_id")
+        VectorIndex.append(
+          typed.filter(col("_change_type") === "insert")
+            .select("vec_id", "embedding"), "vec_id", "embedding", idx)
+      }
+      idx
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

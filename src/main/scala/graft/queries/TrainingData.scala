@@ -1450,6 +1450,31 @@ object TrainingData {
       },
       Some(ivfPqOracle("vec_id % 10 <> 3"))),
 
+    // --------------------------------------------------------------- q124
+    // TAKEDOWN THROUGH THE PIPELINE: q110's incremental index maintained
+    // PURELY by the typed change feed (Layout.snapshotChangesTyped) over
+    // a corpus history containing a merge-on-read takedown, its
+    // materializing compaction, and a later re-inserting append —
+    // delete rows drive VectorIndex.delete, insert rows VectorIndex
+    // .append, deletes before inserts per version. The oracle is q103's
+    // retrieval with the candidate set reduced to exactly the surviving
+    // corpus (removed unless re-inserted): hash-equality proves a
+    // takedown flows through feed → index INCREMENTALLY and lands on
+    // the same retrieval state a from-scratch rebuild over the reduced
+    // corpus would — the full q119 → q121 story with no full recompute
+    // anywhere. Fixture: Fits.snapshotTypedPipelineIndexDir.
+    QuerySpec(
+      "q124_pipeline_takedown",
+      (s, d) => {
+        val h = graft.ops.VectorIndex.read(s,
+          Fits.snapshotTypedPipelineIndexDir(s, d))
+        val e = T.embeddings(s, d)
+        graft.ops.VectorIndex.topKRerank(h, e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5, nProbe = 4, shortlist = 50)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracle("(vec_id % 10 <> 3 OR vec_id % 3 = 2)"))),
+
     // ---------------------------------------------------------------- q79
     // Sketch-based heavy hitters: Spark 4's approx_top_k aggregate over
     // the corpus token stream. O(maxItemsTracked) state per partition,
