@@ -1198,67 +1198,123 @@ object Layout {
       meta: Seq[String] = Nil,
       deletes: Option[DataFrame] = None): Long = {
     require(keyCols.nonEmpty, "snapshotMergeInto: keyCols must be non-empty")
-    // one pass per input frame: row count, distinct-key count, per-key
-    // null counts and min/max bounds (the stats-pruning probe predicate)
-    def analyze(df: DataFrame, what: String): (Long, Long, Option[Column]) = {
+    def requireKeys(df: DataFrame, what: String): Unit = {
       val missing = keyCols.filterNot(k =>
         df.columns.exists(_.equalsIgnoreCase(k)))
       require(missing.isEmpty,
         s"snapshotMergeInto: key column(s) ${missing.mkString(", ")} " +
           s"absent from $what schema ${df.schema.catalogString}")
-      val aggs = Seq(count(lit(1)).as("_n"),
-        count_distinct(struct(keyCols.map(col): _*)).as("_nd")) ++
-        keyCols.flatMap(k => Seq(
-          sum(col(k).isNull.cast("long")).as(s"_nul_$k"),
-          min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
-      val chk = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val n = chk.getAs[Long]("_n")
-      keyCols.foreach { k =>
-        require(n == 0 || chk.getAs[Long](s"_nul_$k") == 0,
-          s"snapshotMergeInto: $what carry NULL in key column '$k' — a " +
-            "null key matches nothing and cannot be applied")
-      }
-      // probe predicate: a small change set becomes per-column IN lists —
-      // min/max ranges prune NOTHING for scattered CDC keys (two keys at
-      // the corpus's ends cover every file), while the stats pruner
-      // drops a file from an IN iff EVERY listed value misses its
-      // range, which is exact for a single-column key. Large change
-      // sets keep the O(1)-size range predicate (a 10⁶-literal IN would
-      // bloat the plan past what it saves).
-      val pred =
-        if (n == 0) None
-        else if (n <= 1024) {
-          val keyVals = keyCols.map(k =>
-            k -> df.select(col(k)).distinct().collect().map(_.get(0)))
-          Some(keyVals.map { case (k, vs) => col(k).isin(vs.toIndexedSeq: _*) }
-            .reduce(_ && _))
-        } else Some(keyCols.map { k =>
-          col(k) >= lit(chk.getAs[Any](s"_mn_$k")) &&
-            col(k) <= lit(chk.getAs[Any](s"_mx_$k"))
-        }.reduce(_ && _))
-      (n, chk.getAs[Long]("_nd"), pred)
     }
-    val (nUpd, ndUpd, updPred) = analyze(updates, "updates")
+    requireKeys(updates, "updates")
+    deletes.foreach(requireKeys(_, "deletes"))
+    // ONE driver round-trip analyzes BOTH sides: key tuples are tagged
+    // by side and rolled up — each side's row carries its count /
+    // distinct-key count / per-key null counts / min-max bounds, and
+    // the rollup's grand-total row detects updates∩deletes overlap with
+    // arithmetic (|U ∪ D| < |U| + |D| ⇔ a shared key) instead of a
+    // second join job. mergeOnce runs this before EVERY micro-batch, so
+    // fixed driver cost here is CDC-apply latency.
+    val updTagged = updates.select(
+      keyCols.map(col) :+ lit(false).as("_gdel"): _*)
+    val tagged = deletes.map(d => updTagged.unionByName(
+      d.select(keyCols.map(col) :+ lit(true).as("_gdel"): _*)))
+      .getOrElse(updTagged)
+    val aggs = Seq(count(lit(1)).as("_n"),
+      count_distinct(struct(keyCols.map(col): _*)).as("_nd")) ++
+      keyCols.flatMap(k => Seq(
+        sum(col(k).isNull.cast("long")).as(s"_nul_$k"),
+        min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k")))
+    val chk = tagged.rollup(col("_gdel")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def rowOf(tag: Option[Boolean]) = chk.find(r => tag match {
+      case None    => r.isNullAt(0)
+      case Some(b) => !r.isNullAt(0) && r.getBoolean(0) == b
+    })
+    def nOf(tag: Option[Boolean]): Long =
+      rowOf(tag).map(_.getAs[Long]("_n")).getOrElse(0L)
+    def ndOf(tag: Option[Boolean]): Long =
+      rowOf(tag).map(_.getAs[Long]("_nd")).getOrElse(0L)
+    Seq(false -> "updates", true -> "deletes").foreach { case (t, what) =>
+      rowOf(Some(t)).foreach { r =>
+        keyCols.foreach { k =>
+          require(r.getAs[Long](s"_nul_$k") == 0,
+            s"snapshotMergeInto: $what carry NULL in key column '$k' — a " +
+              "null key matches nothing and cannot be applied")
+        }
+      }
+    }
+    val nUpd = nOf(Some(false)); val ndUpd = ndOf(Some(false))
     require(ndUpd == nUpd,
       s"snapshotMergeInto: updates hold ${nUpd - ndUpd} " +
         "duplicate key(s) — at most one row per key (pre-aggregate " +
         "last-writer-wins upstream)")
     // tombstones may legitimately repeat — they dedupe to a key SET
-    val delAnalyzed = deletes.map(d => (d, analyze(d, "deletes")))
-    val delKeys = delAnalyzed.collect { case (d, (n, _, _)) if n > 0 =>
-      d.select(keyCols.map(col): _*).distinct() }
-    val delPred = delAnalyzed.flatMap(_._2._3)
-    if (nUpd == 0 && delKeys.isEmpty)
+    val nDel = nOf(Some(true)); val ndDel = ndOf(Some(true))
+    if (nUpd == 0 && nDel == 0)
       return snapshotVersions(spark, dir).lastOption
         .getOrElse(sys.error(s"no committed snapshot at $dir")) // no-op
+    require(ndOf(None) == ndUpd + ndDel,
+      "snapshotMergeInto: a key appears in BOTH updates and deletes — " +
+        "ambiguous; fold the CDC stream last-writer-wins upstream " +
+        "(SnapshotSink.mergeOnce's seqCol does this)")
+    // probe predicate per side: a small change set becomes per-column IN
+    // lists — min/max ranges prune NOTHING for scattered CDC keys (two
+    // keys at the corpus's ends cover every file), while the stats
+    // pruner drops a file from an IN iff EVERY listed value misses its
+    // range, which is exact for a single-column key. Large change sets
+    // keep the O(1)-size range predicate (a 10⁶-literal IN would bloat
+    // the plan past what it saves). BOTH sides' IN values come from one
+    // aggregate job (side-filtered collect_set), never one job per
+    // key column per side.
+    val inUpd = nUpd > 0 && nUpd <= 1024
+    val inDel = nDel > 0 && nDel <= 1024
+    val inVals: Map[String, Array[Any]] =
+      if (!inUpd && !inDel) Map.empty
+      else {
+        val setAggs = keyCols.flatMap { k =>
+          (if (inUpd)
+            Seq(collect_set(when(!col("_gdel"), col(k))).as(s"_su_$k"))
+          else Nil) ++
+          (if (inDel)
+            Seq(collect_set(when(col("_gdel"), col(k))).as(s"_sd_$k"))
+          else Nil)
+        }
+        val r = tagged.agg(setAggs.head, setAggs.tail: _*).collect()(0)
+        setAggs.indices.map(i =>
+          r.schema.fields(i).name -> r.getSeq[Any](i).toArray).toMap
+      }
+    def predOf(n: Long, inList: Boolean, pfx: String,
+        tag: Option[Boolean]): Option[Column] =
+      if (n == 0) None
+      else if (inList) Some(keyCols.map(k =>
+        col(k).isin(inVals(s"$pfx$k").toIndexedSeq: _*)).reduce(_ && _))
+      else rowOf(tag).map(r => keyCols.map { k =>
+        col(k) >= lit(r.getAs[Any](s"_mn_$k")) &&
+          col(k) <= lit(r.getAs[Any](s"_mx_$k"))
+      }.reduce(_ && _))
+    val updPred = predOf(nUpd, inUpd, "_su_", Some(false))
+    val delPred = predOf(nDel, inDel, "_sd_", Some(true))
     val updKeys = updates.select(keyCols.map(col): _*)
-    delKeys.foreach { dk =>
-      require(updKeys.join(dk, keyCols, "left_semi").isEmpty,
-        "snapshotMergeInto: a key appears in BOTH updates and deletes — " +
-          "ambiguous; fold the CDC stream last-writer-wins upstream " +
-          "(SnapshotSink.mergeOnce's seqCol does this)")
+    val delKeys = deletes.filter(_ => nDel > 0)
+      .map(_.select(keyCols.map(col): _*).distinct())
+    // the change set is consumed by several actions (probe build side,
+    // rewrite anti-join build side, the upsert union, the change-record
+    // writes) — persist it once, O(batch) memory, instead of recomputing
+    // the caller's upstream plan per action. The probe's semi-join
+    // output is likewise cached: it is EXACTLY the matched (file, key)
+    // pairs — bounded by the change-set size — and both its consumers
+    // (the touched-file collect and the change record's dropped-key
+    // set) then share one scan instead of re-reading the touched files.
+    // All pins are released when the commit settles (retries included).
+    val updCached = updates.persist()
+    val dropKeysCached = delKeys
+      .map(dk => updKeys.unionByName(dk)).getOrElse(updKeys).persist()
+    var probedCache: Option[DataFrame] = None
+    def dropCache(): Unit = {
+      probedCache.foreach(_.unpersist())
+      probedCache = None
     }
-    commitFileGranular(spark, dir, "snapshotMergeInto",
+    try commitFileGranular(spark, dir, "snapshotMergeInto",
         (touched, carried) =>
           meta :+ s"$MergeTag${touched.size}/$carried") {
       (base, reader, tableSchema) =>
@@ -1269,32 +1325,60 @@ object Layout {
             "same-schema by contract (add columns via snapshotEvolve " +
             "first)")
         val outCols = tableSchema.fieldNames.toSeq.map(col)
-        // each input gets its OWN stats-pruned probe (a tight update
-        // range and a tight delete range prune better than their
-        // disjunction, which the conjunct-wise pruner cannot use); the
+        val dropKeys = dropKeysCached
+        // each side's predicate prunes the manifest's file list
+        // INDEPENDENTLY (a tight update range and a tight delete range
+        // each prune better than their disjunction, which the
+        // conjunct-wise pruner cannot use) — but the surviving union is
+        // probed in ONE key-column scan, not one per side: a file a
+        // side's stats pruned provably holds none of that side's keys,
+        // so the single semi-join against the combined change-key set
+        // touches exactly the union the two per-side probes would. The
         // file path is materialized BEFORE the semi-join: a file-backed
-        // probe partner would make `_metadata` ambiguous after the join
-        def probe(pred: Column, keys: DataFrame): Seq[String] =
-          probeTouchedFiles(
-            snapshotReadWhere(spark, dir, pred, base)
-              .select(col("_metadata.file_path").as("_gfile") +:
-                keyCols.map(col): _*)
-              .join(keys, keyCols, "left_semi"))
+        // probe partner would make `_metadata` ambiguous after it.
+        dropCache() // a lost race's probe is stale — rebuild on retry
         val touched =
-          (updPred.map(probe(_, updKeys)).getOrElse(Nil) ++
-            delPred.zip(delKeys).toSeq.flatMap { case (p, k) => probe(p, k) })
-            .distinct
-        val dropKeys = delKeys
-          .map(dk => updKeys.unionByName(dk)).getOrElse(updKeys)
+          if (updPred.isEmpty && delPred.isEmpty) Nil
+          else {
+            val lines = snapshotManifestLines(spark, dir, base)
+            val rels = lines.filterNot(_.startsWith("#"))
+            val metaLines = lines
+              .filter(l => l.startsWith("#") && l != "#commit")
+              .map(_.stripPrefix("#"))
+            val kept = (updPred.map(statsKeptRels(spark, rels, metaLines, _))
+              .getOrElse(Nil) ++
+              delPred.map(statsKeptRels(spark, rels, metaLines, _))
+                .getOrElse(Nil)).distinct
+            if (kept.isEmpty) Nil
+            else {
+              // row-group skipping hint only — exactness is the semi-join
+              val anyPred = (updPred.toSeq ++ delPred.toSeq).reduce(_ || _)
+              val probed = reader(kept)
+                .select(col("_metadata.file_path").as("_gfile") +:
+                  keyCols.map(col): _*)
+                .filter(anyPred)
+                .join(dropKeys, keyCols, "left_semi")
+                .persist()
+              probedCache = Some(probed)
+              probeTouchedFiles(probed)
+            }
+          }
         val rows =
           if (touched.isEmpty && nUpd == 0) None
-          else if (touched.isEmpty) Some(updates.select(outCols: _*))
+          else if (touched.isEmpty) Some(updCached.select(outCols: _*))
           else {
             val survivors = reader(touched)
               .join(dropKeys, keyCols, "left_anti")
               .select(outCols: _*)
-            Some(if (nUpd == 0) survivors
-              else survivors.unionByName(updates.select(outCols: _*)))
+            // bound the rewrite's file count near the touched count: the
+            // union's partitioning (touched files + the batch's own
+            // partitions) would otherwise GROW the file census on EVERY
+            // merge of a long CDC stream, inflating every later
+            // probe/scan — coalesce is shuffle-free; the small floor
+            // keeps write parallelism on small tables
+            Some((if (nUpd == 0) survivors
+              else survivors.unionByName(updCached.select(outCols: _*)))
+              .coalesce(math.max(touched.size, 8)))
           }
         // change record for the typed feed: delete side = the keys whose
         // rows were ACTUALLY dropped (matched in a touched file — a
@@ -1304,15 +1388,17 @@ object Layout {
         // insert — exactly the CDC shape downstream consumers apply.
         val matchedKeys =
           if (touched.isEmpty) None
-          else Some(reader(touched)
-            .join(dropKeys, keyCols, "left_semi")
-            .select(keyCols.map(col): _*).distinct())
+          else probedCache.map(_.select(keyCols.map(col): _*).distinct())
         val cdc =
           if (nUpd == 0 && matchedKeys.isEmpty) None
           else Some(CdcData(
-            if (nUpd > 0) Some(updates.select(outCols: _*)) else None,
+            if (nUpd > 0) Some(updCached.select(outCols: _*)) else None,
             matchedKeys, keyCols))
         (touched, rows, cdc)
+    } finally {
+      dropCache()
+      updCached.unpersist()
+      dropKeysCached.unpersist()
     }
   }
 
@@ -1743,6 +1829,17 @@ object Layout {
     import org.apache.spark.sql.types.{DateType, NumericType, StringType,
       TimestampNTZType, TimestampType}
     if (statsCols.isEmpty || files.isEmpty) return Nil
+    // fast path: for integer/date columns the just-written parquet
+    // FOOTERS already hold exact min/max/null counts — a handful of
+    // driver-side footer reads per commit instead of a Spark job
+    // re-scanning the batch. Strings (possible writer truncation),
+    // floats (NaN-poisoned stats) and timestamps (INT96 default carries
+    // no stats) stay on the scan path, whose output is
+    // domain-identical.
+    footerStatsMetaLines(spark, dir, rel, files, statsCols) match {
+      case Some(lines) => return lines
+      case None        =>
+    }
     val df = spark.read.parquet(new Path(dir, rel).toString)
     val specs = statsCols.map { c =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
@@ -1790,6 +1887,91 @@ object Layout {
       }
       s"$StatsTag$rel/$f|rows:$nRows|${cols.mkString("|")}"
     }
+  }
+
+  /** Footer-derived stats lines for a just-written batch — None when any
+    * requested column's footer statistics cannot be trusted bit-exactly
+    * (non-integer/date type, missing stats, unset null counts), in which
+    * case the caller falls back to the scan-based pass. Trust policy:
+    * parquet INT32/INT64 (plain or date-annotated) chunk statistics are
+    * exact and untruncated; BINARY stats may be writer-truncated (a
+    * truncated max UNDERSTATES the range — pruning would wrongly drop
+    * files), FLOAT/DOUBLE stats are unreliable under NaN, and Spark's
+    * default INT96 timestamps carry no stats at all. */
+  private def footerStatsMetaLines(spark: SparkSession, dir: String,
+      rel: String, files: Seq[String],
+      statsCols: Seq[String]): Option[Seq[String]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wanted = statsCols.map(_.toLowerCase(java.util.Locale.ROOT))
+    try {
+      val lines = files.map { f =>
+        val footer = {
+          val in = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(dir, s"$rel/$f"), conf))
+          try in.getFooter finally in.close()
+        }
+        val schema = footer.getFileMetaData.getSchema
+        // resolve each wanted column to a top-level INT32/INT64 field
+        // (plain int or date annotation); anything else bails to the
+        // scan path for the WHOLE batch
+        val fields = wanted.map { w =>
+          val idx = (0 until schema.getFieldCount).find(i =>
+            schema.getFieldName(i)
+              .toLowerCase(java.util.Locale.ROOT) == w)
+            .getOrElse(return None)
+          val t = schema.getType(idx)
+          if (!t.isPrimitive) return None
+          val p = t.asPrimitiveType()
+          val tag = (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+            case (_, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+              "a"
+            case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+                null) => "n"
+            case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+                i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                if i.isSigned => "n"
+            case _ => return None
+          }
+          (w, p.getName, tag)
+        }
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val cols = fields.map { case (w, name, tag) =>
+          var mn = Option.empty[Long]; var mx = Option.empty[Long]
+          var nulls = 0L
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).getOrElse(return None)
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  (a.longValue, b.longValue)
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  (a.longValue, b.longValue)
+                case _ => return None
+              }
+              mn = Some(mn.fold(lo)(math.min(_, lo)))
+              mx = Some(mx.fold(hi)(math.max(_, hi)))
+            } else if (st.isEmpty && b.getRowCount > 0) return None
+          }
+          val nonNull = rows - nulls
+          // all-null ⇔ no min/max — the scan path's exact convention
+          if (nonNull > 0 && mn.isEmpty) return None
+          s"$w=$tag:${mn.map(_.toString).getOrElse("")}:" +
+            s"${mx.map(_.toString).getOrElse("")}:$nonNull"
+        }
+        s"$StatsTag$rel/$f|rows:$rows|${cols.mkString("|")}"
+      }
+      Some(lines)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decode every `stats=` meta line: rel file → (column → stats).
@@ -2083,18 +2265,10 @@ object Layout {
     val rels = lines.filterNot(_.startsWith("#"))
     val metaLines = lines
       .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
-    val stats = parseStatsMeta(metaLines)
     val reader = metaLines.find(_.startsWith(SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
       .map(s => spark.read.schema(s)).getOrElse(spark.read)
-    val tz = spark.conf.get("spark.sql.session.timeZone")
-    val zone = java.time.ZoneId.of(tz)
-    val conjuncts = splitConjuncts(
-      org.apache.spark.sql.GraftPlanBridge.expressionOf(pred))
-    val kept = rels.filterNot { rel =>
-      val st = stats.getOrElse(rel, FileStats(None, Map.empty))
-      conjuncts.exists(c => conjunctPrunesFile(c, st, zone, tz))
-    }
+    val kept = statsKeptRels(spark, rels, metaLines, pred)
     // the merge-on-read overlay composes with pruning: an anti-join only
     // REMOVES rows, so applying it to the pruned file set is the same
     // result as applying it to all files and then filtering
@@ -2108,6 +2282,25 @@ object Layout {
         rs => reader.parquet(rs.map(r => new Path(dir, r).toString): _*),
         kept, dels)
     base.filter(pred)
+  }
+
+  /** The file-selection half of [[snapshotReadWhere]]: the manifest-
+    * relative files of `rels` whose stats lines (in `metaLines`) cannot
+    * prove `pred` unsatisfiable — shared with callers that must prune
+    * SEVERAL predicates against one manifest (e.g.
+    * [[snapshotMergeInto]] prunes its update and delete ranges
+    * separately, then probes their union in ONE scan). */
+  private def statsKeptRels(spark: SparkSession, rels: Seq[String],
+      metaLines: Seq[String], pred: Column): Seq[String] = {
+    val stats = parseStatsMeta(metaLines)
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val zone = java.time.ZoneId.of(tz)
+    val conjuncts = splitConjuncts(
+      org.apache.spark.sql.GraftPlanBridge.expressionOf(pred))
+    rels.filterNot { rel =>
+      val st = stats.getOrElse(rel, FileStats(None, Map.empty))
+      conjuncts.exists(c => conjunctPrunesFile(c, st, zone, tz))
+    }
   }
 
   /** `COUNT(*)` of a snapshot from the MANIFEST alone — O(1 GET), zero

@@ -36,15 +36,21 @@ object MergeBench {
       o.filter(k > 2 * mx / 3)
     ).foreach(b => Layout.snapshotAppend(b, dir,
       statsCols = Seq("o_orderkey")))
-    var applied = 0L
-    val t0 = System.nanoTime()
-    (0 until batches).foreach { b =>
+    // change sets + their row counts are prepared OUTSIDE the timed
+    // window — the measured region is the ENGINE's apply cost (probe
+    // scans, rewrites, change records, manifest commits), not the
+    // bench's own bookkeeping jobs
+    val work = (0 until batches).map { b =>
       val ups = o.filter(k % 97 === b)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
         .unionByName(o.filter(k % 101 === b)
           .withColumn("o_orderkey", k + lit(10000000L)))
       val dels = o.filter(k % 89 === b && k % 97 =!= b).select(k)
-      applied += ups.count() + dels.count()
+      (ups, dels, ups.count() + dels.count())
+    }
+    val applied = work.map(_._3).sum
+    val t0 = System.nanoTime()
+    work.foreach { case (ups, dels, _) =>
       Layout.snapshotMergeInto(spark, dir, ups, Seq("o_orderkey"),
         deletes = Some(dels))
     }
