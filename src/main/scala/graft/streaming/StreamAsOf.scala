@@ -94,6 +94,37 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   */
 object StreamAsOf {
 
+  /** The round-9 deployment rule, EXECUTABLE: size a stateful
+    * operator's state-partition count (the `spark.sql.shuffle
+    * .partitions` a streaming query's state layout is frozen from at
+    * first start) to key cardinality × held-state volume — never
+    * inherit the batch-analytics shuffle default. Every state store
+    * pays a fixed per-micro-batch open/commit cost no matter how empty
+    * it is (SCALE.md: 32 near-empty RocksDB instances ran the as-of
+    * probe ~3× slower than 8), so the count should be the SMALLEST
+    * number that (a) keeps each store's state under
+    * `targetBytesPerStore` and (b) preserves a minimum of task
+    * parallelism. At production cardinalities the memory term sizes UP
+    * (10⁹ keys × 1 KB / 256 MB ≈ 4k stores); at probe scale it sizes
+    * DOWN to the parallelism floor. Set the result BEFORE the query's
+    * first start:
+    * {{{
+    *   spark.conf.set("spark.sql.shuffle.partitions",
+    *     StreamAsOf.sizeStatePartitions(keys, heldRowsPerKey, rowBytes))
+    * }}} */
+  def sizeStatePartitions(distinctKeys: Long, heldRowsPerKey: Long,
+      approxRowBytes: Long = 64, targetBytesPerStore: Long = 256L << 20,
+      minStores: Int = 8, maxStores: Int = 1 << 15): Int = {
+    require(distinctKeys > 0 && heldRowsPerKey > 0 && approxRowBytes > 0,
+      "sizeStatePartitions: cardinality, held rows and row bytes must " +
+        "be positive")
+    val bytes = BigInt(distinctKeys) * heldRowsPerKey * approxRowBytes
+    val byMemory =
+      ((bytes + targetBytesPerStore - 1) / targetBytesPerStore).toLong
+    math.min(maxStores.toLong,
+      math.max(minStores.toLong, byMemory)).toInt
+  }
+
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
 

@@ -35,21 +35,23 @@ object StreamAsOfBench {
   /** `statePartitions` sizes the stateful operator's store count (it
     * pins `spark.sql.shuffle.partitions` on a derived session — the conf
     * a streaming query's state partitioning is frozen from at first
-    * start). Stateful-streaming deployments size this to key cardinality
-    * × state volume × rate, NOT to the batch-analytics shuffle default:
-    * at this probe's scale (1k keys × ~15 tiny held rows each), 32
-    * RocksDB instances each pay per-micro-batch open/commit overhead for
-    * near-empty stores and the operator runs ~3× slower than at 8
-    * (measured A/B in SCALE.md — per-row marginal cost is ~4 µs; the
-    * fixed per-partition-per-batch cost dominates). At production rates
-    * the same rule sizes UP. */
+    * start). Default -1 = apply [[StreamAsOf.sizeStatePartitions]], the
+    * executable form of the round-9 deployment rule: at this probe's
+    * scale (1k keys × ~15 tiny held rows each) it sizes DOWN to the
+    * 8-store parallelism floor — 32 near-empty RocksDB instances each
+    * pay per-micro-batch open/commit overhead and run the operator ~3×
+    * slower (measured A/B in SCALE.md; per-row marginal cost is ~4 µs,
+    * the fixed per-partition-per-batch cost dominates). At production
+    * rates the same rule sizes UP. */
   def probe(spark0: SparkSession, batches: Int = 10, perBatch: Int = 10000,
-      keys: Int = 1000, statePartitions: Int = 8): Result = {
+      keys: Int = 1000, statePartitions: Int = -1): Result = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.{Encoder, Encoders}
     val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val sp = if (statePartitions > 0) statePartitions
+    else StreamAsOf.sizeStatePartitions(keys, heldRowsPerKey = 15)
+    spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
     implicit val sqlCtx = spark.sqlContext
     implicit val pe: Encoder[P] = Encoders.product[P]
     implicit val be: Encoder[B] = Encoders.product[B]
@@ -108,12 +110,14 @@ object StreamAsOfBench {
     * the lateness window, tail flush identical. */
   def probeForward(spark0: SparkSession, batches: Int = 10,
       perBatch: Int = 10000, keys: Int = 1000,
-      statePartitions: Int = 8, nearest: Boolean = false): Result = {
+      statePartitions: Int = -1, nearest: Boolean = false): Result = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.{Encoder, Encoders}
     val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val sp = if (statePartitions > 0) statePartitions
+    else StreamAsOf.sizeStatePartitions(keys, heldRowsPerKey = 15)
+    spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
     implicit val sqlCtx = spark.sqlContext
     implicit val pe: Encoder[P] = Encoders.product[P]
     implicit val be: Encoder[Bf] = Encoders.product[Bf]

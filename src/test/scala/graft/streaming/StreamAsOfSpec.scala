@@ -561,4 +561,16 @@ class StreamAsOfSpec extends SparkSpec {
   private implicit class ArrayAsScala[T](a: Array[T]) {
     def asScala: Seq[T] = a.toSeq
   }
+  test("sizeStatePartitions: memory term sizes up, parallelism floor sizes down") {
+    import graft.streaming.StreamAsOf.sizeStatePartitions
+    // probe scale: ~1 MB of state -> the parallelism floor
+    assert(sizeStatePartitions(1000, 15) === 8)
+    // production scale: 1e9 keys x 1 KB held state / 256 MB per store
+    val big = sizeStatePartitions(1000000000L, 16, approxRowBytes = 64)
+    assert(big === math.ceil(1e9 * 16 * 64 / (256.0 * (1 << 20))).toInt)
+    // the cap bounds a runaway estimate
+    assert(sizeStatePartitions(Long.MaxValue / 128, 2) === (1 << 15))
+    intercept[IllegalArgumentException] { sizeStatePartitions(0, 1) }
+  }
+
 }
