@@ -2303,6 +2303,33 @@ object Layout {
     }
   }
 
+  /** (absolute data-file paths, schema of record) of a snapshot version
+    * — the inputs a DSv2 DELEGATE scan needs
+    * ([[graft.sources.GraftCatalog]] hands them to Spark's own parquet
+    * table, so catalog reads ride the stock vectorized path). Refuses
+    * under a live merge-on-read overlay: a plain file scan cannot apply
+    * the anti-join and would resurrect deleted rows — materialize via
+    * [[snapshotCompact]] or read through [[snapshotRead]]. */
+  def snapshotScanInputs(spark: SparkSession, dir: String,
+      version: Long): (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val lines = snapshotManifestLines(spark, dir, version)
+    val rels = lines.filterNot(_.startsWith("#"))
+    val metaLines = lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
+    require(parseDeleteMeta(metaLines).isEmpty,
+      s"snapshot at $dir v$version carries a live merge-on-read delete " +
+        "overlay — a plain file scan would resurrect deleted rows; run " +
+        "snapshotCompact/snapshotMaintain to materialize it, or read " +
+        "via snapshotRead, which applies the overlay")
+    val schema = metaLines.find(_.startsWith(SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+      .orElse(rels.headOption.map(rel =>
+        spark.read.parquet(new Path(dir, rel).toString).schema))
+      .getOrElse(sys.error(
+        s"snapshot v$version at $dir has no files and no recorded schema"))
+    (rels.map(rel => new Path(dir, rel).toString), schema)
+  }
+
   /** `COUNT(*)` of a snapshot from the MANIFEST alone — O(1 GET), zero
     * data-file I/O — when every file of the version carries a row-count
     * stats line (any table whose commits passed `statsCols`). `None`

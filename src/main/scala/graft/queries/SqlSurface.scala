@@ -26,6 +26,52 @@ object SqlSurface {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // --------------------------------------------------------------- q125
+    // The DSv2 catalog door (graft.sources.GraftCatalog): the snapshot
+    // table as a NAMED SQL table — `FROM graft.t` resolves the latest
+    // manifest and delegates the scan to Spark's stock parquet path
+    // (pushdown/pruning/vectorization intact), `VERSION AS OF` pins a
+    // historical manifest. The fixture is q109's three-append table
+    // (v1 = keys % 3 == 0, latest = all orders), so the oracle replays
+    // both snapshots from the base table with key arithmetic — and
+    // hash-equality proves the catalog reads the same bytes the Scala
+    // API committed. The WRITE half (CREATE/INSERT landing append
+    // manifests through the same commit machinery) is pinned in
+    // GraftCatalogSpec.
+    QuerySpec(
+      "q125_catalog_sql",
+      (s, d) => {
+        val dir = Fits.snapshotTableDir(s, d)
+        val root = new org.apache.hadoop.fs.Path(dir).getParent.toString
+        // catalog instances are cached by name per session — derive the
+        // name from the root so a process never rebinds a live name
+        val cat = "graft_" +
+          java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"""
+          SELECT 'latest' AS snap, o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM $cat.t GROUP BY o_orderstatus
+          UNION ALL
+          SELECT 'v1' AS snap, o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM $cat.t VERSION AS OF 1 GROUP BY o_orderstatus
+          ORDER BY snap, o_orderstatus""")
+      },
+      Some("""SELECT 'latest' AS snap, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'v1' AS snap, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+        ORDER BY snap, o_orderstatus""")),
+
     // ---------------------------------------------------------------- q40
     // LEFT OUTER join + null-aware aggregation (customers with no orders
     // keep their row; COUNT(col) skips the nulls).

@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Layout
+
+/** DSv2 `TableCatalog` over the snapshot table format — the SQL-text
+  * front door the TVFs ([[graft.plans.SnapshotTvf]]) could not provide:
+  * named tables instead of path literals, and WRITES.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/warehouse")
+  *
+  *   CREATE TABLE graft.db.t (k BIGINT, s STRING)
+  *   INSERT INTO graft.db.t SELECT ...        -- snapshotAppend commit
+  *   INSERT OVERWRITE graft.db.t SELECT ...   -- snapshotCommit rewrite
+  *   SELECT * FROM graft.db.t                 -- latest snapshot
+  *   SELECT * FROM graft.db.t VERSION AS OF 3 -- time travel
+  *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-08-01 00:00:00'
+  * }}}
+  *
+  * An identifier `db.t` maps to the directory `<root>/db/t`; the table
+  * IS the directory, exactly as the Scala API sees it — both doors hit
+  * the same manifest commit machinery, so optimistic concurrency,
+  * schema checks, stats carry-forward and the change feeds behave
+  * identically regardless of which API wrote.
+  *
+  * Reads delegate to Spark's own parquet DSv2 table over the pinned
+  * manifest's FILE LIST (schema of record applied), so column pruning,
+  * predicate pushdown and vectorized decode are the stock parquet
+  * path — the catalog adds only the version resolution. Honest
+  * refusal: a table carrying a LIVE merge-on-read delete overlay
+  * refuses catalog reads (the stock parquet scan cannot apply the
+  * anti-join overlay) — run `snapshotCompact`/`snapshotMaintain` to
+  * materialize, or read through `Tables.snapshot`/`snapshot_read`,
+  * which do apply it.
+  *
+  * Writes use the V1 fallback ([[V1Write]] → [[InsertableRelation]]):
+  * the insert body is a plain `DataFrame`, handed to
+  * [[Layout.snapshotAppend]] (append) or [[Layout.snapshotCommit]]
+  * (overwrite) — one code path with the programmatic API, not a
+  * parallel implementation. `MERGE INTO` SQL would need
+  * SupportsRowLevelOperations and stays on the Scala API
+  * ([[Layout.snapshotMergeInto]]) for now.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.root to the " +
+          "warehouse directory holding the snapshot tables"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(new Path(root))(new Path(_, _)).toString
+
+  private def exists(ident: Identifier): Boolean =
+    Layout.snapshotVersions(spark, dirOf(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.foldLeft(new Path(root))(new Path(_, _))
+    val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => Layout.snapshotVersions(
+        spark, new Path(ns, n).toString).nonEmpty)
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersioned(ident, -1L)
+
+  /** `VERSION AS OF <v>` (DSv2 passes the literal as a string). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVersioned(ident,
+      version.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName: VERSION AS OF wants a numeric snapshot " +
+          s"version, got '$version'")))
+
+  /** `TIMESTAMP AS OF <ts>` (micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val v = Layout.snapshotVersionAsOf(spark, dir, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName: no snapshot of $ident committed at or " +
+          "before the asked-for instant (history expired, or the table " +
+          "is newer)"))
+    loadVersioned(ident, v)
+  }
+
+  private def loadVersioned(ident: Identifier, version: Long): Table = {
+    val dir = dirOf(ident)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new GraftSnapshotTable(ident.toString, dir, version)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"catalog $catalogName: PARTITIONED BY is not supported — the " +
+        "snapshot format clusters by commit (append = natural time " +
+        "clustering; zorderWrite for multi-dim)")
+    if (exists(ident)) throw new TableAlreadyExistsException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    val schema = new StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())))
+    // an empty evolve commit records the schema of record, so the table
+    // exists with zero rows and every later insert is schema-checked
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Layout.snapshotEvolve(empty, dirOf(ident))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName: ALTER TABLE is not supported — add " +
+        "columns via Layout.snapshotEvolve")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(dirOf(ident))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    exists(ident) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName: RENAME TABLE is not supported")
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+}
+
+/** One snapshot table at one (possibly pinned) version. Reads delegate
+  * to Spark's parquet DSv2 table over the manifest's file list; writes
+  * go through the V1 fallback into the manifest commit machinery. */
+private[graft] class GraftSnapshotTable(ident: String, dir: String,
+    version: Long) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  private def resolvedVersion: Long =
+    if (version > 0) version
+    else Layout.snapshotLatestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed snapshot at $dir"))
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    Layout.snapshotRead(spark, dir, version).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = resolvedVersion
+    val (files, schemaOfRecord) =
+      Layout.snapshotScanInputs(spark, dir, v)
+    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      ident,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      options, files, Some(schemaOfRecord),
+      classOf[org.apache.spark.sql.execution.datasources
+        .parquet.ParquetFileFormat])
+      .newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                ignored: Boolean): Unit = {
+              if (overwrite) Layout.snapshotCommit(data, dir)
+              else Layout.snapshotAppend(data, dir)
+              (): Unit
+            }
+          }
+      }
+    }
+}
