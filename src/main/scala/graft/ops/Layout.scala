@@ -524,6 +524,9 @@ object Layout {
       // version, so the overlay never touches them)
       val prevDeletes = prevLines
         .filter(_.startsWith("#" + DeleteTag)).map(_.stripPrefix("#"))
+      // the rename log travels with the old-generation files it resolves
+      val prevColmaps = prevLines
+        .filter(_.startsWith("#" + ColMapTag)).map(_.stripPrefix("#"))
       val prevSchema = prevLines.find(_.startsWith("#" + SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
       // table schema of record: the manifest's schema line once one
@@ -550,9 +553,12 @@ object Layout {
             "rewrite")
       }
       // schema line of the NEW version: an evolve records the widened
-      // batch schema; an append carries the table's line forward
+      // batch schema (inheriting the table's field IDs by name, fresh
+      // IDs for added columns, so a rename's identity mapping survives);
+      // an append carries the table's line forward
       val schemaLine =
-        if (evolve) Some(s"$SchemaTag${df.schema.json}")
+        if (evolve)
+          Some(s"$SchemaTag${reconcileFieldIds(tableSchema, df.schema).json}")
         else prevSchema.map(s => s"$SchemaTag${s.json}")
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
@@ -565,6 +571,7 @@ object Layout {
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((meta.map(m => s"#$m") ++ schemaLine.map(m => s"#$m")
+          ++ prevColmaps.map(m => s"#$m")
           ++ prevDeletes.map(m => s"#$m")
           ++ prevStats.map(m => s"#$m")
           ++ stats.map(m => s"#$m") ++ prev
@@ -592,6 +599,308 @@ object Layout {
       version: Long): Option[org.apache.spark.sql.types.StructType] =
     snapshotMetaOf(spark, dir, version).find(_.startsWith(SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+
+  // --------------------------- field-ID column mapping (rename evolution)
+
+  /** StructField-metadata key carrying a column's stable FIELD ID —
+    * Iceberg's identity-by-ID column mapping, re-expressed in the
+    * `schema=` line's StructType JSON (field metadata round-trips
+    * through it). IDs are assigned the first time a table needs them
+    * (a [[snapshotRename]]) and preserved by every later
+    * [[snapshotEvolve]]; a column's NAME may then change while its
+    * identity — and its bytes on disk — do not. */
+  private[graft] val FieldIdKey = "graft.field.id"
+
+  /** Meta-line prefix for one RENAME commit's column mapping
+    * (`colmap=<version>|<id>:<url-encoded old name>[,…]`): for every
+    * data file committed STRICTLY BELOW `<version>`, field `<id>` is
+    * stored on disk under the old name — unless an even OLDER colmap
+    * line also names the id, in which case that line wins for files
+    * below ITS version (the composition rule: a file's disk name for an
+    * id is the name recorded by the FIRST rename after the file).
+    * Carried forward by every commit that carries old-generation files;
+    * dropped by [[snapshotCompact]]/[[snapshotCommit]], whose rewrites
+    * materialize current names. */
+  private[ops] val ColMapTag = "colmap="
+
+  private def fieldIdOf(
+      f: org.apache.spark.sql.types.StructField): Option[Int] =
+    if (f.metadata.contains(FieldIdKey))
+      Some(f.metadata.getLong(FieldIdKey).toInt)
+    else None
+
+  /** Every field carrying an ID: existing IDs preserved, missing ones
+    * assigned past the current maximum in field order (deterministic —
+    * two racers assigning over the same base agree). */
+  private def withFieldIds(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    var next = (0 +: s.fields.flatMap(fieldIdOf).toSeq).max
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      fieldIdOf(f) match {
+        case Some(_) => f
+        case None =>
+          next += 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, next.toLong)
+            .build())
+      }
+    })
+  }
+
+  /** The schema line an EVOLVE writes when the table already carries
+    * field IDs: batch fields inherit the ID of the same-named table
+    * field, NEW columns get fresh IDs — so a rename's identity mapping
+    * survives later evolutions. A table without IDs stays without them
+    * (IDs appear only when a rename first needs them). */
+  private def reconcileFieldIds(
+      table: Option[org.apache.spark.sql.types.StructType],
+      batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val withIds = table.filter(_.fields.exists(fieldIdOf(_).isDefined))
+    withIds match {
+      case None => batch
+      case Some(ts) =>
+        val byName = ts.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+        var next = (0 +: ts.fields.flatMap(fieldIdOf).toSeq).max
+        org.apache.spark.sql.types.StructType(batch.fields.map { f =>
+          byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .flatMap(fieldIdOf) match {
+            case Some(id) =>
+              f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong)
+                  .build())
+            case None =>
+              next += 1
+              f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata).putLong(FieldIdKey, next.toLong)
+                  .build())
+          }
+        })
+    }
+  }
+
+  /** Decoded `colmap=` lines, ascending by rename version. */
+  private[ops] def parseColMaps(
+      meta: Seq[String]): Seq[(Long, Map[Int, String])] =
+    meta.filter(_.startsWith(ColMapTag)).flatMap { m =>
+      m.stripPrefix(ColMapTag).split('|') match {
+        case Array(v, entries) => v.toLongOption.map { ver =>
+          ver -> entries.split(',').flatMap { e =>
+            val i = e.indexOf(':')
+            if (i <= 0) None
+            else e.substring(0, i).toIntOption.map(_ ->
+              java.net.URLDecoder.decode(e.substring(i + 1), "UTF-8"))
+          }.toMap
+        }
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  /** currentName → on-disk name for files committed at `fileVersion`:
+    * each field's disk name is what the FIRST rename after the file
+    * recorded for its id; fields untouched by any later rename keep
+    * their current name. `None` = identity (the common case, and every
+    * file at-or-above the newest rename). */
+  private def diskNamesAt(schema: org.apache.spark.sql.types.StructType,
+      colmaps: Seq[(Long, Map[Int, String])],
+      fileVersion: Long): Option[Map[String, String]] = {
+    if (colmaps.isEmpty) return None
+    val m = schema.fields.iterator.flatMap { f =>
+      fieldIdOf(f).flatMap { id =>
+        colmaps.find { case (rv, mp) => rv > fileVersion && mp.contains(id) }
+          .map(_._2(id)).filter(!_.equalsIgnoreCase(f.name))
+          .map(f.name -> _)
+      }
+    }.toMap
+    if (m.isEmpty) None else Some(m)
+  }
+
+  /** Read manifest-relative data files under the CURRENT schema of
+    * record, resolving each file generation's on-disk column names
+    * through the rename log: files are grouped by their disk-name
+    * mapping (per commit version), each group scanned under its own
+    * disk schema, renamed back by a projection, and unioned. Aliases
+    * are transparent to Catalyst, so predicate pushdown and column
+    * pruning reach every group's parquet scan. `read` is how one
+    * (paths, schema) group becomes a DataFrame — `spark.read` for batch
+    * callers, a streaming-tagged relation for the change-feed source. */
+  private def mappedRead(dir: String, rels: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      colmaps: Seq[(Long, Map[Int, String])],
+      read: (Seq[String], org.apache.spark.sql.types.StructType)
+        => DataFrame): DataFrame = {
+    val abs = (rs: Seq[String]) => rs.map(r => new Path(dir, r).toString)
+    if (colmaps.isEmpty || rels.isEmpty) return read(abs(rels), schema)
+    val groups = rels.groupBy(rel => diskNamesAt(schema, colmaps,
+      relDirVersion(rel).getOrElse(Long.MaxValue)))
+    groups.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
+      case (None, rs) => read(abs(rs), schema)
+      case (Some(m), rs) =>
+        // a later evolve may have re-used a name a rename freed: the
+        // new column cannot exist in these older files, so drop it
+        // from the disk read (its disk name collides with the renamed
+        // field's) and null-fill it in the projection
+        val diskName = (f: org.apache.spark.sql.types.StructField) =>
+          m.getOrElse(f.name, f.name)
+        val collisions = schema.fields.map(diskName)
+          .groupBy(_.toLowerCase(java.util.Locale.ROOT))
+          .filter(_._2.length > 1).keySet
+        val (readable, shadowed) = schema.fields.partition(f =>
+          m.contains(f.name) || !collisions.contains(
+            diskName(f).toLowerCase(java.util.Locale.ROOT)))
+        val diskSchema = org.apache.spark.sql.types.StructType(
+          readable.map(f => f.copy(name = diskName(f))))
+        read(abs(rs), diskSchema).select(schema.fields.map { f =>
+          if (shadowed.exists(_.name == f.name))
+            lit(null).cast(f.dataType).as(f.name)
+          else col(s"`${diskName(f)}`").as(f.name, f.metadata)
+        }.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[mappedRead]] with the stock batch parquet reader. */
+  private def mappedParquetRead(spark: SparkSession, dir: String,
+      rels: Seq[String], schema: Option[org.apache.spark.sql.types.StructType],
+      colmaps: Seq[(Long, Map[Int, String])]): DataFrame = {
+    def read(paths: Seq[String],
+        s: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.read.schema(s).parquet(paths: _*)
+    schema match {
+      case Some(s) => mappedRead(dir, rels, s, colmaps, read)
+      case None    =>
+        // pre-schema-line table: no evolution and no rename ever
+        // happened, footers agree — colmaps are necessarily absent
+        spark.read.parquet(rels.map(r => new Path(dir, r).toString): _*)
+    }
+  }
+
+  /** Rewrite a carried stats line's column keys under a rename (stats
+    * always describe files by their CURRENT column names, so pruning
+    * never decays across a rename). `ren` maps lowercase old → new. */
+  private def renameStatsLine(line: String,
+      ren: Map[String, String]): String = {
+    val parts = line.stripPrefix(StatsTag).split('|')
+    val out = parts.head +: parts.tail.map { p =>
+      val eq = p.indexOf('=')
+      if (eq <= 0) p
+      else ren.get(p.substring(0, eq)) match {
+        case Some(n) =>
+          n.toLowerCase(java.util.Locale.ROOT) + p.substring(eq)
+        case None => p
+      }
+    }
+    StatsTag + out.mkString("|")
+  }
+
+  /** RENAME-COLUMN schema evolution as a METADATA-ONLY commit — no data
+    * file is touched: the commit records the renamed schema of record
+    * (every field carrying a stable field ID, assigned now if the table
+    * predates IDs) plus a `colmap=` line mapping each renamed field's
+    * ID to its on-disk name in older files, and every reader resolves
+    * old generations through the log ([[mappedRead]]). At 100 TB,
+    * "rename a column" costs one manifest PUT — against the full-corpus
+    * rewrite it replaces. Carried column stats are rewritten to the new
+    * names in the same commit, so manifest-stats pruning on the renamed
+    * column keeps working across every generation.
+    *
+    * Time travel below the rename reads that version's manifest — old
+    * schema line, no colmap — so history keeps its historical names.
+    * RETYPES still refuse everywhere ([[snapshotEvolve]]'s contract): a
+    * type change cannot be resolved by projection and belongs to a
+    * [[snapshotCommit]] full rewrite.
+    *
+    * Honest refusals: a LIVE merge-on-read overlay refuses (its key
+    * files were written under the old names — materialize via
+    * [[snapshotCompact]] first, which also drops the rename log);
+    * [[snapshotScanInputs]] (the DSv2 catalog's plain-file-scan door)
+    * and [[snapshotChangeFiles]] (the raw streaming file feed) refuse
+    * while any file they would return predates the newest rename, with
+    * the same compact-to-materialize remedy. Returns the committed
+    * version. */
+  def snapshotRename(spark: SparkSession, dir: String,
+      renames: Map[String, String]): Long = {
+    require(renames.nonEmpty, "snapshotRename: renames must be non-empty")
+    renames.foreach { case (o, n) =>
+      require(o.trim.nonEmpty && n.trim.nonEmpty && !n.contains("\n"),
+        s"snapshotRename: bad rename '$o' -> '$n'")
+      require(!o.equalsIgnoreCase(n),
+        s"snapshotRename: '$o' -> '$n' is a no-op")
+    }
+    val lower = renames.map { case (o, n) =>
+      o.toLowerCase(java.util.Locale.ROOT) -> n }
+    require(lower.size == renames.size,
+      "snapshotRename: duplicate old names (case-insensitive)")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"snapshotRename: lost the commit race 5× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(s"snapshotRename: no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      require(parseDeleteMeta(metaLines).isEmpty,
+        s"snapshotRename: table at $dir carries a live merge-on-read " +
+          "delete overlay whose key files use the current names — run " +
+          "snapshotCompact/snapshotMaintain to materialize it first")
+      val schema0 = metaLines.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+        .getOrElse(sys.error(
+          s"snapshotRename: snapshot v$base at $dir has no files and no " +
+            "recorded schema"))
+      val schema1 = withFieldIds(schema0)
+      val absent = lower.keys.filterNot(o =>
+        schema1.fields.exists(_.name.equalsIgnoreCase(o))).toSeq.sorted
+      require(absent.isEmpty,
+        s"snapshotRename: column(s) ${absent.mkString(", ")} not in the " +
+          s"table schema ${schema0.catalogString} at $dir")
+      val renamed = org.apache.spark.sql.types.StructType(
+        schema1.fields.map { f =>
+          lower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .map(n => f.copy(name = n)).getOrElse(f)
+        })
+      val dupNames = renamed.fields
+        .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+        .filter(_._2.length > 1).keys.toSeq.sorted
+      require(dupNames.isEmpty,
+        s"snapshotRename: resulting schema has duplicate column(s) " +
+          s"${dupNames.mkString(", ")} — renames collide with existing " +
+          "columns (swap both sides in ONE call)")
+      val v = listed.lastOption.getOrElse(0L) + 1
+      val entries = schema1.fields.flatMap { f =>
+        if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+          fieldIdOf(f).map(id =>
+            s"$id:${java.net.URLEncoder.encode(f.name, "UTF-8")}")
+        else None
+      }
+      val colmapLine = s"$ColMapTag$v|${entries.mkString(",")}"
+      val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
+      val stats = metaLines.filter(_.startsWith(StatsTag))
+        .map(renameStatsLine(_, lower))
+      val marker = "rename=" + renames.toSeq.sortBy(_._1)
+        .map { case (o, n) => s"$o:$n" }.mkString(",")
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((Seq(marker, s"$SchemaTag${renamed.json}")
+          ++ prevColmaps :+ colmapLine)
+          .map(m => s"#$m") ++ stats.map(m => s"#$m") ++ prev)
+        .map(_ + "\n").mkString.getBytes("UTF-8") ++
+        "#commit\n".getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
 
   /** The lineage marker [[snapshotCompact]] attaches to a pure-rewrite
     * version (`rewrite-of=<base>`): same rows, new files. It is what
@@ -747,7 +1056,7 @@ object Layout {
       // would claim the delete was a streaming micro-batch
       val carriedMeta = lines.filter(l =>
         l.startsWith("#" + SchemaTag) || l.startsWith("#" + StatsTag) ||
-          l.startsWith("#" + DeleteTag))
+          l.startsWith("#" + DeleteTag) || l.startsWith("#" + ColMapTag))
       // the key columns must exist in the table schema (else the overlay
       // anti-join fails at first read, far from the mistake)
       val tableSchema = carriedMeta.map(_.stripPrefix("#"))
@@ -835,22 +1144,51 @@ object Layout {
     * or negative is a caller bug and errors) means latest. */
   def snapshotChanges(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long = -1L): DataFrame = {
-    val (to, addedFiles) = changeFileWalk(spark, dir, fromVersion, toVersion)
-    if (addedFiles.isEmpty) snapshotRead(spark, dir, to).limit(0)
-    else snapshotSchemaOf(spark, dir, to)
-      .map(s => spark.read.schema(s)).getOrElse(spark.read)
-      .parquet(addedFiles: _*)  // an interval spanning an evolution
-      // null-fills the new columns in its pre-evolution delta files
+    val (to, addedRels) = changeFileWalk(spark, dir, fromVersion, toVersion)
+    if (addedRels.isEmpty) snapshotRead(spark, dir, to).limit(0)
+    else {
+      // an interval spanning an evolution null-fills the new columns in
+      // its pre-evolution delta files; one spanning a RENAME resolves
+      // each delta file's on-disk names through the end version's log
+      val meta = snapshotMetaOf(spark, dir, to)
+      mappedParquetRead(spark, dir, addedRels,
+        meta.find(_.startsWith(SchemaTag))
+          .map(l => schemaFromJson(l.stripPrefix(SchemaTag))),
+        parseColMaps(meta))
+    }
   }
 
   /** The file-list half of [[snapshotChanges]] — absolute paths of the
     * files appended in `(fromVersion, toVersion]`, same append-only /
     * rewrite-skipping / refusal contract. For callers that must build
     * the scan themselves (the streaming change feed wraps these files
-    * in a streaming-tagged parquet relation instead of a batch read). */
+    * in a streaming-tagged parquet relation instead of a batch read).
+    * Additionally refuses when a delta file predates a column rename in
+    * the interval's end version: a caller-built single-schema scan
+    * cannot resolve its on-disk names — compact to materialize, or
+    * consume the typed feed, which resolves the log. */
   def snapshotChangeFiles(spark: SparkSession, dir: String,
-      fromVersion: Long, toVersion: Long = -1L): Seq[String] =
-    changeFileWalk(spark, dir, fromVersion, toVersion)._2
+      fromVersion: Long, toVersion: Long = -1L): Seq[String] = {
+    val (to, addedRels) = changeFileWalk(spark, dir, fromVersion, toVersion)
+    val meta = snapshotMetaOf(spark, dir, to)
+    val colmaps = parseColMaps(meta)
+    if (colmaps.nonEmpty) {
+      val schema = meta.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .getOrElse(sys.error(
+          s"snapshotChangeFiles: v$to at $dir has a rename log but no " +
+            "schema of record"))
+      val mixed = addedRels.filter(rel => diskNamesAt(schema, colmaps,
+        relDirVersion(rel).getOrElse(Long.MaxValue)).isDefined)
+      require(mixed.isEmpty,
+        s"snapshotChangeFiles: ${mixed.size} delta file(s) in " +
+          s"v$fromVersion..v$to at $dir predate a column rename " +
+          "(snapshotRename) — a single-schema file scan cannot resolve " +
+          "their on-disk names; run snapshotCompact to materialize, or " +
+          "read via snapshotChanges/snapshotChangesTyped")
+    }
+    addedRels.map(rel => new Path(dir, rel).toString)
+  }
 
   private def changeFileWalk(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long): (Long, Seq[String]) = {
@@ -912,7 +1250,7 @@ object Layout {
       prev = files.toSet
       bootstrapFirstStep = false
     }
-    (to, added.result().map(rel => new Path(dir, rel).toString))
+    (to, added.result())
   }
 
   /** DELETE-AWARE (row-level) incremental scan — the typed generation of
@@ -994,6 +1332,13 @@ object Layout {
         s"snapshotChangesTyped: v$to at $dir has no files and no " +
           "recorded schema — nothing to derive the feed schema from"))
     val tableCols = tableSchema.fieldNames.toIndexedSeq.map(col)
+    // the end version's rename log: every data/cdc file read below is
+    // resolved to the CURRENT names per its own commit generation
+    val colmaps = parseColMaps(toLines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#")))
+    def readMapped(rels: Seq[String],
+        s: org.apache.spark.sql.types.StructType): DataFrame =
+      mappedRead(dir, rels, s, colmaps, reader)
     def withMeta(df: DataFrame, ct: String, v: Long): DataFrame =
       df.select(tableCols: _*)
         .withColumn("_change_type", lit(ct))
@@ -1017,32 +1362,33 @@ object Layout {
         // no diff base: the table STATE at v — overlay applied, so a
         // live merge-on-read delete never bootstraps removed rows
         pieces += withMeta(overlayRead(spark, dir,
-          rs => reader(rs.map(r => new Path(dir, r).toString), tableSchema),
-          files, delsHere), "insert", v)
+          rs => readMapped(rs, tableSchema), files, delsHere), "insert", v)
       } else if (cdc.isDefined) {
         val c = cdc.get
+        // cdc key columns were recorded under the names CURRENT AT v —
+        // a later in-interval rename changes them, so resolve each via
+        // the field-ID mapping at generation v back to today's name
+        val diskAtV = diskNamesAt(tableSchema, colmaps, v)
+          .getOrElse(Map.empty[String, String])
+        def currentOf(k: String): org.apache.spark.sql.types.StructField =
+          tableSchema.fields.find(f =>
+            diskAtV.getOrElse(f.name, f.name).equalsIgnoreCase(k))
+            .getOrElse(sys.error(
+              s"snapshotChangesTyped: cdc key column '$k' of v$v is " +
+                s"not in the table schema ${tableSchema.catalogString}"))
         c.dels.foreach { dRel =>
-          val keySchema = org.apache.spark.sql.types.StructType(
-            c.keyCols.map { k =>
-              tableSchema.fields.find(_.name.equalsIgnoreCase(k))
-                .getOrElse(sys.error(
-                  s"snapshotChangesTyped: cdc key column '$k' of v$v is " +
-                    s"not in the table schema ${tableSchema.catalogString}"))
-                .copy(name = k)
-            })
-          val keys = reader(
-            Seq(new Path(dir, dRel).toString), keySchema)
+          val keyFields = c.keyCols.map(currentOf)
+          val keySchema = org.apache.spark.sql.types.StructType(keyFields)
+          val keys = readMapped(Seq(dRel), keySchema)
           val cols = tableSchema.fields.toIndexedSeq.map { f =>
-            c.keyCols.find(_.equalsIgnoreCase(f.name))
-              .map(k => col(k).cast(f.dataType).as(f.name))
+            keyFields.find(_.name.equalsIgnoreCase(f.name))
+              .map(kf => col(s"`${kf.name}`").cast(f.dataType).as(f.name))
               .getOrElse(lit(null).cast(f.dataType).as(f.name))
           }
           pieces += withMeta(keys.select(cols: _*), "delete", v)
         }
         c.ups.foreach { uRel =>
-          pieces += withMeta(
-            reader(Seq(new Path(dir, uRel).toString), tableSchema),
-            "insert", v)
+          pieces += withMeta(readMapped(Seq(uRel), tableSchema), "insert", v)
         }
       } else if (isRewriteVersion(spark, dir, v)) {
         // pure rewrite: zero row delta relative to its base (a
@@ -1061,9 +1407,7 @@ object Layout {
             "or a full rewrite); recompute from snapshotRead instead")
         val added = files.filterNot(prev)
         if (added.nonEmpty)
-          pieces += withMeta(reader(
-            added.map(r => new Path(dir, r).toString), tableSchema),
-            "insert", v)
+          pieces += withMeta(readMapped(added, tableSchema), "insert", v)
       }
       prev = files.toSet
       prevDels = delsHere.map(_._2).toSet
@@ -1471,6 +1815,20 @@ object Layout {
         .orElse(prev.headOption.map(rel =>
           spark.read.parquet(new Path(dir, rel).toString).schema))
         .getOrElse(sys.error(s"$op: snapshot v$base at $dir has no files"))
+      // a file-granular probe/rewrite reads files under ONE schema and
+      // tracks them by `_metadata.file_path` — per-generation rename
+      // resolution would split the scan; refuse until a compaction
+      // materializes the rename (same remedy as the live-overlay case)
+      val colmapLines = metaLines.filter(_.startsWith(ColMapTag))
+      val colmaps = parseColMaps(metaLines)
+      val preRename = prev.filter(rel => diskNamesAt(
+        tableSchema, colmaps, relDirVersion(rel).getOrElse(Long.MaxValue))
+        .isDefined)
+      require(preRename.isEmpty,
+        s"$op: ${preRename.size} file(s) at $dir predate a column " +
+          "rename (snapshotRename) — run snapshotCompact/" +
+          "snapshotMaintain to materialize the rename before a " +
+          "file-granular rewrite")
       def readerOf(rels: Seq[String]): DataFrame = {
         val paths = rels.map(r => new Path(dir, r).toString)
         recorded.map(s => spark.read.schema(s)).getOrElse(spark.read)
@@ -1528,6 +1886,7 @@ object Layout {
         s"snapshot meta line may not contain newlines or be 'commit': $m"))
       val body = ((metaOut.map(m => s"#$m")
           ++ schemaLine.map(m => s"#$m")
+          ++ colmapLines.map(m => s"#$m")
           ++ carriedStats.map(m => s"#$m") ++ stats.map(m => s"#$m")
           ++ carried ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
@@ -1621,17 +1980,18 @@ object Layout {
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val lines = snapshotManifestLines(spark, dir, v)
     val rels = lines.filterNot(_.startsWith("#"))
+    val metaLines = lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
     // post-evolution versions record a schema of record: scan with it so
     // parquet's by-name resolution null-fills new columns in old files
-    // (footers legitimately disagree across an evolution)
-    val reader = lines.find(_.startsWith("#" + SchemaTag))
-      .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
-      .map(s => spark.read.schema(s))
-      .getOrElse(spark.read)
-    val dels = parseDeleteMeta(lines
-      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#")))
+    // (footers legitimately disagree across an evolution); renamed
+    // columns resolve per file generation through the rename log
+    val schema = metaLines.find(_.startsWith(SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+    val colmaps = parseColMaps(metaLines)
+    val dels = parseDeleteMeta(metaLines)
     overlayRead(spark, dir,
-      rs => reader.parquet(rs.map(r => new Path(dir, r).toString): _*),
+      rs => mappedParquetRead(spark, dir, rs, schema, colmaps),
       rels, dels)
   }
 
@@ -2265,9 +2625,9 @@ object Layout {
     val rels = lines.filterNot(_.startsWith("#"))
     val metaLines = lines
       .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
-    val reader = metaLines.find(_.startsWith(SchemaTag))
+    val schema = metaLines.find(_.startsWith(SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-      .map(s => spark.read.schema(s)).getOrElse(spark.read)
+    val colmaps = parseColMaps(metaLines)
     val kept = statsKeptRels(spark, rels, metaLines, pred)
     // the merge-on-read overlay composes with pruning: an anti-join only
     // REMOVES rows, so applying it to the pruned file set is the same
@@ -2277,9 +2637,10 @@ object Layout {
       if (rels.isEmpty) snapshotRead(spark, dir, v)
       else if (kept.isEmpty)
         // schema-preserving empty scan: one file, zero rows
-        reader.parquet(new Path(dir, rels.head).toString).limit(0)
+        mappedParquetRead(spark, dir, Seq(rels.head), schema, colmaps)
+          .limit(0)
       else overlayRead(spark, dir,
-        rs => reader.parquet(rs.map(r => new Path(dir, r).toString): _*),
+        rs => mappedParquetRead(spark, dir, rs, schema, colmaps),
         kept, dels)
     base.filter(pred)
   }
@@ -2327,6 +2688,15 @@ object Layout {
         spark.read.parquet(new Path(dir, rel).toString).schema))
       .getOrElse(sys.error(
         s"snapshot v$version at $dir has no files and no recorded schema"))
+    val colmaps = parseColMaps(metaLines)
+    val mixed = rels.filter(rel => diskNamesAt(schema, colmaps,
+      relDirVersion(rel).getOrElse(Long.MaxValue)).isDefined)
+    require(mixed.isEmpty,
+      s"snapshot at $dir v$version carries a column rename " +
+        s"(snapshotRename) that ${mixed.size} older file(s) predate — " +
+        "a plain file scan cannot resolve their on-disk names; run " +
+        "snapshotCompact/snapshotMaintain to materialize the rename, " +
+        "or read via snapshotRead, which resolves the rename log")
     (rels.map(rel => new Path(dir, rel).toString), schema)
   }
 

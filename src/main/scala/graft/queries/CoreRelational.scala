@@ -811,6 +811,85 @@ object CoreRelational {
         FROM ev GROUP BY 1, 2 ORDER BY commit_version, change_type"""),
       headline = true),
 
+    // --------------------------------------------------------------- q126
+    // RENAME-COLUMN evolution via field-ID column mapping
+    // (Layout.snapshotRename): a metadata-only commit records the
+    // renamed schema (stable field IDs) plus a colmap= rename log, and
+    // readers resolve each older file generation's on-disk names
+    // through the log — zero data files rewritten, which at 100 TB is
+    // the difference between one manifest PUT and a corpus rewrite.
+    // The fixture renames o_totalprice/o_orderstatus between appends,
+    // so this read spans pre- and post-rename generations AND exercises
+    // manifest-stats pruning on the renamed column (stats lines are
+    // rewritten to the new names in the rename commit). The oracle
+    // replays the same filter over the base table with plain aliases.
+    QuerySpec(
+      "q126_snapshot_rename",
+      (s, d) => {
+        val dir = Fits.snapshotRenameTableDir(s, d)
+        graft.ops.Layout.snapshotReadWhere(s, dir,
+            col("price_usd") > 50000)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("price_usd").cast(dec18)).cast("double")
+                 .as("sum_price"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders WHERE o_totalprice > 50000
+        GROUP BY 1 ORDER BY status"""),
+      headline = true),
+
+    // --------------------------------------------------------------- q127
+    // The TYPED change feed crossing a rename: pre-rename commits' data
+    // files AND a merge's persisted cdc record (key file + upsert rows,
+    // stored under the names current at commit time) are resolved to
+    // today's names through the field-ID log — so an incremental
+    // consumer replays the same events whether it drained before or
+    // after the rename. The rename version itself contributes nothing
+    // (no rows changed). Every rule is key arithmetic; the oracle
+    // replays the event stream from the base table.
+    QuerySpec(
+      "q127_rename_change_feed",
+      (s, d) => {
+        val dir = Fits.snapshotRenameFeedDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 0L)
+          .select(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"),
+            col("order_id"), col("price_usd"))
+          .groupBy(col("commit_version"), col("change_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("order_id").cast(dec18)).cast("double")
+                 .as("sum_key"),
+               sum(coalesce(col("price_usd"), lit(0.0)).cast(dec18))
+                 .cast("double").as("sum_price"))
+          .orderBy(col("commit_version"), col("change_type"))
+      },
+      Some("""WITH ev AS (
+          SELECT 1 AS v, 'insert' AS ct, o_orderkey AS k, o_totalprice AS p
+            FROM orders WHERE o_orderkey < 1000
+          UNION ALL
+          SELECT 2, 'delete', o_orderkey, NULL
+            FROM orders WHERE o_orderkey % 10 IN (1, 2) AND o_orderkey < 1000
+          UNION ALL
+          SELECT 2, 'insert', o_orderkey, o_totalprice + 1000000.0
+            FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey < 1000
+          UNION ALL
+          SELECT 4, 'insert', o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey >= 1000
+        )
+        SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(k AS DECIMAL(18,2))) AS DOUBLE) AS sum_key,
+          CAST(SUM(CAST(COALESCE(p, 0) AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM ev GROUP BY 1, 2 ORDER BY commit_version, change_type""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

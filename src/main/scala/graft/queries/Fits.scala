@@ -436,6 +436,70 @@ object Fits {
       idx
     }).asInstanceOf[String]
 
+  /** q126's fixture: a snapshot table RENAMED mid-history
+    * ([[graft.ops.Layout.snapshotRename]]) — orders appended in two
+    * key ranges (stats on `o_orderkey`/`o_totalprice`), then
+    * `o_totalprice → price_usd` and `o_orderstatus → status` renamed by
+    * one metadata-only commit, then a third key range appended under
+    * the NEW names. Reads must resolve the first two generations'
+    * on-disk names through the field-ID rename log (zero files
+    * rewritten), so the oracle replays the whole table from `orders`
+    * with plain aliases. */
+  def snapshotRenameTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapren:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapren").toString + "/t"
+      val o = T.orders(s, sfDir)
+      val k = col("o_orderkey")
+      Layout.snapshotAppend(o.filter(k < 1000), dir,
+        statsCols = Seq("o_orderkey", "o_totalprice"))            // v1
+      Layout.snapshotAppend(o.filter(k >= 1000 && k < 2000), dir,
+        statsCols = Seq("o_orderkey", "o_totalprice"))            // v2
+      Layout.snapshotRename(s, dir, Map(
+        "o_totalprice" -> "price_usd", "o_orderstatus" -> "status")) // v3
+      Layout.snapshotAppend(o.filter(k >= 2000)
+        .withColumnRenamed("o_totalprice", "price_usd")
+        .withColumnRenamed("o_orderstatus", "status"), dir,
+        statsCols = Seq("o_orderkey", "price_usd"))               // v4
+      dir
+    }).asInstanceOf[String]
+
+  /** q127's fixture: the TYPED change feed crossing a rename — a
+    * key-ranged append, a [[graft.ops.Layout.snapshotMergeInto]] CDC
+    * batch (updates `% 10 == 1` at `+1e6`, tombstones `% 10 == 2`,
+    * all `< 1000`), then a rename of BOTH the key column
+    * (`o_orderkey → order_id`) and a value column
+    * (`o_totalprice → price_usd`), then an append under the new names.
+    * The feed must map the pre-rename commits' data files AND the
+    * merge's persisted cdc record (key file + upsert rows, both stored
+    * under the old names) to today's names via the field-ID log. Every
+    * rule is key arithmetic, so the oracle replays the event stream
+    * from the base table. */
+  def snapshotRenameFeedDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaprenfeed:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snaprenfeed").toString + "/t"
+      val o = T.orders(s, sfDir)
+      val k = col("o_orderkey")
+      Layout.snapshotAppend(o.filter(k < 1000), dir,
+        statsCols = Seq("o_orderkey"))                            // v1
+      Layout.snapshotMergeInto(s, dir,
+        o.filter(k % 10 === 1 && k < 1000)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000000.0)),
+        Seq("o_orderkey"),
+        deletes = Some(o.filter(k % 10 === 2 && k < 1000).select(k))) // v2
+      Layout.snapshotRename(s, dir, Map(
+        "o_orderkey" -> "order_id", "o_totalprice" -> "price_usd"))   // v3
+      Layout.snapshotAppend(o.filter(k >= 1000)
+        .withColumnRenamed("o_orderkey", "order_id")
+        .withColumnRenamed("o_totalprice", "price_usd"), dir)         // v4
+      dir
+    }).asInstanceOf[String]
+
   def vectorIndexAppendDir(s: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(s"vindexapp:$sfDir", _ => {
       val dir = java.nio.file.Files

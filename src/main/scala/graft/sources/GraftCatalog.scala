@@ -27,6 +27,9 @@ import graft.ops.Layout
   *   CREATE TABLE graft.db.t (k BIGINT, s STRING)
   *   INSERT INTO graft.db.t SELECT ...        -- snapshotAppend commit
   *   INSERT OVERWRITE graft.db.t SELECT ...   -- snapshotCommit rewrite
+  *   DELETE FROM graft.db.t WHERE k < 10      -- snapshotDeleteWhere
+  *   ALTER TABLE graft.db.t ADD COLUMNS (x INT)      -- snapshotEvolve
+  *   ALTER TABLE graft.db.t RENAME COLUMN s TO txt   -- snapshotRename
   *   SELECT * FROM graft.db.t                 -- latest snapshot
   *   SELECT * FROM graft.db.t VERSION AS OF 3 -- time travel
   *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-08-01 00:00:00'
@@ -139,11 +142,43 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE … RENAME COLUMN a TO b` → [[Layout.snapshotRename]]
+    * (metadata-only field-ID rename commit) and `ALTER TABLE … ADD
+    * COLUMNS (…)` → [[Layout.snapshotEvolve]] (null-backfilled widen) —
+    * the SQL DDL door onto the same evolution commits the Scala API
+    * makes. Drops/retypes refuse, matching the format's contract
+    * (they need a full-rewrite commit). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"catalog $catalogName: ALTER TABLE is not supported — add " +
-        "columns via Layout.snapshotEvolve")
+      changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"catalog $catalogName: only top-level columns can be renamed")
+        r.fieldNames().head -> r.newName()
+    }
+    val adds = changes.collect {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"catalog $catalogName: only top-level columns can be added")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), a.isNullable)
+    }
+    require(renames.size + adds.size == changes.size,
+      s"catalog $catalogName: only RENAME COLUMN and ADD COLUMNS are " +
+        "supported — drops/retypes need a full rewrite " +
+        "(Layout.snapshotCommit)")
+    if (renames.nonEmpty) Layout.snapshotRename(spark, dir, renames.toMap)
+    if (adds.nonEmpty) {
+      val widened = org.apache.spark.sql.types.StructType(
+        Layout.snapshotRead(spark, dir).schema.fields ++ adds)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      Layout.snapshotEvolve(empty, dir)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dirOf(ident))
@@ -161,9 +196,61 @@ class GraftCatalog extends TableCatalog {
 
 /** One snapshot table at one (possibly pinned) version. Reads delegate
   * to Spark's parquet DSv2 table over the manifest's file list; writes
-  * go through the V1 fallback into the manifest commit machinery. */
+  * go through the V1 fallback into the manifest commit machinery.
+  * `DELETE FROM … WHERE` lands a [[Layout.snapshotDeleteWhere]]
+  * file-granular copy-on-write commit ([[SupportsDelete]]), and
+  * `TRUNCATE TABLE` rides the same door with an always-true
+  * predicate. */
 private[graft] class GraftSnapshotTable(ident: String, dir: String,
-    version: Long) extends Table with SupportsRead with SupportsWrite {
+    version: Long) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  import org.apache.spark.sql.{functions => F}
+  import org.apache.spark.sql.sources
+
+  /** Source filter → Column, `None` for shapes we cannot express — in
+    * which case `canDeleteWhere` is false and Spark refuses the DELETE
+    * at analysis time instead of us half-applying it. */
+  private def filterToColumn(
+      f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    def c(a: String) = F.col(s"`$a`")
+    f match {
+      case sources.EqualTo(a, v)            => Some(c(a) === F.lit(v))
+      case sources.EqualNullSafe(a, v)      => Some(c(a) <=> F.lit(v))
+      case sources.GreaterThan(a, v)        => Some(c(a) > F.lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(c(a) >= F.lit(v))
+      case sources.LessThan(a, v)           => Some(c(a) < F.lit(v))
+      case sources.LessThanOrEqual(a, v)    => Some(c(a) <= F.lit(v))
+      case sources.In(a, vs)                => Some(c(a).isin(vs.toSeq: _*))
+      case sources.IsNull(a)                => Some(c(a).isNull)
+      case sources.IsNotNull(a)             => Some(c(a).isNotNull)
+      case sources.StringStartsWith(a, v)   => Some(c(a).startsWith(v))
+      case sources.StringEndsWith(a, v)     => Some(c(a).endsWith(v))
+      case sources.StringContains(a, v)     => Some(c(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc || rc
+      case sources.Not(x)        => filterToColumn(x).map(!_)
+      case sources.AlwaysTrue()  => Some(F.lit(true))
+      case sources.AlwaysFalse() => Some(F.lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    version <= 0 && filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(version <= 0,
+      s"catalog table $ident: cannot DELETE FROM a time-travel snapshot")
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(F.lit(true))
+    Layout.snapshotDeleteWhere(spark, dir, cond)
+    (): Unit
+  }
 
   private def spark = SparkSession.active
 

@@ -121,4 +121,53 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.s").head().getLong(0)
       === 1)
   }
+
+  test("ALTER TABLE ADD COLUMNS evolves; RENAME COLUMN maps field IDs") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.e (k BIGINT, price DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.e VALUES (1, 10.0), (2, 20.0)")
+    spark.sql(s"ALTER TABLE $cat.db.e ADD COLUMNS (note STRING)")
+    spark.sql(s"INSERT INTO $cat.db.e VALUES (3, 30.0, 'x')")
+    assert(spark.sql(
+      s"SELECT k, note FROM $cat.db.e WHERE note IS NULL ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq
+      === Seq((1L, None), (2L, None)))
+    spark.sql(s"ALTER TABLE $cat.db.e RENAME COLUMN price TO amount")
+    // the stock-scan door refuses while generations mix…
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT amount FROM $cat.db.e").collect()
+    }
+    assert(e.getMessage.contains("snapshotRename"))
+    // …the rename-aware Scala reader resolves the log…
+    val dir = s"$root/db/e"
+    assert(Layout.snapshotRead(spark, dir).select("k", "amount")
+      .as[(Long, Double)].collect().sorted.toSeq
+      === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // …and compaction materializes it for SQL
+    Layout.snapshotCompact(spark, dir)
+    assert(spark.sql(s"SELECT sum(amount) FROM $cat.db.e").head()
+      .getDouble(0) === 60.0)
+    // drops/retypes refuse with a pointer at the full-rewrite remedy
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.e DROP COLUMN note")
+    }
+    assert(drop.getMessage.contains("full rewrite"))
+  }
+
+  test("DELETE FROM lands a file-granular copy-on-write commit") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"INSERT INTO $cat.db.d VALUES (4, 'd'), (5, 'e')")
+    spark.sql(s"DELETE FROM $cat.db.d WHERE k <= 2 OR s = 'e'")
+    assert(spark.sql(s"SELECT k FROM $cat.db.d ORDER BY k")
+      .as[Long].collect().toSeq === Seq(3L, 4L))
+    // the delete was a new snapshot commit — time travel still sees all
+    val dir = s"$root/db/d"
+    val versions = Layout.snapshotVersions(spark, dir)
+    assert(versions.size === 4) // create, 2 inserts, delete
+    assert(Layout.snapshotRead(spark, dir, versions(2)).count() === 5)
+    // both doors agree after the SQL delete
+    assert(Layout.snapshotRead(spark, dir).count() === 2)
+  }
 }
