@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (parser rewrite + resolution-time conversion, see AsOfSyntax)
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectResolutionRule(_ => graft.plans.AsOfSyntaxRule)
+    // SQL MERGE INTO / UPDATE against GraftCatalog snapshot tables →
+    // the same Layout.snapshotMergeInto / snapshotUpdateWhere commits
+    // the Scala API uses
+    ext.injectResolutionRule(_ => graft.plans.SnapshotMergeRule)
+    ext.injectResolutionRule(_ => graft.plans.SnapshotUpdateRule)
     // column pruning through the (otherwise opaque) as-of node
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }

@@ -1485,6 +1485,55 @@ object Layout {
       (touched, survivors, None)
     }
 
+  /** FILE-GRANULAR copy-on-write row UPDATE (SQL `UPDATE … SET … WHERE`
+    * semantics: rows where `cond` is TRUE get the assigned columns
+    * replaced — assigned expressions may read the row's own columns,
+    * `SET v = v + 1` — and FALSE/NULL rows survive untouched). The
+    * probe and rewrite are [[snapshotDeleteWhere]]'s shape exactly:
+    * only files CONTAINING a matching row are rewritten (found by the
+    * manifest-stats-pruned probe, so a key- or time-clustered table
+    * never opens provably-unmatched files), every other file carries
+    * forward byte-identical with its stats line. At 100 TB "re-score
+    * one day's documents" costs O(files overlapping the predicate),
+    * not O(table). Assigned values cast to the column's existing type
+    * (standard SQL UPDATE); unknown columns refuse. Like the predicate
+    * delete, the commit is deliberately MARKER-LESS — replaced rows
+    * have no key set to replay, so the change feed refuses the
+    * interval and downstream incremental consumers recompute.
+    * Concurrency is the optimistic retry of every file-granular
+    * commit. Returns the committed version. */
+  def snapshotUpdateWhere(spark: SparkSession, dir: String, cond: Column,
+      assignments: Seq[(String, Column)]): Long = {
+    require(assignments.nonEmpty,
+      "snapshotUpdateWhere: no assignments — nothing to update")
+    commitFileGranular(spark, dir, "snapshotUpdateWhere",
+        (_, _) => Nil) { (base, reader, tableSchema) =>
+      val byName = assignments.map { case (k, v) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(k))
+          .getOrElse(sys.error(
+            s"snapshotUpdateWhere: no column '$k' in table schema " +
+              tableSchema.catalogString)).name -> v
+      }
+      require(byName.map(_._1).distinct.size == byName.size,
+        "snapshotUpdateWhere: a column is assigned twice")
+      val asg = byName.toMap
+      val touched = probeTouchedFiles(
+        snapshotReadWhere(spark, dir, cond, base)
+          .select(col("_metadata.file_path").as("_gfile")))
+      val survivors =
+        if (touched.isEmpty) None
+        else Some(reader(touched).select(tableSchema.fields.map { f =>
+          asg.get(f.name) match {
+            // assign only where cond is TRUE — FALSE and NULL keep the row
+            case Some(v) => when(coalesce(cond, lit(false)),
+                v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*))
+      (touched, survivors, None)
+    }
+  }
+
   /** Meta marker a [[snapshotMergeInto]] commit attaches
     * (`merge-into=<rewritten>/<carried>` — informational file counts). */
   private[graft] val MergeTag = "merge-into="

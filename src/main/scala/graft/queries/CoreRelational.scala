@@ -890,6 +890,99 @@ object CoreRelational {
             AS sum_price
         FROM ev GROUP BY 1, 2 ORDER BY commit_version, change_type""")),
 
+    // --------------------------------------------------------------- q128
+    // SQL `MERGE INTO` (SnapshotMergeRule): the last door of the
+    // catalog's SQL write surface — the reference's entire write path
+    // is SQL text (topic_consumer.py:196-209), and its keyed UPDATE
+    // (stop_consumer.py:76-78) is exactly the WHEN MATCHED branch. The
+    // parsed MergeIntoTable node is intercepted at resolution (the
+    // Delta-style extension point) and routed into the SAME
+    // file-granular Layout.snapshotMergeInto commit the Scala API and
+    // SnapshotSink use — stats-pruned probe, O(files overlapping keys)
+    // rewrite, optimistic concurrency. The statement carries all three
+    // branch kinds (guarded DELETE, full-row UPDATE, guarded INSERT);
+    // the read-back goes through the catalog door too, so the whole
+    // round trip is SQL text. The oracle replays the merged state from
+    // the base orders table with pure key arithmetic.
+    QuerySpec(
+      "q128_sql_merge_into",
+      (s, d) => {
+        val (_, table) = Fits.snapshotSqlMergeDir(s, d)
+        val x = org.apache.spark.sql.GraftSessionBridge
+          .withGraftExtensions(s)
+        x.sql(s"""
+          SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM $table GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""WITH upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice + 100000.0 AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 100 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 100 = 1
+        ), merged AS (
+          SELECT * FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            AND o_orderkey % 100 <> 7
+          UNION ALL SELECT * FROM upd
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key
+        FROM merged GROUP BY 1 ORDER BY o_orderstatus"""),
+      headline = true),
+
+    // --------------------------------------------------------------- q129
+    // SQL `UPDATE … SET … WHERE` (SnapshotUpdateRule →
+    // Layout.snapshotUpdateWhere): the third SQL DML door, and the
+    // reference's own write shape verbatim — stop_consumer.py:76-78 is
+    // an `UPDATE … WHERE stop_id = ?`. The intercepted UpdateTable
+    // node lands a file-granular copy-on-write commit: the
+    // manifest-stats-pruned probe picks the files containing a
+    // predicate match (here: only the first key-ranged batch), those
+    // rewrite with the assignments applied in-scan — expressions
+    // reading the row's own columns, no join — and every other file
+    // carries forward byte-identical. The oracle replays the update
+    // as plain SQL over the base table.
+    QuerySpec(
+      "q129_sql_update_where",
+      (s, d) => {
+        val (_, table) = Fits.snapshotSqlUpdateDir(s, d)
+        val x = org.apache.spark.sql.GraftSessionBridge
+          .withGraftExtensions(s)
+        x.sql(s"""
+          SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM $table GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""WITH upd AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 10 = 3 AND o_orderkey < 500
+                 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 10 = 3 AND o_orderkey < 500
+                 THEN o_totalprice + 1000.0 ELSE o_totalprice END
+              AS o_totalprice
+          FROM orders
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key
+        FROM upd GROUP BY 1 ORDER BY o_orderstatus""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

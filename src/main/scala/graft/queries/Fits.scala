@@ -209,6 +209,102 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q128's fixture: a CDC batch applied through SQL TEXT — `MERGE
+    * INTO` against the DSv2 catalog ([[graft.plans.SnapshotMergeRule]]
+    * routing into the same [[graft.ops.Layout.snapshotMergeInto]]
+    * commit the Scala API uses). The table is q115's three-batch
+    * key-clustered orders shape; the statement carries all three
+    * branch kinds — `WHEN MATCHED AND s.op = 'D' THEN DELETE` (keys
+    * `% 100 == 7`), `WHEN MATCHED THEN UPDATE` (keys `% 100 == 0`,
+    * price-bump + status flip), `WHEN NOT MATCHED THEN INSERT` (keys
+    * `% 100 == 1` re-keyed past the corpus max). Every rule is pure
+    * SQL over the base table, so the oracle replays the merged state
+    * without seeing the snapshot machinery. Returns (dir, catalog
+    * table identifier) so the query can also READ through the catalog
+    * door. */
+  def snapshotSqlMergeDir(s: SparkSession, sfDir: String): (String, String) =
+    cache.computeIfAbsent(s"snapsqlmerge:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlmerge").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir)
+      Seq(
+        o.filter(col("o_orderkey") < 500),
+        o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+        o.filter(col("o_orderkey") >= 1000)
+      ).foreach(b => Layout.snapshotAppend(b, dir,
+        statsCols = Seq("o_orderkey")))
+      val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+      val cat = "graftsqlm_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      x.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ox = T.orders(x, sfDir)
+      val src = ox.filter(col("o_orderkey") % 100 === 7)
+          .withColumn("op", lit("D"))
+        .unionByName(ox.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("op", lit("U")))
+        .unionByName(ox.filter(col("o_orderkey") % 100 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("op", lit("U")))
+      src.createOrReplaceTempView("graft_q128_src")
+      x.sql(s"""
+        MERGE INTO $cat.t t
+        USING graft_q128_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          o_orderkey = s.o_orderkey, o_custkey = s.o_custkey,
+          o_orderstatus = s.o_orderstatus, o_totalprice = s.o_totalprice,
+          o_orderdate = s.o_orderdate, o_orderpriority = s.o_orderpriority
+        WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT
+          (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority)
+          VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+            s.o_totalprice, s.o_orderdate, s.o_orderpriority)""")
+      (dir, s"$cat.t")
+    }).asInstanceOf[(String, String)]
+
+  /** q129's fixture: a predicate UPDATE through SQL TEXT
+    * ([[graft.plans.SnapshotUpdateRule]] →
+    * [[graft.ops.Layout.snapshotUpdateWhere]]) — three key-ranged
+    * appends, then `UPDATE … SET price += 1000, status = 'X' WHERE
+    * o_orderkey % 10 = 3 AND o_orderkey < 500`: the predicate sits
+    * inside the FIRST batch's key range only, so the stats-pruned
+    * probe rewrites only that batch's files (granularity pinned in
+    * LayoutSpec). Both rules are pure SQL over the base table, so the
+    * oracle replays the updated state. Returns (dir, catalog table
+    * identifier). */
+  def snapshotSqlUpdateDir(s: SparkSession, sfDir: String): (String, String) =
+    cache.computeIfAbsent(s"snapsqlupd:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlupd").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir)
+      Seq(
+        o.filter(col("o_orderkey") < 500),
+        o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+        o.filter(col("o_orderkey") >= 1000)
+      ).foreach(b => Layout.snapshotAppend(b, dir,
+        statsCols = Seq("o_orderkey")))
+      val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+      val cat = "graftsqlu_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      x.conf.set(s"spark.sql.catalog.$cat.root", root)
+      x.sql(s"""
+        UPDATE $cat.t
+        SET o_totalprice = o_totalprice + 1000.0, o_orderstatus = 'X'
+        WHERE o_orderkey % 10 = 3 AND o_orderkey < 500""")
+      (dir, s"$cat.t")
+    }).asInstanceOf[(String, String)]
+
   /** q116's fixture: a keyed MATERIALIZED VIEW maintained purely by the
     * streaming CDC pipeline — upstream publishes three OVERLAPPING
     * batches of orders through [[graft.streaming.SnapshotSink.appendOnce]]

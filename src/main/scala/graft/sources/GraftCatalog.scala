@@ -205,6 +205,12 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     version: Long) extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  /** The table directory / pinned version, for the SQL MERGE door
+    * ([[graft.plans.SnapshotMergeRule]]). `version()` (no-arg) is
+    * taken by the DSv2 [[Table]] contract. */
+  private[graft] def snapDir: String = dir
+  private[graft] def snapVersion: Long = version
+
   import org.apache.spark.sql.{functions => F}
   import org.apache.spark.sql.sources
 

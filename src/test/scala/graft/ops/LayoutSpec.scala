@@ -1040,6 +1040,49 @@ class LayoutSpec extends SparkSpec {
       "row with NULL condition must survive a DELETE")
   }
 
+  test("snapshotUpdateWhere is file-granular; assignments read the row; NULL cond keeps it") {
+    val dir = tmpDir("snapupdfg") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i", i * 1.0))
+      .toDF("k", "s", "v").repartition(1), dir, statsCols = Seq("k")) // v1
+    Layout.snapshotAppend((101 to 200).map(i => (i, s"a$i", i * 1.0))
+      .toDF("k", "s", "v").repartition(1), dir, statsCols = Seq("k")) // v2
+    val v1Files = manifestDataLines(dir, 1)
+    val v2Files = manifestDataLines(dir, 2) -- v1Files
+    // predicate inside v1's key range only: v2's file must carry
+    Layout.snapshotUpdateWhere(spark, dir, col("k") <= 10,
+      Seq("v" -> (col("v") + 1000), "s" -> upper(col("s"))))          // v3
+    val v3Files = manifestDataLines(dir, 3)
+    assert(v2Files.subsetOf(v3Files),
+      "files with no matching row must be carried, not rewritten")
+    assert(v1Files.intersect(v3Files).isEmpty)
+    val got = Layout.snapshotRead(spark, dir)
+      .select("k", "s", "v").as[(Int, String, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(5) === (("A5", 1005.0)))
+    assert(got(11) === (("a11", 11.0)), "row outside the predicate unchanged")
+    assert(got(150) === (("a150", 150.0)))
+    // a no-match update rewrites NOTHING and stays append-only diffable
+    Layout.snapshotUpdateWhere(spark, dir, col("k") > 100000,
+      Seq("v" -> lit(0.0)))                                           // v4
+    assert(manifestDataLines(dir, 4) === v3Files)
+    assert(Layout.snapshotChanges(spark, dir, 3, 4).count() === 0L)
+    // SQL UPDATE semantics: a NULL-evaluating condition keeps the row;
+    // the assigned value casts to the column's existing type
+    Layout.snapshotAppend(Seq((300, Some("x"), 1.0), (301, None, 2.0))
+      .toDF("k", "s", "v"), dir)                                      // v5
+    Layout.snapshotUpdateWhere(spark, dir, col("s") === "x",
+      Seq("v" -> lit(9)))                                             // v6
+    val tail = Layout.snapshotRead(spark, dir).filter(col("k") >= 300)
+      .select("k", "v").as[(Int, Double)].collect().toMap
+    assert(tail === Map(300 -> 9.0, 301 -> 2.0))
+    // unknown column refuses
+    val e = intercept[Exception] {
+      Layout.snapshotUpdateWhere(spark, dir, lit(true),
+        Seq("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("no column"))
+  }
+
   test("snapshot table model check: random op sequences match a keyed Map") {
     // model-based check of the write-path INTERACTIONS: appends, keyed
     // merges (upsert+insert+tombstone), merge-on-read deletes, compaction

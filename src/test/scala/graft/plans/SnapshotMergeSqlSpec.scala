@@ -1,0 +1,211 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftSessionBridge, SparkSession}
+
+import graft.SparkSpec
+import graft.ops.Layout
+
+/** SQL `MERGE INTO` against catalog snapshot tables
+  * ([[SnapshotMergeRule]]): every branch shape lands in the same
+  * [[Layout.snapshotMergeInto]] commit the Scala API uses, unsupported
+  * shapes refuse at analysis with a pointer at the Scala API, and both
+  * doors observe each other's writes. */
+class SnapshotMergeSqlSpec extends SparkSpec {
+
+  private lazy val x: SparkSession =
+    GraftSessionBridge.withGraftExtensions(spark)
+
+  private def newTable(rows: String): (String, String) = {
+    val name = s"gm${System.nanoTime()}"
+    val root = tmpDir("graftmerge")
+    x.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$name.root", root)
+    x.sql(s"CREATE TABLE $name.db.t (k BIGINT, s STRING, v DOUBLE)")
+    x.sql(s"INSERT INTO $name.db.t VALUES $rows")
+    (s"$name.db.t", s"$root/db/t")
+  }
+
+  test("upsert fast path: symmetric UPDATE SET * / INSERT * branches") {
+    val (t, dir) = newTable("(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val out = x.sql(s"""
+      MERGE INTO $t AS t
+      USING (SELECT * FROM VALUES (2, 'B', 20.0), (9, 'i', 9.0)
+             AS src(k, s, v)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").collect()
+    // the command reports the committed snapshot version
+    assert(out.map(_.getLong(0)).toSeq ===
+      Seq(Layout.snapshotVersions(x, dir).last))
+    assert(x.sql(s"SELECT k, s, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (9L, "i", 9.0)))
+  }
+
+  test("explicit assignments with source-side expressions and casts") {
+    val (t, _) = newTable("(1, 'a', 1.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 1 AS kk, 'z' AS name) s
+      ON t.k = s.kk
+      WHEN MATCHED THEN
+        UPDATE SET k = s.kk, s = upper(s.name), v = s.kk * 2 + 0.5""")
+    assert(x.sql(s"SELECT k, s, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "Z", 2.5)))
+  }
+
+  test("guarded CDC: MATCHED DELETE + UPDATE + guarded INSERT (general path)") {
+    val (t, _) = newTable("(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT * FROM VALUES
+               (1, 'x', 0.0, 'D'),   -- matched tombstone → delete
+               (2, 'B', 22.0, 'U'),  -- matched update
+               (7, 'g', 7.0, 'U'),   -- unmatched insert
+               (8, 'h', 0.0, 'D')    -- unmatched tombstone → no-op
+             AS src(k, s, v, op)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET k = s.k, s = s.s, v = s.v
+      WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, s, v)
+        VALUES (s.k, s.s, s.v)""")
+    assert(x.sql(s"SELECT k, s, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((2L, "B", 22.0), (3L, "c", 3.0), (7L, "g", 7.0)))
+  }
+
+  test("update-only: unmatched source rows do NOT insert") {
+    val (t, _) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT * FROM VALUES (2, 'B', 20.0), (9, 'i', 9.0)
+             AS src(k, s, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(x.sql(s"SELECT k, s FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("insert-only: matched source rows do NOT update (insert-if-absent)") {
+    val (t, _) = newTable("(1, 'a', 1.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT * FROM VALUES (1, 'CLOBBER', 0.0), (2, 'b', 2.0)
+             AS src(k, s, v)) s
+      ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(x.sql(s"SELECT k, s FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("delete-only and NOT MATCHED BY SOURCE DELETE (full sync)") {
+    val (t, _) = newTable("(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 2 AS k) s
+      ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(x.sql(s"SELECT k FROM $t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // full sync: keep only keys present in the source
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 3 AS k, 'C' AS s, 30.0 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(x.sql(s"SELECT k, s FROM $t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "C")))
+  }
+
+  test("partial INSERT null-fills unlisted columns") {
+    val (t, _) = newTable("(1, 'a', 1.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 5 AS k, 'e' AS s) s
+      ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)""")
+    assert(x.sql(s"SELECT k, s, v FROM $t WHERE k = 5").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq ===
+      Seq((5L, "e", true)))
+  }
+
+  test("the merge is one commit, visible to the Scala API with history intact") {
+    val (t, dir) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    val before = Layout.snapshotVersions(x, dir).size
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 2 AS k, 'B' AS s, 20.0 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val versions = Layout.snapshotVersions(x, dir)
+    assert(versions.size === before + 1)
+    // time travel below the merge sees the old row
+    assert(Layout.snapshotRead(x, dir, versions(before - 1))
+      .where("k = 2").select("s").collect().head.getString(0) === "b")
+    assert(Layout.snapshotRead(x, dir).where("k = 2")
+      .select("s").collect().head.getString(0) === "B")
+  }
+
+  test("SQL UPDATE: file-granular copy-on-write, assignments read the row") {
+    val (t, dir) = newTable("(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val out = x.sql(
+      s"UPDATE $t SET v = v + 10, s = upper(s) WHERE k >= 2").collect()
+    assert(out.map(_.getLong(0)).toSeq ===
+      Seq(Layout.snapshotVersions(x, dir).last))
+    assert(x.sql(s"SELECT k, s, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 1.0), (2L, "B", 12.0), (3L, "C", 13.0)))
+    // unconditioned UPDATE hits every row; it is still a commit with
+    // history (time travel below it sees the old values)
+    x.sql(s"UPDATE $t SET v = 0.5")
+    assert(x.sql(s"SELECT DISTINCT v FROM $t").collect()
+      .map(_.getDouble(0)).toSeq === Seq(0.5))
+    val versions = Layout.snapshotVersions(x, dir)
+    assert(Layout.snapshotRead(x, dir, versions(versions.size - 2))
+      .where("k = 1").select("v").collect().head.getDouble(0) === 1.0)
+    // a subquery predicate refuses with a pointer at the remedy
+    val e = intercept[Exception] { x.sql(
+      s"UPDATE $t SET v = 1.0 WHERE k IN (SELECT k FROM $t WHERE v > 0)") }
+    assert(e.getMessage.contains("subquery"), e.getMessage)
+  }
+
+  test("unsupported shapes refuse at analysis with a pointer at the Scala API") {
+    val (t, _) = newTable("(1, 'a', 1.0)")
+    // non-equality ON conjunct
+    val e1 = intercept[Exception] { x.sql(s"""
+      MERGE INTO $t t USING (SELECT 1 AS k, 'z' AS s, 0.5 AS v) s
+      ON t.k = s.k AND t.v > s.v
+      WHEN MATCHED THEN UPDATE SET *""") }
+    assert(e1.getMessage.contains("key-granular"), e1.getMessage)
+    // partial UPDATE needs the existing row
+    val e2 = intercept[Exception] { x.sql(s"""
+      MERGE INTO $t t USING (SELECT 1 AS k, 9.0 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""") }
+    assert(e2.getMessage.contains("unassigned"), e2.getMessage)
+    // a condition reading the target row
+    val e3 = intercept[Exception] { x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 1 AS k, 'z' AS s, 9.0 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.v < s.v THEN UPDATE SET *""") }
+    assert(e3.getMessage.contains("references target columns"),
+      e3.getMessage)
+    // a time-travel target cannot be merged into
+    val e4 = intercept[Exception] { x.sql(s"""
+      MERGE INTO $t VERSION AS OF 2 t
+      USING (SELECT 1 AS k, 'z' AS s, 9.0 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""") }
+    assert(e4.getMessage.contains("time-travel") ||
+      e4.getMessage.toLowerCase.contains("syntax"), e4.getMessage)
+    // nothing above committed
+    assert(x.sql(s"SELECT s FROM $t").collect().head.getString(0) === "a")
+  }
+}
