@@ -149,7 +149,12 @@ object Bench {
       // hardware — headroom for host contention, none for a real
       // regression.
       val floors = Seq(
-        ("etl_records_per_sec", r.recordsPerSec, 80000.0),
+        // the ETL drain's healthy band on identical code spans 44-145k
+        // rec/s across rounds (it's a 3-10 s burst, maximally exposed
+        // to transient host contention); the floor must sit BELOW the
+        // band's observed healthy minimum or it fires on noise —
+        // 40k still catches a genuine collapse of the ingest path
+        ("etl_records_per_sec", r.recordsPerSec, 40000.0),
         ("asof_rows_per_sec", a.rowsPerSec, 10000.0),
         ("asof_fwd_rows_per_sec", f.rowsPerSec, 5500.0),
         ("asof_near_rows_per_sec", n.rowsPerSec, 6500.0),

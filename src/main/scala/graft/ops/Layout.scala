@@ -902,6 +902,124 @@ object Layout {
     committed
   }
 
+  /** Is `from` → `to` a widening every parquet reader resolves
+    * LOSSLESSLY at scan time with no file rewrite? Exactly the
+    * promotions Spark 4's vectorized reader decodes natively when the
+    * requested schema is wider than the footer's (the same set
+    * Iceberg/Delta type-widening allows): integral widening, `int` →
+    * `double` (exact — every int32 is a double), `float` → `double`,
+    * and decimal PRECISION growth at the same scale. `long` → `double`
+    * is deliberately absent (lossy above 2^53), as is every
+    * cross-family cast. */
+  private def isLosslessWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType)  => true
+      case (ShortType, IntegerType | LongType)             => true
+      case (IntegerType, LongType | DoubleType)            => true
+      case (FloatType, DoubleType)                         => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
+  /** WIDENING-RETYPE schema evolution as a METADATA-ONLY commit — the
+    * third evolution the format supports without touching a data file
+    * (add-column: [[snapshotEvolve]]; rename: [[snapshotRename]]).
+    * The commit records the widened schema of record (field IDs
+    * unchanged); every reader already scans with the schema of record,
+    * and parquet decodes a narrower on-disk column under a wider
+    * requested type natively ([[isLosslessWidening]] is exactly that
+    * set), so old files read back widened with ZERO rewrite — at
+    * 100 TB, "our int32 doc_id overflowed" costs one manifest PUT.
+    *
+    * Unlike a rename, nothing needs materialization afterwards: names
+    * are untouched, so the catalog's delegated scan, the raw streaming
+    * file feed, file-granular rewrites (MERGE/UPDATE/DELETE) and both
+    * change feeds — including pre-retype `cdc=` records — all resolve
+    * through the same by-name widening read. Carried stats lines stay
+    * valid verbatim (the numeric stats domain is type-agnostic).
+    * Appends after the commit must carry the widened type (the normal
+    * schema-of-record check). Time travel below the retype reads the
+    * narrow historical schema. Anything not in the lossless set —
+    * narrowing, `long`→`double`, cross-family — refuses with the
+    * full-rewrite remedy. A LIVE merge-on-read overlay refuses (its
+    * key files carry the narrow types; materialize first), mirroring
+    * [[snapshotRename]]. Returns the committed version. */
+  def snapshotRetype(spark: SparkSession, dir: String,
+      retypes: Map[String, org.apache.spark.sql.types.DataType]): Long = {
+    require(retypes.nonEmpty, "snapshotRetype: retypes must be non-empty")
+    val lower = retypes.map { case (c, t) =>
+      c.toLowerCase(java.util.Locale.ROOT) -> t }
+    require(lower.size == retypes.size,
+      "snapshotRetype: duplicate column names (case-insensitive)")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5, s"snapshotRetype: lost the commit race 5× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(s"snapshotRetype: no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      require(parseDeleteMeta(metaLines).isEmpty,
+        s"snapshotRetype: table at $dir carries a live merge-on-read " +
+          "delete overlay whose key files use the current types — run " +
+          "snapshotCompact/snapshotMaintain to materialize it first")
+      val schema0 = metaLines.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+        .getOrElse(sys.error(
+          s"snapshotRetype: snapshot v$base at $dir has no files and no " +
+            "recorded schema"))
+      val schema1 = withFieldIds(schema0)
+      val absent = lower.keys.filterNot(c =>
+        schema1.fields.exists(_.name.equalsIgnoreCase(c))).toSeq.sorted
+      require(absent.isEmpty,
+        s"snapshotRetype: column(s) ${absent.mkString(", ")} not in the " +
+          s"table schema ${schema0.catalogString} at $dir")
+      val widened = org.apache.spark.sql.types.StructType(
+        schema1.fields.map { f =>
+          lower.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(t) =>
+              require(isLosslessWidening(f.dataType, t),
+                s"snapshotRetype: '${f.name}' " +
+                  s"${f.dataType.catalogString} -> ${t.catalogString} " +
+                  "is not a lossless parquet-readable widening " +
+                  "(integral widening, int -> double, float -> double, " +
+                  "decimal precision growth at the same scale) — " +
+                  "anything else is a snapshotCommit full rewrite")
+              f.copy(dataType = t)
+            case None => f
+          }
+        })
+      val v = listed.lastOption.getOrElse(0L) + 1
+      val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
+      val stats = metaLines.filter(_.startsWith(StatsTag))
+      val marker = "retype=" + retypes.toSeq.sortBy(_._1)
+        .map { case (c, t) => s"$c:${t.catalogString}" }.mkString(",")
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((Seq(marker, s"$SchemaTag${widened.json}")
+          ++ prevColmaps)
+          .map(m => s"#$m") ++ stats.map(m => s"#$m") ++ prev)
+        .map(_ + "\n").mkString.getBytes("UTF-8") ++
+        "#commit\n".getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
+
   /** The lineage marker [[snapshotCompact]] attaches to a pure-rewrite
     * version (`rewrite-of=<base>`): same rows, new files. It is what
     * lets [[snapshotChanges]] skip the version when diffing instead of
@@ -1901,32 +2019,50 @@ object Layout {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
-      val files = replacement match {
-        case Some(df) =>
+      // the replacement and the commit's two change-record sides are
+      // independent writes to independent directories — run them
+      // CONCURRENTLY: serially they are a CDC commit's fixed floor
+      // (three write jobs back to back where the slowest alone
+      // suffices). A failed write propagates on Await exactly as it
+      // did serially; any already-written sibling becomes an orphan
+      // the expire sweep collects, same as a crash mid-commit.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fFiles: Future[Seq[String]] = replacement match {
+        case Some(df) => Future {
           df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
           fs.listStatus(dataDir).map(_.getPath.getName)
             .filter(n => !n.startsWith("_") && !n.startsWith("."))
             .sorted.toSeq
-        case None => Seq.empty[String]
+        }
+        case None => Future.successful(Seq.empty[String])
       }
       // persist the commit's change record next to its data (own dirs,
       // O(batch) writes) and name it in a cdc= line the typed feed reads
-      val cdcDirs = Seq.newBuilder[Path]
-      val cdcLine = cdcData.flatMap { c =>
-        def put(side: Option[DataFrame], tag: String): Option[String] =
-          side.map { d =>
-            val r = f"data/v$v%08d-$token-$tag"
-            d.write.mode(SaveMode.Overwrite)
-              .parquet(new Path(dir, r).toString)
-            cdcDirs += new Path(dir, r)
-            r
+      val fCdc: Future[(Seq[Path], Option[String])] = cdcData match {
+        case None => Future.successful((Nil, None))
+        case Some(c) =>
+          def put(side: Option[DataFrame],
+              tag: String): Future[Option[String]] = side match {
+            case None => Future.successful(None)
+            case Some(d) => Future {
+              val r = f"data/v$v%08d-$token-$tag"
+              d.write.mode(SaveMode.Overwrite)
+                .parquet(new Path(dir, r).toString)
+              Some(r)
+            }
           }
-        val u = put(c.ups, "cdcu")
-        val dl = put(c.delKeys, "cdcd")
-        if (u.isEmpty && dl.isEmpty) None
-        else Some(s"$CdcTag${u.getOrElse("-")}|${dl.getOrElse("-")}|" +
-          c.keyCols.mkString(","))
+          val fu = put(c.ups, "cdcu")
+          val fd = put(c.delKeys, "cdcd")
+          for (u <- fu; dl <- fd) yield (
+            (u.toSeq ++ dl.toSeq).map(r => new Path(dir, r)),
+            if (u.isEmpty && dl.isEmpty) None
+            else Some(s"$CdcTag${u.getOrElse("-")}|${dl.getOrElse("-")}|" +
+              c.keyCols.mkString(",")))
       }
+      val files = Await.result(fFiles, Duration.Inf)
+      val (cdcDirs, cdcLine) = Await.result(fCdc, Duration.Inf)
       val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
@@ -1942,7 +2078,7 @@ object Layout {
       if (atomicCreate(fs, manifest, body)) committed = v
       else {
         if (replacement.isDefined) fs.delete(dataDir, true)
-        cdcDirs.result().foreach(fs.delete(_, true))
+        cdcDirs.foreach(fs.delete(_, true))
       }
     }
     committed

@@ -983,6 +983,39 @@ object CoreRelational {
             AS sum_key
         FROM upd GROUP BY 1 ORDER BY o_orderstatus""")),
 
+    // --------------------------------------------------------------- q130
+    // WIDENING-RETYPE evolution (Layout.snapshotRetype): the third
+    // metadata-only schema evolution — int→bigint / float→double
+    // recorded in the schema of record, with parquet decoding the
+    // narrow on-disk columns under the wide requested type at scan
+    // time (Spark 4's reader widens natively, the Iceberg/Delta
+    // type-widening set). Zero files rewritten; at 100 TB "the int32
+    // id overflowed" costs one manifest PUT. This read spans pre- and
+    // post-retype generations AND prunes on the widened stats column
+    // (stats lines survive the retype verbatim — the numeric stats
+    // domain is type-agnostic). Prices are floored to integer-valued
+    // floats (exact in a 24-bit mantissa), so both generations carry
+    // identical values and the oracle replays them with FLOOR.
+    QuerySpec(
+      "q130_snapshot_retype",
+      (s, d) => {
+        val dir = Fits.snapshotRetypeTableDir(s, d)
+        graft.ops.Layout.snapshotReadWhere(s, dir, col("k_id") >= 500L)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("price_f").cast(dec18)).cast("double")
+                 .as("sum_price"),
+               sum(col("k_id").cast(dec18)).cast("double").as("sum_key"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(o_totalprice) AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key
+        FROM orders WHERE o_orderkey >= 500
+        GROUP BY 1 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

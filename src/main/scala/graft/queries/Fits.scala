@@ -305,6 +305,43 @@ object Fits {
       (dir, s"$cat.t")
     }).asInstanceOf[(String, String)]
 
+  /** q130's fixture: a snapshot table RETYPED mid-history
+    * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
+    * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes
+    * two key-ranged appends, is widened to BIGINT/DOUBLE by a
+    * metadata-only commit, then takes a third append under the wide
+    * schema. A read therefore spans pre- and post-retype file
+    * generations, decoding the narrow files under the wide schema at
+    * scan time. The down-then-up casts are IEEE-deterministic, so the
+    * oracle replays the same values from the base table with plain
+    * CASTs. */
+  def snapshotRetypeTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapretype:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, floor}
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapretype").toString + "/t"
+      val o = T.orders(s, sfDir)
+      def narrow(lo: Long, hi: Long) = o
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .select(col("o_orderkey").cast("int").as("k_id"),
+          floor(col("o_totalprice")).cast("float").as("price_f"),
+          col("o_orderstatus").as("status"))
+      Layout.snapshotAppend(narrow(0L, 500L), dir,
+        statsCols = Seq("k_id"))
+      Layout.snapshotAppend(narrow(500L, 1000L), dir,
+        statsCols = Seq("k_id"))
+      Layout.snapshotRetype(s, dir,
+        Map("k_id" -> LongType, "price_f" -> DoubleType))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") >= 1000L)
+        .select(col("o_orderkey").as("k_id"),
+          floor(col("o_totalprice")).cast("double").as("price_f"),
+          col("o_orderstatus").as("status")), dir,
+        statsCols = Seq("k_id"))
+      dir
+    }).asInstanceOf[String]
+
   /** q116's fixture: a keyed MATERIALIZED VIEW maintained purely by the
     * streaming CDC pipeline — upstream publishes three OVERLAPPING
     * batches of orders through [[graft.streaming.SnapshotSink.appendOnce]]

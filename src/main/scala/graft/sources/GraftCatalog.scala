@@ -143,11 +143,13 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** `ALTER TABLE … RENAME COLUMN a TO b` → [[Layout.snapshotRename]]
-    * (metadata-only field-ID rename commit) and `ALTER TABLE … ADD
-    * COLUMNS (…)` → [[Layout.snapshotEvolve]] (null-backfilled widen) —
-    * the SQL DDL door onto the same evolution commits the Scala API
-    * makes. Drops/retypes refuse, matching the format's contract
-    * (they need a full-rewrite commit). */
+    * (metadata-only field-ID rename commit), `ALTER TABLE … ADD
+    * COLUMNS (…)` → [[Layout.snapshotEvolve]] (null-backfilled widen),
+    * and `ALTER TABLE … ALTER COLUMN c TYPE t` →
+    * [[Layout.snapshotRetype]] (metadata-only lossless widening) — the
+    * SQL DDL door onto the same evolution commits the Scala API makes.
+    * Drops and non-widening retypes refuse, matching the format's
+    * contract (they need a full-rewrite commit). */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
@@ -165,11 +167,18 @@ class GraftCatalog extends TableCatalog {
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), a.isNullable)
     }
-    require(renames.size + adds.size == changes.size,
-      s"catalog $catalogName: only RENAME COLUMN and ADD COLUMNS are " +
-        "supported — drops/retypes need a full rewrite " +
-        "(Layout.snapshotCommit)")
+    val retypes = changes.collect {
+      case t: TableChange.UpdateColumnType =>
+        require(t.fieldNames().length == 1,
+          s"catalog $catalogName: only top-level columns can be retyped")
+        t.fieldNames().head -> t.newDataType()
+    }
+    require(renames.size + adds.size + retypes.size == changes.size,
+      s"catalog $catalogName: only RENAME COLUMN, ADD COLUMNS, and " +
+        "ALTER COLUMN TYPE (lossless widening) are supported — " +
+        "drops/narrowings need a full rewrite (Layout.snapshotCommit)")
     if (renames.nonEmpty) Layout.snapshotRename(spark, dir, renames.toMap)
+    if (retypes.nonEmpty) Layout.snapshotRetype(spark, dir, retypes.toMap)
     if (adds.nonEmpty) {
       val widened = org.apache.spark.sql.types.StructType(
         Layout.snapshotRead(spark, dir).schema.fields ++ adds)
