@@ -1085,12 +1085,14 @@ class LayoutSpec extends SparkSpec {
 
   test("snapshot table model check: random op sequences match a keyed Map") {
     // model-based check of the write-path INTERACTIONS: appends, keyed
-    // merges (upsert+insert+tombstone), merge-on-read deletes, compaction
-    // and expiry applied in a random but seeded order, with the logical
-    // table compared against a driver-side Map after every commit — the
-    // bugs this hunts (overlay applied to the wrong file generation, a
-    // carried delete dropped by a later commit, a merge resurrecting a
-    // deleted key) live between operators, not inside one.
+    // merges (upsert+insert+tombstone), merge-on-read deletes, predicate
+    // deletes/updates (snapshotDeleteWhere/snapshotUpdateWhere),
+    // compaction and expiry applied in a random but seeded order, with
+    // the logical table compared against a driver-side Map after every
+    // commit — the bugs this hunts (overlay applied to the wrong file
+    // generation, a carried delete dropped by a later commit, a merge
+    // resurrecting a deleted key, a predicate rewrite missing a
+    // generation) live between operators, not inside one.
     val dir = tmpDir("snapmodel") + "/t"
     val rnd = new scala.util.Random(20260814L)
     val model = scala.collection.mutable.Map.empty[Int, String]
@@ -1114,8 +1116,8 @@ class LayoutSpec extends SparkSpec {
         assert(n === model.size.toLong, s"rowCount after $tag"))
     }
     check("bootstrap")
-    (1 to 18).foreach { step =>
-      rnd.nextInt(6) match {
+    (1 to 24).foreach { step =>
+      rnd.nextInt(8) match {
         case 0 => // append fresh keys
           val rows = freshKeys(1 + rnd.nextInt(5)).map(k => (k, fresh()))
           if (rows.nonEmpty) {
@@ -1159,6 +1161,32 @@ class LayoutSpec extends SparkSpec {
         case 5 => // expire: history shrinks, the logical table must not
           Layout.snapshotExpire(spark, dir, keep = 2, orphanGraceMs = 0)
           check(s"expire@$step")
+        case 6 => // predicate delete — file-granular; refuses on overlay
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          if (morLive)
+            intercept[IllegalArgumentException] {
+              Layout.snapshotDeleteWhere(spark, dir, col("k") % m === r)
+            }
+          else {
+            Layout.snapshotDeleteWhere(spark, dir, col("k") % m === r)
+            model.keys.filter(_ % m == r).toList.foreach(model.remove)
+            check(s"deleteWhere@$step")
+          }
+        case 7 => // predicate update — in-scan assignment; same contract
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          val nv = fresh()
+          if (morLive)
+            intercept[IllegalArgumentException] {
+              Layout.snapshotUpdateWhere(spark, dir, col("k") % m === r,
+                Seq("s" -> lit(nv)))
+            }
+          else {
+            Layout.snapshotUpdateWhere(spark, dir, col("k") % m === r,
+              Seq("s" -> lit(nv)))
+            model.keys.filter(_ % m == r).toList
+              .foreach(k => model(k) = nv)
+            check(s"updateWhere@$step")
+          }
       }
     }
     assert(model.nonEmpty, "degenerate run: model drained completely")
