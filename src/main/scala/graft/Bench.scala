@@ -155,7 +155,11 @@ object Bench {
         // band's observed healthy minimum or it fires on noise —
         // 40k still catches a genuine collapse of the ingest path
         ("etl_records_per_sec", r.recordsPerSec, 40000.0),
-        ("asof_rows_per_sec", a.rowsPerSec, 10000.0),
+        // backward as-of observed band: 9.9-11.7k on identical code
+        // (max-of-3 still lands below 10k under host pressure); the
+        // floor sits below the band and still catches a fall back to
+        // the r8 5.7k shape
+        ("asof_rows_per_sec", a.rowsPerSec, 8500.0),
         ("asof_fwd_rows_per_sec", f.rowsPerSec, 5500.0),
         ("asof_near_rows_per_sec", n.rowsPerSec, 6500.0),
         ("feed_rows_per_sec", sf.rowsPerSec, 60000.0),
