@@ -611,6 +611,102 @@ object Layout {
     * identity — and its bytes on disk — do not. */
   private[graft] val FieldIdKey = "graft.field.id"
 
+  /** StructField metadata flag marking a DECLARED KEY column
+    * (`graft.key = true` in the schema of record). Riding the schema
+    * line — the one piece of metadata every commit path already
+    * carries, rewrites (rename/retype) included — means the
+    * declaration survives the table's whole lifecycle with zero new
+    * manifest machinery. Declared keys let the SQL UPDATE / DELETE
+    * doors record typed-feed cdc automatically (a key-less predicate
+    * rewrite has no replayable change set), and are set at CREATE
+    * TABLE via `TBLPROPERTIES ('graft.key' = 'col[,col…]')` or on any
+    * existing table via [[snapshotDeclareKeys]]. */
+  private[graft] val KeyColKey = "graft.key"
+
+  private def isDeclaredKey(
+      f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(KeyColKey) && f.metadata.getBoolean(KeyColKey)
+
+  /** The table's declared key columns (empty when none declared). */
+  def snapshotKeyCols(spark: SparkSession, dir: String): Seq[String] =
+    snapshotVersions(spark, dir).lastOption
+      .flatMap(v => snapshotMetaOf(spark, dir, v)
+        .find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag))))
+      .map(_.fields.filter(isDeclaredKey).map(_.name).toSeq)
+      .getOrElse(Nil)
+
+  /** Declare (or re-declare) the table's key columns as a
+    * METADATA-ONLY commit: the schema of record is rewritten with
+    * `graft.key` flags on exactly `keyCols` (case-insensitive match;
+    * absent columns refuse). The caller asserts the
+    * at-most-one-row-per-key contract — the same assertion every
+    * keyed-merge caller makes; nothing is scanned to check it. A table
+    * created by plain appends (no schema line yet) gets one
+    * synthesized from a file footer. Returns the committed version. */
+  def snapshotDeclareKeys(spark: SparkSession, dir: String,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty,
+      "snapshotDeclareKeys: keyCols must be non-empty")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= 5,
+        s"snapshotDeclareKeys: lost the commit race 5× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(
+          s"snapshotDeclareKeys: no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      val schema0 = metaLines.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+        .getOrElse(sys.error(
+          s"snapshotDeclareKeys: snapshot v$base at $dir has no files " +
+            "and no recorded schema"))
+      val lower = keyCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val absent = lower.filterNot(k =>
+        schema0.fields.exists(_.name.equalsIgnoreCase(k))).toSeq.sorted
+      require(absent.isEmpty,
+        s"snapshotDeclareKeys: column(s) ${absent.mkString(", ")} not " +
+          s"in the table schema ${schema0.catalogString} at $dir")
+      val flagged = org.apache.spark.sql.types.StructType(
+        schema0.fields.map { f =>
+          val want = lower.contains(
+            f.name.toLowerCase(java.util.Locale.ROOT))
+          if (want == isDeclaredKey(f)) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            if (want) mb.putBoolean(KeyColKey, true)
+            else mb.remove(KeyColKey)
+            f.copy(metadata = mb.build())
+          }
+        })
+      val v = listed.lastOption.getOrElse(0L) + 1
+      val carried = metaLines.filter(m =>
+        m.startsWith(ColMapTag) || m.startsWith(StatsTag) ||
+          m.startsWith(DeleteTag))
+      val marker = "declare-keys=" + keyCols.mkString(",")
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((Seq(marker, s"$SchemaTag${flagged.json}") ++ carried)
+          .map(m => s"#$m") ++ prev)
+        .map(_ + "\n").mkString.getBytes("UTF-8") ++
+        "#commit\n".getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
+
   /** Meta-line prefix for one RENAME commit's column mapping
     * (`colmap=<version>|<id>:<url-encoded old name>[,…]`): for every
     * data file committed STRICTLY BELOW `<version>`, field `<id>` is
@@ -656,14 +752,34 @@ object Layout {
       table: Option[org.apache.spark.sql.types.StructType],
       batch: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
+    // a declared key flag ([[KeyColKey]]) inherits by name regardless of
+    // field IDs — the batch's fields never carry it, and dropping it on
+    // an evolve would silently un-key the table
+    def withKeyFlags(b: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = table match {
+      case Some(ts) if ts.fields.exists(isDeclaredKey) =>
+        val keyed = ts.fields.filter(isDeclaredKey)
+          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+        org.apache.spark.sql.types.StructType(b.fields.map { f =>
+          if (keyed.contains(f.name.toLowerCase(java.util.Locale.ROOT)) &&
+              !isDeclaredKey(f))
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putBoolean(KeyColKey, true)
+                .build())
+          else f
+        })
+      case _ => b
+    }
     val withIds = table.filter(_.fields.exists(fieldIdOf(_).isDefined))
     withIds match {
-      case None => batch
+      case None => withKeyFlags(batch)
       case Some(ts) =>
         val byName = ts.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
         var next = (0 +: ts.fields.flatMap(fieldIdOf).toSeq).max
-        org.apache.spark.sql.types.StructType(batch.fields.map { f =>
+        withKeyFlags(org.apache.spark.sql.types.StructType(
+          batch.fields.map { f =>
           byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
             .flatMap(fieldIdOf) match {
             case Some(id) =>
@@ -678,7 +794,7 @@ object Layout {
                   .withMetadata(f.metadata).putLong(FieldIdKey, next.toLong)
                   .build())
           }
-        })
+        }))
     }
   }
 
@@ -1577,19 +1693,28 @@ object Layout {
     * Delta/Iceberg copy-on-write DELETE shape, re-expressed in the
     * manifest protocol.
     *
-    * Deliberately MARKER-LESS: when files are dropped the row set
-    * changed, so [[snapshotChanges]] must refuse to diff across it (a
-    * file diff cannot represent removed rows) and downstream
-    * incremental consumers recompute — exactly the refusal contract. A
-    * delete that matches NOTHING rewrites nothing (pure carry-forward
-    * commit, still append-only diffable). Concurrency is
+    * Without `keyCols` the commit is MARKER-LESS: when files are
+    * dropped the row set changed, so [[snapshotChanges]] must refuse
+    * to diff across it (a file diff cannot represent removed rows) and
+    * downstream incremental consumers recompute — exactly the refusal
+    * contract. With `keyCols` — the caller DECLARING the table's key
+    * contract (at most one row per key, the same assertion every
+    * keyed-merge caller makes) — the commit persists a `cdc=` change
+    * record whose delete side is the matched rows' keys, read in the
+    * same pass structure as the rewrite, so [[snapshotChangesTyped]]
+    * and the typed streaming source replay the delete row-level and
+    * the q110-style incremental pipelines keep flowing instead of
+    * recomputing. (The FILE feed still refuses either way — replaced
+    * files are not representable as a file delta.) A delete that
+    * matches NOTHING rewrites nothing (pure carry-forward commit,
+    * still append-only diffable). Concurrency is
     * [[snapshotCompact]]'s optimistic retry: losing the version race
     * re-probes against the new base, so a concurrent append's rows are
     * never resurrected or lost. Returns the committed version. */
   def snapshotDeleteWhere(spark: SparkSession, dir: String,
-      cond: Column): Long =
+      cond: Column, keyCols: Seq[String] = Nil): Long =
     commitFileGranular(spark, dir, "snapshotDeleteWhere",
-        (_, _) => Nil) { (base, reader, _) =>
+        (_, _) => Nil) { (base, reader, tableSchema) =>
       val touched = probeTouchedFiles(
         snapshotReadWhere(spark, dir, cond, base)
           .select(col("_metadata.file_path").as("_gfile")))
@@ -1598,10 +1723,28 @@ object Layout {
         else Some(reader(touched)
           // keep FALSE and NULL — SQL DELETE removes only TRUE
           .filter(!coalesce(cond, lit(false))))
-      // deliberately NO cdc record: a predicate delete has no key set to
-      // replay, so the typed feed refuses across it (doc contract)
-      (touched, survivors, None)
+      val cdc =
+        if (keyCols.isEmpty || touched.isEmpty) None
+        else {
+          val keyFields = resolveKeyFields(tableSchema, keyCols,
+            "snapshotDeleteWhere")
+          Some(CdcData(None,
+            Some(reader(touched).filter(coalesce(cond, lit(false)))
+              .select(keyFields.map(col): _*)),
+            keyFields))
+        }
+      (touched, survivors, cdc)
     }
+
+  /** Key-column names resolved (case-insensitively) against the table
+    * schema for a predicate rewrite's cdc record; absent keys refuse. */
+  private def resolveKeyFields(
+      tableSchema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String], op: String): Seq[String] =
+    keyCols.map(k => tableSchema.fields
+      .find(_.name.equalsIgnoreCase(k))
+      .getOrElse(sys.error(s"$op: key column '$k' not in table schema " +
+        tableSchema.catalogString)).name)
 
   /** FILE-GRANULAR copy-on-write row UPDATE (SQL `UPDATE … SET … WHERE`
     * semantics: rows where `cond` is TRUE get the assigned columns
@@ -1614,14 +1757,24 @@ object Layout {
     * forward byte-identical with its stats line. At 100 TB "re-score
     * one day's documents" costs O(files overlapping the predicate),
     * not O(table). Assigned values cast to the column's existing type
-    * (standard SQL UPDATE); unknown columns refuse. Like the predicate
-    * delete, the commit is deliberately MARKER-LESS — replaced rows
-    * have no key set to replay, so the change feed refuses the
-    * interval and downstream incremental consumers recompute.
-    * Concurrency is the optimistic retry of every file-granular
-    * commit. Returns the committed version. */
+    * (standard SQL UPDATE); unknown columns refuse.
+    *
+    * Without `keyCols` the commit is MARKER-LESS — replaced rows have
+    * no key set to replay, so the change feed refuses the interval and
+    * downstream incremental consumers recompute. With `keyCols` (the
+    * caller declaring the table's at-most-one-row-per-key contract,
+    * exactly as keyed-merge callers do) the commit persists a `cdc=`
+    * record — delete side: the matched rows' keys; upsert side: the
+    * matched rows with assignments applied — so the typed feed replays
+    * the update as delete(key) + insert(new row), the same CDC shape a
+    * [[snapshotMergeInto]] emits. Assigning a KEY column under
+    * `keyCols` refuses: re-keying a row is a delete + insert of a
+    * DIFFERENT key, which is [[snapshotMergeInto]]'s job. Concurrency
+    * is the optimistic retry of every file-granular commit. Returns
+    * the committed version. */
   def snapshotUpdateWhere(spark: SparkSession, dir: String, cond: Column,
-      assignments: Seq[(String, Column)]): Long = {
+      assignments: Seq[(String, Column)],
+      keyCols: Seq[String] = Nil): Long = {
     require(assignments.nonEmpty,
       "snapshotUpdateWhere: no assignments — nothing to update")
     commitFileGranular(spark, dir, "snapshotUpdateWhere",
@@ -1635,9 +1788,22 @@ object Layout {
       require(byName.map(_._1).distinct.size == byName.size,
         "snapshotUpdateWhere: a column is assigned twice")
       val asg = byName.toMap
+      val keyFields = resolveKeyFields(tableSchema, keyCols,
+        "snapshotUpdateWhere")
+      keyFields.foreach(k => require(!asg.contains(k),
+        s"snapshotUpdateWhere: assigning key column '$k' would re-key " +
+          "the row — a delete + insert of a different key is " +
+          "snapshotMergeInto's job"))
       val touched = probeTouchedFiles(
         snapshotReadWhere(spark, dir, cond, base)
           .select(col("_metadata.file_path").as("_gfile")))
+      def assigned(df: DataFrame): DataFrame =
+        df.select(tableSchema.fields.map { f =>
+          asg.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
       val survivors =
         if (touched.isEmpty) None
         else Some(reader(touched).select(tableSchema.fields.map { f =>
@@ -1648,7 +1814,14 @@ object Layout {
             case None => col(f.name)
           }
         }: _*))
-      (touched, survivors, None)
+      val cdc =
+        if (keyFields.isEmpty || touched.isEmpty) None
+        else {
+          val matched = reader(touched).filter(coalesce(cond, lit(false)))
+          Some(CdcData(Some(assigned(matched)),
+            Some(matched.select(keyFields.map(col): _*)), keyFields))
+        }
+      (touched, survivors, cdc)
     }
   }
 

@@ -1016,6 +1016,53 @@ object CoreRelational {
         FROM orders WHERE o_orderkey >= 500
         GROUP BY 1 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q131
+    // The typed change feed across KEYED predicate rewrites: when the
+    // caller declares the table's key contract, snapshotUpdateWhere /
+    // snapshotDeleteWhere persist cdc records — the update replays as
+    // delete(key) + insert(new row), the delete as bare delete keys —
+    // so incremental consumers (the q110-q112 pipelines) keep flowing
+    // across predicate UPDATEs and takedown DELETEs instead of falling
+    // back to full recompute (the refusal remains for UNKEYED rewrites,
+    // which genuinely have no replayable change set). Every event is
+    // key arithmetic, so the oracle replays the entire stream from the
+    // base table.
+    QuerySpec(
+      "q131_keyed_rewrite_feed",
+      (s, d) => {
+        val dir = Fits.snapshotKeyedRewriteFeedDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 0L)
+          .groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"),
+               sum(coalesce(col("o_totalprice"), lit(0.0)).cast(dec18))
+                 .cast("double").as("sum_price"))
+          .orderBy(col("commit_version"), col("change_type"))
+      },
+      Some("""WITH ev AS (
+          SELECT CASE WHEN o_orderkey < 500 THEN 1
+                      WHEN o_orderkey < 1000 THEN 2 ELSE 3 END AS v,
+                 'insert' AS ct, o_orderkey AS k, o_totalprice AS p
+          FROM orders
+          UNION ALL
+          SELECT 4, 'delete', o_orderkey, NULL FROM orders
+          WHERE o_orderkey % 10 = 3 AND o_orderkey < 500
+          UNION ALL
+          SELECT 4, 'insert', o_orderkey, o_totalprice + 1000.0
+          FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey < 500
+          UNION ALL
+          SELECT 5, 'delete', o_orderkey, NULL FROM orders
+          WHERE o_orderkey % 7 = 0
+        )
+        SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(k AS DECIMAL(18,2))) AS DOUBLE) AS sum_key,
+          CAST(SUM(CAST(COALESCE(p, 0) AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM ev GROUP BY 1, 2 ORDER BY commit_version, change_type""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -342,6 +342,38 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q131's fixture: the typed change feed across KEYED predicate
+    * rewrites — three key-ranged appends of orders, then
+    * [[graft.ops.Layout.snapshotUpdateWhere]] with `keyCols` (keys
+    * `% 10 == 3` below 500: price+1000, status 'X' — records a cdc
+    * delete(key)+insert(new row) pair) and
+    * [[graft.ops.Layout.snapshotDeleteWhere]] with `keyCols` (keys
+    * `% 7 == 0` — records cdc delete keys). Every event is key
+    * arithmetic over the base table, so the oracle replays the whole
+    * stream. */
+  def snapshotKeyedRewriteFeedDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapkeyedfeed:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapkeyed").toString + "/t"
+      val o = T.orders(s, sfDir)
+      Seq(
+        o.filter(col("o_orderkey") < 500),
+        o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000),
+        o.filter(col("o_orderkey") >= 1000)
+      ).foreach(b => Layout.snapshotAppend(b, dir,
+        statsCols = Seq("o_orderkey")))                             // v1-v3
+      Layout.snapshotUpdateWhere(s, dir,
+        col("o_orderkey") % 10 === 3 && col("o_orderkey") < 500,
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(1000.0)),
+          "o_orderstatus" -> lit("X")),
+        keyCols = Seq("o_orderkey"))                                // v4
+      Layout.snapshotDeleteWhere(s, dir, col("o_orderkey") % 7 === 0,
+        keyCols = Seq("o_orderkey"))                                // v5
+      dir
+    }).asInstanceOf[String]
+
   /** q116's fixture: a keyed MATERIALIZED VIEW maintained purely by the
     * streaming CDC pipeline — upstream publishes three OVERLAPPING
     * batches of orders through [[graft.streaming.SnapshotSink.appendOnce]]

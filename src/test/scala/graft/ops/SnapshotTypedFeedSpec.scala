@@ -136,6 +136,52 @@ class SnapshotTypedFeedSpec extends SparkSpec {
       .map(_._3).toSet === (1 to 15).toSet)
   }
 
+  test("KEYED snapshotDeleteWhere records cdc: the feed replays the delete") {
+    val dir = s"${tmpDir("typedfeed_kd")}/t"
+    twoAppends(dir)
+    Layout.snapshotDeleteWhere(spark, dir, col("k") % 7 === 0,
+      keyCols = Seq("k"))                                            // v3
+    // delete rows carry the matched keys (7 and 14), non-keys NULL
+    assert(events(Layout.snapshotChangesTyped(spark, dir, 2L)) ===
+      Seq((3L, "delete", 7), (3L, "delete", 14)))
+    // the full replay reconstructs the table state
+    val ev = Layout.snapshotChangesTyped(spark, dir, 0L)
+      .select(col("_change_type"), col("k")).as[(String, Int)]
+      .collect()
+    val replayed = ev.filter(_._1 == "insert").map(_._2).toSet --
+      ev.filter(_._1 == "delete").map(_._2).toSet
+    assert(replayed === Layout.snapshotRead(spark, dir)
+      .select("k").as[Int].collect().toSet)
+    // the FILE feed still refuses — replaced files have no file delta
+    intercept[IllegalArgumentException] {
+      Layout.snapshotChanges(spark, dir, 2L).collect()
+    }
+  }
+
+  test("KEYED snapshotUpdateWhere records cdc: delete(key) + insert(new row)") {
+    val dir = s"${tmpDir("typedfeed_ku")}/t"
+    twoAppends(dir)
+    Layout.snapshotUpdateWhere(spark, dir, col("k") % 9 === 0,
+      Seq("s" -> lit("UP")), keyCols = Seq("k"))                     // v3
+    val ev3 = Layout.snapshotChangesTyped(spark, dir, 2L)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(ev3 === Set(("delete", 9, None), ("delete", 18, None),
+      ("insert", 9, Some("UP")), ("insert", 18, Some("UP"))))
+    // assigning the key column under keyCols refuses (re-keying)
+    val e = intercept[Exception] {
+      Layout.snapshotUpdateWhere(spark, dir, lit(true),
+        Seq("k" -> lit(99)), keyCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("re-key"), e.getMessage)
+    // unkeyed update still refuses the feed (previous contract intact)
+    Layout.snapshotUpdateWhere(spark, dir, col("k") === 1,
+      Seq("s" -> lit("z")))                                          // v4
+    intercept[IllegalArgumentException] {
+      Layout.snapshotChangesTyped(spark, dir, 3L).collect()
+    }
+  }
+
   test("expire keeps cdc dirs exactly as long as their manifest survives") {
     val dir = s"${tmpDir("typedfeed_e")}/t"
     twoAppends(dir)
