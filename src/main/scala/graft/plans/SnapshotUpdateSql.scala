@@ -98,7 +98,9 @@ case class SnapshotUpdateCommand(dir: String,
   override def run(session: SparkSession): Seq[Row] = {
     val v = Layout.snapshotUpdateWhere(session, dir,
       GraftPlanBridge.columnOf(cond.e),
-      assignments.map { case (n, h) => n -> GraftPlanBridge.columnOf(h.e) })
+      assignments.map { case (n, h) => n -> GraftPlanBridge.columnOf(h.e) },
+      // declared keys (graft.key) make the update typed-feed-replayable
+      keyCols = Layout.snapshotKeyCols(session, dir))
     Seq(Row(v))
   }
 }

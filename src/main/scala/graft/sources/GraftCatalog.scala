@@ -25,15 +25,29 @@ import graft.ops.Layout
   *   spark.conf.set("spark.sql.catalog.graft.root", "/data/warehouse")
   *
   *   CREATE TABLE graft.db.t (k BIGINT, s STRING)
+  *     TBLPROPERTIES ('graft.key' = 'k')      -- declared key contract
   *   INSERT INTO graft.db.t SELECT ...        -- snapshotAppend commit
   *   INSERT OVERWRITE graft.db.t SELECT ...   -- snapshotCommit rewrite
   *   DELETE FROM graft.db.t WHERE k < 10      -- snapshotDeleteWhere
+  *   UPDATE graft.db.t SET s = upper(s) WHERE k < 10
+  *                                 -- snapshotUpdateWhere (extensions)
+  *   MERGE INTO graft.db.t t USING src s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *                                   -- snapshotMergeInto (extensions)
   *   ALTER TABLE graft.db.t ADD COLUMNS (x INT)      -- snapshotEvolve
   *   ALTER TABLE graft.db.t RENAME COLUMN s TO txt   -- snapshotRename
+  *   ALTER TABLE graft.db.t ALTER COLUMN k TYPE BIGINT -- snapshotRetype
   *   SELECT * FROM graft.db.t                 -- latest snapshot
   *   SELECT * FROM graft.db.t VERSION AS OF 3 -- time travel
   *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-08-01 00:00:00'
   * }}}
+  *
+  * With `graft.key` declared (carried as `graft.key` flags in the
+  * schema of record — surviving evolves, renames, and retypes), the
+  * SQL UPDATE / DELETE doors automatically persist typed-feed cdc
+  * records, so downstream incremental consumers replay them row-level
+  * instead of recomputing.
   *
   * An identifier `db.t` maps to the directory `<root>/db/t`; the table
   * IS the directory, exactly as the Scala API sees it — both doors hit
@@ -55,9 +69,12 @@ import graft.ops.Layout
   * the insert body is a plain `DataFrame`, handed to
   * [[Layout.snapshotAppend]] (append) or [[Layout.snapshotCommit]]
   * (overwrite) — one code path with the programmatic API, not a
-  * parallel implementation. `MERGE INTO` SQL would need
-  * SupportsRowLevelOperations and stays on the Scala API
-  * ([[Layout.snapshotMergeInto]]) for now.
+  * parallel implementation. `UPDATE` and `MERGE INTO` need the
+  * extensions session ([[graft.GraftExtensions]] /
+  * `GraftSessionBridge`): their parsed plans are intercepted at
+  * resolution ([[graft.plans.SnapshotUpdateRule]],
+  * [[graft.plans.SnapshotMergeRule]]) and routed into
+  * [[Layout.snapshotUpdateWhere]] / [[Layout.snapshotMergeInto]].
   */
 class GraftCatalog extends TableCatalog {
 
@@ -131,9 +148,25 @@ class GraftCatalog extends TableCatalog {
         "clustering; zorderWrite for multi-dim)")
     if (exists(ident)) throw new TableAlreadyExistsException(
       (ident.namespace() :+ ident.name()).toSeq)
-    val schema = new StructType(columns.map(c =>
+    // TBLPROPERTIES ('graft.key' = 'col[,col…]') declares the table's
+    // key contract: the flags ride the schema of record, and the SQL
+    // UPDATE / DELETE doors then record typed-feed cdc automatically
+    val keyProp = Option(properties.get("graft.key"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    keyProp.foreach(k => require(
+      columns.exists(_.name().equalsIgnoreCase(k)),
+      s"catalog $catalogName: graft.key column '$k' is not a table column"))
+    val keySet = keyProp.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val schema = new StructType(columns.map { c =>
+      val meta =
+        if (!keySet.contains(c.name().toLowerCase(java.util.Locale.ROOT)))
+          org.apache.spark.sql.types.Metadata.empty
+        else new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean("graft.key", true).build()
       org.apache.spark.sql.types.StructField(
-        c.name(), c.dataType(), c.nullable())))
+        c.name(), c.dataType(), c.nullable(), meta)
+    })
     // an empty evolve commit records the schema of record, so the table
     // exists with zero rows and every later insert is schema-checked
     val empty = spark.createDataFrame(
@@ -263,8 +296,18 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
       s"catalog table $ident: cannot DELETE FROM a time-travel snapshot")
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(F.lit(true))
-    Layout.snapshotDeleteWhere(spark, dir, cond)
+    // declared keys (graft.key) make the delete typed-feed-replayable
+    Layout.snapshotDeleteWhere(spark, dir, cond,
+      keyCols = Layout.snapshotKeyCols(spark, dir))
     (): Unit
+  }
+
+  /** Declared keys surface as a table property (`SHOW TBLPROPERTIES`). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    val keys = Layout.snapshotKeyCols(spark, dir)
+    if (keys.nonEmpty) m.put("graft.key", keys.mkString(","))
+    m
   }
 
   private def spark = SparkSession.active

@@ -154,6 +154,54 @@ class GraftCatalogSpec extends SparkSpec {
     assert(drop.getMessage.contains("full rewrite"))
   }
 
+  test("declared keys (graft.key): SQL UPDATE and DELETE record typed-feed cdc") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.k (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.key' = 'k')")
+    x.sql(s"INSERT INTO $cat.db.k VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = s"$root/db/k"
+    assert(Layout.snapshotKeyCols(x, dir) === Seq("k"))
+    assert(x.sql(s"SHOW TBLPROPERTIES $cat.db.k").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .contains(("graft.key", "k")))
+    // SQL UPDATE on a keyed table: the typed feed replays it
+    x.sql(s"UPDATE $cat.db.k SET s = 'B' WHERE k = 2")
+    val v = Layout.snapshotVersions(x, dir).last
+    assert(Layout.snapshotChangesTyped(x, dir, v - 1, v)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+      === Set(("delete", 2L), ("insert", 2L)))
+    // SQL DELETE likewise
+    x.sql(s"DELETE FROM $cat.db.k WHERE k = 1")
+    val v2 = Layout.snapshotVersions(x, dir).last
+    assert(Layout.snapshotChangesTyped(x, dir, v2 - 1, v2)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+      === Set(("delete", 1L)))
+    // the declaration survives an ADD COLUMNS evolve
+    x.sql(s"ALTER TABLE $cat.db.k ADD COLUMNS (note STRING)")
+    assert(Layout.snapshotKeyCols(x, dir) === Seq("k"))
+    // declaring a key on an EXISTING append-created table (Scala door)
+    val d2 = s"$root/db/plain"
+    Layout.snapshotAppend(Seq((1L, "x"), (2L, "y")).toDF("k", "s"), d2)
+    assert(Layout.snapshotKeyCols(x, d2).isEmpty)
+    Layout.snapshotDeclareKeys(x, d2, Seq("k"))
+    assert(Layout.snapshotKeyCols(x, d2) === Seq("k"))
+    Layout.snapshotUpdateWhere(x, d2, col("k") === 2L,
+      Seq("s" -> lit("Y")), keyCols = Layout.snapshotKeyCols(x, d2))
+    val v3 = Layout.snapshotVersions(x, d2).last
+    assert(Layout.snapshotChangesTyped(x, d2, v3 - 1, v3)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+      === Set(("delete", 2L), ("insert", 2L)))
+    // a bad key column in TBLPROPERTIES refuses at CREATE
+    intercept[Exception] {
+      x.sql(s"CREATE TABLE $cat.db.bad (k BIGINT) " +
+        "TBLPROPERTIES ('graft.key' = 'nope')")
+    }
+  }
+
   test("DELETE FROM lands a file-granular copy-on-write commit") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, s STRING)")
