@@ -266,7 +266,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"snapshotCommit: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"snapshotCommit: lost the commit race 8× at $dir")
       // next version counts EVERY manifest object, torn ones included — a
       // crashed writer's incomplete vN must not be re-contended forever
       val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
@@ -498,7 +499,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
       val versions = listManifestVersions(spark, dir)
       val v = versions.lastOption.getOrElse(0L) + 1
       // carried-forward base: the latest COMPLETE manifest (recomputed
@@ -611,6 +613,22 @@ object Layout {
     * identity — and its bytes on disk — do not. */
   private[graft] val FieldIdKey = "graft.field.id"
 
+  /** Randomized backoff before an optimistic-commit retry (no sleep on
+    * the first attempt). The JITTER is the point: N writers who all
+    * lost to one commit would otherwise re-list, re-stage, and
+    * re-collide in lockstep every round — the convoy that melts a
+    * tight CAS loop down exactly when writer counts grow. Linear base
+    * per attempt (50 ms steps, capped at 400 ms) ± 50%; with the
+    * 8-attempt budget, total worst-case wait stays under ~3 s while a
+    * 4-way concurrent commit storm settles reliably
+    * (ConcurrentCommitSpec). */
+  private def commitBackoff(attempt: Int): Unit =
+    if (attempt > 1) {
+      val base = math.min(50L * (attempt - 1), 400L)
+      val jitter = (base * (scala.util.Random.nextDouble() - 0.5)).toLong
+      Thread.sleep(math.max(1L, base + jitter))
+    }
+
   /** StructField metadata flag marking a DECLARED KEY column
     * (`graft.key = true` in the schema of record). Riding the schema
     * line — the one piece of metadata every commit path already
@@ -653,8 +671,9 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5,
-        s"snapshotDeclareKeys: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8,
+        s"snapshotDeclareKeys: lost the commit race 8× at $dir")
       val listed = listManifestVersions(spark, dir)
       val base = listed.reverseIterator
         .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
@@ -954,7 +973,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"snapshotRename: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"snapshotRename: lost the commit race 8× at $dir")
       val listed = listManifestVersions(spark, dir)
       val base = listed.reverseIterator
         .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
@@ -1077,7 +1097,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"snapshotRetype: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"snapshotRetype: lost the commit race 8× at $dir")
       val listed = listManifestVersions(spark, dir)
       val base = listed.reverseIterator
         .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
@@ -1273,7 +1294,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"snapshotDeleteKeys: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"snapshotDeleteKeys: lost the commit race 8× at $dir")
       val listed = listManifestVersions(spark, dir)
       val base = listed.reverseIterator
         .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
@@ -2124,7 +2146,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
       // base AND the next version come from ONE listing: deriving them
       // from two separate listings opens a lost-update window — a commit
       // landing between the listings bumps the next version PAST itself,
@@ -2272,7 +2295,8 @@ object Layout {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
-      require(attempt <= 5, s"$op: lost the commit race 5× at $dir")
+      commitBackoff(attempt)
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
       // base and next version from ONE listing (torn manifests count
       // toward the next version, same rule as the commits): two separate
       // listings would let a commit land between them and be silently

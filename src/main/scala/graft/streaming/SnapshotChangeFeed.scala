@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SQLContext}
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -57,9 +57,28 @@ import graft.ops.Layout
 class SnapshotChangeFeed extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot-changes"
 
+  /** The table directory: `.load(<dir>)`, or
+    * `.option("table", "<catalog>.<ns…>.<name>")` to resolve a
+    * [[graft.sources.GraftCatalog]] identifier — one name for batch
+    * SQL AND the stream, no path literals in the pipeline code. */
   private def dirOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-snapshot-changes: .load(<snapshot table dir>) is required"))
+    parameters.get("table") match {
+      case Some(ident) =>
+        val parts = ident.split('.')
+        require(parts.length >= 2, "graft-snapshot-changes: " +
+          s"option 'table' wants <catalog>.<ns…>.<name>, got '$ident'")
+        val root = SparkSession.active.conf
+          .getOption(s"spark.sql.catalog.${parts.head}.root")
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-snapshot-changes: '${parts.head}' is not a " +
+              s"configured catalog (no spark.sql.catalog.${parts.head}" +
+              ".root)"))
+        (root +: parts.tail).mkString("/")
+      case None =>
+        parameters.getOrElse("path", throw new IllegalArgumentException(
+          "graft-snapshot-changes: .load(<snapshot table dir>) or " +
+            ".option(\"table\", <catalog identifier>) is required"))
+    }
 
   /** `.option("changeTypes", true)`: emit the DELETE-AWARE typed feed —
     * table columns plus `_change_type` / `_commit_version`

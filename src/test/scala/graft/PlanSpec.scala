@@ -206,6 +206,24 @@ class PlanSpec extends SparkSpec {
         files.mkString("\n"))
   }
 
+  test("q130: the widened scan spans narrow and wide generations, stats-pruned") {
+    // the fixture's first two appends predate the retype (int/float on
+    // disk) and the third is wide (bigint/double); the k_id >= 500
+    // predicate must prune the FIRST append's files from the manifest
+    // stats while the surviving scan decodes both generations under the
+    // single widened schema — one scan, no per-generation split
+    val files = SparkEntry.allSpecs.find(_.name == "q130_snapshot_retype")
+      .get.run(spark, sf).inputFiles
+    assert(files.nonEmpty, "q130 scan has no input files")
+    assert(!files.exists(_.contains("/data/v00000001-")),
+      s"q130 reads the below-range narrow files the stats should have " +
+        s"pruned:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains("/data/v00000002-")) &&
+      files.exists(_.contains("/data/v00000004-")),
+      s"q130 must span pre- and post-retype generations:\n" +
+        files.mkString("\n"))
+  }
+
   test("q90: native AsOfJoinExec with pruned 3-column scans, ≤ 3 shuffles") {
     val p = initial("q90_asof_native")
     assert(p.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,

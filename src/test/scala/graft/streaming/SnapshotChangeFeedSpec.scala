@@ -48,6 +48,33 @@ class SnapshotChangeFeedSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 180)
   }
 
+  test("option(\"table\") resolves a catalog identifier to the table dir") {
+    val root = tmpDir("snapfeedcat")
+    val cat = s"gf${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.db.t (v INT)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1), (2), (3)")
+    val sink = s"${tmpDir("snapfeedcat_s")}/sink"
+    val cp = s"${tmpDir("snapfeedcat_c")}/cp"
+    val q = spark.readStream
+      .format("graft-snapshot-changes")
+      .option("table", s"$cat.db.t")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 3))
+    // an unconfigured catalog name refuses with the conf key to set
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshot-changes")
+        .option("table", "nope.db.t").load()
+    }
+    assert(e.getMessage.contains("spark.sql.catalog.nope"), e.getMessage)
+  }
+
   test("compaction between appends never re-emits rows into the stream") {
     val root = tmpDir("snapfeed_c")
     val dir = s"$root/t"
