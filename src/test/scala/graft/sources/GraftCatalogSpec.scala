@@ -217,5 +217,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Layout.snapshotRead(spark, dir, versions(2)).count() === 5)
     // both doors agree after the SQL delete
     assert(Layout.snapshotRead(spark, dir).count() === 2)
+    // TRUNCATE rides SupportsDelete's default (deleteWhere(true)) — a
+    // copy-on-write commit too, so history above it still time-travels
+    spark.sql(s"TRUNCATE TABLE $cat.db.d")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.d").head().getLong(0)
+      === 0)
+    assert(Layout.snapshotRead(spark, dir,
+      Layout.snapshotVersions(spark, dir).last - 1).count() === 2)
   }
 }
