@@ -2,21 +2,21 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
 import graft.ops.Layout
 import graft.sources.GraftSnapshotTable
 
-/** SQL `MERGE INTO` for snapshot tables — the last missing door of the
-  * catalog's SQL write surface (`INSERT`/`DELETE`/`ALTER` landed with
-  * [[graft.sources.GraftCatalog]]; the reference's entire write path is
-  * SQL text, topic_consumer.py:196-209, with MERGE-shaped upsert
-  * semantics at stop_consumer.py:76-78).
+/** SQL `MERGE INTO` for snapshot tables — the last door of the
+  * catalog's SQL write surface (`INSERT`/`DELETE`/`UPDATE`/`ALTER`
+  * land elsewhere; the reference's entire write path is SQL text,
+  * topic_consumer.py:196-209, with MERGE-shaped upsert semantics at
+  * stop_consumer.py:76-78).
   *
   * Spark parses `MERGE INTO` natively into [[MergeIntoTable]]; the
   * built-in rewrite ([[org.apache.spark.sql.catalyst.analysis.RewriteMergeIntoTable]])
@@ -31,36 +31,39 @@ import graft.sources.GraftSnapshotTable
   * typed change feed, and manifest carry-forward behave identically
   * regardless of which door wrote.
   *
-  * Supported surface (everything else refuses at ANALYSIS time with a
-  * message naming the Scala API):
+  * Supported surface:
   *
   *  - `ON` must be a conjunction of `target.key = <source expr>`
   *    equalities — the key-merge contract (range/expression matches
   *    have no key set to commit file-granularly against).
-  *  - `WHEN MATCHED [AND c] THEN UPDATE SET * | SET col = expr, …`
-  *    where every target column is assigned and `c` / the assigned
-  *    expressions reference ONLY source columns (a condition on the
-  *    existing row would need the row-level read-modify-write path).
-  *    Multiple matched actions compose with SQL first-match-wins.
-  *  - `WHEN MATCHED [AND c] THEN DELETE`
+  *  - `WHEN MATCHED [AND c] THEN UPDATE SET * | SET col = expr, …`:
+  *    conditions AND assigned values may read BOTH sides (`AND s.seq >
+  *    t.seq` — the canonical last-writer-wins CDC guard — or `SET v =
+  *    t.v + s.dv`), and a PARTIAL `SET` keeps the target's values for
+  *    unassigned columns: the matched branch plans as an inner join of
+  *    the table with the source on the merge keys, Catalyst-pruned to
+  *    the referenced columns. Multiple matched actions compose with
+  *    SQL first-match-wins.
+  *  - `WHEN MATCHED [AND c] THEN DELETE` — `c` may read both sides.
   *  - `WHEN NOT MATCHED [AND c] THEN INSERT *| (cols…) VALUES (…)` —
+  *    source-only by SQL's own rule (there IS no target row);
   *    unassigned columns null-fill, standard SQL.
-  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (unconditioned) — the
-  *    "full outer sync" shape: target keys absent from the source are
-  *    tombstoned via an anti-join of key projections.
+  *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE` — the "full
+  *    outer sync" shape; `c` may read the target (source-only refs are
+  *    meaningless there and refuse).
   *
-  * Execution strategy: the canonical CDC shape — one unconditioned (or
-  * symmetrically-guarded) `UPDATE SET *` plus matching `INSERT *` —
-  * compiles to a single upsert frame handed straight to
-  * `snapshotMergeInto` (NO read of the target before the probe; the
-  * merge's own stats-pruned probe is the only table I/O). Asymmetric
-  * shapes (update-only, insert-only, differently-guarded branches)
-  * determine matched-ness with one key-column scan of the target
-  * (column-pruned, manifest-planned) feeding a semi/anti join, taken at
-  * statement start — snapshot-isolation semantics; the commit itself
-  * still retries optimistically. Null merge keys refuse (the key-merge
-  * contract), and a source with duplicate keys refuses exactly as ANSI
-  * MERGE's "cannot update the same row twice" does.
+  * Execution strategy: the canonical symmetric upsert — `UPDATE SET *`
+  * plus matching `INSERT *` with source-only, semantically-equal
+  * guards — compiles to a single upsert frame handed straight to
+  * `snapshotMergeInto` with NO read of the target before the merge's
+  * own stats-pruned probe. Every other shape determines matched-ness
+  * with real joins against the table (read through the catalog's
+  * delegated scan at statement start — snapshot isolation; the commit
+  * itself still retries optimistically), so a DELETE branch can never
+  * collide with an INSERT branch on the same key: matched and
+  * unmatched sets are disjoint by construction. Null merge keys refuse
+  * (the key-merge contract), and a source with duplicate keys refuses
+  * exactly as ANSI MERGE's "cannot update the same row twice" does.
   */
 object SnapshotMergeRule extends Rule[LogicalPlan] {
 
@@ -101,10 +104,12 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
     if (m.withSchemaEvolution)
       refuse("WITH SCHEMA EVOLUTION is not supported — ALTER TABLE ADD " +
         "COLUMNS first (Layout.snapshotEvolve)")
+    val target = m.targetTable
     val source = m.sourceTable
     val srcOut = source.outputSet
-    val tgtAttrs = m.targetTable.output
-    val tgtOut = m.targetTable.outputSet
+    val tgtAttrs = target.output
+    val tgtOut = target.outputSet
+    val bothOut = tgtOut ++ srcOut
 
     def castTo(e: Expression, a: Attribute): Expression =
       if (e.dataType == a.dataType) e else Cast(e, a.dataType)
@@ -125,33 +130,41 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
     val keyAliases: Seq[NamedExpression] =
       keyPairs.map { case (a, e) => Alias(castTo(e, a), a.name)() }
 
-    // ---- assignments → a full replacement row over the source ----
-    def sourceOnly(e: Expression, what: String): Expression = {
-      if (!e.references.subsetOf(srcOut))
-        refuse(s"$what `${e.sql}` references target columns — conditions " +
-          "and assigned values may read only the source (a read-modify-" +
-          "write against the existing row is the Scala API's job)")
+    // matched-ness scopes: matched branches read both sides (planned
+    // over the inner key-join), not-matched reads the source alone,
+    // not-matched-by-source reads the target alone
+    val joined = Join(target, source, Inner,
+      Some(m.mergeCondition), JoinHint.NONE)
+    val srcAnti = Join(source, target, LeftAnti,
+      Some(m.mergeCondition), JoinHint.NONE)
+    val tgtAnti = Join(target, source, LeftAnti,
+      Some(m.mergeCondition), JoinHint.NONE)
+
+    def scoped(e: Expression, scope: AttributeSet, what: String,
+        why: String): Expression = {
+      if (!e.references.subsetOf(scope))
+        refuse(s"$what `${e.sql}` references columns outside its " +
+          s"scope — $why")
       e
     }
+
+    /** Full replacement row: assigned columns from the action, the rest
+      * defaulting per branch (matched: the target's current value —
+      * partial UPDATE; not-matched: NULL — partial INSERT). */
     def rowExprs(assignments: Seq[Assignment], what: String,
-        fillNulls: Boolean): Seq[NamedExpression] = {
+        scope: AttributeSet, why: String,
+        defaultOf: Attribute => Expression): Seq[NamedExpression] = {
       val byTarget: Map[ExprId, Expression] = assignments.map { asg =>
         asg.key match {
           case ar: AttributeReference if tgtOut.contains(ar) =>
-            ar.exprId -> sourceOnly(asg.value, s"$what assignment")
+            ar.exprId -> scoped(asg.value, scope, s"$what assignment", why)
           case other => refuse(s"$what assigns `${other.sql}` — only " +
             "whole top-level target columns can be assigned")
         }
       }.toMap
       tgtAttrs.map { ta =>
-        byTarget.get(ta.exprId) match {
-          case Some(v) => Alias(castTo(v, ta), ta.name)()
-          case None if fillNulls =>
-            Alias(Literal(null, ta.dataType), ta.name)()
-          case None => refuse(s"$what leaves target column `${ta.name}` " +
-            "unassigned — a partial UPDATE needs the existing row; " +
-            "use UPDATE SET * or Layout.snapshotMergeInto")
-        }
+        val v = byTarget.getOrElse(ta.exprId, defaultOf(ta))
+        Alias(castTo(v, ta), ta.name)()
       }
     }
     // star actions surviving resolution (UPDATE SET * / INSERT *)
@@ -165,12 +178,13 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
     }
 
     // ---- first-match-wins eligibility per action list ----
-    def eligibles(actions: Seq[MergeAction], what: String)
+    def eligibles(actions: Seq[MergeAction], what: String,
+        scope: AttributeSet, why: String)
         : Seq[(MergeAction, Expression)] = {
       var priorNots: Seq[Expression] = Nil
       actions.map { a =>
         val c = a.condition
-          .map(c => Coalesce(Seq(sourceOnly(c, s"$what condition"),
+          .map(c => Coalesce(Seq(scoped(c, scope, s"$what condition", why),
             Literal(false))))
           .getOrElse(Literal(true))
         val elig = (c +: priorNots).reduce(And)
@@ -178,74 +192,92 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
         (a, elig)
       }
     }
-    def filtered(elig: Expression): LogicalPlan = elig match {
-      case Literal(true, _) => source
-      case e => Filter(e, source)
-    }
+    def over(base: LogicalPlan, elig: Expression): LogicalPlan =
+      elig match {
+        case Literal(true, _) => base
+        case e => Filter(e, base)
+      }
 
+    val matchedWhy = "WHEN MATCHED may read the target and the source"
+    val insertWhy = "WHEN NOT MATCHED has no target row — source only"
+    val bySourceWhy = "WHEN NOT MATCHED BY SOURCE has no source row — " +
+      "target only"
+
+    // matched branches plan over the inner key-join; each action's
+    // conditions and values may read both sides
     var updFrags = Seq.empty[(LogicalPlan, Expression, Seq[NamedExpression])]
     var delFrags = Seq.empty[LogicalPlan]
-    eligibles(m.matchedActions, "WHEN MATCHED").foreach {
-      case (UpdateAction(_, assignments, _), elig) =>
-        val exprs = rowExprs(assignments, "UPDATE", fillNulls = false)
-        updFrags :+= ((Project(exprs, filtered(elig)), elig, exprs))
-      case (_: UpdateStarAction, elig) =>
-        val exprs = starExprs("UPDATE SET")
-        updFrags :+= ((Project(exprs, filtered(elig)), elig, exprs))
-      case (DeleteAction(_), elig) =>
-        delFrags :+= Project(keyAliases, filtered(elig))
-      case (a, _) => refuse(s"unsupported WHEN MATCHED action $a")
-    }
+    eligibles(m.matchedActions, "WHEN MATCHED", bothOut, matchedWhy)
+      .foreach {
+        case (UpdateAction(_, assignments, _), elig) =>
+          val exprs = rowExprs(assignments, "UPDATE", bothOut, matchedWhy,
+            ta => ta) // unassigned columns keep the target's value
+          updFrags :+= ((Project(exprs, over(joined, elig)), elig, exprs))
+        case (_: UpdateStarAction, elig) =>
+          val exprs = starExprs("UPDATE SET")
+          updFrags :+= ((Project(exprs, over(joined, elig)), elig, exprs))
+        case (DeleteAction(_), elig) =>
+          delFrags :+= Project(keyAliases, over(joined, elig))
+        case (a, _) => refuse(s"unsupported WHEN MATCHED action $a")
+      }
+    // not-matched branches plan over the source anti-join (no target row)
     var insFrags = Seq.empty[(LogicalPlan, Expression, Seq[NamedExpression])]
-    eligibles(m.notMatchedActions, "WHEN NOT MATCHED").foreach {
-      case (InsertAction(_, assignments), elig) =>
-        val exprs = rowExprs(assignments, "INSERT", fillNulls = true)
-        insFrags :+= ((Project(exprs, filtered(elig)), elig, exprs))
-      case (_: InsertStarAction, elig) =>
-        val exprs = starExprs("INSERT")
-        insFrags :+= ((Project(exprs, filtered(elig)), elig, exprs))
-      case (a, _) => refuse(s"unsupported WHEN NOT MATCHED action $a")
-    }
-    val bySourceDelete = m.notMatchedBySourceActions match {
-      case Seq() => false
-      case Seq(DeleteAction(None)) => true
-      case _ => refuse("WHEN NOT MATCHED BY SOURCE supports only an " +
-        "unconditioned DELETE — a condition there reads the existing " +
-        "row (Scala API)")
-    }
+    eligibles(m.notMatchedActions, "WHEN NOT MATCHED", srcOut, insertWhy)
+      .foreach {
+        case (InsertAction(_, assignments), elig) =>
+          val exprs = rowExprs(assignments, "INSERT", srcOut, insertWhy,
+            ta => Literal(null, ta.dataType)) // unassigned null-fill
+          insFrags :+= ((Project(exprs, over(srcAnti, elig)), elig, exprs))
+        case (_: InsertStarAction, elig) =>
+          val exprs = starExprs("INSERT")
+          insFrags :+= ((Project(exprs, over(srcAnti, elig)), elig, exprs))
+        case (a, _) => refuse(s"unsupported WHEN NOT MATCHED action $a")
+      }
+    // not-matched-by-source: target rows no source row matched — the
+    // delete keys are the target's own key columns
+    val tgtKeyAliases: Seq[NamedExpression] =
+      keyPairs.map { case (a, _) => Alias(a, a.name)() }
+    val bySourceDels: Seq[LogicalPlan] =
+      eligibles(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE",
+        tgtOut, bySourceWhy).map {
+        case (DeleteAction(_), elig) =>
+          Project(tgtKeyAliases, over(tgtAnti, elig))
+        case (a, _) => refuse("WHEN NOT MATCHED BY SOURCE supports only " +
+          s"DELETE (an UPDATE there is the Scala API's job), got $a")
+      }
 
-    // fast path: symmetric UPDATE/INSERT branches collapse to one
-    // upsert frame — no target read before the merge's own probe
+    // fast path: symmetric source-only UPDATE/INSERT branches collapse
+    // to one upsert frame — no read of the target before the merge's
+    // own stats-pruned probe
     val upsertAll: Option[LogicalPlan] = (updFrags, insFrags) match {
       case (Seq((_, ue, uex)), Seq((_, ie, iex)))
-          if ue.semanticEquals(ie) &&
-            uex.zip(iex).forall { case (a, b) => a.semanticEquals(b) } =>
-        Some(Project(uex, filtered(ue)))
+          if ue.references.subsetOf(srcOut) &&
+            uex.forall(_.references.subsetOf(srcOut)) &&
+            ue.semanticEquals(ie) &&
+            uex.zip(iex).forall { case (a, b) => a.semanticEquals(b) } &&
+            bySourceDels.isEmpty =>
+        Some(Project(uex, over(source, ue)))
       case _ => None
     }
 
-    SnapshotMergeCommand(tbl.snapDir, keyCols,
-      upsertAll,
-      if (upsertAll.isDefined) Nil else updFrags.map(_._1),
-      if (upsertAll.isDefined) Nil else insFrags.map(_._1),
-      delFrags,
-      if (bySourceDelete) Some(Project(keyAliases, source)) else None)
+    val updatePlans =
+      if (upsertAll.isDefined) Nil
+      else updFrags.map(_._1) ++ insFrags.map(_._1)
+    SnapshotMergeCommand(tbl.snapDir, keyCols, upsertAll, updatePlans,
+      delFrags ++ bySourceDels)
   }
 }
 
 /** The executed half of the SQL MERGE door: resolves the pre-translated
-  * plan fragments to `DataFrame`s, determines matched-ness (only when
-  * the branch shapes force it) with one key-column scan of the target,
+  * plan fragments (joins already encode matched-ness) to `DataFrame`s
   * and lands everything in ONE [[Layout.snapshotMergeInto]] commit.
   * Returns the committed snapshot version as a single row. */
 case class SnapshotMergeCommand(
     dir: String,
     keyCols: Seq[String],
     upsertAll: Option[LogicalPlan],
-    matchedUpdates: Seq[LogicalPlan],
-    inserts: Seq[LogicalPlan],
-    deletes: Seq[LogicalPlan],
-    bySourceKeys: Option[LogicalPlan]) extends LeafRunnableCommand {
+    updatePlans: Seq[LogicalPlan],
+    deletePlans: Seq[LogicalPlan]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -253,61 +285,16 @@ case class SnapshotMergeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     def ofRows(p: LogicalPlan): DataFrame =
       GraftPlanBridge.ofRows(session, p)
-    val gk = keyCols.map("__gk_" + _)
-
-    // matched-ness at statement start (snapshot isolation): ONE
-    // column-pruned, manifest-planned key scan of the target, shared by
-    // every branch that needs it — and skipped entirely on the upsert
-    // fast path and on delete-only statements (an unmatched tombstone
-    // no-ops inside the merge; no branch can resurrect it as an insert)
-    var existingMemo: Option[DataFrame] = None
-    def existing: DataFrame = existingMemo.getOrElse {
-      val e = Layout.snapshotRead(session, dir)
-        .select(keyCols.map(col): _*).distinct()
-        .toDF(gk: _*).cache()
-      existingMemo = Some(e); e
-    }
-    def keyed(df: DataFrame, how: String): DataFrame =
-      df.join(existing,
-        keyCols.zip(gk).map { case (k, g) => df(k) === existing(g) }
-          .reduce(_ && _), how)
-
     val updates: DataFrame = upsertAll match {
       case Some(p) => ofRows(p)
-      case None if matchedUpdates.isEmpty && inserts.isEmpty =>
+      case None if updatePlans.isEmpty =>
         // delete-only statement: an empty frame with the table schema
         Layout.snapshotRead(session, dir).limit(0)
-      case None =>
-        (matchedUpdates.map(p => keyed(ofRows(p), "left_semi")) ++
-          inserts.map(p => keyed(ofRows(p), "left_anti")))
-          .reduce(_ unionByName _)
+      case None => updatePlans.map(ofRows).reduce(_ unionByName _)
     }
-
-    // DELETE is a WHEN MATCHED action: when an asymmetric INSERT branch
-    // exists, an unmatched delete-eligible key may ALSO be
-    // insert-eligible, so the tombstone set must be restricted to
-    // matched keys (else the commit would refuse the key as
-    // both-updated-and-deleted — a collision SQL semantics says cannot
-    // happen). On the fast path the branch-equality condition already
-    // proves a delete-eligible row can never be insert-eligible.
-    val needDelSemi = inserts.nonEmpty
-    val delKeyFrames = deletes.map { p =>
-      val df = ofRows(p)
-      if (needDelSemi) keyed(df, "left_semi") else df
-    } ++ bySourceKeys.map { p =>
-      val srcKeys = ofRows(p).distinct().toDF(gk: _*)
-      val tgtKeys = Layout.snapshotRead(session, dir)
-        .select(keyCols.map(col): _*)
-      tgtKeys.join(srcKeys,
-        keyCols.zip(gk).map { case (k, g) => tgtKeys(k) === srcKeys(g) }
-          .reduce(_ && _), "left_anti")
-    }
-    val delOpt = delKeyFrames.reduceOption(_ unionByName _)
-
-    try {
-      val v = Layout.snapshotMergeInto(session, dir, updates, keyCols,
-        deletes = delOpt)
-      Seq(Row(v))
-    } finally existingMemo.foreach(_.unpersist())
+    val delOpt = deletePlans.map(ofRows).reduceOption(_ unionByName _)
+    val v = Layout.snapshotMergeInto(session, dir, updates, keyCols,
+      deletes = delOpt)
+    Seq(Row(v))
   }
 }

@@ -175,6 +175,48 @@ class SnapshotMergeSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("subquery"), e.getMessage)
   }
 
+  test("target-reading conditions: the last-writer-wins guard (AND s.seq > t.v)") {
+    val (t, _) = newTable("(1, 'a', 5.0), (2, 'b', 2.0)")
+    // row 1's incoming seq (3) is STALE vs the table's v=5 → no update;
+    // row 2's seq 9 wins → updated; both through the LWW guard that a
+    // row-level CDC apply needs
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT * FROM VALUES (1, 'STALE', 3.0), (2, 'B', 9.0)
+             AS src(k, s, v)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v > t.v THEN UPDATE SET *""")
+    assert(x.sql(s"SELECT k, s, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 5.0), (2L, "B", 9.0)))
+  }
+
+  test("partial UPDATE keeps the target's unassigned columns; values may mix sides") {
+    val (t, _) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 1 AS k, 10.0 AS dv) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.dv""")
+    assert(x.sql(s"SELECT k, s, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 11.0), (2L, "b", 2.0)),
+      "unassigned column s must keep the target's value")
+  }
+
+  test("NOT MATCHED BY SOURCE DELETE honors a target-side condition") {
+    val (t, _) = newTable("(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    // source names only k=1; of the unmatched {2, 3}, the guard keeps 2
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 1 AS k, 'a' AS s, 1.0 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE AND t.v > 2.5 THEN DELETE""")
+    assert(x.sql(s"SELECT k FROM $t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("unsupported shapes refuse at analysis with a pointer at the Scala API") {
     val (t, _) = newTable("(1, 'a', 1.0)")
     // non-equality ON conjunct
@@ -183,20 +225,15 @@ class SnapshotMergeSqlSpec extends SparkSpec {
       ON t.k = s.k AND t.v > s.v
       WHEN MATCHED THEN UPDATE SET *""") }
     assert(e1.getMessage.contains("key-granular"), e1.getMessage)
-    // partial UPDATE needs the existing row
+    // a NOT MATCHED condition cannot read the target (no row exists)
     val e2 = intercept[Exception] { x.sql(s"""
-      MERGE INTO $t t USING (SELECT 1 AS k, 9.0 AS v) s
-      ON t.k = s.k
-      WHEN MATCHED THEN UPDATE SET v = s.v""") }
-    assert(e2.getMessage.contains("unassigned"), e2.getMessage)
-    // a condition reading the target row
-    val e3 = intercept[Exception] { x.sql(s"""
       MERGE INTO $t t
       USING (SELECT 1 AS k, 'z' AS s, 9.0 AS v) s
       ON t.k = s.k
-      WHEN MATCHED AND t.v < s.v THEN UPDATE SET *""") }
-    assert(e3.getMessage.contains("references target columns"),
-      e3.getMessage)
+      WHEN NOT MATCHED AND t.v > 1.0 THEN INSERT *""") }
+    assert(e2.getMessage.contains("source only") ||
+      e2.getMessage.toLowerCase.contains("cannot be resolved"),
+      e2.getMessage)
     // a time-travel target cannot be merged into
     val e4 = intercept[Exception] { x.sql(s"""
       MERGE INTO $t VERSION AS OF 2 t
