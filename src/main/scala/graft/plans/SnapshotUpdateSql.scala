@@ -23,11 +23,13 @@ import graft.sources.GraftSnapshotTable
   * manifest-stats-pruned probe decides the file list before any data
   * I/O), everything else carries forward byte-identical.
   *
-  * Unlike MERGE, assigned values and the predicate MAY read the row's
-  * own columns (`SET v = v + 1 WHERE s = 'a'`) — the rewrite happens
-  * inside the scan of each touched file, so no join is needed.
-  * Subqueries in the predicate or values refuse (the probe needs a
-  * plain predicate); nested-field assignment refuses. */
+  * Assigned values and the predicate read the row's own columns
+  * (`SET v = v + 1 WHERE s = 'a'`) with no join at all — the rewrite
+  * happens inside the scan of each touched file (MERGE reads the
+  * target through a key-join; UPDATE is the cheaper self-referential
+  * case). Subqueries in the predicate or values refuse (the probe
+  * needs a plain predicate); nested-field assignment refuses. With
+  * declared keys (`graft.key`) the commit records typed-feed cdc. */
 object SnapshotUpdateRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
