@@ -271,7 +271,17 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
 /** The executed half of the SQL MERGE door: resolves the pre-translated
   * plan fragments (joins already encode matched-ness) to `DataFrame`s
   * and lands everything in ONE [[Layout.snapshotMergeInto]] commit.
-  * Returns the committed snapshot version as a single row. */
+  * Returns the committed snapshot version as a single row.
+  *
+  * Statement-start snapshot isolation is made CRISP by pinning: the
+  * merge's several actions (the commit's analysis pass, probe, rewrite
+  * union, cdc writes) each re-execute the update frames, and an
+  * unpinned target relation would re-resolve "latest version" at every
+  * execution — a concurrent commit mid-statement could then feed
+  * DIFFERENT table snapshots to different actions. Before anything
+  * runs, every embedded target relation is rewritten to the version
+  * current at statement start; the commit itself still lands against
+  * the true latest with the optimistic retry. */
 case class SnapshotMergeCommand(
     dir: String,
     keyCols: Seq[String],
@@ -283,8 +293,18 @@ case class SnapshotMergeCommand(
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
+    lazy val v0: Long = Layout.snapshotLatestVersion(session, dir)
+      .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    def pin(p: LogicalPlan): LogicalPlan = p.transform {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: GraftSnapshotTable if t.snapVersion <= 0 =>
+            r.copy(table = new GraftSnapshotTable(t.name(), t.snapDir, v0))
+          case _ => r
+        }
+    }
     def ofRows(p: LogicalPlan): DataFrame =
-      GraftPlanBridge.ofRows(session, p)
+      GraftPlanBridge.ofRows(session, pin(p))
     val updates: DataFrame = upsertAll match {
       case Some(p) => ofRows(p)
       case None if updatePlans.isEmpty =>
