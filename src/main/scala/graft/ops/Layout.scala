@@ -1755,7 +1755,9 @@ object Layout {
               .select(keyFields.map(col): _*)),
             keyFields))
         }
-      (touched, survivors, cdc)
+      // a concurrently-appended file whose stats admit a matching row
+      // invalidates a staged retry (the delete must see it)
+      (touched, survivors, cdc, Some(cond))
     }
 
   /** Key-column names resolved (case-insensitively) against the table
@@ -1843,7 +1845,7 @@ object Layout {
           Some(CdcData(Some(assigned(matched)),
             Some(matched.select(keyFields.map(col): _*)), keyFields))
         }
-      (touched, survivors, cdc)
+      (touched, survivors, cdc, Some(cond))
     }
   }
 
@@ -2100,7 +2102,12 @@ object Layout {
           else Some(CdcData(
             if (nUpd > 0) Some(updCached.select(outCols: _*)) else None,
             matchedKeys, keyCols))
-        (touched, rows, cdc)
+        // a concurrently-appended file whose stats admit one of the
+        // change set's keys would leave a duplicate live row after a
+        // staged retry — the key-range/IN disjunction is the exact
+        // conflict filter
+        (touched, rows, cdc,
+          (updPred.toSeq ++ delPred.toSeq).reduceOption(_ || _))
     } finally {
       dropCache()
       updCached.unpersist()
@@ -2136,15 +2143,44 @@ object Layout {
     * set. Losing the version race re-probes against the new base (a
     * concurrent append's files are never dropped); a racer that loses
     * to us carries our manifest forward on its retry. */
+  /** The staged products of one file-granular attempt, retained across
+    * a lost commit race for the VALIDATE-AND-RETRY fast path: an
+    * expensive rewrite (a merge re-derives for seconds — analysis,
+    * probe, rewrite, change records) would otherwise be outrun
+    * indefinitely by a stream of cheap concurrent appends, each retry
+    * starting from scratch against a fresh base. When the interleaved
+    * commits only ADDED files whose manifest stats PROVE no row can
+    * match the operation's conflict predicate — and the schema, rename
+    * log, and overlay state are untouched — the staged data is still
+    * exactly right: the retry recomputes the carried list and
+    * re-attempts the manifest PUT in milliseconds (Iceberg's
+    * serializable validation, re-expressed over the stats lines).
+    * Anything else — a touched file vanished, a possibly-matching file
+    * appeared, schema/colmap drift — discards the stage and re-derives
+    * as before. */
+  private final case class StagedRewrite(
+      basePrev: Set[String], touched: Seq[String], rel: String,
+      files: Seq[String], dataDir: Path, cdcDirs: Seq[Path],
+      cdcLine: Option[String], stats: Seq[String],
+      schemaLine: Option[String], colmapLines: Seq[String],
+      conflict: Option[Column])
+
   private def commitFileGranular(spark: SparkSession, dir: String,
       op: String, metaOf: (Seq[String], Int) => Seq[String])(
       touch: (Long, Seq[String] => DataFrame,
         org.apache.spark.sql.types.StructType)
-        => (Seq[String], Option[DataFrame], Option[CdcData])): Long = {
+        => (Seq[String], Option[DataFrame], Option[CdcData],
+            Option[Column])): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
+    var staged: Option[StagedRewrite] = None
+    def dropStaged(): Unit = staged.foreach { st =>
+      fs.delete(st.dataDir, true)
+      st.cdcDirs.foreach(fs.delete(_, true))
+      staged = None
+    }
+    try while (committed < 0) {
       attempt += 1
       commitBackoff(attempt)
       require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
@@ -2192,12 +2228,53 @@ object Layout {
           "rename (snapshotRename) — run snapshotCompact/" +
           "snapshotMaintain to materialize the rename before a " +
           "file-granular rewrite")
+      // ---- validate-and-retry over a prior attempt's stage: when the
+      // race was lost only to non-conflicting APPENDS, skip the
+      // re-derive entirely and just re-point the manifest
+      staged.foreach { st =>
+        val prevSet0 = prev.toSet
+        val newFiles = prev.filterNot(st.basePrev)
+        val reusable =
+          schemaLine == st.schemaLine && colmapLines == st.colmapLines &&
+          st.touched.forall(prevSet0) &&
+          (newFiles.isEmpty || st.conflict.exists(p =>
+            statsKeptRels(spark, newFiles, metaLines, p).isEmpty))
+        if (reusable) {
+          val touchedSet = st.touched.toSet
+          val carried = prev.filterNot(touchedSet)
+          val carriedSet = carried.toSet
+          val carriedStats = metaLines.filter(_.startsWith(StatsTag))
+            .filter(m => carriedSet.contains(
+              m.stripPrefix(StatsTag).takeWhile(_ != '|')))
+          val v = listed.lastOption.getOrElse(0L) + 1
+          val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+          fs.mkdirs(manifest.getParent)
+          val metaOut = metaOf(st.touched, carried.size) ++ st.cdcLine
+          metaOut.foreach(m => require(!m.contains("\n") && m != "commit",
+            s"snapshot meta line may not contain newlines or be " +
+              s"'commit': $m"))
+          val body = ((metaOut.map(m => s"#$m")
+              ++ st.schemaLine.map(m => s"#$m")
+              ++ st.colmapLines.map(m => s"#$m")
+              ++ carriedStats.map(m => s"#$m") ++ st.stats.map(m => s"#$m")
+              ++ carried ++ st.files.map(f => s"${st.rel}/$f"))
+            .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
+          if (atomicCreate(fs, manifest, body)) {
+            staged = None // the manifest owns the staged data now
+            committed = v
+          }
+          // lost AGAIN: keep the stage — the next iteration re-validates
+          // it against the even-newer base
+        } else dropStaged()
+      }
+      if (committed < 0 && staged.isEmpty) {
       def readerOf(rels: Seq[String]): DataFrame = {
         val paths = rels.map(r => new Path(dir, r).toString)
         recorded.map(s => spark.read.schema(s)).getOrElse(spark.read)
           .parquet(paths: _*)
       }
-      val (touched, replacement, cdcData) = touch(base, readerOf, tableSchema)
+      val (touched, replacement, cdcData, conflict) =
+        touch(base, readerOf, tableSchema)
       val prevSet = prev.toSet
       val unknown = touched.filterNot(prevSet)
       require(unknown.isEmpty,
@@ -2272,10 +2349,16 @@ object Layout {
           ++ carried ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
-      else {
-        if (replacement.isDefined) fs.delete(dataDir, true)
-        cdcDirs.foreach(fs.delete(_, true))
+      else
+        // lost the race: RETAIN the staged data — the next attempt
+        // validates whether the interleaved commits actually conflict
+        // before paying a full re-derive
+        staged = Some(StagedRewrite(prevSet, touched, rel, files,
+          dataDir, cdcDirs, cdcLine, stats, schemaLine, colmapLines,
+          conflict))
       }
+    } catch {
+      case t: Throwable => dropStaged(); throw t
     }
     committed
   }
@@ -2293,7 +2376,22 @@ object Layout {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
+    // the staged products of a lost attempt, for the VALIDATE-AND-RETRY
+    // fast path (same starvation logic as commitFileGranular's
+    // StagedRewrite): (derive-base file set, staged rels under `rel`,
+    // data dir, rel, staged stats lines, schema/colmap/delete lines at
+    // stage time)
+    var staged: Option[(Set[String], Seq[String], Path, String,
+      Seq[String], (Option[String], Seq[String], Seq[String]))] = None
+    def dropStaged(): Unit = staged.foreach { st =>
+      fs.delete(st._3, true); staged = None
+    }
+    def metaStateOf(meta: Seq[String])
+        : (Option[String], Seq[String], Seq[String]) =
+      (meta.find(_.startsWith(SchemaTag)),
+        meta.filter(_.startsWith(ColMapTag)),
+        meta.filter(_.startsWith(DeleteTag)))
+    try while (committed < 0) {
       attempt += 1
       commitBackoff(attempt)
       require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
@@ -2308,6 +2406,43 @@ object Layout {
                     catch { case scala.util.control.NonFatal(_) => false })
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
       val v = listed.lastOption.getOrElse(0L) + 1
+      val baseLines = snapshotManifestLines(spark, dir, base)
+      val basePrev = baseLines.filterNot(_.startsWith("#"))
+      val baseMeta = baseLines
+        .filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+
+      // ---- validate-and-retry: a compaction's re-derive rewrites the
+      // whole table — a stream of cheap concurrent appends would outrun
+      // it forever. When the race was lost ONLY to appends (every
+      // derive-base file still present; schema, rename log, and delete
+      // overlay unchanged), the staged rewrite is still the exact
+      // compaction of its base: committing staged files + the appended
+      // newcomers carried verbatim (with their stats) yields the same
+      // ROWS as the new base, so the rewrite-of marker stays honest and
+      // the appends stay un-compacted until the next cycle.
+      staged.foreach { case (sPrev, sRels, _, sRel, sStats, sState) =>
+        val prevSet = basePrev.toSet
+        if (sState == metaStateOf(baseMeta) && sPrev.forall(prevSet)) {
+          val appended = basePrev.filterNot(sPrev)
+          val appendedSet = appended.toSet
+          val appendedStats = baseMeta.filter(_.startsWith(StatsTag))
+            .filter(m => appendedSet.contains(
+              m.stripPrefix(StatsTag).takeWhile(_ != '|')))
+          val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+          fs.mkdirs(manifest.getParent)
+          val body = ((metaOf(base).map(m => s"#$m")
+            ++ sState._1.map(m => s"#$m") ++ sStats.map(m => s"#$m")
+            ++ appendedStats.map(m => s"#$m")
+            ++ sRels.map(f => s"$sRel/$f") ++ appended)
+            .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
+          if (atomicCreate(fs, manifest, body)) {
+            staged = None // the manifest owns the staged data now
+            committed = v
+          } // lost again: keep the stage, next iteration re-validates
+        } else dropStaged()
+      }
+      if (committed < 0 && staged.isEmpty) {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
@@ -2321,7 +2456,6 @@ object Layout {
       // full-scan table. The schema of record carries forward (derived
       // files are written through the reconciled snapshotRead, so they
       // materialize the evolved schema).
-      val baseMeta = snapshotMetaOf(spark, dir, base)
       val baseStatsCols = parseStatsMeta(baseMeta)
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted
       val baseSchemaLine = baseMeta.find(_.startsWith(SchemaTag))
@@ -2333,7 +2467,13 @@ object Layout {
         ++ files.map(f => s"$rel/$f"))
         .map(_ + "\n") :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
-      else fs.delete(dataDir, true) // lost the race: retry on the new base
+      else
+        // lost the race: retain the stage for validate-and-retry
+        staged = Some((basePrev.toSet, files.toSeq, dataDir, rel, stats,
+          metaStateOf(baseMeta)))
+      }
+    } catch {
+      case t: Throwable => dropStaged(); throw t
     }
     committed
   }

@@ -5,8 +5,8 @@ import graft.SparkSpec
 /** TRUE concurrent writers against one snapshot table — the race
   * matrices elsewhere in LayoutSpec stage interleavings
   * deterministically; this spec runs real threads (3 writers doing
-  * append + keyed-merge rounds on disjoint key spaces, plus a
-  * compactor) and asserts every commit lands, the history is a gapless
+  * append + keyed-merge rounds on disjoint key spaces, a predicate
+  * updater, plus a compactor) and asserts every commit lands, the history is a gapless
   * linear version chain, and the final table equals the
   * order-independent model. The jittered commit backoff
   * (Layout.commitBackoff) is what makes a commit storm settle inside
@@ -16,16 +16,20 @@ class ConcurrentCommitSpec extends SparkSpec {
 
   test("concurrent appends + merges + compaction all land; history stays linear") {
     val dir = tmpDir("snapconc") + "/t"
-    Layout.snapshotAppend(Seq((0, "init")).toDF("k", "s"), dir)
+    Layout.snapshotAppend(Seq((0, "init")).toDF("k", "s"), dir,
+      statsCols = Seq("k"))
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val writers = (1 to 3).map { t =>
       new Thread(() => {
         try {
           (0 until 3).foreach { b =>
             val base = t * 1000 + b * 100
+            // key-range stats on every append: exactly what keyed
+            // ingest should track, and what lets a concurrent merge's
+            // staged retry PROVE the new files carry none of its keys
             Layout.snapshotAppend(
               (0 until 5).map(i => (base + i, s"a$t-$b-$i"))
-                .toDF("k", "s"), dir)
+                .toDF("k", "s"), dir, statsCols = Seq("k"))
             // upsert the thread's own first key — no cross-thread keys,
             // so the final state is interleaving-independent
             Layout.snapshotMergeInto(spark, dir,
@@ -40,7 +44,17 @@ class ConcurrentCommitSpec extends SparkSpec {
         Layout.snapshotCompact(spark, dir)
       } catch { case e: Throwable => errs.add(e) }
     })
-    val threads = writers :+ compactor
+    // a predicate-rewrite writer: updateWhere's probe-then-rewrite must
+    // re-probe cleanly when it loses the version race to the others
+    val updater = new Thread(() => {
+      try (0 until 2).foreach { r =>
+        Thread.sleep(200)
+        Layout.snapshotUpdateWhere(spark, dir,
+          org.apache.spark.sql.functions.col("k") === 0,
+          Seq("s" -> org.apache.spark.sql.functions.lit(s"init$r")))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val threads = writers :+ compactor :+ updater
     threads.foreach(_.start())
     threads.foreach(_.join(300000))
     assert(threads.forall(!_.isAlive), "a writer thread hung")
@@ -48,7 +62,7 @@ class ConcurrentCommitSpec extends SparkSpec {
       s"concurrent commit failed: ${Option(errs.peek()).map(_.toString)}")
     val got = Layout.snapshotRead(spark, dir)
       .as[(Int, String)].collect().toMap
-    val expect = Map(0 -> "init") ++ (for {
+    val expect = Map(0 -> "init1") ++ (for {
       t <- 1 to 3; b <- 0 until 3; i <- 0 until 5
     } yield {
       val base = t * 1000 + b * 100
@@ -61,7 +75,7 @@ class ConcurrentCommitSpec extends SparkSpec {
     val versions = Layout.snapshotVersions(spark, dir)
     assert(versions === (1L to versions.size.toLong),
       s"history has gaps: $versions")
-    // 1 bootstrap + 3 writers x 6 commits + 2 compactions
-    assert(versions.size === 21, s"expected 21 commits, got $versions")
+    // 1 bootstrap + 3 writers x 6 commits + 2 compactions + 2 updates
+    assert(versions.size === 23, s"expected 23 commits, got $versions")
   }
 }
