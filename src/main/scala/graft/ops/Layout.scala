@@ -497,10 +497,25 @@ object Layout {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
-      attempt += 1
-      commitBackoff(attempt)
-      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
+    // the staged batch write, retained across lost races: an append's
+    // data never depends on the base (everything base-derived is
+    // recomputed per attempt), so re-executing the batch's upstream
+    // plan per retry is pure waste — a large ingest batch losing to a
+    // tiny commit would re-shuffle the world. Reuse is gated on the
+    // schema / rename-log / delete-overlay lines being UNCHANGED since
+    // the stage: the staged dir name encodes the stage-time version,
+    // and a delete or rename landing in between would otherwise claim
+    // our (newer) rows into its older generation.
+    var staged: Option[(Path, String, Seq[String], Seq[String],
+      (Option[String], Seq[String], Seq[String]))] = None
+    var iters = 0
+    def dropStaged(): Unit = staged.foreach { st =>
+      fs.delete(st._1, true); staged = None
+    }
+    try while (committed < 0) {
+      iters += 1
+      commitBackoff(iters)
+      require(iters <= 64, s"$op: the commit PUT collided 64× at $dir")
       val versions = listManifestVersions(spark, dir)
       val v = versions.lastOption.getOrElse(0L) + 1
       // carried-forward base: the latest COMPLETE manifest (recomputed
@@ -562,14 +577,30 @@ object Layout {
         if (evolve)
           Some(s"$SchemaTag${reconcileFieldIds(tableSchema, df.schema).json}")
         else prevSchema.map(s => s"$SchemaTag${s.json}")
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val rel = f"data/v$v%08d-$token"
-      val dataDir = new Path(dir, rel)
-      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-      val files = fs.listStatus(dataDir).map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-        .sorted
-      val stats = statsMetaLines(spark, dir, rel, files, statsCols)
+      val rawSchemaLine = prevLines.find(_.startsWith("#" + SchemaTag))
+        .map(_.stripPrefix("#"))
+      val metaState = (rawSchemaLine, prevColmaps, prevDeletes)
+      // reuse the staged batch if the generation-relevant lines are
+      // unchanged; otherwise discard and write fresh under this
+      // attempt's version name
+      staged.foreach { case (_, _, _, _, st) =>
+        if (st != metaState) dropStaged()
+      }
+      val (dataDir, rel, files, stats) = staged match {
+        case Some((d, r, f, s, _)) => (d, r, f, s)
+        case None =>
+          attempt += 1
+          require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          val r = f"data/v$v%08d-$token"
+          val d = new Path(dir, r)
+          df.write.mode(SaveMode.Overwrite).parquet(d.toString)
+          val f = fs.listStatus(d).map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .sorted.toSeq
+          val s = statsMetaLines(spark, dir, r, f, statsCols)
+          (d, r, f, s)
+      }
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((meta.map(m => s"#$m") ++ schemaLine.map(m => s"#$m")
@@ -579,8 +610,13 @@ object Layout {
           ++ stats.map(m => s"#$m") ++ prev
           ++ files.map(f => s"$rel/$f")).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
-      if (atomicCreate(fs, manifest, body)) committed = v
-      else fs.delete(dataDir, true)
+      if (atomicCreate(fs, manifest, body)) {
+        staged = None // the manifest owns the staged data now
+        committed = v
+      } else
+        staged = Some((dataDir, rel, files, stats, metaState))
+    } catch {
+      case t: Throwable => dropStaged(); throw t
     }
     committed
   }
@@ -2172,7 +2208,14 @@ object Layout {
         => (Seq[String], Option[DataFrame], Option[CdcData],
             Option[Column])): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two retry budgets: full RE-DERIVES are expensive (jobs, writes)
+    // and stay capped at 8; validated fast-path retries re-attempt only
+    // a manifest PUT in milliseconds, so they get a generous iteration
+    // bound instead of eating the derive budget — under a commit storm
+    // the PUT itself keeps colliding far more often than the data
+    // actually conflicts
     var attempt = 0
+    var iters = 0
     var committed = -1L
     var staged: Option[StagedRewrite] = None
     def dropStaged(): Unit = staged.foreach { st =>
@@ -2181,9 +2224,9 @@ object Layout {
       staged = None
     }
     try while (committed < 0) {
-      attempt += 1
-      commitBackoff(attempt)
-      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
+      iters += 1
+      commitBackoff(iters)
+      require(iters <= 64, s"$op: the commit PUT collided 64× at $dir")
       // base AND the next version come from ONE listing: deriving them
       // from two separate listings opens a lost-update window — a commit
       // landing between the listings bumps the next version PAST itself,
@@ -2268,6 +2311,8 @@ object Layout {
         } else dropStaged()
       }
       if (committed < 0 && staged.isEmpty) {
+      attempt += 1
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
       def readerOf(rels: Seq[String]): DataFrame = {
         val paths = rels.map(r => new Path(dir, r).toString)
         recorded.map(s => spark.read.schema(s)).getOrElse(spark.read)
@@ -2383,6 +2428,7 @@ object Layout {
     // stage time)
     var staged: Option[(Set[String], Seq[String], Path, String,
       Seq[String], (Option[String], Seq[String], Seq[String]))] = None
+    var iters = 0
     def dropStaged(): Unit = staged.foreach { st =>
       fs.delete(st._3, true); staged = None
     }
@@ -2392,9 +2438,9 @@ object Layout {
         meta.filter(_.startsWith(ColMapTag)),
         meta.filter(_.startsWith(DeleteTag)))
     try while (committed < 0) {
-      attempt += 1
-      commitBackoff(attempt)
-      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
+      iters += 1
+      commitBackoff(iters)
+      require(iters <= 64, s"$op: the commit PUT collided 64× at $dir")
       // base and next version from ONE listing (torn manifests count
       // toward the next version, same rule as the commits): two separate
       // listings would let a commit land between them and be silently
@@ -2443,6 +2489,8 @@ object Layout {
         } else dropStaged()
       }
       if (committed < 0 && staged.isEmpty) {
+      attempt += 1
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
