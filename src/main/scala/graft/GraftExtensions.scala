@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Scala API uses
     ext.injectResolutionRule(_ => graft.plans.SnapshotMergeRule)
     ext.injectResolutionRule(_ => graft.plans.SnapshotUpdateRule)
+    // catalog READS of a version a plain file scan cannot serve (live
+    // MOR delete overlay / files predating a rename) — swapped for the
+    // overlay-aware snapshotRead plan instead of refusing
+    ext.injectResolutionRule(graft.plans.SnapshotOverlayReadRule(_))
     // column pruning through the (otherwise opaque) as-of node
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }

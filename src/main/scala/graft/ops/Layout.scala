@@ -3270,6 +3270,34 @@ object Layout {
     (rels.map(rel => new Path(dir, rel).toString), schema)
   }
 
+  /** True when a plain delegated file scan CANNOT serve `version` —
+    * exactly the two conditions [[snapshotScanInputs]] refuses on: a
+    * live merge-on-read delete overlay (a bare scan would resurrect
+    * deleted rows), or data files predating a column rename (their
+    * on-disk names differ from the schema of record). One manifest GET,
+    * zero data-file I/O. The DSv2 catalog's scan keeps the honest
+    * refusal; under [[graft.GraftExtensions]] the resolution rule
+    * [[graft.plans.SnapshotOverlayReadRule]] asks this first and swaps
+    * the relation for the overlay-aware [[snapshotRead]] plan, so SQL
+    * readers keep working while takedowns are in flight. */
+  def snapshotScanNeedsOverlay(spark: SparkSession, dir: String,
+      version: Long = -1L): Boolean = {
+    val v = if (version > 0) version
+    else snapshotLatestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    val lines = snapshotManifestLines(spark, dir, v)
+    val rels = lines.filterNot(_.startsWith("#"))
+    val metaLines = lines
+      .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
+    parseDeleteMeta(metaLines).nonEmpty || {
+      val colmaps = parseColMaps(metaLines)
+      colmaps.nonEmpty && metaLines.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .exists(schema => rels.exists(rel => diskNamesAt(schema, colmaps,
+          relDirVersion(rel).getOrElse(Long.MaxValue)).isDefined))
+    }
+  }
+
   /** `COUNT(*)` of a snapshot from the MANIFEST alone — O(1 GET), zero
     * data-file I/O — when every file of the version carries a row-count
     * stats line (any table whose commits passed `statsCols`). `None`

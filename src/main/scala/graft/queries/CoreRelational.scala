@@ -1063,6 +1063,40 @@ object CoreRelational {
             AS sum_price
         FROM ev GROUP BY 1, 2 ORDER BY commit_version, change_type""")),
 
+    // --------------------------------------------------------------- q132
+    // SQL reads of a snapshot version a PLAIN delegated scan cannot
+    // serve — both refusal conditions at once: a mid-history RENAME
+    // (o_totalprice → price_usd) leaves the first batch's files under
+    // the old on-disk name, and a later merge-on-read key delete
+    // leaves a LIVE overlay. In the extensions session,
+    // SnapshotOverlayReadRule swaps the read-position relation for the
+    // overlay-aware snapshotRead plan (anti-joined key overlay +
+    // field-ID name resolution per file generation), so `SELECT … FROM
+    // cat.t` keeps answering while the takedown is in flight — zero
+    // data files rewritten to serve the read. The oracle replays the
+    // surviving rows from the base table.
+    QuerySpec(
+      "q132_sql_overlay_read",
+      (s, d) => {
+        val (_, table) = Fits.snapshotSqlOverlayDir(s, d)
+        val x = org.apache.spark.sql.GraftSessionBridge
+          .withGraftExtensions(s)
+        x.sql(s"""
+          SELECT o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(price_usd AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM $table GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders WHERE o_orderkey % 7 <> 0
+        GROUP BY 1 ORDER BY status"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

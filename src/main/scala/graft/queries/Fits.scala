@@ -305,6 +305,42 @@ object Fits {
       (dir, s"$cat.t")
     }).asInstanceOf[(String, String)]
 
+  /** q132's fixture: a snapshot table a PLAIN delegated scan cannot
+    * serve — both catalog-read refusal conditions at once. Batch 1
+    * lands under the original names, a field-ID RENAME
+    * (o_totalprice → price_usd) turns those files into an older name
+    * generation, batch 2 lands post-rename, and a merge-on-read key
+    * delete (o_orderkey % 7 = 0) leaves a LIVE overlay — zero data
+    * files rewritten throughout. Reads must therefore resolve the
+    * rename log per generation AND anti-join the delete overlay:
+    * [[graft.plans.SnapshotOverlayReadRule]] does both for SQL text in
+    * the extensions session. Returns (dir, catalog table identifier). */
+  def snapshotSqlOverlayDir(s: SparkSession, sfDir: String): (String, String) =
+    cache.computeIfAbsent(s"snapsqlovl:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlovl").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir)
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 1000), dir,
+        statsCols = Seq("o_orderkey"))
+      Layout.snapshotRename(s, dir, Map("o_totalprice" -> "price_usd"))
+      Layout.snapshotAppend(
+        o.filter(col("o_orderkey") >= 1000)
+          .withColumnRenamed("o_totalprice", "price_usd"),
+        dir, statsCols = Seq("o_orderkey"))
+      Layout.snapshotDeleteKeys(s, dir,
+        o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+      val cat = "graftsqlo_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      x.conf.set(s"spark.sql.catalog.$cat.root", root)
+      (dir, s"$cat.t")
+    }).asInstanceOf[(String, String)]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

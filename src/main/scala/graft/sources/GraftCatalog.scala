@@ -58,12 +58,16 @@ import graft.ops.Layout
   * Reads delegate to Spark's own parquet DSv2 table over the pinned
   * manifest's FILE LIST (schema of record applied), so column pruning,
   * predicate pushdown and vectorized decode are the stock parquet
-  * path — the catalog adds only the version resolution. Honest
-  * refusal: a table carrying a LIVE merge-on-read delete overlay
-  * refuses catalog reads (the stock parquet scan cannot apply the
-  * anti-join overlay) — run `snapshotCompact`/`snapshotMaintain` to
-  * materialize, or read through `Tables.snapshot`/`snapshot_read`,
-  * which do apply it.
+  * path — the catalog adds only the version resolution. A table
+  * carrying a LIVE merge-on-read delete overlay (or files predating a
+  * rename) cannot be served by that plain scan: in an extensions
+  * session ([[graft.GraftExtensions]]) the resolution rule
+  * [[graft.plans.SnapshotOverlayReadRule]] transparently swaps such
+  * reads for the overlay-aware `snapshotRead` plan, so SQL SELECTs
+  * keep answering while a takedown is in flight; without extensions
+  * the honest refusal stands — run `snapshotCompact` /
+  * `snapshotMaintain` to materialize, or read through
+  * `Tables.snapshot`/`snapshot_read`.
   *
   * Writes use the V1 fallback ([[V1Write]] → [[InsertableRelation]]):
   * the insert body is a plain `DataFrame`, handed to
@@ -252,6 +256,15 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     * taken by the DSv2 [[Table]] contract. */
   private[graft] def snapDir: String = dir
   private[graft] def snapVersion: Long = version
+
+  /** True when the delegated plain-file scan cannot serve this version
+    * (live MOR delete overlay, or files predating a rename) — the
+    * condition [[graft.plans.SnapshotOverlayReadRule]] rewrites
+    * read-position relations on. Lazy: one manifest GET per table
+    * instance (instances are per-`loadTable`, i.e. per statement), not
+    * one per analyzer pass. */
+  private[graft] lazy val needsOverlayRead: Boolean =
+    Layout.snapshotScanNeedsOverlay(spark, dir, version)
 
   import org.apache.spark.sql.{functions => F}
   import org.apache.spark.sql.sources

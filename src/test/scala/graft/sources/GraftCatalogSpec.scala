@@ -202,6 +202,79 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("extensions session: SQL reads apply a live MOR overlay instead of refusing") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.o (k BIGINT, s STRING)")
+    x.sql(s"INSERT INTO $cat.db.o VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = s"$root/db/o"
+    Layout.snapshotDeleteKeys(x, dir, Seq(1L).toDF("k"), Seq("k"))
+    // the plain session still refuses (honest: no rule to apply the
+    // overlay)…
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.o").collect() }
+    // …the extensions session answers, overlay applied
+    assert(x.sql(s"SELECT k, s FROM $cat.db.o ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b"), (3L, "c")))
+    // aggregation over the rewritten read binds references unchanged
+    assert(x.sql(s"SELECT count(*), sum(k) FROM $cat.db.o WHERE k > 0")
+      .head() === org.apache.spark.sql.Row(2L, 5L))
+    // time travel at the overlaid version applies its overlay too; the
+    // version BELOW the delete still reads in full
+    val vDel = Layout.snapshotVersions(x, dir).last
+    assert(x.sql(s"SELECT k FROM $cat.db.o VERSION AS OF $vDel ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+    assert(x.sql(
+      s"SELECT k FROM $cat.db.o VERSION AS OF ${vDel - 1} ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // WRITE positions stay exempt: an append lands (the overlay never
+    // touches newer files), and the read after it composes both
+    x.sql(s"INSERT INTO $cat.db.o VALUES (4, 'd')")
+    assert(x.sql(s"SELECT k FROM $cat.db.o ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L, 4L))
+    // the read side of INSERT…SELECT from the SAME overlaid table is a
+    // read: overlay-applied rows flow into the append
+    x.sql(s"INSERT INTO $cat.db.o SELECT k + 100, s FROM $cat.db.o " +
+      "WHERE k = 2")
+    assert(x.sql(s"SELECT k FROM $cat.db.o ORDER BY k")
+      .as[Long].collect().toSeq === Seq(2L, 3L, 4L, 102L))
+    // the file-granular DML commits keep their own live-overlay
+    // refusal — the rule must NOT have rewritten the DELETE's target
+    val e = intercept[Exception] {
+      x.sql(s"DELETE FROM $cat.db.o WHERE k = 3")
+    }
+    assert(e.getMessage.contains("merge-on-read") ||
+      Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
+  }
+
+  test("extensions session: SQL reads resolve mixed rename generations") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.r (k BIGINT, price DOUBLE)")
+    x.sql(s"INSERT INTO $cat.db.r VALUES (1, 10.0), (2, 20.0)")
+    x.sql(s"ALTER TABLE $cat.db.r RENAME COLUMN price TO amount")
+    x.sql(s"INSERT INTO $cat.db.r VALUES (3, 30.0)")
+    // plain session refuses while generations mix; extensions resolve
+    // the field-ID log per file generation
+    intercept[Exception] {
+      spark.sql(s"SELECT amount FROM $cat.db.r").collect()
+    }
+    assert(x.sql(s"SELECT k, amount FROM $cat.db.r ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // once compacted, the SAME statement goes back to the stock
+    // delegated parquet scan (the rule only fires when needed)
+    Layout.snapshotCompact(x, s"$root/db/r")
+    val plan = x.sql(s"SELECT amount FROM $cat.db.r WHERE amount > 15")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"expected stock scan in:\n$plan")
+  }
+
   test("DELETE FROM lands a file-granular copy-on-write commit") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, s STRING)")
