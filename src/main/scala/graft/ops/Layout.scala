@@ -575,7 +575,8 @@ object Layout {
       // an append carries the table's line forward
       val schemaLine =
         if (evolve)
-          Some(s"$SchemaTag${reconcileFieldIds(tableSchema, df.schema).json}")
+          Some(s"$SchemaTag${reconcileFieldIds(tableSchema, df.schema,
+            colmapIdFloor(parseColMaps(prevColmaps))).json}")
         else prevSchema.map(s => s"$SchemaTag${s.json}")
       val rawSchemaLine = prevLines.find(_.startsWith("#" + SchemaTag))
         .map(_.stripPrefix("#"))
@@ -780,12 +781,22 @@ object Layout {
       Some(f.metadata.getLong(FieldIdKey).toInt)
     else None
 
+  /** Largest field id any colmap line references — the id-assignment
+    * FLOOR: a dropped field's id lives on only in colmap entries, and
+    * re-using it for a new column would hand the new field the dead
+    * one's disk-name history (resurrection by id). Fresh ids must clear
+    * this floor as well as the live schema's maximum. */
+  private def colmapIdFloor(colmaps: Seq[(Long, Map[Int, String])]): Int =
+    (0 +: colmaps.flatMap(_._2.keys)).max
+
   /** Every field carrying an ID: existing IDs preserved, missing ones
     * assigned past the current maximum in field order (deterministic —
-    * two racers assigning over the same base agree). */
-  private def withFieldIds(s: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType = {
-    var next = (0 +: s.fields.flatMap(fieldIdOf).toSeq).max
+    * two racers assigning over the same base agree). `idFloor` guards
+    * against re-using an id that only colmap history still references
+    * ([[colmapIdFloor]]). */
+  private def withFieldIds(s: org.apache.spark.sql.types.StructType,
+      idFloor: Int = 0): org.apache.spark.sql.types.StructType = {
+    var next = (idFloor +: 0 +: s.fields.flatMap(fieldIdOf).toSeq).max
     org.apache.spark.sql.types.StructType(s.fields.map { f =>
       fieldIdOf(f) match {
         case Some(_) => f
@@ -805,7 +816,8 @@ object Layout {
     * (IDs appear only when a rename first needs them). */
   private def reconcileFieldIds(
       table: Option[org.apache.spark.sql.types.StructType],
-      batch: org.apache.spark.sql.types.StructType)
+      batch: org.apache.spark.sql.types.StructType,
+      idFloor: Int = 0)
       : org.apache.spark.sql.types.StructType = {
     // a declared key flag ([[KeyColKey]]) inherits by name regardless of
     // field IDs — the batch's fields never carry it, and dropping it on
@@ -827,12 +839,16 @@ object Layout {
       case _ => b
     }
     val withIds = table.filter(_.fields.exists(fieldIdOf(_).isDefined))
+      // a table whose every id-carrying field was DROPPED still has id
+      // history in colmaps (idFloor > 0): keep assigning ids so the
+      // dead entries can never be claimed by name alone
+      .orElse(if (idFloor > 0) table else None)
     withIds match {
       case None => withKeyFlags(batch)
       case Some(ts) =>
         val byName = ts.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
-        var next = (0 +: ts.fields.flatMap(fieldIdOf).toSeq).max
+        var next = (idFloor +: 0 +: ts.fields.flatMap(fieldIdOf).toSeq).max
         withKeyFlags(org.apache.spark.sql.types.StructType(
           batch.fields.map { f =>
           byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
@@ -889,6 +905,57 @@ object Layout {
     if (m.isEmpty) None else Some(m)
   }
 
+  /** Lowercase on-disk name → OWNING field id, for files committed at
+    * `fileVersion` — across LIVE ids and DEAD ones (a drop's colmap
+    * entry keeps referencing an id the schema no longer carries). Each
+    * id's claim resolves per the composition rule (first colmap entry
+    * after the file wins; no entry → a live field's current name, a
+    * dead field claims nothing — files written after its drop never
+    * contained it). When two ids' resolved claims collide on one name,
+    * the SMALLER claim version wins: a field can only free a name
+    * (rename away / drop) after it adopted it, so freeing order IS
+    * ownership order — the later claimant did not exist in those older
+    * files yet. Implicit claims (a live field with no covering entry)
+    * rank last: an explicit record that the name belonged to some id in
+    * this generation always beats "my name has never changed". */
+  private def diskOwnersAt(schema: org.apache.spark.sql.types.StructType,
+      colmaps: Seq[(Long, Map[Int, String])],
+      fileVersion: Long): Map[String, Int] = {
+    val liveById = schema.fields.iterator
+      .flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap
+    val allIds = colmaps.iterator.flatMap(_._2.keys).toSet ++ liveById.keySet
+    val claims = allIds.iterator.flatMap { id =>
+      colmaps.find { case (rv, mp) => rv > fileVersion && mp.contains(id) }
+        match {
+        case Some((rv, mp)) =>
+          Some((mp(id).toLowerCase(java.util.Locale.ROOT), id, rv))
+        case None => liveById.get(id).map(n =>
+          (n.toLowerCase(java.util.Locale.ROOT), id, Long.MaxValue))
+      }
+    }.toSeq
+    claims.groupBy(_._1).map { case (n, cs) => n -> cs.minBy(_._3)._2 }
+  }
+
+  /** Live fields that must NULL-FILL (not read) in files committed at
+    * `fileVersion`: their generation disk name is owned by a DIFFERENT
+    * id there — either a renamed-away live field whose freed name a
+    * later evolve re-used, or a DROPPED field whose on-disk values a
+    * later re-add of the same name must not resurrect. A live field
+    * without an id yields to any explicit owner of its name (pre-id
+    * fields can only coexist with colmaps transiently). */
+  private def shadowedAt(schema: org.apache.spark.sql.types.StructType,
+      colmaps: Seq[(Long, Map[Int, String])],
+      fileVersion: Long): Set[String] = {
+    if (colmaps.isEmpty) return Set.empty
+    val owners = diskOwnersAt(schema, colmaps, fileVersion)
+    val m = diskNamesAt(schema, colmaps, fileVersion).getOrElse(Map.empty)
+    schema.fields.iterator.filter { f =>
+      val dn = m.getOrElse(f.name, f.name)
+        .toLowerCase(java.util.Locale.ROOT)
+      owners.get(dn).exists(owner => !fieldIdOf(f).contains(owner))
+    }.map(_.name).toSet
+  }
+
   /** Read manifest-relative data files under the CURRENT schema of
     * record, resolving each file generation's on-disk column names
     * through the rename log: files are grouped by their disk-name
@@ -905,27 +972,28 @@ object Layout {
         => DataFrame): DataFrame = {
     val abs = (rs: Seq[String]) => rs.map(r => new Path(dir, r).toString)
     if (colmaps.isEmpty || rels.isEmpty) return read(abs(rels), schema)
-    val groups = rels.groupBy(rel => diskNamesAt(schema, colmaps,
-      relDirVersion(rel).getOrElse(Long.MaxValue)))
+    // group key = (live rename mapping, shadow set): two generations
+    // with identity names can still differ in SHADOW — files straddling
+    // a drop-then-re-add must not scan the dead on-disk values
+    val groups = rels.groupBy { rel =>
+      val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+      (diskNamesAt(schema, colmaps, fv), shadowedAt(schema, colmaps, fv))
+    }
     groups.toSeq.sortBy(_._2.headOption.getOrElse("")).map {
-      case (None, rs) => read(abs(rs), schema)
-      case (Some(m), rs) =>
-        // a later evolve may have re-used a name a rename freed: the
-        // new column cannot exist in these older files, so drop it
-        // from the disk read (its disk name collides with the renamed
-        // field's) and null-fill it in the projection
+      case ((None, shadow), rs) if shadow.isEmpty => read(abs(rs), schema)
+      case ((mOpt, shadow), rs) =>
+        // a later evolve may have re-used a name a rename or a DROP
+        // freed: the new column cannot exist in these older files
+        // (shadowedAt resolves the generation's true disk-name owner),
+        // so drop it from the disk read and null-fill the projection
+        val m = mOpt.getOrElse(Map.empty[String, String])
         val diskName = (f: org.apache.spark.sql.types.StructField) =>
           m.getOrElse(f.name, f.name)
-        val collisions = schema.fields.map(diskName)
-          .groupBy(_.toLowerCase(java.util.Locale.ROOT))
-          .filter(_._2.length > 1).keySet
-        val (readable, shadowed) = schema.fields.partition(f =>
-          m.contains(f.name) || !collisions.contains(
-            diskName(f).toLowerCase(java.util.Locale.ROOT)))
+        val readable = schema.fields.filter(f => !shadow.contains(f.name))
         val diskSchema = org.apache.spark.sql.types.StructType(
           readable.map(f => f.copy(name = diskName(f))))
         read(abs(rs), diskSchema).select(schema.fields.map { f =>
-          if (shadowed.exists(_.name == f.name))
+          if (shadow.contains(f.name))
             lit(null).cast(f.dataType).as(f.name)
           else col(s"`${diskName(f)}`").as(f.name, f.metadata)
         }.toIndexedSeq: _*)
@@ -1031,7 +1099,8 @@ object Layout {
         .getOrElse(sys.error(
           s"snapshotRename: snapshot v$base at $dir has no files and no " +
             "recorded schema"))
-      val schema1 = withFieldIds(schema0)
+      val schema1 = withFieldIds(schema0,
+        colmapIdFloor(parseColMaps(metaLines)))
       val absent = lower.keys.filterNot(o =>
         schema1.fields.exists(_.name.equalsIgnoreCase(o))).toSeq.sorted
       require(absent.isEmpty,
@@ -1072,6 +1141,125 @@ object Layout {
       if (atomicCreate(fs, manifest, body)) committed = v
     }
     committed
+  }
+
+  /** DROP-COLUMN schema evolution as a METADATA-ONLY commit — the
+    * fourth and last evolution the format serves without touching a
+    * data file (add: [[snapshotEvolve]], rename: [[snapshotRename]],
+    * widen: [[snapshotRetype]]). The commit records the narrowed
+    * schema of record; readers scan with it, so parquet's by-name
+    * resolution simply never requests the dropped column from old
+    * files — at 100 TB, "drop the deprecated column" costs one
+    * manifest PUT, not a corpus rewrite.
+    *
+    * The subtle half is RE-ADDING a same-named column later (Iceberg's
+    * classic field-ID motivation): old files still hold the dropped
+    * field's values on disk, and a by-name scan would resurrect them
+    * into the new column. Two guards close that, both riding the
+    * existing rename machinery: (1) the commit writes a `colmap=` entry
+    * binding the dropped field's ID to its disk name for every file
+    * below this version, so [[shadowedAt]] resolves the generation's
+    * true owner and NULL-FILLS the re-added column there; (2) fresh
+    * field ids always clear [[colmapIdFloor]], so a dropped id (whose
+    * colmap history would otherwise transfer) is never re-assigned.
+    * Time travel below the drop reads that version's manifest — old
+    * schema line — so history keeps the column. Carried stats shed the
+    * dropped column's entries (a re-added namesake must never prune by
+    * the dead values' min/max).
+    *
+    * Honest refusals, matching [[snapshotRename]]'s contract: a LIVE
+    * merge-on-read overlay (materialize first), dropping a DECLARED KEY
+    * column (the typed feed and keyed DML would lose their contract —
+    * un-declare first), and dropping every column. Returns the
+    * committed version. */
+  def snapshotDropColumns(spark: SparkSession, dir: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "snapshotDropColumns: cols must be non-empty")
+    val lower = cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(lower.size == cols.size,
+      "snapshotDropColumns: duplicate column names (case-insensitive)")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      commitBackoff(attempt)
+      require(attempt <= 8,
+        s"snapshotDropColumns: lost the commit race 8× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(
+          s"snapshotDropColumns: no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      require(parseDeleteMeta(metaLines).isEmpty,
+        s"snapshotDropColumns: table at $dir carries a live " +
+          "merge-on-read delete overlay — run snapshotCompact/" +
+          "snapshotMaintain to materialize it first")
+      val schema0 = metaLines.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+        .getOrElse(sys.error(
+          s"snapshotDropColumns: snapshot v$base at $dir has no files " +
+            "and no recorded schema"))
+      val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
+      val schema1 = withFieldIds(schema0,
+        colmapIdFloor(parseColMaps(metaLines)))
+      val absent = lower.filterNot(c =>
+        schema1.fields.exists(_.name.equalsIgnoreCase(c))).toSeq.sorted
+      require(absent.isEmpty,
+        s"snapshotDropColumns: column(s) ${absent.mkString(", ")} not " +
+          s"in the table schema ${schema0.catalogString} at $dir")
+      val keyed = schema1.fields.filter(f => isDeclaredKey(f) &&
+        lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+        .map(_.name).toSeq.sorted
+      require(keyed.isEmpty,
+        s"snapshotDropColumns: column(s) ${keyed.mkString(", ")} are " +
+          "DECLARED KEYS (graft.key) — dropping a key breaks the typed " +
+          "feed and keyed DML; re-declare keys without them first")
+      val (dropped, kept) = schema1.fields.partition(f =>
+        lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+      require(kept.nonEmpty,
+        s"snapshotDropColumns: cannot drop every column of $dir")
+      val v = listed.lastOption.getOrElse(0L) + 1
+      // the dropped ids' disk-name claims: files below v stored the
+      // field under its current name; its OLDER names are already in
+      // carried colmap lines under the same id, so the composition
+      // rule covers every generation
+      val entries = dropped.flatMap(f => fieldIdOf(f).map(id =>
+        s"$id:${java.net.URLEncoder.encode(f.name, "UTF-8")}"))
+      val colmapLine = s"$ColMapTag$v|${entries.mkString(",")}"
+      val stats = metaLines.filter(_.startsWith(StatsTag))
+        .map(dropStatsCols(_, lower))
+      val marker = "drop=" + dropped.map(_.name).sorted.mkString(",")
+      val narrowed = org.apache.spark.sql.types.StructType(kept)
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = ((Seq(marker, s"$SchemaTag${narrowed.json}")
+          ++ prevColmaps :+ colmapLine)
+          .map(m => s"#$m") ++ stats.map(m => s"#$m") ++ prev)
+        .map(_ + "\n").mkString.getBytes("UTF-8") ++
+        "#commit\n".getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
+
+  /** Strip a dropped column's entries from a carried stats line (keys
+    * are lowercase current names — a later re-add of the name must
+    * never prune files by the DEAD values' min/max). */
+  private def dropStatsCols(line: String, lower: Set[String]): String = {
+    val parts = line.stripPrefix(StatsTag).split('|')
+    val out = parts.head +: parts.tail.filter { p =>
+      val eq = p.indexOf('=')
+      eq <= 0 || !lower.contains(p.substring(0, eq))
+    }
+    StatsTag + out.mkString("|")
   }
 
   /** Is `from` → `to` a widening every parquet reader resolves
@@ -1155,7 +1343,8 @@ object Layout {
         .getOrElse(sys.error(
           s"snapshotRetype: snapshot v$base at $dir has no files and no " +
             "recorded schema"))
-      val schema1 = withFieldIds(schema0)
+      val schema1 = withFieldIds(schema0,
+        colmapIdFloor(parseColMaps(metaLines)))
       val absent = lower.keys.filterNot(c =>
         schema1.fields.exists(_.name.equalsIgnoreCase(c))).toSeq.sorted
       require(absent.isEmpty,
@@ -1470,14 +1659,17 @@ object Layout {
         .getOrElse(sys.error(
           s"snapshotChangeFiles: v$to at $dir has a rename log but no " +
             "schema of record"))
-      val mixed = addedRels.filter(rel => diskNamesAt(schema, colmaps,
-        relDirVersion(rel).getOrElse(Long.MaxValue)).isDefined)
+      val mixed = addedRels.filter { rel =>
+        val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+        diskNamesAt(schema, colmaps, fv).isDefined ||
+          shadowedAt(schema, colmaps, fv).nonEmpty
+      }
       require(mixed.isEmpty,
         s"snapshotChangeFiles: ${mixed.size} delta file(s) in " +
-          s"v$fromVersion..v$to at $dir predate a column rename " +
-          "(snapshotRename) — a single-schema file scan cannot resolve " +
-          "their on-disk names; run snapshotCompact to materialize, or " +
-          "read via snapshotChanges/snapshotChangesTyped")
+          s"v$fromVersion..v$to at $dir predate a column rename or drop " +
+          "(snapshotRename/snapshotDropColumns) — a single-schema file " +
+          "scan cannot resolve their on-disk names; run snapshotCompact " +
+          "to materialize, or read via snapshotChanges/snapshotChangesTyped")
     }
     addedRels.map(rel => new Path(dir, rel).toString)
   }
@@ -2263,13 +2455,15 @@ object Layout {
       // materializes the rename (same remedy as the live-overlay case)
       val colmapLines = metaLines.filter(_.startsWith(ColMapTag))
       val colmaps = parseColMaps(metaLines)
-      val preRename = prev.filter(rel => diskNamesAt(
-        tableSchema, colmaps, relDirVersion(rel).getOrElse(Long.MaxValue))
-        .isDefined)
+      val preRename = prev.filter { rel =>
+        val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+        diskNamesAt(tableSchema, colmaps, fv).isDefined ||
+          shadowedAt(tableSchema, colmaps, fv).nonEmpty
+      }
       require(preRename.isEmpty,
         s"$op: ${preRename.size} file(s) at $dir predate a column " +
-          "rename (snapshotRename) — run snapshotCompact/" +
-          "snapshotMaintain to materialize the rename before a " +
+          "rename or drop (snapshotRename/snapshotDropColumns) — run " +
+          "snapshotCompact/snapshotMaintain to materialize before a " +
           "file-granular rewrite")
       // ---- validate-and-retry over a prior attempt's stage: when the
       // race was lost only to non-conflicting APPENDS, skip the
@@ -3259,14 +3453,17 @@ object Layout {
       .getOrElse(sys.error(
         s"snapshot v$version at $dir has no files and no recorded schema"))
     val colmaps = parseColMaps(metaLines)
-    val mixed = rels.filter(rel => diskNamesAt(schema, colmaps,
-      relDirVersion(rel).getOrElse(Long.MaxValue)).isDefined)
+    val mixed = rels.filter { rel =>
+      val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+      diskNamesAt(schema, colmaps, fv).isDefined ||
+        shadowedAt(schema, colmaps, fv).nonEmpty
+    }
     require(mixed.isEmpty,
-      s"snapshot at $dir v$version carries a column rename " +
-        s"(snapshotRename) that ${mixed.size} older file(s) predate — " +
-        "a plain file scan cannot resolve their on-disk names; run " +
-        "snapshotCompact/snapshotMaintain to materialize the rename, " +
-        "or read via snapshotRead, which resolves the rename log")
+      s"snapshot at $dir v$version carries a column rename or drop " +
+        s"(snapshotRename/snapshotDropColumns) that ${mixed.size} older " +
+        "file(s) predate — a plain file scan cannot resolve their " +
+        "on-disk names; run snapshotCompact/snapshotMaintain to " +
+        "materialize, or read via snapshotRead, which resolves the log")
     (rels.map(rel => new Path(dir, rel).toString), schema)
   }
 
@@ -3293,8 +3490,11 @@ object Layout {
       val colmaps = parseColMaps(metaLines)
       colmaps.nonEmpty && metaLines.find(_.startsWith(SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-        .exists(schema => rels.exists(rel => diskNamesAt(schema, colmaps,
-          relDirVersion(rel).getOrElse(Long.MaxValue)).isDefined))
+        .exists(schema => rels.exists { rel =>
+          val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+          diskNamesAt(schema, colmaps, fv).isDefined ||
+            shadowedAt(schema, colmaps, fv).nonEmpty
+        })
     }
   }
 

@@ -1097,6 +1097,40 @@ object CoreRelational {
         GROUP BY 1 ORDER BY status"""),
       headline = true),
 
+    // --------------------------------------------------------------- q133
+    // DROP-COLUMN evolution with a same-named RE-ADD — the Iceberg
+    // field-ID resurrection trap (Layout.snapshotDropColumns): batch 1
+    // committed WITH o_totalprice, the column dropped metadata-only
+    // (files untouched, values still on disk), then the NAME re-added
+    // by a later evolve. The drop's colmap tombstone makes readers
+    // NULL-fill the re-added column in pre-drop files — a by-name scan
+    // would resurrect the dead values, silently corrupting every
+    // aggregate over the column. At 100 TB the drop costs one manifest
+    // PUT; the oracle replays the exact visibility rule from the base
+    // table (old keys: NULL, new keys: the re-added values).
+    QuerySpec(
+      "q133_snapshot_drop",
+      (s, d) => {
+        val dir = Fits.snapshotDropTableDir(s, d)
+        graft.ops.Layout.snapshotRead(s, dir)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+               count(col("o_totalprice")).as("n_price"),
+               sum(coalesce(col("o_totalprice"), lit(0.0)).cast(dec18))
+                 .cast("double").as("sum_price"),
+               sum(col("o_orderkey").cast(dec18)).cast("double")
+                 .as("sum_key"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          COUNT(CASE WHEN o_orderkey >= 1000 THEN 1 END) AS n_price,
+          CAST(SUM(CAST(CASE WHEN o_orderkey >= 1000
+              THEN o_totalprice + 7777.0 ELSE 0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders GROUP BY 1 ORDER BY status"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

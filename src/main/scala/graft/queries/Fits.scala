@@ -341,6 +341,35 @@ object Fits {
       (dir, s"$cat.t")
     }).asInstanceOf[(String, String)]
 
+  /** q133's fixture: DROP-COLUMN evolution with a same-named RE-ADD —
+    * the resurrection trap ([[graft.ops.Layout.snapshotDropColumns]]).
+    * Batch 1 (keys < 1000) lands WITH o_totalprice; the column is then
+    * dropped (metadata-only — batch 1's files keep the values on
+    * disk); batch 2 (keys ≥ 1000) re-adds the name via
+    * [[graft.ops.Layout.snapshotEvolve]] with a shifted value so a
+    * resurrected old value can never collide with a legitimate one.
+    * Readers must NULL-fill the re-added column in batch 1's files
+    * (the drop's field-ID tombstone) while reading batch 2's real
+    * values. The oracle replays exactly that visibility from the base
+    * table. */
+  def snapshotDropTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapdroptbl:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapdrop").toString + "/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 1000), dir,
+        statsCols = Seq("o_orderkey"))
+      Layout.snapshotDropColumns(s, dir, Seq("o_totalprice"))
+      Layout.snapshotEvolve(
+        o.filter(col("o_orderkey") >= 1000)
+          .withColumn("o_totalprice", col("o_totalprice") + 7777.0),
+        dir, statsCols = Seq("o_orderkey"))
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -37,6 +37,7 @@ import graft.ops.Layout
   *                                   -- snapshotMergeInto (extensions)
   *   ALTER TABLE graft.db.t ADD COLUMNS (x INT)      -- snapshotEvolve
   *   ALTER TABLE graft.db.t RENAME COLUMN s TO txt   -- snapshotRename
+  *   ALTER TABLE graft.db.t DROP COLUMN x        -- snapshotDropColumns
   *   ALTER TABLE graft.db.t ALTER COLUMN k TYPE BIGINT -- snapshotRetype
   *   SELECT * FROM graft.db.t                 -- latest snapshot
   *   SELECT * FROM graft.db.t VERSION AS OF 3 -- time travel
@@ -182,11 +183,13 @@ class GraftCatalog extends TableCatalog {
   /** `ALTER TABLE … RENAME COLUMN a TO b` → [[Layout.snapshotRename]]
     * (metadata-only field-ID rename commit), `ALTER TABLE … ADD
     * COLUMNS (…)` → [[Layout.snapshotEvolve]] (null-backfilled widen),
-    * and `ALTER TABLE … ALTER COLUMN c TYPE t` →
-    * [[Layout.snapshotRetype]] (metadata-only lossless widening) — the
-    * SQL DDL door onto the same evolution commits the Scala API makes.
-    * Drops and non-widening retypes refuse, matching the format's
-    * contract (they need a full-rewrite commit). */
+    * `ALTER TABLE … DROP COLUMN c` → [[Layout.snapshotDropColumns]]
+    * (metadata-only; field-ID tombstone prevents a later same-named
+    * re-add from resurrecting old on-disk values), and `ALTER TABLE …
+    * ALTER COLUMN c TYPE t` → [[Layout.snapshotRetype]] (metadata-only
+    * lossless widening) — the SQL DDL door onto the same evolution
+    * commits the Scala API makes. Non-widening retypes refuse,
+    * matching the format's contract (they need a full rewrite). */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
@@ -210,12 +213,20 @@ class GraftCatalog extends TableCatalog {
           s"catalog $catalogName: only top-level columns can be retyped")
         t.fieldNames().head -> t.newDataType()
     }
-    require(renames.size + adds.size + retypes.size == changes.size,
-      s"catalog $catalogName: only RENAME COLUMN, ADD COLUMNS, and " +
-        "ALTER COLUMN TYPE (lossless widening) are supported — " +
-        "drops/narrowings need a full rewrite (Layout.snapshotCommit)")
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"catalog $catalogName: only top-level columns can be dropped")
+        d.fieldNames().head
+    }
+    require(renames.size + adds.size + retypes.size + drops.size
+        == changes.size,
+      s"catalog $catalogName: only RENAME COLUMN, ADD COLUMNS, DROP " +
+        "COLUMN, and ALTER COLUMN TYPE (lossless widening) are " +
+        "supported — narrowings need a full rewrite (Layout.snapshotCommit)")
     if (renames.nonEmpty) Layout.snapshotRename(spark, dir, renames.toMap)
     if (retypes.nonEmpty) Layout.snapshotRetype(spark, dir, retypes.toMap)
+    if (drops.nonEmpty) Layout.snapshotDropColumns(spark, dir, drops)
     if (adds.nonEmpty) {
       val widened = org.apache.spark.sql.types.StructType(
         Layout.snapshotRead(spark, dir).schema.fields ++ adds)

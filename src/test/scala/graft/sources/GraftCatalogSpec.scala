@@ -147,11 +147,13 @@ class GraftCatalogSpec extends SparkSpec {
     Layout.snapshotCompact(spark, dir)
     assert(spark.sql(s"SELECT sum(amount) FROM $cat.db.e").head()
       .getDouble(0) === 60.0)
-    // drops/retypes refuse with a pointer at the full-rewrite remedy
-    val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.e DROP COLUMN note")
-    }
-    assert(drop.getMessage.contains("full rewrite"))
+    // DROP COLUMN is a metadata-only commit: the column disappears,
+    // history below the drop still carries it
+    val preDrop = Layout.snapshotVersions(spark, dir).last
+    spark.sql(s"ALTER TABLE $cat.db.e DROP COLUMN note")
+    assert(!spark.sql(s"SELECT * FROM $cat.db.e").columns.contains("note"))
+    assert(Layout.snapshotRead(spark, dir, preDrop).columns
+      .contains("note"))
   }
 
   test("declared keys (graft.key): SQL UPDATE and DELETE record typed-feed cdc") {
