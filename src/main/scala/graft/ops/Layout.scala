@@ -458,7 +458,10 @@ object Layout {
     * [[snapshotRead]] then returns whichever file's schema the scan
     * samples first — nondeterministic columns, the worst failure shape.
     * ADD-COLUMN schema evolution goes through [[snapshotEvolve]] (no
-    * rewrite, null backfill on read); anything else (drop, retype) is a
+    * rewrite, null backfill on read), renames through
+    * [[snapshotRename]], widening retypes through [[snapshotRetype]],
+    * drops through [[snapshotDropColumns]] — all metadata-only;
+    * anything else (a narrowing, a cross-family retype) is a
     * [[snapshotCommit]] full rewrite, which downstream incremental
     * consumers correctly refuse to diff across. The commit race,
     * torn-manifest, and expiry semantics are [[snapshotCommit]]'s
@@ -482,8 +485,9 @@ object Layout {
     * columns in pre-evolution files — at 100 TB "add a quality-score
     * column" costs one batch write, not a corpus rewrite. Time travel
     * to a pre-evolution version still reads the schema of record THEN.
-    * Drops and type changes refuse — they cannot be null-backfilled and
-    * belong to a [[snapshotCommit]] full rewrite. */
+    * A batch MISSING an existing column refuses — dropping is its own
+    * explicit commit ([[snapshotDropColumns]]); non-widening type
+    * changes belong to a [[snapshotCommit]] full rewrite. */
   def snapshotEvolve(df: DataFrame, dir: String,
       meta: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long =
     appendImpl(df, dir, meta, statsCols, evolve = true)

@@ -243,10 +243,27 @@ class GraftCatalog extends TableCatalog {
     exists(ident) && fs.delete(p, true)
   }
 
+  /** `ALTER TABLE a RENAME TO b` as ONE filesystem rename: every path a
+    * manifest records is relative to the table directory (data files,
+    * delete-key files, cdc records), so moving the directory moves the
+    * table whole — history, time travel, and change feeds intact. The
+    * move is atomic exactly where the filesystem's rename is (posix,
+    * HDFS); a concurrent writer still committing to the OLD path races
+    * the move like any external relocation would — quiesce writers
+    * first, as every table format's move/clone procedure asks. */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"catalog $catalogName: RENAME TABLE is not supported")
+      newIdent: Identifier): Unit = {
+    if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (exists(newIdent)) throw new TableAlreadyExistsException(
+      (newIdent.namespace() :+ newIdent.name()).toSeq)
+    val from = new Path(dirOf(oldIdent))
+    val to = new Path(dirOf(newIdent))
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to),
+      s"catalog $catalogName: filesystem refused the rename " +
+        s"$oldIdent -> $newIdent")
+  }
 
   override def tableExists(ident: Identifier): Boolean = exists(ident)
 }

@@ -170,6 +170,25 @@ class SnapshotDropSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toSeq === Seq((2L, Some("new"))))
   }
 
+  test("the typed feed replays across a drop, cdc records included") {
+    val dir = tmpDir("snapdrop11") + "/t"
+    Layout.snapshotAppend(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "s", "p"), dir)
+    // a keyed merge BEFORE the drop persists a cdc record carrying `p`
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((2L, "B", 22.0)).toDF("k", "s", "p"), Seq("k"))
+    Layout.snapshotDropColumns(spark, dir, Seq("p"))
+    Layout.snapshotAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    val feed = Layout.snapshotChangesTyped(spark, dir, 0L)
+    // feed schema = schema of record at the end version (no `p`);
+    // pre-drop cdc rows replay with the column projected away
+    assert(!feed.columns.contains("p"))
+    assert(feed.select("_change_type", "k").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.length).toMap
+      === Map("insert" -> 4, "delete" -> 1),
+      "2 bootstrap inserts + merge delete/insert pair + post-drop insert")
+  }
+
   test("the change feed diffs across a drop; the catalog scan reroutes") {
     val dir = tmpDir("snapdrop10") + "/t"
     val v1 = Layout.snapshotAppend(Seq((1, "a", 1.0)).toDF("k", "s", "p"), dir)

@@ -96,6 +96,16 @@ class GraftCatalogSpec extends SparkSpec {
       .toSeq === Seq(2L))
   }
 
+  test("CREATE TABLE AS SELECT lands a create + append through the same doors") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.c AS " +
+      "SELECT id AS k, CAST(id % 3 AS STRING) AS s FROM RANGE(30)")
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.db.c").head()
+      === org.apache.spark.sql.Row(30L, 435L))
+    // the CTAS is real snapshot history: create commit + data commit
+    assert(Layout.snapshotVersions(spark, s"$root/db/c").nonEmpty)
+  }
+
   test("tableExists / listTables / dropTable; duplicate CREATE refuses") {
     val (cat, _) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.ns.a (k BIGINT)")
@@ -106,6 +116,25 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.ns.a")
     assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
       .map(_.getString(1)).toSet === Set("b"))
+  }
+
+  test("ALTER TABLE RENAME TO moves the table whole — history intact") {
+    val (cat, _) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.old (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.old VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.ns.old VALUES (3)")
+    spark.sql(s"ALTER TABLE $cat.ns.old RENAME TO ns.fresh")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.ns.fresh").head().getLong(0)
+      === 6)
+    // relative manifest paths mean time travel survives the move
+    assert(spark.sql(s"SELECT k FROM $cat.ns.fresh VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.ns.old") }
+    // renaming onto an existing table refuses
+    spark.sql(s"CREATE TABLE $cat.ns.other (k BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.fresh RENAME TO ns.other")
+    }
   }
 
   test("INSERT INTO schema drift refuses through the same commit contract") {
