@@ -1924,14 +1924,45 @@ object Layout {
     * to US carries the compacted manifest forward on its retry. Returns
     * the committed version. */
   def snapshotCompact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20, clusterBy: Seq[String] = Nil,
+      zorderBy: Option[(String, String)] = None): Long = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "snapshotCompact: clusterBy and zorderBy are exclusive — a file " +
+        "set has one physical order")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statCols = clusterBy ++ zorderBy.toSeq.flatMap(p => Seq(p._1, p._2))
     commitDerived(spark, dir, "snapshotCompact",
-      base => Seq(s"$RewriteTag$base")) { base =>
+      base => Seq(s"$RewriteTag$base"), extraStatsCols = statCols) { base =>
       val bytes = snapshotFiles(spark, dir, base)
         .map(f => fs.getFileStatus(new Path(f)).getLen).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      snapshotRead(spark, dir, base).coalesce(nOut)
+      val rows = snapshotRead(spark, dir, base)
+      statCols.foreach(c => require(
+        rows.columns.exists(_.equalsIgnoreCase(c)),
+        s"snapshotCompact: clustering column '$c' is not in the table " +
+          s"schema at $dir"))
+      // clustering rides the compaction the table needs ANYWAY: at
+      // 100 TB this is where physical order gets (re)applied — a range
+      // partition + in-file sort makes every output file a tight
+      // min/max box on the cluster columns, so the stats lines this
+      // commit records (cluster columns included) turn later
+      // snapshotReadWhere probes and file-granular DML into
+      // touched-files-only scans instead of table scans
+      (clusterBy, zorderBy) match {
+        case (Nil, None) => rows.coalesce(nOut)
+        case (cols, None) =>
+          rows.repartitionByRange(nOut, cols.map(col): _*)
+            .sortWithinPartitions(cols.map(col): _*)
+        case (_, Some((x, y))) =>
+          // 2-D Morton clustering — [[mortonKey]]'s 16-bit-bucket
+          // contract applies (callers bucketize wider domains, as for
+          // [[zorderWrite]]); both columns end up min/max-clustered so
+          // box predicates on EITHER prune
+          rows.withColumn("_zkey", mortonKey(col(x), col(y)))
+            .repartitionByRange(nOut, col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+      }
     }
   }
 
@@ -2615,7 +2646,8 @@ object Layout {
     * that loses to US carries the derived manifest forward on its
     * retry. */
   private def commitDerived(spark: SparkSession, dir: String, op: String,
-      metaOf: Long => Seq[String])(derive: Long => DataFrame): Long = {
+      metaOf: Long => Seq[String], extraStatsCols: Seq[String] = Nil)(
+      derive: Long => DataFrame): Long = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
@@ -2702,8 +2734,10 @@ object Layout {
       // full-scan table. The schema of record carries forward (derived
       // files are written through the reconciled snapshotRead, so they
       // materialize the evolved schema).
-      val baseStatsCols = parseStatsMeta(baseMeta)
-        .values.flatMap(_.cols.keys).toSeq.distinct.sorted
+      val baseStatsCols = (parseStatsMeta(baseMeta)
+        .values.flatMap(_.cols.keys).toSeq
+        ++ extraStatsCols.map(_.toLowerCase(java.util.Locale.ROOT)))
+        .distinct.sorted
       val baseSchemaLine = baseMeta.find(_.startsWith(SchemaTag))
       val stats = statsMetaLines(spark, dir, rel, files, baseStatsCols)
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
@@ -2722,6 +2756,53 @@ object Layout {
       case t: Throwable => dropStaged(); throw t
     }
     committed
+  }
+
+  /** The table's commit history as a DataFrame — the DESCRIBE-HISTORY
+    * introspection every table format grows, answered from manifests
+    * alone (zero data-file I/O; O(versions) small GETs — an audit
+    * surface, not a hot path). One row per COMPLETE version:
+    *
+    *  - `version`, `committed_at` (manifest modification instant, the
+    *    same clock [[snapshotVersionAsOf]] time travel and
+    *    [[snapshotExpireOlderThan]] retention are stated in)
+    *  - `operation` — the commit's own marker line verbatim
+    *    (`rename=…`, `drop=…`, `retype=…`, `declare-keys=…`,
+    *    `rewrite-of=…`, `batch=…`), `delete-keys=…` for a
+    *    merge-on-read delete, `keyed-rewrite` for a MERGE/UPDATE/
+    *    DELETE-WHERE commit (their `cdc=` record is per-commit), null
+    *    for a plain append/commit/evolve
+    *  - `n_files`, `added_files` (vs the previous complete version —
+    *    0 added with files replaced = a rewrite), and `row_count` when
+    *    every file carries a stats row count ([[snapshotRowCount]]'s
+    *    contract: None over a live overlay or partial stats, never a
+    *    wrong number). */
+  def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = Seq("rename=", "drop=", "retype=", "declare-keys=",
+      RewriteTag, "batch=")
+    var prevFiles = Set.empty[String]
+    val rows = snapshotVersions(spark, dir).map { v =>
+      val lines = snapshotManifestLines(spark, dir, v)
+      val files = lines.filterNot(_.startsWith("#"))
+      val meta = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      val mtime = fs.getFileStatus(
+        new Path(dir, f"_snapshots/v$v%08d.manifest")).getModificationTime
+      val op = meta.find(m => markers.exists(m.startsWith))
+        .orElse(meta.find(_.startsWith(DeleteTag))
+          .filter(_ => parseDeleteMeta(meta).exists(_._1 == v))
+          .map(d => s"delete-keys=${d.stripPrefix(DeleteTag)
+            .split('|').drop(1).mkString}"))
+        .orElse(meta.find(_.startsWith(CdcTag)).map(_ => "keyed-rewrite"))
+      val added = files.count(f => !prevFiles.contains(f))
+      prevFiles = files.toSet
+      (v, new java.sql.Timestamp(mtime), op, files.size, added,
+        snapshotRowCount(spark, dir, v))
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "operation", "n_files",
+      "added_files", "row_count")
   }
 
   /** Versions with a COMPLETE manifest, ascending. Incomplete (torn)

@@ -118,6 +118,38 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_changes_typed('<dir>', from [, to])` — the SQL door onto
+    * the DELETE-AWARE typed feed ([[Layout.snapshotChangesTyped]]):
+    * `_change_type` insert/delete rows across MOR deletes, keyed
+    * merges, and predicate DML, resolved through the rename/drop log —
+    * so a pure-SQL incremental consumer replays takedowns row-level
+    * instead of recomputing. */
+  private[graft] def changesTypedBuilder(
+      args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"snapshot_changes_typed(dir, fromVersion [, toVersion]) takes " +
+        s"2-3 arguments, got ${args.size}")
+    val dir = argString(args(0), "snapshot_changes_typed", "dir")
+    val from = argLong(args(1), "snapshot_changes_typed", "fromVersion")
+    val to =
+      if (args.size == 3)
+        argLong(args(2), "snapshot_changes_typed", "toVersion")
+      else -1L
+    Layout.snapshotChangesTyped(SparkSession.active, dir, from, to)
+      .queryExecution.logical
+  }
+
+  /** `snapshot_history('<dir>')` — DESCRIBE HISTORY for the format
+    * ([[Layout.snapshotHistory]]): version, commit instant, operation
+    * marker, file deltas, manifest-only row count. */
+  private[graft] def historyBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"snapshot_history(dir) takes 1 argument, got ${args.size}")
+    val dir = argString(args(0), "snapshot_history", "dir")
+    Layout.snapshotHistory(SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
   /** Registration triples for
     * `SparkSessionExtensions.injectTableFunction`. */
   def tvfRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -130,7 +162,14 @@ object SnapshotTvf {
       readWhereBuilder _),
     (FunctionIdentifier("snapshot_changes"),
       new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_changes"),
-      changesBuilder _))
+      changesBuilder _),
+    (FunctionIdentifier("snapshot_changes_typed"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName,
+        "snapshot_changes_typed"),
+      changesTypedBuilder _),
+    (FunctionIdentifier("snapshot_history"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_history"),
+      historyBuilder _))
 
   /** Idempotent runtime registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions` (the driver's) — the

@@ -207,4 +207,35 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(pruned.inputFiles.forall(_.contains("/v00000002-")),
       "v1's carried stats should prune v1's files")
   }
+
+  test("clustered compaction: range+sort makes stats pruning file-granular") {
+    val dir = tmpDir("snapclust") + "/t"
+    // keys interleaved across BOTH appends: before clustering, every
+    // file's [min, max] spans the whole domain, so a range predicate
+    // prunes nothing
+    val rows = (1 to 8000)
+    Layout.snapshotAppend(rows.filter(_ % 2 == 0).map(k => (k.toLong, s"v$k"))
+      .toDF("k", "s"), dir, statsCols = Seq("k"))
+    Layout.snapshotAppend(rows.filter(_ % 2 == 1).map(k => (k.toLong, s"v$k"))
+      .toDF("k", "s"), dir, statsCols = Seq("k"))
+    val before = Layout.snapshotReadWhere(spark, dir, col("k") <= 400)
+    assert(before.count() === 400)
+    assert(before.inputFiles.length >= 2, "interleaved stats prune nothing")
+    Layout.snapshotCompact(spark, dir, targetBytes = 8L << 10,
+      clusterBy = Seq("k"))
+    val after = Layout.snapshotReadWhere(spark, dir, col("k") <= 400)
+    assert(after.count() === 400)
+    val all = Layout.snapshotRead(spark, dir).inputFiles.length
+    assert(all >= 4, s"the tiny target must split the table, got $all")
+    assert(after.inputFiles.length < all,
+      s"clustered stats must prune: ${after.inputFiles.length} of $all")
+    // clusterBy and zorderBy refuse together; unknown columns refuse
+    intercept[IllegalArgumentException] {
+      Layout.snapshotCompact(spark, dir, clusterBy = Seq("k"),
+        zorderBy = Some(("k", "k")))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.snapshotCompact(spark, dir, clusterBy = Seq("nope"))
+    }
+  }
 }

@@ -124,6 +124,50 @@ class SnapshotTvfSpec extends SparkSpec {
     assert(e3.getMessage.contains("1-2 arguments"))
   }
 
+  test("snapshot_changes_typed: the delete-aware feed through pure SQL") {
+    SnapshotTvf.ensureSqlDoor(spark)
+    val dir = tmpDir("snaptvft") + "/t"
+    Layout.snapshotAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    Layout.snapshotDeleteKeys(spark, dir, Seq(1L).toDF("k"), Seq("k"))
+    val got = spark.sql(
+      s"""SELECT _change_type AS ct, k FROM snapshot_changes_typed('$dir', 0)
+         ORDER BY _commit_version, ct, k""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("insert", 1L), ("insert", 2L), ("delete", 1L)))
+  }
+
+  test("snapshot_history: DESCRIBE HISTORY from manifests alone") {
+    SnapshotTvf.ensureSqlDoor(spark)
+    val dir = tmpDir("snaptvfh") + "/t"
+    Layout.snapshotAppend(Seq((1L, 1.0)).toDF("k", "p"), dir,
+      statsCols = Seq("k"))
+    Layout.snapshotAppend(Seq((2L, 2.0)).toDF("k", "p"), dir,
+      statsCols = Seq("k"))
+    Layout.snapshotRename(spark, dir, Map("p" -> "price"))
+    Layout.snapshotDropColumns(spark, dir, Seq("price"))
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotDeleteKeys(spark, dir, Seq(2L).toDF("k"), Seq("k"))
+    val h = spark.sql(s"SELECT * FROM snapshot_history('$dir')")
+    assert(h.columns.toSeq === Seq("version", "committed_at", "operation",
+      "n_files", "added_files", "row_count"))
+    val rows = h.orderBy("version").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 6L))
+    val ops = rows.map(r => Option(r.getString(2)))
+    assert(ops(0).isEmpty && ops(1).isEmpty, "plain appends carry no marker")
+    assert(ops(2).exists(_.startsWith("rename=")))
+    assert(ops(3).exists(_.startsWith("drop=")))
+    assert(ops(4).exists(_.startsWith("rewrite-of=")))
+    assert(ops(5).exists(_.startsWith("delete-keys=")))
+    // manifest-only row counts where stats are complete; None (null)
+    // over the live overlay
+    assert(rows(1).getLong(5) === 2L)
+    assert(rows(5).isNullAt(5), "a live overlay must not claim a count")
+    // appends add exactly one file; the compaction REPLACES files
+    assert(rows(1).getInt(4) === 1)
+    assert(rows(4).getInt(3) === rows(4).getInt(4),
+      "a rewrite's files are all new")
+  }
+
   test("an extensions-built session carries the TVFs without ensureSqlDoor") {
     val s2 = org.apache.spark.sql.GraftSessionBridge
       .withGraftExtensions(spark)
