@@ -203,8 +203,46 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       s""","layout_ab":{${pairs.mkString(",")},"files":32}"""
     }
+    // clustered-compaction payoff (round 10): interleaved appends make
+    // every file's key range span the whole domain (stats prune
+    // nothing); snapshotCompact(clusterBy) range-partitions + sorts, so
+    // the same stats-pruned range read afterwards touches only the
+    // files whose [min,max] intersects. Reported as pre/post seconds
+    // and file counts — the at-scale claim (maintenance is where
+    // physical order pays) as a measured line instead of prose.
+    val clusterAb = if (only.isDefined) "" else {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_clusterab").toString
+      val tdir = s"$root/t"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      (0 until 4).foreach(i => graft.ops.Layout.snapshotAppend(
+        li.filter(col("l_orderkey") % 4 === i), tdir,
+        statsCols = Seq("l_orderkey")))
+      val hi = li.agg(org.apache.spark.sql.functions.max("l_orderkey"))
+        .head().getLong(0) / 20 // the low ~5% of the key domain
+      def probe(): (Double, Int) = {
+        val secs = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          graft.ops.Layout.snapshotReadWhere(spark, tdir,
+              col("l_orderkey") <= hi)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (secs.min, graft.ops.Layout.snapshotReadWhere(spark, tdir,
+          col("l_orderkey") <= hi).inputFiles.length)
+      }
+      val (preSec, preFiles) = probe()
+      graft.ops.Layout.snapshotCompact(spark, tdir,
+        targetBytes = 2L << 20, clusterBy = Seq("l_orderkey"))
+      val (postSec, postFiles) = probe()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      f""","cluster_ab":{"pre_sec":$preSec%.4f,"pre_files":$preFiles,"post_sec":$postSec%.4f,"post_files":$postFiles}"""
+    }
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"rep_spread":$qsSpread,"total_median":$totalMed%.4f,"reps":$Reps$streaming$layoutAb,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"rep_spread":$qsSpread,"total_median":$totalMed%.4f,"reps":$Reps$streaming$layoutAb$clusterAb,"sf":"$sfDir"}"""
     // a filtered local iteration must not clobber the full-suite artifact
     val outFile = if (only.isDefined) "BENCH.partial.json" else "BENCH.json"
     java.nio.file.Files.write(

@@ -2956,7 +2956,9 @@ object Layout {
   def snapshotMaintain(spark: SparkSession, dir: String,
       maxSmallFiles: Int = 8, targetBytes: Long = 128L << 20,
       keepAgeMs: Long = 7L * 24 * 3600 * 1000,
-      orphanGraceMs: Long = 24L * 3600 * 1000): (Boolean, Int) = {
+      orphanGraceMs: Long = 24L * 3600 * 1000,
+      clusterBy: Seq[String] = Nil,
+      zorderBy: Option[(String, String)] = None): (Boolean, Int) = {
     val v = snapshotLatestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2967,7 +2969,11 @@ object Layout {
       catch { case _: java.io.FileNotFoundException => false }
     }
     val compacted = overlayLive || smallFiles > maxSmallFiles
-    if (compacted) snapshotCompact(spark, dir, targetBytes): Unit
+    // the table's declared physical order rides every maintenance
+    // compaction — ingest sprawl gets re-clustered on the same rewrite
+    // that was happening anyway
+    if (compacted)
+      snapshotCompact(spark, dir, targetBytes, clusterBy, zorderBy): Unit
     val expired = snapshotExpireOlderThan(spark, dir, keepAgeMs, orphanGraceMs)
     (compacted, expired)
   }

@@ -237,5 +237,16 @@ class SnapshotStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.snapshotCompact(spark, dir, clusterBy = Seq("nope"))
     }
+    // the one-call maintenance routine carries the declared order: the
+    // sprawl trigger fires (tiny target → every file is "small") and
+    // the compaction it runs anyway re-clusters
+    val (compacted, _) = Layout.snapshotMaintain(spark, dir,
+      maxSmallFiles = 0, targetBytes = 8L << 10, keepAgeMs = Long.MaxValue,
+      clusterBy = Seq("k"))
+    assert(compacted)
+    val again = Layout.snapshotReadWhere(spark, dir, col("k") <= 400)
+    assert(again.count() === 400)
+    assert(again.inputFiles.length <
+      Layout.snapshotRead(spark, dir).inputFiles.length)
   }
 }
