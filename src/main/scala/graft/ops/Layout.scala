@@ -707,38 +707,15 @@ object Layout {
       keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty,
       "snapshotDeclareKeys: keyCols must be non-empty")
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var attempt = 0
-    var committed = -1L
-    while (committed < 0) {
-      attempt += 1
-      commitBackoff(attempt)
-      require(attempt <= 8,
-        s"snapshotDeclareKeys: lost the commit race 8× at $dir")
-      val listed = listManifestVersions(spark, dir)
-      val base = listed.reverseIterator
-        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
-                    catch { case scala.util.control.NonFatal(_) => false })
-        .getOrElse(sys.error(
-          s"snapshotDeclareKeys: no committed snapshot at $dir"))
-      val lines = snapshotManifestLines(spark, dir, base)
-      val prev = lines.filterNot(_.startsWith("#"))
-      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
-        .map(_.stripPrefix("#"))
-      val schema0 = metaLines.find(_.startsWith(SchemaTag))
-        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-        .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
-        .getOrElse(sys.error(
-          s"snapshotDeclareKeys: snapshot v$base at $dir has no files " +
-            "and no recorded schema"))
+    reflagSchema(spark, dir, "snapshotDeclareKeys",
+      "declare-keys=" + keyCols.mkString(",")) { schema0 =>
       val lower = keyCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       val absent = lower.filterNot(k =>
         schema0.fields.exists(_.name.equalsIgnoreCase(k))).toSeq.sorted
       require(absent.isEmpty,
         s"snapshotDeclareKeys: column(s) ${absent.mkString(", ")} not " +
           s"in the table schema ${schema0.catalogString} at $dir")
-      val flagged = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType(
         schema0.fields.map { f =>
           val want = lower.contains(
             f.name.toLowerCase(java.util.Locale.ROOT))
@@ -751,11 +728,109 @@ object Layout {
             f.copy(metadata = mb.build())
           }
         })
+    }
+  }
+
+  /** Flag marking a column's position in the table's DECLARED
+    * CLUSTERING order (`graft.cluster.pos = 0, 1, …` in the schema of
+    * record) — the table-format analogue of Iceberg's sort order.
+    * Riding the schema line means the declaration survives evolution,
+    * rename (the field keeps its metadata under the new name), widen,
+    * and drop (a dropped column simply leaves the order), with zero
+    * new manifest machinery. Consumed by [[snapshotMaintain]]: every
+    * maintenance compaction re-applies the declared order, so ingest
+    * sprawl keeps getting re-clustered without the caller repeating
+    * the columns. Declared at CREATE TABLE via
+    * `TBLPROPERTIES ('graft.cluster' = 'col[,col…]')` or on any
+    * existing table via [[snapshotDeclareCluster]]. */
+  private[graft] val ClusterPosKey = "graft.cluster.pos"
+
+  /** The table's declared clustering columns, in declared order
+    * (empty when none declared). */
+  def snapshotClusterCols(spark: SparkSession, dir: String): Seq[String] =
+    snapshotVersions(spark, dir).lastOption
+      .flatMap(v => snapshotMetaOf(spark, dir, v)
+        .find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag))))
+      .map(_.fields.filter(_.metadata.contains(ClusterPosKey))
+        .sortBy(_.metadata.getLong(ClusterPosKey)).map(_.name).toSeq)
+      .getOrElse(Nil)
+
+  /** Declare (or clear, with `Nil`) the table's clustering order as a
+    * METADATA-ONLY commit — see [[ClusterPosKey]]. Nothing is
+    * rewritten now; the order applies at the next
+    * [[snapshotMaintain]]/[[snapshotCompact]] that compacts anyway.
+    * Returns the committed version. */
+  def snapshotDeclareCluster(spark: SparkSession, dir: String,
+      cols: Seq[String]): Long = {
+    val lower = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lower.distinct.size == cols.size,
+      "snapshotDeclareCluster: duplicate column names (case-insensitive)")
+    reflagSchema(spark, dir, "snapshotDeclareCluster",
+      "declare-cluster=" + cols.mkString(",")) { schema0 =>
+      val absent = lower.filterNot(c =>
+        schema0.fields.exists(_.name.equalsIgnoreCase(c))).sorted
+      require(absent.isEmpty,
+        s"snapshotDeclareCluster: column(s) ${absent.mkString(", ")} " +
+          s"not in the table schema ${schema0.catalogString} at $dir")
+      val pos = lower.zipWithIndex.toMap
+      org.apache.spark.sql.types.StructType(
+        schema0.fields.map { f =>
+          val want = pos.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          val have =
+            if (f.metadata.contains(ClusterPosKey))
+              Some(f.metadata.getLong(ClusterPosKey))
+            else None
+          if (want.map(_.toLong) == have) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            want match {
+              case Some(p) => mb.putLong(ClusterPosKey, p.toLong)
+              case None    => mb.remove(ClusterPosKey)
+            }
+            f.copy(metadata = mb.build())
+          }
+        })
+    }
+  }
+
+  /** The shared loop of the metadata-only FLAG commits (declared keys,
+    * declared clustering): re-record the schema of record through
+    * `reflag`, carry the file-describing meta and file list verbatim,
+    * retry the PUT race like every commit. */
+  private def reflagSchema(spark: SparkSession, dir: String, op: String,
+      marker: String)(
+      reflag: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Long = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      commitBackoff(attempt)
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val base = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(s"$op: no committed snapshot at $dir"))
+      val lines = snapshotManifestLines(spark, dir, base)
+      val prev = lines.filterNot(_.startsWith("#"))
+      val metaLines = lines.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      val schema0 = metaLines.find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+        .orElse(prev.headOption.map(rel =>
+          spark.read.parquet(new Path(dir, rel).toString).schema))
+        .getOrElse(sys.error(
+          s"$op: snapshot v$base at $dir has no files and no recorded " +
+            "schema"))
+      val flagged = reflag(schema0)
       val v = listed.lastOption.getOrElse(0L) + 1
       val carried = metaLines.filter(m =>
         m.startsWith(ColMapTag) || m.startsWith(StatsTag) ||
           m.startsWith(DeleteTag))
-      val marker = "declare-keys=" + keyCols.mkString(",")
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((Seq(marker, s"$SchemaTag${flagged.json}") ++ carried)
@@ -823,22 +898,31 @@ object Layout {
       batch: org.apache.spark.sql.types.StructType,
       idFloor: Int = 0)
       : org.apache.spark.sql.types.StructType = {
-    // a declared key flag ([[KeyColKey]]) inherits by name regardless of
-    // field IDs — the batch's fields never carry it, and dropping it on
-    // an evolve would silently un-key the table
+    // declared flags ([[KeyColKey]] key membership, [[ClusterPosKey]]
+    // clustering position) inherit by name regardless of field IDs —
+    // the batch's fields never carry them, and dropping them on an
+    // evolve would silently un-key / un-cluster the table
     def withKeyFlags(b: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType = table match {
-      case Some(ts) if ts.fields.exists(isDeclaredKey) =>
-        val keyed = ts.fields.filter(isDeclaredKey)
-          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+      case Some(ts) if ts.fields.exists(f =>
+          isDeclaredKey(f) || f.metadata.contains(ClusterPosKey)) =>
+        val byName = ts.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
         org.apache.spark.sql.types.StructType(b.fields.map { f =>
-          if (keyed.contains(f.name.toLowerCase(java.util.Locale.ROOT)) &&
-              !isDeclaredKey(f))
-            f.copy(metadata =
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata).putBoolean(KeyColKey, true)
-                .build())
-          else f
+          byName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(tf) if isDeclaredKey(tf) ||
+                tf.metadata.contains(ClusterPosKey) =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              if (isDeclaredKey(tf) && !isDeclaredKey(f))
+                mb.putBoolean(KeyColKey, true)
+              if (tf.metadata.contains(ClusterPosKey) &&
+                  !f.metadata.contains(ClusterPosKey))
+                mb.putLong(ClusterPosKey,
+                  tf.metadata.getLong(ClusterPosKey))
+              f.copy(metadata = mb.build())
+            case _ => f
+          }
         })
       case _ => b
     }
@@ -2780,7 +2864,7 @@ object Layout {
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = Seq("rename=", "drop=", "retype=", "declare-keys=",
-      RewriteTag, "batch=")
+      "declare-cluster=", RewriteTag, "batch=")
     var prevFiles = Set.empty[String]
     val rows = snapshotVersions(spark, dir).map { v =>
       val lines = snapshotManifestLines(spark, dir, v)
@@ -2969,11 +3053,17 @@ object Layout {
       catch { case _: java.io.FileNotFoundException => false }
     }
     val compacted = overlayLive || smallFiles > maxSmallFiles
-    // the table's declared physical order rides every maintenance
-    // compaction — ingest sprawl gets re-clustered on the same rewrite
-    // that was happening anyway
+    // the table's physical order rides every maintenance compaction —
+    // ingest sprawl gets re-clustered on the same rewrite that was
+    // happening anyway. Explicit arguments win; otherwise the table's
+    // DECLARED order (snapshotDeclareCluster / TBLPROPERTIES
+    // 'graft.cluster') applies, so a routine cron'd maintain keeps the
+    // declared layout with no per-call knowledge
+    val order =
+      if (clusterBy.nonEmpty || zorderBy.nonEmpty) clusterBy
+      else snapshotClusterCols(spark, dir)
     if (compacted)
-      snapshotCompact(spark, dir, targetBytes, clusterBy, zorderBy): Unit
+      snapshotCompact(spark, dir, targetBytes, order, zorderBy): Unit
     val expired = snapshotExpireOlderThan(spark, dir, keepAgeMs, orphanGraceMs)
     (compacted, expired)
   }

@@ -155,22 +155,32 @@ class GraftCatalog extends TableCatalog {
       (ident.namespace() :+ ident.name()).toSeq)
     // TBLPROPERTIES ('graft.key' = 'col[,col…]') declares the table's
     // key contract: the flags ride the schema of record, and the SQL
-    // UPDATE / DELETE doors then record typed-feed cdc automatically
-    val keyProp = Option(properties.get("graft.key"))
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
-    keyProp.foreach(k => require(
-      columns.exists(_.name().equalsIgnoreCase(k)),
-      s"catalog $catalogName: graft.key column '$k' is not a table column"))
-    val keySet = keyProp.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // UPDATE / DELETE doors then record typed-feed cdc automatically.
+    // TBLPROPERTIES ('graft.cluster' = 'col[,col…]') declares the
+    // physical ORDER maintenance re-applies on every compaction
+    // (Layout.snapshotMaintain / ClusterPosKey).
+    def colsProp(name: String): Seq[String] = {
+      val cols = Option(properties.get(name))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      cols.foreach(k => require(
+        columns.exists(_.name().equalsIgnoreCase(k)),
+        s"catalog $catalogName: $name column '$k' is not a table column"))
+      cols
+    }
+    val keySet = colsProp("graft.key")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val clusterPos = colsProp("graft.cluster").zipWithIndex
+      .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }
+      .toMap
     val schema = new StructType(columns.map { c =>
-      val meta =
-        if (!keySet.contains(c.name().toLowerCase(java.util.Locale.ROOT)))
-          org.apache.spark.sql.types.Metadata.empty
-        else new org.apache.spark.sql.types.MetadataBuilder()
-          .putBoolean("graft.key", true).build()
+      val lower = c.name().toLowerCase(java.util.Locale.ROOT)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (keySet.contains(lower)) mb.putBoolean("graft.key", true)
+      clusterPos.get(lower).foreach(p =>
+        mb.putLong("graft.cluster.pos", p.toLong))
       org.apache.spark.sql.types.StructField(
-        c.name(), c.dataType(), c.nullable(), meta)
+        c.name(), c.dataType(), c.nullable(), mb.build())
     })
     // an empty evolve commit records the schema of record, so the table
     // exists with zero rows and every later insert is schema-checked
@@ -343,11 +353,14 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     (): Unit
   }
 
-  /** Declared keys surface as a table property (`SHOW TBLPROPERTIES`). */
+  /** Declared keys and clustering order surface as table properties
+    * (`SHOW TBLPROPERTIES`). */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     val keys = Layout.snapshotKeyCols(spark, dir)
     if (keys.nonEmpty) m.put("graft.key", keys.mkString(","))
+    val cluster = Layout.snapshotClusterCols(spark, dir)
+    if (cluster.nonEmpty) m.put("graft.cluster", cluster.mkString(","))
     m
   }
 

@@ -249,4 +249,41 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(again.inputFiles.length <
       Layout.snapshotRead(spark, dir).inputFiles.length)
   }
+
+  test("declared clustering: maintain re-applies the order with no per-call knowledge") {
+    val dir = tmpDir("snapdecl") + "/t"
+    val rows = (1 to 8000)
+    Layout.snapshotAppend(rows.filter(_ % 2 == 0).map(k => (k.toLong, s"v$k"))
+      .toDF("k", "s"), dir, statsCols = Seq("k"))
+    Layout.snapshotAppend(rows.filter(_ % 2 == 1).map(k => (k.toLong, s"v$k"))
+      .toDF("k", "s"), dir, statsCols = Seq("k"))
+    assert(Layout.snapshotClusterCols(spark, dir).isEmpty)
+    Layout.snapshotDeclareCluster(spark, dir, Seq("k"))
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("k"))
+    // the declaration survives an evolve (inherits by name), a rename
+    // (field metadata rides the renamed field), and ignores a dropped
+    // column gracefully
+    Layout.snapshotEvolve(Seq((9001L, "x", 1.0)).toDF("k", "s", "extra"),
+      dir, statsCols = Seq("k"))
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("k"))
+    Layout.snapshotRename(spark, dir, Map("k" -> "key"))
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("key"))
+    // maintain with NO clusterBy argument applies the declared order —
+    // but the rename log must materialize first (compaction does both)
+    val (compacted, _) = Layout.snapshotMaintain(spark, dir,
+      maxSmallFiles = 0, targetBytes = 8L << 10, keepAgeMs = Long.MaxValue)
+    assert(compacted)
+    val pruned = Layout.snapshotReadWhere(spark, dir, col("key") <= 400)
+    assert(pruned.count() === 400)
+    assert(pruned.inputFiles.length <
+      Layout.snapshotRead(spark, dir).inputFiles.length,
+      "the declared order must have clustered the maintenance compaction")
+    // clearing the declaration
+    Layout.snapshotDeclareCluster(spark, dir, Nil)
+    assert(Layout.snapshotClusterCols(spark, dir).isEmpty)
+    // a column dropped out of the order shrinks it, never refuses
+    Layout.snapshotDeclareCluster(spark, dir, Seq("s", "extra"))
+    Layout.snapshotDropColumns(spark, dir, Seq("extra"))
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("s"))
+  }
 }

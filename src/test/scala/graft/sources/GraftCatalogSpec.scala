@@ -306,6 +306,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"), s"expected stock scan in:\n$plan")
   }
 
+  test("TBLPROPERTIES graft.cluster declares the maintenance order") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.cl (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.cluster' = 'k')")
+    val dir = s"$root/db/cl"
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("k"))
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.cl").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .contains(("graft.cluster", "k")))
+    // the declaration survives SQL-door inserts (append carries the
+    // schema of record forward)
+    spark.sql(s"INSERT INTO $cat.db.cl VALUES (2, 'b'), (1, 'a')")
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("k"))
+    // a bad column refuses at CREATE
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad2 (k BIGINT) " +
+        "TBLPROPERTIES ('graft.cluster' = 'nope')")
+    }
+  }
+
   test("DELETE FROM lands a file-granular copy-on-write commit") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, s STRING)")
