@@ -229,14 +229,42 @@ class GraftCatalog extends TableCatalog {
           s"catalog $catalogName: only top-level columns can be dropped")
         d.fieldNames().head
     }
+    // ALTER TABLE … SET/UNSET TBLPROPERTIES for the two declarations:
+    // 'graft.key' → snapshotDeclareKeys, 'graft.cluster' →
+    // snapshotDeclareCluster (UNSET clears the clustering order; keys
+    // cannot be silently un-declared — downstream cdc consumers depend
+    // on them, re-declare explicitly instead)
+    val declared = Seq("graft.key", "graft.cluster")
+    val props = changes.collect {
+      case p: TableChange.SetProperty =>
+        require(declared.contains(p.property()),
+          s"catalog $catalogName: only TBLPROPERTIES " +
+            s"${declared.mkString(", ")} can be altered, got " +
+            s"'${p.property()}'")
+        p.property() -> Some(p.value())
+      case r: TableChange.RemoveProperty =>
+        require(r.property() == "graft.cluster",
+          s"catalog $catalogName: only 'graft.cluster' can be UNSET " +
+            "(un-declaring keys would orphan cdc consumers — " +
+            "re-declare explicitly)")
+        r.property() -> None
+    }
     require(renames.size + adds.size + retypes.size + drops.size
-        == changes.size,
+        + props.size == changes.size,
       s"catalog $catalogName: only RENAME COLUMN, ADD COLUMNS, DROP " +
-        "COLUMN, and ALTER COLUMN TYPE (lossless widening) are " +
-        "supported — narrowings need a full rewrite (Layout.snapshotCommit)")
+        "COLUMN, ALTER COLUMN TYPE (lossless widening), and SET/UNSET " +
+        "TBLPROPERTIES (graft.key / graft.cluster) are supported — " +
+        "narrowings need a full rewrite (Layout.snapshotCommit)")
     if (renames.nonEmpty) Layout.snapshotRename(spark, dir, renames.toMap)
     if (retypes.nonEmpty) Layout.snapshotRetype(spark, dir, retypes.toMap)
     if (drops.nonEmpty) Layout.snapshotDropColumns(spark, dir, drops)
+    props.foreach {
+      case ("graft.key", Some(v)) => Layout.snapshotDeclareKeys(spark,
+        dir, v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case ("graft.cluster", v) => Layout.snapshotDeclareCluster(spark,
+        dir, v.toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+      case _ => ()
+    }
     if (adds.nonEmpty) {
       val widened = org.apache.spark.sql.types.StructType(
         Layout.snapshotRead(spark, dir).schema.fields ++ adds)

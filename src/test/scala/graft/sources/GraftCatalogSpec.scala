@@ -324,6 +324,22 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE $cat.db.bad2 (k BIGINT) " +
         "TBLPROPERTIES ('graft.cluster' = 'nope')")
     }
+    // SET/UNSET TBLPROPERTIES re-declare on a LIVE table
+    spark.sql(s"ALTER TABLE $cat.db.cl " +
+      "SET TBLPROPERTIES ('graft.cluster' = 's')")
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("s"))
+    spark.sql(s"ALTER TABLE $cat.db.cl " +
+      "SET TBLPROPERTIES ('graft.key' = 'k')")
+    assert(Layout.snapshotKeyCols(spark, dir) === Seq("k"))
+    spark.sql(s"ALTER TABLE $cat.db.cl UNSET TBLPROPERTIES ('graft.cluster')")
+    assert(Layout.snapshotClusterCols(spark, dir).isEmpty)
+    // arbitrary properties and UNSET of keys refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cl SET TBLPROPERTIES ('x' = 'y')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cl UNSET TBLPROPERTIES ('graft.key')")
+    }
   }
 
   test("DELETE FROM lands a file-granular copy-on-write commit") {
