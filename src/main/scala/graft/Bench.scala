@@ -235,11 +235,16 @@ object Bench {
           col("l_orderkey") <= hi).inputFiles.length)
       }
       val (preSec, preFiles) = probe()
+      // target small enough that the compaction yields MANY files —
+      // the line must show pruning among clustered files, not the
+      // trivial everything-in-one-file collapse
       graft.ops.Layout.snapshotCompact(spark, tdir,
-        targetBytes = 2L << 20, clusterBy = Seq("l_orderkey"))
+        targetBytes = 256L << 10, clusterBy = Seq("l_orderkey"))
       val (postSec, postFiles) = probe()
+      val postTotal = graft.ops.Layout.snapshotRead(spark, tdir)
+        .inputFiles.length
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      f""","cluster_ab":{"pre_sec":$preSec%.4f,"pre_files":$preFiles,"post_sec":$postSec%.4f,"post_files":$postFiles}"""
+      f""","cluster_ab":{"pre_sec":$preSec%.4f,"pre_files":$preFiles,"post_sec":$postSec%.4f,"post_files":$postFiles,"post_files_total":$postTotal}"""
     }
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"rep_spread":$qsSpread,"total_median":$totalMed%.4f,"reps":$Reps$streaming$layoutAb$clusterAb,"sf":"$sfDir"}"""
