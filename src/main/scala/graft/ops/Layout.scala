@@ -2970,11 +2970,73 @@ object Layout {
     * modification time is older than the grace period. The default of
     * 24h comfortably exceeds any real commit's write time; tests that
     * build crash fixtures synchronously pass 0. */
+  /** TAG a version with a durable name — `_snapshots/tags/<name>.tag`
+    * holds the version number, created with the same create-once
+    * primitive as a commit (re-tagging a live name refuses; drop it
+    * first). A tagged version is EXEMPT from retention: [[snapshotExpire]]
+    * / [[snapshotExpireOlderThan]] never delete its manifest, and the
+    * orphan sweep keeps every data/key/cdc directory a surviving
+    * manifest references — so "the corpus as of release-2026-08" stays
+    * reproducible for as long as the tag lives, however many thousands
+    * of ingest versions retention mows down around it. Resolve with
+    * [[snapshotTags]] (or `VERSION AS OF '<name>'` through the DSv2
+    * catalog) and read via [[snapshotRead]] at the tagged version.
+    * Returns the tagged version. */
+  def snapshotTag(spark: SparkSession, dir: String, name: String,
+      version: Long = -1L): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"snapshotTag: tag name '$name' — use letters, digits, . _ -")
+    val v = if (version > 0) version
+    else snapshotLatestVersion(spark, dir)
+      .getOrElse(sys.error(s"snapshotTag: no committed snapshot at $dir"))
+    // the tag must point at a COMPLETE version (reading it later must
+    // never fail on a torn manifest)
+    snapshotManifestLines(spark, dir, v)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = new Path(dir, s"_snapshots/tags/$name.tag")
+    fs.mkdirs(tag.getParent)
+    require(atomicCreate(fs, tag, s"$v\n".getBytes("UTF-8")),
+      s"snapshotTag: tag '$name' already exists at $dir (drop it first " +
+        "to re-point — tags are create-once, like commits)")
+    v
+  }
+
+  /** All live tags, name → version. */
+  def snapshotTags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val tags = new Path(dir, "_snapshots/tags")
+    val fs = tags.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tags)) return Map.empty
+    fs.listStatus(tags).map(_.getPath).toSeq
+      .filter(_.getName.endsWith(".tag"))
+      .flatMap { p =>
+        val content = try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "" }
+        content.toLongOption.map(p.getName.stripSuffix(".tag") -> _)
+      }.toMap
+  }
+
+  /** Drop a tag. The version it pinned becomes expirable again at the
+    * next retention pass. Returns whether the tag existed. */
+  def snapshotDropTag(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    val tag = new Path(dir, s"_snapshots/tags/$name.tag")
+    val fs = tag.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tag, false)
+  }
+
   def snapshotExpire(spark: SparkSession, dir: String, keep: Int,
       orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(keep >= 1, "must keep at least one snapshot")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tagged versions are retention-exempt: their manifests survive, and
+    // the referenced-data sweep below then keeps their files alive too
+    val tagged = snapshotTags(spark, dir).values.toSet
     val drop = snapshotVersions(spark, dir).dropRight(keep)
+      .filterNot(tagged)
     drop.foreach { v =>
       fs.delete(new Path(dir, f"_snapshots/v$v%08d.manifest"), false)
     }

@@ -119,12 +119,19 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     loadVersioned(ident, -1L)
 
-  /** `VERSION AS OF <v>` (DSv2 passes the literal as a string). */
+  /** `VERSION AS OF <v>` (DSv2 passes the literal as a string) — a
+    * number reads that snapshot version; any other string resolves as
+    * a TAG name ([[Layout.snapshotTag]]), so
+    * `VERSION AS OF 'release-2026-08'` reads the pinned corpus. */
   override def loadTable(ident: Identifier, version: String): Table =
     loadVersioned(ident,
-      version.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"catalog $catalogName: VERSION AS OF wants a numeric snapshot " +
-          s"version, got '$version'")))
+      version.toLongOption.orElse(
+        Layout.snapshotTags(spark, dirOf(ident)).get(version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"catalog $catalogName: VERSION AS OF wants a numeric " +
+            s"snapshot version or a live tag name, got '$version' " +
+            s"(tags: ${Layout.snapshotTags(spark, dirOf(ident))
+              .keys.toSeq.sorted.mkString(", ")})")))
 
   /** `TIMESTAMP AS OF <ts>` (micros since epoch). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {

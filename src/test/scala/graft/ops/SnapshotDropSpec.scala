@@ -200,4 +200,41 @@ class SnapshotDropSpec extends SparkSpec {
     // the drop version itself contributes nothing
     assert(Layout.snapshotChanges(spark, dir, v1, v3 - 1).count() === 0)
   }
+
+  test("tags pin versions against retention; VERSION AS OF resolves them") {
+    val root = tmpDir("snaptag")
+    val dir = s"$root/t"
+    val v1 = Layout.snapshotAppend(Seq((1L, "a")).toDF("k", "s"), dir)
+    Layout.snapshotAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    Layout.snapshotAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    Layout.snapshotTag(spark, dir, "release-1", v1)
+    assert(Layout.snapshotTags(spark, dir) === Map("release-1" -> v1))
+    // retention keeps only the newest — EXCEPT the tagged release
+    val removed = Layout.snapshotExpire(spark, dir, keep = 1,
+      orphanGraceMs = 0)
+    assert(removed === 1, "v2 expires; tagged v1 survives")
+    assert(Layout.snapshotVersions(spark, dir) === Seq(1L, 3L))
+    // the pinned corpus still reads in full (data survived the sweep)
+    assert(Layout.snapshotRead(spark, dir, v1).select("k").as[Long]
+      .collect().toSeq === Seq(1L))
+    // the SQL door: VERSION AS OF '<tag>'
+    val cat = s"gtag${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    assert(spark.sql(s"SELECT k FROM $cat.t VERSION AS OF 'release-1'")
+      .as[Long].collect().toSeq === Seq(1L))
+    // re-tagging a live name refuses; a wrong name lists the live tags
+    intercept[IllegalArgumentException] {
+      Layout.snapshotTag(spark, dir, "release-1")
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("release-1"))
+    // dropped tag -> the version expires at the next pass
+    assert(Layout.snapshotDropTag(spark, dir, "release-1"))
+    assert(Layout.snapshotExpire(spark, dir, keep = 1,
+      orphanGraceMs = 0) === 1)
+    assert(Layout.snapshotVersions(spark, dir) === Seq(3L))
+  }
 }
