@@ -1131,6 +1131,37 @@ object CoreRelational {
         FROM orders GROUP BY 1 ORDER BY status"""),
       headline = true),
 
+    // --------------------------------------------------------------- q134
+    // TAGGED-release reproducibility (Layout.snapshotTag): version 1 is
+    // tagged, two more ingest versions land, retention keeps only the
+    // newest — and the tagged release's manifest and data survive the
+    // sweep (tags are retention-exempt; the referenced-data GC keeps
+    // whatever surviving manifests name). The read goes through the
+    // catalog's VERSION AS OF '<tag>' door, so the whole
+    // pin-expire-reproduce loop is exercised in SQL text. At 100 TB
+    // this is "the corpus as of release-X stays bit-reproducible while
+    // thousands of ingest versions get mowed down around it". The
+    // oracle replays the tagged version's rows from the base table.
+    QuerySpec(
+      "q134_snapshot_tag",
+      (s, d) => {
+        val table = Fits.snapshotTagTableDir(s, d)
+        s.sql(s"""
+          SELECT o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM $table VERSION AS OF 'release-1'
+          GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders WHERE o_orderkey < 1000
+        GROUP BY 1 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -370,6 +370,40 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q134's fixture: a TAGGED release surviving retention
+    * ([[graft.ops.Layout.snapshotTag]]). Version 1 (keys < 1000) is
+    * tagged `release-1`; two more ingest versions land; retention
+    * keeps only the newest — and the tagged release's manifest AND
+    * data survive the sweep. The query reads the pinned version
+    * through the catalog's `VERSION AS OF 'release-1'` door; the
+    * oracle replays version 1's rows from the base table. Returns the
+    * catalog table identifier. */
+  def snapshotTagTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaptagtbl:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snaptag").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = Layout.snapshotAppend(o.filter(col("o_orderkey") < 1000),
+        dir, statsCols = Seq("o_orderkey"))
+      Layout.snapshotTag(s, dir, "release-1", v1)
+      Layout.snapshotAppend(
+        o.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000),
+        dir, statsCols = Seq("o_orderkey"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") >= 2000), dir,
+        statsCols = Seq("o_orderkey"))
+      require(Layout.snapshotExpire(s, dir, keep = 1,
+        orphanGraceMs = 0) >= 1, "retention must actually drop a version")
+      val cat = "graftsqlt_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s"$cat.t"
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes
