@@ -14,8 +14,13 @@ import graft.ops.Layout
   * {{{
   *   SELECT * FROM snapshot_read('/path/to/table')          -- latest
   *   SELECT * FROM snapshot_read('/path/to/table', 3)       -- time travel
+  *   SELECT * FROM snapshot_read('/path/to/table', '2026-08-01 00:00:00')
+  *   SELECT * FROM snapshot_read_where('/path/to/table', 'k > 10')
   *   SELECT * FROM snapshot_changes('/path/to/table', 1)    -- v1 → latest
   *   SELECT * FROM snapshot_changes('/path/to/table', 1, 3) -- v1 → v3
+  *   SELECT * FROM snapshot_changes_typed('/path/to/table', 1)
+  *                      -- delete-aware: _change_type insert/delete rows
+  *   SELECT * FROM snapshot_history('/path/to/table')  -- DESCRIBE HISTORY
   * }}}
   *
   * The builders expand at ANALYSIS time into the same parquet scan the

@@ -39,8 +39,12 @@ import graft.ops.Layout
   *   ALTER TABLE graft.db.t RENAME COLUMN s TO txt   -- snapshotRename
   *   ALTER TABLE graft.db.t DROP COLUMN x        -- snapshotDropColumns
   *   ALTER TABLE graft.db.t ALTER COLUMN k TYPE BIGINT -- snapshotRetype
+  *   ALTER TABLE graft.db.t SET TBLPROPERTIES ('graft.cluster' = 'k')
+  *                            -- declare keys / clustering on a live table
+  *   ALTER TABLE graft.db.t RENAME TO db.t2   -- one filesystem rename
   *   SELECT * FROM graft.db.t                 -- latest snapshot
   *   SELECT * FROM graft.db.t VERSION AS OF 3 -- time travel
+  *   SELECT * FROM graft.db.t VERSION AS OF 'release-1'  -- tagged release
   *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-08-01 00:00:00'
   * }}}
   *
