@@ -2981,7 +2981,16 @@ object Layout {
     * of ingest versions retention mows down around it. Resolve with
     * [[snapshotTags]] (or `VERSION AS OF '<name>'` through the DSv2
     * catalog) and read via [[snapshotRead]] at the tagged version.
-    * Returns the tagged version. */
+    *
+    * Ordering vs retention: the exemption is read at the START of an
+    * expiry pass, so a tag racing a CONCURRENT expire of the same
+    * version can land after its manifest is gone — the tag then
+    * dangles, and reading it fails loudly (never silently serves a
+    * different version). The deployment rule is the natural one: tag
+    * at publish time, right after the commit — retention policies that
+    * could reach a version within the same instant it was published
+    * have no business being that aggressive. Returns the tagged
+    * version. */
   def snapshotTag(spark: SparkSession, dir: String, name: String,
       version: Long = -1L): Long = {
     require(name.nonEmpty && name.forall(c =>
