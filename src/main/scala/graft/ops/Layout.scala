@@ -2857,14 +2857,18 @@ object Layout {
     *    DELETE-WHERE commit (their `cdc=` record is per-commit), null
     *    for a plain append/commit/evolve
     *  - `n_files`, `added_files` (vs the previous complete version —
-    *    0 added with files replaced = a rewrite), and `row_count` when
+    *    0 added with files replaced = a rewrite), `row_count` when
     *    every file carries a stats row count ([[snapshotRowCount]]'s
     *    contract: None over a live overlay or partial stats, never a
-    *    wrong number). */
+    *    wrong number), and `tags` — the retention-exempt names pinning
+    *    the version ([[snapshotTag]]), so one glance shows what expiry
+    *    can and cannot reach. */
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = Seq("rename=", "drop=", "retype=", "declare-keys=",
       "declare-cluster=", RewriteTag, "batch=")
+    val tagsByV = snapshotTags(spark, dir).toSeq.groupBy(_._2)
+      .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
     var prevFiles = Set.empty[String]
     val rows = snapshotVersions(spark, dir).map { v =>
       val lines = snapshotManifestLines(spark, dir, v)
@@ -2882,11 +2886,11 @@ object Layout {
       val added = files.count(f => !prevFiles.contains(f))
       prevFiles = files.toSet
       (v, new java.sql.Timestamp(mtime), op, files.size, added,
-        snapshotRowCount(spark, dir, v))
+        snapshotRowCount(spark, dir, v), tagsByV.get(v))
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "operation", "n_files",
-      "added_files", "row_count")
+      "added_files", "row_count", "tags")
   }
 
   /** Versions with a COMPLETE manifest, ascending. Incomplete (torn)

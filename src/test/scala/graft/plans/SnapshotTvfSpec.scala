@@ -149,7 +149,7 @@ class SnapshotTvfSpec extends SparkSpec {
     Layout.snapshotDeleteKeys(spark, dir, Seq(2L).toDF("k"), Seq("k"))
     val h = spark.sql(s"SELECT * FROM snapshot_history('$dir')")
     assert(h.columns.toSeq === Seq("version", "committed_at", "operation",
-      "n_files", "added_files", "row_count"))
+      "n_files", "added_files", "row_count", "tags"))
     val rows = h.orderBy("version").collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to 6L))
     val ops = rows.map(r => Option(r.getString(2)))
@@ -166,6 +166,13 @@ class SnapshotTvfSpec extends SparkSpec {
     assert(rows(1).getInt(4) === 1)
     assert(rows(4).getInt(3) === rows(4).getInt(4),
       "a rewrite's files are all new")
+    // tags surface on their pinned version
+    Layout.snapshotTag(spark, dir, "rel-a", 2L)
+    Layout.snapshotTag(spark, dir, "rel-b", 2L)
+    val tagged = spark.sql(
+      s"SELECT tags FROM snapshot_history('$dir') WHERE version = 2")
+      .head().getString(0)
+    assert(tagged === "rel-a,rel-b")
   }
 
   test("an extensions-built session carries the TVFs without ensureSqlDoor") {
