@@ -1476,6 +1476,15 @@ object Layout {
     * refusing the whole interval. */
   private[graft] val RewriteTag = "rewrite-of="
 
+  /** The lineage marker [[snapshotRestore]] attaches
+    * (`restore-of=<target>`): the version's rows are a PRIOR version's
+    * rows, re-pointed metadata-only. Unlike a rewrite the delta is NOT
+    * zero — rows committed after the target leave, rows the
+    * intervening commits removed return — so the file-granular feed
+    * refuses across it and the typed feed replays it from the file
+    * diff ([[typedChangesPlan]]). */
+  private[graft] val RestoreTag = "restore-of="
+
   private def isRewriteVersion(spark: SparkSession, dir: String,
       version: Long): Boolean =
     snapshotMetaOf(spark, dir, version).exists(_.startsWith(RewriteTag))
@@ -1791,12 +1800,25 @@ object Layout {
     var bootstrapFirstStep = fromVersion == 0
     val added = Seq.newBuilder[String]
     steps.foreach { v =>
-      val files = snapshotRelFiles(spark, dir, v)
+      val linesV = snapshotManifestLines(spark, dir, v)
+      val files = linesV.filterNot(_.startsWith("#"))
+      val metaV = linesV.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      // a RESTORE re-points HEAD at an older version: rows leave AND
+      // return — neither is a file-append delta. Refuse honestly (the
+      // typed feed replays it row-level); a no-op restore (identical
+      // file list and overlay set) contributes nothing and passes.
+      val delsHere = parseDeleteMeta(metaV).map(_._2).toSet
+      if (metaV.exists(_.startsWith(RestoreTag)) && !bootstrapFirstStep)
+        require(files.toSet == prev && delsHere == prevDels,
+          s"snapshotChanges: v$fromVersion..v$to contains a RESTORE at " +
+            s"v$v (snapshotRestore) — rows leave and return, which is " +
+            "not a file-append delta; consume snapshotChangesTyped " +
+            "(which replays the restore row-level) or recompute from " +
+            "snapshotRead")
       // a NEW merge-on-read delete line removes rows without touching the
       // file list — not representable as a file delta, refuse like any
       // other rewrite (a delete line merely CARRIED forward is fine)
-      val delsHere = parseDeleteMeta(snapshotMetaOf(spark, dir, v))
-        .map(_._2).toSet
       require(delsHere.subsetOf(prevDels) || isRewriteVersion(spark, dir, v),
         s"snapshotChanges: v$fromVersion..v$to contains a merge-on-read " +
           s"delete at v$v (snapshotDeleteKeys) — removed rows are not a " +
@@ -1848,6 +1870,12 @@ object Layout {
     *  - a [[snapshotCompact]] rewrite contributes nothing — INCLUDING
     *    one that materializes a live delete overlay, whose removed rows
     *    were already emitted when their delete version was walked;
+    *  - a [[snapshotRestore]] version contributes FULL-ROW deletes for
+    *    every row leaving (rows of the files the restore drops) and
+    *    inserts for every row returning (rows of the files it brings
+    *    back) — data files are immutable, so the file diff is exact;
+    *    a restore that CHANGES the overlay set refuses (materialize
+    *    via [[snapshotCompact]] before restoring);
     *  - [[snapshotDeleteWhere]] and full rewrites still refuse: a
     *    predicate delete records no key set to replay.
     *
@@ -1935,6 +1963,34 @@ object Layout {
         // live merge-on-read delete never bootstraps removed rows
         pieces += withMeta(overlayRead(spark, dir,
           rs => readMapped(rs, tableSchema), files, delsHere), "insert", v)
+      } else if (meta.exists(_.startsWith(RestoreTag))) {
+        // a RESTORE's row delta IS its file diff — data files are
+        // immutable, so rows leaving live exactly in the files the
+        // restore drops and rows returning in the files it brings
+        // back; both sides read overlay-applied (a row the shared
+        // overlay masks was visible on NEITHER side, so it is neither
+        // a delete nor an insert). The one non-file-derivable case —
+        // the restore CHANGING the overlay set (restoring across a
+        // snapshotDeleteKeys commit) — refuses with the compact
+        // remedy: materialize the overlay before restoring and the
+        // delta is file-granular again.
+        require(delsHere.map(_._2).toSet == prevDels,
+          s"snapshotChangesTyped: the RESTORE at v$v of $dir changes " +
+            "the merge-on-read overlay set — removed/returning rows " +
+            "are then not derivable from the file diff; run " +
+            "snapshotCompact to materialize the overlay before " +
+            "restoring, or recompute from snapshotRead")
+        val filesSet = files.toSet
+        val removed = prev.toSeq.filterNot(filesSet).sorted
+        val returned = files.filterNot(prev)
+        if (removed.nonEmpty)
+          pieces += withMeta(overlayRead(spark, dir,
+            rs => readMapped(rs, tableSchema), removed, delsHere),
+            "delete", v)
+        if (returned.nonEmpty)
+          pieces += withMeta(overlayRead(spark, dir,
+            rs => readMapped(rs, tableSchema), returned, delsHere),
+            "insert", v)
       } else if (cdc.isDefined) {
         val c = cdc.get
         // cdc key columns were recorded under the names CURRENT AT v —
@@ -2866,7 +2922,7 @@ object Layout {
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = Seq("rename=", "drop=", "retype=", "declare-keys=",
-      "declare-cluster=", RewriteTag, "batch=")
+      "declare-cluster=", RewriteTag, RestoreTag, "batch=")
     val tagsByV = snapshotTags(spark, dir).toSeq.groupBy(_._2)
       .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
     var prevFiles = Set.empty[String]
@@ -3039,6 +3095,95 @@ object Layout {
     val tag = new Path(dir, s"_snapshots/tags/$name.tag")
     val fs = tag.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tag, false)
+  }
+
+  /** RESTORE / rollback: re-point the table HEAD at a prior version as
+    * a METADATA-ONLY commit — no data file is touched or rewritten.
+    * The undo every table format grows after a bad MERGE: tags
+    * ([[snapshotTag]]) name the good corpus and time travel reads it,
+    * but only a restore makes it the table again for every consumer
+    * that reads "latest". One manifest PUT regardless of table size —
+    * at 100 TB the alternative (`snapshotCommit(snapshotRead(v))`) is
+    * a full-corpus rewrite whose change feed then refuses.
+    *
+    * The new manifest carries the target version's STATE verbatim —
+    * file list, schema of record (declared key/cluster flags ride it),
+    * rename/drop log (`colmap=`), merge-on-read delete overlay lines,
+    * and per-file stats — plus a `restore-of=<target>` lineage marker.
+    * Per-commit markers of the target (`cdc=`, `batch=`, operation
+    * tags) are NOT carried: they describe the commit that made the
+    * target, not the restore. History stays intact — every version
+    * between the target and the restore remains readable until
+    * retention drops it, and a second restore can roll the rollback
+    * back.
+    *
+    * Change-feed contract: the restore's delta is real (rows leave,
+    * rows return), so the file-granular feed ([[snapshotChanges]] /
+    * [[snapshotChangeFiles]]) REFUSES an interval crossing it, while
+    * the typed feed ([[snapshotChangesTyped]]) replays it exactly from
+    * the file diff — files dropped by the restore emit their surviving
+    * rows as deletes, files returning emit theirs as inserts (data
+    * files are immutable, so the file diff IS the row diff; the one
+    * case that is not file-derivable, a restore CHANGING the overlay
+    * set, refuses with the compact remedy there).
+    *
+    * Refusals: a target whose manifest retention already dropped
+    * refuses loudly (its data may be swept — tag versions that must
+    * stay restorable; [[snapshotExpire]] never drops a tagged one).
+    * Concurrency is the plain optimistic PUT retry: a racing commit
+    * bumps the version and the restore retries — last writer wins,
+    * like any commit. Returns the committed version. */
+  def snapshotRestore(spark: SparkSession, dir: String,
+      target: Long): Long = {
+    require(target >= 1,
+      s"snapshotRestore: target must be a committed version (>= 1), " +
+        s"got $target")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines =
+      try snapshotManifestLines(spark, dir, target)
+      catch {
+        case scala.util.control.NonFatal(_) => sys.error(
+          s"snapshotRestore: v$target at $dir is not a surviving " +
+            "complete snapshot — expired by retention or torn. Only " +
+            "versions still in snapshotVersions can be restored (their " +
+            "manifests keep the data files alive); tag the versions " +
+            "that must stay restorable (snapshotTag) — tagged versions " +
+            "are retention-exempt")
+      }
+    val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)
+    val state = lines
+      .filter(l => l.startsWith("#") && l != "#commit")
+      .map(_.stripPrefix("#"))
+      .filter(m => keep.exists(m.startsWith))
+    val files = lines.filterNot(_.startsWith("#"))
+    var iters = 0
+    var committed = -1L
+    while (committed < 0) {
+      iters += 1
+      commitBackoff(iters)
+      require(iters <= 64,
+        s"snapshotRestore: the commit PUT collided 64× at $dir")
+      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = (((s"$RestoreTag$target" +: state).map(m => s"#$m")
+        ++ files).map(_ + "\n") :+ "#commit\n")
+        .mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
+
+  /** [[snapshotRestore]] to a TAGGED version — `RESTORE TO
+    * 'release-2026-08'`: resolve the tag ([[snapshotTag]]) and restore
+    * to the version it pins. */
+  def snapshotRestore(spark: SparkSession, dir: String,
+      tag: String): Long = {
+    val tags = snapshotTags(spark, dir)
+    val v = tags.getOrElse(tag, sys.error(
+      s"snapshotRestore: no tag '$tag' at $dir (live tags: " +
+        s"${tags.keys.toSeq.sorted.mkString(", ")})"))
+    snapshotRestore(spark, dir, v)
   }
 
   def snapshotExpire(spark: SparkSession, dir: String, keep: Int,

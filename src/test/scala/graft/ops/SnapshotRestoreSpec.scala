@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RESTORE / rollback ([[Layout.snapshotRestore]]): re-point the table
+  * HEAD at a prior version as a METADATA-ONLY commit — the undo story
+  * after a bad MERGE. History stays intact, tags resolve, appends after
+  * the restore carry its file list and stats forward, the file-granular
+  * feed refuses honestly across it, and the typed feed replays it as
+  * full-row deletes (rows leaving) + inserts (rows returning) derived
+  * from the immutable file diff. */
+class SnapshotRestoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stateOf(dir: String, v: Long = -1L): Map[Int, String] =
+    Layout.snapshotRead(spark, dir, v).as[(Int, String)].collect().toMap
+
+  test("bad merge, RESTORE to tag: metadata-only, state equals the tagged corpus") {
+    val dir = tmpDir("snaprestore") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotAppend((101 to 200).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    Layout.snapshotTag(spark, dir, "good", 2L)
+    val goodState = stateOf(dir)
+    // the bad merge: clobbers two rows, inserts a stray one            v3
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((50, "BAD"), (150, "BAD"), (300, "stray")).toDF("k", "s"),
+      Seq("k"))
+    assert(stateOf(dir)(50) === "BAD")
+    val vr = Layout.snapshotRestore(spark, dir, "good")              // v4
+    assert(vr === 4L)
+    assert(stateOf(dir) === goodState, "restore must reproduce the tag")
+    // METADATA-ONLY: the restored manifest lists v2's files verbatim
+    assert(Layout.snapshotRead(spark, dir).inputFiles.toSet ===
+      Layout.snapshotRead(spark, dir, 2L).inputFiles.toSet)
+    // history intact: the bad merge is still time-travelable, and the
+    // restore surfaces with its lineage marker
+    assert(stateOf(dir, 3L)(50) === "BAD")
+    val hist = Layout.snapshotHistory(spark, dir)
+      .select("version", "operation").as[(Long, Option[String])]
+      .collect().toMap
+    assert(hist(4L) === Some("restore-of=2"))
+    // stats lines carried: manifest-only count and pruned reads work
+    assert(Layout.snapshotRowCount(spark, dir) === Some(200L))
+    assert(Layout.snapshotReadWhere(spark, dir, col("k") <= 100)
+      .inputFiles.length === 1, "carried stats must still prune files")
+  }
+
+  test("restore-then-append lineage: appends carry the restored state forward") {
+    val dir = tmpDir("snaprestore2") + "/t"
+    Layout.snapshotAppend((1 to 50).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((10, "BAD")).toDF("k", "s"), Seq("k"))                     // v2
+    Layout.snapshotRestore(spark, dir, 1L)                           // v3
+    Layout.snapshotAppend((51 to 60).map(i => (i, s"b$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v4
+    val got = stateOf(dir)
+    assert(got.size === 60 && got(10) === "a10" && got(55) === "b55")
+    // the file-granular feed refuses across the restore...
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChanges(spark, dir, 2L))
+    assert(e.getMessage.contains("RESTORE") &&
+      e.getMessage.contains("snapshotChangesTyped"))
+    // ...but resumes cleanly FROM it (v3 → v4 is a plain append)
+    assert(Layout.snapshotChanges(spark, dir, 3L).count() === 10L)
+    // and the typed feed replays the whole interval: merge cdc, then
+    // the restore as full-row delete/insert pairs, then the append
+    val changes = Layout.snapshotChangesTyped(spark, dir, 1L)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect()
+      .sortBy(c => (c._4, if (c._3 == "delete") 0 else 1))
+    val replayed = changes.foldLeft(stateOf(dir, 1L)) {
+      case (m, (k, s, ct, _)) =>
+        if (ct == "delete") m - k else m + (k -> s)
+    }
+    assert(replayed === got,
+      "typed-feed replay across the restore must rebuild the final state")
+    // the restore version's delta is real rows, both directions
+    val atRestore = changes.filter(_._4 == 3L)
+    assert(atRestore.exists(c => c._3 == "delete" && c._1 == 10 &&
+      c._2 == "BAD"), "the merged-in row leaves as a full-row delete")
+    assert(atRestore.exists(c => c._3 == "insert" && c._1 == 10 &&
+      c._2 == "a10"), "the original row returns as an insert")
+  }
+
+  test("restore to an expired version refuses loudly; tags stay restorable") {
+    val dir = tmpDir("snaprestore3") + "/t"
+    (1 to 3).foreach(i => Layout.snapshotAppend(
+      Seq((i, s"a$i")).toDF("k", "s"), dir))                       // v1-v3
+    Layout.snapshotTag(spark, dir, "keep", 2L)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    // v1 expired → refuse with the tag remedy
+    val e = intercept[RuntimeException](
+      Layout.snapshotRestore(spark, dir, 1L))
+    assert(e.getMessage.contains("surviving") &&
+      e.getMessage.contains("snapshotTag"))
+    // v2 was tagged → retention-exempt → restorable
+    Layout.snapshotRestore(spark, dir, "keep")
+    assert(stateOf(dir) === Map(1 -> "a1", 2 -> "a2"))
+    // unknown tag names refuse with the live-tag list
+    val t = intercept[RuntimeException](
+      Layout.snapshotRestore(spark, dir, "nope"))
+    assert(t.getMessage.contains("keep"))
+  }
+
+  test("restore across an overlay change: typed feed refuses with the compact remedy") {
+    val dir = tmpDir("snaprestore4") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotDeleteKeys(spark, dir, Seq(5).toDF("k"), Seq("k")) // v2
+    Layout.snapshotRestore(spark, dir, 1L)                           // v3
+    // the restore itself is correct: the deleted row is back
+    assert(stateOf(dir).contains(5))
+    // but its delta is NOT file-derivable (overlay line vanished with
+    // zero file churn) — refuse, don't silently miss the returning row
+    val e = intercept[IllegalArgumentException](
+      Layout.snapshotChangesTyped(spark, dir, 1L))
+    assert(e.getMessage.contains("overlay") &&
+      e.getMessage.contains("snapshotCompact"))
+    // a NEW consumer bootstrapping AT the restore (earlier history
+    // expired) reads its overlay-applied state directly — the restore
+    // manifest keeps v1's data files referenced through the sweep
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(Layout.snapshotChangesTyped(spark, dir, 0L).count() === 20L)
+  }
+
+  test("no-op restore (to the current state) passes the file-granular feed") {
+    val dir = tmpDir("snaprestore5") + "/t"
+    Layout.snapshotAppend(Seq((1, "a")).toDF("k", "s"), dir)         // v1
+    Layout.snapshotRestore(spark, dir, 1L)                           // v2
+    Layout.snapshotAppend(Seq((2, "b")).toDF("k", "s"), dir)         // v3
+    // identical file list + overlay set → zero delta, no refusal
+    assert(Layout.snapshotChanges(spark, dir, 1L).count() === 1L)
+    // expire keeps the data files the restore manifest references
+    Layout.snapshotExpire(spark, dir, keep = 2, orphanGraceMs = 0)
+    assert(stateOf(dir) === Map(1 -> "a", 2 -> "b"))
+  }
+}
