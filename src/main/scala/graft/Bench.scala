@@ -107,11 +107,16 @@ object Bench {
     // synthetic day at the reference's floor volume (skipped unless the
     // run is the full suite — partial local iterations stay fast)
     val streaming = if (only.isDefined && !streamingOnly) "" else {
-      // MAX of 2 drains (same one-sided-noise rule as the as-of line:
-      // contention only subtracts rate; r8's historical band is 44-90k
-      // rec/s on identical code, so a single cold rep under-reports)
-      val r = (1 to 2).map(_ => graft.ctran.EtlBench.drain(spark, 400000L))
-        .maxBy(_.recordsPerSec)
+      // MAX of 3 drains (same one-sided-noise rule as the as-of lines:
+      // contention only subtracts rate), with EVERY rep's rate recorded
+      // in the artifact — the drain is a 3-10 s burst maximally exposed
+      // to transient host stalls, and a single number cannot show
+      // whether a low round was noise (huge rep spread, healthy max)
+      // or a regression (all reps shifted down together)
+      val etlReps = (1 to 3).map(_ => graft.ctran.EtlBench.drain(spark, 400000L))
+      val r = etlReps.maxBy(_.recordsPerSec)
+      val etlRepsJson = etlReps
+        .map(x => f"${x.recordsPerSec}%.0f").mkString("[", ",", "]")
       // the stateful-streaming path's tracked number: probe rows
       // watermark-finalized per second through StreamAsOf.backward.
       // MAX of 3 runs — the rate analog of the per-query MIN-time rule
@@ -149,17 +154,21 @@ object Bench {
       // hardware — headroom for host contention, none for a real
       // regression.
       val floors = Seq(
-        // the ETL drain's healthy band on identical code spans 44-145k
-        // rec/s across rounds (it's a 3-10 s burst, maximally exposed
-        // to transient host contention); the floor must sit BELOW the
-        // band's observed healthy minimum or it fires on noise —
-        // 40k still catches a genuine collapse of the ingest path
-        ("etl_records_per_sec", r.recordsPerSec, 40000.0),
-        // backward as-of observed band: 9.9-11.7k on identical code
-        // (max-of-3 still lands below 10k under host pressure); the
-        // floor sits below the band and still catches a fall back to
-        // the r8 5.7k shape
-        ("asof_rows_per_sec", a.rowsPerSec, 8500.0),
+        // ADVICE r11: the 40k floor (halved from 80k citing host
+        // noise) let a genuine ~45% ingest regression pass silently.
+        // Tightened back to 55k on a SHARPER statistic: max-of-3 reps
+        // (was 2) makes the gated value's lower tail much tighter —
+        // a violation now needs all three reps simultaneously >2×
+        // degraded — and the per-rep rates ship in the artifact
+        // (etl_reps), so a noise-fire reads as "huge spread, one
+        // healthy rep" at a glance while a real regression reads as
+        // three shifted reps
+        ("etl_records_per_sec", r.recordsPerSec, 55000.0),
+        // backward as-of observed max-of-3 band: 9.9-11.7k on
+        // identical code; 9.5k sits just under the band's healthy
+        // minimum (ADVICE r11: 8.5k was too forgiving) and still
+        // catches any fall toward the r8 5.7k shape
+        ("asof_rows_per_sec", a.rowsPerSec, 9500.0),
         ("asof_fwd_rows_per_sec", f.rowsPerSec, 5500.0),
         ("asof_near_rows_per_sec", n.rowsPerSec, 6500.0),
         ("feed_rows_per_sec", sf.rowsPerSec, 60000.0),
@@ -171,7 +180,7 @@ object Bench {
       }
       val floorJson =
         s""","streaming_floor_violations":{${violations.mkString(",")}}"""
-      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f}$floorJson"""
+      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"etl_reps":$etlRepsJson,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f}$floorJson"""
     }
     // fixture-layout separability (judge r8 ask #7): the driver's
     // regenerated testdata ships ONE parquet row group per table, so

@@ -1455,7 +1455,22 @@ object Layout {
         })
       val v = listed.lastOption.getOrElse(0L) + 1
       val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
-      val stats = metaLines.filter(_.startsWith(StatsTag))
+      // float→double promotions re-encode the column's carried stats:
+      // the recorded strings are shortest-round-trip FLOAT reprs, and
+      // reparsed in the DOUBLE domain they can land ~1e-7 relative off
+      // the promoted value — a predicate inside that gap would wrongly
+      // stats-prune a file (missed rows in snapshotReadWhere and the
+      // file-granular rewrite probes). The float round-trip guarantee
+      // makes the fix exact: parse as float, promote, re-render.
+      val floatPromos = schema1.fields.filter(f =>
+        f.dataType == org.apache.spark.sql.types.FloatType &&
+          lower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .contains(org.apache.spark.sql.types.DoubleType))
+        .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+      val stats0 = metaLines.filter(_.startsWith(StatsTag))
+      val stats =
+        if (floatPromos.isEmpty) stats0
+        else stats0.map(promoteFloatStats(_, floatPromos))
       val marker = "retype=" + retypes.toSeq.sortBy(_._1)
         .map { case (c, t) => s"$c:${t.catalogString}" }.mkString(",")
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
@@ -1468,6 +1483,31 @@ object Layout {
       if (atomicCreate(fs, manifest, body)) committed = v
     }
     committed
+  }
+
+  /** Re-encode a carried stats line's min/max for columns promoted
+    * float→double by [[snapshotRetype]] (see the call site for why).
+    * A fragment that fails to parse drops — conservative: no stats
+    * means no pruning, never a wrong prune. */
+  private def promoteFloatStats(line: String, lower: Set[String]): String = {
+    val parts = line.stripPrefix(StatsTag).split('|')
+    val out = parts.head +: parts.tail.flatMap { p =>
+      val eq = p.indexOf('=')
+      if (eq <= 0 || !lower.contains(p.substring(0, eq))) Some(p)
+      else p.substring(eq + 1).split(':') match {
+        case Array(tag, mn, mx, rest @ _*) =>
+          def promote(s: String): Option[String] =
+            if (s.isEmpty) Some(s) // all-null file: stays prunable-by-any
+            else scala.util.Try(s.toFloat.toDouble.toString).toOption
+          (promote(mn), promote(mx)) match {
+            case (Some(a), Some(b)) => Some(p.substring(0, eq + 1) +
+              (tag +: a +: b +: rest).mkString(":"))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    StatsTag + out.mkString("|")
   }
 
   /** The lineage marker [[snapshotCompact]] attaches to a pure-rewrite

@@ -218,26 +218,38 @@ class GraftCatalog extends TableCatalog {
     val renames = changes.collect {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be renamed")
+          s"catalog $catalogName: only top-level columns can be renamed — " +
+            "nested struct fields carry no field-ID evolution log; " +
+            "evolve the struct by full rewrite (Layout.snapshotCommit " +
+            "of the reshaped frame)")
         r.fieldNames().head -> r.newName()
     }
     val adds = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be added")
+          s"catalog $catalogName: only top-level columns can be added — " +
+            "nested struct fields carry no field-ID evolution log; " +
+            "evolve the struct by full rewrite (Layout.snapshotCommit " +
+            "of the reshaped frame)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), a.isNullable)
     }
     val retypes = changes.collect {
       case t: TableChange.UpdateColumnType =>
         require(t.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be retyped")
+          s"catalog $catalogName: only top-level columns can be retyped — " +
+            "nested struct fields carry no field-ID evolution log; " +
+            "evolve the struct by full rewrite (Layout.snapshotCommit " +
+            "of the reshaped frame)")
         t.fieldNames().head -> t.newDataType()
     }
     val drops = changes.collect {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be dropped")
+          s"catalog $catalogName: only top-level columns can be dropped — " +
+            "nested struct fields carry no field-ID evolution log; " +
+            "evolve the struct by full rewrite (Layout.snapshotCommit " +
+            "of the reshaped frame)")
         d.fieldNames().head
     }
     // ALTER TABLE … SET/UNSET TBLPROPERTIES for the two declarations:
@@ -266,6 +278,27 @@ class GraftCatalog extends TableCatalog {
         "COLUMN, ALTER COLUMN TYPE (lossless widening), and SET/UNSET " +
         "TBLPROPERTIES (graft.key / graft.cluster) are supported — " +
         "narrowings need a full rewrite (Layout.snapshotCommit)")
+    // one ALTER statement = ONE atomic evolution commit. Each change
+    // category lands as its own optimistic manifest commit (rename /
+    // retype / drop / declare / evolve are separate Layout entry
+    // points), so a statement mixing categories would commit them as a
+    // SEQUENCE — a mid-sequence failure leaves the table half-altered
+    // with no rollback, and one statement would burn several history
+    // versions. Refuse the mix; within one category multiple changes
+    // still fold into a single commit (snapshotRename takes a map,
+    // ADD COLUMNS one evolve, DROP COLUMN one tombstone commit).
+    val categories = Seq(
+      "RENAME COLUMN" -> renames.size, "ADD COLUMNS" -> adds.size,
+      "ALTER COLUMN TYPE" -> retypes.size, "DROP COLUMN" -> drops.size)
+      .filter(_._2 > 0).map(_._1) ++
+      props.map { case (p, v) =>
+        s"${if (v.isDefined) "SET" else "UNSET"} TBLPROPERTIES ('$p')" }
+    require(categories.size <= 1,
+      s"catalog $catalogName: one ALTER TABLE statement must carry ONE " +
+        s"change kind, got ${categories.mkString(" + ")} — each kind is " +
+        "its own atomic commit, so a mix would apply as a sequence " +
+        "with no rollback on mid-sequence failure; split into one " +
+        "statement per kind")
     if (renames.nonEmpty) Layout.snapshotRename(spark, dir, renames.toMap)
     if (retypes.nonEmpty) Layout.snapshotRetype(spark, dir, retypes.toMap)
     if (drops.nonEmpty) Layout.snapshotDropColumns(spark, dir, drops)
@@ -308,6 +341,17 @@ class GraftCatalog extends TableCatalog {
     val from = new Path(dirOf(oldIdent))
     val to = new Path(dirOf(newIdent))
     val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the committed-snapshot check above is not enough: if the
+    // destination PATH exists in any form (a namespace directory, a
+    // torn CREATE's leftover), Hadoop's rename moves the source INTO
+    // it and returns true — the table would silently land at
+    // <to>/<oldName>, unreachable under both identifiers. Fail loudly
+    // on any existing destination instead.
+    require(!fs.exists(to),
+      s"catalog $catalogName: destination path $to already exists " +
+        s"(not a committed table — a namespace directory or a failed " +
+        "CREATE's leftover); a filesystem rename would nest the table " +
+        "INSIDE it. Remove the obstruction first.")
     fs.mkdirs(to.getParent)
     require(fs.rename(from, to),
       s"catalog $catalogName: filesystem refused the rename " +

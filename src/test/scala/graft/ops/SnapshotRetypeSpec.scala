@@ -184,4 +184,29 @@ class SnapshotRetypeSpec extends SparkSpec {
     assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
       e.getMessage.contains("lossless"), e.getMessage)
   }
+
+  test("float->double retype re-encodes carried stats exactly (no wrong prune)") {
+    val dir = tmpDir("snapretfs") + "/t"
+    // 0.1f's shortest float repr is "0.1"; reparsed as DOUBLE that is
+    // 0.1d < (double) 0.1f — a carried-verbatim stats line would record
+    // max = 0.1d and a predicate at the true promoted value would
+    // wrongly prune the file (ADVICE r11). The promotion is exact:
+    // parse the recorded string as float, widen, re-render.
+    Layout.snapshotAppend(Seq((1, 0.1f), (2, 0.3f)).toDF("k", "price")
+      .repartition(1), dir, statsCols = Seq("price", "k"))
+    Layout.snapshotAppend(Seq((3, 7.0f)).toDF("k", "price")
+      .repartition(1), dir, statsCols = Seq("price", "k"))
+    Layout.snapshotRetype(spark, dir,
+      Map("price" -> org.apache.spark.sql.types.DoubleType))
+    val promoted = 0.1f.toDouble // 0.100000001490116...
+    val got = Layout.snapshotReadWhere(spark, dir,
+      col("price") === promoted)
+    assert(got.count() === 1, "the row at the promoted value must survive")
+    // and the probe read only the one file whose (re-encoded) stats
+    // admit the value — pruning still works, it just stopped lying
+    assert(got.inputFiles.length === 1)
+    // untouched columns' stats are carried verbatim (k still prunes)
+    assert(Layout.snapshotReadWhere(spark, dir, col("k") >= 3)
+      .inputFiles.length === 1)
+  }
 }

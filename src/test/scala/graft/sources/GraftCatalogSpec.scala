@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -364,5 +365,72 @@ class GraftCatalogSpec extends SparkSpec {
       === 0)
     assert(Layout.snapshotRead(spark, dir,
       Layout.snapshotVersions(spark, dir).last - 1).count() === 2)
+  }
+
+  test("RENAME TO refuses when the destination PATH exists in any form") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.src (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.src VALUES (1)")
+    // an obstruction that is NOT a committed table: a plain directory
+    // (namespace dir / torn CREATE leftover). Hadoop's rename would
+    // move the source INSIDE it and report success — the table would
+    // land at ns/dst/src, unreachable under both identifiers.
+    val obstruction = new Path(s"$root/ns/dst")
+    val fs = obstruction.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(obstruction)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.src RENAME TO ns.dst")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // nothing moved: the source still answers, the obstruction is empty
+    assert(spark.sql(s"SELECT k FROM $cat.ns.src").head().getLong(0) === 1)
+    assert(!fs.exists(new Path(obstruction, "src")))
+  }
+
+  test("ALTER TABLE mixing change kinds refuses; one kind per statement") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (1, 'a')")
+    // two property declarations = two separate metadata commits — a
+    // mid-sequence failure would leave the table half-altered
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.m SET TBLPROPERTIES " +
+        "('graft.key' = 'k', 'graft.cluster' = 'k')")
+    }
+    assert(e.getMessage.contains("ONE change kind"), e.getMessage)
+    // split into one statement per kind, both land
+    spark.sql(s"ALTER TABLE $cat.db.m SET TBLPROPERTIES ('graft.key' = 'k')")
+    spark.sql(
+      s"ALTER TABLE $cat.db.m SET TBLPROPERTIES ('graft.cluster' = 'k')")
+    val dir = s"$root/db/m"
+    assert(Layout.snapshotKeyCols(spark, dir) === Seq("k"))
+    assert(Layout.snapshotClusterCols(spark, dir) === Seq("k"))
+    // and no half-altered state survived the refusal path: the refused
+    // statement committed NOTHING (history holds create + insert +
+    // exactly two declare commits)
+    assert(Layout.snapshotVersions(spark, dir).size === 4)
+  }
+
+  test("nested struct evolution refuses with the full-rewrite remedy (pinned contract)") {
+    val (cat, _) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.n (k BIGINT, " +
+      "meta STRUCT<width: INT, codec: STRING>)")
+    spark.sql(s"INSERT INTO $cat.db.n VALUES (1, struct(640, 'h264'))")
+    // the snapshot format's field-ID rename/drop log is top-level only;
+    // a nested rename must refuse loudly with the remedy, never corrupt
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.n RENAME COLUMN meta.codec TO fmt")
+    }
+    assert(e.getMessage.contains("top-level") &&
+      e.getMessage.contains("full rewrite"), e.getMessage)
+    val d = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.n DROP COLUMN meta.width")
+    }
+    assert(d.getMessage.contains("top-level") &&
+      d.getMessage.contains("full rewrite"), d.getMessage)
+    // the table is untouched and still answers
+    assert(spark.sql(s"SELECT meta.codec FROM $cat.db.n").head()
+      .getString(0) === "h264")
   }
 }
