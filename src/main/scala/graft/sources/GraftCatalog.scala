@@ -85,7 +85,8 @@ import graft.ops.Layout
   * [[graft.plans.SnapshotMergeRule]]) and routed into
   * [[Layout.snapshotUpdateWhere]] / [[Layout.snapshotMergeInto]].
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -359,6 +360,35 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  // ------------------------------------------ maintenance procedures
+  // Spark 4's native `CALL <cat>.system.<proc>(...)` — the SQL door
+  // for the maintenance verbs the catalog's own refusal remedies name
+  // ("run snapshotCompact"), plus RESTORE. See [[GraftProcedures]].
+
+  private lazy val procedures: Map[String,
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    GraftProcedures.all(catalogName, table =>
+      table.split('.').filter(_.nonEmpty)
+        .foldLeft(new Path(root))(new Path(_, _)).toString)
+      .map(p => p.name() -> p).toMap
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"catalog $catalogName: procedures live under the 'system' " +
+        s"namespace — CALL $catalogName.system.${ident.name()}(...)")
+    procedures.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"catalog $catalogName: no procedure '${ident.name()}' (have: " +
+        s"${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
 }
 
 /** One snapshot table at one (possibly pinned) version. Reads delegate

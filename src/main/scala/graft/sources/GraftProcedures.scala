@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Layout
+
+/** SQL doors for the snapshot format's MAINTENANCE verbs — Spark 4's
+  * native `CALL` statement over the DSv2 [[org.apache.spark.sql
+  * .connector.catalog.ProcedureCatalog]] API, served by
+  * [[GraftCatalog]] under the `system` namespace:
+  *
+  * {{{
+  *   CALL graft.system.compact('db.t')       -- Layout.snapshotCompact
+  *   CALL graft.system.maintain('db.t')      -- Layout.snapshotMaintain
+  *   CALL graft.system.expire('db.t', 5)     -- Layout.snapshotExpire
+  *   CALL graft.system.tag('db.t', 'release-1')     -- Layout.snapshotTag
+  *   CALL graft.system.drop_tag('db.t', 'release-1')
+  *   CALL graft.system.restore('db.t', '3')          -- version number
+  *   CALL graft.system.restore('db.t', 'release-1')  -- or tag name
+  * }}}
+  *
+  * This closes the SQL story the catalog's own refusals point at: a
+  * read over a live merge-on-read overlay (or mixed rename
+  * generations) says "run snapshotCompact to materialize" — now a
+  * SQL-only session CAN, with `CALL <cat>.system.compact(...)`, and
+  * the rollback after a bad MERGE is one `CALL … restore(...)` away.
+  * Each procedure returns a one-row result set describing what
+  * happened (committed version, expired count, …), the same values
+  * the Scala API returns. */
+private[sources] object GraftProcedures {
+
+  /** One procedure: unbound and bound in one object (binding needs no
+    * input-schema specialization — Spark coerces arguments to the
+    * declared parameter types before `call`). Side-effecting, hence
+    * non-deterministic by contract. */
+  private final class Proc(
+      procName: String, desc: String,
+      params: Array[ProcedureParameter],
+      outSchema: StructType,
+      body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = body(input).toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def rows(): Array[InternalRow] = result
+      }).iterator()
+    }
+  }
+
+  private def in(name: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, t).build()
+  private def inDefault(name: String, t: DataType,
+      defaultSql: String): ProcedureParameter =
+    ProcedureParameter.in(name, t).defaultValue(defaultSql).build()
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** The procedure set, built against a catalog's identifier→directory
+    * resolution (`dirOf("db.t")`). `spark` is resolved per call — a
+    * procedure outlives the session that loaded it. */
+  def all(catalogName: String,
+      dirOf: String => String): Seq[UnboundProcedure] = {
+    def spark: SparkSession = SparkSession.active
+    def tableDir(input: InternalRow): String = {
+      val table = input.getUTF8String(0).toString
+      val dir = dirOf(table)
+      require(Layout.snapshotVersions(spark, dir).nonEmpty,
+        s"catalog $catalogName: '$table' is not a committed snapshot " +
+          s"table under this catalog's root (resolved to $dir)")
+      dir
+    }
+    Seq(
+      new Proc("compact",
+        "rewrite the newest snapshot into target-size files, " +
+          "materializing any live delete overlay and rename log " +
+          "(Layout.snapshotCompact)",
+        Array(in("table", StringType),
+          inDefault("target_bytes", LongType, (128L << 20).toString)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        input => Seq(InternalRow(Layout.snapshotCompact(spark,
+          tableDir(input), targetBytes = input.getLong(1))))),
+
+      new Proc("maintain",
+        "policy maintenance: compact when small files accumulate or an " +
+          "overlay is live (declared clustering re-applied), then expire " +
+          "aged history (Layout.snapshotMaintain)",
+        Array(in("table", StringType),
+          inDefault("keep_age_ms", LongType,
+            (7L * 24 * 3600 * 1000).toString),
+          inDefault("orphan_grace_ms", LongType,
+            (24L * 3600 * 1000).toString)),
+        StructType(Seq(StructField("compacted", BooleanType, false),
+          StructField("expired", IntegerType, false))),
+        input => {
+          val (compacted, expired) = Layout.snapshotMaintain(spark,
+            tableDir(input), keepAgeMs = input.getLong(1),
+            orphanGraceMs = input.getLong(2))
+          Seq(InternalRow(compacted, expired))
+        }),
+
+      new Proc("expire",
+        "drop all but the newest `keep` snapshots (tagged versions are " +
+          "exempt) and sweep unreferenced data (Layout.snapshotExpire)",
+        Array(in("table", StringType), in("keep", IntegerType),
+          inDefault("orphan_grace_ms", LongType,
+            (24L * 3600 * 1000).toString)),
+        StructType(Seq(StructField("removed", IntegerType, false))),
+        input => Seq(InternalRow(Layout.snapshotExpire(spark,
+          tableDir(input), keep = input.getInt(1),
+          orphanGraceMs = input.getLong(2))))),
+
+      new Proc("tag",
+        "pin a version under a durable, retention-exempt name " +
+          "(Layout.snapshotTag); default = the latest version",
+        Array(in("table", StringType), in("name", StringType),
+          inDefault("version", LongType, "-1")),
+        StructType(Seq(StructField("version", LongType, false))),
+        input => Seq(InternalRow(Layout.snapshotTag(spark,
+          tableDir(input), input.getUTF8String(1).toString,
+          input.getLong(2))))),
+
+      new Proc("drop_tag",
+        "drop a tag; the pinned version becomes expirable again " +
+          "(Layout.snapshotDropTag)",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("existed", BooleanType, false))),
+        input => Seq(InternalRow(Layout.snapshotDropTag(spark,
+          tableDir(input), input.getUTF8String(1).toString)))),
+
+      new Proc("restore",
+        "metadata-only rollback: re-point the table HEAD at a prior " +
+          "version (numeric) or tagged release (Layout.snapshotRestore)",
+        Array(in("table", StringType), in("version", StringType)),
+        StructType(Seq(StructField("restored_to", LongType, false),
+          StructField("version", LongType, false))),
+        input => {
+          val dir = tableDir(input)
+          val target = input.getUTF8String(1).toString
+          val committed = target.toLongOption match {
+            case Some(v) => Layout.snapshotRestore(spark, dir, v)
+            case None    => Layout.snapshotRestore(spark, dir, target)
+          }
+          val restoredTo = target.toLongOption
+            .getOrElse(Layout.snapshotTags(spark, dir)(target))
+          Seq(InternalRow(restoredTo, committed))
+        }))
+  }
+}

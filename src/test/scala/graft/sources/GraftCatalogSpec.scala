@@ -433,4 +433,78 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT meta.codec FROM $cat.db.n").head()
       .getString(0) === "h264")
   }
+
+  test("CALL system.compact: a SQL-only session goes from MOR refusal to served") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.c VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // a takedown lands as a merge-on-read overlay: zero file churn
+    val dir = s"$root/db/c"
+    Layout.snapshotDeleteKeys(spark, dir, Seq(2L).toDF("k"), Seq("k"))
+    // the plain delegated scan refuses (this suite's session has no
+    // extensions overlay rule) and the remedy names snapshotCompact...
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.c").collect()
+    }
+    assert(e.getMessage.contains("snapshotCompact"), e.getMessage)
+    // ...which a SQL-only session can now actually RUN
+    val v = spark.sql(s"CALL $cat.system.compact('db.c')")
+      .head().getLong(0)
+    assert(v === Layout.snapshotVersions(spark, dir).last)
+    assert(spark.sql(s"SELECT k FROM $cat.db.c ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+
+  test("CALL system.restore/tag/drop_tag/expire: the version story in SQL text") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (1, 'a'), (2, 'b')")   // v2
+    val tagged = spark.sql(s"CALL $cat.system.tag('db.r', 'release-1')")
+      .head().getLong(0)
+    assert(tagged === 2L)
+    // the bad write: an overwrite clobbers the corpus               v3
+    spark.sql(s"INSERT OVERWRITE $cat.db.r VALUES (9, 'BAD')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.r")
+      .head().getLong(0) === 1)
+    // rollback by tag name, pure SQL                                v4
+    val r = spark.sql(s"CALL $cat.system.restore('db.r', 'release-1')")
+      .head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(spark.sql(s"SELECT k FROM $cat.db.r ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // maintenance doors: expire respects the tag, drop_tag releases it
+    assert(spark.sql(
+      s"CALL $cat.system.expire('db.r', 1, orphan_grace_ms => 0)")
+      .head().getInt(0) >= 1)
+    assert(spark.sql(s"SELECT k FROM $cat.db.r VERSION AS OF 'release-1'")
+      .count() === 2)
+    assert(spark.sql(s"CALL $cat.system.drop_tag('db.r', 'release-1')")
+      .head().getBoolean(0))
+    // unknown procedure refuses at load; the cause names the inventory
+    val p = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.vacuum('db.r')")
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(p.getMessage.contains("FAILED_TO_LOAD_ROUTINE") &&
+      chain(p).contains("compact"), chain(p))
+    val dir = s"$root/db/r"
+    assert(Layout.snapshotVersions(spark, dir).nonEmpty)
+  }
+
+  test("CALL system.maintain: policy compaction + retention in one SQL verb") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.mm (k BIGINT)")
+    (1 to 10).foreach(i => spark.sql(s"INSERT INTO $cat.db.mm VALUES ($i)"))
+    val dir = s"$root/db/mm"
+    val nFilesBefore = Layout.snapshotRead(spark, dir).inputFiles.length
+    assert(nFilesBefore >= 10)
+    val row = spark.sql(s"CALL $cat.system.maintain('db.mm', " +
+      "keep_age_ms => 0, orphan_grace_ms => 0)").head()
+    assert(row.getBoolean(0), "small-file sprawl must trigger compaction")
+    assert(row.getInt(1) >= 1, "aged history must expire")
+    assert(Layout.snapshotRead(spark, dir).inputFiles.length < nFilesBefore)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.db.mm").head().getLong(0)
+      === 55)
+  }
 }
