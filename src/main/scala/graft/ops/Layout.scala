@@ -1568,9 +1568,14 @@ object Layout {
   private[graft] val CdcTag = "cdc="
 
   /** Decoded `cdc=` record: rel dirs of the upsert rows / delete key
-    * tuples (absent side = `-`), and the key column names. */
+    * tuples (absent side = `-`), the key column names, and — on
+    * commits that persisted update PRE-IMAGES (4-field encoding,
+    * round-11) — the rel dir of the replaced rows' old values. A
+    * 3-field line decodes with `pre = None`: older commits replay as
+    * delete + insert regardless of the consumer's image option. */
   private[ops] final case class CdcMeta(ups: Option[String],
-      dels: Option[String], keyCols: Seq[String])
+      dels: Option[String], keyCols: Seq[String],
+      pre: Option[String] = None)
 
   private def parseCdcMeta(meta: Seq[String]): Option[CdcMeta] =
     meta.find(_.startsWith(CdcTag)).flatMap { m =>
@@ -1578,14 +1583,22 @@ object Layout {
         case Array(u, d, cols) => Some(CdcMeta(
           Some(u).filter(_ != "-"), Some(d).filter(_ != "-"),
           cols.split(',').toSeq.filter(_.nonEmpty)))
+        case Array(u, d, cols, p) => Some(CdcMeta(
+          Some(u).filter(_ != "-"), Some(d).filter(_ != "-"),
+          cols.split(',').toSeq.filter(_.nonEmpty),
+          Some(p).filter(_ != "-")))
         case _ => None
       }
     }
 
   /** The change-data frames a file-granular commit asks
-    * [[commitFileGranular]] to persist alongside its manifest. */
+    * [[commitFileGranular]] to persist alongside its manifest. `pre`
+    * carries the replaced rows' OLD values (update pre-images) when
+    * the writer opted in — one extra O(batch) write, never a second
+    * table scan the commit wasn't already doing. */
   private[ops] final case class CdcData(ups: Option[DataFrame],
-      delKeys: Option[DataFrame], keyCols: Seq[String])
+      delKeys: Option[DataFrame], keyCols: Seq[String],
+      pre: Option[DataFrame] = None)
 
   /** Commit version encoded in a manifest-relative path's
     * `data/vNNNNNNNN-token` dir prefix. */
@@ -1919,8 +1932,23 @@ object Layout {
     *  - [[snapshotDeleteWhere]] and full rewrites still refuse: a
     *    predicate delete records no key set to replay.
     *
+    * `updateImages = true` (Delta CDF's richer shape): a keyed
+    * UPDATE/MERGE version that persisted its PRE-IMAGE record emits
+    * each updated key as an `update_preimage` row (the old values)
+    * plus an `update_postimage` row (the new), instead of
+    * delete + insert; true tombstones stay `delete`, unmatched merge
+    * rows stay `insert`. This is what lets a downstream aggregate be
+    * maintained incrementally — subtract the pre-image contribution,
+    * add the post-image one — without time-traveling for the old row.
+    * Commits without a pre record (older history, or a
+    * [[snapshotMergeInto]] without `preImages = true`) replay as
+    * delete + insert regardless; the default `false` keeps the
+    * two-type contract existing consumers pinned.
+    *
     * Consumer contract: apply changes in `_commit_version` order, and
-    * within one version deletes BEFORE inserts (a merge replaces rows).
+    * within one version deletes BEFORE inserts (a merge replaces
+    * rows); under `updateImages` an image pair is one keyed
+    * replacement (post at the pre's key), applied with the deletes.
     * `fromVersion = 0` bootstraps with the overlay-APPLIED state of the
     * first surviving version as inserts — so unlike the file-granular
     * feed, a new consumer can bootstrap while a merge-on-read overlay
@@ -1929,13 +1957,15 @@ object Layout {
     * takedowns flow: feed → [[VectorIndex.delete]]/append instead of a
     * full recompute. */
   def snapshotChangesTyped(spark: SparkSession, dir: String,
-      fromVersion: Long, toVersion: Long = -1L): DataFrame =
+      fromVersion: Long, toVersion: Long = -1L,
+      updateImages: Boolean = false): DataFrame =
     typedChangesPlan(spark, dir, fromVersion, toVersion,
       (paths, schema) =>
         if (paths.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(paths: _*))
+        else spark.read.schema(schema).parquet(paths: _*),
+      updateImages = updateImages)
 
   /** The plan half of [[snapshotChangesTyped]], generic over HOW a
     * parquet file set becomes a DataFrame so the streaming change-feed
@@ -1947,7 +1977,8 @@ object Layout {
   private[graft] def typedChangesPlan(spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long,
       reader: (Seq[String], org.apache.spark.sql.types.StructType)
-        => DataFrame): DataFrame = {
+        => DataFrame,
+      updateImages: Boolean = false): DataFrame = {
     require(toVersion == -1L || toVersion >= 1,
       s"snapshotChangesTyped: toVersion must be a committed version " +
         s"(>= 1) or the latest-version sentinel -1, got $toVersion")
@@ -2044,10 +2075,28 @@ object Layout {
             .getOrElse(sys.error(
               s"snapshotChangesTyped: cdc key column '$k' of v$v is " +
                 s"not in the table schema ${tableSchema.catalogString}"))
+        val keyFields = c.keyCols.map(currentOf)
+        val keyNames = keyFields.map(_.name)
+        // pre-image mode: when the consumer asked for update images AND
+        // this commit persisted its pre-image record (4-field cdc=),
+        // the update keys' delete+insert pair is re-expressed as
+        // update_preimage/update_postimage, true deletes and true
+        // inserts keep their plain types. Commits without a pre record
+        // (pre-round-11, or a merge without preImages) replay as
+        // delete + insert regardless — honest degradation, and the
+        // consumer sees which shape it got from _change_type itself.
+        val preDf = if (updateImages) c.pre.map(pRel =>
+          readMapped(Seq(pRel), tableSchema)) else None
+        val preKeys = preDf.map(
+          _.select(keyNames.map(n => col(s"`$n`")): _*).distinct())
+        preDf.foreach(p => pieces += withMeta(p, "update_preimage", v))
         c.dels.foreach { dRel =>
-          val keyFields = c.keyCols.map(currentOf)
           val keySchema = org.apache.spark.sql.types.StructType(keyFields)
-          val keys = readMapped(Seq(dRel), keySchema)
+          val keys0 = readMapped(Seq(dRel), keySchema)
+          // under image mode an updated key is represented by its
+          // image pair, not a delete — only tombstoned keys remain
+          val keys = preKeys.map(pk =>
+            keys0.join(pk, keyNames.toSeq, "left_anti")).getOrElse(keys0)
           val cols = tableSchema.fields.toIndexedSeq.map { f =>
             keyFields.find(_.name.equalsIgnoreCase(f.name))
               .map(kf => col(s"`${kf.name}`").cast(f.dataType).as(f.name))
@@ -2056,7 +2105,17 @@ object Layout {
           pieces += withMeta(keys.select(cols: _*), "delete", v)
         }
         c.ups.foreach { uRel =>
-          pieces += withMeta(readMapped(Seq(uRel), tableSchema), "insert", v)
+          val ups = readMapped(Seq(uRel), tableSchema)
+          preKeys match {
+            case Some(pk) =>
+              pieces += withMeta(
+                ups.join(pk, keyNames.toSeq, "left_semi"),
+                "update_postimage", v)
+              pieces += withMeta(
+                ups.join(pk, keyNames.toSeq, "left_anti"), "insert", v)
+            case None =>
+              pieces += withMeta(ups, "insert", v)
+          }
         }
       } else if (isRewriteVersion(spark, dir, v)) {
         // pure rewrite: zero row delta relative to its base (a
@@ -2285,8 +2344,16 @@ object Layout {
         if (keyFields.isEmpty || touched.isEmpty) None
         else {
           val matched = reader(touched).filter(coalesce(cond, lit(false)))
+          // pre-images ride every keyed UPDATE's cdc record: `matched`
+          // IS the pre-image set and is being scanned for the upsert /
+          // delete-key sides anyway — persisting it adds one O(batch)
+          // concurrent write, and the typed feed can then replay the
+          // update as update_preimage/update_postimage pairs
+          // (snapshotChangesTyped(updateImages = true)) instead of
+          // delete + insert
           Some(CdcData(Some(assigned(matched)),
-            Some(matched.select(keyFields.map(col): _*)), keyFields))
+            Some(matched.select(keyFields.map(col): _*)), keyFields,
+            pre = Some(matched)))
         }
       (touched, survivors, cdc, Some(cond))
     }
@@ -2347,7 +2414,8 @@ object Layout {
   def snapshotMergeInto(spark: SparkSession, dir: String,
       updates: DataFrame, keyCols: Seq[String],
       meta: Seq[String] = Nil,
-      deletes: Option[DataFrame] = None): Long = {
+      deletes: Option[DataFrame] = None,
+      preImages: Boolean = false): Long = {
     require(keyCols.nonEmpty, "snapshotMergeInto: keyCols must be non-empty")
     def requireKeys(df: DataFrame, what: String): Unit = {
       val missing = keyCols.filterNot(k =>
@@ -2540,11 +2608,23 @@ object Layout {
         val matchedKeys =
           if (touched.isEmpty) None
           else probedCache.map(_.select(keyCols.map(col): _*).distinct())
+        // opt-in update pre-images: the old rows the update keys
+        // replace, captured by one more semi-join scan of the touched
+        // files. Opt-IN here (unlike snapshotUpdateWhere's default-on)
+        // because the merge probe reads key columns only — the pre
+        // side is a scan the commit was NOT already doing, and merge
+        // apply latency is the CDC pipeline's tracked floor.
+        val pre =
+          if (!preImages || touched.isEmpty || nUpd == 0) None
+          else Some(reader(touched)
+            .join(updCached.select(keyCols.map(col): _*), keyCols,
+              "left_semi")
+            .select(outCols: _*))
         val cdc =
           if (nUpd == 0 && matchedKeys.isEmpty) None
           else Some(CdcData(
             if (nUpd > 0) Some(updCached.select(outCols: _*)) else None,
-            matchedKeys, keyCols))
+            matchedKeys, keyCols, pre = pre))
         // a concurrently-appended file whose stats admit one of the
         // change set's keys would leave a duplicate live row after a
         // staged retry — the key-range/IN disjunction is the exact
@@ -2782,11 +2862,15 @@ object Layout {
           }
           val fu = put(c.ups, "cdcu")
           val fd = put(c.delKeys, "cdcd")
-          for (u <- fu; dl <- fd) yield (
-            (u.toSeq ++ dl.toSeq).map(r => new Path(dir, r)),
-            if (u.isEmpty && dl.isEmpty) None
+          val fp = put(c.pre, "cdcp")
+          for (u <- fu; dl <- fd; pr <- fp) yield (
+            (u.toSeq ++ dl.toSeq ++ pr.toSeq).map(r => new Path(dir, r)),
+            if (u.isEmpty && dl.isEmpty && pr.isEmpty) None
+            // pre-images append a 4th field; without them the line
+            // stays 3-field — byte-identical to pre-round-11 commits
             else Some(s"$CdcTag${u.getOrElse("-")}|${dl.getOrElse("-")}|" +
-              c.keyCols.mkString(",")))
+              c.keyCols.mkString(",") +
+              pr.map(p => s"|$p").getOrElse("")))
       }
       val files = Await.result(fFiles, Duration.Inf)
       val (cdcDirs, cdcLine) = Await.result(fCdc, Duration.Inf)
@@ -3274,7 +3358,7 @@ object Layout {
       // the manifest naming them — the typed feed reads them per version
       surviving.flatMap(v =>
         parseCdcMeta(snapshotMetaOf(spark, dir, v)).toSeq
-          .flatMap(c => c.ups.toSeq ++ c.dels.toSeq)
+          .flatMap(c => c.ups.toSeq ++ c.dels.toSeq ++ c.pre.toSeq)
           .map(rel => new Path(dir, rel).getName))).toSet
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {

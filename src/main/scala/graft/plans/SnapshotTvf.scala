@@ -131,17 +131,28 @@ object SnapshotTvf {
     * instead of recomputing. */
   private[graft] def changesTypedBuilder(
       args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 2 || args.size == 3,
-      s"snapshot_changes_typed(dir, fromVersion [, toVersion]) takes " +
-        s"2-3 arguments, got ${args.size}")
+    require(args.size >= 2 && args.size <= 4,
+      s"snapshot_changes_typed(dir, fromVersion [, toVersion " +
+        s"[, updateImages]]) takes 2-4 arguments, got ${args.size}")
     val dir = argString(args(0), "snapshot_changes_typed", "dir")
     val from = argLong(args(1), "snapshot_changes_typed", "fromVersion")
     val to =
-      if (args.size == 3)
+      if (args.size >= 3)
         argLong(args(2), "snapshot_changes_typed", "toVersion")
       else -1L
-    Layout.snapshotChangesTyped(SparkSession.active, dir, from, to)
-      .queryExecution.logical
+    // 4th arg: boolean literal — emit update_preimage/update_postimage
+    // pairs for commits that persisted pre-images
+    val images = args.size == 4 && {
+      val e = args(3)
+      require(e.foldable && e.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"snapshot_changes_typed: updateImages must be a boolean " +
+          s"literal, got $e")
+      val v = e.eval()
+      v != null && v.asInstanceOf[Boolean]
+    }
+    Layout.snapshotChangesTyped(SparkSession.active, dir, from, to,
+      updateImages = images).queryExecution.logical
   }
 
   /** `snapshot_history('<dir>')` — DESCRIBE HISTORY for the format

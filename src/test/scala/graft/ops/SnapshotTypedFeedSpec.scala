@@ -224,4 +224,75 @@ class SnapshotTypedFeedSpec extends SparkSpec {
       Seq("k", "s", "_change_type", "_commit_version"))
     assert(typed.isEmpty)
   }
+
+  test("updateImages: keyed UPDATE replays as pre/post image pairs") {
+    val dir = s"${tmpDir("typedfeed_img")}/t"
+    twoAppends(dir)
+    Layout.snapshotUpdateWhere(spark, dir, col("k") % 9 === 0,
+      Seq("s" -> lit("UP")), keyCols = Seq("k"))                     // v3
+    // image mode: the same commit replays as preimage/postimage pairs
+    val img = Layout.snapshotChangesTyped(spark, dir, 2L,
+        updateImages = true)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(img === Set(
+      ("update_preimage", 9, Some("a9")),
+      ("update_preimage", 18, Some("a18")),
+      ("update_postimage", 9, Some("UP")),
+      ("update_postimage", 18, Some("UP"))),
+      s"got $img")
+    // default mode over the SAME commit keeps the two-type contract
+    val plain = Layout.snapshotChangesTyped(spark, dir, 2L)
+      .select("_change_type").distinct().as[String].collect().toSet
+    assert(plain === Set("delete", "insert"))
+    // the incremental-aggregate use: old sum - pre + post == new sum,
+    // no time travel needed
+    val pre = img.collect { case ("update_preimage", k, _) => k }.sum
+    val post = img.collect { case ("update_postimage", k, _) => k }.sum
+    assert(pre === post, "keys never change across an update")
+  }
+
+  test("updateImages: merge with preImages splits updates / inserts / deletes") {
+    val dir = s"${tmpDir("typedfeed_imgm")}/t"
+    twoAppends(dir)
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "NEW5"), (30, "fresh")).toDF("k", "s"), Seq("k"),
+      deletes = Some(Seq(11).toDF("k")),
+      preImages = true)                                              // v3
+    val ev = Layout.snapshotChangesTyped(spark, dir, 2L,
+        updateImages = true)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(ev === Set(
+      ("update_preimage", 5, Some("a5")),   // matched: old row
+      ("update_postimage", 5, Some("NEW5")), // matched: new row
+      ("insert", 30, Some("fresh")),        // unmatched: plain insert
+      ("delete", 11, None)),                // tombstone: plain delete
+      s"got $ev")
+  }
+
+  test("updateImages degrades to delete+insert when no pre record exists") {
+    val dir = s"${tmpDir("typedfeed_imgd")}/t"
+    twoAppends(dir)
+    // a merge WITHOUT preImages records the 3-field cdc line
+    Layout.snapshotMergeInto(spark, dir,
+      Seq((5, "NEW5")).toDF("k", "s"), Seq("k"))                     // v3
+    val ev = Layout.snapshotChangesTyped(spark, dir, 2L,
+        updateImages = true)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(ev === Set(("delete", 5, None), ("insert", 5, Some("NEW5"))),
+      s"got $ev")
+    // the pre-image dir participates in the expiry reference sweep:
+    // a keyed update's cdcp dir survives while its manifest does
+    Layout.snapshotUpdateWhere(spark, dir, col("k") === 1,
+      Seq("s" -> lit("U1")), keyCols = Seq("k"))                     // v4
+    Layout.snapshotExpire(spark, dir, keep = 2, orphanGraceMs = 0)
+    val img = Layout.snapshotChangesTyped(spark, dir, 3L,
+        updateImages = true)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(img === Set(("update_preimage", 1, Some("a1")),
+      ("update_postimage", 1, Some("U1"))), s"got $img")
+  }
 }
