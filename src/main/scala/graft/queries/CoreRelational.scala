@@ -1162,6 +1162,84 @@ object CoreRelational {
         FROM orders WHERE o_orderkey < 1000
         GROUP BY 1 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q135
+    // RESTORE / rollback (Layout.snapshotRestore): version 1 is tagged
+    // `release-1`, a BAD merge clobbers prices inside the release and
+    // inserts strays, and the rollback is pure SQL — CALL
+    // <cat>.system.restore('t', 'release-1') — one metadata-only
+    // manifest PUT that re-points HEAD at the tagged file list (the
+    // bad version stays time-travelable; no data file is rewritten).
+    // At 100 TB this is the difference between an instant undo and
+    // snapshotCommit(snapshotRead(v))'s full-corpus rewrite. The read
+    // goes through the catalog, so the whole bad-merge → restore →
+    // serve loop is exercised end to end; the oracle replays the
+    // tagged corpus from the base table.
+    QuerySpec(
+      "q135_snapshot_restore",
+      (s, d) => {
+        val table = Fits.snapshotRestoreTableDir(s, d)
+        s.sql(s"""
+          SELECT o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM $table GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders WHERE o_orderkey < 2000
+        GROUP BY 1 ORDER BY status"""),
+      headline = true),
+
+    // --------------------------------------------------------------- q136
+    // INCREMENTAL AGGREGATE MAINTENANCE from update pre/post-images
+    // (Layout.snapshotChangesTyped(updateImages = true)): a keyed
+    // UPDATE persists its pre-image record in the cdc commit, and the
+    // typed feed replays it as update_preimage/update_postimage pairs
+    // — so the per-status revenue aggregate is maintained by
+    // subtracting each pre-image's contribution and adding its
+    // post-image's, WITHOUT time-traveling to v1 or rescanning the
+    // table. Exact decimal arithmetic end to end; the oracle computes
+    // the post-update aggregate directly from the base table, so a
+    // hash match proves base + Σpost − Σpre composes to the truth.
+    QuerySpec(
+      "q136_incremental_agg_images",
+      (s, d) => {
+        val dir = Fits.snapshotPreImageTableDir(s, d)
+        val base = graft.ops.Layout.snapshotRead(s, dir, 1L)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(sum(col("o_totalprice").cast(dec18)).as("_base"))
+        val feed = graft.ops.Layout
+          .snapshotChangesTyped(s, dir, 1L, updateImages = true)
+        val delta = feed
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            count(when(col("_change_type") === "update_postimage", 1))
+              .as("n_updates"),
+            (coalesce(sum(when(col("_change_type") === "update_postimage",
+                col("o_totalprice")).cast(dec18)), lit(0).cast(dec18)) -
+              coalesce(sum(when(col("_change_type") === "update_preimage",
+                col("o_totalprice")).cast(dec18)), lit(0).cast(dec18)))
+              .as("_delta"))
+        base.join(delta, Seq("status"), "left")
+          .select(col("status"),
+            coalesce(col("n_updates"), lit(0L)).as("n_updates"),
+            (col("_base") + coalesce(col("_delta"), lit(0).cast(dec18)))
+              .cast("double").as("sum_price"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status,
+          COUNT(CASE WHEN o_orderkey % 10 = 3 AND o_orderkey < 500
+            THEN 1 END) AS n_updates,
+          CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 3 AND o_orderkey < 500
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END
+            AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1 ORDER BY status"""),
+      headline = true),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

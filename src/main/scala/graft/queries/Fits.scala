@@ -404,6 +404,66 @@ object Fits {
       s"$cat.t"
     }).asInstanceOf[String]
 
+  /** q135's fixture: the RESTORE story end to end
+    * ([[graft.ops.Layout.snapshotRestore]]). Version 1 (keys < 2000)
+    * is tagged `release-1`; a BAD merge then clobbers prices inside
+    * the release and inserts stray rows; the rollback happens in pure
+    * SQL through the catalog's procedure door —
+    * `CALL <cat>.system.restore('t', 'release-1')` — as one
+    * metadata-only commit (no data rewrite; the bad version stays
+    * time-travelable). The query reads the restored HEAD; the oracle
+    * replays the tagged corpus from the base table. Returns the
+    * catalog table identifier. */
+  def snapshotRestoreTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaprestore:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snaprst").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = Layout.snapshotAppend(o.filter(col("o_orderkey") < 2000),
+        dir, statsCols = Seq("o_orderkey"))
+      Layout.snapshotTag(s, dir, "release-1", v1)
+      // the bad merge: +9999 on a slice of the release, plus strays
+      Layout.snapshotMergeInto(s, dir,
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 2500)
+          .unionByName(o.filter(
+            col("o_orderkey") % 10 === 3 && col("o_orderkey") < 500)
+            .withColumn("o_totalprice", col("o_totalprice") + 9999.0)),
+        Seq("o_orderkey"))
+      val cat = "graftsqlr_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CALL $cat.system.restore('t', 'release-1')")
+      s"$cat.t"
+    }).asInstanceOf[String]
+
+  /** q136's fixture: a keyed UPDATE whose cdc record carries the
+    * update PRE-IMAGES ([[graft.ops.Layout.snapshotUpdateWhere]],
+    * on by default for keyed updates): v1 is the full orders slice,
+    * v2 re-prices a key subset (+1000.0). The typed feed read with
+    * `updateImages = true` then replays the commit as
+    * update_preimage/update_postimage pairs — what q136 maintains an
+    * aggregate with, no time travel, no rescan of v1. */
+  def snapshotPreImageTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snappreimg:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapimg").toString + "/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o, dir, statsCols = Seq("o_orderkey"))
+      Layout.snapshotUpdateWhere(s, dir,
+        col("o_orderkey") % 10 === 3 && col("o_orderkey") < 500,
+        Seq("o_totalprice" -> (col("o_totalprice") + 1000.0)),
+        keyCols = Seq("o_orderkey"))
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes
