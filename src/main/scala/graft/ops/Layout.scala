@@ -2087,8 +2087,16 @@ object Layout {
         // consumer sees which shape it got from _change_type itself.
         val preDf = if (updateImages) c.pre.map(pRel =>
           readMapped(Seq(pRel), tableSchema)) else None
-        val preKeys = preDf.map(
-          _.select(keyNames.map(n => col(s"`$n`")): _*).distinct())
+        // the image splits below are joins whose PROBE side may be a
+        // streaming-tagged relation (the change-feed source reuses
+        // this walk) — their build side must be a plain BATCH read of
+        // the O(batch) pre-image dir, exactly as the overlay
+        // anti-join's build side is: Spark supports stream⋈batch
+        // semi/anti joins but refuses stream⋈stream ones
+        val preKeys = (if (updateImages) c.pre else None).map(pRel =>
+          mappedParquetRead(spark, dir, Seq(pRel),
+            Some(org.apache.spark.sql.types.StructType(keyFields)),
+            colmaps).distinct())
         preDf.foreach(p => pieces += withMeta(p, "update_preimage", v))
         c.dels.foreach { dRel =>
           val keySchema = org.apache.spark.sql.types.StructType(keyFields)

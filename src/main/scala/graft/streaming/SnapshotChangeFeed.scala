@@ -89,6 +89,15 @@ class SnapshotChangeFeed extends StreamSourceProvider with DataSourceRegister {
   private def typedOf(parameters: Map[String, String]): Boolean =
     parameters.get("changeTypes").exists(_.trim.equalsIgnoreCase("true"))
 
+  /** `.option("updateImages", true)` (implies the typed feed): keyed
+    * UPDATE/MERGE versions that persisted a pre-image record stream as
+    * `update_preimage`/`update_postimage` pairs instead of
+    * delete + insert ([[Layout.snapshotChangesTyped]]'s
+    * `updateImages`); commits without one degrade to delete + insert
+    * per batch exactly as the batch API does. */
+  private def imagesOf(parameters: Map[String, String]): Boolean =
+    parameters.get("updateImages").exists(_.trim.equalsIgnoreCase("true"))
+
   private def typedSchema(s: StructType): StructType =
     org.apache.spark.sql.types.StructType(s.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type",
@@ -102,14 +111,16 @@ class SnapshotChangeFeed extends StreamSourceProvider with DataSourceRegister {
     val base = schema.getOrElse(
       Layout.snapshotRead(sqlContext.sparkSession, dirOf(parameters))
         .schema)
-    (shortName(), if (typedOf(parameters)) typedSchema(base) else base)
+    val typed = typedOf(parameters) || imagesOf(parameters)
+    (shortName(), if (typed) typedSchema(base) else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
-    val typed = typedOf(parameters)
+    val images = imagesOf(parameters)
+    val typed = typedOf(parameters) || images
     // `schema` arrives as sourceSchema's answer on restart paths — strip
     // the meta columns so the base schema round-trips
     val resolved = schema.map { s =>
@@ -117,13 +128,13 @@ class SnapshotChangeFeed extends StreamSourceProvider with DataSourceRegister {
         f.name == "_change_type" || f.name == "_commit_version"))
       else s
     }.getOrElse(Layout.snapshotRead(sqlContext.sparkSession, dir).schema)
-    new SnapshotChangesSource(sqlContext, dir, resolved, typed)
+    new SnapshotChangesSource(sqlContext, dir, resolved, typed, images)
   }
 }
 
 private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
     dir: String, baseSchema: StructType,
-    typed: Boolean = false) extends Source {
+    typed: Boolean = false, updateImages: Boolean = false) extends Source {
 
   private val spark = sqlContext.sparkSession
 
@@ -155,7 +166,8 @@ private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
       // static-side overlay anti-join all preserve the streaming tag)
       Layout.typedChangesPlan(spark, dir, from, version(end),
         (paths, s) =>
-          GraftPlanBridge.parquetFilesAsStreaming(spark, paths, s))
+          GraftPlanBridge.parquetFilesAsStreaming(spark, paths, s),
+        updateImages = updateImages)
     else {
       val files = Layout.snapshotChangeFiles(spark, dir, from, version(end))
       GraftPlanBridge.parquetFilesAsStreaming(spark, files, baseSchema)

@@ -139,4 +139,48 @@ class SnapshotRestoreSpec extends SparkSpec {
     Layout.snapshotExpire(spark, dir, keep = 2, orphanGraceMs = 0)
     assert(stateOf(dir) === Map(1 -> "a", 2 -> "b"))
   }
+
+  test("restore racing concurrent appends: every commit lands, history linear") {
+    val dir = tmpDir("snaprestore6") + "/t"
+    Layout.snapshotAppend((1 to 50).map(i => (i, s"a$i")).toDF("k", "s"),
+      dir, statsCols = Seq("k"))                                     // v1
+    Layout.snapshotTag(spark, dir, "base", 1L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (0 until 4).foreach { b =>
+        Layout.snapshotAppend(
+          (0 until 5).map(i => (1000 + b * 10 + i, s"x$b-$i"))
+            .toDF("k", "s"), dir, statsCols = Seq("k"))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val restorer = new Thread(() => {
+      try (0 until 3).foreach { _ =>
+        Thread.sleep(40)
+        Layout.snapshotRestore(spark, dir, "base")
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    appender.start(); restorer.start()
+    appender.join(120000); restorer.join(120000)
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // gapless linear history: 1 + 4 appends + 3 restores
+    assert(Layout.snapshotVersions(spark, dir) === (1L to 8L))
+    // every version is readable, and each restore version's state is
+    // EXACTLY the tagged base (last-writer-wins semantics per version)
+    val baseState = Layout.snapshotRead(spark, dir, 1L)
+      .as[(Int, String)].collect().toSet
+    Layout.snapshotVersions(spark, dir).foreach { v =>
+      val got = Layout.snapshotRead(spark, dir, v)
+        .as[(Int, String)].collect().toSet
+      if (Layout.snapshotMetaOf(spark, dir, v)
+          .exists(_.startsWith("restore-of="))) {
+        assert(got === baseState, s"restore v$v must equal the tag")
+      } else {
+        // an append version contains the base plus every batch that
+        // landed SINCE the most recent restore (or since v1)
+        assert(baseState.subsetOf(got) ||
+          got.subsetOf(baseState ++ (0 until 4).flatMap(b =>
+            (0 until 5).map(i => (1000 + b * 10 + i, s"x$b-$i"))).toSet))
+      }
+    }
+  }
 }

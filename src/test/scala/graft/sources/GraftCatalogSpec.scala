@@ -206,6 +206,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Layout.snapshotChangesTyped(x, dir, v - 1, v)
       .select("_change_type", "k").as[(String, Long)].collect().toSet
       === Set(("delete", 2L), ("insert", 2L)))
+    // ...and the SQL door records pre-images like the Scala door, so
+    // the image-mode feed shows the old AND new row for the update
+    assert(Layout.snapshotChangesTyped(x, dir, v - 1, v,
+        updateImages = true)
+      .select("_change_type", "k", "s")
+      .as[(String, Long, String)].collect().toSet
+      === Set(("update_preimage", 2L, "b"),
+        ("update_postimage", 2L, "B")))
     // SQL DELETE likewise
     x.sql(s"DELETE FROM $cat.db.k WHERE k = 1")
     val v2 = Layout.snapshotVersions(x, dir).last

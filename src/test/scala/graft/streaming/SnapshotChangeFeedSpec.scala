@@ -323,4 +323,58 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       spark.readStream.format("graft-snapshot-changes").load(s"$root/absent")
     }
   }
+
+  test("typed feed (updateImages): keyed updates stream as pre/post image pairs") {
+    val root = tmpDir("snapfeedimg")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 20).map(k => (k, s"a$k")).toDF("k", "s"),
+      dir)
+    Layout.snapshotUpdateWhere(spark, dir, col("k") % 7 === 0,
+      Seq("s" -> lit("UP")), keyCols = Seq("k"))
+    val sink = s"$root/sink"; val cp = s"$root/cp"
+    val q = spark.readStream
+      .format("graft-snapshot-changes")
+      .option("updateImages", "true") // implies the typed feed
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, String)].collect().toSet
+    // bootstrap inserts carry the POST-update state; the update batch
+    // itself streams as image pairs... but a fresh bootstrap already
+    // folded v2 in, so split the stream: bootstrap AT v1, then tail
+    // the update — rebuild with a pre-positioned checkpoint instead
+    assert(got.count(_._1 == "insert") === 20)
+
+    // tail shape: bootstrap BEFORE the update, then drain the update
+    val dir2 = s"$root/t2"
+    Layout.snapshotAppend((1 to 20).map(k => (k, s"a$k")).toDF("k", "s"),
+      dir2)
+    val sink2 = s"$root/sink2"; val cp2 = s"$root/cp2"
+    def drainImg(): Unit = {
+      val q2 = spark.readStream
+        .format("graft-snapshot-changes")
+        .option("updateImages", "true")
+        .load(dir2)
+        .writeStream.format("parquet")
+        .option("path", sink2).option("checkpointLocation", cp2)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    drainImg() // bootstrap at v1
+    Layout.snapshotUpdateWhere(spark, dir2, col("k") % 7 === 0,
+      Seq("s" -> lit("UP")), keyCols = Seq("k"))
+    drainImg() // tails ONLY the update version
+    val tail = spark.read.parquet(sink2)
+      .filter(col("_commit_version") === 2)
+      .select(col("_change_type"), col("k"), col("s"))
+      .as[(String, Int, String)].collect().toSet
+    assert(tail === Set(
+      ("update_preimage", 7, "a7"), ("update_preimage", 14, "a14"),
+      ("update_postimage", 7, "UP"), ("update_postimage", 14, "UP")),
+      s"got $tail")
+  }
 }
