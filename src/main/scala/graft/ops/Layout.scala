@@ -1924,11 +1924,13 @@ object Layout {
     *    one that materializes a live delete overlay, whose removed rows
     *    were already emitted when their delete version was walked;
     *  - a [[snapshotRestore]] version contributes FULL-ROW deletes for
-    *    every row leaving (rows of the files the restore drops) and
+    *    every row leaving (rows of the files the restore drops, plus
+    *    common-file rows a restored-side-only delete line masks) and
     *    inserts for every row returning (rows of the files it brings
-    *    back) — data files are immutable, so the file diff is exact;
-    *    a restore that CHANGES the overlay set refuses (materialize
-    *    via [[snapshotCompact]] before restoring);
+    *    back, plus common-file rows a previous-side-only delete line
+    *    was masking — restoring to before a takedown un-deletes them)
+    *    — data files are immutable, so file diff + overlay diff is
+    *    exact, even across [[snapshotDeleteKeys]] commits;
     *  - [[snapshotDeleteWhere]] and full rewrites still refuse: a
     *    predicate delete records no key set to replay.
     *
@@ -2016,10 +2018,13 @@ object Layout {
         .withColumn("_commit_version", lit(v))
     var prev: Set[String] = if (fromVersion == 0) Set.empty[String]
       else snapshotRelFiles(spark, dir, fromVersion).toSet
-    var prevDels: Set[String] =
-      if (fromVersion == 0) Set.empty[String]
+    // full parsed overlay lines of the PREVIOUS step — the restore
+    // branch needs the (version, rel, keyCols) triples to derive the
+    // masked-row terms, not just the rel-dir identity set
+    var prevDelsFull: Seq[(Long, String, Seq[String])] =
+      if (fromVersion == 0) Nil
       else parseDeleteMeta(snapshotMetaOf(spark, dir, fromVersion))
-        .map(_._2).toSet
+    def prevDels: Set[String] = prevDelsFull.map(_._2).toSet
     var bootstrapFirstStep = fromVersion == 0
     val pieces = Seq.newBuilder[DataFrame]
     steps.foreach { v =>
@@ -2035,33 +2040,58 @@ object Layout {
         pieces += withMeta(overlayRead(spark, dir,
           rs => readMapped(rs, tableSchema), files, delsHere), "insert", v)
       } else if (meta.exists(_.startsWith(RestoreTag))) {
-        // a RESTORE's row delta IS its file diff — data files are
-        // immutable, so rows leaving live exactly in the files the
-        // restore drops and rows returning in the files it brings
-        // back; both sides read overlay-applied (a row the shared
-        // overlay masks was visible on NEITHER side, so it is neither
-        // a delete nor an insert). The one non-file-derivable case —
-        // the restore CHANGING the overlay set (restoring across a
-        // snapshotDeleteKeys commit) — refuses with the compact
-        // remedy: materialize the overlay before restoring and the
-        // delta is file-granular again.
-        require(delsHere.map(_._2).toSet == prevDels,
-          s"snapshotChangesTyped: the RESTORE at v$v of $dir changes " +
-            "the merge-on-read overlay set — removed/returning rows " +
-            "are then not derivable from the file diff; run " +
-            "snapshotCompact to materialize the overlay before " +
-            "restoring, or recompute from snapshotRead")
+        // a RESTORE's row delta derives EXACTLY from immutable state:
+        //  - rows leaving = rows of the files the restore drops (read
+        //    under the PREVIOUS side's overlay — a row already masked
+        //    there was visible to no one and is not a delete), plus
+        //    rows of files common to both sides that the previous
+        //    side served but a delete line present ONLY on the
+        //    restored side masks;
+        //  - rows returning = the mirror image: files the restore
+        //    brings back (under the restored overlay), plus common
+        //    rows the restored side serves that a previous-side-only
+        //    delete line was masking (restoring to before a takedown
+        //    un-deletes those rows — they must re-emit as inserts).
+        // A row masked on BOTH sides changes nothing and appears in
+        // neither term; the per-line semi-join outputs are O(overlay
+        // keys), so the distinct() dedupe (a row hit by two lines)
+        // is cheap.
         val filesSet = files.toSet
         val removed = prev.toSeq.filterNot(filesSet).sorted
         val returned = files.filterNot(prev)
-        if (removed.nonEmpty)
-          pieces += withMeta(overlayRead(spark, dir,
-            rs => readMapped(rs, tableSchema), removed, delsHere),
-            "delete", v)
-        if (returned.nonEmpty)
-          pieces += withMeta(overlayRead(spark, dir,
-            rs => readMapped(rs, tableSchema), returned, delsHere),
-            "insert", v)
+        val common = files.filter(prev)
+        val aRels = delsHere.map(_._2).toSet
+        val bRels = prevDelsFull.map(_._2).toSet
+        // rows of `rels` visible under `pass` but masked by each
+        // overlay line in `only` (lines present on one side only)
+        def maskedBy(rels: Seq[String],
+            pass: Seq[(Long, String, Seq[String])],
+            only: Seq[(Long, String, Seq[String])]): Option[DataFrame] =
+          only.flatMap { case (dv, dRel, cols) =>
+            val applicable = rels.filter(rel =>
+              relDirVersion(rel).getOrElse(Long.MaxValue) <= dv)
+            if (applicable.isEmpty) None
+            else Some(overlayRead(spark, dir,
+              rs => readMapped(rs, tableSchema), applicable, pass)
+              .join(spark.read.parquet(new Path(dir, dRel).toString),
+                cols, "left_semi"))
+          }.reduceOption(_ unionByName _).map(_.distinct())
+        val deletes =
+          (if (removed.nonEmpty) Some(overlayRead(spark, dir,
+            rs => readMapped(rs, tableSchema), removed, prevDelsFull))
+          else None).toSeq ++
+            maskedBy(common, prevDelsFull,
+              delsHere.filterNot(d => bRels.contains(d._2))).toSeq
+        val inserts =
+          (if (returned.nonEmpty) Some(overlayRead(spark, dir,
+            rs => readMapped(rs, tableSchema), returned, delsHere))
+          else None).toSeq ++
+            maskedBy(common, delsHere,
+              prevDelsFull.filterNot(d => aRels.contains(d._2))).toSeq
+        deletes.reduceOption(_ unionByName _)
+          .foreach(d => pieces += withMeta(d, "delete", v))
+        inserts.reduceOption(_ unionByName _)
+          .foreach(i => pieces += withMeta(i, "insert", v))
       } else if (cdc.isDefined) {
         val c = cdc.get
         // cdc key columns were recorded under the names CURRENT AT v —
@@ -2145,7 +2175,7 @@ object Layout {
           pieces += withMeta(readMapped(added, tableSchema), "insert", v)
       }
       prev = files.toSet
-      prevDels = delsHere.map(_._2).toSet
+      prevDelsFull = delsHere
       bootstrapFirstStep = false
     }
     pieces.result() match {

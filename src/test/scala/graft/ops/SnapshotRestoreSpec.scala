@@ -107,7 +107,7 @@ class SnapshotRestoreSpec extends SparkSpec {
     assert(t.getMessage.contains("keep"))
   }
 
-  test("restore across an overlay change: typed feed refuses with the compact remedy") {
+  test("restore across an overlay change: typed feed replays the un-delete") {
     val dir = tmpDir("snaprestore4") + "/t"
     Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
       .repartition(1), dir)                                          // v1
@@ -115,17 +115,35 @@ class SnapshotRestoreSpec extends SparkSpec {
     Layout.snapshotRestore(spark, dir, 1L)                           // v3
     // the restore itself is correct: the deleted row is back
     assert(stateOf(dir).contains(5))
-    // but its delta is NOT file-derivable (overlay line vanished with
-    // zero file churn) — refuse, don't silently miss the returning row
-    val e = intercept[IllegalArgumentException](
-      Layout.snapshotChangesTyped(spark, dir, 1L))
-    assert(e.getMessage.contains("overlay") &&
-      e.getMessage.contains("snapshotCompact"))
-    // a NEW consumer bootstrapping AT the restore (earlier history
+    // its delta has ZERO file churn — the overlay line vanished — and
+    // the typed feed derives exactly the un-deleted row as an insert
+    val at3 = Layout.snapshotChangesTyped(spark, dir, 2L, 3L)
+      .select("_change_type", "k", "s").as[(String, Int, String)]
+      .collect().toSeq
+    assert(at3 === Seq(("insert", 5, "a5")), s"got $at3")
+    // full replay from v1 reconstructs the final state (delete at v2,
+    // un-delete at v3)
+    val changes = Layout.snapshotChangesTyped(spark, dir, 1L)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Int, Option[String], String, Long)].collect()
+      .sortBy(c => (c._4, if (c._3 == "delete") 0 else 1))
+    val replayed = changes.foldLeft(stateOf(dir, 1L)) {
+      case (m, (k, s, ct, _)) =>
+        if (ct == "delete") m - k else m + (k -> s.get)
+    }
+    assert(replayed === stateOf(dir))
+    // the mirror image: restore FORWARD across the un-delete — from the
+    // restored state back to the overlay-live v2 — re-emits the row as
+    // a delete (a restored-side-only overlay line masks it)
+    Layout.snapshotRestore(spark, dir, 2L)                           // v4
+    val at4 = Layout.snapshotChangesTyped(spark, dir, 3L, 4L)
+      .select("_change_type", "k").as[(String, Int)].collect().toSeq
+    assert(at4 === Seq(("delete", 5)), s"got $at4")
+    // a NEW consumer bootstrapping AT a restore (earlier history
     // expired) reads its overlay-applied state directly — the restore
     // manifest keeps v1's data files referenced through the sweep
     Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
-    assert(Layout.snapshotChangesTyped(spark, dir, 0L).count() === 20L)
+    assert(Layout.snapshotChangesTyped(spark, dir, 0L).count() === 19L)
   }
 
   test("no-op restore (to the current state) passes the file-granular feed") {
