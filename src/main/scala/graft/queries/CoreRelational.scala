@@ -1240,6 +1240,39 @@ object CoreRelational {
         FROM orders GROUP BY 1 ORDER BY status"""),
       headline = true),
 
+    // --------------------------------------------------------------- q137
+    // RESTORE across a TAKEDOWN, replayed row-level: v2 is a
+    // merge-on-read key delete (zero file churn), v3 restores to v1 —
+    // so the restore's delta has NO file diff; the typed feed derives
+    // the un-deleted rows from the overlay diff (common files'
+    // rows the vanished delete line was masking re-emit as inserts).
+    // This is what keeps downstream incremental artifacts honest when
+    // a takedown is itself rolled back: the feed names exactly the
+    // returning rows instead of forcing a recompute. The oracle
+    // replays the deleted-then-returned key set from the base table.
+    QuerySpec(
+      "q137_restore_undelete_feed",
+      (s, d) => {
+        val dir = Fits.snapshotUndeleteTableDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 2L, 3L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT 'insert' AS change_type, o_orderstatus AS status,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY 2 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -464,6 +464,28 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q137's fixture: a RESTORE that crosses a TAKEDOWN — v1 holds the
+    * full slice, v2 is a merge-on-read key delete (o_orderkey % 7 = 0,
+    * zero file churn), v3 restores to v1. The restore's typed-feed
+    * delta has no file diff at all: the overlay line vanished, and the
+    * feed must derive exactly the un-deleted rows as inserts (the
+    * round-11 overlay-diff replay). */
+  def snapshotUndeleteTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapundel:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snapundel").toString + "/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o, dir, statsCols = Seq("o_orderkey"))
+      Layout.snapshotDeleteKeys(s, dir,
+        o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      Layout.snapshotRestore(s, dir, 1L)
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -1097,6 +1097,13 @@ class LayoutSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260814L)
     val model = scala.collection.mutable.Map.empty[Int, String]
     var morLive = false
+    // per-version model states, for the RESTORE op: rolling the table
+    // back must roll the model (and the overlay-live flag) back too
+    val states =
+      scala.collection.mutable.Map.empty[Long, (Map[Int, String], Boolean)]
+    def record(): Unit =
+      states(Layout.snapshotVersions(spark, dir).last) =
+        (model.toMap, morLive)
     var nextVal = 0
     def fresh(): String = { nextVal += 1; s"v$nextVal" }
     def freshKeys(n: Int): Seq[Int] =
@@ -1108,7 +1115,9 @@ class LayoutSpec extends SparkSpec {
     Layout.snapshotAppend(init.toDF("k", "s").repartition(2), dir,
       statsCols = Seq("k"))
     model ++= init
+    record()
     def check(tag: String): Unit = {
+      record()
       val got = Layout.snapshotRead(spark, dir).as[(Int, String)]
         .collect().toMap
       assert(got === model.toMap, s"divergence after $tag")
@@ -1116,8 +1125,8 @@ class LayoutSpec extends SparkSpec {
         assert(n === model.size.toLong, s"rowCount after $tag"))
     }
     check("bootstrap")
-    (1 to 24).foreach { step =>
-      rnd.nextInt(8) match {
+    (1 to 28).foreach { step =>
+      rnd.nextInt(9) match {
         case 0 => // append fresh keys
           val rows = freshKeys(1 + rnd.nextInt(5)).map(k => (k, fresh()))
           if (rows.nonEmpty) {
@@ -1187,6 +1196,15 @@ class LayoutSpec extends SparkSpec {
               .foreach(k => model(k) = nv)
             check(s"updateWhere@$step")
           }
+        case 8 => // RESTORE to a random surviving version: the table,
+          // the overlay-live flag, and the model all roll back together
+          val candidates = Layout.snapshotVersions(spark, dir)
+            .filter(states.contains)
+          val target = candidates(rnd.nextInt(candidates.size))
+          Layout.snapshotRestore(spark, dir, target)
+          val (m0, mor0) = states(target)
+          model.clear(); model ++= m0; morLive = mor0
+          check(s"restore@$step->v$target")
       }
     }
     assert(model.nonEmpty, "degenerate run: model drained completely")
