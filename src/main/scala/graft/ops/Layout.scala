@@ -2062,20 +2062,43 @@ object Layout {
         val common = files.filter(prev)
         val aRels = delsHere.map(_._2).toSet
         val bRels = prevDelsFull.map(_._2).toSet
-        // rows of `rels` visible under `pass` but masked by each
-        // overlay line in `only` (lines present on one side only)
+        // rows of `rels` visible under `pass` but masked by at least
+        // one overlay line in `only` (lines present on one side only).
+        // A row hit by TWO lines must emit once — deduped WITHOUT an
+        // aggregation (the change-feed source streams this walk, and a
+        // distinct() over a streaming-tagged frame would plan a
+        // stateful dedup): files group by the SUFFIX of `only` that
+        // applies to them (lines ascending by version; a file applies
+        // to lines at-or-above its own version — overlayRead's
+        // grouping, reused), and within a group — where every suffix
+        // line applies to every file — line i's piece anti-joins the
+        // earlier lines' key sets, an exact disjoint partition. All
+        // build sides are plain batch reads of O(keys) files.
         def maskedBy(rels: Seq[String],
             pass: Seq[(Long, String, Seq[String])],
-            only: Seq[(Long, String, Seq[String])]): Option[DataFrame] =
-          only.flatMap { case (dv, dRel, cols) =>
-            val applicable = rels.filter(rel =>
-              relDirVersion(rel).getOrElse(Long.MaxValue) <= dv)
-            if (applicable.isEmpty) None
-            else Some(overlayRead(spark, dir,
-              rs => readMapped(rs, tableSchema), applicable, pass)
-              .join(spark.read.parquet(new Path(dir, dRel).toString),
-                cols, "left_semi"))
-          }.reduceOption(_ unionByName _).map(_.distinct())
+            only: Seq[(Long, String, Seq[String])]): Option[DataFrame] = {
+          def keysOf(rel: String): DataFrame =
+            spark.read.parquet(new Path(dir, rel).toString)
+          val groups = rels.groupBy { rel =>
+            val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
+            only.indexWhere(_._1 >= fv) match {
+              case -1 => only.length
+              case i  => i
+            }
+          }.filter(_._1 < only.length)
+          groups.toSeq.sortBy(_._1).flatMap { case (start, group) =>
+            val lines = only.drop(start)
+            lines.zipWithIndex.map { case ((_, dRel, cols), i) =>
+              val base = overlayRead(spark, dir,
+                rs => readMapped(rs, tableSchema), group, pass)
+                .join(keysOf(dRel), cols, "left_semi")
+              lines.take(i).foldLeft(base) {
+                case (df, (_, pRel, pCols)) =>
+                  df.join(keysOf(pRel), pCols, "left_anti")
+              }
+            }
+          }.reduceOption(_ unionByName _)
+        }
         val deletes =
           (if (removed.nonEmpty) Some(overlayRead(spark, dir,
             rs => readMapped(rs, tableSchema), removed, prevDelsFull))

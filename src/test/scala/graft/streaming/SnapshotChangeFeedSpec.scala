@@ -377,4 +377,39 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       ("update_postimage", 7, "UP"), ("update_postimage", 14, "UP")),
       s"got $tail")
   }
+
+  test("typed feed streams a rolled-back takedown (restore across an overlay)") {
+    val root = tmpDir("snapfeedrst")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 21).map(k => (k, s"a$k")).toDF("k", "s")
+      .repartition(1), dir)                                         // v1
+    val sink = s"$root/sink"; val cp = s"$root/cp"
+    def drainTyped(): Unit = {
+      val q = spark.readStream
+        .format("graft-snapshot-changes")
+        .option("changeTypes", "true")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainTyped() // bootstrap at v1: 21 inserts
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(7, 14).toDF("k"), Seq("k"))                               // v2
+    Layout.snapshotRestore(spark, dir, 1L)                          // v3
+    // one drain covers BOTH the takedown and its rollback — the
+    // restore piece is an overlay-diff semi-join, and it must stream
+    // (no stateful dedup smuggled into the micro-batch plan)
+    drainTyped()
+    val byVersion = spark.read.parquet(sink)
+      .select(col("_commit_version"), col("_change_type"), col("k"))
+      .as[(Long, String, Int)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(c => (c._2, c._3)).toSet).toMap
+    assert(byVersion(1L).size === 21)
+    assert(byVersion(2L) === Set(("delete", 7), ("delete", 14)))
+    assert(byVersion(3L) === Set(("insert", 7), ("insert", 14)),
+      s"the rollback must re-emit exactly the un-deleted rows, got " +
+        byVersion.get(3L))
+  }
 }
