@@ -122,6 +122,13 @@ object SnapshotSink {
     * for a key the table never held no-ops, including in the bootstrap
     * batch.
     *
+    * `preImages`: passed through to [[Layout.snapshotMergeInto]] —
+    * the maintained table's own typed feed then serves keyed updates
+    * as `update_preimage`/`update_postimage` pairs
+    * (`snapshotChangesTyped(updateImages = true)`), at the cost of one
+    * extra touched-file scan per micro-batch. Default off: merge-apply
+    * latency is the CDC pipeline's tracked floor.
+    *
     * The FIRST batch against a nonexistent table bootstraps it as an
     * append commit (a merge into nothing is a pure insert); every later
     * batch merges. Returns false iff the batchId was already
@@ -129,7 +136,8 @@ object SnapshotSink {
   def mergeOnce(batch: DataFrame, batchId: Long, dir: String,
       keyCols: Seq[String], seqCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      deleteCol: Option[String] = None): Boolean = {
+      deleteCol: Option[String] = None,
+      preImages: Boolean = false): Boolean = {
     val spark = batch.sparkSession
     unlessReplay(spark, batchId, dir) {
       val folded0 = seqCol match {
@@ -193,7 +201,8 @@ object SnapshotSink {
       }
       else
         Layout.snapshotMergeInto(spark, dir, folded, keyCols,
-          meta = Seq(s"$BatchTag$batchId"), deletes = dels): Unit
+          meta = Seq(s"$BatchTag$batchId"), deletes = dels,
+          preImages = preImages): Unit
     }
   }
 

@@ -515,4 +515,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(k) FROM $cat.db.mm").head().getLong(0)
       === 55)
   }
+
+  test("CALL restore to an overlay-live version: extensions reads serve it") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.rv (k BIGINT, s STRING)")
+    x.sql(s"INSERT INTO $cat.db.rv VALUES (1,'a'), (2,'b'), (3,'c')")
+    val dir = s"$root/db/rv"
+    Layout.snapshotDeleteKeys(x, dir, Seq(2L).toDF("k"), Seq("k")) // v3
+    x.sql(s"CALL $cat.system.tag('db.rv', 'takedown')")
+    x.sql(s"CALL $cat.system.compact('db.rv')")   // materialize    v4
+    x.sql(s"INSERT INTO $cat.db.rv VALUES (9,'z')")               // v5
+    // roll back to the overlay-LIVE tagged version: the restored HEAD
+    // carries the delete line + pre-compaction files, so the plain
+    // delegated scan cannot serve it — the extensions overlay rule
+    // must, with the overlay applied
+    x.sql(s"CALL $cat.system.restore('db.rv', 'takedown')")        // v6
+    assert(x.sql(s"SELECT k FROM $cat.db.rv ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+    // a session WITHOUT extensions refuses the same read honestly,
+    // naming the CALL-able remedy
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.rv").collect()
+    }
+    assert(e.getMessage.contains("snapshotCompact"), e.getMessage)
+    spark.sql(s"CALL $cat.system.compact('db.rv')")
+    assert(spark.sql(s"SELECT k FROM $cat.db.rv ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+  }
 }

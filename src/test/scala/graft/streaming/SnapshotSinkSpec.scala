@@ -246,4 +246,25 @@ class SnapshotSinkSpec extends SparkSpec {
       1L, dir, keys, seqCol = Some("seq"), deleteCol = Some("del")))
     assert(Layout.snapshotRead(spark, dir).count() === 2)
   }
+
+  test("mergeOnce(preImages): the maintained table's feed serves image pairs") {
+    val dir = tmpDir("sink_preimg") + "/t"
+    assert(SnapshotSink.mergeOnce(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), 0L, dir,
+      Seq("k"), preImages = true))                       // bootstrap = v1
+    assert(SnapshotSink.mergeOnce(
+      Seq((2, "B"), (4, "d")).toDF("k", "s"), 1L, dir,
+      Seq("k"), preImages = true))                       // merge = v2
+    val img = Layout.snapshotChangesTyped(spark, dir, 1L, 2L,
+        updateImages = true)
+      .select("_change_type", "k", "s")
+      .as[(String, Int, String)].collect().toSet
+    assert(img === Set(
+      ("update_preimage", 2, "b"), ("update_postimage", 2, "B"),
+      ("insert", 4, "d")), s"got $img")
+    // a replayed micro-batch still no-ops with the option set
+    assert(!SnapshotSink.mergeOnce(
+      Seq((2, "B"), (4, "d")).toDF("k", "s"), 1L, dir,
+      Seq("k"), preImages = true))
+  }
 }
