@@ -164,11 +164,13 @@ object Bench {
         // healthy rep" at a glance while a real regression reads as
         // three shifted reps
         ("etl_records_per_sec", r.recordsPerSec, 55000.0),
-        // backward as-of observed max-of-3 band: 9.9-11.7k on
-        // identical code; 9.5k sits just under the band's healthy
-        // minimum (ADVICE r11: 8.5k was too forgiving) and still
-        // catches any fall toward the r8 5.7k shape
-        ("asof_rows_per_sec", a.rowsPerSec, 9500.0),
+        // backward as-of observed max-of-3 band: 9.6-11.7k on
+        // identical code (the 9.6k reading landed during round 11's
+        // own final run, extending the previously-assumed 9.9k low);
+        // 9.0k sits ~6% under the observed minimum (ADVICE r11: 8.5k
+        // was too forgiving) and still catches any fall toward the
+        // r8 5.7k shape
+        ("asof_rows_per_sec", a.rowsPerSec, 9000.0),
         ("asof_fwd_rows_per_sec", f.rowsPerSec, 5500.0),
         ("asof_near_rows_per_sec", n.rowsPerSec, 6500.0),
         ("feed_rows_per_sec", sf.rowsPerSec, 60000.0),
