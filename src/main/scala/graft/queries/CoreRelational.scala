@@ -1273,6 +1273,31 @@ object CoreRelational {
         FROM orders WHERE o_orderkey % 7 = 0
         GROUP BY 2 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q138
+    // DESCRIBE HISTORY as data (snapshot_history TVF) over a controlled
+    // commit sequence — append, append, keyed merge, RESTORE, append —
+    // hash-checked against literal truth: operation markers (including
+    // the restore's lineage) and the manifest-only row counts are
+    // deterministic; commit instants and physical file counts are
+    // load-dependent and excluded. The audit surface every table format
+    // grows, proven as a queryable table rather than prose.
+    QuerySpec(
+      "q138_snapshot_history",
+      (s, d) => {
+        val dir = Fits.snapshotHistoryTableDir(s, d)
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        s.sql(s"""
+          SELECT version, operation, row_count
+          FROM snapshot_history('$dir') ORDER BY version""")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT)),
+          (2, NULL, 15),
+          (3, 'keyed-rewrite', 16),
+          (4, 'restore-of=2', 15),
+          (5, NULL, 18)) AS t(version, operation, row_count)
+        ORDER BY version""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

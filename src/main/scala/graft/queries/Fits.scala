@@ -486,6 +486,31 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q138's fixture: a controlled commit sequence whose DESCRIBE-
+    * HISTORY output is fully deterministic — append, append, keyed
+    * merge (update + insert), RESTORE to v2, append — so the
+    * `snapshot_history` TVF's (version, operation, row_count) rows
+    * can be hash-checked against literal truth. Commit instants and
+    * file counts are load-dependent and excluded. */
+  def snapshotHistoryTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaphist:$sfDir", _ => {
+      import graft.ops.Layout
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snaphist").toString + "/t"
+      Layout.snapshotAppend((1 to 10).map(k => (k, s"a$k")).toDF("k", "s")
+        .repartition(1), dir, statsCols = Seq("k"))                 // v1
+      Layout.snapshotAppend((11 to 15).map(k => (k, s"a$k")).toDF("k", "s")
+        .repartition(1), dir, statsCols = Seq("k"))                 // v2
+      Layout.snapshotMergeInto(s, dir,
+        Seq((3, "U3"), (7, "U7"), (99, "new")).toDF("k", "s"),
+        Seq("k"))                                                   // v3
+      Layout.snapshotRestore(s, dir, 2L)                            // v4
+      Layout.snapshotAppend((21 to 23).map(k => (k, s"b$k")).toDF("k", "s")
+        .repartition(1), dir, statsCols = Seq("k"))                 // v5
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes
