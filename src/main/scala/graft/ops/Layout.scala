@@ -521,7 +521,6 @@ object Layout {
       commitBackoff(iters)
       require(iters <= 64, s"$op: the commit PUT collided 64× at $dir")
       val versions = listManifestVersions(spark, dir)
-      val v = versions.lastOption.getOrElse(0L) + 1
       // carried-forward base: the latest COMPLETE manifest (recomputed
       // per attempt — a lost race means someone else's files must now
       // be carried too)
@@ -531,6 +530,8 @@ object Layout {
         .collectFirst { case Some(ls) => ls }
         .getOrElse(Seq.empty)  // ONE manifest GET for files/stats/schema
       val prev = prevLines.filterNot(_.startsWith("#"))
+      val v = math.max(versions.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       // carried-forward per-file column stats: a carried file's stats
       // line travels with it version to version, so pruning never decays
       // as the table grows (per-commit markers like `batch=` do NOT
@@ -827,7 +828,8 @@ object Layout {
           s"$op: snapshot v$base at $dir has no files and no recorded " +
             "schema"))
       val flagged = reflag(schema0)
-      val v = listed.lastOption.getOrElse(0L) + 1
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       val carried = metaLines.filter(m =>
         m.startsWith(ColMapTag) || m.startsWith(StatsTag) ||
           m.startsWith(DeleteTag))
@@ -1206,7 +1208,8 @@ object Layout {
         s"snapshotRename: resulting schema has duplicate column(s) " +
           s"${dupNames.mkString(", ")} — renames collide with existing " +
           "columns (swap both sides in ONE call)")
-      val v = listed.lastOption.getOrElse(0L) + 1
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       val entries = schema1.fields.flatMap { f =>
         if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
           fieldIdOf(f).map(id =>
@@ -1314,7 +1317,8 @@ object Layout {
         lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
       require(kept.nonEmpty,
         s"snapshotDropColumns: cannot drop every column of $dir")
-      val v = listed.lastOption.getOrElse(0L) + 1
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       // the dropped ids' disk-name claims: files below v stored the
       // field under its current name; its OLDER names are already in
       // carried colmap lines under the same id, so the composition
@@ -1453,7 +1457,8 @@ object Layout {
             case None => f
           }
         })
-      val v = listed.lastOption.getOrElse(0L) + 1
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
       // float→double promotions re-encode the column's carried stats:
       // the recorded strings are shortest-round-trip FLOAT reprs, and
@@ -1567,6 +1572,16 @@ object Layout {
     * directories alive as long as the manifest that names them. */
   private[graft] val CdcTag = "cdc="
 
+  /** Upper bound on the ONE-SIDE-ONLY merge-on-read delete lines a
+    * restore-crossing typed-feed replay will compile a plan for —
+    * the replay builds ~L²/2 semi/anti joins for L such lines
+    * (each line's piece anti-joins every earlier line's key set to
+    * dedup rows hit twice), so an unbounded L is a planner hazard,
+    * not a data hazard. 32 lines ≈ 500 broadcast joins: seconds of
+    * planning, well past any table under routine maintenance
+    * (compaction materializes overlays and drops the lines). */
+  private[graft] val MaxRestoreOverlayLines = 32
+
   /** Decoded `cdc=` record: rel dirs of the upsert rows / delete key
     * tuples (absent side = `-`), the key column names, and — on
     * commits that persisted update PRE-IMAGES (4-field encoding,
@@ -1609,6 +1624,24 @@ object Layout {
       seg(1).substring(1, 9).toLongOption
     else None
   }
+
+  /** Highest commit version embedded in the carried-forward file
+    * list's data-dir names — the ALLOCATION FLOOR for the next
+    * version: every committer allocates `max(newest manifest object,
+    * this) + 1`, so a commit's own version (and with it any delete
+    * line it writes) always orders ABOVE every file it carries. On a
+    * linear history the floor is redundant (an append's files carry
+    * its own version), but a [[snapshotFastForward]] publish carries
+    * BRANCH-staged data dirs whose embedded versions can exceed the
+    * publish manifest's: without the floor, a later
+    * [[snapshotDeleteKeys]] could allocate a version BELOW a
+    * published file's, and the merge-on-read overlay — whose
+    * applies-at-or-before sequencing compares exactly these numbers
+    * ([[overlayRead]]) — would silently skip that file's rows.
+    * Version gaps the floor introduces are harmless: every walk
+    * iterates the versions actually present. */
+  private def carriedVersionFloor(rels: Seq[String]): Long =
+    rels.iterator.flatMap(relDirVersion(_)).foldLeft(0L)(math.max)
 
   /** MERGE-ON-READ row deletion: commit a parquet file of KEY TUPLES and
     * a `delete=` manifest line — zero data files touched, O(keys) write —
@@ -1702,7 +1735,8 @@ object Layout {
           s"snapshotDeleteKeys: key column(s) ${absent.mkString(", ")} " +
             s"not in the table schema ${ts.catalogString} at $dir")
       }
-      val v = listed.lastOption.getOrElse(0L) + 1
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       keySet.write.mode(SaveMode.Overwrite)
@@ -2053,15 +2087,32 @@ object Layout {
         //    delete line was masking (restoring to before a takedown
         //    un-deletes those rows — they must re-emit as inserts).
         // A row masked on BOTH sides changes nothing and appears in
-        // neither term; the per-line semi-join outputs are O(overlay
-        // keys), so the distinct() dedupe (a row hit by two lines)
-        // is cheap.
+        // neither term. Dedup of a row hit by two lines is the
+        // anti-join chain inside maskedBy below — see its comment.
         val filesSet = files.toSet
         val removed = prev.toSeq.filterNot(filesSet).sorted
         val returned = files.filterNot(prev)
         val common = files.filter(prev)
         val aRels = delsHere.map(_._2).toSet
         val bRels = prevDelsFull.map(_._2).toSet
+        val aOnly = delsHere.filterNot(d => bRels.contains(d._2))
+        val bOnly = prevDelsFull.filterNot(d => aRels.contains(d._2))
+        // plan-size guard: maskedBy compiles ~L²/2 joins per side for
+        // L one-side-only overlay lines (line i anti-joins the i
+        // earlier lines' key sets), so a restore across DOZENS of
+        // accumulated delete lines would compile a monster plan.
+        // Routine snapshotMaintain materializes overlays long before
+        // this bound in practice; past it, refuse with the recompute
+        // remedy rather than hang the planner.
+        require(aOnly.size + bOnly.size <= MaxRestoreOverlayLines,
+          s"snapshotChangesTyped: the restore at v$v of $dir changes " +
+            s"${aOnly.size + bOnly.size} merge-on-read delete lines " +
+            s"(max $MaxRestoreOverlayLines) — replaying that overlay " +
+            "diff would compile a quadratically-growing join plan. " +
+            "Recompute downstream state from snapshotRead for this " +
+            "interval, and run snapshotCompact/snapshotMaintain " +
+            "routinely so restores cross materialized (line-free) " +
+            "snapshots instead")
         // rows of `rels` visible under `pass` but masked by at least
         // one overlay line in `only` (lines present on one side only).
         // A row hit by TWO lines must emit once — deduped WITHOUT an
@@ -2103,14 +2154,12 @@ object Layout {
           (if (removed.nonEmpty) Some(overlayRead(spark, dir,
             rs => readMapped(rs, tableSchema), removed, prevDelsFull))
           else None).toSeq ++
-            maskedBy(common, prevDelsFull,
-              delsHere.filterNot(d => bRels.contains(d._2))).toSeq
+            maskedBy(common, prevDelsFull, aOnly).toSeq
         val inserts =
           (if (returned.nonEmpty) Some(overlayRead(spark, dir,
             rs => readMapped(rs, tableSchema), returned, delsHere))
           else None).toSeq ++
-            maskedBy(common, delsHere,
-              prevDelsFull.filterNot(d => aRels.contains(d._2))).toSeq
+            maskedBy(common, delsHere, bOnly).toSeq
         deletes.reduceOption(_ unionByName _)
           .foreach(d => pieces += withMeta(d, "delete", v))
         inserts.reduceOption(_ unionByName _)
@@ -2356,12 +2405,15 @@ object Layout {
     * the update as delete(key) + insert(new row), the same CDC shape a
     * [[snapshotMergeInto]] emits. Assigning a KEY column under
     * `keyCols` refuses: re-keying a row is a delete + insert of a
-    * DIFFERENT key, which is [[snapshotMergeInto]]'s job. Concurrency
-    * is the optimistic retry of every file-granular commit. Returns
-    * the committed version. */
+    * DIFFERENT key, which is [[snapshotMergeInto]]'s job. Keyed
+    * updates persist update PRE-IMAGES by default (`preImages =
+    * false` opts out of the extra O(batch) write; the feed then
+    * degrades that commit to delete + insert). Concurrency is the
+    * optimistic retry of every file-granular commit. Returns the
+    * committed version. */
   def snapshotUpdateWhere(spark: SparkSession, dir: String, cond: Column,
       assignments: Seq[(String, Column)],
-      keyCols: Seq[String] = Nil): Long = {
+      keyCols: Seq[String] = Nil, preImages: Boolean = true): Long = {
     require(assignments.nonEmpty,
       "snapshotUpdateWhere: no assignments — nothing to update")
     commitFileGranular(spark, dir, "snapshotUpdateWhere",
@@ -2405,16 +2457,18 @@ object Layout {
         if (keyFields.isEmpty || touched.isEmpty) None
         else {
           val matched = reader(touched).filter(coalesce(cond, lit(false)))
-          // pre-images ride every keyed UPDATE's cdc record: `matched`
-          // IS the pre-image set and is being scanned for the upsert /
-          // delete-key sides anyway — persisting it adds one O(batch)
-          // concurrent write, and the typed feed can then replay the
-          // update as update_preimage/update_postimage pairs
-          // (snapshotChangesTyped(updateImages = true)) instead of
-          // delete + insert
+          // pre-images ride a keyed UPDATE's cdc record by default:
+          // `matched` IS the pre-image set and is being scanned for
+          // the upsert / delete-key sides anyway — persisting it adds
+          // one O(batch) concurrent write, and the typed feed can
+          // then replay the update as update_preimage/update_postimage
+          // pairs (snapshotChangesTyped(updateImages = true)) instead
+          // of delete + insert. `preImages = false` opts a
+          // latency-sensitive writer out of the extra write; its
+          // commits degrade honestly to delete + insert in the feed
           Some(CdcData(Some(assigned(matched)),
             Some(matched.select(keyFields.map(col): _*)), keyFields,
-            pre = Some(matched)))
+            pre = if (preImages) Some(matched) else None))
         }
       (touched, survivors, cdc, Some(cond))
     }
@@ -2839,7 +2893,8 @@ object Layout {
           val carriedStats = metaLines.filter(_.startsWith(StatsTag))
             .filter(m => carriedSet.contains(
               m.stripPrefix(StatsTag).takeWhile(_ != '|')))
-          val v = listed.lastOption.getOrElse(0L) + 1
+          val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
           val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
           fs.mkdirs(manifest.getParent)
           val metaOut = metaOf(st.touched, carried.size) ++ st.cdcLine
@@ -2883,7 +2938,8 @@ object Layout {
       val baseStatsCols = parseStatsMeta(metaLines)
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted
       // SAME listing as base (see above) — never re-list here
-      val v = listed.lastOption.getOrElse(0L) + 1
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(prev)) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
@@ -3006,9 +3062,10 @@ object Layout {
         .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
                     catch { case scala.util.control.NonFatal(_) => false })
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
-      val v = listed.lastOption.getOrElse(0L) + 1
       val baseLines = snapshotManifestLines(spark, dir, base)
       val basePrev = baseLines.filterNot(_.startsWith("#"))
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(basePrev)) + 1
       val baseMeta = baseLines
         .filter(l => l.startsWith("#") && l != "#commit")
         .map(_.stripPrefix("#"))
@@ -3306,11 +3363,13 @@ object Layout {
     * rows return), so the file-granular feed ([[snapshotChanges]] /
     * [[snapshotChangeFiles]]) REFUSES an interval crossing it, while
     * the typed feed ([[snapshotChangesTyped]]) replays it exactly from
-    * the file diff — files dropped by the restore emit their surviving
-    * rows as deletes, files returning emit theirs as inserts (data
-    * files are immutable, so the file diff IS the row diff; the one
-    * case that is not file-derivable, a restore CHANGING the overlay
-    * set, refuses with the compact remedy there).
+    * immutable state — files dropped by the restore emit their
+    * surviving rows as deletes, files returning emit theirs as
+    * inserts, and a restore that CHANGES the merge-on-read overlay
+    * set replays the overlay diff too: rows of files common to both
+    * sides that only one side's delete lines mask re-emit as
+    * un-deletes / re-deletes (per-line semi-joins over O(overlay
+    * keys) builds; no refusal case remains).
     *
     * Refusals: a target whose manifest retention already dropped
     * refuses loudly (its data may be swept — tag versions that must
@@ -3348,7 +3407,9 @@ object Layout {
       commitBackoff(iters)
       require(iters <= 64,
         s"snapshotRestore: the commit PUT collided 64× at $dir")
-      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      val v = math.max(
+        listManifestVersions(spark, dir).lastOption.getOrElse(0L),
+        carriedVersionFloor(files)) + 1
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = (((s"$RestoreTag$target" +: state).map(m => s"#$m")

@@ -146,12 +146,17 @@ private[sources] object GraftProcedures {
         input => {
           val dir = tableDir(input)
           val target = input.getUTF8String(1).toString
-          val committed = target.toLongOption match {
-            case Some(v) => Layout.snapshotRestore(spark, dir, v)
-            case None    => Layout.snapshotRestore(spark, dir, target)
+          // resolve a tag to its version ONCE, up front: re-resolving
+          // after the restore committed would let a concurrent
+          // drop_tag throw post-commit, and a racing re-tag report a
+          // version other than the one actually restored
+          val restoredTo = target.toLongOption.getOrElse {
+            val tags = Layout.snapshotTags(spark, dir)
+            tags.getOrElse(target, sys.error(
+              s"restore: no tag '$target' at $dir (live tags: " +
+                s"${tags.keys.toSeq.sorted.mkString(", ")})"))
           }
-          val restoredTo = target.toLongOption
-            .getOrElse(Layout.snapshotTags(spark, dir)(target))
+          val committed = Layout.snapshotRestore(spark, dir, restoredTo)
           Seq(InternalRow(restoredTo, committed))
         }))
   }
