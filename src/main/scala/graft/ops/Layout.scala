@@ -355,10 +355,15 @@ object Layout {
   private[ops] def existsConflictMessage(msg: String): Boolean =
     ExistsConflict.matcher(msg).find()
 
-  /** Every manifest object's version number, complete or not. */
+  /** Every manifest object's version number, complete or not. `sub`
+    * selects the manifest NAMESPACE: `_snapshots` (the main line) or
+    * `_snapshots/branches/<name>` (a [[snapshotBranch]] staging line —
+    * same protocol, same data/ space, invisible to main readers
+    * because this listing is non-recursive). */
   private def listManifestVersions(
-      spark: SparkSession, dir: String): Seq[Long] = {
-    val snaps = new Path(dir, "_snapshots")
+      spark: SparkSession, dir: String,
+      sub: String = "_snapshots"): Seq[Long] = {
+    val snaps = new Path(dir, sub)
     val fs = snaps.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(snaps)) return Seq.empty
     fs.listStatus(snaps).map(_.getPath.getName).toSeq
@@ -397,10 +402,10 @@ object Layout {
   private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
 
   private def snapshotManifestLines(spark: SparkSession, dir: String,
-      version: Long): Seq[String] = {
+      version: Long, sub: String = "_snapshots"): Seq[String] = {
     manifestReads.incrementAndGet()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = new Path(dir, f"_snapshots/v$version%08d.manifest")
+    val manifest = new Path(dir, f"$sub/v$version%08d.manifest")
     val in = fs.open(manifest)
     val lines = try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -493,7 +498,8 @@ object Layout {
     appendImpl(df, dir, meta, statsCols, evolve = true)
 
   private def appendImpl(df: DataFrame, dir: String,
-      meta: Seq[String], statsCols: Seq[String], evolve: Boolean): Long = {
+      meta: Seq[String], statsCols: Seq[String], evolve: Boolean,
+      sub: String = "_snapshots"): Long = {
     val op = if (evolve) "snapshotEvolve" else "snapshotAppend"
     meta.foreach(m => require(!m.contains("\n") && m != "commit",
       s"snapshot meta line may not contain newlines or be 'commit': $m"))
@@ -520,12 +526,12 @@ object Layout {
       iters += 1
       commitBackoff(iters)
       require(iters <= 64, s"$op: the commit PUT collided 64× at $dir")
-      val versions = listManifestVersions(spark, dir)
+      val versions = listManifestVersions(spark, dir, sub)
       // carried-forward base: the latest COMPLETE manifest (recomputed
       // per attempt — a lost race means someone else's files must now
       // be carried too)
       val prevLines = versions.reverseIterator
-        .map(pv => try Some(snapshotManifestLines(spark, dir, pv))
+        .map(pv => try Some(snapshotManifestLines(spark, dir, pv, sub))
                    catch { case scala.util.control.NonFatal(_) => None })
         .collectFirst { case Some(ls) => ls }
         .getOrElse(Seq.empty)  // ONE manifest GET for files/stats/schema
@@ -607,7 +613,7 @@ object Layout {
           val s = statsMetaLines(spark, dir, r, f, statsCols)
           (d, r, f, s)
       }
-      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((meta.map(m => s"#$m") ++ schemaLine.map(m => s"#$m")
           ++ prevColmaps.map(m => s"#$m")
@@ -3164,7 +3170,7 @@ object Layout {
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = Seq("rename=", "drop=", "retype=", "declare-keys=",
-      "declare-cluster=", RewriteTag, RestoreTag, "batch=")
+      "declare-cluster=", RewriteTag, RestoreTag, FastForwardTag, "batch=")
     val tagsByV = snapshotTags(spark, dir).toSeq.groupBy(_._2)
       .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
     var prevFiles = Set.empty[String]
@@ -3213,7 +3219,16 @@ object Layout {
     val v = if (version > 0) version
     else snapshotLatestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
-    val lines = snapshotManifestLines(spark, dir, v)
+    readManifestState(spark, dir, snapshotManifestLines(spark, dir, v))
+  }
+
+  /** The scan a COMPLETE manifest's lines describe — file list under
+    * the schema of record, rename log resolved per generation,
+    * merge-on-read overlay applied. Shared by [[snapshotRead]] (main
+    * line) and [[snapshotBranchRead]] (a staging branch's lines —
+    * identical semantics, different manifest namespace). */
+  private def readManifestState(spark: SparkSession, dir: String,
+      lines: Seq[String]): DataFrame = {
     val rels = lines.filterNot(_.startsWith("#"))
     val metaLines = lines
       .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
@@ -3337,6 +3352,241 @@ object Layout {
     val tag = new Path(dir, s"_snapshots/tags/$name.tag")
     val fs = tag.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tag, false)
+  }
+
+  // ------------------------------------------------------------------
+  // BRANCHES — write-audit-publish (WAP)
+  // ------------------------------------------------------------------
+
+  /** Meta marker a [[snapshotFastForward]] publish commit attaches
+    * (`fastforward-of=<branch>@<tip>` — lineage, and the token the
+    * NEXT fast-forward of the same branch uses to recognize main as
+    * un-diverged). Per-commit metadata, never carried forward. */
+  private[graft] val FastForwardTag = "fastforward-of="
+
+  private def branchSub(name: String): String =
+    s"_snapshots/branches/$name"
+
+  private def requireBranchName(op: String, name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"$op: branch name '$name' — use letters, digits, . _ -")
+
+  /** Create a BRANCH — a named WRITABLE ref — at the table's current
+    * HEAD: the third leg of the version-control surface (tags pin,
+    * restore re-points, branches STAGE). The write-audit-publish
+    * pattern every snapshot format grows: stage a load's commits on a
+    * branch ([[snapshotBranchAppend]]), run the validation queries
+    * against the branch ([[snapshotBranchRead]]), then publish
+    * atomically ([[snapshotFastForward]]) or walk away
+    * ([[snapshotDropBranch]] — the staged data becomes orphans the
+    * expire sweep reclaims). Main readers and the change feed never
+    * see a staged row: branch manifests live in their own namespace
+    * (`_snapshots/branches/<name>/`) that the main line's
+    * non-recursive listing cannot reach, while staged DATA shares the
+    * table's `data/` space so publishing never copies a byte. The
+    * reference's audit step is validate-and-drop inline
+    * (topic_consumer.py:268-271, `skipped_rows`); WAP is its
+    * table-format-native form — at 100 TB an audited daily ingest
+    * must not be a second copy of the day's data.
+    *
+    * The branch is created as a create-once COPY of the base
+    * manifest under the branch namespace — self-contained (retention
+    * expiring main's base version never strands the branch; the
+    * branch manifest keeps the referenced data alive through the
+    * expire sweep) and uniform (every branch commit carries forward
+    * exactly as main commits do, schema contract and overlay lines
+    * included). Branch manifests are retention-exempt like tags:
+    * [[snapshotExpire]] keeps every data/key/cdc directory a live
+    * branch references, and never drops a branch manifest — dropping
+    * the BRANCH is the lifecycle ([[snapshotDropBranch]]), after
+    * which orphaned staged data ages into the orphan sweep. An
+    * existing branch name refuses (create-once, like tags). Returns
+    * the base version the branch was created at. */
+  def snapshotBranch(spark: SparkSession, dir: String,
+      name: String): Long = {
+    requireBranchName("snapshotBranch", name)
+    val base = snapshotLatestVersion(spark, dir)
+      .getOrElse(sys.error(s"snapshotBranch: no committed snapshot at $dir"))
+    val lines = snapshotManifestLines(spark, dir, base)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir, f"${branchSub(name)}/v$base%08d.manifest")
+    fs.mkdirs(target.getParent)
+    val body = (lines.map(_ + "\n") :+ "#commit\n")
+      .mkString.getBytes("UTF-8")
+    require(atomicCreate(fs, target, body),
+      s"snapshotBranch: branch '$name' already exists at $dir (drop it " +
+        "first — branches are create-once, like tags)")
+    base
+  }
+
+  /** Live branches, name → (base version, tip version). Base = the
+    * branch's creation pin (its smallest manifest version); tip = its
+    * newest COMPLETE version (== base when nothing is staged yet). */
+  def snapshotBranches(spark: SparkSession,
+      dir: String): Map[String, (Long, Long)] = {
+    val root = new Path(dir, "_snapshots/branches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .flatMap { name =>
+        val vs = listManifestVersions(spark, dir, branchSub(name))
+        val tip = vs.reverseIterator.find(v =>
+          try { snapshotManifestLines(spark, dir, v, branchSub(name)); true }
+          catch { case scala.util.control.NonFatal(_) => false })
+        for (b <- vs.headOption; t <- tip) yield name -> (b, t)
+      }.toMap
+  }
+
+  /** Newest COMPLETE version of a branch (the validation read's and
+    * the publish's source). */
+  private def branchTip(spark: SparkSession, dir: String,
+      name: String): Long =
+    listManifestVersions(spark, dir, branchSub(name)).reverseIterator
+      .find(v =>
+        try { snapshotManifestLines(spark, dir, v, branchSub(name)); true }
+        catch { case scala.util.control.NonFatal(_) => false })
+      .getOrElse(sys.error(
+        s"no branch '$name' at $dir — create it with snapshotBranch"))
+
+  /** APPEND a batch to a BRANCH: [[snapshotAppend]]'s commit verbatim
+    * — same schema contract, same carry-forward, same optimistic
+    * create-once race, same writer-unique `data/vNNNNNNNN-token` dirs
+    * (version numbers continue from the branch base, so staged files
+    * order correctly above every carried delete line) — except the
+    * manifest lands in the branch namespace, invisible to every main
+    * reader until [[snapshotFastForward]] publishes it. Concurrent
+    * appends to the same branch contend the branch's own next slot;
+    * concurrent MAIN commits don't contend at all (that is the
+    * point — staging never blocks production writes; divergence is
+    * detected at publish time). Returns the branch version. */
+  def snapshotBranchAppend(df: DataFrame, dir: String, name: String,
+      meta: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
+    requireBranchName("snapshotBranchAppend", name)
+    val spark = df.sparkSession
+    require(listManifestVersions(spark, dir, branchSub(name)).nonEmpty,
+      s"snapshotBranchAppend: no branch '$name' at $dir — create it " +
+        "with snapshotBranch")
+    appendImpl(df, dir, meta, statsCols, evolve = false,
+      sub = branchSub(name))
+  }
+
+  /** Read a BRANCH's staged state (tip, or a pinned branch
+    * `version`) — the AUDIT half of write-audit-publish: validation
+    * queries run against exactly the rows a [[snapshotFastForward]]
+    * would publish, overlay and schema semantics identical to
+    * [[snapshotRead]]. */
+  def snapshotBranchRead(spark: SparkSession, dir: String, name: String,
+      version: Long = -1L): DataFrame = {
+    requireBranchName("snapshotBranchRead", name)
+    val v = if (version > 0) version else branchTip(spark, dir, name)
+    readManifestState(spark, dir,
+      snapshotManifestLines(spark, dir, v, branchSub(name)))
+  }
+
+  /** PUBLISH a branch: fast-forward main to the branch tip as ONE
+    * metadata-only commit — the staged commits become visible to
+    * every main reader atomically, and the typed change feed emits
+    * exactly the published delta (the publish's file diff vs its base
+    * IS the staged rows; a multi-commit stage collapses into one
+    * published version, which is the semantics WAP wants — main's
+    * history records what was PUBLISHED, not how it was staged).
+    *
+    * Divergence contract: publishing requires main's HEAD to be the
+    * branch's base — or the branch's own previous publish (the
+    * `fastforward-of=` marker on main's newest manifest), so a
+    * stage→publish→stage-more→publish-again loop works without
+    * re-branching. Anything else REFUSES: a fast-forward onto a
+    * diverged main would silently bury the interleaved commits'
+    * rows. Remedy: re-stage onto a fresh branch from the new HEAD
+    * (rebase by replay), or — when main's advance is exactly what
+    * the audit rejected — [[snapshotRestore]] main first.
+    *
+    * The race with a concurrent main commit is decided ATOMICALLY by
+    * the manifest PUT itself: the publish targets main's DENSE next
+    * version slot (deliberately NOT floor-raised past the staged
+    * files' higher embedded versions — every racing committer
+    * targets this same slot, so create-once arbitration IS the
+    * divergence CAS; a racer landing first fails our PUT, and the
+    * retry re-checks and refuses). Committers AFTER the publish
+    * allocate above the published files' embedded versions via the
+    * carried-version floor ([[carriedVersionFloor]]), keeping
+    * merge-on-read delete sequencing correct. Returns the published
+    * main version. */
+  def snapshotFastForward(spark: SparkSession, dir: String,
+      name: String): Long = {
+    requireBranchName("snapshotFastForward", name)
+    val sub = branchSub(name)
+    val bvs = listManifestVersions(spark, dir, sub)
+    require(bvs.nonEmpty,
+      s"snapshotFastForward: no branch '$name' at $dir — create it " +
+        "with snapshotBranch")
+    val branchBase = bvs.head
+    val tip = branchTip(spark, dir, name)
+    val tipLines = snapshotManifestLines(spark, dir, tip, sub)
+    val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)
+    val state = tipLines
+      .filter(l => l.startsWith("#") && l != "#commit")
+      .map(_.stripPrefix("#"))
+      .filter(m => keep.exists(m.startsWith))
+    val files = tipLines.filterNot(_.startsWith("#"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var iters = 0
+    var committed = -1L
+    while (committed < 0) {
+      iters += 1
+      commitBackoff(iters)
+      require(iters <= 64,
+        s"snapshotFastForward: the commit PUT collided 64× at $dir")
+      val listed = listManifestVersions(spark, dir)
+      val newest = listed.reverseIterator
+        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
+                    catch { case scala.util.control.NonFatal(_) => false })
+        .getOrElse(sys.error(
+          s"snapshotFastForward: no committed snapshot at $dir"))
+      // main is un-diverged iff its HEAD is the branch base OR this
+      // branch's own previous publish (recognized by the marker)
+      val publishedAt: Option[Long] =
+        if (newest == branchBase) None
+        else snapshotMetaOf(spark, dir, newest)
+          .find(_.startsWith(FastForwardTag))
+          .map(_.stripPrefix(FastForwardTag))
+          .collect { case s if s.startsWith(s"$name@") =>
+            s.stripPrefix(s"$name@").toLongOption }.flatten
+          .filter(_ >= branchBase)
+      require(newest == branchBase || publishedAt.isDefined,
+        s"snapshotFastForward: main HEAD v$newest at $dir diverged " +
+          s"from branch '$name' (base v$branchBase) — fast-forwarding " +
+          "would bury the interleaved commits' rows. Re-stage on a " +
+          "fresh branch from the new HEAD (rebase by replay), or " +
+          "snapshotRestore main to the base first if its advance is " +
+          "what the audit rejected")
+      val already = publishedAt.getOrElse(branchBase)
+      require(tip > already,
+        s"snapshotFastForward: branch '$name' has no staged commits " +
+          s"past v$already at $dir — nothing to publish")
+      val v = listed.lastOption.getOrElse(0L) + 1
+      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = (((s"$FastForwardTag$name@$tip" +: state)
+        .map(m => s"#$m") ++ files).map(_ + "\n") :+ "#commit\n")
+        .mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
+
+  /** Drop a branch: its manifests vanish, and staged data no
+    * published or main manifest references ages into
+    * [[snapshotExpire]]'s orphan sweep — the walk-away path of
+    * write-audit-publish costs nothing but the staged files
+    * themselves. Returns whether the branch existed. */
+  def snapshotDropBranch(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    requireBranchName("snapshotDropBranch", name)
+    val p = new Path(dir, branchSub(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
   }
 
   /** RESTORE / rollback: re-point the table HEAD at a prior version as
@@ -3481,7 +3731,32 @@ object Layout {
       surviving.flatMap(v =>
         parseCdcMeta(snapshotMetaOf(spark, dir, v)).toSeq
           .flatMap(c => c.ups.toSeq ++ c.dels.toSeq ++ c.pre.toSeq)
-          .map(rel => new Path(dir, rel).getName))).toSet
+          .map(rel => new Path(dir, rel).getName)) ++
+      // a live BRANCH's staged data must survive until the branch is
+      // dropped or published — branch manifests are retention-exempt
+      // (like tags; snapshotDropBranch is the lifecycle), and every
+      // data/key/cdc dir they reference stays alive with them. A torn
+      // branch manifest contributes nothing: its data is a crashed
+      // stage the orphan grace window already covers.
+      snapshotBranches(spark, dir).keys.toSeq.flatMap { name =>
+        listManifestVersions(spark, dir, branchSub(name)).flatMap { v =>
+          try {
+            val lines = snapshotManifestLines(spark, dir, v,
+              branchSub(name))
+            val meta = lines
+              .filter(l => l.startsWith("#") && l != "#commit")
+              .map(_.stripPrefix("#"))
+            lines.filterNot(_.startsWith("#"))
+              .map(rel => new Path(dir, rel).getParent.getName) ++
+              parseDeleteMeta(meta).map(d => new Path(dir, d._2).getName) ++
+              parseCdcMeta(meta).toSeq
+                .flatMap(c => c.ups.toSeq ++ c.dels.toSeq ++ c.pre.toSeq)
+                .map(rel => new Path(dir, rel).getName)
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq.empty[String]
+          }
+        }
+      }).toSet
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot)

@@ -1298,6 +1298,40 @@ object CoreRelational {
           (5, NULL, 18)) AS t(version, operation, row_count)
         ORDER BY version""")),
 
+    // --------------------------------------------------------------- q139
+    // WRITE-AUDIT-PUBLISH (Layout.snapshotBranch / snapshotFastForward):
+    // two loads staged on a branch through the CALL doors are PROVABLY
+    // invisible to main (HEAD, state, feed — enforced in the fixture),
+    // the branch read audits base + staged, and the publish is one
+    // metadata-only fast-forward commit. The query reads the typed feed
+    // across the publish: exactly the staged rows, all inserts — the
+    // oracle recomputes the published delta from the base table. At
+    // 100 TB this is the only affordable audited-ingest shape: staging
+    // shares the table's data space (publish copies zero bytes), and
+    // an audit failure walks away for free.
+    QuerySpec(
+      "q139_branch_wap_publish",
+      (s, d) => {
+        val dir = Fits.snapshotBranchTableDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 1L, 2L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT 'insert' AS change_type, o_orderstatus AS status,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+        GROUP BY 2 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

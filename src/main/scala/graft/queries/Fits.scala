@@ -511,6 +511,58 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q139's fixture: WRITE-AUDIT-PUBLISH end to end
+    * ([[graft.ops.Layout.snapshotBranch]] /
+    * [[graft.ops.Layout.snapshotFastForward]]). Main v1 holds keys
+    * < 2000; a staging branch is created through the SQL door
+    * (`CALL <cat>.system.branch`), TWO loads are staged on it, and
+    * the audit is enforced in-fixture: main's HEAD, state, and
+    * change feed are PROVABLY untouched while the branch read serves
+    * base + staged. The publish is one SQL
+    * `CALL <cat>.system.fast_forward` — a single metadata-only
+    * commit. The query then reads the typed feed across the publish:
+    * it must emit EXACTLY the staged rows as inserts (the oracle
+    * recomputes them from the base table), which is the WAP
+    * contract — main consumers see nothing until the audited delta
+    * lands, then see precisely it. */
+  def snapshotBranchTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapbranch:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapbr").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 2000), dir,
+        statsCols = Seq("o_orderkey"))                              // v1
+      val cat = "graftsqlb_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CALL $cat.system.branch('t', 'audit')")
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000),
+        dir, "audit", statsCols = Seq("o_orderkey"))
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000),
+        dir, "audit", statsCols = Seq("o_orderkey"))
+      // the audit gate, enforced: staged rows are invisible to main's
+      // HEAD, state, and feed, while the branch read serves them all
+      val mainN = o.filter(col("o_orderkey") < 2000).count()
+      require(Layout.snapshotLatestVersion(s, dir).contains(1L),
+        "staged commits must not advance main's HEAD")
+      require(Layout.snapshotRead(s, dir).count() == mainN,
+        "staged rows must be invisible to a main read")
+      require(Layout.snapshotChanges(s, dir, 0L).count() == mainN,
+        "staged rows must be invisible to the change feed")
+      require(Layout.snapshotBranchRead(s, dir, "audit").count() ==
+        o.filter(col("o_orderkey") < 4000).count(),
+        "the branch read must serve base + staged")
+      s.sql(s"CALL $cat.system.fast_forward('t', 'audit')")         // v2
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

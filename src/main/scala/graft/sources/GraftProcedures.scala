@@ -22,6 +22,9 @@ import graft.ops.Layout
   *   CALL graft.system.drop_tag('db.t', 'release-1')
   *   CALL graft.system.restore('db.t', '3')          -- version number
   *   CALL graft.system.restore('db.t', 'release-1')  -- or tag name
+  *   CALL graft.system.branch('db.t', 'audit')   -- Layout.snapshotBranch
+  *   CALL graft.system.fast_forward('db.t', 'audit')  -- publish (WAP)
+  *   CALL graft.system.drop_branch('db.t', 'audit')   -- walk away
   * }}}
   *
   * This closes the SQL story the catalog's own refusals point at: a
@@ -158,6 +161,31 @@ private[sources] object GraftProcedures {
           }
           val committed = Layout.snapshotRestore(spark, dir, restoredTo)
           Seq(InternalRow(restoredTo, committed))
-        }))
+        }),
+
+      new Proc("branch",
+        "create a writable staging branch at the table's current HEAD " +
+          "— the write-audit-publish stage ref (Layout.snapshotBranch)",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("base_version", LongType, false))),
+        input => Seq(InternalRow(Layout.snapshotBranch(spark,
+          tableDir(input), input.getUTF8String(1).toString)))),
+
+      new Proc("fast_forward",
+        "publish a branch: fast-forward main to the branch tip as one " +
+          "metadata-only commit; refuses on a diverged main " +
+          "(Layout.snapshotFastForward)",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("version", LongType, false))),
+        input => Seq(InternalRow(Layout.snapshotFastForward(spark,
+          tableDir(input), input.getUTF8String(1).toString)))),
+
+      new Proc("drop_branch",
+        "drop a branch; unpublished staged data ages into the orphan " +
+          "sweep (Layout.snapshotDropBranch)",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("existed", BooleanType, false))),
+        input => Seq(InternalRow(Layout.snapshotDropBranch(spark,
+          tableDir(input), input.getUTF8String(1).toString)))))
   }
 }

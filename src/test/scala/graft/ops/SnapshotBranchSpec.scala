@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BRANCHES — write-audit-publish ([[Layout.snapshotBranch]] /
+  * [[Layout.snapshotBranchAppend]] / [[Layout.snapshotBranchRead]] /
+  * [[Layout.snapshotFastForward]] / [[Layout.snapshotDropBranch]]):
+  * commits staged on a branch are invisible to main reads and the
+  * change feed until an atomic fast-forward publishes them; the typed
+  * feed then emits exactly the published delta; a diverged main
+  * refuses; staged data of an abandoned branch is reclaimed by the
+  * expire sweep; and a delete committed AFTER a publish still covers
+  * the published rows (the carried-version allocation floor). */
+class SnapshotBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stateOf(dir: String, v: Long = -1L): Map[Int, String] =
+    Layout.snapshotRead(spark, dir, v).as[(Int, String)].collect().toMap
+
+  test("stage on a branch: invisible to main until fast-forward, then " +
+      "the typed feed emits exactly the published delta") {
+    val dir = tmpDir("snapbranch") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    val base = Layout.snapshotBranch(spark, dir, "audit")
+    assert(base === 1L)
+    assert(Layout.snapshotBranches(spark, dir) === Map("audit" -> (1L, 1L)))
+    // stage TWO commits on the branch
+    Layout.snapshotBranchAppend((101 to 150).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit", statsCols = Seq("k"))
+    Layout.snapshotBranchAppend((151 to 180).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit", statsCols = Seq("k"))
+    // INVISIBLE to main: read, version probe, and change feed all
+    // still serve v1 only
+    assert(stateOf(dir).keySet === (1 to 100).toSet)
+    assert(Layout.snapshotLatestVersion(spark, dir) === Some(1L))
+    assert(Layout.snapshotChanges(spark, dir, 0L).count() === 100L)
+    // the AUDIT read sees the staged state
+    val staged = Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap
+    assert(staged.keySet === (1 to 180).toSet)
+    assert(staged(120) === "b120")
+    // PUBLISH: one commit, atomically visible
+    val pub = Layout.snapshotFastForward(spark, dir, "audit")
+    assert(pub === 2L)
+    assert(stateOf(dir).keySet === (1 to 180).toSet)
+    // the typed feed across the publish = exactly the staged rows
+    val delta = Layout.snapshotChangesTyped(spark, dir, 1L, pub)
+    assert(delta.filter(col("_change_type") =!= "insert").count() === 0L)
+    assert(delta.select("k").as[Int].collect().toSet ===
+      (101 to 180).toSet)
+    // history carries the publish lineage
+    val hist = Layout.snapshotHistory(spark, dir)
+      .select("version", "operation").as[(Long, Option[String])]
+      .collect().toMap
+    assert(hist(2L) === Some("fastforward-of=audit@3"))
+    // carried stats still prune on the published state
+    assert(Layout.snapshotReadWhere(spark, dir, col("k") <= 100)
+      .inputFiles.length === 1, "published manifest must carry stats")
+  }
+
+  test("fast-forward onto a diverged main refuses; re-staging on a " +
+      "fresh branch is the remedy") {
+    val dir = tmpDir("snapbranch_div") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    // main moves on its own
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"c$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v2
+    val e = intercept[Exception] {
+      Layout.snapshotFastForward(spark, dir, "audit")
+    }
+    assert(e.getMessage.contains("diverged"))
+    // main unharmed, staged rows still confined to the branch
+    assert(stateOf(dir).keySet === ((1 to 10) ++ (21 to 30)).toSet)
+    // remedy: fresh branch from the new HEAD, restage, publish
+    Layout.snapshotBranch(spark, dir, "audit2")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit2")
+    Layout.snapshotFastForward(spark, dir, "audit2")
+    assert(stateOf(dir).keySet === (1 to 30).toSet)
+  }
+
+  test("stage -> publish -> stage more -> publish again works without " +
+      "re-branching (the fastforward-of marker pins un-divergence)") {
+    val dir = tmpDir("snapbranch_cycle") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "daily")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "daily")
+    val p1 = Layout.snapshotFastForward(spark, dir, "daily")         // v2
+    assert(stateOf(dir).keySet === (1 to 20).toSet)
+    // nothing new staged: refuses honestly
+    val e = intercept[Exception] {
+      Layout.snapshotFastForward(spark, dir, "daily")
+    }
+    assert(e.getMessage.contains("nothing to publish"))
+    // stage more on the SAME branch and publish again
+    Layout.snapshotBranchAppend((21 to 25).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "daily")
+    val p2 = Layout.snapshotFastForward(spark, dir, "daily")
+    assert(p2 > p1)
+    assert(stateOf(dir).keySet === (1 to 25).toSet)
+    // a feed over the second publish sees only the second delta
+    assert(Layout.snapshotChangesTyped(spark, dir, p1, p2)
+      .select("k").as[Int].collect().toSet === (21 to 25).toSet)
+  }
+
+  test("a delete AFTER a publish covers the published rows: version " +
+      "allocation floors at the carried files' embedded versions") {
+    val dir = tmpDir("snapbranch_floor") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    // three staged commits: staged data dirs embed branch versions
+    // 2, 3, 4 — all ABOVE the publish manifest's own version (2)
+    (1 to 3).foreach { i =>
+      Layout.snapshotBranchAppend(
+        (i * 100 + 1 to i * 100 + 10).map(k => (k, s"b$k")).toDF("k", "s")
+          .repartition(1), dir, "audit")
+    }
+    val pub = Layout.snapshotFastForward(spark, dir, "audit")
+    assert(pub === 2L)
+    // the merge-on-read delete must allocate ABOVE every published
+    // file's embedded version (4), else its overlay would skip them
+    val dv = Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(305), Tuple1(5)).toDF("k"), Seq("k"))
+    assert(dv === 5L, s"delete must land above the published files' " +
+      s"embedded v4, got v$dv")
+    assert(stateOf(dir).keySet ===
+      ((1 to 10) ++ (101 to 110) ++ (201 to 210) ++ (301 to 310))
+        .toSet -- Set(5, 305),
+      "the overlay must cover rows from published branch-staged files")
+  }
+
+  test("branch commits race main commits without contention: both land") {
+    val dir = tmpDir("snapbranch_race") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future {
+      Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+        .toDF("k", "s").repartition(1), dir, "audit")
+    }
+    val fm = Future {
+      Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+        .repartition(1), dir)
+    }
+    Await.result(fb, 120.seconds); Await.result(fm, 120.seconds)
+    assert(stateOf(dir).keySet === ((1 to 10) ++ (21 to 30)).toSet,
+      "main sees its own commit, never the staged one")
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap.keySet ===
+      ((1 to 10) ++ (11 to 20)).toSet,
+      "the branch sees base + staged, never main's concurrent commit")
+  }
+
+  test("walk away: drop the branch, expire sweeps the staged data, " +
+      "main never knew") {
+    val dir = tmpDir("snapbranch_drop") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataDirs: Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    val before = dataDirs
+    assert(before.size === 2, "base + staged data dirs")
+    // while the branch LIVES, expire must keep its staged data
+    Layout.snapshotExpire(spark, dir, keep = 5, orphanGraceMs = 0)
+    assert(dataDirs === before, "a live branch's staged data survives")
+    assert(Layout.snapshotDropBranch(spark, dir, "audit"))
+    assert(!Layout.snapshotDropBranch(spark, dir, "audit"),
+      "second drop reports absent")
+    Layout.snapshotExpire(spark, dir, keep = 5, orphanGraceMs = 0)
+    assert(dataDirs.size === 1, "dropped branch's staged data is swept")
+    assert(stateOf(dir).keySet === (1 to 10).toSet)
+  }
+
+  test("refusals: duplicate branch, append to no branch, branch over " +
+      "a live overlay carries it; schema drift refuses on the branch") {
+    val dir = tmpDir("snapbranch_ref") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(7)).toDF("k"), Seq("k"))                            // v2
+    Layout.snapshotBranch(spark, dir, "audit")
+    assert(intercept[Exception] {
+      Layout.snapshotBranch(spark, dir, "audit")
+    }.getMessage.contains("already exists"))
+    assert(intercept[Exception] {
+      Layout.snapshotBranchAppend(Seq((1, "x")).toDF("k", "s"), dir,
+        "nope")
+    }.getMessage.contains("no branch"))
+    // the branch carries the live overlay: staged reads apply it
+    Layout.snapshotBranchAppend((21 to 25).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap.keySet ===
+      ((1 to 25).toSet - 7))
+    // same schema contract as main appends
+    assert(intercept[Exception] {
+      Layout.snapshotBranchAppend(Seq((1, 2.0)).toDF("k", "wrong"),
+        dir, "audit")
+    }.getMessage.contains("schema"))
+    // publish over the carried overlay: main still masks the key
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet === ((1 to 25).toSet - 7))
+  }
+}

@@ -500,6 +500,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Layout.snapshotVersions(spark, dir).nonEmpty)
   }
 
+  test("CALL system.branch/fast_forward/drop_branch: write-audit-publish " +
+      "in SQL text") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.w (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.w VALUES (1, 'a'), (2, 'b')")   // v2
+    val dir = s"$root/db/w"
+    val base = spark.sql(s"CALL $cat.system.branch('db.w', 'audit')")
+      .head().getLong(0)
+    assert(base === 2L)
+    Layout.snapshotBranchAppend(Seq((3L, "c"), (4L, "d")).toDF("k", "s"),
+      dir, "audit")
+    // staged rows invisible through the catalog read
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.w")
+      .head().getLong(0) === 2)
+    val pub = spark.sql(s"CALL $cat.system.fast_forward('db.w', 'audit')")
+      .head().getLong(0)
+    assert(pub === 3L)
+    assert(spark.sql(s"SELECT k FROM $cat.db.w ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql(s"CALL $cat.system.drop_branch('db.w', 'audit')")
+      .head().getBoolean(0))
+    assert(Layout.snapshotBranches(spark, dir).isEmpty)
+  }
+
   test("CALL system.maintain: policy compaction + retention in one SQL verb") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.mm (k BIGINT)")
