@@ -738,6 +738,58 @@ object Layout {
     }
   }
 
+  /** StructField metadata flag carrying the TABLE-LEVEL
+    * `graft.cdc.updateImages` property in the schema of record — the
+    * declaration that makes the SQL DML doors persist update
+    * PRE-IMAGES without any Scala in the loop: with it set `true`,
+    * `MERGE INTO` commits record the replaced rows' old values and
+    * `snapshot_changes_typed(..., updateImages)` returns
+    * update_preimage/update_postimage pairs end to end; `false`
+    * opts every door out of the extra O(batch) write; UNSET means
+    * each door's own default (UPDATE on, MERGE off — the merge's
+    * pre-image record costs an extra touched-file scan). The schema
+    * has no table-level metadata slot, so the flag rides EVERY
+    * field (declared like [[KeyColKey]], via [[reflagSchema]]):
+    * dropping any one column cannot lose the declaration, and the
+    * read rule is "first field carrying it". Set at CREATE TABLE
+    * via `TBLPROPERTIES ('graft.cdc.updateImages' = 'true')` or on
+    * a live table via `ALTER TABLE … SET TBLPROPERTIES` /
+    * [[snapshotDeclareCdcImages]]. */
+  private[graft] val CdcImagesKey = "graft.cdc.updateImages"
+
+  /** The table's declared update-image policy: `Some(b)` when
+    * `graft.cdc.updateImages` is set, `None` when unset (doors use
+    * their own defaults). */
+  def snapshotCdcUpdateImages(spark: SparkSession,
+      dir: String): Option[Boolean] =
+    snapshotVersions(spark, dir).lastOption
+      .flatMap(v => snapshotMetaOf(spark, dir, v)
+        .find(_.startsWith(SchemaTag))
+        .map(l => schemaFromJson(l.stripPrefix(SchemaTag))))
+      .flatMap(_.fields.collectFirst {
+        case f if f.metadata.contains(CdcImagesKey) =>
+          f.metadata.getBoolean(CdcImagesKey)
+      })
+
+  /** Declare (`Some(true|false)`) or clear (`None`) the table's
+    * update-image policy as a METADATA-ONLY commit — see
+    * [[CdcImagesKey]]. Returns the committed version. */
+  def snapshotDeclareCdcImages(spark: SparkSession, dir: String,
+      on: Option[Boolean]): Long =
+    reflagSchema(spark, dir, "snapshotDeclareCdcImages",
+      "declare-cdc-images=" + on.map(_.toString).getOrElse("unset")) {
+      schema0 =>
+        org.apache.spark.sql.types.StructType(schema0.fields.map { f =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          on match {
+            case Some(b) => mb.putBoolean(CdcImagesKey, b)
+            case None    => mb.remove(CdcImagesKey)
+          }
+          f.copy(metadata = mb.build())
+        })
+    }
+
   /** Flag marking a column's position in the table's DECLARED
     * CLUSTERING order (`graft.cluster.pos = 0, 1, …` in the schema of
     * record) — the table-format analogue of Iceberg's sort order.

@@ -313,8 +313,15 @@ case class SnapshotMergeCommand(
       case None => updatePlans.map(ofRows).reduce(_ unionByName _)
     }
     val delOpt = deletePlans.map(ofRows).reduceOption(_ unionByName _)
+    // the table-level graft.cdc.updateImages property turns on
+    // pre-image persistence for a SQL-only CDC producer (the Scala
+    // API's snapshotMergeInto(preImages = true) opt-in, declared once
+    // in DDL); unset keeps the merge door's legacy default (off — the
+    // merge pre-image record costs an extra touched-file scan)
     val v = Layout.snapshotMergeInto(session, dir, updates, keyCols,
-      deletes = delOpt)
+      deletes = delOpt,
+      preImages = Layout.snapshotCdcUpdateImages(session, dir)
+        .getOrElse(false))
     Seq(Row(v))
   }
 }

@@ -102,7 +102,11 @@ case class SnapshotUpdateCommand(dir: String,
       GraftPlanBridge.columnOf(cond.e),
       assignments.map { case (n, h) => n -> GraftPlanBridge.columnOf(h.e) },
       // declared keys (graft.key) make the update typed-feed-replayable
-      keyCols = Layout.snapshotKeyCols(session, dir))
+      keyCols = Layout.snapshotKeyCols(session, dir),
+      // keyed updates persist pre-images by default; the table-level
+      // graft.cdc.updateImages property (when set) overrides either way
+      preImages = Layout.snapshotCdcUpdateImages(session, dir)
+        .getOrElse(true))
     Seq(Row(v))
   }
 }

@@ -1332,6 +1332,43 @@ object CoreRelational {
         FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
         GROUP BY 2 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q140
+    // SQL-ONLY UPDATE PRE-IMAGES via TBLPROPERTY (graft.cdc.updateImages
+    // → SnapshotMergeCommand passes preImages=true): a CDC consumer of
+    // a MERGE-maintained table reads update_preimage/update_postimage
+    // pairs end to end in SQL text — DDL declares the policy once, the
+    // MERGE door persists the replaced rows' old values, and the
+    // snapshot_changes_typed TVF replays them. Without the property the
+    // same merge degrades to delete+insert (back-compat pinned in
+    // SnapshotMergeSqlSpec). The oracle recomputes all three row
+    // classes (pre, post, insert) from the base table.
+    QuerySpec(
+      "q140_sql_merge_images",
+      (s, d) => {
+        val dir = Fits.snapshotSqlImagesDir(s, d)
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        s.sql(s"""
+          SELECT _change_type AS change_type,
+            o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM snapshot_changes_typed('$dir', 2, 3, true)
+          GROUP BY 1, 2 ORDER BY change_type, status""")
+      },
+      Some("""SELECT change_type, status, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'update_preimage' AS change_type,
+                 o_orderstatus AS status, o_totalprice AS price
+          FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey < 500
+          UNION ALL
+          SELECT 'update_postimage', o_orderstatus, o_totalprice + 1000.0
+          FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey < 500
+          UNION ALL
+          SELECT 'insert', o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2200)
+        GROUP BY 1, 2 ORDER BY change_type, status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -563,6 +563,60 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q140's fixture: a SQL-ONLY CDC producer gets update pre-images
+    * through the `graft.cdc.updateImages` TBLPROPERTY — no Scala in
+    * the write path. The table is created with the property (it rides
+    * the schema of record like `graft.key`), loaded by `INSERT INTO`,
+    * and mutated by one `MERGE INTO` (reprice a key subset + insert
+    * new keys). Because the property is set, the merge door passes
+    * `preImages = true` to [[graft.ops.Layout.snapshotMergeInto]], so
+    * `snapshot_changes_typed(dir, 2, 3, true)` replays the matched
+    * keys as update_preimage/update_postimage pairs and the unmatched
+    * ones as plain inserts — the oracle recomputes all three row
+    * classes from the base table. */
+  def snapshotSqlImagesDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapsqlimg:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlimg").toString
+      val dir = s"$root/t"
+      val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+      val cat = "graftsqli_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      x.conf.set(s"spark.sql.catalog.$cat.root", root)
+      x.sql(s"""
+        CREATE TABLE $cat.t (
+          o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.key' = 'o_orderkey',
+                       'graft.cdc.updateImages' = 'true')""")       // v1
+      require(Layout.snapshotCdcUpdateImages(x, dir).contains(true),
+        "the property must ride the schema of record")
+      T.orders(x, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("graft_q140_base")
+      x.sql(s"""
+        INSERT INTO $cat.t
+        SELECT * FROM graft_q140_base WHERE o_orderkey < 2000""")    // v2
+      x.sql(s"""
+        MERGE INTO $cat.t t
+        USING (
+          SELECT o_orderkey, o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice
+          FROM graft_q140_base
+          WHERE o_orderkey % 10 = 3 AND o_orderkey < 500
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM graft_q140_base
+          WHERE o_orderkey >= 2000 AND o_orderkey < 2200) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")                           // v3
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -104,6 +104,17 @@ class GraftCatalog extends TableCatalog
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Strict boolean parse for `graft.cdc.updateImages` — a typo'd
+    * value must refuse at DDL time, not silently default. */
+  private def parseCdcImagesValue(v: String): Boolean =
+    v.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "true"  => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"catalog $catalogName: graft.cdc.updateImages must be 'true' " +
+          s"or 'false', got '$other'")
+    }
+
   private def dirOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
       .foldLeft(new Path(root))(new Path(_, _)).toString
@@ -185,12 +196,19 @@ class GraftCatalog extends TableCatalog
     val clusterPos = colsProp("graft.cluster").zipWithIndex
       .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }
       .toMap
+    // TBLPROPERTIES ('graft.cdc.updateImages' = 'true'|'false')
+    // declares the SQL doors' update pre-image policy (rides the
+    // schema of record on every field — Layout.CdcImagesKey)
+    val cdcImages = Option(properties.get("graft.cdc.updateImages"))
+      .map(parseCdcImagesValue)
     val schema = new StructType(columns.map { c =>
       val lower = c.name().toLowerCase(java.util.Locale.ROOT)
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       if (keySet.contains(lower)) mb.putBoolean("graft.key", true)
       clusterPos.get(lower).foreach(p =>
         mb.putLong("graft.cluster.pos", p.toLong))
+      cdcImages.foreach(b =>
+        mb.putBoolean(Layout.CdcImagesKey, b))
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable(), mb.build())
     })
@@ -258,7 +276,9 @@ class GraftCatalog extends TableCatalog
     // snapshotDeclareCluster (UNSET clears the clustering order; keys
     // cannot be silently un-declared — downstream cdc consumers depend
     // on them, re-declare explicitly instead)
-    val declared = Seq("graft.key", "graft.cluster")
+    val declared = Seq("graft.key", "graft.cluster",
+      "graft.cdc.updateImages")
+    val unsettable = Seq("graft.cluster", "graft.cdc.updateImages")
     val props = changes.collect {
       case p: TableChange.SetProperty =>
         require(declared.contains(p.property()),
@@ -267,10 +287,10 @@ class GraftCatalog extends TableCatalog
             s"'${p.property()}'")
         p.property() -> Some(p.value())
       case r: TableChange.RemoveProperty =>
-        require(r.property() == "graft.cluster",
-          s"catalog $catalogName: only 'graft.cluster' can be UNSET " +
-            "(un-declaring keys would orphan cdc consumers — " +
-            "re-declare explicitly)")
+        require(unsettable.contains(r.property()),
+          s"catalog $catalogName: only ${unsettable.mkString(", ")} " +
+            "can be UNSET (un-declaring keys would orphan cdc " +
+            "consumers — re-declare explicitly)")
         r.property() -> None
     }
     require(renames.size + adds.size + retypes.size + drops.size
@@ -308,6 +328,9 @@ class GraftCatalog extends TableCatalog
         dir, v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       case ("graft.cluster", v) => Layout.snapshotDeclareCluster(spark,
         dir, v.toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+      case ("graft.cdc.updateImages", v) =>
+        Layout.snapshotDeclareCdcImages(spark, dir,
+          v.map(parseCdcImagesValue))
       case _ => ()
     }
     if (adds.nonEmpty) {

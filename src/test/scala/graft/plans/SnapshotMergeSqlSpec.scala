@@ -245,4 +245,59 @@ class SnapshotMergeSqlSpec extends SparkSpec {
     // nothing above committed
     assert(x.sql(s"SELECT s FROM $t").collect().head.getString(0) === "a")
   }
+
+  test("graft.cdc.updateImages TBLPROPERTY: SQL MERGE persists " +
+      "pre-images; unset tables keep the delete+insert back-compat") {
+    import org.apache.spark.sql.functions.col
+    def mergeOnce(t: String): Unit = x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT * FROM VALUES (2, 'B', 20.0), (9, 'i', 9.0)
+             AS src(k, s, v)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    def feedTypes(dir: String): Map[String, Seq[Long]] = {
+      val v = Layout.snapshotVersions(x, dir).last
+      Layout.snapshotChangesTyped(x, dir, v - 1, v, updateImages = true)
+        .select(col("_change_type"), col("k"))
+        .collect().groupBy(_.getString(0))
+        .map { case (ct, rs) => ct -> rs.map(_.getLong(1)).toSeq.sorted }
+    }
+    // UNSET property: the merge door's legacy default — no pre record,
+    // image-mode feed degrades honestly to delete + insert
+    val (t0, dir0) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    mergeOnce(t0)
+    val f0 = feedTypes(dir0)
+    assert(!f0.contains("update_preimage"), f0.toString)
+    assert(f0("delete") === Seq(2L) && f0("insert") === Seq(2L, 9L))
+    // property declared in DDL on a LIVE table (one metadata commit),
+    // same merge now replays as image pairs + plain insert
+    val (t1, dir1) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    x.sql(s"ALTER TABLE $t1 SET TBLPROPERTIES " +
+      "('graft.cdc.updateImages' = 'true')")
+    assert(Layout.snapshotCdcUpdateImages(x, dir1) === Some(true))
+    mergeOnce(t1)
+    val f1 = feedTypes(dir1)
+    assert(f1("update_preimage") === Seq(2L))
+    assert(f1("update_postimage") === Seq(2L))
+    assert(f1("insert") === Seq(9L))
+    assert(!f1.contains("delete"), f1.toString)
+    // 'false' also opts the UPDATE door OUT of its default pre-images
+    x.sql(s"ALTER TABLE $t1 SET TBLPROPERTIES " +
+      "('graft.cdc.updateImages' = 'false')")
+    x.sql(s"ALTER TABLE $t1 SET TBLPROPERTIES ('graft.key' = 'k')")
+    x.sql(s"UPDATE $t1 SET v = v + 1.0 WHERE k = 1")
+    val f2 = feedTypes(dir1)
+    assert(!f2.contains("update_preimage"), f2.toString)
+    assert(f2("delete") === Seq(1L) && f2("insert") === Seq(1L))
+    // a typo'd value refuses at DDL time
+    assert(intercept[Exception] {
+      x.sql(s"ALTER TABLE $t1 SET TBLPROPERTIES " +
+        "('graft.cdc.updateImages' = 'yes')")
+    }.getMessage.contains("true"))
+    // UNSET returns the table to the doors' own defaults
+    x.sql(s"ALTER TABLE $t1 UNSET TBLPROPERTIES " +
+      "('graft.cdc.updateImages')")
+    assert(Layout.snapshotCdcUpdateImages(x, dir1) === None)
+  }
 }
