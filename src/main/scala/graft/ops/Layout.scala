@@ -436,6 +436,29 @@ object Layout {
       }
       .nextOption()
 
+  /** True iff `newT` is `oldT` widened ONLY by adding fields inside
+    * struct types (recursively): every old field survives under its
+    * name with an identical type — or an add-widened struct type —
+    * and nothing else changes. The nested half of ADD-COLUMN
+    * evolution ([[snapshotEvolve]]): parquet's by-name resolution
+    * null-fills a missing nested field exactly as it does a missing
+    * top-level column, so the widen is metadata-only and old files
+    * never rewrite. Array/map element types do not evolve (their
+    * reshape is a real rewrite); field REMOVAL or retype inside a
+    * struct is never a widening. */
+  private def isStructAddWidening(
+      oldT: org.apache.spark.sql.types.DataType,
+      newT: org.apache.spark.sql.types.DataType): Boolean = (oldT, newT) match {
+    case (o: org.apache.spark.sql.types.StructType,
+          n: org.apache.spark.sql.types.StructType) =>
+      o.fields.forall { of =>
+        n.fields.find(_.name.equalsIgnoreCase(of.name)).exists(nf =>
+          nf.dataType.catalogString == of.dataType.catalogString ||
+            isStructAddWidening(of.dataType, nf.dataType))
+      }
+    case _ => false
+  }
+
   /** (name → type) field map a snapshot batch's schema is compared by:
     * name-keyed (parquet reads by name, column order is irrelevant),
     * case-folded to Spark's default resolution, `catalogString`-typed
@@ -564,13 +587,19 @@ object Layout {
         spark.read.parquet(new Path(dir, rel).toString).schema))
       tableSchema.foreach { ts =>
         if (evolve) {
-          val batchKey = schemaKey(df.schema).toMap
-          val lost = schemaKey(ts).filterNot { case (n, t) =>
-            batchKey.get(n).contains(t) }
+          val byName = df.schema.fields.map(f =>
+            f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+          val lost = ts.fields.filterNot { tf =>
+            byName.get(tf.name.toLowerCase(java.util.Locale.ROOT))
+              .exists(bf =>
+                bf.dataType.catalogString == tf.dataType.catalogString ||
+                  isStructAddWidening(tf.dataType, bf.dataType))
+          }
           require(lost.isEmpty,
-            s"$op: evolution is ADD-COLUMN only — batch schema " +
+            s"$op: evolution is ADD-only (new top-level columns, or " +
+              s"new fields INSIDE a struct column) — batch schema " +
               s"${df.schema.catalogString} drops or retypes " +
-              s"${lost.map(_._1).mkString(", ")} of the table's " +
+              s"${lost.map(_.name).mkString(", ")} of the table's " +
               s"${ts.catalogString} at $dir; use a snapshotCommit full " +
               "rewrite for drops/retypes")
         } else require(schemaKey(ts) == schemaKey(df.schema),

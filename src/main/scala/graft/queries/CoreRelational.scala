@@ -1369,6 +1369,43 @@ object CoreRelational {
           FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2200)
         GROUP BY 1, 2 ORDER BY change_type, status""")),
 
+    // --------------------------------------------------------------- q141
+    // NESTED-STRUCT EVOLUTION (ALTER TABLE ADD COLUMNS (meta.band) →
+    // Layout.snapshotEvolve): the struct widen is metadata-only (zero
+    // rewrites, pinned in-fixture), and a read across generations
+    // null-fills the added nested field in old files via parquet's
+    // by-name resolution — the multimodal-metadata shape (q34's typed
+    // struct columns) evolving in place at 100 TB instead of by
+    // corpus rewrite. Grouping on the nested field exercises the
+    // null-filled and populated generations together; the oracle
+    // replays both from the base table.
+    QuerySpec(
+      "q141_nested_struct_evolve",
+      (s, d) => {
+        val dir = Fits.snapshotNestedEvolveDir(s, d)
+        graft.ops.Layout.snapshotRead(s, dir)
+          .groupBy(col("meta.band").as("band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("meta.price").cast(dec18)).cast("double")
+              .as("sum_price"),
+            sum(col("o_orderkey").cast(dec18)).cast("double")
+              .as("sum_key"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key
+        FROM (
+          SELECT o_orderkey, o_totalprice AS price,
+                 CAST(NULL AS VARCHAR) AS band
+          FROM orders WHERE o_orderkey < 2000
+          UNION ALL
+          SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000)
+        GROUP BY 1 ORDER BY band NULLS FIRST""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

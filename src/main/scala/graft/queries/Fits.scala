@@ -617,6 +617,49 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q141's fixture: NESTED-STRUCT evolution across generations —
+    * generation 1 writes a NARROW struct column
+    * (`meta: {status, price}`), `ALTER TABLE … ADD COLUMNS
+    * (meta.band STRING)` widens it METADATA-ONLY (one evolve commit,
+    * zero file rewrites — required in-fixture), and generation 2
+    * appends under the widened shape. A read then spans both file
+    * generations: parquet's by-name resolution null-fills `meta.band`
+    * in the old files exactly as it would a missing top-level column.
+    * The oracle replays both generations from the base table. */
+  def snapshotNestedEvolveDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapnested:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, lit, struct, when}
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapnest").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir)
+      Layout.snapshotAppend(
+        o.filter(col("o_orderkey") < 2000).select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")).as("meta")),
+        dir, statsCols = Seq("o_orderkey"))                         // v1
+      val gen1Files = Layout.snapshotRead(s, dir).inputFiles.toSet
+      val cat = "graftsqln_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (meta.band STRING)")   // v2
+      Layout.snapshotAppend(
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+          .select(col("o_orderkey"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price"),
+              when(col("o_totalprice") > 150000.0, lit("hi"))
+                .otherwise(lit("lo")).as("band")).as("meta")),
+        dir, statsCols = Seq("o_orderkey"))                         // v3
+      require(gen1Files.subsetOf(
+        Layout.snapshotRead(s, dir).inputFiles.toSet),
+        "the nested add must be metadata-only — generation-1 files " +
+          "must survive unrewritten")
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -234,41 +234,45 @@ class GraftCatalog extends TableCatalog
       changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
+    // Nested evolution, the pinned line: ADD inside a struct is REAL
+    // (parquet's by-name resolution null-fills a missing nested field
+    // exactly like a missing column — metadata-only, Layout
+    // .snapshotEvolve); rename/retype/drop inside a struct stay
+    // REFUSED by design, not omission: they would need nested field
+    // IDs plus a per-generation struct REBUILD projection in every
+    // read (the rename log resolves top-level names with flat
+    // aliases, which Catalyst sees through — a struct rebuilt with
+    // struct() is opaque to nested-column pruning), taxing every
+    // query forever to spare one rewrite. The remedy is the one-time
+    // full rewrite of the reshaped frame (Layout.snapshotCommit).
+    def nestedRefusal(what: String): String =
+      s"catalog $catalogName: only top-level columns can be $what — " +
+        "inside a struct, only ADD COLUMNS evolves in place; a nested " +
+        s"$what would need per-generation struct-rebuild projections " +
+        "that defeat nested-column pruning on every read. Evolve the " +
+        "struct by full rewrite (Layout.snapshotCommit of the " +
+        "reshaped frame)"
     val renames = changes.collect {
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be renamed — " +
-            "nested struct fields carry no field-ID evolution log; " +
-            "evolve the struct by full rewrite (Layout.snapshotCommit " +
-            "of the reshaped frame)")
+        require(r.fieldNames().length == 1, nestedRefusal("renamed"))
         r.fieldNames().head -> r.newName()
     }
     val adds = changes.collect {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be added — " +
-            "nested struct fields carry no field-ID evolution log; " +
-            "evolve the struct by full rewrite (Layout.snapshotCommit " +
-            "of the reshaped frame)")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames().head, a.dataType(), a.isNullable)
+        require(a.fieldNames().length <= 2,
+          s"catalog $catalogName: ADD COLUMNS reaches one struct level " +
+            "(col or col.field) — deeper nesting evolves by full " +
+            "rewrite (Layout.snapshotCommit of the reshaped frame)")
+        a
     }
     val retypes = changes.collect {
       case t: TableChange.UpdateColumnType =>
-        require(t.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be retyped — " +
-            "nested struct fields carry no field-ID evolution log; " +
-            "evolve the struct by full rewrite (Layout.snapshotCommit " +
-            "of the reshaped frame)")
+        require(t.fieldNames().length == 1, nestedRefusal("retyped"))
         t.fieldNames().head -> t.newDataType()
     }
     val drops = changes.collect {
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
-          s"catalog $catalogName: only top-level columns can be dropped — " +
-            "nested struct fields carry no field-ID evolution log; " +
-            "evolve the struct by full rewrite (Layout.snapshotCommit " +
-            "of the reshaped frame)")
+        require(d.fieldNames().length == 1, nestedRefusal("dropped"))
         d.fieldNames().head
     }
     // ALTER TABLE … SET/UNSET TBLPROPERTIES for the two declarations:
@@ -334,8 +338,33 @@ class GraftCatalog extends TableCatalog
       case _ => ()
     }
     if (adds.nonEmpty) {
-      val widened = org.apache.spark.sql.types.StructType(
-        Layout.snapshotRead(spark, dir).schema.fields ++ adds)
+      val widened = adds.foldLeft(
+        Layout.snapshotRead(spark, dir).schema) { (sch, a) =>
+        a.fieldNames() match {
+          case Array(n) =>
+            org.apache.spark.sql.types.StructType(sch.fields :+
+              org.apache.spark.sql.types.StructField(
+                n, a.dataType(), a.isNullable))
+          case Array(parent, child) =>
+            val pf = sch.fields.find(_.name.equalsIgnoreCase(parent))
+              .getOrElse(sys.error(s"catalog $catalogName: no column " +
+                s"'$parent' to add '$child' into"))
+            val st = pf.dataType match {
+              case s: org.apache.spark.sql.types.StructType => s
+              case other => sys.error(s"catalog $catalogName: column " +
+                s"'$parent' is ${other.catalogString}, not a struct — " +
+                "nested ADD targets struct columns")
+            }
+            require(!st.fields.exists(_.name.equalsIgnoreCase(child)),
+              s"catalog $catalogName: '$parent.$child' already exists")
+            val wst = org.apache.spark.sql.types.StructType(st.fields :+
+              org.apache.spark.sql.types.StructField(
+                child, a.dataType(), a.isNullable))
+            org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+              if (f eq pf) pf.copy(dataType = wst) else f))
+          case _ => sys.error("unreachable: arity checked above")
+        }
+      }
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
       Layout.snapshotEvolve(empty, dir)

@@ -45,11 +45,11 @@ class SnapshotEvolveSpec extends SparkSpec {
     val drop = intercept[IllegalArgumentException] {
       Layout.snapshotEvolve(Seq(Tuple1(2)).toDF("k"), dir)
     }
-    assert(drop.getMessage.contains("ADD-COLUMN only"))
+    assert(drop.getMessage.contains("evolution is ADD-only"))
     val retype = intercept[IllegalArgumentException] {
       Layout.snapshotEvolve(Seq((2, 7)).toDF("k", "s"), dir)
     }
-    assert(retype.getMessage.contains("ADD-COLUMN only"))
+    assert(retype.getMessage.contains("evolution is ADD-only"))
   }
 
   test("time travel to a pre-evolution version keeps the old schema") {

@@ -201,4 +201,29 @@ class SnapshotRestoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("restore replay across too many overlay lines refuses with the " +
+      "maintenance remedy (quadratic plan-growth guard)") {
+    val dir = tmpDir("snaprestore_guard") + "/t"
+    Layout.snapshotAppend((1 to 200).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    // accumulate MORE one-side-only delete lines than the replay will
+    // compile a plan for (each line's dedup anti-joins every earlier
+    // line's key set — ~L²/2 joins)
+    val n = Layout.MaxRestoreOverlayLines + 1
+    (1 to n).foreach { i =>
+      Layout.snapshotDeleteKeys(spark, dir, Seq(Tuple1(i)).toDF("k"),
+        Seq("k"))
+    }
+    Layout.snapshotRestore(spark, dir, 1L)
+    val e = intercept[Exception] {
+      Layout.snapshotChangesTyped(spark, dir, n.toLong + 1, n.toLong + 2)
+        .count()
+    }
+    assert(e.getMessage.contains("snapshotCompact") &&
+      e.getMessage.contains("delete lines"), e.getMessage)
+    // only the typed REPLAY refused — the restored state itself is
+    // fine, and a plain read serves the un-deleted corpus
+    assert(stateOf(dir).keySet === (1 to 200).toSet)
+  }
 }

@@ -420,13 +420,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Layout.snapshotVersions(spark, dir).size === 4)
   }
 
-  test("nested struct evolution refuses with the full-rewrite remedy (pinned contract)") {
-    val (cat, _) = newCatalog()
+  test("nested struct evolution: ADD inside a struct is real " +
+      "(null-backfilled across generations); rename/drop stay pinned " +
+      "refusals with the full-rewrite remedy") {
+    val (cat, dir0) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.n (k BIGINT, " +
-      "meta STRUCT<width: INT, codec: STRING>)")
-    spark.sql(s"INSERT INTO $cat.db.n VALUES (1, struct(640, 'h264'))")
-    // the snapshot format's field-ID rename/drop log is top-level only;
-    // a nested rename must refuse loudly with the remedy, never corrupt
+      "meta STRUCT<width: INT, codec: STRING, deep: STRUCT<x: INT>>)")
+    spark.sql(s"INSERT INTO $cat.db.n VALUES " +
+      "(1, struct(640, 'h264', struct(7)))")
+    // ADD a field INSIDE the struct: metadata-only evolve; the
+    // generation-1 file above never rewrites
+    val filesBefore = Layout.snapshotRead(spark, s"$dir0/db/n")
+      .inputFiles.toSet
+    spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (meta.lang STRING)")
+    spark.sql(s"INSERT INTO $cat.db.n VALUES " +
+      "(2, struct(1280, 'av1', struct(9), 'en'))")
+    // read across generations: the old file null-fills meta.lang, the
+    // new one carries it; nested projections resolve on both
+    val rows = spark.sql(
+      s"SELECT k, meta.codec, meta.lang FROM $cat.db.n ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2))))
+    assert(rows.toSeq === Seq((1L, "h264", None), (2L, "av1", Some("en"))))
+    assert(filesBefore.subsetOf(
+      Layout.snapshotRead(spark, s"$dir0/db/n").inputFiles.toSet),
+      "the nested add must be metadata-only (no rewrite of old files)")
+    // appends now contract on the WIDENED struct: a batch with the old
+    // narrow shape refuses (same-schema append contract)
+    val narrow = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.n VALUES (3, " +
+        "named_struct('width', 1, 'codec', 'x', 'deep', struct(1)))")
+    }.getMessage.toLowerCase
+    assert(narrow.contains("schema") || narrow.contains("missing fields"),
+      narrow)
+    // a second level stays out of reach by arity
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (meta.deep.f INT)")
+    }.getMessage.contains("one struct level"))
+    // duplicate nested field refuses
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (meta.lang STRING)")
+    }.getMessage.contains("already exists"))
+    // rename/drop INSIDE a struct: the pinned refusal, with the
+    // reasoned remedy — never corrupt
     val e = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.n RENAME COLUMN meta.codec TO fmt")
     }
@@ -438,8 +474,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(d.getMessage.contains("top-level") &&
       d.getMessage.contains("full rewrite"), d.getMessage)
     // the table is untouched and still answers
-    assert(spark.sql(s"SELECT meta.codec FROM $cat.db.n").head()
-      .getString(0) === "h264")
+    assert(spark.sql(s"SELECT meta.codec FROM $cat.db.n WHERE k = 1")
+      .head().getString(0) === "h264")
   }
 
   test("CALL system.compact: a SQL-only session goes from MOR refusal to served") {
