@@ -518,14 +518,16 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     (): Unit
   }
 
-  /** Declared keys and clustering order surface as table properties
-    * (`SHOW TBLPROPERTIES`). */
+  /** Declared keys, clustering order, and the update-image policy
+    * surface as table properties (`SHOW TBLPROPERTIES`). */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     val keys = Layout.snapshotKeyCols(spark, dir)
     if (keys.nonEmpty) m.put("graft.key", keys.mkString(","))
     val cluster = Layout.snapshotClusterCols(spark, dir)
     if (cluster.nonEmpty) m.put("graft.cluster", cluster.mkString(","))
+    Layout.snapshotCdcUpdateImages(spark, dir).foreach(b =>
+      m.put("graft.cdc.updateImages", b.toString))
     m
   }
 
