@@ -21,6 +21,8 @@ import graft.ops.Layout
   *   SELECT * FROM snapshot_changes_typed('/path/to/table', 1)
   *                      -- delete-aware: _change_type insert/delete rows
   *   SELECT * FROM snapshot_history('/path/to/table')  -- DESCRIBE HISTORY
+  *   SELECT * FROM snapshot_tags('/path/to/table')     -- release pins
+  *   SELECT * FROM snapshot_branches('/path/to/table') -- staged WAP refs
   * }}}
   *
   * The builders expand at ANALYSIS time into the same parquet scan the
@@ -166,6 +168,35 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_tags('<dir>')` — live tags as data (name, version):
+    * the release-pin inventory ([[Layout.snapshotTags]]). */
+  private[graft] def tagsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"snapshot_tags(dir) takes 1 argument, got ${args.size}")
+    val dir = argString(args(0), "snapshot_tags", "dir")
+    val spark = SparkSession.active
+    import spark.implicits._
+    Layout.snapshotTags(spark, dir).toSeq.sorted
+      .toDF("tag", "version").queryExecution.logical
+  }
+
+  /** `snapshot_branches('<dir>')` — live write-audit-publish branches
+    * as data (name, base version, tip version):
+    * ([[Layout.snapshotBranches]]) — "what is staged and from where",
+    * the audit-side inventory `snapshot_history` cannot show (branch
+    * manifests are invisible to the main line by design). */
+  private[graft] def branchesBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"snapshot_branches(dir) takes 1 argument, got ${args.size}")
+    val dir = argString(args(0), "snapshot_branches", "dir")
+    val spark = SparkSession.active
+    import spark.implicits._
+    Layout.snapshotBranches(spark, dir).toSeq
+      .map { case (n, (b, t)) => (n, b, t) }.sorted
+      .toDF("branch", "base_version", "tip_version")
+      .queryExecution.logical
+  }
+
   /** Registration triples for
     * `SparkSessionExtensions.injectTableFunction`. */
   def tvfRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -185,7 +216,13 @@ object SnapshotTvf {
       changesTypedBuilder _),
     (FunctionIdentifier("snapshot_history"),
       new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_history"),
-      historyBuilder _))
+      historyBuilder _),
+    (FunctionIdentifier("snapshot_tags"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_tags"),
+      tagsBuilder _),
+    (FunctionIdentifier("snapshot_branches"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_branches"),
+      branchesBuilder _))
 
   /** Idempotent runtime registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions` (the driver's) — the

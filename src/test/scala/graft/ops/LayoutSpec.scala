@@ -1104,10 +1104,22 @@ class LayoutSpec extends SparkSpec {
     def record(): Unit =
       states(Layout.snapshotVersions(spark, dir).last) =
         (model.toMap, morLive)
+    // write-audit-publish: at most one live branch, whose own model
+    // evolves by staged appends and must replace main's exactly when
+    // (and only when) an UN-diverged fast-forward publishes it — any
+    // main commit (including a RESTORE) in between must turn the
+    // publish into a refusal
+    final case class BranchSt(name: String,
+      bm: scala.collection.mutable.Map[Int, String], base: Long,
+      var staged: Int)
+    var branch: Option[BranchSt] = None
+    var published = 0
+    var walkedAway = 0
     var nextVal = 0
     def fresh(): String = { nextVal += 1; s"v$nextVal" }
     def freshKeys(n: Int): Seq[Int] =
-      rnd.shuffle((0 until 200).filterNot(model.contains).toList).take(n)
+      rnd.shuffle((0 until 200).filterNot(k => model.contains(k) ||
+        branch.exists(_.bm.contains(k))).toList).take(n)
     def existing(n: Int): Seq[Int] =
       rnd.shuffle(model.keys.toList).take(n)
     // bootstrap
@@ -1124,9 +1136,30 @@ class LayoutSpec extends SparkSpec {
       Layout.snapshotRowCount(spark, dir).foreach(n =>
         assert(n === model.size.toLong, s"rowCount after $tag"))
     }
+    // publish (or refuse): un-diverged + staged work → fast-forward
+    // swaps the branch model in atomically; a moved main (any commit,
+    // RESTORE included) or an empty stage → refusal, then walk away
+    def publishOrWalkAway(step: Int): Unit = branch.foreach { st =>
+      val mainHead = Layout.snapshotVersions(spark, dir).last
+      if (st.staged > 0 && mainHead == st.base) {
+        Layout.snapshotFastForward(spark, dir, st.name)
+        model.clear(); model ++= st.bm
+        branch = None
+        check(s"publish@$step")
+        published += 1
+      } else {
+        intercept[IllegalArgumentException] {
+          Layout.snapshotFastForward(spark, dir, st.name)
+        }
+        assert(Layout.snapshotDropBranch(spark, dir, st.name))
+        branch = None
+        check(s"walkAway@$step") // refusal + drop committed nothing
+        walkedAway += 1
+      }
+    }
     check("bootstrap")
-    (1 to 28).foreach { step =>
-      rnd.nextInt(9) match {
+    (1 to 34).foreach { step =>
+      rnd.nextInt(11) match {
         case 0 => // append fresh keys
           val rows = freshKeys(1 + rnd.nextInt(5)).map(k => (k, fresh()))
           if (rows.nonEmpty) {
@@ -1205,9 +1238,52 @@ class LayoutSpec extends SparkSpec {
           val (m0, mor0) = states(target)
           model.clear(); model ++= m0; morLive = mor0
           check(s"restore@$step->v$target")
+        case 9 => // branch: create one, or stage an append on the live
+          // one — main (checked by check()) must never see staged rows
+          branch match {
+            case None =>
+              val name = s"b$step"
+              Layout.snapshotBranch(spark, dir, name)
+              branch = Some(BranchSt(name,
+                scala.collection.mutable.Map(model.toSeq: _*),
+                Layout.snapshotVersions(spark, dir).last, 0))
+              check(s"branchCreate@$step") // commits nothing on main
+            case Some(st) if st.staged == 0 || rnd.nextBoolean() =>
+              val rows = freshKeys(1 + rnd.nextInt(4)).map(k => (k, fresh()))
+              if (rows.nonEmpty) {
+                Layout.snapshotBranchAppend(rows.toDF("k", "s"), dir,
+                  st.name, statsCols = Seq("k"))
+                st.bm ++= rows; st.staged += 1
+                val got = Layout.snapshotBranchRead(spark, dir, st.name)
+                  .as[(Int, String)].collect().toMap
+                assert(got === st.bm.toMap, s"branch state@$step")
+                check(s"stage@$step") // main untouched by staging
+              }
+            case _ => publishOrWalkAway(step)
+          }
+        case 10 => // publish (or refuse) a live branch
+          branch.foreach(_ => publishOrWalkAway(step))
       }
     }
     assert(model.nonEmpty, "degenerate run: model drained completely")
+    // epilogue: one DETERMINISTIC full WAP cycle against whatever state
+    // the random walk left (overlay live or not, post-restore or not) —
+    // a successful publish is exercised every run regardless of how the
+    // seeded trajectory interleaved branch ops with main commits
+    branch.foreach(_ => publishOrWalkAway(99))
+    Layout.snapshotBranch(spark, dir, "bfinal")
+    branch = Some(BranchSt("bfinal",
+      scala.collection.mutable.Map(model.toSeq: _*),
+      Layout.snapshotVersions(spark, dir).last, 0))
+    val stagedRows = freshKeys(3).map(k => (k, fresh()))
+    Layout.snapshotBranchAppend(stagedRows.toDF("k", "s"), dir, "bfinal",
+      statsCols = Seq("k"))
+    branch.foreach { st => st.bm ++= stagedRows; st.staged += 1 }
+    check("epilogue-staged") // main still matches its own model
+    publishOrWalkAway(100)   // un-diverged by construction → publishes
+    assert(published >= 1 && walkedAway >= 1,
+      s"both WAP paths must be exercised " +
+        s"(published=$published, walkedAway=$walkedAway)")
   }
 
   test("salted join: identical result to the plain join under skew") {

@@ -182,4 +182,26 @@ class SnapshotTvfSpec extends SparkSpec {
     assert(s2.sql(s"SELECT count(*) AS n FROM snapshot_read('$dir')")
       .head().getLong(0) === 150)
   }
+
+  test("snapshot_tags / snapshot_branches: the ref inventories as data") {
+    import spark.implicits._
+    val dir = tmpDir("tvfrefs") + "/t"
+    Layout.snapshotAppend(Seq((1, "a")).toDF("k", "s"), dir)
+    SnapshotTvf.ensureSqlDoor(spark)
+    assert(spark.sql(s"SELECT * FROM snapshot_tags('$dir')").count() === 0)
+    assert(spark.sql(
+      s"SELECT * FROM snapshot_branches('$dir')").count() === 0)
+    Layout.snapshotTag(spark, dir, "rel-1", 1L)
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend(Seq((2, "b")).toDF("k", "s"), dir, "audit")
+    assert(spark.sql(s"SELECT tag, version FROM snapshot_tags('$dir')")
+      .as[(String, Long)].collect().toSeq === Seq(("rel-1", 1L)))
+    assert(spark.sql(s"SELECT branch, base_version, tip_version " +
+        s"FROM snapshot_branches('$dir')")
+      .as[(String, Long, Long)].collect().toSeq ===
+      Seq(("audit", 1L, 2L)))
+    Layout.snapshotDropBranch(spark, dir, "audit")
+    assert(spark.sql(
+      s"SELECT * FROM snapshot_branches('$dir')").count() === 0)
+  }
 }
