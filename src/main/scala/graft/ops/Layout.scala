@@ -4439,13 +4439,29 @@ object Layout {
     * the anti-join and would resurrect deleted rows — materialize via
     * [[snapshotCompact]] or read through [[snapshotRead]]. */
   def snapshotScanInputs(spark: SparkSession, dir: String,
-      version: Long): (Seq[String], org.apache.spark.sql.types.StructType) = {
-    val lines = snapshotManifestLines(spark, dir, version)
+      version: Long): (Seq[String], org.apache.spark.sql.types.StructType) =
+    scanInputsFromLines(spark, dir, s"snapshot at $dir v$version",
+      snapshotManifestLines(spark, dir, version))
+
+  /** [[snapshotScanInputs]] for a BRANCH tip — the delegated plain
+    * scan behind a `t@branch` catalog read. Same two refusals, same
+    * remedies (the overlay-aware fallback is
+    * [[snapshotBranchRead]], served under extensions by
+    * [[graft.plans.SnapshotOverlayReadRule]]). */
+  def snapshotBranchScanInputs(spark: SparkSession, dir: String,
+      name: String): (Seq[String], org.apache.spark.sql.types.StructType) =
+    scanInputsFromLines(spark, dir, s"branch '$name' of $dir",
+      snapshotManifestLines(spark, dir, branchTip(spark, dir, name),
+        branchSub(name)))
+
+  private def scanInputsFromLines(spark: SparkSession, dir: String,
+      what: String, lines: Seq[String])
+      : (Seq[String], org.apache.spark.sql.types.StructType) = {
     val rels = lines.filterNot(_.startsWith("#"))
     val metaLines = lines
       .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
     require(parseDeleteMeta(metaLines).isEmpty,
-      s"snapshot at $dir v$version carries a live merge-on-read delete " +
+      s"$what carries a live merge-on-read delete " +
         "overlay — a plain file scan would resurrect deleted rows; run " +
         "snapshotCompact/snapshotMaintain to materialize it, or read " +
         "via snapshotRead, which applies the overlay")
@@ -4454,7 +4470,7 @@ object Layout {
       .orElse(rels.headOption.map(rel =>
         spark.read.parquet(new Path(dir, rel).toString).schema))
       .getOrElse(sys.error(
-        s"snapshot v$version at $dir has no files and no recorded schema"))
+        s"$what has no files and no recorded schema"))
     val colmaps = parseColMaps(metaLines)
     val mixed = rels.filter { rel =>
       val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
@@ -4462,7 +4478,7 @@ object Layout {
         shadowedAt(schema, colmaps, fv).nonEmpty
     }
     require(mixed.isEmpty,
-      s"snapshot at $dir v$version carries a column rename or drop " +
+      s"$what carries a column rename or drop " +
         s"(snapshotRename/snapshotDropColumns) that ${mixed.size} older " +
         "file(s) predate — a plain file scan cannot resolve their " +
         "on-disk names; run snapshotCompact/snapshotMaintain to " +
@@ -4485,7 +4501,16 @@ object Layout {
     val v = if (version > 0) version
     else snapshotLatestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
-    val lines = snapshotManifestLines(spark, dir, v)
+    scanNeedsOverlayFromLines(snapshotManifestLines(spark, dir, v))
+  }
+
+  /** [[snapshotScanNeedsOverlay]] for a BRANCH tip. */
+  def snapshotBranchScanNeedsOverlay(spark: SparkSession, dir: String,
+      name: String): Boolean =
+    scanNeedsOverlayFromLines(snapshotManifestLines(spark, dir,
+      branchTip(spark, dir, name), branchSub(name)))
+
+  private def scanNeedsOverlayFromLines(lines: Seq[String]): Boolean = {
     val rels = lines.filterNot(_.startsWith("#"))
     val metaLines = lines
       .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))

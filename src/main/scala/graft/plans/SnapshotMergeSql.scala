@@ -101,6 +101,9 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
       tbl: GraftSnapshotTable): LogicalPlan = {
     if (tbl.snapVersion > 0)
       refuse("cannot MERGE INTO a time-travel (VERSION/TIMESTAMP AS OF) snapshot")
+    if (tbl.snapBranch.isDefined)
+      refuse("cannot MERGE INTO a branch read (t@branch) — branches " +
+        "stage appends only; publish first, then merge on main")
     if (m.withSchemaEvolution)
       refuse("WITH SCHEMA EVOLUTION is not supported — ALTER TABLE ADD " +
         "COLUMNS first (Layout.snapshotEvolve)")

@@ -78,8 +78,13 @@ case class SnapshotOverlayReadRule(session: SparkSession)
 
   private def rewrite(r: DataSourceV2Relation,
       t: GraftSnapshotTable): LogicalPlan = {
-    val read = Layout.snapshotRead(session, t.snapDir, t.snapVersion)
-      .queryExecution.analyzed
+    // a branch-qualified relation (`t@audit`) swaps in the branch's
+    // overlay-aware read — the audit query keeps answering while the
+    // branch carries the base table's live takedown
+    val read = (t.snapBranch match {
+      case Some(b) => Layout.snapshotBranchRead(session, t.snapDir, b)
+      case None    => Layout.snapshotRead(session, t.snapDir, t.snapVersion)
+    }).queryExecution.analyzed
     val byName = read.output
       .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
     // re-key the overlay read's output to the replaced relation's

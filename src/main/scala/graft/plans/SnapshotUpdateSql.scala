@@ -49,6 +49,9 @@ object SnapshotUpdateRule extends Rule[LogicalPlan] {
       tbl: GraftSnapshotTable): LogicalPlan = {
     if (tbl.snapVersion > 0)
       refuse("cannot UPDATE a time-travel (VERSION/TIMESTAMP AS OF) snapshot")
+    if (tbl.snapBranch.isDefined)
+      refuse("cannot UPDATE a branch read (t@branch) — branches stage " +
+        "appends only; publish first, then update main")
     val tgtOut = target.outputSet
     // the command re-resolves everything against the rewrite scan by
     // NAME — swap resolved target attributes for unresolved ones

@@ -132,14 +132,42 @@ class GraftCatalog extends TableCatalog
       .map(Identifier.of(namespace, _))
   }
 
-  override def loadTable(ident: Identifier): Table =
-    loadVersioned(ident, -1L)
+  /** `t@<branch>` in the table position resolves a BRANCH read/stage
+    * handle (quote it: `SELECT … FROM cat.db.\`t@audit\``) — the
+    * SQL-only audit-and-staging door of write-audit-publish. The
+    * `@` split happens here, not in a parser extension, so every SQL
+    * surface that names tables (SELECT, INSERT INTO, SHOW) gets it. */
+  override def loadTable(ident: Identifier): Table = {
+    val n = ident.name()
+    val at = n.lastIndexOf('@')
+    if (at <= 0) loadVersioned(ident, -1L)
+    else {
+      val base = Identifier.of(ident.namespace(), n.substring(0, at))
+      val br = n.substring(at + 1)
+      if (!exists(base)) throw new NoSuchTableException(base)
+      val dir = dirOf(base)
+      require(Layout.snapshotBranches(spark, dir).contains(br),
+        s"catalog $catalogName: no branch '$br' on table " +
+          s"'${base.name()}' — create it with " +
+          s"CALL $catalogName.system.branch(...) (live branches: " +
+          s"${Layout.snapshotBranches(spark, dir)
+            .keys.toSeq.sorted.mkString(", ")})")
+      new GraftSnapshotTable(ident.toString, dir, -1L, Some(br))
+    }
+  }
+
+  private def refuseBranchTimeTravel(ident: Identifier): Unit =
+    require(!ident.name().contains('@'),
+      s"catalog $catalogName: time travel on a branch read " +
+        s"('${ident.name()}') is not supported — branches serve their " +
+        "tip; pin main versions instead")
 
   /** `VERSION AS OF <v>` (DSv2 passes the literal as a string) — a
     * number reads that snapshot version; any other string resolves as
     * a TAG name ([[Layout.snapshotTag]]), so
     * `VERSION AS OF 'release-2026-08'` reads the pinned corpus. */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    refuseBranchTimeTravel(ident)
     loadVersioned(ident,
       version.toLongOption.orElse(
         Layout.snapshotTags(spark, dirOf(ident)).get(version))
@@ -148,9 +176,11 @@ class GraftCatalog extends TableCatalog
             s"snapshot version or a live tag name, got '$version' " +
             s"(tags: ${Layout.snapshotTags(spark, dirOf(ident))
               .keys.toSeq.sorted.mkString(", ")})")))
+  }
 
   /** `TIMESTAMP AS OF <ts>` (micros since epoch). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    refuseBranchTimeTravel(ident)
     val dir = dirOf(ident)
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val v = Layout.snapshotVersionAsOf(spark, dir, timestamp / 1000L)
@@ -174,6 +204,9 @@ class GraftCatalog extends TableCatalog
       s"catalog $catalogName: PARTITIONED BY is not supported — the " +
         "snapshot format clusters by commit (append = natural time " +
         "clustering; zorderWrite for multi-dim)")
+    require(!ident.name().contains('@'),
+      s"catalog $catalogName: '@' in a table name is reserved for " +
+        "branch reads (t@branch)")
     if (exists(ident)) throw new TableAlreadyExistsException(
       (ident.namespace() :+ ident.name()).toSeq)
     // TBLPROPERTIES ('graft.key' = 'col[,col…]') declares the table's
@@ -451,14 +484,20 @@ class GraftCatalog extends TableCatalog
   * `TRUNCATE TABLE` rides the same door with an always-true
   * predicate. */
 private[graft] class GraftSnapshotTable(ident: String, dir: String,
-    version: Long) extends Table with SupportsRead with SupportsWrite
+    version: Long, branch: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  /** The table directory / pinned version, for the SQL MERGE door
-    * ([[graft.plans.SnapshotMergeRule]]). `version()` (no-arg) is
-    * taken by the DSv2 [[Table]] contract. */
+  /** The table directory / pinned version / branch qualifier, for the
+    * SQL MERGE door ([[graft.plans.SnapshotMergeRule]]). `version()`
+    * (no-arg) is taken by the DSv2 [[Table]] contract. A branch-
+    * qualified instance (`SELECT … FROM cat.db.\`t@audit\``) reads the
+    * branch tip and routes INSERTs to [[Layout.snapshotBranchAppend]]
+    * — the SQL-only staging door of write-audit-publish; everything
+    * heavier (MERGE/UPDATE/DELETE/OVERWRITE) refuses on a branch. */
   private[graft] def snapDir: String = dir
   private[graft] def snapVersion: Long = version
+  private[graft] def snapBranch: Option[String] = branch
 
   /** True when the delegated plain-file scan cannot serve this version
     * (live MOR delete overlay, or files predating a rename) — the
@@ -466,8 +505,10 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     * read-position relations on. Lazy: one manifest GET per table
     * instance (instances are per-`loadTable`, i.e. per statement), not
     * one per analyzer pass. */
-  private[graft] lazy val needsOverlayRead: Boolean =
-    Layout.snapshotScanNeedsOverlay(spark, dir, version)
+  private[graft] lazy val needsOverlayRead: Boolean = branch match {
+    case Some(b) => Layout.snapshotBranchScanNeedsOverlay(spark, dir, b)
+    case None    => Layout.snapshotScanNeedsOverlay(spark, dir, version)
+  }
 
   import org.apache.spark.sql.{functions => F}
   import org.apache.spark.sql.sources
@@ -505,11 +546,15 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    version <= 0 && filters.forall(f => filterToColumn(f).isDefined)
+    version <= 0 && branch.isEmpty &&
+      filters.forall(f => filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(version <= 0,
       s"catalog table $ident: cannot DELETE FROM a time-travel snapshot")
+    require(branch.isEmpty,
+      s"catalog table $ident: cannot DELETE FROM a branch read — " +
+        "branches stage appends only")
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(F.lit(true))
     // declared keys (graft.key) make the delete typed-feed-replayable
@@ -540,8 +585,10 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
 
   override def name(): String = ident
 
-  override def schema(): StructType =
-    Layout.snapshotRead(spark, dir, version).schema
+  override def schema(): StructType = branch match {
+    case Some(b) => Layout.snapshotBranchRead(spark, dir, b).schema
+    case None    => Layout.snapshotRead(spark, dir, version).schema
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -549,9 +596,10 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    val v = resolvedVersion
-    val (files, schemaOfRecord) =
-      Layout.snapshotScanInputs(spark, dir, v)
+    val (files, schemaOfRecord) = branch match {
+      case Some(b) => Layout.snapshotBranchScanInputs(spark, dir, b)
+      case None => Layout.snapshotScanInputs(spark, dir, resolvedVersion)
+    }
     new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       ident,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
@@ -570,8 +618,22 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
           new InsertableRelation {
             override def insert(data: DataFrame,
                 ignored: Boolean): Unit = {
-              if (overwrite) Layout.snapshotCommit(data, dir)
-              else Layout.snapshotAppend(data, dir)
+              branch match {
+                case Some(b) =>
+                  // the SQL-only STAGING door: appends land on the
+                  // branch, invisible to main until fast_forward;
+                  // overwrite would make the publish delta
+                  // non-append-shaped — stage appends only
+                  require(!overwrite,
+                    s"catalog table $ident: INSERT OVERWRITE a branch " +
+                      "is not supported — stage appends, publish with " +
+                      "CALL system.fast_forward, or walk away with " +
+                      "drop_branch")
+                  Layout.snapshotBranchAppend(data, dir, b)
+                case None =>
+                  if (overwrite) Layout.snapshotCommit(data, dir)
+                  else Layout.snapshotAppend(data, dir)
+              }
               (): Unit
             }
           }

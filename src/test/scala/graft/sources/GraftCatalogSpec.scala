@@ -560,6 +560,68 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Layout.snapshotBranches(spark, dir).isEmpty)
   }
 
+  test("t@branch: the SQL-only write-audit-publish cycle — stage by " +
+      "INSERT, audit by SELECT, publish by CALL") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.b VALUES (1, 'a'), (2, 'b')")   // v2
+    spark.sql(s"CALL $cat.system.branch('db.b', 'audit')")
+    // STAGE through SQL: the branch-qualified identifier routes the
+    // append to the branch namespace
+    spark.sql(s"INSERT INTO $cat.db.`b@audit` VALUES (3, 'c'), (4, 'd')")
+    // AUDIT through SQL: branch read serves base + staged …
+    assert(spark.sql(s"SELECT k FROM $cat.db.`b@audit` ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+    // … while main still serves only its own rows
+    assert(spark.sql(s"SELECT k FROM $cat.db.b ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // PUBLISH through SQL
+    spark.sql(s"CALL $cat.system.fast_forward('db.b', 'audit')")
+    assert(spark.sql(s"SELECT k FROM $cat.db.b ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+    // refusals: heavier DML and time travel stay off branches
+    assert(intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.db.`b@audit` VALUES (9, 'x')")
+    }.getMessage.contains("stage appends"))
+    assert(intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.db.`b@audit` WHERE k = 1")
+    }.getMessage.toLowerCase.contains("delete"))
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.`b@audit` VERSION AS OF 2")
+    }.getMessage.contains("branch"))
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.`b@nope`").collect()
+    }.getMessage.contains("no branch"))
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.`x@y` (k BIGINT)")
+    }.getMessage.contains("reserved"))
+  }
+
+  test("t@branch read under extensions: a live base takedown rides the " +
+      "branch's overlay-aware read") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.bo (k BIGINT, s STRING)")
+    x.sql(s"INSERT INTO $cat.db.bo VALUES (1,'a'), (2,'b'), (3,'c')")
+    val dir = s"$root/db/bo"
+    // live merge-on-read takedown on MAIN, then branch: the branch
+    // carries the overlay line
+    Layout.snapshotDeleteKeys(x, dir, Seq(2L).toDF("k"), Seq("k"))
+    x.sql(s"CALL $cat.system.branch('db.bo', 'audit')")
+    Layout.snapshotBranchAppend(Seq((4L, "d")).toDF("k", "s"), dir,
+      "audit")
+    // without extensions the delegated branch scan refuses honestly
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.`bo@audit`").collect()
+    }.getMessage.contains("snapshotCompact"))
+    // with extensions the overlay rule swaps in the branch read
+    assert(x.sql(s"SELECT k FROM $cat.db.`bo@audit` ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("CALL system.maintain: policy compaction + retention in one SQL verb") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.mm (k BIGINT)")
