@@ -46,6 +46,10 @@ import graft.ops.Layout
   *   SELECT * FROM graft.db.t VERSION AS OF 3 -- time travel
   *   SELECT * FROM graft.db.t VERSION AS OF 'release-1'  -- tagged release
   *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-08-01 00:00:00'
+  *   CALL graft.system.branch('db.t', 'audit')    -- WAP: stage ref
+  *   INSERT INTO graft.db.`t@audit` SELECT ...    -- stage on the branch
+  *   SELECT * FROM graft.db.`t@audit`             -- audit the staged tip
+  *   CALL graft.system.fast_forward('db.t', 'audit')  -- publish
   * }}}
   *
   * With `graft.key` declared (carried as `graft.key` flags in the

@@ -164,6 +164,45 @@ class SnapshotBranchSpec extends SparkSpec {
       "the branch sees base + staged, never main's concurrent commit")
   }
 
+  test("fast-forward racing a main append: the dense-slot CAS picks " +
+      "exactly one winner and no commit is ever lost") {
+    // the publish PUT and a racing append contend main's SAME next
+    // version slot. Two legal outcomes, both loss-free: the publish
+    // wins and the append retries on top of it (both commits land), or
+    // the append wins and the publish refuses diverged (staged rows
+    // stay confined to the branch). What can NEVER happen is the
+    // interleaved append's rows silently vanishing under the publish.
+    (1 to 5).foreach { round =>
+      val dir = tmpDir(s"snapbranch_ffrace$round") + "/t"
+      Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "audit")
+      Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+        .toDF("k", "s").repartition(1), dir, "audit")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fPub = Future {
+        try { Layout.snapshotFastForward(spark, dir, "audit"); true }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("diverged") => false }
+      }
+      val fApp = Future {
+        Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i"))
+          .toDF("k", "s").repartition(1), dir)
+      }
+      val published = Await.result(fPub, 120.seconds)
+      Await.result(fApp, 120.seconds)
+      val got = stateOf(dir).keySet
+      val want =
+        if (published) ((1 to 10) ++ (11 to 20) ++ (21 to 30)).toSet
+        else ((1 to 10) ++ (21 to 30)).toSet
+      assert(got === want,
+        s"round $round (published=$published): the append's rows must " +
+          "survive every interleaving")
+    }
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
