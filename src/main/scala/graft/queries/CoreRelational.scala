@@ -1406,6 +1406,35 @@ object CoreRelational {
           FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000)
         GROUP BY 1 ORDER BY band NULLS FIRST""")),
 
+    // --------------------------------------------------------------- q142
+    // WRITE-AUDIT-PUBLISH in pure SQL text (t@branch identifiers +
+    // CALL doors): main built by INSERT INTO, loads staged through
+    // INSERT INTO cat.`t@audit`, audit gates SELECTed on both
+    // identifiers (required in-fixture), publish by CALL
+    // system.fast_forward — zero Scala in the cycle. The read is the
+    // published main through the catalog's delegated vectorized scan;
+    // the oracle recomputes it from the base table. The SQL twin of
+    // q139 (which drives the same machinery through the Scala API and
+    // checks the typed feed's published delta).
+    QuerySpec(
+      "q142_sql_wap_cycle",
+      (s, d) => {
+        val table = Fits.snapshotSqlWapTable(s, d)
+        s.sql(s"""
+          SELECT o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM $table GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders WHERE o_orderkey < 4000
+        GROUP BY 1 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -660,6 +660,58 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q142's fixture: write-audit-publish in PURE SQL TEXT — no Scala
+    * anywhere in the cycle. `CREATE TABLE` + `INSERT INTO` build main,
+    * `CALL system.branch` opens the stage ref, TWO `INSERT INTO
+    * cat.`t@audit`` statements stage loads through the branch-qualified
+    * identifier, the audit gates are SQL `SELECT count(*)` on both
+    * identifiers (required in-fixture: main must not move, the branch
+    * must serve base + staged), and `CALL system.fast_forward`
+    * publishes. The query reads the published main through the catalog;
+    * the oracle recomputes it from the base table. */
+  def snapshotSqlWapTable(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapsqlwap:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlwap").toString
+      val cat = "graftsqlw_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      T.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("graft_q142_base")
+      s.sql(s"""
+        CREATE TABLE $cat.t (
+          o_orderkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE)""")                                  // v1
+      s.sql(s"""
+        INSERT INTO $cat.t
+        SELECT * FROM graft_q142_base WHERE o_orderkey < 2000""")   // v2
+      s.sql(s"CALL $cat.system.branch('t', 'audit')")
+      s.sql(s"""
+        INSERT INTO $cat.`t@audit` SELECT * FROM graft_q142_base
+        WHERE o_orderkey >= 2000 AND o_orderkey < 3000""")
+      s.sql(s"""
+        INSERT INTO $cat.`t@audit` SELECT * FROM graft_q142_base
+        WHERE o_orderkey >= 3000 AND o_orderkey < 4000""")
+      // the audit gates, in SQL on both identifiers
+      val mainN = s.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+      val tipN = s.sql(s"SELECT count(*) FROM $cat.`t@audit`")
+        .head().getLong(0)
+      val wantMain = s.sql("SELECT count(*) FROM graft_q142_base " +
+        "WHERE o_orderkey < 2000").head().getLong(0)
+      val wantTip = s.sql("SELECT count(*) FROM graft_q142_base " +
+        "WHERE o_orderkey < 4000").head().getLong(0)
+      require(mainN == wantMain,
+        "SQL staging must not leak into the main identifier")
+      require(tipN == wantTip,
+        "the branch identifier must serve base + staged")
+      s.sql(s"CALL $cat.system.fast_forward('t', 'audit')")         // v3
+      s"$cat.t"
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes
