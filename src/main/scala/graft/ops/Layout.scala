@@ -627,6 +627,16 @@ object Layout {
       staged.foreach { case (_, _, _, _, st) =>
         if (st != metaState) dropStaged()
       }
+      // stats tracking is STICKY: a batch that names no statsCols
+      // inherits the columns the carried files already track, so
+      // manifest-stats pruning never decays through doors that cannot
+      // pass the parameter (SQL `INSERT INTO`, the branch staging
+      // door) — the same inheritance commitFileGranular's rewrites
+      // already do. An explicit statsCols still wins.
+      val effStatsCols =
+        if (statsCols.nonEmpty) statsCols
+        else parseStatsMeta(prevStats)
+          .values.flatMap(_.cols.keys).toSeq.distinct.sorted
       val (dataDir, rel, files, stats) = staged match {
         case Some((d, r, f, s, _)) => (d, r, f, s)
         case None =>
@@ -639,7 +649,7 @@ object Layout {
           val f = fs.listStatus(d).map(_.getPath.getName)
             .filter(n => !n.startsWith("_") && !n.startsWith("."))
             .sorted.toSeq
-          val s = statsMetaLines(spark, dir, r, f, statsCols)
+          val s = statsMetaLines(spark, dir, r, f, effStatsCols)
           (d, r, f, s)
       }
       val manifest = new Path(dir, f"$sub/v$v%08d.manifest")

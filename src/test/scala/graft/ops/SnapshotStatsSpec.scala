@@ -184,12 +184,14 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(Layout.snapshotRowCount(spark, dir) === Some(300L))
     // time travel counts the pinned version
     assert(Layout.snapshotRowCount(spark, dir, 1L) === Some(100L))
-    // an append WITHOUT stats makes the total unknowable from metadata
+    // an append without statsCols INHERITS the tracked columns (sticky
+    // stats), so the manifest count stays knowable — the SQL INSERT
+    // door never silently degrades a countable table
     Layout.snapshotAppend(
       spark.range(300L, 320L)
         .select(col("id"), concat(lit("x"), col("id")).as("name")), dir)
-    assert(Layout.snapshotRowCount(spark, dir) === None)
-    // compaction re-derives stats over all rows: countable again
+    assert(Layout.snapshotRowCount(spark, dir) === Some(320L))
+    // compaction re-derives stats over all rows: still countable
     Layout.snapshotCompact(spark, dir)
     assert(Layout.snapshotRowCount(spark, dir) === Some(320L))
   }
@@ -198,8 +200,9 @@ class SnapshotStatsSpec extends SparkSpec {
     val dir = tmpDir("snapstats_cf") + "/t"
     Layout.snapshotAppend(spark.range(0, 100).toDF("id"), dir,
       statsCols = Seq("id"))
-    // second append records no stats for its own file — the FIRST file's
-    // carried stats must still prune it away under a low-range predicate
+    // second append names no statsCols (it inherits the tracked set) —
+    // the FIRST file's carried stats prune it away under a low-range
+    // predicate regardless
     Layout.snapshotAppend(spark.range(100, 200).toDF("id"), dir)
     val all = Layout.snapshotRead(spark, dir)
     val pruned = sameAsFullFilter(dir, col("id") >= 100, all)
@@ -285,5 +288,26 @@ class SnapshotStatsSpec extends SparkSpec {
     Layout.snapshotDeclareCluster(spark, dir, Seq("s", "extra"))
     Layout.snapshotDropColumns(spark, dir, Seq("extra"))
     assert(Layout.snapshotClusterCols(spark, dir) === Seq("s"))
+  }
+
+  test("stats tracking is sticky: an append naming no statsCols " +
+      "inherits the tracked columns (the SQL INSERT door's shape)") {
+    import spark.implicits._
+    val dir = tmpDir("snapsticky") + "/t"
+    Layout.snapshotAppend((1 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))
+    // the no-statsCols append — exactly what INSERT INTO commits
+    Layout.snapshotAppend((1000 to 1100).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir)
+    val pruned = Layout.snapshotReadWhere(spark, dir, col("k") >= 1000)
+    assert(pruned.count() === 101)
+    assert(pruned.inputFiles.length === 1,
+      "the inherited stats line must prune the first append's file")
+    // a genuinely stats-less table stays stats-less (nothing to inherit)
+    val bare = tmpDir("snapsticky2") + "/t"
+    Layout.snapshotAppend(Seq((1, "a")).toDF("k", "s"), bare)
+    Layout.snapshotAppend(Seq((2, "b")).toDF("k", "s"), bare)
+    assert(Layout.snapshotRowCount(spark, bare).isEmpty,
+      "no stats lines may appear out of thin air")
   }
 }
