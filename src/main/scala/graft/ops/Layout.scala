@@ -390,8 +390,8 @@ object Layout {
     * without the commit footer) — e.g. the streaming sink's
     * `batch=<id>` replay marker ([[graft.streaming.SnapshotSink]]). */
   def snapshotMetaOf(spark: SparkSession, dir: String,
-      version: Long): Seq[String] =
-    snapshotManifestLines(spark, dir, version)
+      version: Long, sub: String = "_snapshots"): Seq[String] =
+    snapshotManifestLines(spark, dir, version, sub)
       .filter(l => l.startsWith("#") && l != "#commit")
       .map(_.stripPrefix("#"))
 
@@ -435,6 +435,31 @@ object Layout {
         catch { case scala.util.control.NonFatal(_) => None }
       }
       .nextOption()
+
+  /** [[snapshotNewestMeta]] over a BRANCH's own staged commits — the
+    * replay probe of a streaming sink staging onto a branch
+    * ([[graft.streaming.SnapshotSink.appendOnce]]). The branch's base
+    * manifest (its smallest version, a verbatim COPY of main's) is
+    * excluded: a `batch=` marker copied from main's streaming history
+    * belongs to main's query lineage, and counting it would make a
+    * fresh branch query's batchId 0 read as a deep checkpoint
+    * regression. */
+  def snapshotBranchNewestMeta(spark: SparkSession, dir: String,
+      name: String, prefix: String): Option[String] = {
+    val sub = branchSub(name)
+    val vs = listManifestVersions(spark, dir, sub)
+    vs.headOption match {
+      case None => None
+      case Some(base) =>
+        vs.reverseIterator.takeWhile(_ > base)
+          .flatMap { v =>
+            try snapshotMetaOf(spark, dir, v, sub)
+              .find(_.startsWith(prefix))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          .nextOption()
+    }
+  }
 
   /** True iff `newT` is `oldT` widened ONLY by adding fields inside
     * struct types (recursively): every old field survives under its

@@ -80,12 +80,33 @@ object SnapshotSink {
     * column stats, so a STREAMED table is born skippable: each
     * micro-batch's files carry min/max for the given columns and
     * [[Layout.snapshotReadWhere]] prunes them at planning time —
-    * no separate "optimize" pass to retrofit stats later. */
+    * no separate "optimize" pass to retrofit stats later.
+    *
+    * `branch`: stage the stream's commits on a write-audit-publish
+    * branch ([[Layout.snapshotBranchAppend]]) instead of main — the
+    * staged-ingest shape: micro-batches accumulate invisibly, an audit
+    * validates the branch read, and one
+    * [[Layout.snapshotFastForward]] publishes the whole window
+    * atomically (or [[Layout.snapshotDropBranch]] walks away). The
+    * replay probe then resolves `batch=` markers against the BRANCH's
+    * own staged commits (the base copy's inherited marker is main's
+    * lineage and is excluded), so the branch query keeps its own
+    * batchId sequence. Same single-writer contract, per ref: one
+    * query owns the branch; dropping a live query's branch is the
+    * checkpoint-deletion failure class. */
   def appendOnce(batch: DataFrame, batchId: Long, dir: String,
-      statsCols: Seq[String] = Nil): Boolean =
-    unlessReplay(batch.sparkSession, batchId, dir) {
-      Layout.snapshotAppend(batch, dir, meta = Seq(s"$BatchTag$batchId"),
-        statsCols = statsCols): Unit
+      statsCols: Seq[String] = Nil,
+      branch: Option[String] = None): Boolean =
+    unlessReplay(batch.sparkSession, batchId, dir, branch) {
+      branch match {
+        case Some(b) =>
+          Layout.snapshotBranchAppend(batch, dir, b,
+            meta = Seq(s"$BatchTag$batchId"), statsCols = statsCols): Unit
+        case None =>
+          Layout.snapshotAppend(batch, dir,
+            meta = Seq(s"$BatchTag$batchId"),
+            statsCols = statsCols): Unit
+      }
     }
 
   /** Exactly-once streaming UPSERT: commit `batch` into the keyed table
@@ -212,9 +233,12 @@ object SnapshotSink {
     * produce, and run `commit` (which must attach `batch=<batchId>` to
     * its manifest) otherwise. */
   private def unlessReplay(spark: org.apache.spark.sql.SparkSession,
-      batchId: Long, dir: String)(commit: => Unit): Boolean = {
-    val newest = Layout.snapshotNewestMeta(spark, dir, BatchTag)
-      .map(_.stripPrefix(BatchTag).toLong)
+      batchId: Long, dir: String,
+      branch: Option[String] = None)(commit: => Unit): Boolean = {
+    val newest = (branch match {
+      case Some(b) => Layout.snapshotBranchNewestMeta(spark, dir, b, BatchTag)
+      case None    => Layout.snapshotNewestMeta(spark, dir, BatchTag)
+    }).map(_.stripPrefix(BatchTag).toLong)
     newest match {
       case Some(n) if batchId < n - 1 =>
         throw new IllegalStateException(

@@ -267,4 +267,41 @@ class SnapshotSinkSpec extends SparkSpec {
       Seq((2, "B"), (4, "d")).toDF("k", "s"), 1L, dir,
       Seq("k"), preImages = true))
   }
+
+  test("appendOnce onto a branch: staged exactly-once ingest, published " +
+      "atomically; the base copy's inherited marker is main's lineage") {
+    val dir = tmpDir("snapsinkbr") + "/t"
+    // main is ITSELF sink-owned: batchIds 0..2 committed with markers
+    (0 to 2).foreach(i => assert(SnapshotSink.appendOnce(
+      (i * 10 + 1 to i * 10 + 10).toDF("v"), i.toLong, dir)))
+    Layout.snapshotBranch(spark, dir, "staged")
+    // the BRANCH query starts its own checkpoint lineage at 0 — main's
+    // inherited batch=2 marker in the base copy must not read as a
+    // deep regression
+    assert(SnapshotSink.appendOnce((101 to 110).toDF("v"), 0L, dir,
+      branch = Some("staged")))
+    assert(SnapshotSink.appendOnce((111 to 120).toDF("v"), 1L, dir,
+      branch = Some("staged")))
+    // replay on the branch no-ops; main never saw a staged row
+    assert(!SnapshotSink.appendOnce((101 to 110).toDF("v"), 0L, dir,
+      branch = Some("staged")))
+    assert(Layout.snapshotRead(spark, dir).count() === 30)
+    assert(Layout.snapshotBranchRead(spark, dir, "staged").count() === 50)
+    // a deep branch-side regression still fails loudly
+    intercept[IllegalStateException] {
+      SnapshotSink.appendOnce((1 to 5).toDF("v"), -5L, dir,
+        branch = Some("staged"))
+    }
+    // publish the staged window atomically; the feed sees one delta
+    val before = Layout.snapshotLatestVersion(spark, dir).get
+    val pub = Layout.snapshotFastForward(spark, dir, "staged")
+    assert(Layout.snapshotRead(spark, dir).count() === 50)
+    assert(Layout.snapshotChanges(spark, dir, before, pub)
+      .as[Int].collect().sorted.toSeq === (101 to 120))
+    // main's OWN sink lineage is untouched by the publish (the
+    // fastforward marker is per-commit, not a batch marker): the main
+    // query's next batchId continues from 2
+    assert(SnapshotSink.appendOnce((201 to 205).toDF("v"), 3L, dir))
+    assert(Layout.snapshotRead(spark, dir).count() === 55)
+  }
 }
