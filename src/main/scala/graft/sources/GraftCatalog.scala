@@ -294,14 +294,7 @@ class GraftCatalog extends TableCatalog
         require(r.fieldNames().length == 1, nestedRefusal("renamed"))
         r.fieldNames().head -> r.newName()
     }
-    val adds = changes.collect {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length <= 2,
-          s"catalog $catalogName: ADD COLUMNS reaches one struct level " +
-            "(col or col.field) — deeper nesting evolves by full " +
-            "rewrite (Layout.snapshotCommit of the reshaped frame)")
-        a
-    }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
     val retypes = changes.collect {
       case t: TableChange.UpdateColumnType =>
         require(t.fieldNames().length == 1, nestedRefusal("retyped"))
@@ -375,32 +368,40 @@ class GraftCatalog extends TableCatalog
       case _ => ()
     }
     if (adds.nonEmpty) {
+      // append `field` under `path` (empty = top level), recursing
+      // through struct columns at ANY depth — parquet's by-name
+      // resolution null-fills a missing nested field recursively, so
+      // depth costs nothing (the evolve check, isStructAddWidening,
+      // is recursive to match)
+      def addAt(sch: org.apache.spark.sql.types.StructType,
+          path: Seq[String], dotted: String,
+          field: org.apache.spark.sql.types.StructField)
+          : org.apache.spark.sql.types.StructType = path match {
+        case Seq() =>
+          require(!sch.fields.exists(_.name.equalsIgnoreCase(field.name)),
+            s"catalog $catalogName: '$dotted' already exists")
+          org.apache.spark.sql.types.StructType(sch.fields :+ field)
+        case head +: rest =>
+          val pf = sch.fields.find(_.name.equalsIgnoreCase(head))
+            .getOrElse(sys.error(s"catalog $catalogName: no column " +
+              s"'$head' to add '$dotted' into"))
+          val st = pf.dataType match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => sys.error(s"catalog $catalogName: column " +
+              s"'$head' is ${other.catalogString}, not a struct — " +
+              "nested ADD targets struct columns")
+          }
+          org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+            if (f eq pf)
+              pf.copy(dataType = addAt(st, rest, dotted, field))
+            else f))
+      }
       val widened = adds.foldLeft(
         Layout.snapshotRead(spark, dir).schema) { (sch, a) =>
-        a.fieldNames() match {
-          case Array(n) =>
-            org.apache.spark.sql.types.StructType(sch.fields :+
-              org.apache.spark.sql.types.StructField(
-                n, a.dataType(), a.isNullable))
-          case Array(parent, child) =>
-            val pf = sch.fields.find(_.name.equalsIgnoreCase(parent))
-              .getOrElse(sys.error(s"catalog $catalogName: no column " +
-                s"'$parent' to add '$child' into"))
-            val st = pf.dataType match {
-              case s: org.apache.spark.sql.types.StructType => s
-              case other => sys.error(s"catalog $catalogName: column " +
-                s"'$parent' is ${other.catalogString}, not a struct — " +
-                "nested ADD targets struct columns")
-            }
-            require(!st.fields.exists(_.name.equalsIgnoreCase(child)),
-              s"catalog $catalogName: '$parent.$child' already exists")
-            val wst = org.apache.spark.sql.types.StructType(st.fields :+
-              org.apache.spark.sql.types.StructField(
-                child, a.dataType(), a.isNullable))
-            org.apache.spark.sql.types.StructType(sch.fields.map(f =>
-              if (f eq pf) pf.copy(dataType = wst) else f))
-          case _ => sys.error("unreachable: arity checked above")
-        }
+        addAt(sch, a.fieldNames().init.toSeq,
+          a.fieldNames().mkString("."),
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames().last, a.dataType(), a.isNullable))
       }
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)

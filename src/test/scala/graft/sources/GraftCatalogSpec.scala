@@ -453,10 +453,28 @@ class GraftCatalogSpec extends SparkSpec {
     }.getMessage.toLowerCase
     assert(narrow.contains("schema") || narrow.contains("missing fields"),
       narrow)
-    // a second level stays out of reach by arity
-    assert(intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (meta.deep.f INT)")
-    }.getMessage.contains("one struct level"))
+    // ADD recurses to any struct depth (by-name null-fill is recursive)
+    spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (meta.deep.f INT)")
+    spark.sql(s"INSERT INTO $cat.db.n VALUES " +
+      "(5, struct(320, 'vp9', struct(3, 42), 'fr'))")
+    val deep = spark.sql(
+      s"SELECT k, meta.deep.f FROM $cat.db.n WHERE k IN (1, 5) ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(deep.toSeq === Seq((1L, None), (5L, Some(42))),
+      "old generations null-fill the depth-2 added field")
+    // a missing parent and a non-struct parent refuse with the mistake
+    // (the analyzer catches the missing parent before the catalog does)
+    val miss = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (nope.f INT)")
+    }.getMessage
+    assert(miss.contains("no column") ||
+      miss.contains("cannot be resolved"), miss)
+    val nonStruct = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (k.f INT)")
+    }.getMessage
+    assert(nonStruct.contains("not a struct") ||
+      nonStruct.toLowerCase.contains("struct"), nonStruct)
     // duplicate nested field refuses
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.n ADD COLUMNS (meta.lang STRING)")
