@@ -115,8 +115,6 @@ object Bench {
       // or a regression (all reps shifted down together)
       val etlReps = (1 to 3).map(_ => graft.ctran.EtlBench.drain(spark, 400000L))
       val r = etlReps.maxBy(_.recordsPerSec)
-      val etlRepsJson = etlReps
-        .map(x => f"${x.recordsPerSec}%.0f").mkString("[", ",", "]")
       // the stateful-streaming path's tracked number: probe rows
       // watermark-finalized per second through StreamAsOf.backward.
       // MAX of 3 runs — the rate analog of the per-query MIN-time rule
@@ -192,7 +190,7 @@ object Bench {
       }
       val floorJson =
         s""","streaming_floor_violations":{${violations.mkString(",")}}"""
-      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"etl_reps":$etlRepsJson,"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_reps":${repsJson(aReps.map(_.rowsPerSec))},"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_reps":${repsJson(fReps.map(_.rowsPerSec))},"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_reps":${repsJson(nReps.map(_.rowsPerSec))},"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_reps":${repsJson(sfReps.map(_.rowsPerSec))},"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_reps":${repsJson(mgReps.map(_.rowsPerSec))},"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f}$floorJson"""
+      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"etl_reps":${repsJson(etlReps.map(_.recordsPerSec))},"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_reps":${repsJson(aReps.map(_.rowsPerSec))},"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_reps":${repsJson(fReps.map(_.rowsPerSec))},"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_reps":${repsJson(nReps.map(_.rowsPerSec))},"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_reps":${repsJson(sfReps.map(_.rowsPerSec))},"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_reps":${repsJson(mgReps.map(_.rowsPerSec))},"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f}$floorJson"""
     }
     // fixture-layout separability (judge r8 ask #7): the driver's
     // regenerated testdata ships ONE parquet row group per table, so

@@ -269,8 +269,23 @@ object Layout {
       commitBackoff(attempt)
       require(attempt <= 8, s"snapshotCommit: lost the commit race 8× at $dir")
       // next version counts EVERY manifest object, torn ones included — a
-      // crashed writer's incomplete vN must not be re-contended forever
-      val v = listManifestVersions(spark, dir).lastOption.getOrElse(0L) + 1
+      // crashed writer's incomplete vN must not be re-contended forever.
+      // A full rewrite carries no files, but it must still contend the
+      // SAME slot as every carry-forward committer (whose allocation
+      // floors at the newest complete manifest's embedded file
+      // versions — carriedVersionFloor doc): two writers landing in
+      // DIFFERENT slots both succeed and the lower one is silently
+      // buried. So the rewrite reads the newest complete manifest's
+      // file list purely to compute the shared floor.
+      val listed = listManifestVersions(spark, dir)
+      val newestFiles = listed.reverseIterator
+        .map(pv => try Some(snapshotManifestLines(spark, dir, pv)
+                     .filterNot(_.startsWith("#")))
+                   catch { case scala.util.control.NonFatal(_) => None })
+        .collectFirst { case Some(rels) => rels }
+        .getOrElse(Seq.empty)
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(newestFiles)) + 1
       // writer-unique data prefix: two writers racing for the same
       // version NEVER share a directory, so neither can list the other's
       // in-flight files into its manifest (the reason real table formats
@@ -1023,29 +1038,40 @@ object Layout {
       idFloor: Int = 0)
       : org.apache.spark.sql.types.StructType = {
     // declared flags ([[KeyColKey]] key membership, [[ClusterPosKey]]
-    // clustering position) inherit by name regardless of field IDs —
-    // the batch's fields never carry them, and dropping them on an
-    // evolve would silently un-key / un-cluster the table
+    // clustering position, [[CdcImagesKey]] update-image policy)
+    // inherit by name regardless of field IDs — the batch's fields
+    // never carry them, and dropping them on an evolve would silently
+    // un-key / un-cluster / un-declare the table
     def withKeyFlags(b: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType = table match {
       case Some(ts) if ts.fields.exists(f =>
-          isDeclaredKey(f) || f.metadata.contains(ClusterPosKey)) =>
+          isDeclaredKey(f) || f.metadata.contains(ClusterPosKey) ||
+            f.metadata.contains(CdcImagesKey)) =>
         val byName = ts.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+        // the image policy rides EVERY field (CdcImagesKey doc), so a
+        // batch's NEW columns inherit it too — read it once table-wide
+        val imagePolicy = ts.fields.collectFirst {
+          case f if f.metadata.contains(CdcImagesKey) =>
+            f.metadata.getBoolean(CdcImagesKey)
+        }
         org.apache.spark.sql.types.StructType(b.fields.map { f =>
-          byName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
-            case Some(tf) if isDeclaredKey(tf) ||
-                tf.metadata.contains(ClusterPosKey) =>
-              val mb = new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata)
-              if (isDeclaredKey(tf) && !isDeclaredKey(f))
-                mb.putBoolean(KeyColKey, true)
-              if (tf.metadata.contains(ClusterPosKey) &&
-                  !f.metadata.contains(ClusterPosKey))
-                mb.putLong(ClusterPosKey,
-                  tf.metadata.getLong(ClusterPosKey))
-              f.copy(metadata = mb.build())
-            case _ => f
+          val tf = byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          val wantKey = tf.exists(isDeclaredKey)
+          val wantCluster = tf.exists(_.metadata.contains(ClusterPosKey))
+          if (!wantKey && !wantCluster && imagePolicy.isEmpty) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            if (wantKey && !isDeclaredKey(f))
+              mb.putBoolean(KeyColKey, true)
+            if (wantCluster && !f.metadata.contains(ClusterPosKey))
+              mb.putLong(ClusterPosKey,
+                tf.get.metadata.getLong(ClusterPosKey))
+            imagePolicy.foreach(p =>
+              if (!f.metadata.contains(CdcImagesKey))
+                mb.putBoolean(CdcImagesKey, p))
+            f.copy(metadata = mb.build())
           }
         })
       case _ => b
@@ -1747,19 +1773,35 @@ object Layout {
     else None
   }
 
-  /** Highest commit version embedded in the carried-forward file
-    * list's data-dir names — the ALLOCATION FLOOR for the next
-    * version: every committer allocates `max(newest manifest object,
-    * this) + 1`, so a commit's own version (and with it any delete
-    * line it writes) always orders ABOVE every file it carries. On a
-    * linear history the floor is redundant (an append's files carry
-    * its own version), but a [[snapshotFastForward]] publish carries
-    * BRANCH-staged data dirs whose embedded versions can exceed the
-    * publish manifest's: without the floor, a later
-    * [[snapshotDeleteKeys]] could allocate a version BELOW a
-    * published file's, and the merge-on-read overlay — whose
-    * applies-at-or-before sequencing compares exactly these numbers
-    * ([[overlayRead]]) — would silently skip that file's rows.
+  /** Highest commit version embedded in a file list's data-dir names
+    * — the ALLOCATION FLOOR for the next version. The UNIFORM slot
+    * rule every committer follows: allocate `max(newest manifest
+    * object, floor of the newest COMPLETE manifest's file list
+    * [= the carried `prev` for carry-forward commits]) + 1`. Two
+    * properties hang on it:
+    *
+    *  1. ORDERING — a commit's own version (and any delete line it
+    *     writes) always orders ABOVE every file it carries. On a
+    *     linear history this is redundant (an append's files embed
+    *     its own version), but a [[snapshotFastForward]] publish
+    *     carries BRANCH-staged dirs whose embedded versions exceed
+    *     the publish manifest's: without the floor a later
+    *     [[snapshotDeleteKeys]] could allocate BELOW a published
+    *     file's version and the merge-on-read overlay — whose
+    *     applies-at-or-before sequencing compares exactly these
+    *     numbers ([[overlayRead]]) — would silently skip its rows.
+    *  2. LINEARIZATION — the create-once manifest PUT is a CAS only
+    *     while every racer targets the SAME next slot. Because the
+    *     floor can push the slot past `lastOption + 1`, any committer
+    *     computing a floor-LESS slot (a full rewrite, a restore, a
+    *     publish) could land in a lower slot than a concurrent
+    *     floored append — both PUTs succeed on different paths and
+    *     the lower commit is silently buried while reporting
+    *     success. So [[snapshotCommit]], [[snapshotRestore]] and
+    *     [[snapshotFastForward]], which carry no/other files, still
+    *     read the newest complete manifest purely to compute this
+    *     shared floor.
+    *
     * Version gaps the floor introduces are harmless: every walk
     * iterates the versions actually present. */
   private def carriedVersionFloor(rels: Seq[String]): Long =
@@ -2225,8 +2267,12 @@ object Layout {
         // accumulated delete lines would compile a monster plan.
         // Routine snapshotMaintain materializes overlays long before
         // this bound in practice; past it, refuse with the recompute
-        // remedy rather than hang the planner.
-        require(aOnly.size + bOnly.size <= MaxRestoreOverlayLines,
+        // remedy rather than hang the planner. The hazard needs
+        // COMMON files (maskedBy's domain) — with none, the only
+        // plans are the removed/returned overlayReads, linear in
+        // lines, so the guard stays out of the way.
+        require(common.isEmpty ||
+            aOnly.size + bOnly.size <= MaxRestoreOverlayLines,
           s"snapshotChangesTyped: the restore at v$v of $dir changes " +
             s"${aOnly.size + bOnly.size} merge-on-read delete lines " +
             s"(max $MaxRestoreOverlayLines) — replaying that overlay " +
@@ -3286,7 +3332,8 @@ object Layout {
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = Seq("rename=", "drop=", "retype=", "declare-keys=",
-      "declare-cluster=", RewriteTag, RestoreTag, FastForwardTag, "batch=")
+      "declare-cluster=", "declare-cdc-images=", RewriteTag, RestoreTag,
+      FastForwardTag, "batch=")
     val tagsByV = snapshotTags(spark, dir).toSeq.groupBy(_._2)
       .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
     var prevFiles = Set.empty[String]
@@ -3554,6 +3601,13 @@ object Layout {
       }.toMap
   }
 
+  /** Cheap branch existence: one listing of the branch's own manifest
+    * dir (the full [[snapshotBranches]] inventory probes every
+    * branch's manifests — too heavy for a per-statement check). */
+  def snapshotBranchExists(spark: SparkSession, dir: String,
+      name: String): Boolean =
+    listManifestVersions(spark, dir, branchSub(name)).nonEmpty
+
   /** Newest COMPLETE version of a branch (the validation read's and
     * the publish's source). */
   private def branchTip(spark: SparkSession, dir: String,
@@ -3660,11 +3714,14 @@ object Layout {
                     catch { case scala.util.control.NonFatal(_) => false })
         .getOrElse(sys.error(
           s"snapshotFastForward: no committed snapshot at $dir"))
+      val newestLines = snapshotManifestLines(spark, dir, newest)
       // main is un-diverged iff its HEAD is the branch base OR this
       // branch's own previous publish (recognized by the marker)
       val publishedAt: Option[Long] =
         if (newest == branchBase) None
-        else snapshotMetaOf(spark, dir, newest)
+        else newestLines
+          .filter(l => l.startsWith("#") && l != "#commit")
+          .map(_.stripPrefix("#"))
           .find(_.startsWith(FastForwardTag))
           .map(_.stripPrefix(FastForwardTag))
           .collect { case s if s.startsWith(s"$name@") =>
@@ -3681,7 +3738,21 @@ object Layout {
       require(tip > already,
         s"snapshotFastForward: branch '$name' has no staged commits " +
           s"past v$already at $dir — nothing to publish")
-      val v = listed.lastOption.getOrElse(0L) + 1
+      // the UNIFORM next slot: max(newest manifest object, newest
+      // complete manifest's embedded file versions) + 1 — the same
+      // formula every other committer computes (their carried `prev`
+      // IS the newest complete file list), so the create-once PUT is
+      // a true CAS: any racer targets this exact path. On a first
+      // publish this is the dense base+1; after a prior publish the
+      // newest manifest's files embed BRANCH versions above it, and a
+      // dense slot would no longer be contended by floored racers —
+      // publish-again and a concurrent append would land in different
+      // slots and both "succeed", burying one. The floor is over
+      // MAIN's newest files, never the branch tip's (those raise
+      // later committers' floors only after this publish carries
+      // them in).
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        carriedVersionFloor(newestLines.filterNot(_.startsWith("#")))) + 1
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = (((s"$FastForwardTag$name@$tip" +: state)
@@ -3773,9 +3844,22 @@ object Layout {
       commitBackoff(iters)
       require(iters <= 64,
         s"snapshotRestore: the commit PUT collided 64× at $dir")
-      val v = math.max(
-        listManifestVersions(spark, dir).lastOption.getOrElse(0L),
-        carriedVersionFloor(files)) + 1
+      // uniform next slot (carriedVersionFloor doc): the floor spans
+      // the restored TARGET's files AND the newest complete manifest's
+      // — a restore to a low-versioned target must still contend the
+      // same slot as a concurrent append whose floor reads the newest
+      // (post-publish) file list, else both land and the higher one
+      // silently buries the restore
+      val listed = listManifestVersions(spark, dir)
+      val newestFiles = listed.reverseIterator
+        .map(pv => try Some(snapshotManifestLines(spark, dir, pv)
+                     .filterNot(_.startsWith("#")))
+                   catch { case scala.util.control.NonFatal(_) => None })
+        .collectFirst { case Some(rels) => rels }
+        .getOrElse(Seq.empty)
+      val v = math.max(listed.lastOption.getOrElse(0L),
+        math.max(carriedVersionFloor(files),
+          carriedVersionFloor(newestFiles))) + 1
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = (((s"$RestoreTag$target" +: state).map(m => s"#$m")

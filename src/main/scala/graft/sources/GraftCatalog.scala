@@ -150,7 +150,10 @@ class GraftCatalog extends TableCatalog
       val br = n.substring(at + 1)
       if (!exists(base)) throw new NoSuchTableException(base)
       val dir = dirOf(base)
-      require(Layout.snapshotBranches(spark, dir).contains(br),
+      // one branch-dir listing answers existence; the full
+      // all-branches inventory (a per-branch manifest probe) is paid
+      // only on the failure path, for the error message
+      require(Layout.snapshotBranchExists(spark, dir, br),
         s"catalog $catalogName: no branch '$br' on table " +
           s"'${base.name()}' — create it with " +
           s"CALL $catalogName.system.branch(...) (live branches: " +

@@ -164,6 +164,47 @@ class SnapshotBranchSpec extends SparkSpec {
       "the branch sees base + staged, never main's concurrent commit")
   }
 
+  test("uniform next-slot rule after a publish: publish-again, full " +
+      "rewrite, and restore all allocate ABOVE the published files' " +
+      "embedded versions (the CAS stays contended)") {
+    val dir = tmpDir("snapbranch_slot") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "b")
+    // two staged commits: branch versions 2 and 3
+    Layout.snapshotBranchAppend((11 to 15).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "b")
+    Layout.snapshotBranchAppend((16 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "b")
+    val p1 = Layout.snapshotFastForward(spark, dir, "b")             // v2
+    assert(p1 === 2L, "first publish is the dense base+1")
+    // publish-again: main's newest manifest (v2) embeds branch files
+    // up to v3, so the SECOND publish must target v4, the same slot a
+    // concurrent floored append would — a dense v3 would be
+    // uncontended and a racing append at v4 would bury it
+    Layout.snapshotBranchAppend((21 to 25).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "b")                // branch v4
+    val p2 = Layout.snapshotFastForward(spark, dir, "b")
+    assert(p2 === 4L,
+      s"publish-again must allocate at the shared floor (main v2's " +
+        s"files embed up to v3 → slot 4, the slot a concurrent floored " +
+        s"append would target), got v$p2")
+    assert(stateOf(dir).keySet === (1 to 25).toSet)
+    // a full REWRITE carries nothing, but still contends the floored
+    // slot (its manifest version must exceed every embedded version
+    // the newest complete manifest references)
+    val vr = Layout.snapshotCommit(
+      (1 to 5).map(i => (i, s"r$i")).toDF("k", "s").repartition(1), dir)
+    assert(vr === 5L, s"rewrite must take the shared floored slot, got v$vr")
+    assert(stateOf(dir).keySet === (1 to 5).toSet)
+    // a RESTORE to the low-versioned v1 likewise floors at the newest
+    // complete manifest's embedded versions, not just its target's
+    val vrest = Layout.snapshotRestore(spark, dir, 1L)
+    assert(vrest === 6L,
+      s"restore must take the shared floored slot, got v$vrest")
+    assert(stateOf(dir).keySet === (1 to 10).toSet)
+  }
+
   test("fast-forward racing a main append: the dense-slot CAS picks " +
       "exactly one winner and no commit is ever lost") {
     // the publish PUT and a racing append contend main's SAME next

@@ -300,4 +300,32 @@ class SnapshotMergeSqlSpec extends SparkSpec {
       "('graft.cdc.updateImages')")
     assert(Layout.snapshotCdcUpdateImages(x, dir1) === None)
   }
+
+  test("the declared image policy survives a Scala-door evolve (the " +
+      "batch's fields carry no metadata)") {
+    val (t, dir) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    x.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.cdc.updateImages' = 'true')")
+    x.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.key' = 'k')")
+    // a plain Scala evolve with a metadata-less user batch must not
+    // silently erase the declared policy (or the key flags)
+    import x.implicits._
+    Layout.snapshotEvolve(
+      Seq((3L, "c", 3.0, "x")).toDF("k", "s", "v", "extra"), dir)
+    assert(Layout.snapshotCdcUpdateImages(x, dir) === Some(true),
+      "graft.cdc.updateImages must survive snapshotEvolve")
+    assert(Layout.snapshotKeyCols(x, dir) === Seq("k"))
+    // and the NEW column carries the table-wide policy too (the flag
+    // rides every field so no later drop can lose it)
+    x.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT 2 AS k, 'B' AS s, 20.0 AS v, 'y' AS extra) s
+      ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""")
+    val v = Layout.snapshotVersions(x, dir).last
+    val types = Layout.snapshotChangesTyped(x, dir, v - 1, v,
+      updateImages = true)
+      .select("_change_type").distinct().as[String].collect().toSet
+    assert(types === Set("update_preimage", "update_postimage"),
+      s"post-evolve MERGE must still persist images, got $types")
+  }
 }
