@@ -3673,16 +3673,17 @@ object Layout {
     * the audit rejected — [[snapshotRestore]] main first.
     *
     * The race with a concurrent main commit is decided ATOMICALLY by
-    * the manifest PUT itself: the publish targets main's DENSE next
-    * version slot (deliberately NOT floor-raised past the staged
-    * files' higher embedded versions — every racing committer
-    * targets this same slot, so create-once arbitration IS the
-    * divergence CAS; a racer landing first fails our PUT, and the
-    * retry re-checks and refuses). Committers AFTER the publish
-    * allocate above the published files' embedded versions via the
-    * carried-version floor ([[carriedVersionFloor]]), keeping
-    * merge-on-read delete sequencing correct. Returns the published
-    * main version. */
+    * the manifest PUT itself: the publish targets the UNIFORM next
+    * slot every committer computes — `max(newest manifest object,
+    * embedded file versions of MAIN's newest complete manifest) + 1`
+    * ([[carriedVersionFloor]]'s linearization rule) — so create-once
+    * arbitration IS the divergence CAS: a racer landing first fails
+    * our PUT and the retry re-checks and refuses. The floor reads
+    * MAIN's newest files, never the branch tip's (a tip-raised slot
+    * would be uncontended by racers); the published files' higher
+    * embedded versions raise every LATER committer's floor instead,
+    * keeping merge-on-read delete sequencing correct. Returns the
+    * published main version. */
   def snapshotFastForward(spark: SparkSession, dir: String,
       name: String): Long = {
     requireBranchName("snapshotFastForward", name)
