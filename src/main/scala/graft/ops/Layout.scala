@@ -3654,6 +3654,39 @@ object Layout {
       snapshotManifestLines(spark, dir, v, branchSub(name)))
   }
 
+  /** The rows STAGED on a branch and not yet published — the tip's
+    * files minus the base copy's, read under the tip's schema of
+    * record. The audit's DELTA view: at 100 TB a validation query
+    * ("no nulls in today's load", "row count within band") must run
+    * against exactly what a [[snapshotFastForward]] would add, not
+    * rescan the whole corpus [[snapshotBranchRead]] serves. No
+    * overlay applies: staged files are append-only and newer than
+    * every carried delete line, so none can mask them. */
+  def snapshotBranchStaged(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    requireBranchName("snapshotBranchStaged", name)
+    val sub = branchSub(name)
+    val vs = listManifestVersions(spark, dir, sub)
+    require(vs.nonEmpty,
+      s"snapshotBranchStaged: no branch '$name' at $dir — create it " +
+        "with snapshotBranch")
+    val tipLines = snapshotManifestLines(spark, dir,
+      branchTip(spark, dir, name), sub)
+    val baseSet = snapshotManifestLines(spark, dir, vs.head, sub)
+      .filterNot(_.startsWith("#")).toSet
+    val staged = tipLines.filterNot(_.startsWith("#"))
+      .filterNot(baseSet)
+    val metaLines = tipLines
+      .filter(l => l.startsWith("#") && l != "#commit")
+      .map(_.stripPrefix("#"))
+    val schema = metaLines.find(_.startsWith(SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+    val colmaps = parseColMaps(metaLines)
+    if (staged.isEmpty)
+      readManifestState(spark, dir, tipLines).limit(0)
+    else mappedParquetRead(spark, dir, staged, schema, colmaps)
+  }
+
   /** PUBLISH a branch: fast-forward main to the branch tip as ONE
     * metadata-only commit — the staged commits become visible to
     * every main reader atomically, and the typed change feed emits

@@ -197,6 +197,35 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_branch_read('<dir>', '<branch>')` — a staging branch's
+    * tip as a table ([[Layout.snapshotBranchRead]]); the catalog twin
+    * is the `t@branch` identifier. */
+  private[graft] def branchReadBuilder(
+      args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2,
+      s"snapshot_branch_read(dir, branch) takes 2 arguments, got " +
+        s"${args.size}")
+    Layout.snapshotBranchRead(SparkSession.active,
+      argString(args(0), "snapshot_branch_read", "dir"),
+      argString(args(1), "snapshot_branch_read", "branch"))
+      .queryExecution.logical
+  }
+
+  /** `snapshot_branch_staged('<dir>', '<branch>')` — ONLY the rows a
+    * fast-forward would publish ([[Layout.snapshotBranchStaged]]):
+    * the audit-delta view, so validation queries never rescan the
+    * base corpus. */
+  private[graft] def branchStagedBuilder(
+      args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2,
+      s"snapshot_branch_staged(dir, branch) takes 2 arguments, got " +
+        s"${args.size}")
+    Layout.snapshotBranchStaged(SparkSession.active,
+      argString(args(0), "snapshot_branch_staged", "dir"),
+      argString(args(1), "snapshot_branch_staged", "branch"))
+      .queryExecution.logical
+  }
+
   /** Registration triples for
     * `SparkSessionExtensions.injectTableFunction`. */
   def tvfRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -222,7 +251,15 @@ object SnapshotTvf {
       tagsBuilder _),
     (FunctionIdentifier("snapshot_branches"),
       new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_branches"),
-      branchesBuilder _))
+      branchesBuilder _),
+    (FunctionIdentifier("snapshot_branch_read"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName,
+        "snapshot_branch_read"),
+      branchReadBuilder _),
+    (FunctionIdentifier("snapshot_branch_staged"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName,
+        "snapshot_branch_staged"),
+      branchStagedBuilder _))
 
   /** Idempotent runtime registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions` (the driver's) — the

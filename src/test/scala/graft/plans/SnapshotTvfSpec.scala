@@ -204,4 +204,37 @@ class SnapshotTvfSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT * FROM snapshot_branches('$dir')").count() === 0)
   }
+
+  test("snapshot_branch_read / snapshot_branch_staged: full tip vs " +
+      "audit delta") {
+    import spark.implicits._
+    val dir = tmpDir("tvfbranch") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s"),
+      dir)
+    SnapshotTvf.ensureSqlDoor(spark)
+    Layout.snapshotBranch(spark, dir, "audit")
+    // a fresh branch stages nothing: the delta view is empty but keeps
+    // the schema
+    assert(spark.sql(
+      s"SELECT * FROM snapshot_branch_staged('$dir', 'audit')")
+      .count() === 0)
+    Layout.snapshotBranchAppend((11 to 15).map(i => (i, s"b$i"))
+      .toDF("k", "s"), dir, "audit")
+    Layout.snapshotBranchAppend((16 to 18).map(i => (i, s"b$i"))
+      .toDF("k", "s"), dir, "audit")
+    // full tip = base + staged; staged = ONLY what a publish would add
+    assert(spark.sql(
+      s"SELECT k FROM snapshot_branch_read('$dir', 'audit')")
+      .as[Int].collect().toSet === (1 to 18).toSet)
+    assert(spark.sql(
+      s"SELECT k FROM snapshot_branch_staged('$dir', 'audit')")
+      .as[Int].collect().toSet === (11 to 18).toSet)
+    // the audit-delta plan never touches the base corpus's files
+    val stagedFiles = spark.sql(
+      s"SELECT * FROM snapshot_branch_staged('$dir', 'audit')")
+      .inputFiles
+    assert(stagedFiles.nonEmpty &&
+      stagedFiles.forall(f => !f.contains("/v00000001-")),
+      "the staged view must scan only the staged files, never the base")
+  }
 }
