@@ -278,12 +278,8 @@ object Layout {
       // buried. So the rewrite reads the newest complete manifest's
       // file list purely to compute the shared floor.
       val listed = listManifestVersions(spark, dir)
-      val newestFiles = listed.reverseIterator
-        .map(pv => try Some(snapshotManifestLines(spark, dir, pv)
-                     .filterNot(_.startsWith("#")))
-                   catch { case scala.util.control.NonFatal(_) => None })
-        .collectFirst { case Some(rels) => rels }
-        .getOrElse(Seq.empty)
+      val newestFiles = newestCompleteLines(spark, dir, listed)
+        .map(_._2.filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
       val v = math.max(listed.lastOption.getOrElse(0L),
         carriedVersionFloor(newestFiles)) + 1
       // writer-unique data prefix: two writers racing for the same
@@ -386,6 +382,21 @@ object Layout {
         n.stripPrefix("v").stripSuffix(".manifest").toLong }
       .sorted
   }
+
+  /** (version, manifest lines) of the newest COMPLETE manifest among
+    * `listed` — the single probe behind every committer's base
+    * resolution AND the uniform-slot floor ([[carriedVersionFloor]]):
+    * deriving both from ONE listing and ONE manifest GET keeps the
+    * single-listing rule (a commit landing between two listings could
+    * otherwise bump the next version past itself) and avoids a
+    * duplicated completeness-detection block per call site. */
+  private def newestCompleteLines(spark: SparkSession, dir: String,
+      listed: Seq[Long],
+      sub: String = "_snapshots"): Option[(Long, Seq[String])] =
+    listed.reverseIterator
+      .map(pv => try Some(pv -> snapshotManifestLines(spark, dir, pv, sub))
+                 catch { case scala.util.control.NonFatal(_) => None })
+      .collectFirst { case Some(vl) => vl }
 
   /** Data file paths of the latest (or given) COMPLETE snapshot. */
   private def snapshotFiles(spark: SparkSession, dir: String,
@@ -1038,43 +1049,67 @@ object Layout {
       idFloor: Int = 0)
       : org.apache.spark.sql.types.StructType = {
     // declared flags ([[KeyColKey]] key membership, [[ClusterPosKey]]
-    // clustering position, [[CdcImagesKey]] update-image policy)
-    // inherit by name regardless of field IDs — the batch's fields
-    // never carry them, and dropping them on an evolve would silently
-    // un-key / un-cluster / un-declare the table
+    // clustering position) inherit by name regardless of field IDs —
+    // the batch's fields never carry them, and dropping them on an
+    // evolve would silently un-key / un-cluster the table
     def withKeyFlags(b: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType = table match {
       case Some(ts) if ts.fields.exists(f =>
-          isDeclaredKey(f) || f.metadata.contains(ClusterPosKey) ||
-            f.metadata.contains(CdcImagesKey)) =>
+          isDeclaredKey(f) || f.metadata.contains(ClusterPosKey)) =>
         val byName = ts.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
-        // the image policy rides EVERY field (CdcImagesKey doc), so a
-        // batch's NEW columns inherit it too — read it once table-wide
-        val imagePolicy = ts.fields.collectFirst {
-          case f if f.metadata.contains(CdcImagesKey) =>
-            f.metadata.getBoolean(CdcImagesKey)
-        }
         org.apache.spark.sql.types.StructType(b.fields.map { f =>
-          val tf = byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
-          val wantKey = tf.exists(isDeclaredKey)
-          val wantCluster = tf.exists(_.metadata.contains(ClusterPosKey))
-          if (!wantKey && !wantCluster && imagePolicy.isEmpty) f
-          else {
-            val mb = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-            if (wantKey && !isDeclaredKey(f))
-              mb.putBoolean(KeyColKey, true)
-            if (wantCluster && !f.metadata.contains(ClusterPosKey))
-              mb.putLong(ClusterPosKey,
-                tf.get.metadata.getLong(ClusterPosKey))
-            imagePolicy.foreach(p =>
-              if (!f.metadata.contains(CdcImagesKey))
-                mb.putBoolean(CdcImagesKey, p))
-            f.copy(metadata = mb.build())
+          byName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(tf) if isDeclaredKey(tf) ||
+                tf.metadata.contains(ClusterPosKey) =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              if (isDeclaredKey(tf) && !isDeclaredKey(f))
+                mb.putBoolean(KeyColKey, true)
+              if (tf.metadata.contains(ClusterPosKey) &&
+                  !f.metadata.contains(ClusterPosKey))
+                mb.putLong(ClusterPosKey,
+                  tf.metadata.getLong(ClusterPosKey))
+              f.copy(metadata = mb.build())
+            case _ => f
           }
         })
       case _ => b
+    }
+    // the TABLE's declared update-image policy ([[CdcImagesKey]], a
+    // flag on every field) is authoritative over whatever metadata the
+    // batch's fields happen to carry: the policy survives an evolve
+    // with a metadata-less batch, AND a batch built by reading some
+    // OTHER graft table (whose fields carry that table's flag) can
+    // neither flip this table's policy nor conjure one onto an
+    // undeclared table — the declaration doors are the only writers.
+    def withImagePolicy(b: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = table match {
+      // a table with NO prior schema of record is being CREATED by
+      // this very commit: the batch's flags ARE the declaration
+      // (GraftCatalog.createTable routes TBLPROPERTIES through them)
+      case None => b
+      case Some(ts) =>
+        val policy = ts.fields.collectFirst {
+          case f if f.metadata.contains(CdcImagesKey) =>
+            f.metadata.getBoolean(CdcImagesKey)
+        }
+        val stray = b.fields.exists(f =>
+          policy match {
+            case Some(p) => !f.metadata.contains(CdcImagesKey) ||
+              f.metadata.getBoolean(CdcImagesKey) != p
+            case None => f.metadata.contains(CdcImagesKey)
+          })
+        if (!stray) b
+        else org.apache.spark.sql.types.StructType(b.fields.map { f =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          policy match {
+            case Some(p) => mb.putBoolean(CdcImagesKey, p)
+            case None    => mb.remove(CdcImagesKey)
+          }
+          f.copy(metadata = mb.build())
+        })
     }
     val withIds = table.filter(_.fields.exists(fieldIdOf(_).isDefined))
       // a table whose every id-carrying field was DROPPED still has id
@@ -1082,12 +1117,12 @@ object Layout {
       // dead entries can never be claimed by name alone
       .orElse(if (idFloor > 0) table else None)
     withIds match {
-      case None => withKeyFlags(batch)
+      case None => withImagePolicy(withKeyFlags(batch))
       case Some(ts) =>
         val byName = ts.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
         var next = (idFloor +: 0 +: ts.fields.flatMap(fieldIdOf).toSeq).max
-        withKeyFlags(org.apache.spark.sql.types.StructType(
+        withImagePolicy(withKeyFlags(org.apache.spark.sql.types.StructType(
           batch.fields.map { f =>
           byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
             .flatMap(fieldIdOf) match {
@@ -1103,7 +1138,7 @@ object Layout {
                   .withMetadata(f.metadata).putLong(FieldIdKey, next.toLong)
                   .build())
           }
-        }))
+        })))
     }
   }
 
@@ -2261,18 +2296,20 @@ object Layout {
         val bRels = prevDelsFull.map(_._2).toSet
         val aOnly = delsHere.filterNot(d => bRels.contains(d._2))
         val bOnly = prevDelsFull.filterNot(d => aRels.contains(d._2))
-        // plan-size guard: maskedBy compiles ~L²/2 joins per side for
-        // L one-side-only overlay lines (line i anti-joins the i
-        // earlier lines' key sets), so a restore across DOZENS of
-        // accumulated delete lines would compile a monster plan.
-        // Routine snapshotMaintain materializes overlays long before
-        // this bound in practice; past it, refuse with the recompute
-        // remedy rather than hang the planner. The hazard needs
-        // COMMON files (maskedBy's domain) — with none, the only
-        // plans are the removed/returned overlayReads, linear in
-        // lines, so the guard stays out of the way.
-        require(common.isEmpty ||
-            aOnly.size + bOnly.size <= MaxRestoreOverlayLines,
+        // plan-size guard: the replay compiles up to ~L²/2 joins for
+        // L one-side-only overlay lines — maskedBy's dedup chain
+        // (line i anti-joins the i earlier lines' key sets) over
+        // common files, and the removed/returned overlayReads' own
+        // per-generation-group fold when file versions interleave
+        // the lines — so a restore across DOZENS of accumulated
+        // delete lines would compile a monster plan. Routine
+        // snapshotMaintain materializes overlays long before this
+        // bound in practice; past it, refuse with the recompute
+        // remedy rather than hang the planner. Deliberately
+        // UNCONDITIONAL (no common-files carve-out): a refusal with
+        // a remedy beats a planner hang on the side the carve-out
+        // would have waved through.
+        require(aOnly.size + bOnly.size <= MaxRestoreOverlayLines,
           s"snapshotChangesTyped: the restore at v$v of $dir changes " +
             s"${aOnly.size + bOnly.size} merge-on-read delete lines " +
             s"(max $MaxRestoreOverlayLines) — replaying that overlay " +
@@ -3655,11 +3692,14 @@ object Layout {
   }
 
   /** The rows STAGED on a branch and not yet published — the tip's
-    * files minus the base copy's, read under the tip's schema of
+    * files minus the last PUBLISHED reference's (the branch version
+    * main's `fastforward-of` marker records; the base copy when the
+    * branch was never published), read under the tip's schema of
     * record. The audit's DELTA view: at 100 TB a validation query
     * ("no nulls in today's load", "row count within band") must run
-    * against exactly what a [[snapshotFastForward]] would add, not
-    * rescan the whole corpus [[snapshotBranchRead]] serves. No
+    * against exactly what the next [[snapshotFastForward]] would
+    * add — not rescan the corpus [[snapshotBranchRead]] serves, and
+    * not re-count a previous cycle's already-published stage. No
     * overlay applies: staged files are append-only and newer than
     * every carried delete line, so none can mask them. */
   def snapshotBranchStaged(spark: SparkSession, dir: String,
@@ -3670,12 +3710,34 @@ object Layout {
     require(vs.nonEmpty,
       s"snapshotBranchStaged: no branch '$name' at $dir — create it " +
         "with snapshotBranch")
-    val tipLines = snapshotManifestLines(spark, dir,
-      branchTip(spark, dir, name), sub)
-    val baseSet = snapshotManifestLines(spark, dir, vs.head, sub)
-      .filterNot(_.startsWith("#")).toSet
+    val (tip, tipLines) = newestCompleteLines(spark, dir, vs, sub)
+      .getOrElse(sys.error(
+        s"snapshotBranchStaged: branch '$name' at $dir has no " +
+          "complete manifest"))
+    // "not yet published" is relative to the branch's last publish,
+    // not its creation: after a stage→publish→stage-more cycle the
+    // next fast-forward's delta is only the NEW stage, so the diff
+    // reference is the branch version main's newest manifest records
+    // in its fastforward-of marker (the same watermark
+    // snapshotFastForward's un-divergence check reads), falling back
+    // to the base copy when the branch was never published
+    val publishedAt = newestCompleteLines(spark, dir,
+        listManifestVersions(spark, dir))
+      .toSeq
+      .flatMap(_._2.filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#")))
+      .find(_.startsWith(FastForwardTag))
+      .map(_.stripPrefix(FastForwardTag))
+      .collect { case s if s.startsWith(s"$name@") =>
+        s.stripPrefix(s"$name@").toLongOption }.flatten
+      .filter(w => w >= vs.head && w <= tip)
+    val ref = publishedAt.getOrElse(vs.head)
+    val refSet =
+      if (ref == tip) tipLines.filterNot(_.startsWith("#")).toSet
+      else snapshotManifestLines(spark, dir, ref, sub)
+        .filterNot(_.startsWith("#")).toSet
     val staged = tipLines.filterNot(_.startsWith("#"))
-      .filterNot(baseSet)
+      .filterNot(refSet)
     val metaLines = tipLines
       .filter(l => l.startsWith("#") && l != "#commit")
       .map(_.stripPrefix("#"))
@@ -3743,12 +3805,9 @@ object Layout {
       require(iters <= 64,
         s"snapshotFastForward: the commit PUT collided 64× at $dir")
       val listed = listManifestVersions(spark, dir)
-      val newest = listed.reverseIterator
-        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
-                    catch { case scala.util.control.NonFatal(_) => false })
+      val (newest, newestLines) = newestCompleteLines(spark, dir, listed)
         .getOrElse(sys.error(
           s"snapshotFastForward: no committed snapshot at $dir"))
-      val newestLines = snapshotManifestLines(spark, dir, newest)
       // main is un-diverged iff its HEAD is the branch base OR this
       // branch's own previous publish (recognized by the marker)
       val publishedAt: Option[Long] =
@@ -3885,12 +3944,8 @@ object Layout {
       // (post-publish) file list, else both land and the higher one
       // silently buries the restore
       val listed = listManifestVersions(spark, dir)
-      val newestFiles = listed.reverseIterator
-        .map(pv => try Some(snapshotManifestLines(spark, dir, pv)
-                     .filterNot(_.startsWith("#")))
-                   catch { case scala.util.control.NonFatal(_) => None })
-        .collectFirst { case Some(rels) => rels }
-        .getOrElse(Seq.empty)
+      val newestFiles = newestCompleteLines(spark, dir, listed)
+        .map(_._2.filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
       val v = math.max(listed.lastOption.getOrElse(0L),
         math.max(carriedVersionFloor(files),
           carriedVersionFloor(newestFiles))) + 1

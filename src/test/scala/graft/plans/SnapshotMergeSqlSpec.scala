@@ -327,5 +327,25 @@ class SnapshotMergeSqlSpec extends SparkSpec {
       .select("_change_type").distinct().as[String].collect().toSet
     assert(types === Set("update_preimage", "update_postimage"),
       s"post-evolve MERGE must still persist images, got $types")
+    // the TABLE's declared policy is authoritative over stray batch
+    // metadata: evolving with a frame read from ANOTHER graft table
+    // (whose fields carry that table's flag) neither flips this
+    // table's policy nor conjures one onto an undeclared table
+    val (tOther, dirOther) = newTable("(1, 'a', 1.0)")
+    x.sql(s"ALTER TABLE $tOther SET TBLPROPERTIES " +
+      "('graft.cdc.updateImages' = 'false')")
+    val strayBatch = Layout.snapshotRead(x, dirOther)
+      .withColumn("extra2", org.apache.spark.sql.functions.lit("z"))
+    Layout.snapshotEvolve(strayBatch
+      .withColumn("extra", org.apache.spark.sql.functions.lit("w"))
+      .select("k", "s", "v", "extra", "extra2"), dir)
+    assert(Layout.snapshotCdcUpdateImages(x, dir) === Some(true),
+      "another table's false flag must not flip this table's policy")
+    val (t3, dir3) = newTable("(1, 'a', 1.0)")
+    Layout.snapshotEvolve(Layout.snapshotRead(x, dirOther)
+      .withColumn("extra", org.apache.spark.sql.functions.lit("w")),
+      dir3)
+    assert(Layout.snapshotCdcUpdateImages(x, dir3) === None,
+      "stray metadata must not conjure a policy onto an undeclared table")
   }
 }

@@ -236,5 +236,18 @@ class SnapshotTvfSpec extends SparkSpec {
     assert(stagedFiles.nonEmpty &&
       stagedFiles.forall(f => !f.contains("/v00000001-")),
       "the staged view must scan only the staged files, never the base")
+    // after a publish, the delta resets: "not yet published" is
+    // relative to the fastforward-of watermark, not branch creation —
+    // a stage→publish→stage-more cycle's audit must see ONLY the new
+    // stage, never re-count the published one
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(spark.sql(
+      s"SELECT * FROM snapshot_branch_staged('$dir', 'audit')")
+      .count() === 0, "a just-published branch stages nothing")
+    Layout.snapshotBranchAppend(Seq((19, "c19")).toDF("k", "s"), dir,
+      "audit")
+    assert(spark.sql(
+      s"SELECT k FROM snapshot_branch_staged('$dir', 'audit')")
+      .as[Int].collect().toSeq === Seq(19))
   }
 }
