@@ -1435,6 +1435,36 @@ object CoreRelational {
         FROM orders WHERE o_orderkey < 4000
         GROUP BY 1 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q143
+    // AUDIT-DELTA across a publish cycle (snapshot_branch_staged TVF →
+    // Layout.snapshotBranchStaged): window 1 was staged AND published,
+    // window 2 staged on the same branch afterwards — the staged view
+    // must serve exactly window 2, diffed against the fastforward-of
+    // watermark rather than the branch base, so a daily audit never
+    // re-counts an already-published load and never rescans the base
+    // corpus (the plan opens staged files only, spec-pinned). The
+    // oracle recomputes window 2 from the base table.
+    QuerySpec(
+      "q143_branch_staged_view",
+      (s, d) => {
+        val dir = Fits.snapshotStagedViewDir(s, d)
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        s.sql(s"""
+          SELECT o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key
+          FROM snapshot_branch_staged('$dir', 'audit')
+          GROUP BY 1 ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_key
+        FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 4000
+        GROUP BY 1 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -712,6 +712,35 @@ object Fits {
       s"$cat.t"
     }).asInstanceOf[String]
 
+  /** q143's fixture: the AUDIT-DELTA view across a publish cycle —
+    * main holds keys < 2000, a first window ([2000, 3000)) is staged
+    * AND PUBLISHED, then a second window ([3000, 4000)) is staged and
+    * left unpublished. `snapshot_branch_staged` must serve EXACTLY
+    * the second window: "not yet published" is relative to the
+    * `fastforward-of` watermark the publish recorded, not to branch
+    * creation — the distinction that keeps a daily audit from
+    * re-counting yesterday's published load. */
+  def snapshotStagedViewDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapstagedview:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stagedv").toString + "/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 2000), dir,
+        statsCols = Seq("o_orderkey"))                              // v1
+      Layout.snapshotBranch(s, dir, "audit")
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000),
+        dir, "audit", statsCols = Seq("o_orderkey"))
+      Layout.snapshotFastForward(s, dir, "audit")   // publish window 1
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000),
+        dir, "audit", statsCols = Seq("o_orderkey"))
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes
