@@ -244,6 +244,49 @@ class SnapshotBranchSpec extends SparkSpec {
     }
   }
 
+  test("post-publish rewrite racing an append: the shared floored slot " +
+      "forbids the buried-rewrite state") {
+    // the exact race the uniform-slot rule exists for: after a publish
+    // raises the floor, a full rewrite (carries nothing) and an append
+    // (floored) must contend ONE slot. Legal serializations: rewrite
+    // first → the append retries on top (rewrite rows ∪ batch);
+    // append first → the rewrite replaces everything (rewrite rows
+    // only). The ILLEGAL third state a slot split would produce —
+    // pre-rewrite rows ∪ batch, i.e. the rewrite silently buried while
+    // reporting success — must never appear.
+    (1 to 5).foreach { round =>
+      val dir = tmpDir(s"snapbranch_rwrace$round") + "/t"
+      Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "b")
+      (1 to 2).foreach { i =>
+        Layout.snapshotBranchAppend(
+          (i * 100 + 1 to i * 100 + 5).map(k => (k, s"b$k")).toDF("k", "s")
+            .repartition(1), dir, "b")
+      }
+      Layout.snapshotFastForward(spark, dir, "b")  // floor now > HEAD
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fRewrite = Future {
+        Layout.snapshotCommit((501 to 505).map(i => (i, s"r$i"))
+          .toDF("k", "s").repartition(1), dir)
+      }
+      val fAppend = Future {
+        Layout.snapshotAppend((601 to 605).map(i => (i, s"m$i"))
+          .toDF("k", "s").repartition(1), dir)
+      }
+      Await.result(fRewrite, 120.seconds)
+      Await.result(fAppend, 120.seconds)
+      val got = stateOf(dir).keySet
+      val rewriteOnly = (501 to 505).toSet
+      val rewritePlusBatch = rewriteOnly ++ (601 to 605)
+      assert(got === rewriteOnly || got === rewritePlusBatch,
+        s"round $round: illegal interleaving state $got — the rewrite " +
+          "was buried under a divergent-slot append")
+    }
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
