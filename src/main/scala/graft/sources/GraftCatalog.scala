@@ -253,10 +253,12 @@ class GraftCatalog extends TableCatalog
         c.name(), c.dataType(), c.nullable(), mb.build())
     })
     // an empty evolve commit records the schema of record, so the table
-    // exists with zero rows and every later insert is schema-checked
+    // exists with zero rows and every later insert is schema-checked;
+    // the DECLARED door keeps the TBLPROPERTIES policy flags a plain
+    // first snapshotEvolve would strip (Layout.snapshotCreate)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    Layout.snapshotEvolve(empty, dirOf(ident))
+    Layout.snapshotCreate(empty, dirOf(ident))
     loadTable(ident)
   }
 

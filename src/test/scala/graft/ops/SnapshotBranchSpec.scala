@@ -287,6 +287,58 @@ class SnapshotBranchSpec extends SparkSpec {
     }
   }
 
+  test("staged view is durable across unrelated main traffic: publish " +
+      "-> main append -> the view still serves only the unpublished " +
+      "window (the watermark walk, not a newest-manifest peek)") {
+    val dir = tmpDir("snapbranch_wmdur") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    Layout.snapshotFastForward(spark, dir, "audit")                  // v2
+    // window 2 staged, then UNRELATED main traffic lands: the publish
+    // marker is per-commit metadata and no longer on main's newest
+    // manifest — the exact state (a diverged branch) an operator
+    // reaches for the audit-delta view to understand
+    Layout.snapshotBranchAppend((21 to 30).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    Layout.snapshotAppend((31 to 40).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v3
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (21 to 30).toSet,
+      "the view must not re-report window 1 (already published) after " +
+        "main advances past the publish")
+  }
+
+  test("dropped-and-recreated branch: a stale watermark naming a " +
+      "manifest the new incarnation never had is unreachable (no " +
+      "FileNotFound, no over-report)") {
+    val dir = tmpDir("snapbranch_wmstale") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    // first incarnation stages THREE commits (branch v2..v4), so the
+    // publish marker records audit@4 — a branch version the SECOND
+    // incarnation will never have (its stages start above the carried
+    // floor). The marker sits on main's NEWEST manifest (v2), passing
+    // the old w-range filter while naming a nonexistent manifest.
+    Layout.snapshotBranch(spark, dir, "audit")
+    (1 to 3).foreach { i =>
+      Layout.snapshotBranchAppend(
+        (i * 10 + 1 to i * 10 + 10).map(k => (k, s"b$k")).toDF("k", "s")
+          .repartition(1), dir, "audit")
+    }
+    Layout.snapshotFastForward(spark, dir, "audit")                  // v2
+    assert(Layout.snapshotDropBranch(spark, dir, "audit"))
+    Layout.snapshotBranch(spark, dir, "audit")          // base copy v2
+    Layout.snapshotBranchAppend((41 to 50).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (41 to 50).toSet,
+      "the previous incarnation's watermark must be structurally " +
+        "unreachable (walk bounded below by the new base)")
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"

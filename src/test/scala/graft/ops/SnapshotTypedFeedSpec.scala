@@ -271,6 +271,28 @@ class SnapshotTypedFeedSpec extends SparkSpec {
       s"got $ev")
   }
 
+  test("a first-ever commit cannot conjure another table's update-image " +
+      "policy; the declared create door keeps it") {
+    // the batch's schema carries CdcImagesKey flags — the shape of a
+    // DataFrame read from some OTHER graft table whose policy rides its
+    // schema of record. An UNDECLARED first commit must strip them
+    // (ADVICE r12: the declaration doors are the only writers)...
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(Layout.CdcImagesKey, true).build()
+    val flagged = (1 to 5).map(i => (i, s"a$i")).toDF("k", "s")
+      .select(col("k").as("k", md), col("s").as("s", md))
+    val plainDir = s"${tmpDir("typedfeed_conj")}/plain"
+    Layout.snapshotEvolve(flagged, plainDir)
+    assert(Layout.snapshotCdcUpdateImages(spark, plainDir).isEmpty,
+      "an undeclared first commit must not adopt batch-riding policy")
+    // ...while the catalog's CREATE TABLE route (snapshotCreate) is the
+    // deliberate declaration and keeps them
+    val declDir = s"${tmpDir("typedfeed_conj")}/decl"
+    Layout.snapshotCreate(flagged, declDir)
+    assert(Layout.snapshotCdcUpdateImages(spark, declDir) === Some(true),
+      "the declared door's flags ARE the declaration")
+  }
+
   test("updateImages degrades to delete+insert when no pre record exists") {
     val dir = s"${tmpDir("typedfeed_imgd")}/t"
     twoAppends(dir)
