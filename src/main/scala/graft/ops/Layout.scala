@@ -3630,6 +3630,83 @@ object Layout {
       .flatten
       .filter(w => w >= branchBase && w <= tip)
 
+  /** Meta marker a [[snapshotRebase]] commit attaches in the BRANCH
+    * namespace: `rebase-onto=<main version>|<stagedDir1,stagedDir2,…>`
+    * — the main HEAD the branch was re-based onto, and the staged data
+    * dirs the rebase carried forward (so the audit-delta view can
+    * subtract the re-based MAIN files from the reference without a
+    * main-manifest round trip that retention might have invalidated).
+    * Per-commit metadata, never carried forward; resolved by a
+    * descending walk like the publish watermark. */
+  private[graft] val RebaseTag = "rebase-onto="
+
+  /** Decoded [[RebaseTag]] line: (main target version, staged dir set). */
+  private def parseRebase(meta: Seq[String]): Option[(Long, Set[String])] =
+    meta.find(_.startsWith(RebaseTag)).flatMap { m =>
+      m.stripPrefix(RebaseTag).split('|') match {
+        case Array(h) => h.toLongOption.map(_ -> Set.empty[String])
+        case Array(h, ds) => h.toLongOption.map(
+          _ -> ds.split(',').filter(_.nonEmpty).toSet)
+        case _ => None
+      }
+    }
+
+  /** The `data/vNNNNNNNN-token` dir prefix of a manifest-relative file
+    * line — the granularity [[RebaseTag]] records carried stages at
+    * (one dir per staged commit, never per file). */
+  private def stagedDirOf(rel: String): String =
+    rel.split('/').take(2).mkString("/")
+
+  /** Newest [[RebaseTag]] marker at-or-below the branch tip:
+    * (branch manifest version, main target version, carried staged dir
+    * set). A descending walk over the branch's OWN manifests — bounded
+    * by the staged commit count, and the tip's lines (already in every
+    * caller's hand) are checked without a GET. */
+  private def branchNewestRebase(spark: SparkSession, dir: String,
+      name: String, bvs: Seq[Long], tip: Long,
+      tipLines: Seq[String]): Option[(Long, Long, Set[String])] = {
+    val sub = branchSub(name)
+    bvs.reverseIterator.filter(_ <= tip).flatMap { v =>
+      val meta =
+        if (v == tip) tipLines
+          .filter(l => l.startsWith("#") && l != "#commit")
+          .map(_.stripPrefix("#"))
+        else try snapshotMetaOf(spark, dir, v, sub)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      parseRebase(meta).map { case (h, ds) => (v, h, ds) }
+    }.nextOption()
+  }
+
+  /** The branch's ACCOUNTED file set — rel files the next publish would
+    * NOT add, because they are already on main (published by the last
+    * fast-forward, or carried in from main's HEAD by the last rebase)
+    * or were the creation base copy. The staged/unpublished delta every
+    * consumer diffs against:
+    *  - newest event a PUBLISH at branch version `w` → manifest `w`'s
+    *    files verbatim (everything in it reached main);
+    *  - newest event a REBASE at `vR` → manifest `vR`'s files MINUS the
+    *    staged dirs its marker lists (those were carried through the
+    *    rebase precisely because they are NOT yet published);
+    *  - neither → the base copy.
+    * A publish AT the rebase manifest (w == vR) counts as the later
+    * event: the fast-forward moved the whole manifest, carried stage
+    * included, onto main. */
+  private def branchAccountedFiles(spark: SparkSession, dir: String,
+      name: String, bvs: Seq[Long], tip: Long, tipLines: Seq[String],
+      publishedAt: Option[Long],
+      rebase: Option[(Long, Long, Set[String])]): Set[String] = {
+    val sub = branchSub(name)
+    def filesOf(v: Long): Seq[String] =
+      (if (v == tip) tipLines else snapshotManifestLines(spark, dir, v, sub))
+        .filterNot(_.startsWith("#"))
+    (publishedAt, rebase) match {
+      case (Some(w), r) if r.forall(_._1 <= w) => filesOf(w).toSet
+      case (_, Some((vR, _, dirs))) =>
+        filesOf(vR).filterNot(rel => dirs.contains(stagedDirOf(rel))).toSet
+      case _ => filesOf(bvs.head).toSet
+    }
+  }
+
   private def branchSub(name: String): String =
     s"_snapshots/branches/$name"
 
@@ -3783,18 +3860,16 @@ object Layout {
       .getOrElse(sys.error(
         s"snapshotBranchStaged: branch '$name' at $dir has no " +
           "complete manifest"))
-    // "not yet published" is relative to the branch's last publish,
-    // not its creation: after a stage→publish→stage-more cycle the
-    // next fast-forward's delta is only the NEW stage, so the diff
-    // reference is the publish watermark ([[branchPublishWatermark]]
-    // — durable across unrelated main traffic), falling back to the
-    // base copy when the branch was never published
+    // "not yet published" is relative to the branch's last publish OR
+    // last rebase, not its creation: after a stage→publish→stage-more
+    // cycle the next fast-forward's delta is only the NEW stage, and
+    // after a rebase the re-based MAIN files are accounted while the
+    // carried stage is not ([[branchAccountedFiles]]) — falling back
+    // to the base copy when neither event ever happened
     val publishedAt = branchPublishWatermark(spark, dir, name, vs.head, tip)
-    val ref = publishedAt.getOrElse(vs.head)
-    val refSet =
-      if (ref == tip) tipLines.filterNot(_.startsWith("#")).toSet
-      else snapshotManifestLines(spark, dir, ref, sub)
-        .filterNot(_.startsWith("#")).toSet
+    val rebase = branchNewestRebase(spark, dir, name, vs, tip, tipLines)
+    val refSet = branchAccountedFiles(spark, dir, name, vs, tip, tipLines,
+      publishedAt, rebase)
     val staged = tipLines.filterNot(_.startsWith("#"))
       .filterNot(refSet)
     val metaLines = tipLines
@@ -3808,6 +3883,198 @@ object Layout {
     else mappedParquetRead(spark, dir, staged, schema, colmaps)
   }
 
+  /** REBASE a branch onto main's current HEAD: ONE branch-namespace
+    * commit whose manifest is main's newest state (files, schema of
+    * record, rename log, delete overlay, stats) plus the branch's
+    * still-unpublished staged file lines and their stats, marked
+    * `rebase-onto=<HEAD>|<staged dirs>` — after it, the next
+    * [[snapshotFastForward]] accepts main AT that HEAD. This closes
+    * the WAP gap live traffic opens: any unrelated main commit
+    * between stage and publish makes the fast-forward refuse, and
+    * without a rebase the remedy was re-running the whole staged load
+    * on a fresh branch. Staging is append-only by contract, so the
+    * rebase is METADATA-ONLY — no staged byte is copied or re-written,
+    * exactly like the publish itself.
+    *
+    * Concurrency: the rebase contends the BRANCH's uniform next slot
+    * (`max(newest branch manifest, carried floor of the branch tip's
+    * files) + 1` — the same slot a racing [[snapshotBranchAppend]]
+    * computes from the same observed state), so the create-once PUT is
+    * a true CAS: lose to a racing stage and the retry re-reads the
+    * tip, the racer's files joining the carried stage; win and the
+    * racer retries on top of the rebase. A main commit racing the
+    * rebase just re-diverges main — the next publish refuses and a
+    * second rebase re-targets, nothing is lost (SnapshotBranchSpec
+    * races both). One PUT also means crash-atomicity: there is no
+    * window where the branch namespace holds a half-rebased state.
+    *
+    * Ordering across the rebase: post-rebase stages allocate above the
+    * carried MAIN files' embedded versions (the rebase manifest raises
+    * their floor), so main's merge-on-read delete lines can never mask
+    * them. The CARRIED stage keeps its original (lower) dir versions —
+    * re-numbering would mean physically moving data — so a main delete
+    * line committed since the branch base CAN version-order above a
+    * carried staged file. That is only wrong if the delete's keys
+    * actually intersect the staged rows; the rebase probes exactly
+    * that (one bounded semi-join per new overlay line against the
+    * staged rows) and REFUSES on intersection rather than letting the
+    * overlay silently swallow staged rows — rebase-replay semantics
+    * say a staged append lands after main's delete. Refusals (each
+    * with the re-stage remedy): a main delete masking staged keys; a
+    * rename/drop or non-ADD schema change on main since the base;
+    * staged takedowns (a branch-side delete cannot be re-sequenced
+    * without re-keying its version).
+    *
+    * No-op when the next publish would already be accepted (main
+    * un-diverged): returns the current tip unchanged. Returns the
+    * rebased branch version otherwise. SQL door:
+    * `CALL <cat>.system.rebase('db.t', 'branch')`. */
+  def snapshotRebase(spark: SparkSession, dir: String,
+      name: String): Long = {
+    requireBranchName("snapshotRebase", name)
+    val sub = branchSub(name)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var iters = 0
+    var committed = -1L
+    while (committed < 0) {
+      iters += 1
+      commitBackoff(iters)
+      require(iters <= 64,
+        s"snapshotRebase: the commit PUT collided 64× at $dir")
+      val bvs = listManifestVersions(spark, dir, sub)
+      require(bvs.nonEmpty,
+        s"snapshotRebase: no branch '$name' at $dir — create it with " +
+          "snapshotBranch")
+      val (tip, tipLines) = newestCompleteLines(spark, dir, bvs, sub)
+        .getOrElse(sys.error(
+          s"snapshotRebase: branch '$name' at $dir has no complete " +
+            "manifest"))
+      val tipFiles = tipLines.filterNot(_.startsWith("#"))
+      val tipMeta = tipLines
+        .filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      val publishedAt = branchPublishWatermark(spark, dir, name,
+        bvs.head, tip)
+      val rebase = branchNewestRebase(spark, dir, name, bvs, tip, tipLines)
+      val (mainHead, mainLines) = newestCompleteLines(spark, dir,
+          listManifestVersions(spark, dir))
+        .getOrElse(sys.error(s"snapshotRebase: no committed snapshot at $dir"))
+      val mainMeta = mainLines
+        .filter(l => l.startsWith("#") && l != "#commit")
+        .map(_.stripPrefix("#"))
+      // no-op when a publish would already be accepted: main's HEAD is
+      // the branch's effective base (creation base or last rebase
+      // target), or main's newest commit is this branch's own publish
+      val effBase = rebase.map(_._2).getOrElse(bvs.head)
+      val selfPublish = mainMeta.find(_.startsWith(FastForwardTag))
+        .map(_.stripPrefix(FastForwardTag))
+        .collect { case s if s.startsWith(s"$name@") =>
+          s.stripPrefix(s"$name@").toLongOption }.flatten
+        .exists(_ >= bvs.head)
+      if (mainHead == effBase || selfPublish) return tip
+      val accounted = branchAccountedFiles(spark, dir, name, bvs, tip,
+        tipLines, publishedAt, rebase)
+      val staged = tipFiles.filterNot(accounted)
+      // staged takedowns cannot ride a rebase: a branch-side delete
+      // line's version cannot be re-sequenced above main's newer files
+      // without re-keying its key file's dir — honest refusal, with
+      // the remedy in hand
+      val mainDelRels = parseDeleteMeta(mainMeta).map(_._2).toSet
+      val stagedDels = parseDeleteMeta(tipMeta)
+        .filterNot(d => mainDelRels.contains(d._2))
+      require(stagedDels.isEmpty,
+        s"snapshotRebase: branch '$name' stages ${stagedDels.size} " +
+          s"takedown(s) (merge-on-read delete lines) at $dir — a staged " +
+          "delete's version ordering cannot survive a re-base under " +
+          "main's newer files. Publish or drop the branch, then " +
+          "re-stage the takedown on a branch from the new HEAD")
+      if (staged.nonEmpty) {
+        // schema drift on main since the base: pure ADD widening is
+        // fine (staged files null-fill by name, like any pre-evolution
+        // generation); a rename/drop/retype re-keys how the staged
+        // files' on-disk names resolve — refuse rather than guess
+        val tipColmaps = tipMeta.filter(_.startsWith(ColMapTag)).toSet
+        val mainColmaps = mainMeta.filter(_.startsWith(ColMapTag)).toSet
+        require(tipColmaps == mainColmaps,
+          s"snapshotRebase: a column rename/drop landed on main at $dir " +
+            s"since branch '$name' was based — the staged files' on-disk " +
+            "names would resolve through a log they were not staged " +
+            "under. Re-stage on a fresh branch from the new HEAD")
+        val tipSchema = tipMeta.find(_.startsWith(SchemaTag))
+          .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+          .orElse(staged.headOption.map(rel =>
+            spark.read.parquet(new Path(dir, rel).toString).schema))
+        val mainSchema = mainMeta.find(_.startsWith(SchemaTag))
+          .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+          .orElse(tipSchema)
+        for (ts <- tipSchema; ms <- mainSchema) {
+          val msByName = ms.fields.map(f =>
+            f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+          val lost = ts.fields.filterNot { tf =>
+            msByName.get(tf.name.toLowerCase(java.util.Locale.ROOT))
+              .exists(mf =>
+                mf.dataType.catalogString == tf.dataType.catalogString ||
+                  isStructAddWidening(tf.dataType, mf.dataType))
+          }
+          require(lost.isEmpty,
+            s"snapshotRebase: main's schema at $dir changed shape since " +
+              s"branch '$name' was based (column(s) " +
+              s"${lost.map(_.name).mkString(", ")} dropped or retyped) — " +
+              "re-stage on a fresh branch from the new HEAD")
+        }
+        // a main merge-on-read delete since the base version-orders
+        // above the carried stage; refuse iff its keys actually touch
+        // staged rows (rebase-replay semantics: the stage lands AFTER
+        // the delete, so the overlay must not swallow it)
+        val tipDelRels = parseDeleteMeta(tipMeta).map(_._2).toSet
+        val stagedMinV = staged.flatMap(relDirVersion(_))
+          .foldLeft(Long.MaxValue)(math.min)
+        val newMainDels = parseDeleteMeta(mainMeta)
+          .filterNot(d => tipDelRels.contains(d._2))
+          .filter(_._1 >= stagedMinV)
+        if (newMainDels.nonEmpty) {
+          val colmaps = parseColMaps(mainMeta)
+          val stagedRows = mappedParquetRead(spark, dir, staged,
+            mainSchema, colmaps)
+          newMainDels.foreach { case (dv, dRel, cols) =>
+            val masked = stagedRows.join(
+              spark.read.parquet(new Path(dir, dRel).toString),
+              cols.toSeq, "left_semi").limit(1).count()
+            require(masked == 0L,
+              s"snapshotRebase: main's merge-on-read delete at v$dv of " +
+                s"$dir covers staged keys of branch '$name' — re-basing " +
+                "would let the overlay swallow staged rows a replay " +
+                "would keep. Re-stage on a fresh branch from the new " +
+                "HEAD (the delete then orders below your stage)")
+          }
+        }
+      }
+      val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)
+      val mainState = mainMeta.filter(m => keep.exists(m.startsWith))
+      val stagedSet = staged.toSet
+      val stagedStats = tipMeta.filter(_.startsWith(StatsTag))
+        .filter(m => stagedSet.contains(
+          m.stripPrefix(StatsTag).takeWhile(_ != '|')))
+      val stagedDirs = staged.map(stagedDirOf).distinct.sorted
+      val marker = s"$RebaseTag$mainHead|${stagedDirs.mkString(",")}"
+      val mainFiles = mainLines.filterNot(_.startsWith("#"))
+      // the branch namespace's UNIFORM next slot — identical to a
+      // racing snapshotBranchAppend's allocation from the same
+      // observed state, so the create-once PUT is a true CAS (the
+      // carried MAIN files raise LATER branch committers' floors, as
+      // a publish's carried branch files do on main)
+      val v = math.max(bvs.lastOption.getOrElse(0L),
+        carriedVersionFloor(tipFiles)) + 1
+      val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
+      fs.mkdirs(manifest.getParent)
+      val body = (((marker +: (mainState ++ stagedStats))
+        .map(m => s"#$m") ++ mainFiles ++ staged).map(_ + "\n")
+        :+ "#commit\n").mkString.getBytes("UTF-8")
+      if (atomicCreate(fs, manifest, body)) committed = v
+    }
+    committed
+  }
+
   /** PUBLISH a branch: fast-forward main to the branch tip as ONE
     * metadata-only commit — the staged commits become visible to
     * every main reader atomically, and the typed change feed emits
@@ -3817,14 +4084,16 @@ object Layout {
     * history records what was PUBLISHED, not how it was staged).
     *
     * Divergence contract: publishing requires main's HEAD to be the
-    * branch's base — or the branch's own previous publish (the
-    * `fastforward-of=` marker on main's newest manifest), so a
+    * branch's EFFECTIVE base — its creation base, or the target of its
+    * newest [[snapshotRebase]] — or the branch's own previous publish
+    * (the `fastforward-of=` marker on main's newest manifest), so a
     * stage→publish→stage-more→publish-again loop works without
     * re-branching. Anything else REFUSES: a fast-forward onto a
     * diverged main would silently bury the interleaved commits'
-    * rows. Remedy: re-stage onto a fresh branch from the new HEAD
-    * (rebase by replay), or — when main's advance is exactly what
-    * the audit rejected — [[snapshotRestore]] main first.
+    * rows. Remedy: [[snapshotRebase]] (`CALL system.rebase`) — one
+    * metadata-only commit re-targeting the stage at the new HEAD — or,
+    * when main's advance is exactly what the audit rejected,
+    * [[snapshotRestore]] main first.
     *
     * The race with a concurrent main commit is decided ATOMICALLY by
     * the manifest PUT itself: the publish targets the UNIFORM next
@@ -3848,6 +4117,14 @@ object Layout {
         "with snapshotBranch")
     val branchBase = bvs.head
     val (tip, tipLines) = branchTip(spark, dir, name)
+    // a rebase re-targets the publish-ability base at its main HEAD,
+    // and its manifest version floors the "nothing to publish" check:
+    // a rebase that carried staged dirs IS publishable at its own tip
+    // (the carry is the unpublished load), an empty one is not
+    val rebase = branchNewestRebase(spark, dir, name, bvs, tip, tipLines)
+    val effBase = rebase.map(_._2).getOrElse(branchBase)
+    val rebaseFloor = rebase.map { case (vR, _, dirs) =>
+      if (dirs.isEmpty) vR else vR - 1 }
     val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)
     val state = tipLines
       .filter(l => l.startsWith("#") && l != "#commit")
@@ -3866,10 +4143,11 @@ object Layout {
       val (newest, newestLines) = newestCompleteLines(spark, dir, listed)
         .getOrElse(sys.error(
           s"snapshotFastForward: no committed snapshot at $dir"))
-      // main is un-diverged iff its HEAD is the branch base OR this
+      // main is un-diverged iff its HEAD is the branch's EFFECTIVE
+      // base (creation base, or the newest rebase's target) OR this
       // branch's own previous publish (recognized by the marker)
       val publishedAt: Option[Long] =
-        if (newest == branchBase) None
+        if (newest == effBase) None
         else newestLines
           .filter(l => l.startsWith("#") && l != "#commit")
           .map(_.stripPrefix("#"))
@@ -3878,14 +4156,14 @@ object Layout {
           .collect { case s if s.startsWith(s"$name@") =>
             s.stripPrefix(s"$name@").toLongOption }.flatten
           .filter(_ >= branchBase)
-      require(newest == branchBase || publishedAt.isDefined,
+      require(newest == effBase || publishedAt.isDefined,
         s"snapshotFastForward: main HEAD v$newest at $dir diverged " +
-          s"from branch '$name' (base v$branchBase) — fast-forwarding " +
-          "would bury the interleaved commits' rows. Re-stage on a " +
-          "fresh branch from the new HEAD (rebase by replay), or " +
-          "snapshotRestore main to the base first if its advance is " +
-          "what the audit rejected")
-      val already = publishedAt.getOrElse(branchBase)
+          s"from branch '$name' (base v$effBase) — fast-forwarding " +
+          "would bury the interleaved commits' rows. snapshotRebase / " +
+          "CALL system.rebase re-targets the staged load at the new " +
+          "HEAD (metadata-only); or snapshotRestore main to the base " +
+          "first if its advance is what the audit rejected")
+      val already = (Seq(branchBase) ++ publishedAt ++ rebaseFloor).max
       require(tip > already,
         s"snapshotFastForward: branch '$name' has no staged commits " +
           s"past v$already at $dir — nothing to publish")

@@ -741,6 +741,68 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q144's fixture: WAP under LIVE MAIN TRAFFIC — the rebase cycle.
+    * Main v1 holds keys < 2000; window A ([2000, 3000)) is staged on a
+    * branch; main then moves underneath the stage (an append of
+    * [5000, 6000) at v2 AND a merge-on-read takedown of keys < 2000
+    * with `k % 7 == 0` at v3 — keys disjoint from the stage, the
+    * routine case). The publish REFUSES (required in-fixture, message
+    * naming the rebase remedy), `CALL system.rebase` re-targets the
+    * stage at the new HEAD in ONE metadata-only branch commit, the
+    * staged view still serves exactly window A, window B
+    * ([3000, 4000)) stages on the rebased branch, and the publish
+    * lands (v4). The query reads the typed feed across the publish:
+    * exactly windows A + B as inserts — at 100 TB this is the shape
+    * that keeps an audited daily ingest alive without re-running the
+    * load every time production traffic advances main. */
+  def snapshotRebaseTableDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaprebase:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snaprb").toString
+      val dir = s"$root/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 2000), dir,
+        statsCols = Seq("o_orderkey"))                              // v1
+      val cat = "graftsqlr_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CALL $cat.system.branch('t', 'audit')")
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000),
+        dir, "audit", statsCols = Seq("o_orderkey"))        // window A
+      // live main traffic: an append and a disjoint-key takedown
+      Layout.snapshotAppend(
+        o.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 6000),
+        dir, statsCols = Seq("o_orderkey"))                         // v2
+      Layout.snapshotDeleteKeys(spark = s, dir = dir,
+        keys = o.filter(col("o_orderkey") < 2000 &&
+          col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        keyCols = Seq("o_orderkey"))                                // v3
+      val refused = try {
+        Layout.snapshotFastForward(s, dir, "audit"); None
+      } catch { case e: Exception => Some(e.getMessage) }
+      require(refused.exists(m =>
+        m.contains("diverged") && m.contains("snapshotRebase")),
+        "the publish must refuse on the diverged main and name the " +
+          "rebase remedy")
+      s.sql(s"CALL $cat.system.rebase('t', 'audit')")
+      require(Layout.snapshotBranchStaged(s, dir, "audit").count() ==
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000)
+          .count(),
+        "after the rebase the staged view must serve exactly window A")
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4000),
+        dir, "audit", statsCols = Seq("o_orderkey"))        // window B
+      s.sql(s"CALL $cat.system.fast_forward('t', 'audit')")         // v4
+      require(Layout.snapshotLatestVersion(s, dir).contains(4L),
+        "the rebased publish must land as main v4")
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -24,6 +24,7 @@ import graft.ops.Layout
   *   CALL graft.system.restore('db.t', 'release-1')  -- or tag name
   *   CALL graft.system.branch('db.t', 'audit')   -- Layout.snapshotBranch
   *   CALL graft.system.fast_forward('db.t', 'audit')  -- publish (WAP)
+  *   CALL graft.system.rebase('db.t', 'audit')    -- re-target at HEAD
   *   CALL graft.system.drop_branch('db.t', 'audit')   -- walk away
   * }}}
   *
@@ -178,6 +179,16 @@ private[sources] object GraftProcedures {
         Array(in("table", StringType), in("name", StringType)),
         StructType(Seq(StructField("version", LongType, false))),
         input => Seq(InternalRow(Layout.snapshotFastForward(spark,
+          tableDir(input), input.getUTF8String(1).toString)))),
+
+      new Proc("rebase",
+        "re-base a staging branch onto main's current HEAD as one " +
+          "metadata-only branch commit (carrying the unpublished " +
+          "stage), so the next fast_forward accepts a main that moved " +
+          "since staging began (Layout.snapshotRebase)",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("branch_version", LongType, false))),
+        input => Seq(InternalRow(Layout.snapshotRebase(spark,
           tableDir(input), input.getUTF8String(1).toString)))),
 
       new Proc("drop_branch",

@@ -339,6 +339,179 @@ class SnapshotBranchSpec extends SparkSpec {
         "unreachable (walk bounded below by the new base)")
   }
 
+  test("rebase: a stage survives live main traffic (append + disjoint " +
+      "delete) and publishes after one metadata-only re-target") {
+    val dir = tmpDir("snapbranch_rb") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 120).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit", statsCols = Seq("k"))
+    // main moves under the stage: an append AND a takedown whose keys
+    // are disjoint from the staged window
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(7), Tuple1(14)).toDF("k"), Seq("k"))                // v3
+    // publish refuses, and the refusal points at the rebase remedy
+    val e = intercept[Exception] {
+      Layout.snapshotFastForward(spark, dir, "audit")
+    }
+    assert(e.getMessage.contains("diverged") &&
+      e.getMessage.contains("snapshotRebase"))
+    // ONE metadata-only branch commit re-targets the stage
+    val rb = Layout.snapshotRebase(spark, dir, "audit")
+    // the staged view still serves exactly the unpublished window
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (101 to 120).toSet)
+    // a post-rebase stage joins the window (its files floor above
+    // main's carried versions, so main's delete can never mask it)
+    Layout.snapshotBranchAppend((121 to 130).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "audit", statsCols = Seq("k"))
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (101 to 130).toSet)
+    val pub = Layout.snapshotFastForward(spark, dir, "audit")
+    assert(pub > rb || pub > 3L)
+    // published state: base + main's append + both staged windows,
+    // minus the takedown's keys (the overlay still covers main's rows)
+    assert(stateOf(dir).keySet ===
+      ((1 to 30) ++ (101 to 130)).toSet -- Set(7, 14))
+    // the typed feed across the publish emits EXACTLY the staged delta
+    val delta = Layout.snapshotChangesTyped(spark, dir, 3L, pub)
+    assert(delta.filter(col("_change_type") =!= "insert").count() === 0L)
+    assert(delta.select("k").as[Int].collect().toSet ===
+      (101 to 130).toSet)
+  }
+
+  test("rebase refuses when a main delete's keys cover staged rows; " +
+      "publish-then-rebase cycles keep the window exact") {
+    val dir = tmpDir("snapbranch_rbref") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    // main takes a delete whose keys INTERSECT the staged window: the
+    // carried stage's dir versions order below the delete, so the
+    // overlay would swallow staged rows a replay keeps — refuse
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(105), Tuple1(3)).toDF("k"), Seq("k"))               // v2
+    val e = intercept[Exception] {
+      Layout.snapshotRebase(spark, dir, "audit")
+    }
+    assert(e.getMessage.contains("covers staged keys"))
+    // the documented remedy works: fresh branch from the new HEAD —
+    // the delete (v2) now orders BELOW the new stage
+    Layout.snapshotBranch(spark, dir, "audit2")
+    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit2")
+    Layout.snapshotFastForward(spark, dir, "audit2")
+    assert(stateOf(dir).keySet ===
+      ((1 to 20) ++ (101 to 110)).toSet - 3,
+      "re-staged rows must survive the older delete (105 re-inserted)")
+  }
+
+  test("rebase is a no-op on an un-diverged main; publish -> stage " +
+      "more -> main advances -> rebase -> publish emits only the " +
+      "second window") {
+    val dir = tmpDir("snapbranch_rbcycle") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "daily")
+    // un-diverged: rebase changes nothing
+    val tip0 = Layout.snapshotRebase(spark, dir, "daily")
+    assert(tip0 === 1L, "no-op rebase returns the current tip")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "daily")
+    val p1 = Layout.snapshotFastForward(spark, dir, "daily")
+    // second window staged, then main advances
+    Layout.snapshotBranchAppend((21 to 30).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "daily")
+    Layout.snapshotAppend((31 to 40).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)
+    Layout.snapshotRebase(spark, dir, "daily")
+    assert(Layout.snapshotBranchStaged(spark, dir, "daily")
+      .select("k").as[Int].collect().toSet === (21 to 30).toSet,
+      "the rebase must not resurrect window 1 (already published)")
+    val p2 = Layout.snapshotFastForward(spark, dir, "daily")
+    assert(p2 > p1)
+    assert(stateOf(dir).keySet === (1 to 40).toSet)
+    assert(Layout.snapshotChangesTyped(spark, dir, p2 - 1, p2)
+      .select("k").as[Int].collect().toSet === (21 to 30).toSet,
+      "the publish delta is exactly the second staged window")
+  }
+
+  test("rebase racing a main commit loses nothing: the publish either " +
+      "lands on the rebased HEAD or refuses for one more rebase") {
+    (1 to 5).foreach { round =>
+      val dir = tmpDir(s"snapbranch_rbrace$round") + "/t"
+      Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "audit")
+      Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+        .toDF("k", "s").repartition(1), dir, "audit")
+      Layout.snapshotAppend((11 to 20).map(i => (i, s"m$i")).toDF("k", "s")
+        .repartition(1), dir)             // diverge, so a rebase is due
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fRebase = Future { Layout.snapshotRebase(spark, dir, "audit") }
+      val fMain = Future {
+        Layout.snapshotAppend((21 to 30).map(i => (i, s"n$i"))
+          .toDF("k", "s").repartition(1), dir)
+      }
+      Await.result(fRebase, 120.seconds); Await.result(fMain, 120.seconds)
+      // publish until it lands (at most one more rebase needed)
+      val pub =
+        try Layout.snapshotFastForward(spark, dir, "audit")
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("diverged") =>
+          Layout.snapshotRebase(spark, dir, "audit")
+          Layout.snapshotFastForward(spark, dir, "audit")
+        }
+      assert(pub > 0)
+      assert(stateOf(dir).keySet === ((1 to 30) ++ (101 to 110)).toSet,
+        s"round $round: both main commits AND the staged window must " +
+          "survive the rebase race")
+    }
+  }
+
+  test("rebase racing the publish of the same branch: exactly-once " +
+      "publication, never loss or duplication") {
+    (1 to 5).foreach { round =>
+      val dir = tmpDir(s"snapbranch_rbpub$round") + "/t"
+      Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "audit")
+      Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+        .toDF("k", "s").repartition(1), dir, "audit")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // main is un-diverged, so BOTH ops are legal: the rebase no-ops
+      // or re-targets, the publish lands or refuses — staged rows must
+      // end up on main exactly once across every interleaving
+      val fRebase = Future {
+        try { Layout.snapshotRebase(spark, dir, "audit"); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      val fPub = Future {
+        try { Layout.snapshotFastForward(spark, dir, "audit"); true }
+        catch { case e: Exception
+            if e.getMessage.contains("diverged") ||
+              e.getMessage.contains("nothing to publish") => false }
+      }
+      Await.result(fRebase, 120.seconds)
+      val published = Await.result(fPub, 120.seconds)
+      if (!published) Layout.snapshotFastForward(spark, dir, "audit")
+      assert(stateOf(dir).keySet === ((1 to 10) ++ (101 to 110)).toSet,
+        s"round $round: staged rows must publish exactly once")
+      assert(Layout.snapshotRead(spark, dir)
+        .as[(Int, String)].collect().length === 20,
+        s"round $round: no duplicated rows after rebase-vs-publish")
+    }
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
