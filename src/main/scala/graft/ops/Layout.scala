@@ -278,10 +278,10 @@ object Layout {
       // buried. So the rewrite reads the newest complete manifest's
       // file list purely to compute the shared floor.
       val listed = listManifestVersions(spark, dir)
-      val newestFiles = newestCompleteLines(spark, dir, listed)
-        .map(_._2.filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
+      val newestLines = newestCompleteLines(spark, dir, listed)
+        .map(_._2).getOrElse(Seq.empty)
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(newestFiles)) + 1
+        carriedVersionFloor(newestLines)) + 1
       // writer-unique data prefix: two writers racing for the same
       // version NEVER share a directory, so neither can list the other's
       // in-flight files into its manifest (the reason real table formats
@@ -625,7 +625,7 @@ object Layout {
         .getOrElse(Seq.empty)  // ONE manifest GET for files/stats/schema
       val prev = prevLines.filterNot(_.startsWith("#"))
       val v = math.max(versions.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(prevLines)) + 1
       // carried-forward per-file column stats: a carried file's stats
       // line travels with it version to version, so pruning never decays
       // as the table grows (per-commit markers like `batch=` do NOT
@@ -998,7 +998,7 @@ object Layout {
             "schema"))
       val flagged = reflag(schema0)
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(lines)) + 1
       val carried = metaLines.filter(m =>
         m.startsWith(ColMapTag) || m.startsWith(StatsTag) ||
           m.startsWith(DeleteTag))
@@ -1425,7 +1425,7 @@ object Layout {
           s"${dupNames.mkString(", ")} — renames collide with existing " +
           "columns (swap both sides in ONE call)")
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(lines)) + 1
       val entries = schema1.fields.flatMap { f =>
         if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
           fieldIdOf(f).map(id =>
@@ -1534,7 +1534,7 @@ object Layout {
       require(kept.nonEmpty,
         s"snapshotDropColumns: cannot drop every column of $dir")
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(lines)) + 1
       // the dropped ids' disk-name claims: files below v stored the
       // field under its current name; its OLDER names are already in
       // carried colmap lines under the same id, so the composition
@@ -1674,7 +1674,7 @@ object Layout {
           }
         })
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(lines)) + 1
       val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
       // float→double promotions re-encode the column's carried stats:
       // the recorded strings are shortest-round-trip FLOAT reprs, and
@@ -1871,9 +1871,25 @@ object Layout {
     *     shared floor.
     *
     * Version gaps the floor introduces are harmless: every walk
-    * iterates the versions actually present. */
-  private def carriedVersionFloor(rels: Seq[String]): Long =
-    rels.iterator.flatMap(relDirVersion(_)).foldLeft(0L)(math.max)
+    * iterates the versions actually present.
+    *
+    * The floor spans the manifest's carried DELETE-line versions too,
+    * not just its file versions: a publish of a branch whose LAST
+    * staged event was a takedown carries a `delete=` line whose
+    * version exceeds every file's (the key dir is overlay metadata,
+    * never a file line), and a later committer flooring on files
+    * alone could allocate AT that version — its new rows would then
+    * version-order at-or-below the overlay and be silently masked.
+    * Takes the manifest's full LINES; passing a file-only list is
+    * equivalent when no overlay is live. */
+  private def carriedVersionFloor(lines: Seq[String]): Long = {
+    val files = lines.iterator.filterNot(_.startsWith("#"))
+      .flatMap(relDirVersion(_))
+    val dels = parseDeleteMeta(lines
+      .filter(_.startsWith("#" + DeleteTag)).map(_.stripPrefix("#")))
+      .iterator.map(_._1)
+    (files ++ dels).foldLeft(0L)(math.max)
+  }
 
   /** MERGE-ON-READ row deletion: commit a parquet file of KEY TUPLES and
     * a `delete=` manifest line — zero data files touched, O(keys) write —
@@ -1911,23 +1927,52 @@ object Layout {
     * tuples dedupe; NULL keys refuse (they can never equal a row).
     * Returns the committed version. */
   def snapshotDeleteKeys(spark: SparkSession, dir: String,
-      keys: DataFrame, keyCols: Seq[String]): Long = {
-    require(keyCols.nonEmpty, "snapshotDeleteKeys: keyCols must be non-empty")
+      keys: DataFrame, keyCols: Seq[String]): Long =
+    deleteKeysImpl(spark, dir, keys, keyCols, "snapshotDeleteKeys")
+
+  /** [[snapshotDeleteKeys]] STAGED ON A BRANCH — the takedown half of
+    * write-audit-publish (the GDPR shape): commit the key-tuple overlay
+    * in the branch namespace, invisible to every main reader, audit it
+    * through [[snapshotBranchRead]] (full state net of the staged
+    * delete) and [[snapshotBranchStaged]] (the unpublished window net
+    * of it), then publish — [[snapshotFastForward]] carries the
+    * `delete=` line to main, and the typed feed replays the published
+    * takedown row-level from the key file ([[typedChangesPlan]]'s
+    * state-diff branch). Sequencing is the branch's own: the staged
+    * delete orders above every carried file AND every earlier staged
+    * file, so it masks both, while a LATER staged append re-inserts —
+    * exactly main-side semantics. A staged takedown pins the branch to
+    * publish-or-drop: [[snapshotRebase]] refuses it (the line's
+    * version cannot be re-sequenced above main's newer files). */
+  def snapshotBranchDeleteKeys(spark: SparkSession, dir: String,
+      name: String, keys: DataFrame, keyCols: Seq[String]): Long = {
+    requireBranchName("snapshotBranchDeleteKeys", name)
+    require(listManifestVersions(spark, dir, branchSub(name)).nonEmpty,
+      s"snapshotBranchDeleteKeys: no branch '$name' at $dir — create " +
+        "it with snapshotBranch")
+    deleteKeysImpl(spark, dir, keys, keyCols, "snapshotBranchDeleteKeys",
+      sub = branchSub(name))
+  }
+
+  private def deleteKeysImpl(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCols: Seq[String], op: String,
+      sub: String = "_snapshots"): Long = {
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
     val missing = keyCols.filterNot(k =>
       keys.columns.exists(_.equalsIgnoreCase(k)))
     require(missing.isEmpty,
-      s"snapshotDeleteKeys: key column(s) ${missing.mkString(", ")} absent " +
+      s"$op: key column(s) ${missing.mkString(", ")} absent " +
         s"from keys schema ${keys.schema.catalogString}")
     val keySet = keys.select(keyCols.map(col): _*).distinct()
     require(keySet.filter(keyCols.map(col(_).isNull)
         .reduce[Column](_ || _)).isEmpty,
-      "snapshotDeleteKeys: NULL in a key tuple — a null key never equals " +
+      s"$op: NULL in a key tuple — a null key never equals " +
         "any row and cannot mark a deletion")
     // an EMPTY key set deletes nothing: committing a live overlay for it
     // would needlessly disable snapshotRowCount, change-feed intervals,
     // and file-granular rewrites until the next compaction
     if (keySet.isEmpty)
-      return snapshotVersions(spark, dir).lastOption
+      return listManifestVersions(spark, dir, sub).lastOption
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -1935,13 +1980,10 @@ object Layout {
     while (committed < 0) {
       attempt += 1
       commitBackoff(attempt)
-      require(attempt <= 8, s"snapshotDeleteKeys: lost the commit race 8× at $dir")
-      val listed = listManifestVersions(spark, dir)
-      val base = listed.reverseIterator
-        .find(pv => try { snapshotManifestLines(spark, dir, pv); true }
-                    catch { case scala.util.control.NonFatal(_) => false })
+      require(attempt <= 8, s"$op: lost the commit race 8× at $dir")
+      val listed = listManifestVersions(spark, dir, sub)
+      val (base, lines) = newestCompleteLines(spark, dir, listed, sub)
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
-      val lines = snapshotManifestLines(spark, dir, base)
       val prev = lines.filterNot(_.startsWith("#"))
       // carry ONLY the file-describing meta (schema / stats / older
       // delete lines) — per-commit markers describe the commit they were
@@ -1964,16 +2006,16 @@ object Layout {
         val absent = keyCols.filterNot(k =>
           ts.fields.exists(_.name.equalsIgnoreCase(k)))
         require(absent.isEmpty,
-          s"snapshotDeleteKeys: key column(s) ${absent.mkString(", ")} " +
+          s"$op: key column(s) ${absent.mkString(", ")} " +
             s"not in the table schema ${ts.catalogString} at $dir")
       }
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(lines)) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       keySet.write.mode(SaveMode.Overwrite)
         .parquet(new Path(dir, rel).toString)
-      val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
+      val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val delLine = s"#$DeleteTag$rel|${keyCols.mkString(",")}"
       // the key file doubles as the commit's typed change record: the
@@ -2305,8 +2347,13 @@ object Layout {
         // live merge-on-read delete never bootstraps removed rows
         pieces += withMeta(overlayRead(spark, dir,
           rs => readMapped(rs, tableSchema), files, delsHere), "insert", v)
-      } else if (meta.exists(_.startsWith(RestoreTag))) {
-        // a RESTORE's row delta derives EXACTLY from immutable state:
+      } else if (meta.exists(m => m.startsWith(RestoreTag) ||
+          m.startsWith(FastForwardTag))) {
+        // a RESTORE's — or a branch PUBLISH's — row delta derives
+        // EXACTLY from immutable state (the same machinery serves
+        // both: a publish is returned-files = the staged load, plus
+        // possibly new delete lines = the staged takedowns, with
+        // nothing removed):
         //  - rows leaving = rows of the files the restore drops (read
         //    under the PREVIOUS side's overlay — a row already masked
         //    there was visible to no one and is not a delete), plus
@@ -2343,8 +2390,9 @@ object Layout {
         // a remedy beats a planner hang on the side the carve-out
         // would have waved through.
         require(aOnly.size + bOnly.size <= MaxRestoreOverlayLines,
-          s"snapshotChangesTyped: the restore at v$v of $dir changes " +
-            s"${aOnly.size + bOnly.size} merge-on-read delete lines " +
+          s"snapshotChangesTyped: the restore/publish at v$v of $dir " +
+            s"changes ${aOnly.size + bOnly.size} merge-on-read delete " +
+            "lines " +
             s"(max $MaxRestoreOverlayLines) — replaying that overlay " +
             "diff would compile a quadratically-growing join plan. " +
             "Recompute downstream state from snapshotRead for this " +
@@ -3132,7 +3180,7 @@ object Layout {
             .filter(m => carriedSet.contains(
               m.stripPrefix(StatsTag).takeWhile(_ != '|')))
           val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+            carriedVersionFloor(lines)) + 1
           val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
           fs.mkdirs(manifest.getParent)
           val metaOut = metaOf(st.touched, carried.size) ++ st.cdcLine
@@ -3177,7 +3225,7 @@ object Layout {
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted
       // SAME listing as base (see above) — never re-list here
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(prev)) + 1
+        carriedVersionFloor(lines)) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       val rel = f"data/v$v%08d-$token"
       val dataDir = new Path(dir, rel)
@@ -3303,7 +3351,7 @@ object Layout {
       val baseLines = snapshotManifestLines(spark, dir, base)
       val basePrev = baseLines.filterNot(_.startsWith("#"))
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(basePrev)) + 1
+        carriedVersionFloor(baseLines)) + 1
       val baseMeta = baseLines
         .filter(l => l.startsWith("#") && l != "#commit")
         .map(_.stripPrefix("#"))
@@ -3845,9 +3893,12 @@ object Layout {
     * ("no nulls in today's load", "row count within band") must run
     * against exactly what the next [[snapshotFastForward]] would
     * add — not rescan the corpus [[snapshotBranchRead]] serves, and
-    * not re-count a previous cycle's already-published stage. No
-    * overlay applies: staged files are append-only and newer than
-    * every carried delete line, so none can mask them. */
+    * not re-count a previous cycle's already-published stage. The
+    * tip's delete overlay applies to the staged files exactly as a
+    * branch read would apply it: a staged takedown
+    * ([[snapshotBranchDeleteKeys]]) masks earlier-staged rows, while
+    * carried main lines order below every staged file and mask
+    * nothing. */
   def snapshotBranchStaged(spark: SparkSession, dir: String,
       name: String): DataFrame = {
     requireBranchName("snapshotBranchStaged", name)
@@ -3880,7 +3931,9 @@ object Layout {
     val colmaps = parseColMaps(metaLines)
     if (staged.isEmpty)
       readManifestState(spark, dir, tipLines).limit(0)
-    else mappedParquetRead(spark, dir, staged, schema, colmaps)
+    else overlayRead(spark, dir,
+      rs => mappedParquetRead(spark, dir, rs, schema, colmaps),
+      staged, parseDeleteMeta(metaLines))
   }
 
   /** REBASE a branch onto main's current HEAD: ONE branch-namespace
@@ -4064,7 +4117,7 @@ object Layout {
       // carried MAIN files raise LATER branch committers' floors, as
       // a publish's carried branch files do on main)
       val v = math.max(bvs.lastOption.getOrElse(0L),
-        carriedVersionFloor(tipFiles)) + 1
+        carriedVersionFloor(tipLines)) + 1
       val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = (((marker +: (mainState ++ stagedStats))
@@ -4181,7 +4234,7 @@ object Layout {
       // later committers' floors only after this publish carries
       // them in).
       val v = math.max(listed.lastOption.getOrElse(0L),
-        carriedVersionFloor(newestLines.filterNot(_.startsWith("#")))) + 1
+        carriedVersionFloor(newestLines)) + 1
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = (((s"$FastForwardTag$name@$tip" +: state)
@@ -4280,11 +4333,11 @@ object Layout {
       // (post-publish) file list, else both land and the higher one
       // silently buries the restore
       val listed = listManifestVersions(spark, dir)
-      val newestFiles = newestCompleteLines(spark, dir, listed)
-        .map(_._2.filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
+      val newestLines = newestCompleteLines(spark, dir, listed)
+        .map(_._2).getOrElse(Seq.empty)
       val v = math.max(listed.lastOption.getOrElse(0L),
-        math.max(carriedVersionFloor(files),
-          carriedVersionFloor(newestFiles))) + 1
+        math.max(carriedVersionFloor(lines),
+          carriedVersionFloor(newestLines))) + 1
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = (((s"$RestoreTag$target" +: state).map(m => s"#$m")

@@ -1500,6 +1500,45 @@ object CoreRelational {
         FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
         GROUP BY 2 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q145
+    // STAGED TAKEDOWN (Layout.snapshotBranchDeleteKeys): a GDPR-shaped
+    // removal staged on the WAP branch — covering base rows AND
+    // staged-load rows — audited pre-publish, then published with the
+    // load in ONE fast-forward. The typed feed across the publish
+    // replays it row-level: masked base rows as deletes, the load net
+    // of the takedown as inserts; a staged-then-deleted row (never
+    // visible to main) appears in neither. The oracle recomputes both
+    // classes from the base table. At 100 TB this closes the audit
+    // story for removals: a takedown is validated against the branch
+    // before production sees it, for the cost of one key-file PUT.
+    QuerySpec(
+      "q145_branch_staged_takedown",
+      (s, d) => {
+        val dir = Fits.snapshotStagedTakedownDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 1L, 2L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("change_type"), col("status"))
+      },
+      Some("""SELECT change_type, status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'delete' AS change_type, o_orderstatus AS status,
+                 o_orderkey, o_totalprice AS price
+          FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 7
+          UNION ALL
+          SELECT 'insert', o_orderstatus, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+            AND o_orderkey % 10 <> 7)
+        GROUP BY 1, 2 ORDER BY change_type, status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -803,6 +803,56 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q145's fixture: a STAGED TAKEDOWN (the GDPR shape) — main v1
+    * holds keys < 2000, a load ([2000, 3000)) is staged on a branch,
+    * then [[graft.ops.Layout.snapshotBranchDeleteKeys]] stages the
+    * removal of every key < 3000 with `k % 10 == 7` — covering BOTH
+    * already-committed base rows and the staged load — all invisible
+    * to main (required in-fixture). The audit reads validate the
+    * takedown before anything is published: the branch read serves
+    * base + staged net of it, the staged view serves the load net of
+    * it. One fast-forward publishes load + takedown atomically (v2).
+    * The query reads the typed feed across that publish: the masked
+    * BASE rows replay row-level as deletes, the staged load net of
+    * the takedown as inserts (a staged-then-deleted row was never
+    * visible to main and appears in neither term) — the oracle
+    * recomputes both classes from the base table. */
+  def snapshotStagedTakedownDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaptakedown:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snaptd").toString + "/t"
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 2000), dir,
+        statsCols = Seq("o_orderkey"))                              // v1
+      Layout.snapshotBranch(s, dir, "audit")
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000),
+        dir, "audit", statsCols = Seq("o_orderkey"))
+      Layout.snapshotBranchDeleteKeys(s, dir, "audit",
+        o.filter(col("o_orderkey") < 3000 &&
+          col("o_orderkey") % 10 === 7).select("o_orderkey"),
+        Seq("o_orderkey"))
+      // audit gates, enforced: the takedown is invisible to main and
+      // validated on the branch before anything publishes
+      def n(df: org.apache.spark.sql.DataFrame) = df.count()
+      require(n(Layout.snapshotRead(s, dir)) ==
+        n(o.filter(col("o_orderkey") < 2000)),
+        "a staged takedown must be invisible to main")
+      require(n(Layout.snapshotBranchRead(s, dir, "audit")) ==
+        n(o.filter(col("o_orderkey") < 3000 &&
+          !(col("o_orderkey") % 10 === 7))),
+        "the branch read must serve base + staged net of the takedown")
+      require(n(Layout.snapshotBranchStaged(s, dir, "audit")) ==
+        n(o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000
+          && !(col("o_orderkey") % 10 === 7))),
+        "the staged view must serve the load net of the takedown")
+      Layout.snapshotFastForward(s, dir, "audit")                   // v2
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

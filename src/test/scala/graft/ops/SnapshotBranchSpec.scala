@@ -512,6 +512,74 @@ class SnapshotBranchSpec extends SparkSpec {
     }
   }
 
+  test("staged takedown (GDPR shape): a branch-side delete is audited " +
+      "before publish, publishes atomically, and the feed replays it " +
+      "row-level") {
+    val dir = tmpDir("snapbranch_del") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")       // branch v2
+    // the takedown staged on the branch: one base key, one staged key
+    val dv = Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+      Seq(Tuple1(5), Tuple1(105)).toDF("k"), Seq("k"))    // branch v3
+    assert(dv === 3L)
+    // INVISIBLE to main until publish
+    assert(stateOf(dir).keySet === (1 to 20).toSet)
+    // the AUDIT reads: full branch state and the staged window are
+    // both net of the staged takedown
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap.keySet ===
+      ((1 to 20) ++ (101 to 110)).toSet -- Set(5, 105))
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (101 to 110).toSet - 105)
+    // rebase on the UN-diverged main is a harmless no-op (the staged
+    // takedown needs no re-targeting while the publish would succeed)
+    assert(Layout.snapshotRebase(spark, dir, "audit") === 3L)
+    val pub = Layout.snapshotFastForward(spark, dir, "audit")        // v2
+    assert(stateOf(dir).keySet ===
+      ((1 to 20) ++ (101 to 110)).toSet -- Set(5, 105))
+    // the typed feed replays the publish ROW-LEVEL: the base row the
+    // takedown masked emits as a delete; the staged rows emit as
+    // inserts NET of the takedown (105 was never visible to main, so
+    // it appears in neither term)
+    val delta = Layout.snapshotChangesTyped(spark, dir, 1L, pub)
+      .select(col("_change_type"), col("k"))
+      .as[(String, Int)].collect().toSet
+    assert(delta ===
+      (Set("delete" -> 5) ++
+        ((101 to 110).toSet - 105).map("insert" -> _)), s"got $delta")
+    // the published delete line's version (branch v3) exceeds every
+    // file's: the NEXT main committer must floor ABOVE it, else its
+    // rows would version-order under the overlay and vanish
+    val va = Layout.snapshotAppend(Seq((5, "back")).toDF("k", "s")
+      .repartition(1), dir)
+    assert(va === 4L,
+      s"the floor must span the published delete line's version " +
+        s"(branch v3), got v$va")
+    assert(stateOf(dir)(5) === "back",
+      "a re-inserted key must survive the published takedown's overlay")
+  }
+
+  test("a staged takedown pins a DIVERGED branch to publish-or-drop: " +
+      "rebase refuses with the re-stage remedy") {
+    val dir = tmpDir("snapbranch_delpin") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+      Seq(Tuple1(5)).toDF("k"), Seq("k"))
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)                                // diverge
+    val e = intercept[Exception] {
+      Layout.snapshotRebase(spark, dir, "audit")
+    }
+    assert(e.getMessage.contains("takedown") &&
+      e.getMessage.contains("re-stage"),
+      s"got: ${e.getMessage}")
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
