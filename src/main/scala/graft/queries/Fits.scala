@@ -853,6 +853,50 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q146's fixture: SQL-ONLY Z-ORDER maintenance — four interleaved
+    * appends of a two-dimension table (every file's [min,max] box
+    * spans the whole domain on both `xb` and `yb`, so stats prune
+    * nothing), then `CALL system.zorder('t', 'xb', 'yb')` rewrites the
+    * corpus Morton-ordered through the SQL door. The fixture REQUIRES
+    * the pruning payoff: a 2-D box read afterwards opens strictly
+    * fewer files than the table holds (on the pre-zorder layout it
+    * opens all of them). The query then reads the box through the
+    * catalog's delegated scan; values are layout-independent, so the
+    * oracle recomputes them from the base table. */
+  def snapshotZorderTable(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapzorder:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, floor}
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapzo").toString
+      val dir = s"$root/t"
+      // 16-bit-bucketized dims over orders: key mod 1000, price/1000
+      val o = T.orders(s, sfDir).select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 1000).as("xb"),
+        floor(col("o_totalprice") / 1000.0).as("yb"),
+        col("o_orderstatus"), col("o_totalprice"))
+      (0 to 3).foreach(i => Layout.snapshotAppend(
+        o.filter(col("o_orderkey") % 4 === i).repartition(2), dir,
+        statsCols = Seq("xb", "yb")))
+      val cat = "graftsqlz_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def boxFiles: Int = Layout.snapshotReadWhere(s, dir,
+        col("xb") < 100 && col("yb") < 50).inputFiles.length
+      val preFiles = boxFiles
+      s.sql(s"CALL $cat.system.zorder('t', 'xb', 'yb', ${64L << 10})")
+      val total = Layout.snapshotRead(s, dir).inputFiles.length
+      // the payoff is only observable once the corpus splits into
+      // several z-ordered files; at smoke scale (sf0.001) the rewrite
+      // collapses to one file and there is nothing to prune among
+      require(total <= 2 || boxFiles < total,
+        s"the z-ordered box read must prune (opened $boxFiles of " +
+          s"$total files; pre-zorder it opened $preFiles)")
+      s"$cat.t"
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -26,6 +26,8 @@ import graft.ops.Layout
   *   CALL graft.system.fast_forward('db.t', 'audit')  -- publish (WAP)
   *   CALL graft.system.rebase('db.t', 'audit')    -- re-target at HEAD
   *   CALL graft.system.drop_branch('db.t', 'audit')   -- walk away
+  *   CALL graft.system.cluster('db.t', 'k')     -- 1-D range recluster
+  *   CALL graft.system.zorder('db.t', 'xb', 'yb')   -- 2-D Morton
   * }}}
   *
   * This closes the SQL story the catalog's own refusals point at: a
@@ -190,6 +192,40 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("branch_version", LongType, false))),
         input => Seq(InternalRow(Layout.snapshotRebase(spark,
           tableDir(input), input.getUTF8String(1).toString)))),
+
+      new Proc("cluster",
+        "one-shot physical re-clustering: rewrite the newest snapshot " +
+          "range-partitioned and sorted by the given columns (csv), so " +
+          "stats-pruned range reads touch only intersecting files " +
+          "(Layout.snapshotCompact clusterBy); for the POLICY that " +
+          "re-applies on every maintenance pass, declare " +
+          "TBLPROPERTIES ('graft.cluster' = ...) instead",
+        Array(in("table", StringType), in("columns", StringType),
+          inDefault("target_bytes", LongType, (128L << 20).toString)),
+        StructType(Seq(StructField("version", LongType, false))),
+        input => {
+          val cols = input.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty,
+            "cluster: 'columns' must name at least one column")
+          Seq(InternalRow(Layout.snapshotCompact(spark, tableDir(input),
+            targetBytes = input.getLong(2), clusterBy = cols)))
+        }),
+
+      new Proc("zorder",
+        "one-shot 2-D Morton (Z-order) re-clustering: rewrite the " +
+          "newest snapshot ordered by the interleaved bits of two " +
+          "bucketized columns, so box predicates on EITHER column " +
+          "prune (Layout.snapshotCompact zorderBy; 16-bit bucket " +
+          "contract — bucketize wider domains first)",
+        Array(in("table", StringType), in("x", StringType),
+          in("y", StringType),
+          inDefault("target_bytes", LongType, (128L << 20).toString)),
+        StructType(Seq(StructField("version", LongType, false))),
+        input => Seq(InternalRow(Layout.snapshotCompact(spark,
+          tableDir(input), targetBytes = input.getLong(3),
+          zorderBy = Some((input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString)))))),
 
       new Proc("drop_branch",
         "drop a branch; unpublished staged data ages into the orphan " +

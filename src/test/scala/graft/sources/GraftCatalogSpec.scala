@@ -517,6 +517,47 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(1L, 3L))
   }
 
+  test("CALL system.cluster / zorder: SQL-only re-clustering with the " +
+      "stats-pruning payoff") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.z (k BIGINT, xb BIGINT, yb BIGINT)")
+    // four interleaved inserts: every file spans the whole domain on
+    // both dims, so a range read pre-cluster opens everything
+    (0 to 3).foreach(i => spark.sql(
+      s"INSERT INTO $cat.db.z SELECT id, id % 100, (id * 7) % 100 " +
+        s"FROM range(${i * 2000}, ${i * 2000 + 2000})"))
+    val dir = s"$root/db/z"
+    def boxFiles: Int = Layout.snapshotReadWhere(spark, dir,
+      org.apache.spark.sql.functions.col("xb") < 10 &&
+        org.apache.spark.sql.functions.col("yb") < 10).inputFiles.length
+    val v = spark.sql(
+      s"CALL $cat.system.zorder('db.z', 'xb', 'yb', ${16L << 10})")
+      .head().getLong(0)
+    assert(v === Layout.snapshotVersions(spark, dir).last)
+    val total = Layout.snapshotRead(spark, dir).inputFiles.length
+    assert(total > 2 && boxFiles < total,
+      s"z-ordered 2-D box read must prune ($boxFiles of $total)")
+    // values are layout-independent
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.z " +
+      "WHERE xb < 10 AND yb < 10").head().getLong(0) ===
+      spark.range(0, 8000).filter(c => c % 100 < 10 && (c * 7) % 100 < 10)
+        .count())
+    // the 1-D sibling: range re-cluster by k, range reads prune
+    val v2 = spark.sql(
+      s"CALL $cat.system.cluster('db.z', 'k', ${16L << 10})")
+      .head().getLong(0)
+    assert(v2 > v)
+    val kFiles = Layout.snapshotReadWhere(spark, dir,
+      org.apache.spark.sql.functions.col("k") < 500).inputFiles.length
+    val kTotal = Layout.snapshotRead(spark, dir).inputFiles.length
+    assert(kTotal > 2 && kFiles < kTotal,
+      s"clustered range read must prune ($kFiles of $kTotal)")
+    // refusal: empty column list
+    assert(intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cluster('db.z', ' ')").collect()
+    }.getMessage.contains("at least one column"))
+  }
+
   test("CALL system.restore/tag/drop_tag/expire: the version story in SQL text") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT, s STRING)")
