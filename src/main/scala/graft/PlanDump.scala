@@ -41,7 +41,10 @@ object PlanDump {
     "q135_snapshot_restore" -> "read after CALL restore: the catalog's plain delegated scan over the RE-POINTED manifest — a metadata-only rollback leaves the serving plan identical to the tagged version's",
     "q136_incremental_agg_images" -> "aggregate maintained from the typed feed's pre/post-image pairs: O(batch) cdc-record scans joined to the v1 base agg — the v2 table is never rescanned",
     "q139_branch_wap_publish" -> "typed feed across a fast-forward publish: the published delta IS the staged files' scan (one collapsed insert step) — the metadata-only publish left no other trace in the plan",
-    "q141_nested_struct_evolve" -> "nested ADD evolution: ONE parquet scan spans both struct generations under the widened schema (by-name null-fill, no per-generation union, no struct rebuild)")
+    "q141_nested_struct_evolve" -> "nested ADD evolution: ONE parquet scan spans both struct generations under the widened schema (by-name null-fill, no per-generation union, no struct rebuild)",
+    "q144_branch_rebase_publish" -> "typed feed across a REBASED publish: the same collapsed insert shape as q139 — the metadata-only rebase left no trace in the read plan, and main's carried delete overlay anti-joins only the file groups it version-covers",
+    "q145_branch_staged_takedown" -> "publish replay with a staged takedown: the delete term semi-joins the masked base files against the O(keys) key file, the insert term scans staged files under the overlay — no corpus rescan in either term",
+    "q146_sql_zorder_box_read" -> "2-D box read after CALL system.zorder: the catalog's delegated vectorized scan over the Morton-rewritten files — manifest stats pruned the file list before the plan was built")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

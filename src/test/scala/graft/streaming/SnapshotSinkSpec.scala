@@ -304,4 +304,28 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotSink.appendOnce((201 to 205).toDF("v"), 3L, dir))
     assert(Layout.snapshotRead(spark, dir).count() === 55)
   }
+
+  test("appendOnce across a REBASE: the rebase manifest carries no " +
+      "batch marker, so the replay probe walks past it and " +
+      "exactly-once holds") {
+    val dir = tmpDir("snapsinkrb") + "/t"
+    Layout.snapshotAppend((1 to 10).toDF("v"), dir)                  // v1
+    Layout.snapshotBranch(spark, dir, "staged")
+    assert(SnapshotSink.appendOnce((101 to 110).toDF("v"), 0L, dir,
+      branch = Some("staged")))
+    // live main traffic, then the metadata-only re-target
+    Layout.snapshotAppend((11 to 20).toDF("v"), dir)                 // v2
+    Layout.snapshotRebase(spark, dir, "staged")
+    // a replayed micro-batch after the rebase must still no-op: the
+    // probe resolves the newest batch= marker THROUGH the marker-less
+    // rebase manifest
+    assert(!SnapshotSink.appendOnce((101 to 110).toDF("v"), 0L, dir,
+      branch = Some("staged")))
+    // the stream continues on the rebased branch and publishes whole
+    assert(SnapshotSink.appendOnce((111 to 120).toDF("v"), 1L, dir,
+      branch = Some("staged")))
+    Layout.snapshotFastForward(spark, dir, "staged")
+    assert(Layout.snapshotRead(spark, dir).count() === 40,
+      "base + main traffic + both staged micro-batches, each once")
+  }
 }
