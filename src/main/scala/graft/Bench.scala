@@ -133,11 +133,19 @@ object Bench {
             f"[bench] $name suite min $min%.2f > 2x prior $prior%.2f — " +
               "requeuing solo")
           val q = headline.find(_.name == name).get
-          val solo = (1 to 3).flatMap(_ => runOnce(q)).minOption
-            .getOrElse(min)
+          val soloReps = (1 to 3).flatMap(_ => runOnce(q)).sorted
+          val solo = soloReps.headOption.getOrElse(min)
           requeued(name) = (prior, min, solo)
-          val best = math.min(min, solo)
-          (name, best, med, spread)
+          if (solo < min && soloReps.nonEmpty) {
+            // the solo run cleared the outlier: repair med/spread from
+            // the solo reps too, else the contended window the requeue
+            // exists to adjudicate survives in queries_median /
+            // total_median / rep_spread
+            val soloMed = soloReps(soloReps.size / 2)
+            val soloSpread =
+              if (solo <= 0) -1.0 else (soloReps.last - solo) / solo
+            (name, solo, soloMed, soloSpread)
+          } else (name, math.min(min, solo), med, spread)
         case _ => r
       }
     }

@@ -580,6 +580,32 @@ class SnapshotBranchSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("rebase survives routine main maintenance: a carried delete " +
+      "line that main compaction materialized away is not a staged " +
+      "takedown") {
+    val dir = tmpDir("snapbranch_rbmaint") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(7)).toDF("k"), Seq("k"))                            // v2
+    Layout.snapshotBranch(spark, dir, "audit")   // base carries the line
+    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    // routine maintenance on main: compaction APPLIES the overlay and
+    // DROPS the delete line; then ordinary traffic
+    Layout.snapshotCompact(spark, dir)                               // v3
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v4
+    // the branch tip still carries the line main no longer has — that
+    // is NOT a staged takedown, and the rebase must proceed
+    Layout.snapshotRebase(spark, dir, "audit")
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (101 to 110).toSet)
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet ===
+      ((1 to 30) ++ (101 to 110)).toSet - 7)
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
