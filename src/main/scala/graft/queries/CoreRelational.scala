@@ -1572,6 +1572,45 @@ object CoreRelational {
           AND CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) < 50
         GROUP BY 1 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q147
+    // STAGED TAKEDOWN IN PURE SQL (DELETE FROM cat.`t@audit` →
+    // Layout.snapshotBranchDeleteKeys): q145's GDPR cycle with zero
+    // Scala in the write path — DDL declares the key contract, the
+    // branch identifier takes the load AND the takedown, SQL SELECTs
+    // audit both identifiers, one CALL publishes, and the
+    // snapshot_changes_typed TVF replays the publish row-level. The
+    // oracle recomputes both classes from the base table. Together
+    // with q142 this makes the whole write-audit-publish lifecycle —
+    // loads and removals — drivable from SQL text alone.
+    QuerySpec(
+      "q147_sql_staged_takedown",
+      (s, d) => {
+        val dir = Fits.snapshotSqlTakedownDir(s, d)
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        s.sql(s"""
+          SELECT _change_type AS change_type,
+            o_orderstatus AS status, COUNT(*) AS n,
+            CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_key,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price
+          FROM snapshot_changes_typed('$dir', 2, 3)
+          GROUP BY 1, 2 ORDER BY change_type, status""")
+      },
+      Some("""SELECT change_type, status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'delete' AS change_type, o_orderstatus AS status,
+                 o_orderkey, o_totalprice AS price
+          FROM orders WHERE o_orderkey < 2000 AND o_orderstatus = 'F'
+          UNION ALL
+          SELECT 'insert', o_orderstatus, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+            AND o_orderstatus <> 'F')
+        GROUP BY 1, 2 ORDER BY change_type, status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

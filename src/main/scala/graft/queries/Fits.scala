@@ -897,6 +897,69 @@ object Fits {
       s"$cat.t"
     }).asInstanceOf[String]
 
+  /** q147's fixture: the STAGED TAKEDOWN in PURE SQL TEXT — q145's
+    * GDPR cycle with zero Scala in the write path. `CREATE TABLE …
+    * TBLPROPERTIES ('graft.key')` declares the key contract, `INSERT
+    * INTO` builds main, `CALL system.branch` opens the stage, `INSERT
+    * INTO cat.`t@audit`` stages the load, and `DELETE FROM
+    * cat.`t@audit` WHERE …` stages the takedown as a branch-side
+    * merge-on-read key overlay. The audit gates are SQL SELECTs on
+    * both identifiers (required in-fixture: main untouched, branch net
+    * of the takedown), `CALL system.fast_forward` publishes, and the
+    * query replays the publish row-level through the
+    * snapshot_changes_typed TVF. */
+  def snapshotSqlTakedownDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapsqltd:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqltd").toString
+      // the audit SELECT over the branch's LIVE takedown overlay needs
+      // the extensions session (the overlay-read rewrite rule) — a
+      // plain delegated scan honestly refuses it, like main-side q132
+      val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+      val cat = "graftsqlt_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      x.conf.set(s"spark.sql.catalog.$cat.root", root)
+      T.orders(x, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("graft_q147_base")
+      x.sql(s"""
+        CREATE TABLE $cat.t (
+          o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        TBLPROPERTIES ('graft.key' = 'o_orderkey')""")               // v1
+      x.sql(s"""
+        INSERT INTO $cat.t
+        SELECT * FROM graft_q147_base WHERE o_orderkey < 2000""")    // v2
+      x.sql(s"CALL $cat.system.branch('t', 'audit')")
+      x.sql(s"""
+        INSERT INTO $cat.`t@audit` SELECT * FROM graft_q147_base
+        WHERE o_orderkey >= 2000 AND o_orderkey < 3000""")
+      // the takedown predicate must be source-filter expressible (the
+      // DSv2 delete door pushes attribute-op-literal conjuncts only):
+      // remove every 'F'-status row below 3000 — base AND staged
+      x.sql(s"""
+        DELETE FROM $cat.`t@audit`
+        WHERE o_orderstatus = 'F' AND o_orderkey < 3000""")
+      // audit gates in SQL on both identifiers
+      val mainN = x.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+      val tipN = x.sql(s"SELECT count(*) FROM $cat.`t@audit`")
+        .head().getLong(0)
+      val wantMain = x.sql("SELECT count(*) FROM graft_q147_base " +
+        "WHERE o_orderkey < 2000").head().getLong(0)
+      val wantTip = x.sql("SELECT count(*) FROM graft_q147_base " +
+        "WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'")
+        .head().getLong(0)
+      require(mainN == wantMain,
+        "a SQL staged takedown must be invisible to the main identifier")
+      require(tipN == wantTip,
+        "the branch identifier must serve base + staged net of the " +
+          "takedown")
+      x.sql(s"CALL $cat.system.fast_forward('t', 'audit')")          // v3
+      s"$root/t"
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -502,9 +502,10 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     * SQL MERGE door ([[graft.plans.SnapshotMergeRule]]). `version()`
     * (no-arg) is taken by the DSv2 [[Table]] contract. A branch-
     * qualified instance (`SELECT … FROM cat.db.\`t@audit\``) reads the
-    * branch tip and routes INSERTs to [[Layout.snapshotBranchAppend]]
-    * — the SQL-only staging door of write-audit-publish; everything
-    * heavier (MERGE/UPDATE/DELETE/OVERWRITE) refuses on a branch. */
+    * branch tip, routes INSERTs to [[Layout.snapshotBranchAppend]] and
+    * DELETEs (on a keyed table) to [[Layout.snapshotBranchDeleteKeys]]
+    * — the SQL-only staging doors of write-audit-publish; everything
+    * heavier (MERGE/UPDATE/OVERWRITE) refuses on a branch. */
   private[graft] def snapDir: String = dir
   private[graft] def snapVersion: Long = version
   private[graft] def snapBranch: Option[String] = branch
@@ -556,20 +557,40 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    version <= 0 && branch.isEmpty &&
-      filters.forall(f => filterToColumn(f).isDefined)
+    version <= 0 && filters.forall(f => filterToColumn(f).isDefined) &&
+      // a branch-side DELETE stages a merge-on-read KEY overlay, so it
+      // needs the key contract; refusing here surfaces at analysis
+      // time with Spark's own "cannot delete" instead of mid-write
+      (branch.isEmpty || Layout.snapshotKeyCols(spark, dir).nonEmpty)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(version <= 0,
       s"catalog table $ident: cannot DELETE FROM a time-travel snapshot")
-    require(branch.isEmpty,
-      s"catalog table $ident: cannot DELETE FROM a branch read — " +
-        "branches stage appends only")
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(F.lit(true))
-    // declared keys (graft.key) make the delete typed-feed-replayable
-    Layout.snapshotDeleteWhere(spark, dir, cond,
-      keyCols = Layout.snapshotKeyCols(spark, dir))
+    branch match {
+      case Some(b) =>
+        // the SQL door for a STAGED TAKEDOWN (the GDPR shape, audited
+        // before publish): resolve the predicate against the branch
+        // tip, stage the matching rows' KEY tuples as a merge-on-read
+        // overlay in the branch namespace — invisible to main until
+        // fast_forward, replayed row-level by the typed feed after it
+        // (Layout.snapshotBranchDeleteKeys). Key-granular by design:
+        // the keys identify the rows a keyed table deletes by.
+        val keyCols = Layout.snapshotKeyCols(spark, dir)
+        require(keyCols.nonEmpty,
+          s"catalog table $ident: DELETE FROM a branch stages a keyed " +
+            "merge-on-read takedown and needs the key contract — " +
+            "declare TBLPROPERTIES ('graft.key' = ...) on the table")
+        Layout.snapshotBranchDeleteKeys(spark, dir, b,
+          Layout.snapshotBranchRead(spark, dir, b).filter(cond)
+            .select(keyCols.map(F.col): _*),
+          keyCols)
+      case None =>
+        // declared keys (graft.key) make the delete typed-feed-replayable
+        Layout.snapshotDeleteWhere(spark, dir, cond,
+          keyCols = Layout.snapshotKeyCols(spark, dir))
+    }
     (): Unit
   }
 

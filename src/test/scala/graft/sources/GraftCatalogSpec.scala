@@ -558,6 +558,36 @@ class GraftCatalogSpec extends SparkSpec {
     }.getMessage.contains("at least one column"))
   }
 
+  test("DELETE FROM a branch identifier: a keyed table stages the " +
+      "takedown; an unkeyed one refuses at analysis") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.bd (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.key' = 'k')")
+    x.sql(s"INSERT INTO $cat.db.bd VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    x.sql(s"CALL $cat.system.branch('db.bd', 'audit')")
+    x.sql(s"INSERT INTO $cat.db.`bd@audit` VALUES (4, 'd'), (5, 'e')")
+    x.sql(s"DELETE FROM $cat.db.`bd@audit` WHERE k = 2 OR k = 5")
+    // invisible to main; the branch serves net of the staged takedown
+    assert(x.sql(s"SELECT k FROM $cat.db.bd ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    assert(x.sql(s"SELECT k FROM $cat.db.`bd@audit` ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+    x.sql(s"CALL $cat.system.fast_forward('db.bd', 'audit')")
+    assert(x.sql(s"SELECT k FROM $cat.db.bd ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+    // no key contract → the door refuses while planning, not mid-write
+    x.sql(s"CREATE TABLE $cat.db.nk (k BIGINT)")
+    x.sql(s"INSERT INTO $cat.db.nk VALUES (1)")
+    x.sql(s"CALL $cat.system.branch('db.nk', 'audit')")
+    intercept[Exception] {
+      x.sql(s"DELETE FROM $cat.db.`nk@audit` WHERE k = 1")
+    }
+  }
+
   test("CALL system.restore/tag/drop_tag/expire: the version story in SQL text") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT, s STRING)")
