@@ -606,6 +606,34 @@ class SnapshotBranchSpec extends SparkSpec {
       ((1 to 30) ++ (101 to 110)).toSet - 7)
   }
 
+  test("retention across a rebase: expire keeps every file the rebased " +
+      "branch references, even ones main maintenance dropped") {
+    val dir = tmpDir("snapbranch_rbexp") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((11 to 20).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v2
+    Layout.snapshotRebase(spark, dir, "audit")
+    // aggressive main maintenance: compact rewrites main's files and
+    // expire sweeps aggressively — the rebase manifest's carried MAIN
+    // files and the staged files must all survive (a live branch's
+    // references are retention-exempt)
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotExpire(spark, dir, keep = 1, orphanGraceMs = 0)
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap.keySet === (1 to 30).toSet,
+      "the rebased branch must stay readable under aggressive retention")
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (11 to 20).toSet)
+    // main compacted since the rebase → one more rebase, then publish
+    Layout.snapshotRebase(spark, dir, "audit")
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet === (1 to 30).toSet)
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
