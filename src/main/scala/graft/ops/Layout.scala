@@ -3878,18 +3878,31 @@ object Layout {
     * branch's creation pin (its smallest manifest version); tip = its
     * newest COMPLETE version (== base when nothing is staged yet). */
   def snapshotBranches(spark: SparkSession,
-      dir: String): Map[String, (Long, Long)] = {
+      dir: String): Map[String, (Long, Long)] =
+    snapshotBranchesDetail(spark, dir)
+      .map { case (n, b, t, _) => n -> (b, t) }.toMap
+
+  /** The operator's branch inventory: (name, creation base, tip,
+    * EFFECTIVE base) per live branch — effective base is the main
+    * version the next [[snapshotFastForward]] would accept (the newest
+    * [[snapshotRebase]]'s target when one happened, else the creation
+    * base; read from the tip's carried marker, no extra GET), which is
+    * exactly what "is this branch publishable against main's HEAD?"
+    * needs that the creation pin cannot answer after a rebase. */
+  def snapshotBranchesDetail(spark: SparkSession,
+      dir: String): Seq[(String, Long, Long, Long)] = {
     val root = new Path(dir, "_snapshots/branches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Map.empty
+    if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
       .flatMap { name =>
         val vs = listManifestVersions(spark, dir, branchSub(name))
-        val tip = vs.reverseIterator.find(v =>
-          try { snapshotManifestLines(spark, dir, v, branchSub(name)); true }
-          catch { case scala.util.control.NonFatal(_) => false })
-        for (b <- vs.headOption; t <- tip) yield name -> (b, t)
-      }.toMap
+        val tip = newestCompleteLines(spark, dir, vs, branchSub(name))
+        for (b <- vs.headOption; (t, lines) <- tip) yield
+          (name, b, t,
+            branchNewestRebase(lines).map(_._2).getOrElse(b))
+      }
   }
 
   /** Cheap branch existence: one listing of the branch's own manifest

@@ -181,19 +181,20 @@ object SnapshotTvf {
   }
 
   /** `snapshot_branches('<dir>')` — live write-audit-publish branches
-    * as data (name, base version, tip version):
-    * ([[Layout.snapshotBranches]]) — "what is staged and from where",
-    * the audit-side inventory `snapshot_history` cannot show (branch
-    * manifests are invisible to the main line by design). */
+    * as data (name, base version, tip version, EFFECTIVE base — the
+    * main version the next fast-forward would accept, rebase-aware):
+    * ([[Layout.snapshotBranchesDetail]]) — "what is staged, from
+    * where, and is it publishable", the audit-side inventory
+    * `snapshot_history` cannot show (branch manifests are invisible
+    * to the main line by design). */
   private[graft] def branchesBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1,
       s"snapshot_branches(dir) takes 1 argument, got ${args.size}")
     val dir = argString(args(0), "snapshot_branches", "dir")
     val spark = SparkSession.active
     import spark.implicits._
-    Layout.snapshotBranches(spark, dir).toSeq
-      .map { case (n, (b, t)) => (n, b, t) }.sorted
-      .toDF("branch", "base_version", "tip_version")
+    Layout.snapshotBranchesDetail(spark, dir)
+      .toDF("branch", "base_version", "tip_version", "effective_base")
       .queryExecution.logical
   }
 

@@ -196,10 +196,18 @@ class SnapshotTvfSpec extends SparkSpec {
     Layout.snapshotBranchAppend(Seq((2, "b")).toDF("k", "s"), dir, "audit")
     assert(spark.sql(s"SELECT tag, version FROM snapshot_tags('$dir')")
       .as[(String, Long)].collect().toSeq === Seq(("rel-1", 1L)))
-    assert(spark.sql(s"SELECT branch, base_version, tip_version " +
+    assert(spark.sql(s"SELECT branch, base_version, tip_version, " +
+        s"effective_base FROM snapshot_branches('$dir')")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("audit", 1L, 2L, 1L)))
+    // main advances, a rebase re-targets: the inventory's EFFECTIVE
+    // base answers "publishable against main's HEAD?" — the creation
+    // pin cannot after a rebase
+    Layout.snapshotAppend(Seq((3, "c")).toDF("k", "s"), dir)        // v2
+    Layout.snapshotRebase(spark, dir, "audit")
+    assert(spark.sql(s"SELECT effective_base, base_version " +
         s"FROM snapshot_branches('$dir')")
-      .as[(String, Long, Long)].collect().toSeq ===
-      Seq(("audit", 1L, 2L)))
+      .as[(Long, Long)].head() === ((2L, 1L)))
     Layout.snapshotDropBranch(spark, dir, "audit")
     assert(spark.sql(
       s"SELECT * FROM snapshot_branches('$dir')").count() === 0)

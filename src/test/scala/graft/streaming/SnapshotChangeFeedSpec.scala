@@ -412,4 +412,42 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       s"the rollback must re-emit exactly the un-deleted rows, got " +
         byVersion.get(3L))
   }
+
+  test("typed feed STREAMS a publish carrying a staged takedown: " +
+      "deletes + net inserts in one micro-batch, no stateful dedup") {
+    val root = tmpDir("snapfeedwap")
+    val dir = s"$root/t"
+    Layout.snapshotAppend((1 to 20).map(k => (k, s"a$k")).toDF("k", "s")
+      .repartition(1), dir)                                         // v1
+    val sink = s"$root/sink"; val cp = s"$root/cp"
+    def drainTyped(): Unit = {
+      val q = spark.readStream
+        .format("graft-snapshot-changes")
+        .option("changeTypes", "true")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainTyped() // bootstrap at v1: 20 inserts
+    // stage a load AND a takedown (one base key, one staged key), then
+    // publish — the streaming walk hits the state-diff replay branch
+    // with stream-tagged probe relations, so its build sides (the key
+    // file semi/anti joins) must stay plain batch reads
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 110).map(k => (k, s"b$k"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+      Seq(5, 105).toDF("k"), Seq("k"))
+    Layout.snapshotFastForward(spark, dir, "audit")                 // v2
+    drainTyped()
+    val pub = spark.read.parquet(sink)
+      .filter(col("_commit_version") === 2)
+      .select(col("_change_type"), col("k"))
+      .as[(String, Int)].collect().toSet
+    assert(pub === (Set("delete" -> 5) ++
+      ((101 to 110).toSet - 105).map("insert" -> _)),
+      s"got $pub")
+  }
 }
