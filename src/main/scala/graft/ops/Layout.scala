@@ -3880,28 +3880,42 @@ object Layout {
   def snapshotBranches(spark: SparkSession,
       dir: String): Map[String, (Long, Long)] =
     snapshotBranchesDetail(spark, dir)
-      .map { case (n, b, t, _) => n -> (b, t) }.toMap
+      .map { case (n, b, t, _, _) => n -> (b, t) }.toMap
 
   /** The operator's branch inventory: (name, creation base, tip,
-    * EFFECTIVE base) per live branch — effective base is the main
-    * version the next [[snapshotFastForward]] would accept (the newest
-    * [[snapshotRebase]]'s target when one happened, else the creation
-    * base; read from the tip's carried marker, no extra GET), which is
-    * exactly what "is this branch publishable against main's HEAD?"
-    * needs that the creation pin cannot answer after a rebase. */
+    * EFFECTIVE base, PUBLISHABLE) per live branch. Effective base is
+    * the divergence reference the next [[snapshotFastForward]]
+    * compares main's HEAD against (the newest [[snapshotRebase]]'s
+    * target when one happened, else the creation base; read from the
+    * tip's carried marker, no extra GET). `publishable` answers the
+    * operator's actual question — would a fast-forward be ACCEPTED
+    * right now — which needs BOTH acceptance paths: HEAD == effective
+    * base, or main's newest commit being this branch's own previous
+    * publish (the stage→publish→stage-more loop, where the effective
+    * base alone would read as a false "diverged"). One main-manifest
+    * GET for the whole inventory. */
   def snapshotBranchesDetail(spark: SparkSession,
-      dir: String): Seq[(String, Long, Long, Long)] = {
+      dir: String): Seq[(String, Long, Long, Long, Boolean)] = {
     val root = new Path(dir, "_snapshots/branches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val mainNewest = newestCompleteLines(spark, dir,
+      listManifestVersions(spark, dir))
+    val mainHead = mainNewest.map(_._1).getOrElse(0L)
+    val mainMeta = mainNewest.map(_._2.filter(l =>
+        l.startsWith("#") && l != "#commit").map(_.stripPrefix("#")))
+      .getOrElse(Nil)
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
       .toSeq.sorted
       .flatMap { name =>
         val vs = listManifestVersions(spark, dir, branchSub(name))
         val tip = newestCompleteLines(spark, dir, vs, branchSub(name))
-        for (b <- vs.headOption; (t, lines) <- tip) yield
-          (name, b, t,
-            branchNewestRebase(lines).map(_._2).getOrElse(b))
+        for (b <- vs.headOption; (t, lines) <- tip) yield {
+          val eff = branchNewestRebase(lines).map(_._2).getOrElse(b)
+          val publishable = mainHead == eff ||
+            parseFastForwardMarker(mainMeta, name).exists(_ >= b)
+          (name, b, t, eff, publishable)
+        }
       }
   }
 

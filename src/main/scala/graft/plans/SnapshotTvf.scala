@@ -182,11 +182,12 @@ object SnapshotTvf {
 
   /** `snapshot_branches('<dir>')` — live write-audit-publish branches
     * as data (name, base version, tip version, EFFECTIVE base — the
-    * main version the next fast-forward would accept, rebase-aware):
-    * ([[Layout.snapshotBranchesDetail]]) — "what is staged, from
-    * where, and is it publishable", the audit-side inventory
-    * `snapshot_history` cannot show (branch manifests are invisible
-    * to the main line by design). */
+    * rebase-aware divergence reference — and PUBLISHABLE: would a
+    * fast-forward be accepted against main right now, previous-publish
+    * acceptance path included): ([[Layout.snapshotBranchesDetail]]) —
+    * "what is staged, from where, and is it publishable", the
+    * audit-side inventory `snapshot_history` cannot show (branch
+    * manifests are invisible to the main line by design). */
   private[graft] def branchesBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1,
       s"snapshot_branches(dir) takes 1 argument, got ${args.size}")
@@ -194,7 +195,8 @@ object SnapshotTvf {
     val spark = SparkSession.active
     import spark.implicits._
     Layout.snapshotBranchesDetail(spark, dir)
-      .toDF("branch", "base_version", "tip_version", "effective_base")
+      .toDF("branch", "base_version", "tip_version", "effective_base",
+        "publishable")
       .queryExecution.logical
   }
 

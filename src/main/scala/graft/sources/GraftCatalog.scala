@@ -556,12 +556,46 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     }
   }
 
+  /** Declared keys, resolved once per table instance (per statement) —
+    * canDeleteWhere, deleteWhere, and properties() would otherwise
+    * each pay the same manifest listing + GET, and a key
+    * re-declaration landing between two of those reads could make the
+    * analysis-time answer and the write-time behavior disagree (the
+    * same memoization rationale as [[needsOverlayRead]]). */
+  private lazy val declaredKeyCols: Seq[String] =
+    Layout.snapshotKeyCols(spark, dir)
+
+  /** A filter shape that deletes EVERYTHING (a bare `TRUNCATE TABLE`
+    * routes through the delete door as AlwaysTrue): legal on main,
+    * refused on a branch — staging a delete-all overlay over the BASE
+    * rows is not an audit, it is a table wipe, and the walk-away /
+    * restore verbs are the contract for that. */
+  private def deletesEverything(filters: Array[sources.Filter]): Boolean =
+    filters.isEmpty || filters.forall(_ == sources.AlwaysTrue())
+
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     version <= 0 && filters.forall(f => filterToColumn(f).isDefined) &&
       // a branch-side DELETE stages a merge-on-read KEY overlay, so it
       // needs the key contract; refusing here surfaces at analysis
-      // time with Spark's own "cannot delete" instead of mid-write
-      (branch.isEmpty || Layout.snapshotKeyCols(spark, dir).nonEmpty)
+      // time with Spark's own "cannot delete" instead of mid-write.
+      // The delete-ALL shape is NOT gated here: TruncateTableExec
+      // swallows a false return as a silent no-op, so that refusal
+      // throws loudly from deleteWhere/truncateTable instead
+      (branch.isEmpty || declaredKeyCols.nonEmpty)
+
+  /** `TRUNCATE TABLE` on a BRANCH identifier refuses loudly: wiping
+    * the base rows is not a staged takedown (drop_branch / restore are
+    * that contract), and the default [[SupportsDelete.truncateTable]]
+    * would otherwise report an un-deletable table as a SILENT no-op
+    * (TruncateTableExec ignores a false return). Main-side truncation
+    * keeps the default delete-all door. */
+  override def truncateTable(): Boolean = {
+    require(branch.isEmpty,
+      s"catalog table $ident: TRUNCATE a branch is not a staged " +
+        "takedown — walk away with drop_branch, or restore main after " +
+        "an audited publish")
+    super.truncateTable()
+  }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     require(version <= 0,
@@ -577,19 +611,22 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
         // fast_forward, replayed row-level by the typed feed after it
         // (Layout.snapshotBranchDeleteKeys). Key-granular by design:
         // the keys identify the rows a keyed table deletes by.
-        val keyCols = Layout.snapshotKeyCols(spark, dir)
-        require(keyCols.nonEmpty,
+        require(!deletesEverything(filters),
+          s"catalog table $ident: TRUNCATE / delete-all on a branch is " +
+            "not a staged takedown — walk away with drop_branch, or " +
+            "restore main after an audited publish")
+        require(declaredKeyCols.nonEmpty,
           s"catalog table $ident: DELETE FROM a branch stages a keyed " +
             "merge-on-read takedown and needs the key contract — " +
             "declare TBLPROPERTIES ('graft.key' = ...) on the table")
         Layout.snapshotBranchDeleteKeys(spark, dir, b,
           Layout.snapshotBranchRead(spark, dir, b).filter(cond)
-            .select(keyCols.map(F.col): _*),
-          keyCols)
+            .select(declaredKeyCols.map(F.col): _*),
+          declaredKeyCols)
       case None =>
         // declared keys (graft.key) make the delete typed-feed-replayable
         Layout.snapshotDeleteWhere(spark, dir, cond,
-          keyCols = Layout.snapshotKeyCols(spark, dir))
+          keyCols = declaredKeyCols)
     }
     (): Unit
   }
@@ -598,7 +635,7 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     * surface as table properties (`SHOW TBLPROPERTIES`). */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
-    val keys = Layout.snapshotKeyCols(spark, dir)
+    val keys = declaredKeyCols
     if (keys.nonEmpty) m.put("graft.key", keys.mkString(","))
     val cluster = Layout.snapshotClusterCols(spark, dir)
     if (cluster.nonEmpty) m.put("graft.cluster", cluster.mkString(","))

@@ -197,17 +197,27 @@ class SnapshotTvfSpec extends SparkSpec {
     assert(spark.sql(s"SELECT tag, version FROM snapshot_tags('$dir')")
       .as[(String, Long)].collect().toSeq === Seq(("rel-1", 1L)))
     assert(spark.sql(s"SELECT branch, base_version, tip_version, " +
-        s"effective_base FROM snapshot_branches('$dir')")
-      .as[(String, Long, Long, Long)].collect().toSeq ===
-      Seq(("audit", 1L, 2L, 1L)))
-    // main advances, a rebase re-targets: the inventory's EFFECTIVE
-    // base answers "publishable against main's HEAD?" — the creation
-    // pin cannot after a rebase
+        s"effective_base, publishable FROM snapshot_branches('$dir')")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq ===
+      Seq(("audit", 1L, 2L, 1L, true)))
+    // main advances: the inventory reads "diverged" — then a rebase
+    // re-targets the effective base (the creation pin cannot move)
     Layout.snapshotAppend(Seq((3, "c")).toDF("k", "s"), dir)        // v2
+    assert(spark.sql(s"SELECT publishable " +
+        s"FROM snapshot_branches('$dir')").as[Boolean].head() === false)
     Layout.snapshotRebase(spark, dir, "audit")
-    assert(spark.sql(s"SELECT effective_base, base_version " +
+    assert(spark.sql(s"SELECT effective_base, base_version, publishable " +
         s"FROM snapshot_branches('$dir')")
-      .as[(Long, Long)].head() === ((2L, 1L)))
+      .as[(Long, Long, Boolean)].head() === ((2L, 1L, true)))
+    // publish-again loop: after a publish the effective base is stale
+    // but main's own marker keeps the branch PUBLISHABLE — the column
+    // answers the operator's question where effective_base alone would
+    // read as a false "diverged"
+    Layout.snapshotFastForward(spark, dir, "audit")
+    Layout.snapshotBranchAppend(Seq((4, "d")).toDF("k", "s"), dir,
+      "audit")
+    assert(spark.sql(s"SELECT publishable " +
+        s"FROM snapshot_branches('$dir')").as[Boolean].head() === true)
     Layout.snapshotDropBranch(spark, dir, "audit")
     assert(spark.sql(
       s"SELECT * FROM snapshot_branches('$dir')").count() === 0)

@@ -586,6 +586,16 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       x.sql(s"DELETE FROM $cat.db.`nk@audit` WHERE k = 1")
     }
+    // a delete-ALL (TRUNCATE routes through the same door) is not a
+    // staged takedown even on a keyed table — wiping the base rows is
+    // the restore/drop_branch contract, not an audit
+    x.sql(s"CALL $cat.system.branch('db.bd', 'audit2')")
+    intercept[Exception] {
+      x.sql(s"TRUNCATE TABLE $cat.db.`bd@audit2`")
+    }
+    intercept[Exception] {
+      x.sql(s"DELETE FROM $cat.db.`bd@audit2` WHERE true")
+    }
   }
 
   test("CALL system.restore/tag/drop_tag/expire: the version story in SQL text") {
