@@ -1611,6 +1611,36 @@ object CoreRelational {
             AND o_orderstatus <> 'F')
         GROUP BY 1, 2 ORDER BY change_type, status""")),
 
+    // --------------------------------------------------------------- q148
+    // BRANCH INVENTORY as data (snapshot_branches TVF →
+    // Layout.snapshotBranchesDetail): four branches in four lifecycle
+    // states — fresh-but-orphaned (another branch's publish moved
+    // main), staged-then-rebased, published (publishable AGAIN via
+    // main's own marker, the state effective_base alone misreads as
+    // diverged), and created-at-the-published-HEAD. Every column,
+    // `publishable` included, is deterministic version arithmetic, so
+    // the oracle is literal VALUES — the operator's "what is staged,
+    // from where, and can I publish it" question, oracle-checked.
+    QuerySpec(
+      "q148_branch_inventory",
+      (s, d) => {
+        val dir = Fits.snapshotBranchInventoryDir(s, d)
+        graft.plans.SnapshotTvf.ensureSqlDoor(s)
+        s.sql(s"""
+          SELECT branch, base_version, tip_version, effective_base,
+                 publishable
+          FROM snapshot_branches('$dir') ORDER BY branch""")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('fresh',  CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                     CAST(1 AS BIGINT), false),
+          ('pub',    1, 2, 1, true),
+          ('reb',    2, 3, 2, true),
+          ('staged', 1, 3, 2, true))
+        AS t(branch, base_version, tip_version, effective_base,
+             publishable)
+        ORDER BY branch""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -960,6 +960,37 @@ object Fits {
       s"$root/t"
     }).asInstanceOf[String]
 
+  /** q148's fixture: the branch INVENTORY under every lifecycle state
+    * an operator meets at once — `fresh` (created, nothing staged,
+    * then orphaned by another branch's publish), `staged` (loaded,
+    * then re-targeted by a rebase), `pub` (published, publishable
+    * again via main's marker), `reb` (created at the published HEAD).
+    * All four states are deterministic version arithmetic, so the
+    * whole snapshot_branches TVF output — `publishable` column
+    * included — is oracle-checkable as literal VALUES. */
+  def snapshotBranchInventoryDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snapbrinv:$sfDir", _ => {
+      import graft.ops.Layout
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_brinv").toString + "/t"
+      Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                       // v1
+      Layout.snapshotBranch(s, dir, "fresh")
+      Layout.snapshotBranch(s, dir, "staged")
+      Layout.snapshotBranchAppend(Seq((11, "b")).toDF("k", "s")
+        .repartition(1), dir, "staged")              // staged tip v2
+      Layout.snapshotBranch(s, dir, "pub")
+      Layout.snapshotBranchAppend(Seq((12, "c")).toDF("k", "s")
+        .repartition(1), dir, "pub")                 // pub tip v2
+      Layout.snapshotFastForward(s, dir, "pub")      // main v2, marker
+      Layout.snapshotBranch(s, dir, "reb")           // base = HEAD v2
+      Layout.snapshotBranchAppend(Seq((13, "d")).toDF("k", "s")
+        .repartition(1), dir, "reb")                 // reb tip v3
+      Layout.snapshotRebase(s, dir, "staged")        // staged tip v3
+      dir
+    }).asInstanceOf[String]
+
   /** q130's fixture: a snapshot table RETYPED mid-history
     * ([[graft.ops.Layout.snapshotRetype]]) — the table starts NARROW
     * (`k_id` INT, `price_f` FLOAT, both cast down from orders), takes

@@ -634,6 +634,39 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(stateOf(dir).keySet === (1 to 30).toSet)
   }
 
+  test("publish and staged-view manifest I/O is O(1) in the staged " +
+      "commit count (the carried rebase marker, not a walk)") {
+    val dir = tmpDir("snapbranch_gets") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    // a streaming-shaped branch: MANY staged commits
+    (1 to 12).foreach { i =>
+      Layout.snapshotBranchAppend(
+        Seq((100 + i, s"b$i")).toDF("k", "s").repartition(1),
+        dir, "audit")
+    }
+    def gets[A](body: => A): (A, Long) = {
+      val before = Layout.manifestReads.get()
+      val a = body
+      (a, Layout.manifestReads.get() - before)
+    }
+    // the audit-delta view: tip GET + watermark walk over MAIN commits
+    // since the base (1 here) + base-copy ref GET — independent of the
+    // 12 staged commits
+    val (_, viewGets) = gets(
+      Layout.snapshotBranchStaged(spark, dir, "audit").count())
+    assert(viewGets <= 4,
+      s"staged view paid $viewGets manifest GETs — must not scale " +
+        "with the staged commit count")
+    // the publish: branch tip GET + main newest GET (+ the PUT's
+    // re-listing) — likewise O(1)
+    val (_, pubGets) = gets(Layout.snapshotFastForward(spark, dir, "audit"))
+    assert(pubGets <= 4,
+      s"publish paid $pubGets manifest GETs — must not scale with the " +
+        "staged commit count")
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
