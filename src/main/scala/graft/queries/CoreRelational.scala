@@ -1641,6 +1641,49 @@ object CoreRelational {
              publishable)
         ORDER BY branch""")),
 
+    // --------------------------------------------------------------- q149
+    // INCREMENTAL AGGREGATE ACROSS A WAP TAKEDOWN PUBLISH: a
+    // per-status aggregate over the pre-publish table, maintained to
+    // the post-publish state purely from the typed feed's delta —
+    // subtract each delete's contribution, add each insert's — and
+    // hash-checked against the oracle's full recompute of the final
+    // state. The consumer-contract proof for the round's WAP story:
+    // at 100 TB the audited daily publish (takedown included) costs a
+    // downstream aggregate one O(delta) update, never a rescan — q136
+    // showed it for keyed UPDATEs, this shows it across the
+    // stage→audit→publish cycle.
+    QuerySpec(
+      "q149_wap_incremental_agg",
+      (s, d) => {
+        val dir = Fits.snapshotStagedTakedownDir(s, d)
+        val base = graft.ops.Layout.snapshotRead(s, dir, 1L)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n0"),
+            sum(col("o_totalprice").cast(dec18)).as("s0"))
+        val delta = graft.ops.Layout.snapshotChangesTyped(s, dir, 1L, 2L)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            sum(when(col("_change_type") === "insert", 1L)
+              .otherwise(-1L)).as("dn"),
+            sum(when(col("_change_type") === "insert",
+                col("o_totalprice").cast(dec18))
+              .otherwise(-col("o_totalprice").cast(dec18))).as("ds"))
+        base.join(delta, Seq("status"), "full_outer")
+          .select(col("status"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s0"), lit(0).cast(dec18)) +
+              coalesce(col("ds"), lit(0).cast(dec18))).cast("double")
+              .as("sum_price"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders
+        WHERE o_orderkey < 3000 AND o_orderkey % 10 <> 7
+        GROUP BY 1 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.
