@@ -572,15 +572,18 @@ object Layout {
     appendImpl(df, dir, meta, statsCols, evolve = true)
 
   /** The CATALOG's create-table commit: [[snapshotEvolve]] plus the
-    * right to DECLARE table-level policy flags ([[CdcImagesKey]]) via
-    * the batch schema's field metadata — `CREATE TABLE …
-    * TBLPROPERTIES` routes its declarations through exactly this door.
-    * A plain first-ever [[snapshotEvolve]]/[[snapshotAppend]] does NOT
-    * get that right: a DataFrame read from some OTHER graft table
-    * carries that table's policy flags in its schema metadata, and
-    * adopting them would silently conjure the source table's
-    * update-image policy onto the new one (ADVICE r12) — the
-    * declaration doors ([[GraftCatalog.createTable]],
+    * right to DECLARE table-level policy flags ([[CdcImagesKey]],
+    * [[KeyColKey]], [[ClusterPosKey]]) via the batch schema's field
+    * metadata — `CREATE TABLE … TBLPROPERTIES` routes its declarations
+    * through exactly this door. A plain first-ever
+    * [[snapshotEvolve]]/[[snapshotAppend]] does NOT get that right: a
+    * DataFrame read from some OTHER graft table carries that table's
+    * policy flags in its schema metadata, and adopting them would
+    * silently conjure the source table's update-image policy — or its
+    * key/cluster declarations, which change DELETE/MERGE replay
+    * semantics (ADVICE r12 for CDC, r13 for key/cluster) — onto the
+    * new one; the declaration doors ([[GraftCatalog.createTable]],
+    * [[snapshotDeclareKeys]], [[snapshotDeclareCluster]],
     * [[snapshotDeclareCdcImages]]) stay the only writers. */
   private[graft] def snapshotCreate(df: DataFrame, dir: String): Long =
     appendImpl(df, dir, Nil, Nil, evolve = true, declare = true)
@@ -770,23 +773,34 @@ object Layout {
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
-  /** Strip the table-level policy flag ([[CdcImagesKey]]) from a
-    * schema that did NOT come from a manifest's `schema=` line — a
-    * parquet footer preserves whatever field metadata the writing
-    * DataFrame carried, which for a frame read from another graft
-    * table includes THAT table's declared policy. Only the declaration
-    * doors may set the flag ([[snapshotCreate]],
+  /** Strip ALL table-level policy flags ([[CdcImagesKey]] update-image
+    * policy, [[KeyColKey]] declared keys, [[ClusterPosKey]] clustering
+    * order) from a schema that did NOT come from a manifest's
+    * `schema=` line — a parquet footer preserves whatever field
+    * metadata the writing DataFrame carried, which for a frame read
+    * from another graft table includes THAT table's declarations. All
+    * three flags ride field metadata through footers the same way, so
+    * all three leak the same way (ADVICE r13: a wrongly adopted
+    * `graft.key` changes DELETE/MERGE replay semantics, not just
+    * reporting). Only the declaration doors may set them
+    * ([[snapshotCreate]] via GraftCatalog.createTable TBLPROPERTIES,
+    * [[snapshotDeclareKeys]], [[snapshotDeclareCluster]],
     * [[snapshotDeclareCdcImages]]). */
   private def stripUndeclaredPolicy(
       s: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType =
-    if (!s.fields.exists(_.metadata.contains(CdcImagesKey))) s
+      : org.apache.spark.sql.types.StructType = {
+    val policy = Seq(CdcImagesKey, KeyColKey, ClusterPosKey)
+    if (!s.fields.exists(f => policy.exists(f.metadata.contains))) s
     else org.apache.spark.sql.types.StructType(s.fields.map { f =>
-      if (!f.metadata.contains(CdcImagesKey)) f
-      else f.copy(metadata =
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(CdcImagesKey).build())
+      if (!policy.exists(f.metadata.contains)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        policy.foreach(mb.remove)
+        f.copy(metadata = mb.build())
+      }
     })
+  }
 
   /** The schema of record at `version`, when one is recorded. */
   def snapshotSchemaOf(spark: SparkSession, dir: String,
@@ -1103,32 +1117,50 @@ object Layout {
       idFloor: Int = 0, declare: Boolean = false)
       : org.apache.spark.sql.types.StructType = {
     // declared flags ([[KeyColKey]] key membership, [[ClusterPosKey]]
-    // clustering position) inherit by name regardless of field IDs —
-    // the batch's fields never carry them, and dropping them on an
-    // evolve would silently un-key / un-cluster the table
+    // clustering position) are TABLE policy, authoritative in BOTH
+    // directions: inherit by name from the table's schema of record
+    // (the batch never carries them natively, and dropping them on an
+    // evolve would silently un-key / un-cluster the table), and STRIP
+    // anything else the batch's fields happen to carry — a batch read
+    // from another graft table rides that table's declarations in its
+    // field metadata exactly like [[CdcImagesKey]] (ADVICE r13), and
+    // adopting them would silently change this table's DELETE/MERGE
+    // replay semantics and clustering maintenance
     def withKeyFlags(b: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType = table match {
-      case Some(ts) if ts.fields.exists(f =>
-          isDeclaredKey(f) || f.metadata.contains(ClusterPosKey)) =>
+      case Some(ts) =>
         val byName = ts.fields.map(f =>
           f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
         org.apache.spark.sql.types.StructType(b.fields.map { f =>
-          byName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
-            case Some(tf) if isDeclaredKey(tf) ||
-                tf.metadata.contains(ClusterPosKey) =>
-              val mb = new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata)
-              if (isDeclaredKey(tf) && !isDeclaredKey(f))
-                mb.putBoolean(KeyColKey, true)
-              if (tf.metadata.contains(ClusterPosKey) &&
-                  !f.metadata.contains(ClusterPosKey))
-                mb.putLong(ClusterPosKey,
-                  tf.metadata.getLong(ClusterPosKey))
-              f.copy(metadata = mb.build())
-            case _ => f
+          val tf = byName.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          val wantKey = tf.exists(isDeclaredKey)
+          val wantPos = tf.filter(_.metadata.contains(ClusterPosKey))
+            .map(_.metadata.getLong(ClusterPosKey))
+          val keyOk = if (wantKey) isDeclaredKey(f)
+                      else !f.metadata.contains(KeyColKey)
+          val posOk = wantPos match {
+            case Some(p) => f.metadata.contains(ClusterPosKey) &&
+              f.metadata.getLong(ClusterPosKey) == p
+            case None => !f.metadata.contains(ClusterPosKey)
+          }
+          if (keyOk && posOk) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            if (wantKey) mb.putBoolean(KeyColKey, true)
+            else mb.remove(KeyColKey)
+            wantPos match {
+              case Some(p) => mb.putLong(ClusterPosKey, p)
+              case None    => mb.remove(ClusterPosKey)
+            }
+            f.copy(metadata = mb.build())
           }
         })
-      case _ => b
+      // no prior schema of record: the first commit is being made —
+      // [[withImagePolicy]]'s declare gate decides (keep through the
+      // declaration door, [[stripUndeclaredPolicy]] otherwise, which
+      // now covers all three flags)
+      case None => b
     }
     // the TABLE's declared update-image policy ([[CdcImagesKey]], a
     // flag on every field) is authoritative over whatever metadata the

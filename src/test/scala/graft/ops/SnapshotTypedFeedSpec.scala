@@ -293,6 +293,48 @@ class SnapshotTypedFeedSpec extends SparkSpec {
       "the declared door's flags ARE the declaration")
   }
 
+  test("stray key/cluster flags are stripped like the CDC flag — first " +
+      "commit AND later evolve of an undeclared table") {
+    // a batch read from another graft table carries that table's
+    // graft.key / graft.cluster.pos flags in its field metadata — the
+    // exact leak class ADVICE r12 closed for CdcImagesKey, which rides
+    // parquet footers and the evolve inherit path the same way
+    // (ADVICE r13). A wrongly adopted graft.key changes DELETE/MERGE
+    // replay semantics, so all three strip everywhere but the doors.
+    val kmd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(Layout.KeyColKey, true).build()
+    val cmd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(Layout.ClusterPosKey, 0L).build()
+    val flagged = (1 to 5).map(i => (i, s"a$i")).toDF("k", "s")
+      .select(col("k").as("k", kmd), col("s").as("s", cmd))
+    // undeclared FIRST commit: strip
+    val plainDir = s"${tmpDir("typedfeed_kconj")}/plain"
+    Layout.snapshotEvolve(flagged, plainDir)
+    assert(Layout.snapshotKeyCols(spark, plainDir).isEmpty,
+      "an undeclared first commit must not adopt a foreign graft.key")
+    assert(Layout.snapshotClusterCols(spark, plainDir).isEmpty,
+      "an undeclared first commit must not adopt a foreign clustering")
+    // later EVOLVE of an existing undeclared table: strip too — the
+    // table's (empty) declaration is authoritative over the batch's
+    val widened = flagged.withColumn("extra", lit(1))
+    Layout.snapshotEvolve(widened, plainDir)
+    assert(Layout.snapshotKeyCols(spark, plainDir).isEmpty &&
+      Layout.snapshotClusterCols(spark, plainDir).isEmpty,
+      "an evolve must not adopt batch-riding key/cluster flags")
+    // the declaration door keeps them…
+    val declDir = s"${tmpDir("typedfeed_kconj")}/decl"
+    Layout.snapshotCreate(flagged, declDir)
+    assert(Layout.snapshotKeyCols(spark, declDir) === Seq("k"))
+    assert(Layout.snapshotClusterCols(spark, declDir) === Seq("s"))
+    // …and a declared table's flags survive an evolve with a PLAIN
+    // batch (the inherit direction, unchanged)
+    Layout.snapshotEvolve((6 to 8).map(i => (i, s"a$i")).toDF("k", "s")
+      .withColumn("extra", lit(2)), declDir)
+    assert(Layout.snapshotKeyCols(spark, declDir) === Seq("k") &&
+      Layout.snapshotClusterCols(spark, declDir) === Seq("s"),
+      "declared flags must survive an evolve with a metadata-less batch")
+  }
+
   test("updateImages degrades to delete+insert when no pre record exists") {
     val dir = s"${tmpDir("typedfeed_imgd")}/t"
     twoAppends(dir)
