@@ -1684,6 +1684,46 @@ object CoreRelational {
         WHERE o_orderkey < 3000 AND o_orderkey % 10 <> 7
         GROUP BY 1 ORDER BY status""")),
 
+    // --------------------------------------------------------------- q150
+    // REBASE CARRIES A STAGED TAKEDOWN (Layout.snapshotRebase re-key):
+    // the composition of the round-13 flagships — a GDPR takedown
+    // audited on a branch while production traffic advances main. The
+    // publish refuses on divergence, ONE metadata-only `CALL
+    // system.rebase` re-keys the takedown's O(keys) overlay above the
+    // new HEAD's floor (no data byte moves, no re-staging), and the
+    // publish replays through the typed feed as exactly masked-base
+    // deletes + load-net-of-takedown inserts. The oracle recomputes
+    // both classes from the base table. At 100 TB this is the shape
+    // that keeps an audited removal alive under live traffic for one
+    // O(keys) copy instead of a full re-run of load and takedown.
+    QuerySpec(
+      "q150_rebase_takedown",
+      (s, d) => {
+        val dir = Fits.snapshotRebaseTakedownDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 3L, 4L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("change_type"), col("status"))
+      },
+      Some("""SELECT change_type, status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'delete' AS change_type, o_orderstatus AS status,
+                 o_orderkey, o_totalprice AS price
+          FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 7
+          UNION ALL
+          SELECT 'insert', o_orderstatus, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+            AND o_orderkey % 10 <> 7)
+        GROUP BY 1, 2 ORDER BY change_type, status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

@@ -562,22 +562,157 @@ class SnapshotBranchSpec extends SparkSpec {
       "a re-inserted key must survive the published takedown's overlay")
   }
 
-  test("a staged takedown pins a DIVERGED branch to publish-or-drop: " +
-      "rebase refuses with the re-stage remedy") {
-    val dir = tmpDir("snapbranch_delpin") + "/t"
+  test("rebase CARRIES a staged takedown: the re-keyed overlay survives " +
+      "live main traffic and publishes load-net-of-takedown") {
+    val dir = tmpDir("snapbranch_deltd") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")       // staged load
+    Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+      Seq(Tuple1(5), Tuple1(105)).toDF("k"), Seq("k")) // staged takedown
+    // live main traffic: an append (disjoint keys) AND main's own
+    // takedown — the exact composition of the round's two features
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v2
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(7)).toDF("k"), Seq("k"))                            // v3
+    val e = intercept[Exception] {
+      Layout.snapshotFastForward(spark, dir, "audit")
+    }
+    assert(e.getMessage.contains("diverged"))
+    // ONE metadata-only rebase carries load AND takedown to the new HEAD
+    Layout.snapshotRebase(spark, dir, "audit")
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (101 to 110).toSet - 105,
+      "the staged view must serve the load net of the carried takedown")
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet ===
+      ((1 to 30).toSet -- Set(5, 7)) ++ ((101 to 110).toSet - 105),
+      "the branch read must serve the NEW head net of the re-keyed " +
+        "takedown (it must mask main's current rows, not just the base)")
+    assert(stateOf(dir).keySet === (1 to 30).toSet - 7,
+      "nothing publishes before the fast-forward")
+    val pub = Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet ===
+      ((1 to 30).toSet -- Set(5, 7)) ++ ((101 to 110).toSet - 105))
+    // the typed feed replays the publish row-level: the masked base
+    // row as a delete, the load net of the takedown as inserts
+    val delta = Layout.snapshotChangesTyped(spark, dir, 3L, pub)
+      .select(col("_change_type"), col("k")).as[(String, Int)]
+      .collect().toSet
+    assert(delta === (Set(("delete", 5)) ++
+      ((101 to 110).toSet - 105).map(k => ("insert", k))))
+    // a LATER main append re-inserting a taken-down key survives the
+    // published re-keyed overlay (it allocates above the line's floor)
+    Layout.snapshotAppend(Seq((5, "back")).toDF("k", "s")
+      .repartition(1), dir)
+    assert(stateOf(dir)(5) === "back",
+      "a post-publish re-insert must survive the re-keyed overlay")
+  }
+
+  test("rebase with a takedown is repeatable (second rebase re-keys " +
+      "again) and refuses the one ambiguous shape: a LATER staged " +
+      "append re-inserting the takedown's own keys") {
+    val dir = tmpDir("snapbranch_delamb") + "/t"
     Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
       .repartition(1), dir)                                          // v1
     Layout.snapshotBranch(spark, dir, "audit")
     Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
       Seq(Tuple1(5)).toDF("k"), Seq("k"))
     Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
-      .repartition(1), dir)                                // diverge
+      .repartition(1), dir)                                // diverge 1
+    Layout.snapshotRebase(spark, dir, "audit")
+    Layout.snapshotAppend((31 to 40).map(i => (i, s"n$i")).toDF("k", "s")
+      .repartition(1), dir)                                // diverge 2
+    Layout.snapshotRebase(spark, dir, "audit")   // re-keys a second time
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (1 to 40).toSet - 5,
+      "the twice-re-keyed takedown must mask the newest main state")
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet === (1 to 40).toSet - 5)
+    // the ambiguous shape: takedown, then a staged append re-inserting
+    // its key, then main diverges — no re-keyed version can order
+    // above main's new files yet below the staged re-insert
+    Layout.snapshotBranch(spark, dir, "amb")
+    Layout.snapshotBranchDeleteKeys(spark, dir, "amb",
+      Seq(Tuple1(9)).toDF("k"), Seq("k"))
+    Layout.snapshotBranchAppend(Seq((9, "re")).toDF("k", "s")
+      .repartition(1), dir, "amb")
+    Layout.snapshotAppend((41 to 45).map(i => (i, s"o$i")).toDF("k", "s")
+      .repartition(1), dir)                                  // diverge
     val e = intercept[Exception] {
-      Layout.snapshotRebase(spark, dir, "audit")
+      Layout.snapshotRebase(spark, dir, "amb")
     }
-    assert(e.getMessage.contains("takedown") &&
-      e.getMessage.contains("re-stage"),
+    assert(e.getMessage.contains("re-inserts keys of its own staged " +
+      "takedown") && e.getMessage.contains("re-stage"),
       s"got: ${e.getMessage}")
+    // DISJOINT later appends stay fine: the probe is key-based, not
+    // shape-based
+    Layout.snapshotBranch(spark, dir, "ok")
+    Layout.snapshotBranchDeleteKeys(spark, dir, "ok",
+      Seq(Tuple1(11)).toDF("k"), Seq("k"))
+    Layout.snapshotBranchAppend(Seq((201, "z")).toDF("k", "s")
+      .repartition(1), dir, "ok")
+    Layout.snapshotAppend((46 to 50).map(i => (i, s"p$i")).toDF("k", "s")
+      .repartition(1), dir)                                  // diverge
+    Layout.snapshotRebase(spark, dir, "ok")
+    Layout.snapshotFastForward(spark, dir, "ok")
+    // key 9 survives: the refused 'amb' branch never published
+    assert(stateOf(dir).keySet ===
+      ((1 to 50).toSet -- Set(5, 11)) + 201)
+  }
+
+  test("rebase CARRYING a takedown races a concurrent branch stage and " +
+      "a publish: the CAS arbitrates, nothing is lost or doubled") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 5).foreach { round =>
+      // race 1: rebase-with-takedown vs a concurrent branch stage —
+      // both contend the branch's uniform next slot; whichever lands
+      // second retries on top, and the re-keyed takedown must mask
+      // neither the racer's rows (disjoint keys) nor be lost
+      val dir = tmpDir(s"snapbranch_tdrace$round") + "/t"
+      Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "audit")
+      Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+        .toDF("k", "s").repartition(1), dir, "audit")
+      Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+        Seq(Tuple1(5), Tuple1(105)).toDF("k"), Seq("k"))
+      Layout.snapshotAppend((11 to 20).map(i => (i, s"m$i")).toDF("k", "s")
+        .repartition(1), dir)                                // diverge
+      val fRebase = Future { Layout.snapshotRebase(spark, dir, "audit") }
+      val fStage = Future {
+        Layout.snapshotBranchAppend((201 to 205).map(i => (i, s"c$i"))
+          .toDF("k", "s").repartition(1), dir, "audit")
+      }
+      Await.result(fRebase, 120.seconds); Await.result(fStage, 120.seconds)
+      // race 2: publish vs one more rebase (main may be re-diverged
+      // only by our own race above, so at most one retry)
+      val fPub = Future {
+        try Some(Layout.snapshotFastForward(spark, dir, "audit"))
+        catch { case e: Exception if e.getMessage.contains("diverged") =>
+          None }
+      }
+      val fRebase2 = Future {
+        try { Layout.snapshotRebase(spark, dir, "audit"); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      val pub0 = Await.result(fPub, 120.seconds)
+      Await.result(fRebase2, 120.seconds)
+      if (pub0.isEmpty) {
+        Layout.snapshotRebase(spark, dir, "audit")
+        Layout.snapshotFastForward(spark, dir, "audit")
+      }
+      assert(stateOf(dir).keySet ===
+        ((1 to 20).toSet - 5) ++ ((101 to 110).toSet - 105) ++
+          (201 to 205).toSet,
+        s"round $round: the staged load, the racer's stage, and the " +
+          "re-keyed takedown must ALL publish exactly once")
+    }
   }
 
   test("rebase survives routine main maintenance: a carried delete " +
