@@ -183,8 +183,10 @@ object SnapshotTvf {
   /** `snapshot_branches('<dir>')` — live write-audit-publish branches
     * as data (name, base version, tip version, EFFECTIVE base — the
     * rebase-aware divergence reference — and PUBLISHABLE: would a
-    * fast-forward be accepted against main right now, previous-publish
-    * acceptance path included): ([[Layout.snapshotBranchesDetail]]) —
+    * fast-forward be ACCEPTED right now — both divergence acceptance
+    * paths AND the nothing-to-publish gate, so an un-diverged branch
+    * with nothing staged past its last publish reads false):
+    * ([[Layout.snapshotBranchesDetail]]) —
     * "what is staged, from where, and is it publishable", the
     * audit-side inventory `snapshot_history` cannot show (branch
     * manifests are invisible to the main line by design). */

@@ -1615,12 +1615,14 @@ object CoreRelational {
     // BRANCH INVENTORY as data (snapshot_branches TVF →
     // Layout.snapshotBranchesDetail): four branches in four lifecycle
     // states — fresh-but-orphaned (another branch's publish moved
-    // main), staged-then-rebased, published (publishable AGAIN via
-    // main's own marker, the state effective_base alone misreads as
-    // diverged), and created-at-the-published-HEAD. Every column,
-    // `publishable` included, is deterministic version arithmetic, so
-    // the oracle is literal VALUES — the operator's "what is staged,
-    // from where, and can I publish it" question, oracle-checked.
+    // main), staged-then-rebased, published-with-nothing-new (the
+    // un-diverged state whose fast-forward would still refuse
+    // "nothing to publish" — ADVICE r13 pinned `publishable` to mean
+    // "would the CALL be accepted", so this row reads false), and
+    // created-at-the-published-HEAD. Every column, `publishable`
+    // included, is deterministic version arithmetic, so the oracle is
+    // literal VALUES — the operator's "what is staged, from where,
+    // and can I publish it" question, oracle-checked.
     QuerySpec(
       "q148_branch_inventory",
       (s, d) => {
@@ -1634,7 +1636,7 @@ object CoreRelational {
       Some("""SELECT * FROM (VALUES
           ('fresh',  CAST(1 AS BIGINT), CAST(1 AS BIGINT),
                      CAST(1 AS BIGINT), false),
-          ('pub',    1, 2, 1, true),
+          ('pub',    1, 2, 1, false),
           ('reb',    2, 3, 2, true),
           ('staged', 1, 3, 2, true))
         AS t(branch, base_version, tip_version, effective_base,

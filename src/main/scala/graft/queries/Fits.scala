@@ -1033,8 +1033,10 @@ object Fits {
   /** q148's fixture: the branch INVENTORY under every lifecycle state
     * an operator meets at once — `fresh` (created, nothing staged,
     * then orphaned by another branch's publish), `staged` (loaded,
-    * then re-targeted by a rebase), `pub` (published, publishable
-    * again via main's marker), `reb` (created at the published HEAD).
+    * then re-targeted by a rebase), `pub` (published with nothing new
+    * staged since: un-diverged, but a fast-forward would refuse
+    * "nothing to publish", so `publishable` reads false — ADVICE r13),
+    * `reb` (created at the published HEAD).
     * All four states are deterministic version arithmetic, so the
     * whole snapshot_branches TVF output — `publishable` column
     * included — is oracle-checkable as literal VALUES. */

@@ -802,6 +802,59 @@ class SnapshotBranchSpec extends SparkSpec {
         "staged commit count")
   }
 
+  test("never-published watermark walk is bounded by the probe cache: " +
+      "staged-view GETs scale with main's NEW commits, not all commits " +
+      "since the branch base") {
+    val dir = tmpDir("snapbranch_wmcache") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    // busy main: ten commits land since the branch base — the window
+    // the un-cached walk re-paid on EVERY audit view
+    (1 to 10).foreach { i =>
+      Layout.snapshotAppend(Seq((200 + i, s"m$i")).toDF("k", "s")
+        .repartition(1), dir)
+    }
+    def gets[A](body: => A): (A, Long) = {
+      val before = Layout.manifestReads.get()
+      val a = body
+      (a, Layout.manifestReads.get() - before)
+    }
+    def stagedKeys(): Set[Int] =
+      Layout.snapshotBranchStaged(spark, dir, "audit")
+        .select("k").as[Int].collect().toSet
+    // first audit pays the walk over main's ten commits once…
+    val (k1, first) = gets(stagedKeys())
+    assert(k1 === (101 to 110).toSet)
+    // …and caches the probed frontier: a re-audit pays tip + accounted
+    // ref only, independent of main's history
+    val (k2, second) = gets(stagedKeys())
+    assert(k2 === (101 to 110).toSet)
+    assert(second <= 3 && second <= first - 8,
+      s"re-audit paid $second manifest GETs (first paid $first) — the " +
+        "probe cache must bound the never-published walk")
+    // main advances by two → the next audit pays exactly the delta
+    (1 to 2).foreach { i =>
+      Layout.snapshotAppend(Seq((300 + i, s"n$i")).toDF("k", "s")
+        .repartition(1), dir)
+    }
+    val (k3, third) = gets(stagedKeys())
+    assert(k3 === (101 to 110).toSet)
+    assert(third <= second + 3,
+      s"post-delta audit paid $third GETs — must scale with main's " +
+        "NEW commits only")
+    // the cached frontier must never mask a REAL later publish: stage
+    // more, publish, and the staged view resets through the marker
+    Layout.snapshotRebase(spark, dir, "audit")
+    Layout.snapshotFastForward(spark, dir, "audit")
+    Layout.snapshotBranchAppend((111 to 115).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "audit")
+    assert(stagedKeys() === (111 to 115).toSet,
+      "a publish after cached probes must re-bound the staged window")
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"

@@ -214,6 +214,11 @@ class SnapshotTvfSpec extends SparkSpec {
     // answers the operator's question where effective_base alone would
     // read as a false "diverged"
     Layout.snapshotFastForward(spark, dir, "audit")
+    // nothing staged past the publish: the fast-forward would refuse
+    // ("nothing to publish"), so the column must read false until the
+    // next stage lands (ADVICE r13)
+    assert(spark.sql(s"SELECT publishable " +
+        s"FROM snapshot_branches('$dir')").as[Boolean].head() === false)
     Layout.snapshotBranchAppend(Seq((4, "d")).toDF("k", "s"), dir,
       "audit")
     assert(spark.sql(s"SELECT publishable " +
