@@ -159,7 +159,12 @@ object SnapshotTvf {
 
   /** `snapshot_history('<dir>')` — DESCRIBE HISTORY for the format
     * ([[Layout.snapshotHistory]]): version, commit instant, operation
-    * marker, file deltas, manifest-only row count. */
+    * marker, file deltas, manifest-only row count — plus the BRANCH
+    * LIFECYCLE (`ref` = main | branch name): live branches' own
+    * commits (create / stage / takedown / `rebase-onto=<target>`) and,
+    * on each publish row, the staged-commit count the fast-forward
+    * collapsed. The compliance question — what was published when,
+    * from which branch, after how many rebases — as one query. */
   private[graft] def historyBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1,
       s"snapshot_history(dir) takes 1 argument, got ${args.size}")

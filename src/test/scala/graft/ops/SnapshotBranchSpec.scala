@@ -51,11 +51,22 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(delta.filter(col("_change_type") =!= "insert").count() === 0L)
     assert(delta.select("k").as[Int].collect().toSet ===
       (101 to 180).toSet)
-    // history carries the publish lineage
-    val hist = Layout.snapshotHistory(spark, dir)
+    // history carries the publish lineage — and since round 14 the
+    // live branch's own lifecycle rows beside the main line's
+    val histDf = Layout.snapshotHistory(spark, dir)
+    val hist = histDf.filter(col("ref") === "main")
       .select("version", "operation").as[(Long, Option[String])]
       .collect().toMap
     assert(hist(2L) === Some("fastforward-of=audit@3"))
+    assert(histDf.filter(col("ref") === "main")
+      .filter(col("version") === 2L)
+      .select("staged_commits").as[Option[Long]].head() === Some(2L),
+      "the publish row must carry the collapsed staged-commit count")
+    assert(histDf.filter(col("ref") === "audit")
+      .select("version", "operation").as[(Long, Option[String])]
+      .collect().toSet ===
+      Set((1L, Some("branch-create")), (2L, None), (3L, None)),
+      "the live branch's lifecycle rows must surface in the history")
     // carried stats still prune on the published state
     assert(Layout.snapshotReadWhere(spark, dir, col("k") <= 100)
       .inputFiles.length === 1, "published manifest must carry stats")

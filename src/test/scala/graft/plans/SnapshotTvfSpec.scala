@@ -149,7 +149,8 @@ class SnapshotTvfSpec extends SparkSpec {
     Layout.snapshotDeleteKeys(spark, dir, Seq(2L).toDF("k"), Seq("k"))
     val h = spark.sql(s"SELECT * FROM snapshot_history('$dir')")
     assert(h.columns.toSeq === Seq("version", "committed_at", "operation",
-      "n_files", "added_files", "row_count", "tags"))
+      "n_files", "added_files", "row_count", "tags", "ref",
+      "staged_commits"))
     val rows = h.orderBy("version").collect()
     assert(rows.map(_.getLong(0)).toSeq === (1L to 6L))
     val ops = rows.map(r => Option(r.getString(2)))
