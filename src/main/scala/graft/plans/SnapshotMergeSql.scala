@@ -101,9 +101,6 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
       tbl: GraftSnapshotTable): LogicalPlan = {
     if (tbl.snapVersion > 0)
       refuse("cannot MERGE INTO a time-travel (VERSION/TIMESTAMP AS OF) snapshot")
-    if (tbl.snapBranch.isDefined)
-      refuse("cannot MERGE INTO a branch read (t@branch) — branches " +
-        "stage appends only; publish first, then merge on main")
     if (m.withSchemaEvolution)
       refuse("WITH SCHEMA EVOLUTION is not supported — ALTER TABLE ADD " +
         "COLUMNS first (Layout.snapshotEvolve)")
@@ -267,7 +264,7 @@ object SnapshotMergeRule extends Rule[LogicalPlan] {
       if (upsertAll.isDefined) Nil
       else updFrags.map(_._1) ++ insFrags.map(_._1)
     SnapshotMergeCommand(tbl.snapDir, keyCols, upsertAll, updatePlans,
-      delFrags ++ bySourceDels)
+      delFrags ++ bySourceDels, tbl.snapBranch)
   }
 }
 
@@ -290,7 +287,8 @@ case class SnapshotMergeCommand(
     keyCols: Seq[String],
     upsertAll: Option[LogicalPlan],
     updatePlans: Seq[LogicalPlan],
-    deletePlans: Seq[LogicalPlan]) extends LeafRunnableCommand {
+    deletePlans: Seq[LogicalPlan],
+    branch: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -298,10 +296,15 @@ case class SnapshotMergeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     lazy val v0: Long = Layout.snapshotLatestVersion(session, dir)
       .getOrElse(sys.error(s"no committed snapshot at $dir"))
+    // branch-qualified relations are NOT pinned: a branch read always
+    // serves its tip (time travel on branches refuses at loadTable),
+    // and the branch route below materializes the update frame before
+    // its own staged commits move that tip
     def pin(p: LogicalPlan): LogicalPlan = p.transform {
       case r: DataSourceV2Relation =>
         r.table match {
-          case t: GraftSnapshotTable if t.snapVersion <= 0 =>
+          case t: GraftSnapshotTable
+              if t.snapVersion <= 0 && t.snapBranch.isEmpty =>
             r.copy(table = new GraftSnapshotTable(t.name(), t.snapDir, v0))
           case _ => r
         }
@@ -316,15 +319,26 @@ case class SnapshotMergeCommand(
       case None => updatePlans.map(ofRows).reduce(_ unionByName _)
     }
     val delOpt = deletePlans.map(ofRows).reduceOption(_ unionByName _)
-    // the table-level graft.cdc.updateImages property turns on
-    // pre-image persistence for a SQL-only CDC producer (the Scala
-    // API's snapshotMergeInto(preImages = true) opt-in, declared once
-    // in DDL); unset keeps the merge door's legacy default (off — the
-    // merge pre-image record costs an extra touched-file scan)
-    val v = Layout.snapshotMergeInto(session, dir, updates, keyCols,
-      deletes = delOpt,
-      preImages = Layout.snapshotCdcUpdateImages(session, dir)
-        .getOrElse(false))
+    val v = branch match {
+      // MERGE INTO cat.`t@branch`: the audited CDC upsert of
+      // write-audit-publish — staged as ONE takedown of the present
+      // keys + ONE append of the replacement rows in the branch
+      // namespace (Layout.snapshotBranchMerge), invisible to main
+      // until CALL system.fast_forward
+      case Some(b) =>
+        Layout.snapshotBranchMerge(session, dir, b, updates, keyCols,
+          deletes = delOpt)
+      // the table-level graft.cdc.updateImages property turns on
+      // pre-image persistence for a SQL-only CDC producer (the Scala
+      // API's snapshotMergeInto(preImages = true) opt-in, declared once
+      // in DDL); unset keeps the merge door's legacy default (off — the
+      // merge pre-image record costs an extra touched-file scan)
+      case None =>
+        Layout.snapshotMergeInto(session, dir, updates, keyCols,
+          deletes = delOpt,
+          preImages = Layout.snapshotCdcUpdateImages(session, dir)
+            .getOrElse(false))
+    }
     Seq(Row(v))
   }
 }

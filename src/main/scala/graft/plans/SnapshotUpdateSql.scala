@@ -50,8 +50,9 @@ object SnapshotUpdateRule extends Rule[LogicalPlan] {
     if (tbl.snapVersion > 0)
       refuse("cannot UPDATE a time-travel (VERSION/TIMESTAMP AS OF) snapshot")
     if (tbl.snapBranch.isDefined)
-      refuse("cannot UPDATE a branch read (t@branch) — branches stage " +
-        "appends only; publish first, then update main")
+      refuse("cannot UPDATE a branch read (t@branch) — stage the " +
+        "keyed upsert with MERGE INTO the branch instead (it lands as " +
+        "takedown + append), or publish first and update main")
     val tgtOut = target.outputSet
     // the command re-resolves everything against the rewrite scan by
     // NAME — swap resolved target attributes for unresolved ones

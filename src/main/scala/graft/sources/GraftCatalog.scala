@@ -502,10 +502,12 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     * SQL MERGE door ([[graft.plans.SnapshotMergeRule]]). `version()`
     * (no-arg) is taken by the DSv2 [[Table]] contract. A branch-
     * qualified instance (`SELECT … FROM cat.db.\`t@audit\``) reads the
-    * branch tip, routes INSERTs to [[Layout.snapshotBranchAppend]] and
+    * branch tip, routes INSERTs to [[Layout.snapshotBranchAppend]],
     * DELETEs (on a keyed table) to [[Layout.snapshotBranchDeleteKeys]]
-    * — the SQL-only staging doors of write-audit-publish; everything
-    * heavier (MERGE/UPDATE/OVERWRITE) refuses on a branch. */
+    * and MERGE to [[Layout.snapshotBranchMerge]] (the audited CDC
+    * upsert, staged as takedown + append — round 14) — the SQL-only
+    * staging doors of write-audit-publish; UPDATE/OVERWRITE still
+    * refuse on a branch. */
   private[graft] def snapDir: String = dir
   private[graft] def snapVersion: Long = version
   private[graft] def snapBranch: Option[String] = branch

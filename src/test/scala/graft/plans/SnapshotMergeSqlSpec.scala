@@ -42,6 +42,78 @@ class SnapshotMergeSqlSpec extends SparkSpec {
       Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (9L, "i", 9.0)))
   }
 
+  test("MERGE INTO a branch stages the keyed upsert (takedown + append), " +
+      "invisible to main until publish; the feed replays old/new values") {
+    val (t, dir) = newTable("(1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val cat = t.split('.').head
+    x.sql(s"CALL $cat.system.branch('db.t', 'audit')")
+    x.sql(s"INSERT INTO $cat.db.`t@audit` VALUES (4, 'd', 4.0)")
+    x.sql(s"""
+      MERGE INTO $cat.db.`t@audit` AS t
+      USING (SELECT * FROM VALUES (2, 'B', 20.0), (4, 'D', 40.0),
+             (9, 'i', 9.0) AS src(k, s, v)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    def rowsOf(q: String) = x.sql(q).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // the staged upsert is invisible to main…
+    assert(rowsOf(s"SELECT k, s, v FROM $t ORDER BY k") ===
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // …while the branch identifier serves the merged state: committed
+    // row updated, staged row updated, new key inserted
+    assert(rowsOf(s"SELECT k, s, v FROM $cat.db.`t@audit` ORDER BY k") ===
+      Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0),
+        (4L, "D", 40.0), (9L, "i", 9.0)))
+    x.sql(s"CALL $cat.system.fast_forward('db.t', 'audit')")        // v3
+    assert(rowsOf(s"SELECT k, s, v FROM $t ORDER BY k") ===
+      Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0),
+        (4L, "D", 40.0), (9L, "i", 9.0)))
+    // the typed feed across the publish: the replaced committed row as
+    // a delete with its OLD values, everything new as inserts (a
+    // staged-then-updated row was never visible to main and emits only
+    // its final value)
+    import x.implicits._
+    val delta = Layout.snapshotChangesTyped(x, dir, 2L, 3L)
+      .select("_change_type", "k", "s", "v")
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(delta === Set(
+      ("delete", 2L, "b", 2.0),
+      ("insert", 2L, "B", 20.0),
+      ("insert", 4L, "D", 40.0),
+      ("insert", 9L, "i", 9.0)))
+  }
+
+  test("branch MERGE: an all-new-keys upsert stages ONE append (no " +
+      "pointless overlay); a MATCHED DELETE stages tombstones") {
+    val (t, dir) = newTable("(1, 'a', 1.0), (2, 'b', 2.0)")
+    val cat = t.split('.').head
+    x.sql(s"CALL $cat.system.branch('db.t', 'audit')")
+    val tipBefore = Layout.snapshotBranches(x, dir)("audit")._2
+    x.sql(s"""
+      MERGE INTO $cat.db.`t@audit` AS t
+      USING (SELECT * FROM VALUES (8, 'h', 8.0), (9, 'i', 9.0)
+             AS src(k, s, v)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val tipAfter = Layout.snapshotBranches(x, dir)("audit")._2
+    assert(tipAfter === tipBefore + 1,
+      "an all-new-keys upsert must stage exactly one append commit — " +
+        "no takedown for keys the branch never held")
+    // MERGE-shaped staged takedown: matched keys delete, rest untouched
+    x.sql(s"""
+      MERGE INTO $cat.db.`t@audit` AS t
+      USING (SELECT * FROM VALUES (CAST(1 AS BIGINT)) AS src(k)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(x.sql(s"SELECT k FROM $cat.db.`t@audit` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 8L, 9L))
+    assert(x.sql(s"SELECT k FROM $t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "a staged MERGE DELETE must stay invisible to main")
+  }
+
   test("explicit assignments with source-side expressions and casts") {
     val (t, _) = newTable("(1, 'a', 1.0)")
     x.sql(s"""
