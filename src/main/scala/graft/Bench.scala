@@ -149,7 +149,8 @@ object Bench {
           requeued(name) =
             f""""$name":{"prior":$prior%.4f,"suite":$min%.4f,""" +
               f""""solo":$solo%.4f,"solo_median":$soloMed%.4f,""" +
-              f""""solo_spread":$soloSpread%.4f,"solo_reps":3,""" +
+              f""""solo_spread":$soloSpread%.4f,""" +
+              f""""solo_reps":${soloReps.size},""" + // failed reps drop
               f""""kept":"$kept"}"""
           if (kept == "solo")
             // the solo run cleared the outlier: repair med/spread from

@@ -2055,11 +2055,6 @@ object Layout {
       s"snapshotBranchMerge: key column(s) ${missing.mkString(", ")} " +
         s"absent from the update schema ${updates.schema.catalogString}")
     val kcols = keyCols.map(col)
-    // ANSI MERGE's "cannot update the same row twice"
-    require(updates.groupBy(kcols: _*).count()
-      .filter(col("count") > 1).isEmpty,
-      s"snapshotBranchMerge: duplicate upsert keys at $dir — a key " +
-        "may be updated once per statement (ANSI MERGE)")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // not dot-prefixed (Spark's file index hides dot-paths); never
     // referenced by any manifest, so a crash strands it only until the
@@ -2067,11 +2062,21 @@ object Layout {
     val scratch = new Path(dir,
       s"data/merge-stage-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val hasUpdates = !updates.isEmpty
-      val stable = if (hasUpdates) {
-        updates.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
-        Some(spark.read.parquet(scratch.toString))
-      } else None
+      // stage FIRST, validate the PINNED copy: the emptiness and
+      // duplicate-key checks below would otherwise each re-execute the
+      // matched join (3 executions where 1 suffices), and with a
+      // nondeterministic source the staged copy could hold duplicates
+      // a pre-stage check never saw — the require must judge exactly
+      // the rows that will commit
+      updates.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+      val pinned = spark.read.schema(updates.schema)
+        .parquet(scratch.toString)
+      val stable = if (pinned.isEmpty) None else Some(pinned)
+      // ANSI MERGE's "cannot update the same row twice"
+      require(pinned.groupBy(kcols: _*).count()
+        .filter(col("count") > 1).isEmpty,
+        s"snapshotBranchMerge: duplicate upsert keys at $dir — a key " +
+          "may be updated once per statement (ANSI MERGE)")
       // keys to mask: upsert keys and explicit tombstones — limited to
       // keys PRESENT on the branch tip (an all-new batch must not
       // commit a pointless live overlay; snapshotBranchDeleteKeys'
@@ -3640,10 +3645,11 @@ object Layout {
       parseRebase(meta).filter(_._1 == v)
         .map { case (_, target, _) => s"rebase-onto=$target" }
         .orElse(meta.find(m => markers.exists(m.startsWith)))
-        .orElse(meta.find(_.startsWith(DeleteTag))
-          .filter(_ => parseDeleteMeta(meta).exists(_._1 == v))
-          .map(d => s"delete-keys=${d.stripPrefix(DeleteTag)
-            .split('|').drop(1).mkString}"))
+        // label the takedown with THE line committed at v — a manifest
+        // routinely carries older delete lines too (and, on a branch,
+        // a rebase's re-keyed ones), whose key columns may differ
+        .orElse(parseDeleteMeta(meta).find(_._1 == v)
+          .map(d => s"delete-keys=${d._3.mkString(",")}"))
         .orElse(meta.find(_.startsWith(CdcTag)).map(_ => "keyed-rewrite"))
     var prevFiles = Set.empty[String]
     val lastPub = scala.collection.mutable.Map.empty[String, Long]
@@ -3666,10 +3672,18 @@ object Layout {
           else s.substring(at + 1).toLongOption.map(s.substring(0, at) -> _)
         }
       val stagedCommits = pub.flatMap { case (n, w) =>
-        val counted = branchVersions.get(n).map { bvs =>
-          val lo = lastPub.getOrElse(n, bvs.head)
-          bvs.count(bv => bv > lo && bv <= w).toLong
-        }
+        // count against the LIVE incarnation only: a publish whose
+        // watermark predates the live branch's base copy belongs to a
+        // dropped previous incarnation of the name (null, like a fully
+        // dropped branch), and an earlier incarnation's watermark must
+        // not become the window floor for the live one — the base copy
+        // itself is never a staged commit
+        val counted = branchVersions.get(n)
+          .filter(bvs => w >= bvs.head)
+          .map { bvs =>
+            val lo = math.max(lastPub.getOrElse(n, bvs.head), bvs.head)
+            bvs.count(bv => bv > lo && bv <= w).toLong
+          }
         lastPub(n) = w
         counted
       }
@@ -3912,23 +3926,34 @@ object Layout {
     // at a main version above the rebase target)
     val low = (Seq(branchBase) ++ cached.map(_._1) ++ rebaseTarget).max
     val listed = listManifestVersions(spark, dir)
+    // a transient manifest-GET failure must not let the walk "complete"
+    // past the marker it skipped: the cache would then record a
+    // too-high frontier FOREVER (pre-cache, a skipped manifest
+    // self-healed on the next call) — degrade to no-cache-write instead
+    var walkDegraded = false
     val found = listed.reverseIterator
       .takeWhile(_ > low)
       .flatMap { v =>
         val meta = try snapshotMetaOf(spark, dir, v)
-        catch { case scala.util.control.NonFatal(_) => Nil }
+        catch { case scala.util.control.NonFatal(_) =>
+          walkDegraded = true; Nil }
         parseFastForwardMarker(meta, name)
       }
       .nextOption()
-    val result = found.orElse(cached.flatMap(_._2))
-      .filter(w => w >= branchBase && w <= tip)
+    // the RETURN value is tip/base-filtered; the CACHE records the raw
+    // walk result — a racer's publish can legitimately carry a
+    // watermark above the tip WE observed (stage + publish between our
+    // tip read and the main listing), and caching the filtered None at
+    // this frontier would hide that marker from every future walk
+    val raw = found.orElse(cached.flatMap(_._2))
+    val result = raw.filter(w => w >= branchBase && w <= tip)
     // refresh the frontier when the walk advanced past the cache, so
     // the NEXT walk (any caller's) starts here — losing the race or
     // failing the PUT only widens a future walk, never wrongs it
     val head = listed.lastOption.getOrElse(0L)
-    if (head > low) try {
+    if (head > low && !walkDegraded) try {
       val target = new Path(dir,
-        s"${branchSub(name)}/${branchPubCacheName(head, result)}")
+        s"${branchSub(name)}/${branchPubCacheName(head, raw)}")
       if (atomicCreate(fs, target, Array.emptyByteArray))
         cached.foreach { case (p, w) =>
           fs.delete(new Path(dir,
@@ -4564,9 +4589,14 @@ object Layout {
           val w = floorW + 1 + i
           val token = java.util.UUID.randomUUID().toString.take(8)
           val newRel = f"data/v$w%08d-$token"
-          org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir, dRel),
-            fs, new Path(dir, newRel), false,
-            spark.sparkContext.hadoopConfiguration)
+          // some FileSystem impls surface a child-copy failure as the
+          // boolean — committing a delete= line over a missing or
+          // PARTIAL key dir would let rows escape the takedown
+          require(org.apache.hadoop.fs.FileUtil.copy(fs,
+            new Path(dir, dRel), fs, new Path(dir, newRel), false,
+            spark.sparkContext.hadoopConfiguration),
+            s"snapshotRebase: copying takedown key file $dRel -> " +
+              s"$newRel at $dir failed")
           (newRel, cols)
         }
       val rekeyedLines = rekeyed.map { case (rel, cols) =>

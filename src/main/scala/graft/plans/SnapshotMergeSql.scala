@@ -303,8 +303,15 @@ case class SnapshotMergeCommand(
     def pin(p: LogicalPlan): LogicalPlan = p.transform {
       case r: DataSourceV2Relation =>
         r.table match {
+          // pin only the TARGET table's own relations: v0 is the
+          // target dir's latest version, and a DIFFERENT graft table
+          // read as the merge SOURCE must keep resolving its own
+          // latest (pinning it to the target's version number would
+          // read an arbitrary historical snapshot, or a manifest that
+          // does not exist)
           case t: GraftSnapshotTable
-              if t.snapVersion <= 0 && t.snapBranch.isEmpty =>
+              if t.snapVersion <= 0 && t.snapBranch.isEmpty &&
+                t.snapDir == dir =>
             r.copy(table = new GraftSnapshotTable(t.name(), t.snapDir, v0))
           case _ => r
         }

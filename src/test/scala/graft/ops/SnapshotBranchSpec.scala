@@ -866,6 +866,47 @@ class SnapshotBranchSpec extends SparkSpec {
       "a publish after cached probes must re-bound the staged window")
   }
 
+  test("history: a dropped incarnation's publish row reads null " +
+      "staged_commits; the live incarnation's count excludes its base " +
+      "copy; a takedown row names THE line committed at its version") {
+    val dir = tmpDir("snapbranch_histinc") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "a")
+    Layout.snapshotBranchAppend((11 to 15).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "a")
+    Layout.snapshotFastForward(spark, dir, "a")           // main v2, w=2
+    Layout.snapshotAppend((21 to 25).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v3
+    Layout.snapshotAppend((26 to 30).map(i => (i, s"n$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v4
+    assert(Layout.snapshotDropBranch(spark, dir, "a"))
+    Layout.snapshotBranch(spark, dir, "a")            // new base copy v4
+    Layout.snapshotBranchAppend((31 to 35).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "a")
+    Layout.snapshotFastForward(spark, dir, "a")           // main v5, w=5
+    // takedowns with DIFFERENT key-column sets: the label must name the
+    // line committed at each version, not the oldest carried line
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(7)).toDF("k"), Seq("k"))                            // v6
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq((8, "a8")).toDF("k", "s"), Seq("k", "s"))                  // v7
+    val hist = Layout.snapshotHistory(spark, dir)
+      .filter(col("ref") === "main")
+      .select("version", "operation", "staged_commits")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hist(2L)._2 === None,
+      "a publish whose watermark predates the live incarnation's base " +
+        "must read null, not count against the wrong manifests")
+    assert(hist(5L)._2 === Some(1L),
+      "the live incarnation's count must exclude its base copy and the " +
+        "dropped incarnation's watermark")
+    assert(hist(6L)._1 === Some("delete-keys=k"))
+    assert(hist(7L)._1 === Some("delete-keys=k,s"),
+      "the takedown label must come from the line committed AT v7")
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
