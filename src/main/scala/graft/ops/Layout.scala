@@ -2425,7 +2425,13 @@ object Layout {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(paths: _*),
-      updateImages = updateImages)
+      updateImages = updateImages,
+      // the batch path may pair a publish/restore's same-key
+      // delete+insert into image pairs (both sides here are plain
+      // parquet reads); the STREAMING reuse must not — its delete and
+      // insert terms are both streaming-tagged, and the pairing joins
+      // would be the stream-stream shape Spark refuses
+      pairStateDiffImages = updateImages)
 
   /** The plan half of [[snapshotChangesTyped]], generic over HOW a
     * parquet file set becomes a DataFrame so the streaming change-feed
@@ -2438,7 +2444,8 @@ object Layout {
       fromVersion: Long, toVersion: Long,
       reader: (Seq[String], org.apache.spark.sql.types.StructType)
         => DataFrame,
-      updateImages: Boolean = false): DataFrame = {
+      updateImages: Boolean = false,
+      pairStateDiffImages: Boolean = false): DataFrame = {
     require(toVersion == -1L || toVersion >= 1,
       s"snapshotChangesTyped: toVersion must be a committed version " +
         s"(>= 1) or the latest-version sentinel -1, got $toVersion")
@@ -2596,10 +2603,42 @@ object Layout {
             rs => readMapped(rs, tableSchema), returned, delsHere))
           else None).toSeq ++
             maskedBy(common, delsHere, bOnly).toSeq
-        deletes.reduceOption(_ unionByName _)
-          .foreach(d => pieces += withMeta(d, "delete", v))
-        inserts.reduceOption(_ unionByName _)
-          .foreach(i => pieces += withMeta(i, "insert", v))
+        val delDf = deletes.reduceOption(_ unionByName _)
+        val insDf = inserts.reduceOption(_ unionByName _)
+        // image-pair mode over a state diff (round 14): with DECLARED
+        // keys, a key leaving AND returning at one publish/restore IS
+        // an update of that key — re-express the pair as
+        // update_preimage/update_postimage, exactly the shape the cdc
+        // branch gives keyed commits. The paired-key set is built with
+        // the O(delta) DELETE term as the ONLY large-side build
+        // (bounded by the publish's takedown keys / the restore's
+        // overlay diff), then drives four small-build semi/anti
+        // splits. Undeclared tables — no key identity to pair on —
+        // and the streaming reuse (stream-stream join shape) keep the
+        // honest delete+insert typing; _change_type tells the consumer
+        // which shape it got, as with cdc commits lacking a pre record.
+        val pairKeys =
+          if (pairStateDiffImages)
+            tableSchema.fields.filter(isDeclaredKey).map(_.name).toSeq
+          else Nil
+        (delDf, insDf) match {
+          case (Some(d), Some(i)) if pairKeys.nonEmpty =>
+            val kcols = pairKeys.map(c => col(s"`$c`"))
+            val paired = i.select(kcols: _*)
+              .join(d.select(kcols: _*), pairKeys, "left_semi")
+              .distinct()
+            pieces += withMeta(
+              d.join(paired, pairKeys, "left_semi"), "update_preimage", v)
+            pieces += withMeta(
+              d.join(paired, pairKeys, "left_anti"), "delete", v)
+            pieces += withMeta(
+              i.join(paired, pairKeys, "left_semi"), "update_postimage", v)
+            pieces += withMeta(
+              i.join(paired, pairKeys, "left_anti"), "insert", v)
+          case _ =>
+            delDf.foreach(d => pieces += withMeta(d, "delete", v))
+            insDf.foreach(i => pieces += withMeta(i, "insert", v))
+        }
       } else if (cdc.isDefined) {
         val c = cdc.get
         // cdc key columns were recorded under the names CURRENT AT v —

@@ -1803,6 +1803,55 @@ object CoreRelational {
           FROM orders WHERE o_orderkey < 3500 AND o_orderkey % 10 = 3)
         GROUP BY 1, 2 ORDER BY change_type, status""")),
 
+    // -------------------------------------------------------------- q152b
+    // THE PUBLISH REPLAYS AS IMAGE PAIRS (state-diff pairing on
+    // declared keys, round 14): the same staged-MERGE publish as q152,
+    // read with updateImages — a key leaving AND returning at the one
+    // publish version re-emits as update_preimage/update_postimage
+    // (old and new values), brand-new keys stay plain inserts. The
+    // CDC-consumer contract for WAP: a downstream keyed materialization
+    // applies the audited publish exactly as it applies a main-side
+    // keyed MERGE's cdc record. Oracle recomputes all three classes
+    // from the base table.
+    QuerySpec(
+      "q152b_branch_merge_images",
+      (s, d) => {
+        val dir = Fits.snapshotBranchMergeDir(s, d)
+        graft.ops.Layout.snapshotChangesTyped(s, dir, 2L, 3L,
+            updateImages = true)
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("change_type"), col("status"))
+      },
+      Some("""SELECT change_type, status, COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 'update_preimage' AS change_type,
+                 o_orderstatus AS status, o_orderkey,
+                 o_totalprice AS price
+          FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 3
+          UNION ALL
+          SELECT 'update_postimage', o_orderstatus, o_orderkey,
+                 o_totalprice + 1000000.0
+          FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 3
+          UNION ALL
+          SELECT 'insert', o_orderstatus, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+            AND o_orderkey % 10 <> 3
+          UNION ALL
+          SELECT 'insert', o_orderstatus, o_orderkey,
+                 o_totalprice + 1000000.0
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3500
+            AND o_orderkey % 10 = 3)
+        GROUP BY 1, 2 ORDER BY change_type, status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

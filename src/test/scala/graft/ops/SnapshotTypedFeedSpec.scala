@@ -335,6 +335,38 @@ class SnapshotTypedFeedSpec extends SparkSpec {
       "declared flags must survive an evolve with a metadata-less batch")
   }
 
+  test("updateImages pairs a publish's same-key delete+insert on " +
+      "declared keys; unpaired rows keep their plain types") {
+    val dir = s"${tmpDir("typedfeed_pubimg")}/t"
+    // declared-key table (the catalog's TBLPROPERTIES route)
+    val kmd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(Layout.KeyColKey, true).build()
+    Layout.snapshotCreate((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .select(col("k").as("k", kmd), col("s")).repartition(1), dir)  // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    // staged CDC upsert (update k=5, insert k=11) + a pure takedown
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "NEW5"), (11, "new11")).toDF("k", "s"), Seq("k"))
+    Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+      Seq(Tuple1(7)).toDF("k"), Seq("k"))
+    Layout.snapshotFastForward(spark, dir, "audit")                  // v2
+    def ev(images: Boolean): Set[(String, Int, String)] =
+      Layout.snapshotChangesTyped(spark, dir, 1L, 2L,
+          updateImages = images)
+        .select(col("_change_type"), col("k"), col("s"))
+        .as[(String, Int, String)].collect().toSet
+    assert(ev(true) === Set(
+      ("update_preimage", 5, "a5"),    // key on both sides: image pair
+      ("update_postimage", 5, "NEW5"),
+      ("insert", 11, "new11"),         // new key: plain insert
+      ("delete", 7, "a7")),            // pure takedown: plain delete
+      s"got ${ev(true)}")
+    // without the option the same publish keeps the plain typing
+    assert(ev(false) === Set(
+      ("delete", 5, "a5"), ("insert", 5, "NEW5"),
+      ("insert", 11, "new11"), ("delete", 7, "a7")))
+  }
+
   test("updateImages degrades to delete+insert when no pre record exists") {
     val dir = s"${tmpDir("typedfeed_imgd")}/t"
     twoAppends(dir)
