@@ -2102,6 +2102,53 @@ object Layout {
     } finally fs.delete(scratch, true)
   }
 
+  /** KEYED `UPDATE … WHERE` STAGED ON A BRANCH — the last DML verb of
+    * the branch staging surface, composed from the same MOR grammar
+    * the others use: the branch tip's matching rows with assignments
+    * applied, staged through [[snapshotBranchMerge]] (one takedown of
+    * the matched keys + one append of the updated rows, audit-visible
+    * and invisible to main until publish). Requires DECLARED keys
+    * (`graft.key`): an un-keyed predicate rewrite has no row identity
+    * to re-sequence in the overlay grammar — main-side UPDATE rewrites
+    * files in place and has no such need. Assigning a KEY column
+    * refuses (the overlay would mask the NEW key's rows, not the old
+    * one's — changing identity is MERGE's job). Returns the branch
+    * version of the last staged commit. */
+  def snapshotBranchUpdateWhere(spark: SparkSession, dir: String,
+      name: String, cond: Column,
+      sets: Seq[(String, Column)]): Long = {
+    requireBranchName("snapshotBranchUpdateWhere", name)
+    require(sets.nonEmpty, "snapshotBranchUpdateWhere: no assignments")
+    val tip = snapshotBranchRead(spark, dir, name)
+    val keyCols = tip.schema.fields.filter(isDeclaredKey).map(_.name).toSeq
+    require(keyCols.nonEmpty,
+      s"snapshotBranchUpdateWhere: table at $dir declares no keys " +
+        "(graft.key) — a staged predicate rewrite needs a row identity " +
+        "for the branch's merge-on-read grammar. Declare keys, or " +
+        "stage the rewrite with MERGE INTO the branch (explicit ON " +
+        "keys)")
+    val lowerKeys = keyCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val assigned = sets.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    val keyHit = assigned.filter(lowerKeys)
+    require(keyHit.isEmpty,
+      s"snapshotBranchUpdateWhere: cannot assign key column(s) " +
+        s"${keyHit.mkString(", ")} on a branch — the staged overlay " +
+        "masks by key identity; re-keying a row is a MERGE (delete + " +
+        "insert) by contract")
+    val unknown = sets.map(_._1).filterNot(n =>
+      tip.columns.exists(_.equalsIgnoreCase(n)))
+    require(unknown.isEmpty,
+      s"snapshotBranchUpdateWhere: unknown column(s) " +
+        s"${unknown.mkString(", ")} in SET")
+    val byLower = sets.map { case (n, c) =>
+      n.toLowerCase(java.util.Locale.ROOT) -> c }.toMap
+    val updated = tip.filter(cond).select(tip.columns.map { c =>
+      byLower.get(c.toLowerCase(java.util.Locale.ROOT))
+        .map(_.as(c)).getOrElse(col(s"`$c`"))
+    }: _*)
+    snapshotBranchMerge(spark, dir, name, updated, keyCols)
+  }
+
   private def deleteKeysImpl(spark: SparkSession, dir: String,
       keys: DataFrame, keyCols: Seq[String], op: String,
       sub: String = "_snapshots"): Long = {

@@ -29,7 +29,13 @@ import graft.sources.GraftSnapshotTable
   * target through a key-join; UPDATE is the cheaper self-referential
   * case). Subqueries in the predicate or values refuse (the probe
   * needs a plain predicate); nested-field assignment refuses. With
-  * declared keys (`graft.key`) the commit records typed-feed cdc. */
+  * declared keys (`graft.key`) the commit records typed-feed cdc.
+  *
+  * A BRANCH target (`UPDATE cat.db.\`t@audit\``) stages instead
+  * (round 14): [[Layout.snapshotBranchUpdateWhere]] composes the
+  * branch's merge-on-read grammar — takedown of the matched keys +
+  * append of the updated rows — keyed tables only, invisible to main
+  * until the publish. */
 object SnapshotUpdateRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -49,10 +55,9 @@ object SnapshotUpdateRule extends Rule[LogicalPlan] {
       tbl: GraftSnapshotTable): LogicalPlan = {
     if (tbl.snapVersion > 0)
       refuse("cannot UPDATE a time-travel (VERSION/TIMESTAMP AS OF) snapshot")
-    if (tbl.snapBranch.isDefined)
-      refuse("cannot UPDATE a branch read (t@branch) — stage the " +
-        "keyed upsert with MERGE INTO the branch instead (it lands as " +
-        "takedown + append), or publish first and update main")
+    // a branch target routes to the staged composition below (keyed
+    // tables only — Layout.snapshotBranchUpdateWhere refuses the rest
+    // with the declare-or-MERGE remedy)
     val tgtOut = target.outputSet
     // the command re-resolves everything against the rewrite scan by
     // NAME — swap resolved target attributes for unresolved ones
@@ -78,7 +83,8 @@ object SnapshotUpdateRule extends Rule[LogicalPlan] {
     val cond = condition.map(nameBased(_, "WHERE clause"))
       .getOrElse(Literal(true))
     SnapshotUpdateCommand(tbl.snapDir,
-      asg.map { case (n, e) => n -> NameExpr(e) }, NameExpr(cond))
+      asg.map { case (n, e) => n -> NameExpr(e) }, NameExpr(cond),
+      tbl.snapBranch)
   }
 }
 
@@ -96,21 +102,37 @@ private[plans] case class NameExpr(e: Expression) {
   * snapshot version as a single row. */
 case class SnapshotUpdateCommand(dir: String,
     assignments: Seq[(String, NameExpr)],
-    cond: NameExpr) extends LeafRunnableCommand {
+    cond: NameExpr,
+    branch: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    val v = Layout.snapshotUpdateWhere(session, dir,
-      GraftPlanBridge.columnOf(cond.e),
-      assignments.map { case (n, h) => n -> GraftPlanBridge.columnOf(h.e) },
-      // declared keys (graft.key) make the update typed-feed-replayable
-      keyCols = Layout.snapshotKeyCols(session, dir),
-      // keyed updates persist pre-images by default; the table-level
-      // graft.cdc.updateImages property (when set) overrides either way
-      preImages = Layout.snapshotCdcUpdateImages(session, dir)
-        .getOrElse(true))
+    val v = branch match {
+      // UPDATE cat.db.`t@branch`: staged through the branch's MOR
+      // grammar (takedown of the matched keys + append of the updated
+      // rows) — keyed tables only, audit-visible, invisible to main
+      // until CALL system.fast_forward
+      case Some(b) =>
+        Layout.snapshotBranchUpdateWhere(session, dir, b,
+          GraftPlanBridge.columnOf(cond.e),
+          assignments.map { case (n, h) =>
+            n -> GraftPlanBridge.columnOf(h.e) })
+      case None =>
+        Layout.snapshotUpdateWhere(session, dir,
+          GraftPlanBridge.columnOf(cond.e),
+          assignments.map { case (n, h) =>
+            n -> GraftPlanBridge.columnOf(h.e) },
+          // declared keys (graft.key) make the update
+          // typed-feed-replayable
+          keyCols = Layout.snapshotKeyCols(session, dir),
+          // keyed updates persist pre-images by default; the
+          // table-level graft.cdc.updateImages property (when set)
+          // overrides either way
+          preImages = Layout.snapshotCdcUpdateImages(session, dir)
+            .getOrElse(true))
+    }
     Seq(Row(v))
   }
 }

@@ -504,10 +504,11 @@ private[graft] class GraftSnapshotTable(ident: String, dir: String,
     * qualified instance (`SELECT … FROM cat.db.\`t@audit\``) reads the
     * branch tip, routes INSERTs to [[Layout.snapshotBranchAppend]],
     * DELETEs (on a keyed table) to [[Layout.snapshotBranchDeleteKeys]]
-    * and MERGE to [[Layout.snapshotBranchMerge]] (the audited CDC
-    * upsert, staged as takedown + append — round 14) — the SQL-only
-    * staging doors of write-audit-publish; UPDATE/OVERWRITE still
-    * refuse on a branch. */
+    * MERGE to [[Layout.snapshotBranchMerge]] (the audited CDC upsert,
+    * staged as takedown + append — round 14) and UPDATE (keyed
+    * tables) to [[Layout.snapshotBranchUpdateWhere]] — the SQL-only
+    * staging doors of write-audit-publish; only OVERWRITE/TRUNCATE
+    * still refuse on a branch (not stageable shapes). */
   private[graft] def snapDir: String = dir
   private[graft] def snapVersion: Long = version
   private[graft] def snapBranch: Option[String] = branch

@@ -114,6 +114,48 @@ class SnapshotMergeSqlSpec extends SparkSpec {
       "a staged MERGE DELETE must stay invisible to main")
   }
 
+  test("UPDATE a branch stages the keyed rewrite through the MOR " +
+      "grammar; undeclared tables and key-column assignment refuse") {
+    val name = s"gu${System.nanoTime()}"
+    val root = tmpDir("graftupd")
+    x.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$name.root", root)
+    x.sql(s"CREATE TABLE $name.db.t (k BIGINT, s STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.key' = 'k')")
+    x.sql(s"INSERT INTO $name.db.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    x.sql(s"CALL $name.system.branch('db.t', 'audit')")
+    x.sql(s"INSERT INTO $name.db.`t@audit` VALUES (3, 'c', 3.0)")
+    // the staged rewrite touches a committed row AND a staged row
+    x.sql(s"UPDATE $name.db.`t@audit` SET v = v + 10, s = upper(s) " +
+      "WHERE k >= 2")
+    def rowsOf(t: String) = x.sql(s"SELECT k, s, v FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(rowsOf(s"$name.db.t") ===
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)),
+      "a staged UPDATE must be invisible to main")
+    assert(rowsOf(s"$name.db.`t@audit`") ===
+      Seq((1L, "a", 1.0), (2L, "B", 12.0), (3L, "C", 13.0)))
+    x.sql(s"CALL $name.system.fast_forward('db.t', 'audit')")
+    assert(rowsOf(s"$name.db.t") ===
+      Seq((1L, "a", 1.0), (2L, "B", 12.0), (3L, "C", 13.0)))
+    // refusal 1: assigning a key column on a branch (identity change)
+    x.sql(s"CALL $name.system.branch('db.t', 'again')")
+    val e1 = intercept[Exception] {
+      x.sql(s"UPDATE $name.db.`t@again` SET k = k + 100 WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    // refusal 2: an undeclared table names the declare-or-MERGE remedy
+    x.sql(s"CREATE TABLE $name.db.u (k BIGINT, v DOUBLE)")
+    x.sql(s"INSERT INTO $name.db.u VALUES (1, 1.0)")
+    x.sql(s"CALL $name.system.branch('db.u', 'a')")
+    val e2 = intercept[Exception] {
+      x.sql(s"UPDATE $name.db.`u@a` SET v = 2.0 WHERE k = 1")
+    }
+    assert(e2.getMessage.contains("declares no keys") &&
+      e2.getMessage.contains("MERGE"), e2.getMessage)
+  }
+
   test("explicit assignments with source-side expressions and casts") {
     val (t, _) = newTable("(1, 'a', 1.0)")
     x.sql(s"""
