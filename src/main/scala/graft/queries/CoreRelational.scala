@@ -1852,6 +1852,58 @@ object CoreRelational {
             AND o_orderkey % 10 = 3)
         GROUP BY 1, 2 ORDER BY change_type, status""")),
 
+    // --------------------------------------------------------------- q153
+    // INCREMENTAL AGGREGATE ACROSS A WAP CDC PUBLISH: q136 proved the
+    // O(delta) maintenance contract for main-side keyed UPDATEs, q149
+    // for a takedown publish — this closes the triangle for the
+    // audited staged MERGE (q152): a per-status aggregate over the
+    // pre-publish table is maintained to the post-publish state purely
+    // from the typed feed's image pairs (subtract each preimage's
+    // contribution, add each postimage's, count unchanged for pairs)
+    // and plain inserts, hash-checked against the oracle's full
+    // recompute. At 100 TB the audited CDC publish costs a downstream
+    // aggregate one O(delta) update, never a rescan.
+    QuerySpec(
+      "q153_wap_merge_incremental_agg",
+      (s, d) => {
+        val dir = Fits.snapshotBranchMergeDir(s, d)
+        val base = graft.ops.Layout.snapshotRead(s, dir, 2L)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n0"),
+            sum(col("o_totalprice").cast(dec18)).as("s0"))
+        val delta = graft.ops.Layout
+          .snapshotChangesTyped(s, dir, 2L, 3L, updateImages = true)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            sum(when(col("_change_type") === "insert", 1L)
+              .when(col("_change_type") === "delete", -1L)
+              .otherwise(0L)).as("dn"),
+            sum(when(col("_change_type").isin("insert",
+                "update_postimage"),
+                col("o_totalprice").cast(dec18))
+              .when(col("_change_type").isin("delete",
+                "update_preimage"),
+                -col("o_totalprice").cast(dec18))
+              .otherwise(lit(0).cast(dec18))).as("ds"))
+        base.join(delta, Seq("status"), "full_outer")
+          .select(col("status"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s0"), lit(0).cast(dec18)) +
+              coalesce(col("ds"), lit(0).cast(dec18))).cast("double")
+              .as("sum_price"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT status, COUNT(*) AS n,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT o_orderstatus AS status, o_totalprice AS price
+          FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 10 <> 3
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice + 1000000.0
+          FROM orders WHERE o_orderkey < 3500 AND o_orderkey % 10 = 3)
+        GROUP BY 1 ORDER BY status""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.
