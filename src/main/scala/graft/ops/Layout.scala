@@ -2042,7 +2042,8 @@ object Layout {
     * branch version of the last staged commit. */
   def snapshotBranchMerge(spark: SparkSession, dir: String, name: String,
       updates: DataFrame, keyCols: Seq[String],
-      deletes: Option[DataFrame] = None): Long = {
+      deletes: Option[DataFrame] = None,
+      keysKnownPresent: Boolean = false): Long = {
     requireBranchName("snapshotBranchMerge", name)
     require(listManifestVersions(spark, dir, branchSub(name)).nonEmpty,
       s"snapshotBranchMerge: no branch '$name' at $dir — create it " +
@@ -2072,6 +2073,20 @@ object Layout {
       val pinned = spark.read.schema(updates.schema)
         .parquet(scratch.toString)
       val stable = if (pinned.isEmpty) None else Some(pinned)
+      // the append's same-schema contract, checked BEFORE the first
+      // commit: the takedown and the append are two staged commits,
+      // and a schema mismatch surfacing only at the append would
+      // strand the branch with the matched rows already masked — a
+      // deterministic partial apply the next publish would ship
+      if (stable.isDefined) {
+        val tipSchema = snapshotBranchRead(spark, dir, name).schema
+        require(schemaKey(tipSchema) == schemaKey(pinned.schema),
+          s"snapshotBranchMerge: upsert schema " +
+            s"${pinned.schema.catalogString} does not match the " +
+            s"table's ${tipSchema.catalogString} at $dir — refused " +
+            "before anything commits (the takedown + append pair is " +
+            "not atomic); cast the frame to the table's types first")
+      }
       // ANSI MERGE's "cannot update the same row twice"
       require(pinned.groupBy(kcols: _*).count()
         .filter(col("count") > 1).isEmpty,
@@ -2090,7 +2105,11 @@ object Layout {
       val tipVersion = candidates match {
         case None => branchTip(spark, dir, name)._1
         case Some(keys) =>
-          val present = keys.join(
+          // the caller may already KNOW every key exists on the tip
+          // (the UPDATE door reads its rows from it) — skip the
+          // O(branch state) presence semi-join then
+          val present = if (keysKnownPresent) keys
+          else keys.join(
             snapshotBranchRead(spark, dir, name).select(kcols: _*),
             keyCols, "left_semi")
           snapshotBranchDeleteKeys(spark, dir, name, present, keyCols)
@@ -2140,13 +2159,25 @@ object Layout {
     require(unknown.isEmpty,
       s"snapshotBranchUpdateWhere: unknown column(s) " +
         s"${unknown.mkString(", ")} in SET")
+    require(assigned.distinct.size == assigned.size,
+      "snapshotBranchUpdateWhere: a column is assigned twice")
     val byLower = sets.map { case (n, c) =>
       n.toLowerCase(java.util.Locale.ROOT) -> c }.toMap
-    val updated = tip.filter(cond).select(tip.columns.map { c =>
-      byLower.get(c.toLowerCase(java.util.Locale.ROOT))
-        .map(_.as(c)).getOrElse(col(s"`$c`"))
-    }: _*)
-    snapshotBranchMerge(spark, dir, name, updated, keyCols)
+    // assigned values CAST to the column's declared type (exactly what
+    // main-side snapshotUpdateWhere does): without it an INT literal
+    // assigned to a DOUBLE column changes the frame's schema, and the
+    // mismatch would only surface in snapshotBranchMerge's append —
+    // AFTER the takedown committed
+    val updated = tip.filter(cond).select(tip.schema.fields.map { f =>
+      byLower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+        .map(_.cast(f.dataType).as(f.name))
+        .getOrElse(col(s"`${f.name}`"))
+    }.toIndexedSeq: _*)
+    // every updated key was just read FROM the tip — skip the merge's
+    // presence probe (it would re-scan the branch state to learn "all
+    // of them")
+    snapshotBranchMerge(spark, dir, name, updated, keyCols,
+      keysKnownPresent = true)
   }
 
   private def deleteKeysImpl(spark: SparkSession, dir: String,
@@ -2671,17 +2702,28 @@ object Layout {
         (delDf, insDf) match {
           case (Some(d), Some(i)) if pairKeys.nonEmpty =>
             val kcols = pairKeys.map(c => col(s"`$c`"))
+            // the paired-key set costs one extra COLUMN-PRUNED pass
+            // over each term's key columns; the typed outputs below
+            // then read each term exactly ONCE — a left_outer mark
+            // join types every row in the same scan (a semi+anti split
+            // per class would re-plan each term once per class, and a
+            // full-outer pairing join would multiply rows under
+            // duplicate keys, which plain appends legitimately allow)
             val paired = i.select(kcols: _*)
               .join(d.select(kcols: _*), pairKeys, "left_semi")
               .distinct()
-            pieces += withMeta(
-              d.join(paired, pairKeys, "left_semi"), "update_preimage", v)
-            pieces += withMeta(
-              d.join(paired, pairKeys, "left_anti"), "delete", v)
-            pieces += withMeta(
-              i.join(paired, pairKeys, "left_semi"), "update_postimage", v)
-            pieces += withMeta(
-              i.join(paired, pairKeys, "left_anti"), "insert", v)
+              .withColumn("_graft_paired", lit(true))
+            def typedOf(df: DataFrame, hit: String,
+                miss: String): DataFrame =
+              df.join(paired, pairKeys, "left_outer")
+                .withColumn("_change_type",
+                  when(col("_graft_paired").isNotNull, lit(hit))
+                    .otherwise(lit(miss)))
+                .withColumn("_commit_version", lit(v))
+                .select(tableCols ++ Seq(col("_change_type"),
+                  col("_commit_version")): _*)
+            pieces += typedOf(d, "update_preimage", "delete")
+            pieces += typedOf(i, "update_postimage", "insert")
           case _ =>
             delDf.foreach(d => pieces += withMeta(d, "delete", v))
             insDf.foreach(i => pieces += withMeta(i, "insert", v))

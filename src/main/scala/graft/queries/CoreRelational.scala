@@ -1875,16 +1875,18 @@ object CoreRelational {
           .snapshotChangesTyped(s, dir, 2L, 3L, updateImages = true)
           .groupBy(col("o_orderstatus").as("status"))
           .agg(
-            sum(when(col("_change_type") === "insert", 1L)
-              .when(col("_change_type") === "delete", -1L)
-              .otherwise(0L)).as("dn"),
+            // preimage -1 / postimage +1, NOT 0: within a group the
+            // pair cancels, but an update that MOVES the grouping
+            // column must decrement the old group and increment the
+            // new one (review r14 — the generic contract, not just
+            // this fixture's group-stable updates)
+            sum(when(col("_change_type").isin("insert",
+                "update_postimage"), 1L)
+              .otherwise(-1L)).as("dn"),
             sum(when(col("_change_type").isin("insert",
                 "update_postimage"),
                 col("o_totalprice").cast(dec18))
-              .when(col("_change_type").isin("delete",
-                "update_preimage"),
-                -col("o_totalprice").cast(dec18))
-              .otherwise(lit(0).cast(dec18))).as("ds"))
+              .otherwise(-col("o_totalprice").cast(dec18))).as("ds"))
         base.join(delta, Seq("status"), "full_outer")
           .select(col("status"),
             (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
