@@ -2107,11 +2107,43 @@ object Layout {
         case Some(keys) =>
           // the caller may already KNOW every key exists on the tip
           // (the UPDATE door reads its rows from it) — skip the
-          // O(branch state) presence semi-join then
+          // presence probe then
           val present = if (keysKnownPresent) keys
-          else keys.join(
-            snapshotBranchRead(spark, dir, name).select(kcols: _*),
-            keyCols, "left_semi")
+          else {
+            // presence probe with MANIFEST-STATS file pruning: one
+            // tiny agg bounds the O(batch) key set's first key column,
+            // and only branch files whose stats range intersects it
+            // are scanned (column-pruned) — at a 100 TB branch an
+            // append-mostly CDC batch touches few files, and the probe
+            // must not cost a full state pass to learn that. Files
+            // without stats are kept (pruning never lies), and the
+            // live overlay composes with pruning exactly as
+            // snapshotReadWhere's does (an anti-join only removes
+            // rows).
+            val (_, tLines) = branchTip(spark, dir, name)
+            val rels = tLines.filterNot(_.startsWith("#"))
+            val meta = tLines
+              .filter(l => l.startsWith("#") && l != "#commit")
+              .map(_.stripPrefix("#"))
+            val schema0 = meta.find(_.startsWith(SchemaTag))
+              .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+            val colmaps0 = parseColMaps(meta)
+            val k1 = keyCols.head
+            val bounds = keys.agg(min(col(s"`$k1`")),
+              max(col(s"`$k1`"))).head()
+            val kept =
+              if (bounds.isNullAt(0)) rels
+              else statsKeptRels(spark, rels, meta,
+                col(s"`$k1`").between(lit(bounds.get(0)),
+                  lit(bounds.get(1))))
+            if (kept.isEmpty) keys.limit(0)
+            else keys.join(
+              overlayRead(spark, dir,
+                rs => mappedParquetRead(spark, dir, rs, schema0,
+                  colmaps0),
+                kept, parseDeleteMeta(meta)).select(kcols: _*),
+              keyCols, "left_semi")
+          }
           snapshotBranchDeleteKeys(spark, dir, name, present, keyCols)
       }
       stable match {
@@ -4671,20 +4703,33 @@ object Layout {
         // re-keyed version can order above main's new files yet below
         // that append (the append keeps its original dir version), so
         // the re-keyed overlay would swallow rows a replay keeps.
-        // Bounded: one probe per takedown that HAS later staged files,
-        // each reading only those files
-        stagedDels.foreach { case (dv, dRel, cols) =>
-          val later = staged.filter(r => relDirVersion(r).exists(_ > dv))
+        // ONE probe job per distinct key-column set, like the main
+        // overlay probe above: staged rows tagged with their dir
+        // version join the unioned takedown key files, and only
+        // (file version > takedown version) pairs count
+        stagedDels.groupBy(_._3).foreach { case (cols, group) =>
+          val minDv = group.map(_._1).min
+          val later = staged.filter(r =>
+            relDirVersion(r).exists(_ > minDv))
           if (later.nonEmpty) {
-            val reinserted = mappedParquetRead(spark, dir, later,
-                mainSchema, colmaps)
-              .join(spark.read.parquet(new Path(dir, dRel).toString),
-                cols, "left_semi").limit(1).count()
-            require(reinserted == 0L,
+            val rows = mappedParquetRead(spark, dir, later, mainSchema,
+                colmaps)
+              .withColumn("_graft_file_v",
+                regexp_extract(input_file_name(),
+                  "data/v(\\d{8})-", 1).cast("long"))
+            val keys = group.map { case (dv, dRel, _) =>
+              spark.read.parquet(new Path(dir, dRel).toString)
+                .select(cols.map(col): _*)
+                .withColumn("_graft_del_v", lit(dv))
+            }.reduce(_ unionByName _)
+            val hit = rows.join(keys, cols, "inner")
+              .filter(col("_graft_file_v") > col("_graft_del_v"))
+              .agg(min(col("_graft_del_v"))).head().get(0)
+            require(hit == null,
               s"snapshotRebase: branch '$name' re-inserts keys of its " +
-                s"own staged takedown (v$dv) in a LATER staged append at " +
-                s"$dir — no version ordering survives the re-base for " +
-                "that pair. Drop the branch and re-stage the load, " +
+                s"own staged takedown (v$hit) in a LATER staged append " +
+                s"at $dir — no version ordering survives the re-base " +
+                "for that pair. Drop the branch and re-stage the load, " +
                 "takedown, and re-insert on a branch from the new HEAD")
           }
         }

@@ -907,6 +907,35 @@ class SnapshotBranchSpec extends SparkSpec {
       "the takedown label must come from the line committed AT v7")
   }
 
+  test("branch MERGE presence probe stays exact over stats-pruned " +
+      "ranged files: narrow batches, cross-range batches, all-new keys") {
+    val dir = tmpDir("snapbranch_mgprune") + "/t"
+    Layout.snapshotAppend((1 to 50).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotAppend((51 to 100).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v2
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchAppend((101 to 150).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "audit",
+      statsCols = Seq("k"))
+    // narrow batch: bounds [40, 40] — the probe can prune every file
+    // but the first and must still find the key present
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((40, "X")).toDF("k", "s"), Seq("k"))
+    // cross-range batch: a committed-range key, a staged-range key,
+    // and an all-new key in one statement
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((140, "Y"), (200, "new")).toDF("k", "s"), Seq("k"))
+    val tip = Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap
+    assert(tip(40) === "X" && tip(140) === "Y" && tip(200) === "new")
+    assert(tip(41) === "a41" && tip(141) === "b141")
+    assert(tip.size === 151)
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet === ((1 to 150).toSet + 200))
+    assert(stateOf(dir)(40) === "X")
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
