@@ -2037,9 +2037,15 @@ object Layout {
     * crash) pins the frame; the takedown's key set is fully consumed
     * before its commit, so it needs no copy. Not atomic ACROSS the two
     * staged commits — staging is multi-commit by design; ATOMICITY IS
-    * THE PUBLISH. `deletes` adds explicit tombstone keys (MERGE's WHEN
-    * MATCHED DELETE / NOT MATCHED BY SOURCE DELETE). Returns the
-    * branch version of the last staged commit. */
+    * THE PUBLISH. Racing merges with DISJOINT keys interleave
+    * loss-free (spec-raced: a takedown masks only its own keys, every
+    * append allocates above both); racing merges upserting the SAME
+    * key can both append it (each takedown orders below the other's
+    * append) — CDC staging is single-writer per branch by convention,
+    * and concurrent same-key upserts belong on main's one-commit
+    * [[snapshotMergeInto]]. `deletes` adds explicit tombstone keys
+    * (MERGE's WHEN MATCHED DELETE / NOT MATCHED BY SOURCE DELETE).
+    * Returns the branch version of the last staged commit. */
   def snapshotBranchMerge(spark: SparkSession, dir: String, name: String,
       updates: DataFrame, keyCols: Seq[String],
       deletes: Option[DataFrame] = None,

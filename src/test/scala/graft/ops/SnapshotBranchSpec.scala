@@ -936,6 +936,38 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(stateOf(dir)(40) === "X")
   }
 
+  test("two branch MERGEs with DISJOINT keys race loss-free: the " +
+      "branch slot CAS interleaves takedowns and appends safely") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { round =>
+      val dir = tmpDir(s"snapbranch_mgrace$round") + "/t"
+      Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "audit")
+      // each merge updates one committed key and inserts one new key;
+      // key sets disjoint — any interleaving of the two takedown and
+      // two append commits yields the same state (a takedown masks
+      // only its own keys, and every append allocates above both)
+      val f1 = Future { Layout.snapshotBranchMerge(spark, dir, "audit",
+        Seq((5, "X5"), (105, "n105")).toDF("k", "s"), Seq("k")) }
+      val f2 = Future { Layout.snapshotBranchMerge(spark, dir, "audit",
+        Seq((9, "X9"), (109, "n109")).toDF("k", "s"), Seq("k")) }
+      Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+      val tip = Layout.snapshotBranchRead(spark, dir, "audit")
+        .as[(Int, String)].collect()
+      assert(tip.length === tip.map(_._1).distinct.length,
+        s"round $round: no duplicate keys after racing disjoint merges")
+      val m = tip.toMap
+      assert(m(5) === "X5" && m(9) === "X9" &&
+        m(105) === "n105" && m(109) === "n109" && m.size === 22,
+        s"round $round: both merges must fully apply")
+      Layout.snapshotFastForward(spark, dir, "audit")
+      assert(stateOf(dir).keySet === (1 to 20).toSet ++ Set(105, 109))
+    }
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
