@@ -46,7 +46,8 @@ object PlanDump {
     "q145_branch_staged_takedown" -> "publish replay with a staged takedown: the delete term semi-joins the masked base files against the O(keys) key file, the insert term scans staged files under the overlay — no corpus rescan in either term",
     "q146_sql_zorder_box_read" -> "2-D box read after CALL system.zorder: the catalog's delegated vectorized scan over the Morton-rewritten files — manifest stats pruned the file list before the plan was built",
     "q150_rebase_takedown" -> "typed feed across a rebased takedown publish: the delete term semi-joins masked base files against the RE-KEYED O(keys) key file, inserts scan staged files under the tip overlay — the re-key left zero trace beyond the key file's new dir version, no corpus rescan in either term",
-    "q152_branch_merge_publish" -> "typed feed across a branch-MERGE publish: the staged upsert's takedown+append pair replays as one masked-base semi-join delete term + one staged-file insert term under the overlay — old and new values both O(delta), the base table never rescanned")
+    "q152_branch_merge_publish" -> "typed feed across a branch-MERGE publish: the staged upsert's takedown+append pair replays as one masked-base semi-join delete term + one staged-file insert term under the overlay — old and new values both O(delta), the base table never rescanned",
+    "q154_rebase_merge_carry" -> "typed feed across a rebased MERGE publish under an intersecting live takedown: the unified re-key leaves only broadcast semi/anti-joins on O(keys) files — the merge's re-keyed append scans once under the overlay, masked base rows semi-join the re-keyed key file, no corpus rescan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

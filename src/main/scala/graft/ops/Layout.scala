@@ -2001,9 +2001,8 @@ object Layout {
     * file, so it masks both, while a LATER staged append re-inserts —
     * exactly main-side semantics. Under live main traffic the takedown
     * survives a [[snapshotRebase]] too: the rebase re-keys the O(keys)
-    * key file above the new HEAD's floor (refusing only when a later
-    * staged append re-inserts the takedown's own keys — the one shape
-    * no single version ordering can express post-rebase). */
+    * key file above the new HEAD's floor, along with any staged dir
+    * whose rows the re-ordering would actually touch. */
   def snapshotBranchDeleteKeys(spark: SparkSession, dir: String,
       name: String, keys: DataFrame, keyCols: Seq[String]): Long = {
     requireBranchName("snapshotBranchDeleteKeys", name)
@@ -4534,29 +4533,25 @@ object Layout {
     * Ordering across the rebase: post-rebase stages allocate above the
     * carried MAIN files' embedded versions (the rebase manifest raises
     * their floor), so main's merge-on-read delete lines can never mask
-    * them. The CARRIED stage keeps its original (lower) dir versions —
-    * re-numbering would mean physically moving data — so a main delete
-    * line committed since the branch base CAN version-order above a
-    * carried staged file. That is only wrong if the delete's keys
-    * actually intersect the staged rows; the rebase probes exactly
-    * that (ONE semi-join job per distinct key-column set, the overlay
-    * key files unioned under a version discriminator) and REFUSES on
-    * intersection rather than letting the overlay silently swallow
-    * staged rows — rebase-replay semantics say a staged append lands
-    * after main's delete.
-    *
-    * STAGED TAKEDOWNS ride the rebase by RE-KEYING (round 14): the
-    * branch-side `delete=` line's original version orders below main's
-    * newer files, so the O(keys) key-tuple parquet is copied to a
-    * fresh dir allocated above both namespaces' floors and a fresh
-    * line re-sequences it — the takedown replays onto the new HEAD
-    * (masking main's current rows and earlier-staged rows), exactly as
-    * re-staging it there would, for one O(keys) copy and zero data
-    * bytes. Refusals (each with the re-stage remedy): a main delete
-    * masking staged keys; a rename/drop or non-ADD schema change on
-    * main since the base; a LATER staged append re-inserting a staged
-    * takedown's own keys (the one shape no single version ordering can
-    * express post-rebase).
+    * them. The carried stage keeps its original (lower) dir versions
+    * in the DISJOINT common case — zero bytes move. Where versions
+    * would re-order wrongly, the rebase RE-KEYS the colliding subset
+    * (round 14): staged TAKEDOWNS always (the `delete=` line's O(keys)
+    * key file copies to a fresh dir above both namespaces' floors, so
+    * the takedown replays onto the new HEAD exactly as re-staging it
+    * there would), and staged FILE DIRS whose rows a re-ordering line
+    * actually touches — a new main delete version-covering their keys
+    * (replay: the stage lands after the delete, so those rows must
+    * survive), or a staged takedown whose keys a LATER staged file
+    * re-inserts (the staged-MERGE shape: its own append re-inserts its
+    * takedown's keys by construction). Re-keys preserve the colliding
+    * items' original pairwise order; collisions are found with ONE
+    * probe job per distinct key-column set; cost is O(colliding
+    * bytes), and the alternative — refusing — forced a full re-stage
+    * that costs at least as much. The only remaining refusal is main
+    * schema drift (rename/drop/retype since the base): how staged
+    * bytes RESOLVE is genuinely ambiguous there, not just how they
+    * order.
     *
     * No-op when the next publish would already be accepted (main
     * un-diverged): returns the current tip unchanged. Returns the
@@ -4670,82 +4665,69 @@ object Layout {
               "re-stage on a fresh branch from the new HEAD")
         }
       }
-      if (staged.nonEmpty) {
-        // a main merge-on-read delete since the base version-orders
-        // above the carried stage; refuse iff its keys actually touch
-        // staged rows (rebase-replay semantics: the stage lands AFTER
-        // the delete, so the overlay must not swallow it). ONE probe
-        // job per distinct key-column set — the key files union under
-        // a version discriminator and semi-join the staged read once
-        // (judge r13 "what's wrong" #3: a per-line limit(1).count()
-        // re-scanned the staged rows once per overlay line)
-        val tipDelRels = parseDeleteMeta(tipMeta).map(_._2).toSet
-        val stagedMinV = staged.flatMap(relDirVersion(_))
-          .foldLeft(Long.MaxValue)(math.min)
-        val newMainDels = parseDeleteMeta(mainMeta)
-          .filterNot(d => tipDelRels.contains(d._2))
-          .filter(_._1 >= stagedMinV)
-        if (newMainDels.nonEmpty) {
-          val stagedRows = mappedParquetRead(spark, dir, staged,
-            mainSchema, colmaps)
-          newMainDels.groupBy(_._3).foreach { case (cols, group) =>
-            val keys = group.map { case (dv, dRel, _) =>
-              spark.read.parquet(new Path(dir, dRel).toString)
-                .select(cols.map(col): _*)
-                .withColumn("_graft_del_v", lit(dv))
-            }.reduce(_ unionByName _)
-            val hit = stagedRows.join(keys, cols, "inner")
-              .agg(min(col("_graft_del_v"))).head().get(0)
-            require(hit == null,
-              s"snapshotRebase: main's merge-on-read delete at v$hit of " +
-                s"$dir covers staged keys of branch '$name' — re-basing " +
-                "would let the overlay swallow staged rows a replay " +
-                "would keep. Re-stage on a fresh branch from the new " +
-                "HEAD (the delete then orders below your stage)")
-          }
-        }
-        // the ONE genuinely ambiguous takedown shape refuses: a staged
-        // append AFTER the takedown re-inserting its keys. No single
-        // re-keyed version can order above main's new files yet below
-        // that append (the append keeps its original dir version), so
-        // the re-keyed overlay would swallow rows a replay keeps.
-        // ONE probe job per distinct key-column set, like the main
-        // overlay probe above: staged rows tagged with their dir
-        // version join the unioned takedown key files, and only
-        // (file version > takedown version) pairs count
-        stagedDels.groupBy(_._3).foreach { case (cols, group) =>
-          val minDv = group.map(_._1).min
-          val later = staged.filter(r =>
-            relDirVersion(r).exists(_ > minDv))
-          if (later.nonEmpty) {
-            val rows = mappedParquetRead(spark, dir, later, mainSchema,
-                colmaps)
+      // STAGED DIRS whose keys COLLIDE with an overlay line that would
+      // re-order across the rebase are RE-KEYED along with the staged
+      // takedowns instead of refusing (round 14; the refusals forced
+      // re-staging EVERYTHING, which costs at least as much as copying
+      // just the colliding dirs):
+      //  - a NEW MAIN delete whose keys intersect a staged file's rows
+      //    it would version-cover (replay: the stage lands after the
+      //    delete, so those rows must survive — re-keyed above the
+      //    line, they do);
+      //  - a staged TAKEDOWN whose keys a LATER staged file re-inserts
+      //    (the takedown must re-key above main's floor, so the
+      //    re-inserting file must re-key above IT to keep its rows —
+      //    the staged-MERGE shape, whose own append re-inserts its
+      //    takedown's keys by construction).
+      // Cost is O(colliding bytes): ZERO in the disjoint common case,
+      // the colliding merge batch or load otherwise. Collisions are
+      // found with ONE job per distinct key-column set, each key file
+      // tagged with its version and applicability direction.
+      val collidingDirs: Set[String] =
+        if (staged.isEmpty) Set.empty
+        else {
+          val tipDelRels = parseDeleteMeta(tipMeta).map(_._2).toSet
+          val stagedMinV = staged.flatMap(relDirVersion(_))
+            .foldLeft(Long.MaxValue)(math.min)
+          val newMainDels = parseDeleteMeta(mainMeta)
+            .filterNot(d => tipDelRels.contains(d._2))
+            .filter(_._1 >= stagedMinV)
+          // (version, key dir, cols, laterOnly): a main delete masks
+          // files at-or-below its version; a staged takedown collides
+          // with re-inserting files ABOVE its version
+          val probes = newMainDels.map(d => (d._1, d._2, d._3, false)) ++
+            stagedDels.map(d => (d._1, d._2, d._3, true))
+          if (probes.isEmpty) Set.empty
+          else {
+            val stagedRows = mappedParquetRead(spark, dir, staged,
+                mainSchema, colmaps)
+              .withColumn("_graft_file", input_file_name())
               .withColumn("_graft_file_v",
                 regexp_extract(input_file_name(),
                   "data/v(\\d{8})-", 1).cast("long"))
-            val keys = group.map { case (dv, dRel, _) =>
-              spark.read.parquet(new Path(dir, dRel).toString)
-                .select(cols.map(col): _*)
-                .withColumn("_graft_del_v", lit(dv))
-            }.reduce(_ unionByName _)
-            val hit = rows.join(keys, cols, "inner")
-              .filter(col("_graft_file_v") > col("_graft_del_v"))
-              .agg(min(col("_graft_del_v"))).head().get(0)
-            require(hit == null,
-              s"snapshotRebase: branch '$name' re-inserts keys of its " +
-                s"own staged takedown (v$hit) in a LATER staged append " +
-                s"at $dir — no version ordering survives the re-base " +
-                "for that pair. Drop the branch and re-stage the load, " +
-                "takedown, and re-insert on a branch from the new HEAD")
+            val hitFiles = probes.groupBy(_._3).iterator
+              .flatMap { case (cols, group) =>
+                val keys = group.map { case (dv, dRel, _, later) =>
+                  spark.read.parquet(new Path(dir, dRel).toString)
+                    .select(cols.map(col): _*)
+                    .withColumn("_graft_del_v", lit(dv))
+                    .withColumn("_graft_later", lit(later))
+                }.reduce(_ unionByName _)
+                stagedRows.join(keys, cols, "inner")
+                  .filter((col("_graft_later") &&
+                      col("_graft_file_v") > col("_graft_del_v")) ||
+                    (!col("_graft_later") &&
+                      col("_graft_file_v") <= col("_graft_del_v")))
+                  .select(col("_graft_file")).distinct()
+                  .collect().map(_.getString(0))
+              }.toSet
+            staged.filter(rel => hitFiles.exists(_.contains(rel)))
+              .map(stagedDirOf).toSet
           }
         }
-      }
       val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)
       val mainState = mainMeta.filter(m => keep.exists(m.startsWith))
       val stagedSet = staged.toSet
-      val stagedStats = tipMeta.filter(_.startsWith(StatsTag))
-        .filter(m => stagedSet.contains(
-          m.stripPrefix(StatsTag).takeWhile(_ != '|')))
       val mainFiles = mainLines.filterNot(_.startsWith("#"))
       // the branch namespace's UNIFORM next slot — identical to a
       // racing snapshotBranchAppend's allocation from the same
@@ -4754,46 +4736,90 @@ object Layout {
       // a publish's carried branch files do on main)
       val v = math.max(bvs.lastOption.getOrElse(0L),
         carriedVersionFloor(tipLines)) + 1
-      // RE-KEY each staged takedown: copy its key file byte-for-byte
-      // to a dir versioned above EVERY number in play — main's files
-      // and delete lines, the branch's staged files and lines, both
-      // namespaces' manifest versions — preserving the takedowns'
-      // relative order. Post-rebase branch commits allocate above the
-      // re-keyed lines (carriedVersionFloor spans delete lines), so a
-      // later staged append is never masked by them
+      // unified RE-KEY plan: every staged takedown and every colliding
+      // staged dir, in ORIGINAL version order (the pairwise replay
+      // order among interacting items is exactly their staged order),
+      // copied to fresh dirs versioned above EVERY number in play —
+      // main's files and delete lines, the branch's staged files and
+      // lines, both namespaces' manifest versions. Non-colliding
+      // staged files keep their dirs: no line's keys touch their rows,
+      // so their relative order is immaterial and no byte moves.
+      // Post-rebase branch commits allocate above everything re-keyed
+      // (carriedVersionFloor spans delete lines and file versions).
       val floorW = Seq(carriedVersionFloor(mainLines),
         carriedVersionFloor(tipLines), mainHead, v).max
-      val rekeyed = stagedDels.sortBy(_._1).zipWithIndex
-        .map { case ((_, dRel, cols), i) =>
-          val w = floorW + 1 + i
-          val token = java.util.UUID.randomUUID().toString.take(8)
-          val newRel = f"data/v$w%08d-$token"
-          // some FileSystem impls surface a child-copy failure as the
-          // boolean — committing a delete= line over a missing or
-          // PARTIAL key dir would let rows escape the takedown
-          require(org.apache.hadoop.fs.FileUtil.copy(fs,
-            new Path(dir, dRel), fs, new Path(dir, newRel), false,
-            spark.sparkContext.hadoopConfiguration),
-            s"snapshotRebase: copying takedown key file $dRel -> " +
-              s"$newRel at $dir failed")
-          (newRel, cols)
+      def dirVersion(d: String): Long =
+        relDirVersion(s"$d/_").getOrElse(Long.MaxValue)
+      val plan: Seq[Either[(Long, String, Seq[String]), String]] =
+        (stagedDels.map(Left(_)) ++
+          collidingDirs.toSeq.map(Right(_): Either[(Long, String,
+            Seq[String]), String]))
+          .sortBy {
+            case Left((dv, _, _)) => dv
+            case Right(d)         => dirVersion(d)
+          }
+      def copyDir(oldRel: String, newRel: String, what: String): Unit =
+        // some FileSystem impls surface a child-copy failure as the
+        // boolean — committing lines over a missing or PARTIAL dir
+        // would lose rows or let them escape a takedown
+        require(org.apache.hadoop.fs.FileUtil.copy(fs,
+          new Path(dir, oldRel), fs, new Path(dir, newRel), false,
+          spark.sparkContext.hadoopConfiguration),
+          s"snapshotRebase: copying $what $oldRel -> $newRel at $dir " +
+            "failed")
+      var nextW = floorW
+      val rekeyedLines = Seq.newBuilder[String]
+      val rekeyedKeyDirs = Seq.newBuilder[String]
+      val dirMap = scala.collection.mutable.Map.empty[String, String]
+      val copiedDirs = Seq.newBuilder[String]
+      plan.foreach { item =>
+        nextW += 1
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val newRel = f"data/v$nextW%08d-$token"
+        item match {
+          case Left((_, dRel, cols)) =>
+            copyDir(dRel, newRel, "takedown key file")
+            rekeyedLines += s"$DeleteTag$newRel|${cols.mkString(",")}"
+            rekeyedKeyDirs += newRel
+          case Right(oldDir) =>
+            copyDir(oldDir, newRel, "colliding staged dir")
+            dirMap(oldDir) = newRel
         }
-      val rekeyedLines = rekeyed.map { case (rel, cols) =>
-        s"$DeleteTag$rel|${cols.mkString(",")}" }
+        copiedDirs += newRel
+      }
+      // staged file lines and their stats follow their dir's re-key
+      val stagedOut = staged.map { rel =>
+        val d = stagedDirOf(rel)
+        dirMap.get(d).map(nd => nd + rel.stripPrefix(d)).getOrElse(rel)
+      }
+      val stagedStats = tipMeta.filter(_.startsWith(StatsTag))
+        .filter(m => stagedSet.contains(
+          m.stripPrefix(StatsTag).takeWhile(_ != '|')))
+        .map { m =>
+          val rest = m.stripPrefix(StatsTag)
+          val rel = rest.takeWhile(_ != '|')
+          val d = stagedDirOf(rel)
+          dirMap.get(d)
+            .map(nd => StatsTag + nd + rel.stripPrefix(d) +
+              rest.drop(rel.length))
+            .getOrElse(m)
+        }
       // the marker's dir list records everything UNPUBLISHED the
-      // rebase carries: staged file dirs AND re-keyed takedown key
-      // dirs — branchAccountedState classifies both as staged, so the
-      // staged view stays exact and a SECOND rebase re-keys again
-      val stagedDirs = (staged.map(stagedDirOf) ++ rekeyed.map(_._1))
-        .distinct.sorted
+      // rebase carries: staged file dirs (post-re-key) AND re-keyed
+      // takedown key dirs — branchAccountedState classifies both as
+      // staged, so the staged view stays exact and a SECOND rebase
+      // re-keys again
+      val stagedDirs = (stagedOut.map(stagedDirOf) ++
+        rekeyedKeyDirs.result()).distinct.sorted
       val marker = s"$RebaseTag$mainHead@$v|${stagedDirs.mkString(",")}"
       val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = (((marker +: (mainState ++ rekeyedLines ++ stagedStats))
-        .map(m => s"#$m") ++ mainFiles ++ staged).map(_ + "\n")
+      val body = (((marker +: (mainState ++ rekeyedLines.result()
+          ++ stagedStats))
+        .map(m => s"#$m") ++ mainFiles ++ stagedOut).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
-      else rekeyed.foreach { case (rel, _) =>
+      else copiedDirs.result().foreach { rel =>
         fs.delete(new Path(dir, rel), true) }
     }
     committed

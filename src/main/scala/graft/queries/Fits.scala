@@ -1093,6 +1093,78 @@ object Fits {
       s"$root/t"
     }).asInstanceOf[String]
 
+  /** q154's fixture: the ROUND-14 COMPOSITION FLAGSHIP — an audited
+    * CDC MERGE staged on a branch, under live main traffic whose own
+    * takedown INTERSECTS the merge's keys. Main v1 holds keys < 2000;
+    * a load ([2000, 3000)) stages; a MERGE stages `price + 1e6` for
+    * every key < 3500 with `k % 10 == 3` (takedown of present keys +
+    * append, touching base, staged, and new keys); main then advances
+    * (append [5000, 6000) at v2, takedown of `k < 2000 && k % 7 == 0`
+    * at v3 — intersecting the merge's keys where k ≡ 63 mod 70). The
+    * publish refuses; `CALL system.rebase` re-keys the merge's
+    * takedown AND its colliding append dir above the new floor (the
+    * staged-MERGE dir both re-inserts its own takedown's keys and is
+    * version-covered by main's new delete), and the publish lands
+    * (v4). Replay semantics: the merge lands after main's takedown,
+    * so even the main-deleted-then-merged keys survive with their new
+    * price. The oracle recomputes every class from the base table. */
+  def snapshotRebaseMergeDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"snaprbmg:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Layout
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_rbmg").toString
+      val dir = s"$root/t"
+      val x = org.apache.spark.sql.GraftSessionBridge.withGraftExtensions(s)
+      val cat = "graftsqln_" +
+        java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+      x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      x.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val o = T.orders(x, sfDir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Layout.snapshotAppend(o.filter(col("o_orderkey") < 2000), dir,
+        statsCols = Seq("o_orderkey"))                              // v1
+      x.sql(s"CALL $cat.system.branch('t', 'audit')")
+      Layout.snapshotBranchAppend(
+        o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000),
+        dir, "audit", statsCols = Seq("o_orderkey"))          // the load
+      Layout.snapshotBranchMerge(x, dir, "audit",
+        o.filter(col("o_orderkey") < 3500 &&
+            col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000000.0),
+        Seq("o_orderkey"))                                   // the MERGE
+      // live main traffic: an append and a takedown INTERSECTING the
+      // merge's keys (k % 10 == 3 && k % 7 == 0 below 2000)
+      Layout.snapshotAppend(
+        o.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 6000),
+        dir, statsCols = Seq("o_orderkey"))                         // v2
+      Layout.snapshotDeleteKeys(x, dir,
+        o.filter(col("o_orderkey") < 2000 &&
+          col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))                                          // v3
+      val refused = try {
+        Layout.snapshotFastForward(x, dir, "audit"); None
+      } catch { case e: Exception => Some(e.getMessage) }
+      require(refused.exists(_.contains("diverged")),
+        "the publish must refuse on the diverged main")
+      x.sql(s"CALL $cat.system.rebase('t', 'audit')")
+      // replay gate: the branch read serves the NEW head with the
+      // merge applied ON TOP — a main-deleted-then-merged key survives
+      require(Layout.snapshotBranchRead(x, dir, "audit")
+        .filter(col("o_orderkey") < 2000 &&
+          col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 === 3 &&
+          col("o_totalprice") > 900000).count() ==
+        o.filter(col("o_orderkey") < 2000 &&
+          col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 10 === 3).count(),
+        "a key deleted on main then merged on the branch must survive " +
+          "the rebase with its NEW value (the merge replays after the " +
+          "takedown)")
+      x.sql(s"CALL $cat.system.fast_forward('t', 'audit')")         // v4
+      dir
+    }).asInstanceOf[String]
+
   /** q148's fixture: the branch INVENTORY under every lifecycle state
     * an operator meets at once — `fresh` (created, nothing staged,
     * then orphaned by another branch's publish), `staged` (loaded,

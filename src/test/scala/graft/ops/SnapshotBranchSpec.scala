@@ -394,8 +394,8 @@ class SnapshotBranchSpec extends SparkSpec {
       (101 to 130).toSet)
   }
 
-  test("rebase refuses when a main delete's keys cover staged rows; " +
-      "publish-then-rebase cycles keep the window exact") {
+  test("rebase RE-KEYS a staged dir covered by a main delete: the " +
+      "staged rows survive, exactly as re-staging them would") {
     val dir = tmpDir("snapbranch_rbref") + "/t"
     Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
       .repartition(1), dir)                                          // v1
@@ -403,23 +403,24 @@ class SnapshotBranchSpec extends SparkSpec {
     Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
       .toDF("k", "s").repartition(1), dir, "audit")
     // main takes a delete whose keys INTERSECT the staged window: the
-    // carried stage's dir versions order below the delete, so the
-    // overlay would swallow staged rows a replay keeps — refuse
+    // carried stage's dir versions order below the delete, so keeping
+    // them would let the overlay swallow rows a replay keeps — the
+    // rebase re-keys the COLLIDING staged dir above the line instead
+    // (round 14; it previously refused with a full re-stage remedy)
     Layout.snapshotDeleteKeys(spark, dir,
       Seq(Tuple1(105), Tuple1(3)).toDF("k"), Seq("k"))               // v2
-    val e = intercept[Exception] {
-      Layout.snapshotRebase(spark, dir, "audit")
-    }
-    assert(e.getMessage.contains("covers staged keys"))
-    // the documented remedy works: fresh branch from the new HEAD —
-    // the delete (v2) now orders BELOW the new stage
-    Layout.snapshotBranch(spark, dir, "audit2")
-    Layout.snapshotBranchAppend((101 to 110).map(i => (i, s"b$i"))
-      .toDF("k", "s").repartition(1), dir, "audit2")
-    Layout.snapshotFastForward(spark, dir, "audit2")
+    Layout.snapshotRebase(spark, dir, "audit")
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet === (101 to 110).toSet,
+      "the staged view serves the whole window after the re-key")
+    assert(Layout.snapshotBranchRead(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet ===
+      ((1 to 20).toSet - 3) ++ (101 to 110).toSet,
+      "the re-keyed stage survives the delete; base key 3 stays deleted")
+    Layout.snapshotFastForward(spark, dir, "audit")
     assert(stateOf(dir).keySet ===
       ((1 to 20) ++ (101 to 110)).toSet - 3,
-      "re-staged rows must survive the older delete (105 re-inserted)")
+      "published rows must survive the older delete (105 kept)")
   }
 
   test("rebase is a no-op on an un-diverged main; publish -> stage " +
@@ -624,8 +625,8 @@ class SnapshotBranchSpec extends SparkSpec {
   }
 
   test("rebase with a takedown is repeatable (second rebase re-keys " +
-      "again) and refuses the one ambiguous shape: a LATER staged " +
-      "append re-inserting the takedown's own keys") {
+      "again); a LATER staged re-insert of the takedown's own keys " +
+      "re-keys its dir too (the staged-MERGE shape survives)") {
     val dir = tmpDir("snapbranch_delamb") + "/t"
     Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
       .repartition(1), dir)                                          // v1
@@ -643,9 +644,11 @@ class SnapshotBranchSpec extends SparkSpec {
       "the twice-re-keyed takedown must mask the newest main state")
     Layout.snapshotFastForward(spark, dir, "audit")
     assert(stateOf(dir).keySet === (1 to 40).toSet - 5)
-    // the ambiguous shape: takedown, then a staged append re-inserting
-    // its key, then main diverges — no re-keyed version can order
-    // above main's new files yet below the staged re-insert
+    // takedown, then a staged append RE-INSERTING its key, then main
+    // diverges — the re-keyed takedown must order above main's new
+    // files, so the re-inserting file re-keys above IT in turn
+    // (preserving staged order): the delete-then-re-insert pair — the
+    // exact shape a staged MERGE commits — survives the rebase
     Layout.snapshotBranch(spark, dir, "amb")
     Layout.snapshotBranchDeleteKeys(spark, dir, "amb",
       Seq(Tuple1(9)).toDF("k"), Seq("k"))
@@ -653,14 +656,15 @@ class SnapshotBranchSpec extends SparkSpec {
       .repartition(1), dir, "amb")
     Layout.snapshotAppend((41 to 45).map(i => (i, s"o$i")).toDF("k", "s")
       .repartition(1), dir)                                  // diverge
-    val e = intercept[Exception] {
-      Layout.snapshotRebase(spark, dir, "amb")
-    }
-    assert(e.getMessage.contains("re-inserts keys of its own staged " +
-      "takedown") && e.getMessage.contains("re-stage"),
-      s"got: ${e.getMessage}")
-    // DISJOINT later appends stay fine: the probe is key-based, not
-    // shape-based
+    Layout.snapshotRebase(spark, dir, "amb")
+    assert(Layout.snapshotBranchRead(spark, dir, "amb")
+      .as[(Int, String)].collect().toMap.get(9) === Some("re"),
+      "the re-insert must survive its own re-keyed takedown")
+    Layout.snapshotFastForward(spark, dir, "amb")
+    assert(stateOf(dir)(9) === "re")
+    assert(stateOf(dir).keySet === (1 to 45).toSet - 5)
+    // DISJOINT later appends re-key NOTHING: zero bytes move and the
+    // stage publishes unchanged
     Layout.snapshotBranch(spark, dir, "ok")
     Layout.snapshotBranchDeleteKeys(spark, dir, "ok",
       Seq(Tuple1(11)).toDF("k"), Seq("k"))
@@ -670,9 +674,9 @@ class SnapshotBranchSpec extends SparkSpec {
       .repartition(1), dir)                                  // diverge
     Layout.snapshotRebase(spark, dir, "ok")
     Layout.snapshotFastForward(spark, dir, "ok")
-    // key 9 survives: the refused 'amb' branch never published
     assert(stateOf(dir).keySet ===
       ((1 to 50).toSet -- Set(5, 11)) + 201)
+    assert(stateOf(dir)(9) === "re")
   }
 
   test("rebase CARRYING a takedown races a concurrent branch stage and " +
