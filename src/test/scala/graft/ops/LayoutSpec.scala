@@ -1104,22 +1104,44 @@ class LayoutSpec extends SparkSpec {
     def record(): Unit =
       states(Layout.snapshotVersions(spark, dir).last) =
         (model.toMap, morLive)
-    // write-audit-publish: at most one live branch, whose own model
-    // evolves by staged appends and must replace main's exactly when
-    // (and only when) an UN-diverged fast-forward publishes it — any
-    // main commit (including a RESTORE) in between must turn the
-    // publish into a refusal
-    final case class BranchSt(name: String,
-      bm: scala.collection.mutable.Map[Int, String], base: Long,
-      var staged: Int)
+    // write-audit-publish: at most one live branch. Its staged work is
+    // modeled as a FROZEN op log (put-rows / delete-keys — exactly the
+    // physical grammar: staged files and key overlays), replayed onto
+    // the branch's base model: appends, takedowns, and MERGEs
+    // (takedown-of-present + put) all reduce to it, and a REBASE
+    // re-bases the log onto main's CURRENT model verbatim — the
+    // unified re-key's contract (round 14: staged bytes replay onto
+    // the new HEAD exactly as re-staging them would, colliding dirs
+    // re-keyed, nothing refused but schema drift). The publish must
+    // swap in the replayed state exactly when un-diverged; any main
+    // commit (RESTORE included) in between must turn it into a
+    // refusal until a rebase re-targets.
+    sealed trait StOp
+    final case class StPut(rows: Seq[(Int, String)]) extends StOp
+    final case class StDel(keys: Seq[Int]) extends StOp
+    final case class BranchSt(name: String, var base: Long,
+      var baseModel: Map[Int, String],
+      opLog: scala.collection.mutable.ListBuffer[StOp],
+      var morCarried: Boolean, var anyTakedown: Boolean)
     var branch: Option[BranchSt] = None
+    def branchState(st: BranchSt): Map[Int, String] =
+      st.opLog.foldLeft(st.baseModel) {
+        case (m, StPut(rows)) => m ++ rows
+        case (m, StDel(keys)) => m -- keys
+      }
+    def checkBranch(st: BranchSt, tag: String): Unit = {
+      val got = Layout.snapshotBranchRead(spark, dir, st.name)
+        .as[(Int, String)].collect().toMap
+      assert(got === branchState(st), s"branch divergence after $tag")
+    }
     var published = 0
     var walkedAway = 0
+    var rebased = 0
     var nextVal = 0
     def fresh(): String = { nextVal += 1; s"v$nextVal" }
     def freshKeys(n: Int): Seq[Int] =
       rnd.shuffle((0 until 200).filterNot(k => model.contains(k) ||
-        branch.exists(_.bm.contains(k))).toList).take(n)
+        branch.exists(st => branchState(st).contains(k))).toList).take(n)
     def existing(n: Int): Seq[Int] =
       rnd.shuffle(model.keys.toList).take(n)
     // bootstrap
@@ -1137,16 +1159,33 @@ class LayoutSpec extends SparkSpec {
         assert(n === model.size.toLong, s"rowCount after $tag"))
     }
     // publish (or refuse): un-diverged + staged work → fast-forward
-    // swaps the branch model in atomically; a moved main (any commit,
-    // RESTORE included) or an empty stage → refusal, then walk away
+    // swaps the replayed branch state in atomically, and the published
+    // overlay-live flag is the carried base overlay OR any staged
+    // takedown line; a diverged main sometimes REBASES first (the
+    // branch state must then read as the frozen log replayed onto
+    // main's CURRENT model) and otherwise walks away after asserting
+    // the refusal; an empty stage always refuses
     def publishOrWalkAway(step: Int): Unit = branch.foreach { st =>
       val mainHead = Layout.snapshotVersions(spark, dir).last
-      if (st.staged > 0 && mainHead == st.base) {
+      if (st.opLog.nonEmpty && mainHead == st.base) {
         Layout.snapshotFastForward(spark, dir, st.name)
-        model.clear(); model ++= st.bm
+        val bs = branchState(st)
+        model.clear(); model ++= bs
+        morLive = st.morCarried || st.anyTakedown
         branch = None
         check(s"publish@$step")
         published += 1
+      } else if (st.opLog.nonEmpty && mainHead != st.base &&
+          rnd.nextBoolean()) {
+        // re-target at the new HEAD: one metadata-only branch commit;
+        // the frozen staged log now replays onto main's CURRENT state
+        Layout.snapshotRebase(spark, dir, st.name)
+        st.base = mainHead
+        st.baseModel = model.toMap
+        st.morCarried = morLive
+        checkBranch(st, s"rebase@$step")
+        check(s"rebaseMain@$step") // the rebase commits nothing on main
+        rebased += 1
       } else {
         intercept[IllegalArgumentException] {
           Layout.snapshotFastForward(spark, dir, st.name)
@@ -1238,26 +1277,57 @@ class LayoutSpec extends SparkSpec {
           val (m0, mor0) = states(target)
           model.clear(); model ++= m0; morLive = mor0
           check(s"restore@$step->v$target")
-        case 9 => // branch: create one, or stage an append on the live
-          // one — main (checked by check()) must never see staged rows
+        case 9 => // branch lifecycle: create, or stage one op of the
+          // grammar — append / takedown / MERGE — on the live one;
+          // main (re-checked by check()) must never see staged work
           branch match {
             case None =>
               val name = s"b$step"
               Layout.snapshotBranch(spark, dir, name)
               branch = Some(BranchSt(name,
-                scala.collection.mutable.Map(model.toSeq: _*),
-                Layout.snapshotVersions(spark, dir).last, 0))
+                Layout.snapshotVersions(spark, dir).last, model.toMap,
+                scala.collection.mutable.ListBuffer.empty[StOp],
+                morLive, false))
               check(s"branchCreate@$step") // commits nothing on main
-            case Some(st) if st.staged == 0 || rnd.nextBoolean() =>
-              val rows = freshKeys(1 + rnd.nextInt(4)).map(k => (k, fresh()))
-              if (rows.nonEmpty) {
-                Layout.snapshotBranchAppend(rows.toDF("k", "s"), dir,
-                  st.name, statsCols = Seq("k"))
-                st.bm ++= rows; st.staged += 1
-                val got = Layout.snapshotBranchRead(spark, dir, st.name)
-                  .as[(Int, String)].collect().toMap
-                assert(got === st.bm.toMap, s"branch state@$step")
-                check(s"stage@$step") // main untouched by staging
+            case Some(st) if st.opLog.isEmpty || rnd.nextBoolean() =>
+              rnd.nextInt(3) match {
+                case 0 => // staged append of fresh keys
+                  val rows = freshKeys(1 + rnd.nextInt(4))
+                    .map(k => (k, fresh()))
+                  if (rows.nonEmpty) {
+                    Layout.snapshotBranchAppend(rows.toDF("k", "s"),
+                      dir, st.name, statsCols = Seq("k"))
+                    st.opLog += StPut(rows)
+                    checkBranch(st, s"stage@$step")
+                    check(s"stageMain@$step")
+                  }
+                case 1 => // staged takedown: present keys + one absent
+                  val bs = branchState(st)
+                  val keys = (rnd.shuffle(bs.keys.toList)
+                    .take(1 + rnd.nextInt(3)) ++
+                    Seq(300 + rnd.nextInt(50))).distinct
+                  Layout.snapshotBranchDeleteKeys(spark, dir, st.name,
+                    keys.toDF("k"), Seq("k"))
+                  st.opLog += StDel(keys); st.anyTakedown = true
+                  checkBranch(st, s"takedown@$step")
+                  check(s"takedownMain@$step")
+                case 2 => // staged MERGE: update present + insert fresh
+                  val bs = branchState(st)
+                  val ups = rnd.shuffle(bs.keys.toList)
+                    .take(rnd.nextInt(3)).map(k => (k, fresh()))
+                  val ins = freshKeys(rnd.nextInt(3))
+                    .map(k => (k, fresh()))
+                  if (ups.nonEmpty || ins.nonEmpty) {
+                    Layout.snapshotBranchMerge(spark, dir, st.name,
+                      (ups ++ ins).toDF("k", "s"), Seq("k"))
+                    if (ups.nonEmpty) {
+                      st.opLog += StDel(ups.map(_._1))
+                      st.anyTakedown = true
+                    }
+                    st.opLog += StPut(ups ++ ins)
+                    checkBranch(st, s"merge@$step")
+                    check(s"mergeMain@$step")
+                  }
               }
             case _ => publishOrWalkAway(step)
           }
@@ -1266,24 +1336,52 @@ class LayoutSpec extends SparkSpec {
       }
     }
     assert(model.nonEmpty, "degenerate run: model drained completely")
-    // epilogue: one DETERMINISTIC full WAP cycle against whatever state
-    // the random walk left (overlay live or not, post-restore or not) —
-    // a successful publish is exercised every run regardless of how the
-    // seeded trajectory interleaved branch ops with main commits
-    branch.foreach(_ => publishOrWalkAway(99))
+    // epilogue: one DETERMINISTIC full cycle against whatever state the
+    // random walk left (overlay live or not, post-restore or not) —
+    // stage (append + takedown), diverge main, REBASE, publish — so a
+    // successful rebase AND publish are exercised every run regardless
+    // of how the seeded trajectory interleaved branch ops with main
+    while (branch.isDefined) publishOrWalkAway(99)
+    // deterministic walk-away: an empty stage always refuses ("nothing
+    // to publish") and the drop commits nothing — exercised every run
+    // now that the rebase option can rescue every diverged branch the
+    // random walk produces
+    Layout.snapshotBranch(spark, dir, "bdrop")
+    branch = Some(BranchSt("bdrop",
+      Layout.snapshotVersions(spark, dir).last, model.toMap,
+      scala.collection.mutable.ListBuffer.empty[StOp], morLive, false))
+    publishOrWalkAway(98)
+    assert(branch.isEmpty, "an empty stage must resolve to a walk-away")
     Layout.snapshotBranch(spark, dir, "bfinal")
-    branch = Some(BranchSt("bfinal",
-      scala.collection.mutable.Map(model.toSeq: _*),
-      Layout.snapshotVersions(spark, dir).last, 0))
+    val stF = BranchSt("bfinal",
+      Layout.snapshotVersions(spark, dir).last, model.toMap,
+      scala.collection.mutable.ListBuffer.empty[StOp], morLive, false)
+    branch = Some(stF)
     val stagedRows = freshKeys(3).map(k => (k, fresh()))
     Layout.snapshotBranchAppend(stagedRows.toDF("k", "s"), dir, "bfinal",
       statsCols = Seq("k"))
-    branch.foreach { st => st.bm ++= stagedRows; st.staged += 1 }
-    check("epilogue-staged") // main still matches its own model
+    stF.opLog += StPut(stagedRows)
+    val tdKey = stagedRows.head._1
+    Layout.snapshotBranchDeleteKeys(spark, dir, "bfinal",
+      Seq(tdKey).toDF("k"), Seq("k"))
+    stF.opLog += StDel(Seq(tdKey)); stF.anyTakedown = true
+    checkBranch(stF, "epilogue-staged")
+    check("epilogue-staged-main") // main still matches its own model
+    val divRows = freshKeys(2).map(k => (k, fresh()))
+    Layout.snapshotAppend(divRows.toDF("k", "s"), dir,
+      statsCols = Seq("k"))
+    model ++= divRows
+    check("epilogue-diverge")
+    Layout.snapshotRebase(spark, dir, "bfinal")
+    stF.base = Layout.snapshotVersions(spark, dir).last
+    stF.baseModel = model.toMap
+    stF.morCarried = morLive
+    checkBranch(stF, "epilogue-rebase")
+    rebased += 1
     publishOrWalkAway(100)   // un-diverged by construction → publishes
-    assert(published >= 1 && walkedAway >= 1,
-      s"both WAP paths must be exercised " +
-        s"(published=$published, walkedAway=$walkedAway)")
+    assert(published >= 1 && walkedAway >= 1 && rebased >= 1,
+      s"all three WAP paths must be exercised (published=$published, " +
+        s"walkedAway=$walkedAway, rebased=$rebased)")
   }
 
   test("salted join: identical result to the plain join under skew") {
