@@ -2074,10 +2074,22 @@ object Layout {
       // nondeterministic source the staged copy could hold duplicates
       // a pre-stage check never saw — the require must judge exactly
       // the rows that will commit
-      updates.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+      updates.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(scratch, "u").toString)
       val pinned = spark.read.schema(updates.schema)
-        .parquet(scratch.toString)
+        .parquet(new Path(scratch, "u").toString)
       val stable = if (pinned.isEmpty) None else Some(pinned)
+      // explicit tombstones PIN too: the presence probe's stats
+      // bounds, its semi-join, and the key-file write each re-execute
+      // the key frame, and a nondeterministic deletes source could
+      // otherwise yield a key outside the bounds that pruned its
+      // file — a silently skipped tombstone
+      val pinnedDels = deletes.map { d =>
+        d.write.mode(SaveMode.Overwrite)
+          .parquet(new Path(scratch, "d").toString)
+        spark.read.schema(d.schema)
+          .parquet(new Path(scratch, "d").toString)
+      }
       // the append's same-schema contract, checked BEFORE the first
       // commit: the takedown and the append are two staged commits,
       // and a schema mismatch surfacing only at the append would
@@ -2105,7 +2117,7 @@ object Layout {
       // key set against the branch state, executed before our own
       // commits move the tip.
       val candidates = (stable.map(_.select(kcols: _*)).toSeq ++
-        deletes.map(_.select(kcols: _*)).toSeq)
+        pinnedDels.map(_.select(kcols: _*)).toSeq)
         .reduceOption(_ unionByName _)
       val tipVersion = candidates match {
         case None => branchTip(spark, dir, name)._1
@@ -2120,33 +2132,20 @@ object Layout {
             // and only branch files whose stats range intersects it
             // are scanned (column-pruned) — at a 100 TB branch an
             // append-mostly CDC batch touches few files, and the probe
-            // must not cost a full state pass to learn that. Files
-            // without stats are kept (pruning never lies), and the
-            // live overlay composes with pruning exactly as
-            // snapshotReadWhere's does (an anti-join only removes
-            // rows).
+            // must not cost a full state pass to learn that. The
+            // prune+overlay composition is snapshotReadWhere's own,
+            // shared at the lines level.
             val (_, tLines) = branchTip(spark, dir, name)
-            val rels = tLines.filterNot(_.startsWith("#"))
-            val meta = tLines
-              .filter(l => l.startsWith("#") && l != "#commit")
-              .map(_.stripPrefix("#"))
-            val schema0 = meta.find(_.startsWith(SchemaTag))
-              .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-            val colmaps0 = parseColMaps(meta)
             val k1 = keyCols.head
             val bounds = keys.agg(min(col(s"`$k1`")),
               max(col(s"`$k1`"))).head()
-            val kept =
-              if (bounds.isNullAt(0)) rels
-              else statsKeptRels(spark, rels, meta,
-                col(s"`$k1`").between(lit(bounds.get(0)),
-                  lit(bounds.get(1))))
-            if (kept.isEmpty) keys.limit(0)
-            else keys.join(
-              overlayRead(spark, dir,
-                rs => mappedParquetRead(spark, dir, rs, schema0,
-                  colmaps0),
-                kept, parseDeleteMeta(meta)).select(kcols: _*),
+            val pred =
+              if (bounds.isNullAt(0)) lit(true) // empty/null-keyed: no prune
+              else col(s"`$k1`").between(lit(bounds.get(0)),
+                lit(bounds.get(1)))
+            keys.join(
+              readManifestStateWhere(spark, dir, tLines, pred)
+                .select(kcols: _*),
               keyCols, "left_semi")
           }
           snapshotBranchDeleteKeys(spark, dir, name, present, keyCols)
@@ -4699,13 +4698,28 @@ object Layout {
             stagedDels.map(d => (d._1, d._2, d._3, true))
           if (probes.isEmpty) Set.empty
           else {
+            // each row's staged DIR and version resolve through an
+            // exact match on the KNOWN staged-dir set (a when-chain,
+            // bounded by the staged-commit count) — never a regex over
+            // the absolute URI, whose FIRST 'data/vNNN-' match could
+            // be a path segment of the table ROOT and poison every
+            // version (review r14 #3)
+            val stagedDirList = staged.map(stagedDirOf).distinct
+            val dirCol = stagedDirList.foldLeft(
+                lit(null).cast("string")) { (acc, d) =>
+              when(input_file_name().contains(s"/$d/"), lit(d))
+                .otherwise(acc)
+            }
             val stagedRows = mappedParquetRead(spark, dir, staged,
                 mainSchema, colmaps)
-              .withColumn("_graft_file", input_file_name())
-              .withColumn("_graft_file_v",
-                regexp_extract(input_file_name(),
-                  "data/v(\\d{8})-", 1).cast("long"))
-            val hitFiles = probes.groupBy(_._3).iterator
+              .withColumn("_graft_dir", dirCol)
+            def dirV(d: String): Long =
+              relDirVersion(s"$d/_").getOrElse(Long.MaxValue)
+            val dirVCol = stagedDirList.foldLeft(
+                lit(null).cast("long")) { (acc, d) =>
+              when(col("_graft_dir") === d, lit(dirV(d))).otherwise(acc)
+            }
+            probes.groupBy(_._3).iterator
               .flatMap { case (cols, group) =>
                 val keys = group.map { case (dv, dRel, _, later) =>
                   spark.read.parquet(new Path(dir, dRel).toString)
@@ -4713,16 +4727,15 @@ object Layout {
                     .withColumn("_graft_del_v", lit(dv))
                     .withColumn("_graft_later", lit(later))
                 }.reduce(_ unionByName _)
-                stagedRows.join(keys, cols, "inner")
+                stagedRows.withColumn("_graft_file_v", dirVCol)
+                  .join(keys, cols, "inner")
                   .filter((col("_graft_later") &&
                       col("_graft_file_v") > col("_graft_del_v")) ||
                     (!col("_graft_later") &&
                       col("_graft_file_v") <= col("_graft_del_v")))
-                  .select(col("_graft_file")).distinct()
+                  .select(col("_graft_dir")).distinct()
                   .collect().map(_.getString(0))
               }.toSet
-            staged.filter(rel => hitFiles.exists(_.contains(rel)))
-              .map(stagedDirOf).toSet
           }
         }
       val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)
@@ -5680,7 +5693,21 @@ object Layout {
       if (version > 0) version
       else snapshotLatestVersion(spark, dir)
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
-    val lines = snapshotManifestLines(spark, dir, v)
+    readManifestStateWhere(spark, dir,
+      snapshotManifestLines(spark, dir, v), pred).filter(pred)
+  }
+
+  /** [[readManifestState]] with MANIFEST-STATS file pruning for
+    * `pred` — [[snapshotReadWhere]]'s prune+overlay composition,
+    * shared at the LINES level so branch-namespace callers (the merge
+    * door's presence probe) ride the identical logic instead of a
+    * drifting copy. The merge-on-read overlay composes with pruning:
+    * an anti-join only REMOVES rows, so applying it to the pruned
+    * file set is the same result as applying it to all files and then
+    * filtering. Does NOT apply `pred` row-level — callers that need
+    * the rows filtered (not just the files chosen) filter on top. */
+  private def readManifestStateWhere(spark: SparkSession, dir: String,
+      lines: Seq[String], pred: Column): DataFrame = {
     val rels = lines.filterNot(_.startsWith("#"))
     val metaLines = lines
       .filter(l => l.startsWith("#") && l != "#commit").map(_.stripPrefix("#"))
@@ -5688,20 +5715,14 @@ object Layout {
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
     val colmaps = parseColMaps(metaLines)
     val kept = statsKeptRels(spark, rels, metaLines, pred)
-    // the merge-on-read overlay composes with pruning: an anti-join only
-    // REMOVES rows, so applying it to the pruned file set is the same
-    // result as applying it to all files and then filtering
-    val dels = parseDeleteMeta(metaLines)
-    val base =
-      if (rels.isEmpty) snapshotRead(spark, dir, v)
-      else if (kept.isEmpty)
-        // schema-preserving empty scan: one file, zero rows
-        mappedParquetRead(spark, dir, Seq(rels.head), schema, colmaps)
-          .limit(0)
-      else overlayRead(spark, dir,
-        rs => mappedParquetRead(spark, dir, rs, schema, colmaps),
-        kept, dels)
-    base.filter(pred)
+    if (rels.isEmpty) readManifestState(spark, dir, lines)
+    else if (kept.isEmpty)
+      // schema-preserving empty scan: one file, zero rows
+      mappedParquetRead(spark, dir, Seq(rels.head), schema, colmaps)
+        .limit(0)
+    else overlayRead(spark, dir,
+      rs => mappedParquetRead(spark, dir, rs, schema, colmaps),
+      kept, parseDeleteMeta(metaLines))
   }
 
   /** The file-selection half of [[snapshotReadWhere]]: the manifest-

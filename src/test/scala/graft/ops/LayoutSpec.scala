@@ -1139,9 +1139,15 @@ class LayoutSpec extends SparkSpec {
     var rebased = 0
     var nextVal = 0
     def fresh(): String = { nextVal += 1; s"v$nextVal" }
+    // "fresh" excludes keys in the model, in the live branch's state,
+    // AND in any RECORDED restore target: a main RESTORE can resurrect
+    // a once-deleted key, and a branch that staged that key as fresh
+    // would then legitimately hold it TWICE after a rebase (append
+    // semantics) — a multiset this upsert-style model cannot represent
     def freshKeys(n: Int): Seq[Int] =
       rnd.shuffle((0 until 200).filterNot(k => model.contains(k) ||
-        branch.exists(st => branchState(st).contains(k))).toList).take(n)
+        branch.exists(st => branchState(st).contains(k)) ||
+        states.valuesIterator.exists(_._1.contains(k))).toList).take(n)
     def existing(n: Int): Seq[Int] =
       rnd.shuffle(model.keys.toList).take(n)
     // bootstrap
