@@ -2109,6 +2109,17 @@ object Layout {
         .filter(col("count") > 1).isEmpty,
         s"snapshotBranchMerge: duplicate upsert keys at $dir — a key " +
           "may be updated once per statement (ANSI MERGE)")
+      // ANSI MERGE also refuses UPDATE and DELETE of the same row: a
+      // key in both frames would stage a takedown the append
+      // immediately re-inserts — the tombstone silently loses
+      // (ADVICE r14)
+      for (s <- stable; dels <- pinnedDels) {
+        require(s.select(kcols: _*)
+            .join(dels.select(kcols: _*), keyCols, "left_semi").isEmpty,
+          s"snapshotBranchMerge: a key appears in BOTH updates and " +
+            s"deletes at $dir — ANSI MERGE refuses updating and " +
+            "deleting the same row; drop it from one frame")
+      }
       // keys to mask: upsert keys and explicit tombstones — limited to
       // keys PRESENT on the branch tip (an all-new batch must not
       // commit a pointless live overlay; snapshotBranchDeleteKeys'
@@ -2517,7 +2528,13 @@ object Layout {
     * Commits without a pre record (older history, or a
     * [[snapshotMergeInto]] without `preImages = true`) replay as
     * delete + insert regardless; the default `false` keeps the
-    * two-type contract existing consumers pinned.
+    * two-type contract existing consumers pinned. Over a
+    * publish/restore STATE DIFF (no per-commit pre record), pairing
+    * is strictly 1:1: only a key with exactly ONE row leaving and
+    * ONE row returning types as an image pair — a key with N≠1 rows
+    * on either side (plain appends legitimately hold duplicates)
+    * keeps delete + insert typing, so pair-matching consumers never
+    * see unbalanced images (ADVICE r14).
     *
     * Consumer contract: apply changes in `_commit_version` order, and
     * within one version deletes BEFORE inserts (a merge replaces
@@ -2744,10 +2761,19 @@ object Layout {
             // join types every row in the same scan (a semi+anti split
             // per class would re-plan each term once per class, and a
             // full-outer pairing join would multiply rows under
-            // duplicate keys, which plain appends legitimately allow)
-            val paired = i.select(kcols: _*)
-              .join(d.select(kcols: _*), pairKeys, "left_semi")
-              .distinct()
+            // duplicate keys, which plain appends legitimately allow).
+            // Pair ONLY keys with exactly ONE row on EACH side (ADVICE
+            // r14): a key with N deletes vs M inserts — legitimate for
+            // plain appends — would otherwise emit UNBALANCED
+            // pre/postimage counts to row-level pair-matching
+            // consumers; ambiguous-cardinality keys keep the honest
+            // delete+insert typing, and _change_type tells the
+            // consumer which shape it got
+            def onesOf(df: DataFrame): DataFrame =
+              df.select(kcols: _*).groupBy(kcols: _*).count()
+                .filter(col("count") === 1).drop("count")
+            val paired = onesOf(i)
+              .join(onesOf(d), pairKeys, "left_semi")
               .withColumn("_graft_paired", lit(true))
             def typedOf(df: DataFrame, hit: String,
                 miss: String): DataFrame =
@@ -3794,15 +3820,28 @@ object Layout {
       FastForwardTag, "batch=")
     val tagsByV = snapshotTags(spark, dir).toSeq.groupBy(_._2)
       .map { case (v, ts) => v -> ts.map(_._1).sorted.mkString(",") }
-    // live branches' manifest listings (one LIST each): the source of
-    // both the branch lifecycle rows and publish staged-commit counts
+    // live branches' manifests (one LIST + one GET per version, shared
+    // by the lifecycle rows AND the publish staged-commit counts):
+    // COMPLETE manifests only, mirroring snapshotVersions' rule — a
+    // crashed branch commit's torn manifest must not inflate the
+    // collapsed-commit count on the next publish row (ADVICE r14),
+    // and the lifecycle rows already skipped it
     val branchRoot = new Path(dir, "_snapshots/branches")
-    val branchVersions: Map[String, Seq[Long]] =
+    val branchLines: Map[String, Seq[(Long, Seq[String])]] =
       (if (!fs.exists(branchRoot)) Seq.empty[String]
        else fs.listStatus(branchRoot).filter(_.isDirectory)
          .map(_.getPath.getName).toSeq.sorted)
-        .map(n => n -> listManifestVersions(spark, dir, branchSub(n)))
+        .map { n =>
+          n -> listManifestVersions(spark, dir, branchSub(n))
+            .flatMap { v =>
+              try Some(v ->
+                snapshotManifestLines(spark, dir, v, branchSub(n)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+        }
         .filter(_._2.nonEmpty).toMap
+    val branchVersions: Map[String, Seq[Long]] =
+      branchLines.map { case (n, vls) => n -> vls.map(_._1) }
     def opOf(meta: Seq[String], v: Long): Option[String] =
       // a rebase commit's marker names its own branch version — later
       // commits CARRY the marker, so only the match is the rebase row
@@ -3857,27 +3896,22 @@ object Layout {
         snapshotRowCount(spark, dir, v), tagsByV.get(v), "main",
         stagedCommits)
     }
-    val branchRows = branchVersions.toSeq.sortBy(_._1)
-      .flatMap { case (name, bvs) =>
+    val branchRows = branchLines.toSeq.sortBy(_._1)
+      .flatMap { case (name, vls) =>
         var prevB = Set.empty[String]
-        bvs.flatMap { v =>
-          val lines =
-            try Some(snapshotManifestLines(spark, dir, v, branchSub(name)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          lines.map { ls =>
-            val files = ls.filterNot(_.startsWith("#"))
-            val meta = ls.filter(l => l.startsWith("#") && l != "#commit")
-              .map(_.stripPrefix("#"))
-            val mtime = fs.getFileStatus(new Path(dir,
-              f"${branchSub(name)}/v$v%08d.manifest")).getModificationTime
-            val op = if (v == bvs.head) Some("branch-create")
-                     else opOf(meta, v)
-            val added = files.count(f => !prevB.contains(f))
-            prevB = files.toSet
-            (v, new java.sql.Timestamp(mtime), op, files.size, added,
-              None: Option[Long], None: Option[String], name,
-              None: Option[Long])
-          }
+        vls.map { case (v, ls) =>
+          val files = ls.filterNot(_.startsWith("#"))
+          val meta = ls.filter(l => l.startsWith("#") && l != "#commit")
+            .map(_.stripPrefix("#"))
+          val mtime = fs.getFileStatus(new Path(dir,
+            f"${branchSub(name)}/v$v%08d.manifest")).getModificationTime
+          val op = if (v == vls.head._1) Some("branch-create")
+                   else opOf(meta, v)
+          val added = files.count(f => !prevB.contains(f))
+          prevB = files.toSet
+          (v, new java.sql.Timestamp(mtime), op, files.size, added,
+            None: Option[Long], None: Option[String], name,
+            None: Option[Long])
         }
       }
     import spark.implicits._
@@ -4168,7 +4202,14 @@ object Layout {
           case _ => None
         }
       }
-      .maxByOption(_._1)
+      // newest frontier wins; at EQUAL frontiers prefer the DEFINED
+      // watermark (ADVICE r14): two concurrent walks with different
+      // lower bounds (one rebase-bounded, one not) can legitimately
+      // cache the same frontier as wN and none, and an arbitrary
+      // tie-break could hand every future walk the 'none' — benign
+      // today only because current callers pass the newest rebase
+      // target; the ordered tie-break makes it structural
+      .maxByOption { case (p, w) => (p, w.isDefined, w.getOrElse(-1L)) }
   }
 
   /** Decode THIS branch's `fastforward-of=<name>@<w>` publish marker
