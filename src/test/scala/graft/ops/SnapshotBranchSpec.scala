@@ -423,6 +423,43 @@ class SnapshotBranchSpec extends SparkSpec {
       "published rows must survive the older delete (105 kept)")
   }
 
+  test("rebase collision probe is stats-pruned: only staged files " +
+      "whose key range intersects the delete's keys are scanned") {
+    val dir = tmpDir("snapbranch_rbprune") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    // four DISJOINT staged windows, each one file with k-stats
+    Seq(101 to 110, 201 to 210, 301 to 310, 401 to 410).foreach(r =>
+      Layout.snapshotBranchAppend(r.map(i => (i, s"b$i")).toDF("k", "s")
+        .repartition(1), dir, "audit", statsCols = Seq("k")))
+    // main advances past every staged version, THEN takes a delete
+    // intersecting only the first window — so version-eligibility
+    // alone keeps all four staged files and only the stats prune can
+    // skip the three disjoint ones
+    (1 to 4).foreach(i =>
+      Layout.snapshotAppend(Seq((1000 + i, s"m$i")).toDF("k", "s")
+        .repartition(1), dir, statsCols = Seq("k")))            // v2..v5
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(Tuple1(105), Tuple1(3)).toDF("k"), Seq("k"))               // v6
+    val before = Layout.collisionProbeFiles.get()
+    Layout.snapshotRebase(spark, dir, "audit")
+    assert(Layout.collisionProbeFiles.get() - before === 1L,
+      "the probe must scan ONLY the staged file whose stats range " +
+        "intersects the delete keys (105), not all four")
+    // behavior unchanged: the colliding window re-keys and survives,
+    // the disjoint ones keep their dirs, base key 3 stays deleted
+    assert(Layout.snapshotBranchStaged(spark, dir, "audit")
+      .select("k").as[Int].collect().toSet ===
+      ((101 to 110) ++ (201 to 210) ++ (301 to 310) ++
+        (401 to 410)).toSet)
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir).keySet ===
+      (((1 to 20) ++ (1001 to 1004) ++ (101 to 110) ++ (201 to 210) ++
+        (301 to 310) ++ (401 to 410)).toSet - 3),
+      "published rows survive the older delete; 105 kept, 3 deleted")
+  }
+
   test("rebase is a no-op on an un-diverged main; publish -> stage " +
       "more -> main advances -> rebase -> publish emits only the " +
       "second window") {
