@@ -189,6 +189,10 @@ object Bench {
       val EtlFloor = 55000.0; val AsofFloor = 9000.0
       val FwdFloor = 8000.0; val NearFloor = 8000.0
       val FeedFloor = 60000.0; val MergeFloor = 2200.0
+      // ~60% of the round-15 measured ~2,000-2,300 rows/s band (the
+      // profile harness' A/B sits there for both pin variants) — same
+      // headroom rule as the other floors
+      val BranchMergeFloor = 1200.0
       // STREAMING FLOOR AUTO-REQUEUE (judge r13 "what's wrong" #2):
       // max-of-N defends within one probe set, but a contended window
       // spanning the whole set puts a PHANTOM floor violation in the
@@ -264,6 +268,15 @@ object Bench {
         mgReps.maxBy(_.rowsPerSec),
         (x: graft.ops.MergeBench.Result) => x.rowsPerSec,
         2)(() => graft.ops.MergeBench.probe(spark, sfDir))
+      // branch-staged CDC path (stage × 3 + one atomic publish): the
+      // WAP-for-CDC write shape, tracked separately from the main-side
+      // apply so the round-15 pin fast path's effect is measurable
+      val bmReps = (1 to 2)
+        .map(_ => graft.ops.BranchMergeBench.probe(spark, sfDir))
+      val bm = requeueRate("branch_merge_rows_per_sec", BranchMergeFloor,
+        bmReps.maxBy(_.rowsPerSec),
+        (x: graft.ops.BranchMergeBench.Result) => x.rowsPerSec,
+        2)(() => graft.ops.BranchMergeBench.probe(spark, sfDir))
       def repsJson(rs: Seq[Double]): String =
         rs.map(r => f"$r%.0f").mkString("[", ",", "]")
       // MINIMUM-RATE FLOORS (judge round-9 ask #7): every streaming line
@@ -298,7 +311,8 @@ object Bench {
         ("asof_fwd_rows_per_sec", f.rowsPerSec, FwdFloor),
         ("asof_near_rows_per_sec", n.rowsPerSec, NearFloor),
         ("feed_rows_per_sec", sf.rowsPerSec, FeedFloor),
-        ("merge_apply_rows_per_sec", mg.rowsPerSec, MergeFloor))
+        ("merge_apply_rows_per_sec", mg.rowsPerSec, MergeFloor),
+        ("branch_merge_rows_per_sec", bm.rowsPerSec, BranchMergeFloor))
       val violations = floors.collect { case (nm, got, floor) if got < floor =>
         System.err.println(
           f"[bench] FLOOR VIOLATION: $nm = $got%.0f < $floor%.0f")
@@ -309,7 +323,7 @@ object Bench {
           (if (streamingRequeued.isEmpty) ""
            else s""","streaming_requeued":{${
              streamingRequeued.mkString(",")}}""")
-      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"etl_reps":${repsJson(etlReps.map(_.recordsPerSec))},"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_reps":${repsJson(aReps.map(_.rowsPerSec))},"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_reps":${repsJson(fReps.map(_.rowsPerSec))},"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_reps":${repsJson(nReps.map(_.rowsPerSec))},"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_reps":${repsJson(sfReps.map(_.rowsPerSec))},"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_reps":${repsJson(mgReps.map(_.rowsPerSec))},"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f}$floorJson"""
+      f""","streaming":{"etl_records_per_sec":${r.recordsPerSec}%.0f,"etl_reps":${repsJson(etlReps.map(_.recordsPerSec))},"drained":${r.consumed},"drain_sec":${r.sec}%.2f,"baseline_daily_msgs":375773,"asof_rows_per_sec":${a.rowsPerSec}%.0f,"asof_reps":${repsJson(aReps.map(_.rowsPerSec))},"asof_emitted":${a.emitted},"asof_sec":${a.sec}%.2f,"asof_fwd_rows_per_sec":${f.rowsPerSec}%.0f,"asof_fwd_reps":${repsJson(fReps.map(_.rowsPerSec))},"asof_fwd_emitted":${f.emitted},"asof_fwd_sec":${f.sec}%.2f,"asof_near_rows_per_sec":${n.rowsPerSec}%.0f,"asof_near_reps":${repsJson(nReps.map(_.rowsPerSec))},"asof_near_emitted":${n.emitted},"asof_near_sec":${n.sec}%.2f,"feed_rows_per_sec":${sf.rowsPerSec}%.0f,"feed_reps":${repsJson(sfReps.map(_.rowsPerSec))},"feed_rows":${sf.rows},"feed_sec":${sf.sec}%.2f,"merge_apply_rows_per_sec":${mg.rowsPerSec}%.0f,"merge_reps":${repsJson(mgReps.map(_.rowsPerSec))},"merge_applied":${mg.applied},"merge_sec":${mg.sec}%.2f,"branch_merge_rows_per_sec":${bm.rowsPerSec}%.0f,"branch_merge_reps":${repsJson(bmReps.map(_.rowsPerSec))},"branch_merge_applied":${bm.applied},"branch_merge_sec":${bm.sec}%.2f}$floorJson"""
     }
     // fixture-layout separability (judge r8 ask #7): the driver's
     // regenerated testdata ships ONE parquet row group per table, so

@@ -59,3 +59,52 @@ object MergeBench {
     Result(applied / sec, applied, sec)
   }
 }
+
+/** Throughput probe for the BRANCH-staged CDC path
+  * ([[Layout.snapshotBranchMerge]] × batches, then ONE
+  * [[Layout.snapshotFastForward]]): the WAP-for-CDC shape — stage
+  * audited upserts+tombstones on a branch, publish atomically.
+  * Same deterministic modulo-derived change sets as [[MergeBench]]
+  * (update and delete key sets are disjoint by construction — branch
+  * MERGE refuses a key in both frames), and the batches are
+  * file-backed deterministic plans, so the round-15 replay-stability
+  * fast path applies: the staged pin's scratch round-trip is skipped.
+  * Tracked as BENCH.json `streaming.branch_merge_rows_per_sec`. */
+object BranchMergeBench {
+
+  final case class Result(rowsPerSec: Double, applied: Long, sec: Double)
+
+  def probe(spark: SparkSession, sfDir: String, batches: Int = 3): Result = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_brmergebench").toString
+    val dir = s"$root/t"
+    val o = graft.Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    val mx = o.agg(max(k)).head().getLong(0)
+    Seq(
+      o.filter(k <= mx / 3),
+      o.filter(k > mx / 3 && k <= 2 * mx / 3),
+      o.filter(k > 2 * mx / 3)
+    ).foreach(b => Layout.snapshotAppend(b, dir,
+      statsCols = Seq("o_orderkey")))
+    Layout.snapshotBranch(spark, dir, "cdc")
+    val work = (0 until batches).map { b =>
+      val ups = o.filter(k % 97 === b)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(o.filter(k % 101 === b)
+          .withColumn("o_orderkey", k + lit(10000000L)))
+      val dels = o.filter(k % 89 === b && k % 97 =!= b).select(k)
+      (ups, dels, ups.count() + dels.count())
+    }
+    val applied = work.map(_._3).sum
+    val t0 = System.nanoTime()
+    work.foreach { case (ups, dels, _) =>
+      Layout.snapshotBranchMerge(spark, dir, "cdc", ups,
+        Seq("o_orderkey"), deletes = Some(dels))
+    }
+    Layout.snapshotFastForward(spark, dir, "cdc")
+    val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Result(applied / sec, applied, sec)
+  }
+}

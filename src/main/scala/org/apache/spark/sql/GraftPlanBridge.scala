@@ -32,6 +32,38 @@ object GraftPlanBridge {
   def columnOf(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** True when RE-EXECUTING `df`'s plan several times is both STABLE
+    * (same rows every time) and CHEAPER than materializing a pinning
+    * copy: every leaf is an IN-MEMORY relation (local data / range —
+    * re-execution costs nothing), every expression is deterministic,
+    * and no subquery can smuggle an unchecked plan in. What it buys:
+    * a caller that must evaluate one frame several times (validate,
+    * probe, commit — [[graft.ops.Layout.snapshotBranchMerge]] runs
+    * ~6 jobs over its update frame) can skip the scratch parquet
+    * round-trip for the common driver-built CDC batch. FILE-BACKED
+    * deterministic plans deliberately answer false even though
+    * re-execution is stable for them too (the file list is captured
+    * at construction): measured on the branch-merge bench workload,
+    * re-scanning a filter+union source per validation is ~12% SLOWER
+    * end-to-end than pinning once and re-reading the small scratch
+    * copy — the pin is a cost FLOOR of O(batch), the re-executions
+    * cost O(source scan) each. Conservative on everything else: a
+    * DSv2 relation, a stream, a subquery, or any nondeterministic
+    * expression answers false and the caller pins. */
+  def stableReplayablePlan(df: Dataset[_]): Boolean = {
+    val plan = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+    def exprOk(e: catalyst.expressions.Expression): Boolean =
+      e.deterministic && !e.exists(
+        _.isInstanceOf[catalyst.expressions.SubqueryExpression])
+    !plan.isStreaming &&
+      plan.collectLeaves().forall {
+        case _: catalyst.plans.logical.LocalRelation => true
+        case _: catalyst.plans.logical.Range => true
+        case _ => false
+      } &&
+      plan.collect { case p => p }.forall(_.expressions.forall(exprOk))
+  }
+
   /** A parquet scan over an explicit file list, tagged `isStreaming` —
     * what a V1 streaming `Source.getBatch` must return (the engine
     * splices it in place of the streaming relation; a plain batch

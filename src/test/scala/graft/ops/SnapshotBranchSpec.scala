@@ -977,6 +977,44 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(stateOf(dir)(40) === "X")
   }
 
+  test("branch MERGE pins only when replay is not free: local batches " +
+      "skip the scratch copy, file-backed and rand()-tagged pay it") {
+    val dir = tmpDir("snapbranch_mgpin") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    val before = Layout.mergePinWrites.get()
+    // local (deterministic, in-memory) batch: no pin — re-executing
+    // a LocalRelation per validation job is free
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "X5"), (105, "n105")).toDF("k", "s"), Seq("k"))
+    assert(Layout.mergePinWrites.get() === before,
+      "a deterministic local batch must skip the scratch pin")
+    // a file-backed batch pins even though its replay is stable: the
+    // ~6 validation/commit jobs would each re-scan the source, which
+    // the A/B harness (BranchMergeProfile) measured slower than one
+    // pin write
+    val fileBacked = Layout.snapshotRead(spark, dir)
+      .filter(col("k") <= 3)
+      .withColumn("s", concat(col("s"), lit("!")))
+    Layout.snapshotBranchMerge(spark, dir, "audit", fileBacked, Seq("k"))
+    assert(Layout.mergePinWrites.get() === before + 1,
+      "a file-backed batch must stage the pinning copy")
+    // a nondeterministic source pins for CORRECTNESS (the requires
+    // must judge exactly the committing rows), and commits one
+    // consistent execution's rows
+    val nondet = Seq((7, "R7")).toDF("k", "s")
+      .filter(rand() >= 0.0)
+    Layout.snapshotBranchMerge(spark, dir, "audit", nondet, Seq("k"))
+    assert(Layout.mergePinWrites.get() === before + 2,
+      "a rand()-tagged source must stage the pinning copy")
+    val tip = Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap
+    assert(tip(5) === "X5" && tip(105) === "n105" &&
+      tip(1) === "a1!" && tip(3) === "a3!" && tip(7) === "R7" &&
+      tip.size === 21)
+  }
+
   test("two branch MERGEs with DISJOINT keys race loss-free: the " +
       "branch slot CAS interleaves takedowns and appends safely") {
     import scala.concurrent.{Await, Future}
