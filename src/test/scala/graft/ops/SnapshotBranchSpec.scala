@@ -1047,6 +1047,43 @@ class SnapshotBranchSpec extends SparkSpec {
     }
   }
 
+  test("five SAME-KEY branch MERGEs race: the expected-parent CAS " +
+      "serializes them, exactly one statement's batch survives") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { round =>
+      val dir = tmpDir(s"snapbranch_samekey$round") + "/t"
+      Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+        .repartition(1), dir)                                        // v1
+      Layout.snapshotBranch(spark, dir, "audit")
+      // five racers upsert the SAME two keys (one present on the tip,
+      // one new), writer-distinct values. Pre-CAS, two racers could
+      // BOTH append a key (each takedown ordered below the other's
+      // append) — the documented single-writer convention. The CAS
+      // makes the takedown+append pair contiguous in version order,
+      // so statements fully serialize.
+      val fs = (1 to 5).map { w =>
+        Future { Layout.snapshotBranchMerge(spark, dir, "audit",
+          Seq((7, s"w$w"), (300, s"w$w")).toDF("k", "s"), Seq("k")) }
+      }
+      fs.foreach(Await.result(_, 300.seconds))
+      val tip = Layout.snapshotBranchRead(spark, dir, "audit")
+        .as[(Int, String)].collect()
+      assert(tip.length === tip.map(_._1).distinct.length,
+        s"round $round: exactly one row per key must survive")
+      val m = tip.toMap
+      assert(m.size === 21, s"round $round: 20 base + 1 new key")
+      assert((1 to 5).map(w => s"w$w").contains(m(7)),
+        s"round $round: the surviving value must be one racer's batch")
+      assert(m(7) === m(300),
+        s"round $round: ONE statement's batch must win atomically " +
+          s"(got ${m(7)} vs ${m(300)})")
+      Layout.snapshotFastForward(spark, dir, "audit")
+      assert(stateOf(dir).keySet === ((1 to 20).toSet + 300))
+    }
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"
