@@ -1217,6 +1217,75 @@ object Fits {
       dir
     }).asInstanceOf[String]
 
+  /** q156's fixture: the CORPUS + DERIVED-INDEX takedown cascade
+    * ([[graft.ops.Govern.takedownCascade]], judge r14 what's-missing
+    * #2) with a CRASH INJECTED at the widest seam. A documents corpus
+    * (snapshot table), a vector index (embeddings, IVF-PQ), and a
+    * MinHash signature index all hold the full set; a GDPR takedown
+    * of every `doc_id % 10 == 3` runs under the "indexes lead, the
+    * corpus follows" contract via a WAP branch — and the first
+    * attempt dies between the index purge and the corpus publish.
+    * Gates pin the contract: in the crash window the indexes serve
+    * NONE of the removed docs (over-deletion — the tolerated
+    * direction) while the corpus, the system of record, still does;
+    * re-running the SAME cascade converges (index halves idempotent
+    * no-ops, the staged takedown publishes). The query then audits
+    * the final state of all three artifacts; the oracle recomputes
+    * every class from the base documents/embeddings tables, with the
+    * removed-hit classes pinned at literal zero. */
+  def takedownCascadeDirs(s: SparkSession, sfDir: String)
+      : (String, String, String) =
+    cache.computeIfAbsent(s"govcascade:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.{Dedup, Govern, Layout, VectorIndex}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_govcascade").toString
+      val corpus = s"$root/corpus"
+      val docs = T.documents(s, sfDir)
+      val emb = T.embeddings(s, sfDir)
+      Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+        corpus, statsCols = Seq("doc_id"))
+      val vidx = s"$root/vidx"
+      VectorIndex.build(emb, "vec_id", "embedding", vidx,
+        nCells = 8, m = 8, kCodes = 16, maxFitRows = 500)
+      val sidx = s"$root/sidx"
+      Dedup.writeSignatureIndex(
+        Dedup.bandedSignatureIndex(docs, "doc_id", "text",
+          numHashes = 24, shingleN = 3, bands = 8, cache = false),
+        sidx, numHashes = 24, shingleN = 3, bands = 8)
+      Layout.snapshotBranch(s, corpus, "gdpr")
+      val removed = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+      val ixs = Seq(Govern.VectorIndexRef(vidx),
+        Govern.SignatureIndexRef(sidx))
+      val crashed =
+        try {
+          Govern.takedownCascade(s, corpus, removed, Seq("doc_id"),
+            ixs, viaBranch = Some("gdpr"),
+            beforeCorpusPublish = () => sys.error("injected crash"))
+          false
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected crash") => true }
+      require(crashed, "the injected crash must fire")
+      val remIds = removed.withColumnRenamed("doc_id", "id")
+      require(s.read.parquet(s"$vidx/coded")
+          .join(remIds, Seq("id"), "left_semi").count() == 0,
+        "crash window: the vector index must serve NO removed doc")
+      require(s.read.parquet(sidx)
+          .join(remIds, Seq("id"), "left_semi").count() == 0,
+        "crash window: the signature index must match NO removed doc")
+      require(Layout.snapshotRead(s, corpus)
+          .join(removed, Seq("doc_id"), "left_semi").count() > 0,
+        "crash window: the corpus (system of record) still serves them")
+      // recovery = the SAME cascade: idempotent index halves, the
+      // corpus half stages and publishes
+      val r = Govern.takedownCascade(s, corpus, removed, Seq("doc_id"),
+        ixs, viaBranch = Some("gdpr"))
+      require(r.indexChanges.values.forall(_ == 0L),
+        "re-run index deletes must be idempotent no-ops")
+      (corpus, vidx, sidx)
+    }).asInstanceOf[(String, String, String)]
+
   /** q148's fixture: the branch INVENTORY under every lifecycle state
     * an operator meets at once — `fresh` (created, nothing staged,
     * then orphaned by another branch's publish), `staged` (loaded,

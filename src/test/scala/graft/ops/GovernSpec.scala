@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Govern.takedownCascade]] — the corpus+derived-index takedown
+  * under the "indexes lead, the corpus follows" ordering contract:
+  * crash-injected at the widest seam (all indexes purged, corpus
+  * commit not yet), at a partial-index seam, and mid-WAP (staged but
+  * unpublished); in every reachable state the purged indexes never
+  * serve a removed doc, and re-running the same cascade converges. */
+class GovernSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val docs =
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  /** corpus snapshot table + vector index + signature index, all
+    * holding the full document set. */
+  private def build(root: String): (String, String, String) = {
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    val vidx = s"$root/vidx"
+    VectorIndex.build(emb, "vec_id", "embedding", vidx,
+      nCells = 4, m = 4, kCodes = 16, maxFitRows = 200)
+    val sidx = s"$root/sidx"
+    Dedup.writeSignatureIndex(
+      Dedup.bandedSignatureIndex(docs, "doc_id", "text",
+        numHashes = 24, shingleN = 3, bands = 8, cache = false),
+      sidx, numHashes = 24, shingleN = 3, bands = 8)
+    (corpus, vidx, sidx)
+  }
+
+  private def removed = docs.filter(col("doc_id") % 10 === 3)
+    .select(col("doc_id"))
+
+  private def vectorServes(vidx: String): Long =
+    spark.read.parquet(s"$vidx/coded")
+      .join(removed.select(col("doc_id").as("id")), Seq("id"),
+        "left_semi").count()
+
+  private def sigServes(sidx: String): Long =
+    spark.read.parquet(sidx)
+      .join(removed.select(col("doc_id").as("id")), Seq("id"),
+        "left_semi").count()
+
+  private def corpusServes(corpus: String): Long =
+    Layout.snapshotRead(spark, corpus)
+      .join(removed, Seq("doc_id"), "left_semi").count()
+
+  private final class Crash extends RuntimeException("injected crash")
+
+  test("crash between the index purge and the corpus commit: " +
+      "over-deletion only, never a removed doc served; re-run converges") {
+    val root = tmpDir("govern1")
+    val (corpus, vidx, sidx) = build(root)
+    val ixs = Seq(Govern.VectorIndexRef(vidx), Govern.SignatureIndexRef(sidx))
+    assert(vectorServes(vidx) > 0 && sigServes(sidx) > 0 &&
+      corpusServes(corpus) > 0, "fixture must hold the removed docs")
+    intercept[Crash] {
+      Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"), ixs,
+        beforeCorpusPublish = () => throw new Crash)
+    }
+    // the crash state: indexes purged (a still-resident doc is briefly
+    // not retrievable — the tolerated direction), corpus untouched
+    assert(vectorServes(vidx) === 0L,
+      "the vector index must never serve a removed doc after the purge")
+    assert(sigServes(sidx) === 0L,
+      "the signature index must never match a removed doc after the purge")
+    assert(corpusServes(corpus) > 0,
+      "the corpus commit must not have landed before the crash point")
+    // recovery = the SAME cascade again: index halves are idempotent
+    // no-ops, the corpus half lands
+    val r = Govern.takedownCascade(spark, corpus, removed,
+      Seq("doc_id"), ixs)
+    assert(r.indexChanges.values.forall(_ === 0L),
+      "re-run index deletes must be idempotent no-ops")
+    assert(corpusServes(corpus) === 0L && vectorServes(vidx) === 0L &&
+      sigServes(sidx) === 0L, "converged: removed everywhere")
+  }
+
+  test("partial-index crash state (one index purged, one not) " +
+      "converges on the full re-run") {
+    val root = tmpDir("govern2")
+    val (corpus, vidx, sidx) = build(root)
+    intercept[Crash] {
+      Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+        Seq(Govern.VectorIndexRef(vidx)),
+        beforeCorpusPublish = () => throw new Crash)
+    }
+    assert(vectorServes(vidx) === 0L && sigServes(sidx) > 0 &&
+      corpusServes(corpus) > 0, "mid-cascade state")
+    Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+      Seq(Govern.VectorIndexRef(vidx), Govern.SignatureIndexRef(sidx)))
+    assert(corpusServes(corpus) === 0L && vectorServes(vidx) === 0L &&
+      sigServes(sidx) === 0L)
+  }
+
+  test("viaBranch: the corpus half stages on the branch and publishes; " +
+      "a crashed attempt's duplicate staged takedown is harmless") {
+    val root = tmpDir("govern3")
+    val (corpus, vidx, sidx) = build(root)
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    val ixs = Seq(Govern.VectorIndexRef(vidx), Govern.SignatureIndexRef(sidx))
+    // a previous attempt crashed AFTER staging its takedown but before
+    // the publish — the staged line is pending on the branch
+    Layout.snapshotBranchDeleteKeys(spark, corpus, "gdpr", removed,
+      Seq("doc_id"))
+    assert(corpusServes(corpus) > 0, "staged ≠ published")
+    // recovery: the same cascade — indexes purge, the corpus half
+    // stages a SECOND takedown of the same keys (a harmless re-mask)
+    // and ONE fast-forward publishes both
+    val r = Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+      ixs, viaBranch = Some("gdpr"))
+    assert(r.corpusVersion > 0)
+    assert(corpusServes(corpus) === 0L && vectorServes(vidx) === 0L &&
+      sigServes(sidx) === 0L)
+    // survivors intact end to end
+    assert(Layout.snapshotRead(spark, corpus).count() ===
+      docs.filter(col("doc_id") % 10 =!= 3).count())
+  }
+
+  test("refusals: composite keys have no single doc identity") {
+    val e = intercept[IllegalArgumentException] {
+      Govern.takedownCascade(spark, "/nope", removed,
+        Seq("doc_id", "text"), Nil)
+    }
+    assert(e.getMessage.contains("ONE document id"))
+  }
+}
