@@ -274,6 +274,38 @@ class GraftCatalog extends TableCatalog
     * matching the format's contract (they need a full rewrite). */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
+    // `ALTER TABLE cat.db.`t@branch``: STAGED schema evolution (round
+    // 15) — ADD COLUMNS lands as a branch-namespace evolve commit
+    // ([[Layout.snapshotBranchEvolve]]), invisible to main until the
+    // fast-forward publishes the ALTER + its backfill atomically.
+    // Only ADD stages: a rename/drop/retype changes how the STAGED
+    // bytes resolve (and main's, which a branch must not touch) —
+    // land those on main and rebase; TBLPROPERTIES are table-level
+    // policy, not stageable work.
+    val atPos = ident.name().lastIndexOf('@')
+    if (atPos > 0) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().substring(0, atPos))
+      val br = ident.name().substring(atPos + 1)
+      if (!exists(base)) throw new NoSuchTableException(base)
+      val bdir = dirOf(base)
+      require(Layout.snapshotBranchExists(spark, bdir, br),
+        s"catalog $catalogName: no branch '$br' on table " +
+          s"'${base.name()}' — create it with " +
+          s"CALL $catalogName.system.branch(...)")
+      val adds = changes.collect { case a: TableChange.AddColumn => a }
+      require(adds.size == changes.size && adds.nonEmpty,
+        s"catalog $catalogName: only ADD COLUMNS can be STAGED on a " +
+          "branch — rename/drop/retype change how already-staged " +
+          "bytes resolve; land them on main (then CALL system.rebase), " +
+          "and set TBLPROPERTIES on the main identifier")
+      val widened = widenWithAdds(
+        Layout.snapshotBranchRead(spark, bdir, br).schema, adds)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      Layout.snapshotBranchEvolve(empty, bdir, br)
+      return loadTable(ident)
+    }
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
     // Nested evolution, the pinned line: ADD inside a struct is REAL
@@ -373,47 +405,54 @@ class GraftCatalog extends TableCatalog
       case _ => ()
     }
     if (adds.nonEmpty) {
-      // append `field` under `path` (empty = top level), recursing
-      // through struct columns at ANY depth — parquet's by-name
-      // resolution null-fills a missing nested field recursively, so
-      // depth costs nothing (the evolve check, isStructAddWidening,
-      // is recursive to match)
-      def addAt(sch: org.apache.spark.sql.types.StructType,
-          path: Seq[String], dotted: String,
-          field: org.apache.spark.sql.types.StructField)
-          : org.apache.spark.sql.types.StructType = path match {
-        case Seq() =>
-          require(!sch.fields.exists(_.name.equalsIgnoreCase(field.name)),
-            s"catalog $catalogName: '$dotted' already exists")
-          org.apache.spark.sql.types.StructType(sch.fields :+ field)
-        case head +: rest =>
-          val pf = sch.fields.find(_.name.equalsIgnoreCase(head))
-            .getOrElse(sys.error(s"catalog $catalogName: no column " +
-              s"'$head' to add '$dotted' into"))
-          val st = pf.dataType match {
-            case s: org.apache.spark.sql.types.StructType => s
-            case other => sys.error(s"catalog $catalogName: column " +
-              s"'$head' is ${other.catalogString}, not a struct — " +
-              "nested ADD targets struct columns")
-          }
-          org.apache.spark.sql.types.StructType(sch.fields.map(f =>
-            if (f eq pf)
-              pf.copy(dataType = addAt(st, rest, dotted, field))
-            else f))
-      }
-      val widened = adds.foldLeft(
-        Layout.snapshotRead(spark, dir).schema) { (sch, a) =>
-        addAt(sch, a.fieldNames().init.toSeq,
-          a.fieldNames().mkString("."),
-          org.apache.spark.sql.types.StructField(
-            a.fieldNames().last, a.dataType(), a.isNullable))
-      }
+      val widened = widenWithAdds(
+        Layout.snapshotRead(spark, dir).schema, adds)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
       Layout.snapshotEvolve(empty, dir)
     }
     loadTable(ident)
   }
+
+  /** Append `field` under `path` (empty = top level), recursing
+    * through struct columns at ANY depth — parquet's by-name
+    * resolution null-fills a missing nested field recursively, so
+    * depth costs nothing (the evolve check, isStructAddWidening,
+    * is recursive to match). Shared by the main-side ALTER ADD and
+    * the branch-staged one. */
+  private def addAt(sch: org.apache.spark.sql.types.StructType,
+      path: Seq[String], dotted: String,
+      field: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructType = path match {
+    case Seq() =>
+      require(!sch.fields.exists(_.name.equalsIgnoreCase(field.name)),
+        s"catalog $catalogName: '$dotted' already exists")
+      org.apache.spark.sql.types.StructType(sch.fields :+ field)
+    case head +: rest =>
+      val pf = sch.fields.find(_.name.equalsIgnoreCase(head))
+        .getOrElse(sys.error(s"catalog $catalogName: no column " +
+          s"'$head' to add '$dotted' into"))
+      val st = pf.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s
+        case other => sys.error(s"catalog $catalogName: column " +
+          s"'$head' is ${other.catalogString}, not a struct — " +
+          "nested ADD targets struct columns")
+      }
+      org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+        if (f eq pf)
+          pf.copy(dataType = addAt(st, rest, dotted, field))
+        else f))
+  }
+
+  private def widenWithAdds(base: org.apache.spark.sql.types.StructType,
+      adds: Seq[TableChange.AddColumn])
+      : org.apache.spark.sql.types.StructType =
+    adds.foldLeft(base) { (sch, a) =>
+      addAt(sch, a.fieldNames().init.toSeq,
+        a.fieldNames().mkString("."),
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().last, a.dataType(), a.isNullable))
+    }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dirOf(ident))

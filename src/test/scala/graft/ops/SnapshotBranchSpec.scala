@@ -1084,6 +1084,117 @@ class SnapshotBranchSpec extends SparkSpec {
     }
   }
 
+  test("staged ALTER ADD + backfill publish atomically: main keeps the " +
+      "old schema until ONE fast-forward ships both") {
+    val dir = tmpDir("snapbranch_evolve") + "/t"
+    Layout.snapshotAppend((1 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotDeclareKeys(spark, dir, Seq("k"))                 // v2
+    Layout.snapshotBranch(spark, dir, "mig")
+    // stage the metadata-only ADD on the branch
+    val widened = Layout.snapshotBranchRead(spark, dir, "mig").schema
+      .add("tier", org.apache.spark.sql.types.StringType)
+    Layout.snapshotBranchEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened),
+      dir, "mig")
+    assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
+      Seq("k", "s"), "main must not see the staged ADD")
+    assert(Layout.snapshotBranchRead(spark, dir, "mig").columns.toSeq
+      === Seq("k", "s", "tier"), "the branch serves the widened schema")
+    // backfill THROUGH the staged UPDATE door, audit on the branch
+    Layout.snapshotBranchUpdateWhere(spark, dir, "mig", lit(true),
+      Seq("tier" -> when(col("k") <= 10, lit("low"))
+        .otherwise(lit("high"))))
+    assert(Layout.snapshotBranchRead(spark, dir, "mig")
+      .filter(col("tier").isNull).count() === 0L,
+      "the audited backfill must cover every row")
+    assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
+      Seq("k", "s"), "backfill still invisible to main")
+    // ONE publish ships ALTER + backfill
+    Layout.snapshotFastForward(spark, dir, "mig")
+    val main = Layout.snapshotRead(spark, dir)
+    assert(main.columns.toSeq === Seq("k", "s", "tier"))
+    assert(main.filter(col("tier") === "low").count() === 10L)
+    assert(main.filter(col("tier") === "high").count() === 10L)
+  }
+
+  test("staged ALTER rides the rebase: the merged schema keeps the " +
+      "branch's ADD, main's new rows null-fill") {
+    val dir = tmpDir("snapbranch_evrb") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotDeclareKeys(spark, dir, Seq("k"))                 // v2
+    Layout.snapshotBranch(spark, dir, "mig")
+    val widened = Layout.snapshotBranchRead(spark, dir, "mig").schema
+      .add("tier", org.apache.spark.sql.types.StringType)
+    Layout.snapshotBranchEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened),
+      dir, "mig")
+    Layout.snapshotBranchUpdateWhere(spark, dir, "mig", lit(true),
+      Seq("tier" -> lit("old")))
+    // live main traffic under the OLD schema
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))
+    assert(intercept[Exception] {
+      Layout.snapshotFastForward(spark, dir, "mig")
+    }.getMessage.contains("diverged"))
+    Layout.snapshotRebase(spark, dir, "mig")
+    val reb = Layout.snapshotBranchRead(spark, dir, "mig")
+    assert(reb.columns.toSeq === Seq("k", "s", "tier"),
+      "the rebase must carry the staged ADD in its merged schema")
+    assert(reb.filter(col("k") >= 21 && col("tier").isNull).count()
+      === 10L, "main's new rows null-fill the staged column")
+    assert(reb.filter(col("k") <= 10 && col("tier") === "old").count()
+      === 10L, "the backfilled rows survive the rebase")
+    Layout.snapshotFastForward(spark, dir, "mig")
+    val main = Layout.snapshotRead(spark, dir)
+    assert(main.columns.toSeq === Seq("k", "s", "tier"))
+    assert(main.count() === 20L)
+    // main-side drops/renames still refuse the rebase (resolution of
+    // staged bytes would be ambiguous) — fresh branch, stage an ADD,
+    // then rename on main (after maintenance materializes the
+    // published backfill's overlay, which rename refuses over)
+    Layout.snapshotCompact(spark, dir)
+    Layout.snapshotBranch(spark, dir, "mig2")
+    val w2 = Layout.snapshotBranchRead(spark, dir, "mig2").schema
+      .add("extra", org.apache.spark.sql.types.IntegerType)
+    Layout.snapshotBranchEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], w2),
+      dir, "mig2")
+    Layout.snapshotRename(spark, dir, Map("s" -> "label"))
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir, "mig2")
+    }.getMessage.contains("rename/drop landed on main"))
+  }
+
+  test("metadata-only staged ALTER (no staged files) still rides " +
+      "rebase and publish") {
+    val dir = tmpDir("snapbranch_evonly") + "/t"
+    Layout.snapshotAppend((1 to 5).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "mig")
+    val widened = Layout.snapshotBranchRead(spark, dir, "mig").schema
+      .add("note", org.apache.spark.sql.types.StringType)
+    Layout.snapshotBranchEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened),
+      dir, "mig")
+    // main advances; the rebase must not DROP the staged ADD even
+    // though no staged file exists
+    Layout.snapshotAppend((11 to 15).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir)
+    Layout.snapshotRebase(spark, dir, "mig")
+    assert(Layout.snapshotBranchRead(spark, dir, "mig").columns.toSeq
+      === Seq("k", "s", "note"))
+    Layout.snapshotFastForward(spark, dir, "mig")
+    assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
+      Seq("k", "s", "note"))
+    assert(Layout.snapshotRead(spark, dir).count() === 10L)
+    // post-publish appends must match the widened schema
+    assert(intercept[Exception] {
+      Layout.snapshotAppend(Seq((99, "x")).toDF("k", "s"), dir)
+    }.getMessage.contains("schema"))
+  }
+
   test("walk away: drop the branch, expire sweeps the staged data, " +
       "main never knew") {
     val dir = tmpDir("snapbranch_drop") + "/t"

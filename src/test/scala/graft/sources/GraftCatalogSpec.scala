@@ -351,6 +351,39 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE t@branch ADD COLUMNS stages on the branch; other " +
+      "change kinds refuse with the land-on-main remedy") {
+    val (cat, root) = newCatalog()
+    val x = org.apache.spark.sql.GraftSessionBridge
+      .withGraftExtensions(spark)
+    x.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    x.conf.set(s"spark.sql.catalog.$cat.root", root)
+    x.sql(s"CREATE TABLE $cat.db.mg (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.key' = 'k')")
+    x.sql(s"INSERT INTO $cat.db.mg VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$root/db/mg"
+    x.sql(s"CALL $cat.system.branch('db.mg', 'mig')")
+    x.sql(s"ALTER TABLE $cat.db.`mg@mig` ADD COLUMNS (note STRING)")
+    assert(x.table(s"$cat.db.mg").columns.toSeq === Seq("k", "s"),
+      "the staged ADD must be invisible to the main identifier")
+    assert(x.table(s"$cat.db.`mg@mig`").columns.toSeq ===
+      Seq("k", "s", "note"))
+    // backfill on the branch through the SQL UPDATE door, then publish
+    x.sql(s"UPDATE $cat.db.`mg@mig` SET note = concat('n', s)")
+    x.sql(s"CALL $cat.system.fast_forward('db.mg', 'mig')")
+    assert(x.sql(s"SELECT k, note FROM $cat.db.mg ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "na"), (2L, "nb")),
+      "ONE publish ships the ALTER and its backfill")
+    assert(Layout.snapshotKeyCols(x, dir) === Seq("k"),
+      "the key declaration survives the staged evolve")
+    // non-ADD change kinds refuse on a branch identifier
+    x.sql(s"CALL $cat.system.branch('db.mg', 'mig2')")
+    assert(intercept[Exception] {
+      x.sql(s"ALTER TABLE $cat.db.`mg@mig2` RENAME COLUMN s TO label")
+    }.getMessage.contains("only ADD COLUMNS can be STAGED"))
+  }
+
   test("DELETE FROM lands a file-granular copy-on-write commit") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, s STRING)")
