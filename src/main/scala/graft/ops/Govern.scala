@@ -91,11 +91,15 @@ object Govern {
     // otherwise purge DIFFERENT sets from the index and the corpus,
     // silently violating the contract in both directions. The pin is
     // a scratch parquet round-trip (O(keys), distributed — never a
-    // driver collect), removed on exit; a crash strands only the
-    // scratch copy
+    // driver collect) under the CORPUS table's own `data/` space —
+    // the same convention as the staged merge's scratch, so it lives
+    // on a filesystem every executor shares (a driver-local temp dir
+    // would scatter part files on a real cluster — review r15), is
+    // removed on exit, and a crash strands it only until the orphan
+    // sweep
     val keys = ids.select(col(s"`$idCol`")).distinct()
-    val scratch = new org.apache.hadoop.fs.Path(
-      java.nio.file.Files.createTempDirectory("graft_govpin").toString)
+    val scratch = new org.apache.hadoop.fs.Path(corpusDir,
+      s"data/gov-pin-${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val pinned =

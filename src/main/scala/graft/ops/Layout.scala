@@ -3969,19 +3969,21 @@ object Layout {
     // collapsed-commit count on the next publish row (ADVICE r14),
     // and the lifecycle rows already skipped it
     val branchRoot = new Path(dir, "_snapshots/branches")
-    val branchLines: Map[String, Seq[(Long, Seq[String])]] =
+    val branchListing: Map[String, (Seq[Long], Seq[(Long, Seq[String])])] =
       (if (!fs.exists(branchRoot)) Seq.empty[String]
        else fs.listStatus(branchRoot).filter(_.isDirectory)
          .map(_.getPath.getName).toSeq.sorted)
         .map { n =>
-          n -> listManifestVersions(spark, dir, branchSub(n))
-            .flatMap { v =>
-              try Some(v ->
-                snapshotManifestLines(spark, dir, v, branchSub(n)))
-              catch { case scala.util.control.NonFatal(_) => None }
-            }
+          val raw = listManifestVersions(spark, dir, branchSub(n))
+          n -> (raw, raw.flatMap { v =>
+            try Some(v ->
+              snapshotManifestLines(spark, dir, v, branchSub(n)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          })
         }
-        .filter(_._2.nonEmpty).toMap
+        .filter(_._2._2.nonEmpty).toMap
+    val branchLines: Map[String, Seq[(Long, Seq[String])]] =
+      branchListing.map { case (n, (_, vls)) => n -> vls }
     val branchVersions: Map[String, Seq[Long]] =
       branchLines.map { case (n, vls) => n -> vls.map(_._1) }
     def opOf(meta: Seq[String], v: Long): Option[String] =
@@ -4047,7 +4049,11 @@ object Layout {
             .map(_.stripPrefix("#"))
           val mtime = fs.getFileStatus(new Path(dir,
             f"${branchSub(name)}/v$v%08d.manifest")).getModificationTime
-          val op = if (v == vls.head._1) Some("branch-create")
+          // the create label belongs to the RAW listing's first
+          // version: if the base copy itself is torn, a later staged
+          // commit must not claim it (review r15)
+          val op = if (v == branchListing(name)._1.head)
+                     Some("branch-create")
                    else opOf(meta, v)
           val added = files.count(f => !prevB.contains(f))
           prevB = files.toSet
@@ -4645,6 +4651,14 @@ object Layout {
       sub = branchSub(name))
   }
 
+  /** The branch's newest COMPLETE version — the expected-tip handle a
+    * tip-derived SQL statement ([[graft.plans.SnapshotMergeSql]]) pins
+    * its [[snapshotBranchMerge]] call with, so a concurrent commit
+    * bounces it back to re-resolve instead of committing stale
+    * values. */
+  private[graft] def snapshotBranchTipVersion(spark: SparkSession,
+      dir: String, name: String): Long = branchTip(spark, dir, name)._1
+
   /** Read a BRANCH's staged state (tip, or a pinned branch
     * `version`) — the AUDIT half of write-audit-publish: validation
     * queries run against exactly the rows a [[snapshotFastForward]]
@@ -4850,33 +4864,61 @@ object Layout {
           .map(rel => stripUndeclaredPolicy(
             spark.read.parquet(new Path(dir, rel).toString).schema)))
       def lower(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
-      // branch-side STAGED evolution ([[snapshotBranchEvolve]], round
-      // 15): fields the tip carries that main lacks, or a struct the
-      // tip widened with nested fields. It RIDES the rebase — the
-      // merged schema below — so the drift checks must run even when
-      // no staged FILE exists (a metadata-only staged ALTER is still
-      // unpublished work the rebase must not drop)
-      val branchWidened = (for (ts <- tipSchemaOpt; ms <- mainSchemaReal)
-        yield {
-          val msByName = ms.fields.map(f => lower(f.name) -> f).toMap
-          ts.fields.exists { tf =>
-            msByName.get(lower(tf.name)) match {
-              case None => true
-              case Some(mf) =>
-                mf.dataType.catalogString != tf.dataType.catalogString &&
-                  isStructAddWidening(mf.dataType, tf.dataType)
-            }
-          }
-        }).getOrElse(false)
+      // the branch's EFFECTIVE-BASE schema — what the tip looked like
+      // before any staged evolution: the base copy's (or the newest
+      // rebase manifest's) schema line, else its first file's footer,
+      // else (a readable but EMPTY base) the empty schema, so every
+      // tip field counts as staged. This is what tells a BRANCH-staged
+      // ADD apart from a MAIN-side drop: both look like "tip has a
+      // field main lacks", but only one of them may ride the rebase —
+      // the other must refuse (review r15: classifying by main alone
+      // silently resurrected full-rewrite drops and silently DROPPED a
+      // staged ALTER colliding with a concurrent same-name main add).
+      // One extra manifest GET at rebase frequency; unresolvable
+      // (torn) base degrades to "no adds known" — conservative
+      // refusals, never a silent ride
+      val baseV = rebase.map(_._1).getOrElse(bvs.head)
+      val baseLinesOpt: Option[Seq[String]] =
+        if (baseV == tip) Some(tipLines)
+        else try Some(snapshotManifestLines(spark, dir, baseV, sub))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val baseSchemaOpt = baseLinesOpt.flatMap { bl =>
+        val bm = bl.filter(l => l.startsWith("#") && l != "#commit")
+          .map(_.stripPrefix("#"))
+        bm.find(_.startsWith(SchemaTag))
+          .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+          .orElse(bl.filterNot(_.startsWith("#")).headOption.map(rel =>
+            stripUndeclaredPolicy(spark.read
+              .parquet(new Path(dir, rel).toString).schema)))
+          .orElse(Some(new org.apache.spark.sql.types.StructType()))
+      }
+      def baseField(n: String) =
+        baseSchemaOpt.flatMap(_.fields.find(f => lower(f.name) == n))
+      val branchAddNames: Set[String] =
+        (for (ts <- tipSchemaOpt; bs <- baseSchemaOpt) yield {
+          val bNames = bs.fields.map(f => lower(f.name)).toSet
+          ts.fields.map(f => lower(f.name)).filterNot(bNames).toSet
+        }).getOrElse(Set.empty)
+      // a struct the BRANCH widened with nested fields (tip widens the
+      // base's field) — distinct from a struct that merely LAGS main
+      def branchWidenedField(
+          tf: org.apache.spark.sql.types.StructField): Boolean =
+        baseField(lower(tf.name)).exists(bf =>
+          bf.dataType.catalogString != tf.dataType.catalogString &&
+            isStructAddWidening(bf.dataType, tf.dataType))
+      val branchWidened = tipSchemaOpt.exists(ts =>
+        ts.fields.exists(tf =>
+          branchAddNames.contains(lower(tf.name)) ||
+            branchWidenedField(tf)))
       if (staged.nonEmpty || stagedDels.nonEmpty || branchWidened) {
         // schema drift on main since the base: pure ADD widening is
         // fine on EITHER side (files null-fill by name, like any
         // pre-evolution generation), and main-side LOSSLESS primitive
         // widening is fine too (the vectorized reader decodes a
         // narrower footer under the wider schema natively); a
-        // rename/drop — or a narrowing — re-keys how the staged
-        // files' on-disk names or values resolve; refuse rather than
-        // guess
+        // rename/drop — or a narrowing, or the same name added with
+        // CONFLICTING types on both sides — re-keys how staged bytes
+        // resolve; refuse rather than guess
         val tipColmaps = tipMeta.filter(_.startsWith(ColMapTag)).toSet
         val mainColmaps = mainMeta.filter(_.startsWith(ColMapTag)).toSet
         // only colmap lines NEW on main refuse: staged files (written
@@ -4894,27 +4936,37 @@ object Layout {
         for (ts <- tipSchemaOpt; ms <- mainSchemaReal) {
           val msByName = ms.fields.map(f => lower(f.name) -> f).toMap
           val lost = ts.fields.filter { tf =>
-            msByName.get(lower(tf.name)).exists(mf =>
-              mf.dataType.catalogString != tf.dataType.catalogString &&
-                !isStructAddWidening(tf.dataType, mf.dataType) &&
-                !isStructAddWidening(mf.dataType, tf.dataType) &&
-                !isLosslessWidening(tf.dataType, mf.dataType))
+            msByName.get(lower(tf.name)) match {
+              case Some(mf) =>
+                mf.dataType.catalogString != tf.dataType.catalogString &&
+                  !isStructAddWidening(tf.dataType, mf.dataType) &&
+                  !(isStructAddWidening(mf.dataType, tf.dataType) &&
+                    branchWidenedField(tf)) &&
+                  !isLosslessWidening(tf.dataType, mf.dataType)
+              case None =>
+                // in the tip, absent on main: a branch-STAGED add
+                // rides; anything else is a main-side drop via a full
+                // rewrite (which carries no colmap line) — refuse, the
+                // table owner deliberately removed it
+                !branchAddNames.contains(lower(tf.name))
+            }
           }
           require(lost.isEmpty,
             s"snapshotRebase: main's schema at $dir changed shape since " +
               s"branch '$name' was based (column(s) " +
-              s"${lost.map(_.name).mkString(", ")} dropped or retyped) — " +
-              "re-stage on a fresh branch from the new HEAD")
+              s"${lost.map(_.name).mkString(", ")} dropped, retyped, or " +
+              "added with a conflicting type on both sides) — re-stage " +
+              "on a fresh branch from the new HEAD")
         }
       }
       // the rebase's SCHEMA OF RECORD: main's, widened by the branch's
-      // staged ADDs (top-level fields main lacks, in tip order at the
-      // end; a branch-side nested ADD adopts the wider struct under
-      // main's field identity). A branch-added field whose ID main
-      // meanwhile minted for a DIFFERENT column re-mints past the max
-      // — IDs are rename identity, and a duplicate would make a later
-      // rename ambiguous. None ⇔ no widening: main's line carries
-      // verbatim.
+      // STAGED ADDs (tip fields absent from both base and main, in tip
+      // order at the end; a branch-side nested ADD adopts the wider
+      // struct under main's field identity). A branch-added field
+      // whose ID main meanwhile minted for a DIFFERENT column re-mints
+      // past the max — IDs are rename identity, and a duplicate would
+      // make a later rename ambiguous. None ⇔ no widening: main's
+      // line carries verbatim.
       val mergedSchema = (for (ts <- tipSchemaOpt; ms <- mainSchemaReal)
         yield {
           val tsByName = ts.fields.map(f => lower(f.name) -> f).toMap
@@ -4924,12 +4976,15 @@ object Layout {
               case Some(tf)
                   if mf.dataType.catalogString !=
                     tf.dataType.catalogString &&
-                    isStructAddWidening(mf.dataType, tf.dataType) =>
+                    isStructAddWidening(mf.dataType, tf.dataType) &&
+                    branchWidenedField(tf) =>
                 mf.copy(dataType = tf.dataType)
               case _ => mf
             }
           }
-          val adds0 = ts.fields.filterNot(f => msNames.contains(lower(f.name)))
+          val adds0 = ts.fields.filter(f =>
+            branchAddNames.contains(lower(f.name)) &&
+              !msNames.contains(lower(f.name)))
           val used = scala.collection.mutable.Set(
             mergedMain.flatMap(fieldIdOf).toSeq: _*)
           var next = (0 +: (used.toSeq ++ adds0.flatMap(fieldIdOf))).max

@@ -313,19 +313,36 @@ case class SnapshotMergeCommand(
               if t.snapVersion <= 0 && t.snapBranch.isEmpty &&
                 t.snapDir == dir =>
             r.copy(table = new GraftSnapshotTable(t.name(), t.snapDir, v0))
+          // a branch-qualified TARGET relation: the resolution pass
+          // exempted it as the statement's WRITE target, but in these
+          // captured fragments it executes as a READ — ALWAYS swap in
+          // the overlay-aware plan. Unconditionally, not probe-gated:
+          // the delegated DSv2 scan resolves the branch tip when the
+          // scan is BUILT, so a racer's takedown landing between a
+          // probe and the build would refuse mid-statement (TOCTOU —
+          // raced out in SnapshotMergeSqlSpec); the overlay-aware read
+          // also captures its file list at construction, so every
+          // validation of one attempt judges one consistent tip
+          case t: GraftSnapshotTable
+              if t.snapBranch.isDefined && t.snapDir == dir =>
+            SnapshotOverlayReadRule(session).rewriteRelation(r, t)
           case _ => r
         }
     }
     def ofRows(p: LogicalPlan): DataFrame =
       GraftPlanBridge.ofRows(session, pin(p))
-    val updates: DataFrame = upsertAll match {
+    // frames are built by FUNCTION so the tip-derived branch retry
+    // below can REBUILD them against the new tip (the overlay-aware
+    // target reads capture their file list at construction)
+    def buildUpdates(): DataFrame = upsertAll match {
       case Some(p) => ofRows(p)
       case None if updatePlans.isEmpty =>
         // delete-only statement: an empty frame with the table schema
         Layout.snapshotRead(session, dir).limit(0)
       case None => updatePlans.map(ofRows).reduce(_ unionByName _)
     }
-    val delOpt = deletePlans.map(ofRows).reduceOption(_ unionByName _)
+    def buildDeletes(): Option[DataFrame] =
+      deletePlans.map(ofRows).reduceOption(_ unionByName _)
     val v = branch match {
       // MERGE INTO cat.`t@branch`: the audited CDC upsert of
       // write-audit-publish — staged as ONE takedown of the present
@@ -333,16 +350,63 @@ case class SnapshotMergeCommand(
       // namespace (Layout.snapshotBranchMerge), invisible to main
       // until CALL system.fast_forward
       case Some(b) =>
-        Layout.snapshotBranchMerge(session, dir, b, updates, keyCols,
-          deletes = delOpt)
+        // does any plan READ this table (matched branches with
+        // target-referencing guards or assignments, NOT MATCHED BY
+        // SOURCE deletes)? Then the statement's values derive from
+        // the branch tip, and the merge's internal bounce-and-restage
+        // would silently commit a STALE frame over a racer's commit —
+        // the lost update (review r15). Pin the tip version instead:
+        // on a bounce, re-resolve and re-call, so the unpinned branch
+        // relations re-read the NEW tip and the values recompute —
+        // the same first-committer-wins loop as the UPDATE door. A
+        // source-only statement (the symmetric-upsert fast path)
+        // keeps the merge's cheaper internal retry.
+        def readsTarget(p: LogicalPlan): Boolean = p.exists {
+          case r: DataSourceV2Relation => r.table match {
+            case t: GraftSnapshotTable => t.snapDir == dir
+            case _ => false
+          }
+          case _ => false
+        }
+        val tipDerived = (upsertAll.toSeq ++ updatePlans ++ deletePlans)
+          .exists(readsTarget)
+        if (!tipDerived)
+          Layout.snapshotBranchMerge(session, dir, b, buildUpdates(),
+            keyCols, deletes = buildDeletes())
+        else {
+          var tries = 0
+          var out = -1L
+          var done = false
+          while (!done) {
+            tries += 1
+            try {
+              val tipV = Layout.snapshotBranchTipVersion(session, dir, b)
+              // rebuilt per attempt: the target reads resolve the tip
+              // at construction, so a bounced attempt's values
+              // RECOMPUTE from the racer's committed state
+              out = Layout.snapshotBranchMerge(session, dir, b,
+                buildUpdates(), keyCols, deletes = buildDeletes(),
+                expectedTip = Some(tipV))
+              done = true
+            } catch {
+              case tm: Layout.BranchTipMoved =>
+                require(tries < 8,
+                  s"MERGE INTO branch '$b' at $dir: the branch tip " +
+                    s"moved under 8 consecutive attempts " +
+                    s"(${tm.getMessage}) — heavy same-branch write " +
+                    "contention; re-run the statement")
+            }
+          }
+          out
+        }
       // the table-level graft.cdc.updateImages property turns on
       // pre-image persistence for a SQL-only CDC producer (the Scala
       // API's snapshotMergeInto(preImages = true) opt-in, declared once
       // in DDL); unset keeps the merge door's legacy default (off — the
       // merge pre-image record costs an extra touched-file scan)
       case None =>
-        Layout.snapshotMergeInto(session, dir, updates, keyCols,
-          deletes = delOpt,
+        Layout.snapshotMergeInto(session, dir, buildUpdates(), keyCols,
+          deletes = buildDeletes(),
           preImages = Layout.snapshotCdcUpdateImages(session, dir)
             .getOrElse(false))
     }

@@ -76,6 +76,14 @@ case class SnapshotOverlayReadRule(session: SparkSession)
     }
   }
 
+  /** Also the seam [[SnapshotMergeCommand]] uses directly: its captured
+    * plan fragments hold target relations the resolution pass exempted
+    * (they were the MERGE's write target there), but the fragments
+    * execute them as READS — under a live overlay the delegated scan
+    * would refuse, so the command swaps in this rewrite per relation. */
+  private[plans] def rewriteRelation(r: DataSourceV2Relation,
+      t: GraftSnapshotTable): LogicalPlan = rewrite(r, t)
+
   private def rewrite(r: DataSourceV2Relation,
       t: GraftSnapshotTable): LogicalPlan = {
     // a branch-qualified relation (`t@audit`) swaps in the branch's

@@ -1167,6 +1167,58 @@ class SnapshotBranchSpec extends SparkSpec {
     }.getMessage.contains("rename/drop landed on main"))
   }
 
+  test("staged ALTER vs concurrent main evolution: same-name " +
+      "conflicting ADD refuses loudly; a full-rewrite drop refuses " +
+      "instead of resurrecting; an empty branch rebases across a drop") {
+    // branch adds c INT, main adds c STRING: the rebase must refuse
+    // (re-staging remedy), never silently adopt main's type and drop
+    // the staged ALTER
+    val dir = tmpDir("snapbranch_evconf") + "/t"
+    Layout.snapshotAppend((1 to 5).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "mig")
+    val wInt = Layout.snapshotBranchRead(spark, dir, "mig").schema
+      .add("c", org.apache.spark.sql.types.IntegerType)
+    Layout.snapshotBranchEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], wInt),
+      dir, "mig")
+    Layout.snapshotEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Layout.snapshotRead(spark, dir).schema
+        .add("c", org.apache.spark.sql.types.StringType)), dir)      // v2
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir, "mig")
+    }.getMessage.contains("conflicting type"))
+    // a column main removed via a FULL REWRITE (no colmap line) must
+    // refuse the rebase of a branch whose stage predates it — the tip
+    // still carries the column, but it is NOT a branch-staged add
+    val dir2 = tmpDir("snapbranch_evdrop") + "/t"
+    Layout.snapshotEvolve((1 to 5).map(i => (i, s"a$i", i * 1.0))
+      .toDF("k", "s", "c").repartition(1), dir2)                     // v1
+    Layout.snapshotBranch(spark, dir2, "load")
+    Layout.snapshotBranchAppend((11 to 15).map(i => (i, s"b$i", i * 1.0))
+      .toDF("k", "s", "c").repartition(1), dir2, "load")
+    Layout.snapshotCommit(                                           // v2
+      Layout.snapshotRead(spark, dir2, 1L).select(col("k"), col("s")),
+      dir2)
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir2, "load")
+    }.getMessage.contains("dropped, retyped"),
+      "a main-side full-rewrite drop must refuse, not resurrect")
+    // an EMPTY branch (nothing staged) rebases across a main-side
+    // DROP without the colmap refusal — there are no staged bytes
+    // whose resolution could be ambiguous
+    val dir3 = tmpDir("snapbranch_evempty") + "/t"
+    Layout.snapshotEvolve((1 to 5).map(i => (i, s"a$i", i * 1.0))
+      .toDF("k", "s", "c").repartition(1), dir3)                     // v1
+    Layout.snapshotBranch(spark, dir3, "idle")
+    Layout.snapshotDropColumns(spark, dir3, Seq("c"))                // v2
+    Layout.snapshotRebase(spark, dir3, "idle")
+    assert(Layout.snapshotBranchRead(spark, dir3, "idle")
+      .columns.toSeq === Seq("k", "s"),
+      "the idle branch adopts main's narrowed state")
+  }
+
   test("metadata-only staged ALTER (no staged files) still rides " +
       "rebase and publish") {
     val dir = tmpDir("snapbranch_evonly") + "/t"

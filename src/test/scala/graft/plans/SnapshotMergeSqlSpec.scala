@@ -462,4 +462,35 @@ class SnapshotMergeSqlSpec extends SparkSpec {
     assert(Layout.snapshotCdcUpdateImages(x, dir3) === None,
       "stray metadata must not conjure a policy onto an undeclared table")
   }
+
+  test("racing tip-derived branch MERGEs lose no increment: the door " +
+      "pins the tip and recomputes on a bounce (first-committer-wins)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { round =>
+      val (t, dir) = newTable("(1, 'a', 10.0), (2, 'b', 20.0)")
+      val cat = t.split('.').head
+      x.sql(s"CALL $cat.system.branch('db.t', 'audit')")
+      // each statement reads the TARGET (SET v = t.v + s.dv): a lost
+      // update would make the final value reflect only one increment
+      def bump(dv: Double): Unit = x.sql(s"""
+        MERGE INTO $cat.db.`t@audit` AS t
+        USING (SELECT * FROM VALUES (CAST(1 AS BIGINT),
+               CAST($dv AS DOUBLE)) AS src(k, dv)) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.dv""")
+      val f1 = Future(bump(1.0))
+      val f2 = Future(bump(2.0))
+      Await.result(f1, 300.seconds); Await.result(f2, 300.seconds)
+      val got = x.sql(s"SELECT v FROM $cat.db.`t@audit` WHERE k = 1")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got === Seq(13.0),
+        s"round $round: BOTH increments must land (10 + 1 + 2), " +
+          s"got $got — a lost update means the CAS pin is broken")
+      x.sql(s"CALL $cat.system.fast_forward('db.t', 'audit')")
+      assert(x.sql(s"SELECT v FROM $t WHERE k = 1").head().getDouble(0)
+        === 13.0)
+    }
+  }
 }
