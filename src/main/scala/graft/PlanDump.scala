@@ -47,7 +47,10 @@ object PlanDump {
     "q146_sql_zorder_box_read" -> "2-D box read after CALL system.zorder: the catalog's delegated vectorized scan over the Morton-rewritten files — manifest stats pruned the file list before the plan was built",
     "q150_rebase_takedown" -> "typed feed across a rebased takedown publish: the delete term semi-joins masked base files against the RE-KEYED O(keys) key file, inserts scan staged files under the tip overlay — the re-key left zero trace beyond the key file's new dir version, no corpus rescan in either term",
     "q152_branch_merge_publish" -> "typed feed across a branch-MERGE publish: the staged upsert's takedown+append pair replays as one masked-base semi-join delete term + one staged-file insert term under the overlay — old and new values both O(delta), the base table never rescanned",
-    "q154_rebase_merge_carry" -> "typed feed across a rebased MERGE publish under an intersecting live takedown: the unified re-key leaves only broadcast semi/anti-joins on O(keys) files — the merge's re-keyed append scans once under the overlay, masked base rows semi-join the re-keyed key file, no corpus rescan")
+    "q154_rebase_merge_carry" -> "typed feed across a rebased MERGE publish under an intersecting live takedown: the unified re-key leaves only broadcast semi/anti-joins on O(keys) files — the merge's re-keyed append scans once under the overlay, masked base rows semi-join the re-keyed key file, no corpus rescan",
+    "q155_merge_race_cas" -> "read after five raced same-key staged MERGEs: the CAS chain serialized the statements, so the published plan is the ordinary masked-base + surviving-append scan — no duplicate-key residue for the agg above to hide",
+    "q156_takedown_cascade" -> "corpus + index audit after the crash-injected cascade: three O(artifact) scans with broadcast semi-joins against the O(keys) removed set — the invariant check never rescans an artifact twice",
+    "q157_staged_evolve_publish" -> "read after a staged ALTER+backfill publish across a rebase: ONE scan spans the 3-column main files and the 4-column backfill files under the merged schema (by-name null-fill) — the staged evolution left no per-generation union behind")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
