@@ -117,7 +117,26 @@ object Govern {
         case Some(b) =>
           Layout.snapshotBranchDeleteKeys(spark, corpusDir, b, pinned,
             keyCols)
-          Layout.snapshotFastForward(spark, corpusDir, b)
+          // publish SELF-HEALS across live main traffic: a diverged
+          // main would otherwise refuse here — AFTER the index purge,
+          // stranding the over-deletion window until an operator
+          // intervenes. snapshotRebase re-keys the staged takedown
+          // above the new HEAD (the r14 carry), and the publish
+          // retries; bounded because each rebase targets the head a
+          // refusal just observed
+          var tries = 0
+          var pub = -1L
+          while (pub < 0) {
+            tries += 1
+            try pub = Layout.snapshotFastForward(spark, corpusDir, b)
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("diverged") && tries < 8 =>
+                Layout.snapshotRebase(spark, corpusDir, b)
+            }
+          }
+          pub
         case None =>
           Layout.snapshotDeleteKeys(spark, corpusDir, pinned, keyCols)
       }

@@ -124,6 +124,29 @@ class GovernSpec extends SparkSpec {
       docs.filter(col("doc_id") % 10 =!= 3).count())
   }
 
+  test("viaBranch under LIVE main traffic: the publish self-heals by " +
+      "rebase — the re-keyed takedown lands, no operator intervention") {
+    val root = tmpDir("govern4")
+    val (corpus, vidx, sidx) = build(root)
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    // main advances AFTER the branch was cut: a plain fast-forward
+    // would refuse diverged — exactly the window where a crashed-
+    // then-recovered cascade must not strand the over-deletion state
+    Layout.snapshotAppend(
+      Seq((100001L, "late arrival")).toDF("doc_id", "text"), corpus)
+    val r = Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+      Seq(Govern.VectorIndexRef(vidx), Govern.SignatureIndexRef(sidx)),
+      viaBranch = Some("gdpr"))
+    assert(r.corpusVersion > 0)
+    assert(corpusServes(corpus) === 0L && vectorServes(vidx) === 0L &&
+      sigServes(sidx) === 0L, "converged across the rebase")
+    val state = Layout.snapshotRead(spark, corpus)
+    assert(state.filter(col("doc_id") === 100001L).count() === 1L,
+      "main's interleaved row survives the rebased publish")
+    assert(state.count() ===
+      docs.filter(col("doc_id") % 10 =!= 3).count() + 1L)
+  }
+
   test("refusals: composite keys have no single doc identity") {
     val e = intercept[IllegalArgumentException] {
       Govern.takedownCascade(spark, "/nope", removed,
