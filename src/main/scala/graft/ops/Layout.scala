@@ -4864,20 +4864,25 @@ object Layout {
           .map(rel => stripUndeclaredPolicy(
             spark.read.parquet(new Path(dir, rel).toString).schema)))
       def lower(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
-      // the branch's EFFECTIVE-BASE schema — what the tip looked like
-      // before any staged evolution: the base copy's (or the newest
-      // rebase manifest's) schema line, else its first file's footer,
-      // else (a readable but EMPTY base) the empty schema, so every
-      // tip field counts as staged. This is what tells a BRANCH-staged
-      // ADD apart from a MAIN-side drop: both look like "tip has a
-      // field main lacks", but only one of them may ride the rebase —
-      // the other must refuse (review r15: classifying by main alone
-      // silently resurrected full-rewrite drops and silently DROPPED a
-      // staged ALTER colliding with a concurrent same-name main add).
-      // One extra manifest GET at rebase frequency; unresolvable
+      // the branch's CREATION-BASE schema — what main looked like when
+      // the branch was cut: the base COPY's schema line, else its
+      // first file's footer, else (a readable but EMPTY base) the
+      // empty schema, so every tip field counts as staged. This is
+      // what tells a BRANCH-staged ADD apart from a MAIN-side drop:
+      // both look like "tip has a field main lacks", but only one may
+      // ride the rebase — the other must refuse (review r15:
+      // classifying by main alone silently resurrected full-rewrite
+      // drops and silently DROPPED a staged ALTER colliding with a
+      // concurrent same-name main add). Deliberately the CREATION base
+      // (bvs.head), never the newest rebase manifest: a rebase's own
+      // merged schema line already CONTAINS the carried adds, and
+      // classifying against it would turn every carried add into a
+      // "main dropped it" refusal on the SECOND rebase — staged ALTERs
+      // must be as repeatable across rebases as staged takedowns are.
+      // One extra manifest GET at rebase frequency; an unresolvable
       // (torn) base degrades to "no adds known" — conservative
       // refusals, never a silent ride
-      val baseV = rebase.map(_._1).getOrElse(bvs.head)
+      val baseV = bvs.head
       val baseLinesOpt: Option[Seq[String]] =
         if (baseV == tip) Some(tipLines)
         else try Some(snapshotManifestLines(spark, dir, baseV, sub))

@@ -1237,10 +1237,19 @@ class SnapshotBranchSpec extends SparkSpec {
     Layout.snapshotRebase(spark, dir, "mig")
     assert(Layout.snapshotBranchRead(spark, dir, "mig").columns.toSeq
       === Seq("k", "s", "note"))
+    // the carry is REPEATABLE: main advances again, and the SECOND
+    // rebase must classify the carried ADD as staged work (against
+    // the creation base), not as a main-side drop
+    Layout.snapshotAppend(Seq((99, "m99")).toDF("k", "s")
+      .repartition(1), dir)
+    Layout.snapshotRebase(spark, dir, "mig")
+    assert(Layout.snapshotBranchRead(spark, dir, "mig").columns.toSeq
+      === Seq("k", "s", "note"),
+      "a staged ADD must survive repeated rebases")
     Layout.snapshotFastForward(spark, dir, "mig")
     assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
       Seq("k", "s", "note"))
-    assert(Layout.snapshotRead(spark, dir).count() === 10L)
+    assert(Layout.snapshotRead(spark, dir).count() === 11L)
     // post-publish appends must match the widened schema
     assert(intercept[Exception] {
       Layout.snapshotAppend(Seq((99, "x")).toDF("k", "s"), dir)
