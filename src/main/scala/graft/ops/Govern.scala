@@ -84,6 +84,18 @@ object Govern {
     require(keyCols.size == 1,
       "takedownCascade: derived indexes key rows by ONE document id " +
         s"column, got ${keyCols.mkString(", ")}")
+    // validate the CORPUS half's arguments BEFORE the first
+    // irreversible index purge: a typo'd dir or missing branch would
+    // otherwise destroy index entries and then fail the corpus
+    // commit — and "run the same cascade again" never converges with
+    // the same bad argument (review r15)
+    require(Layout.snapshotVersions(spark, corpusDir).nonEmpty,
+      s"takedownCascade: no committed snapshot at $corpusDir — " +
+        "refused BEFORE any index purge")
+    viaBranch.foreach(b =>
+      require(Layout.snapshotBranchExists(spark, corpusDir, b),
+        s"takedownCascade: no branch '$b' at $corpusDir — create it " +
+          "with snapshotBranch; refused BEFORE any index purge"))
     val idCol = keyCols.head
     // pin the id frame once when its replay is not free — the same
     // rule as the staged merge: every index delete and the corpus

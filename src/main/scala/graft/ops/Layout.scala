@@ -605,7 +605,8 @@ object Layout {
   private def appendImpl(df: DataFrame, dir: String,
       meta: Seq[String], statsCols: Seq[String], evolve: Boolean,
       sub: String = "_snapshots", declare: Boolean = false,
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None,
+      recordBranchAdds: Boolean = false): Long = {
     val op = if (evolve) "snapshotEvolve" else "snapshotAppend"
     meta.foreach(m => require(!m.contains("\n") && m != "commit",
       s"snapshot meta line may not contain newlines or be 'commit': $m"))
@@ -679,6 +680,9 @@ object Layout {
       // on" without a manifest walk
       val prevRebase = prevLines
         .filter(_.startsWith("#" + RebaseTag)).map(_.stripPrefix("#"))
+      // the branch's staged-evolution record travels the same way
+      val prevBranchAdds = prevLines
+        .filter(_.startsWith("#" + BranchAddsTag)).map(_.stripPrefix("#"))
       val prevSchema = prevLines.find(_.startsWith("#" + SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
       // table schema of record: the manifest's schema line once one
@@ -729,6 +733,29 @@ object Layout {
         else prevSchema.map(s => s"$SchemaTag${s.json}")
       val rawSchemaLine = prevLines.find(_.startsWith("#" + SchemaTag))
         .map(_.stripPrefix("#"))
+      // a BRANCH evolve RECORDS what it staged — top-level adds and
+      // struct widens vs the current schema of record — merged into
+      // the carried record; everything else carries it verbatim
+      val branchAddsOut: Seq[String] =
+        if (!recordBranchAdds) prevBranchAdds
+        else {
+          def lowerName(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+          val (pa, pw) = parseBranchAdds(prevBranchAdds)
+          val curByName = tableSchema
+            .map(_.fields.map(f => lowerName(f.name) -> f).toMap)
+            .getOrElse(Map.empty[String,
+              org.apache.spark.sql.types.StructField])
+          val adds = df.schema.fields
+            .filterNot(f => curByName.contains(lowerName(f.name)))
+            .map(f => lowerName(f.name)).toSet
+          val widens = df.schema.fields.filter { f =>
+            curByName.get(lowerName(f.name)).exists(cf =>
+              cf.dataType.catalogString != f.dataType.catalogString &&
+                isStructAddWidening(cf.dataType, f.dataType))
+          }.map(f => lowerName(f.name)).toSet
+          if (adds.isEmpty && widens.isEmpty) prevBranchAdds
+          else Seq(branchAddsLineOf(pa ++ adds, pw ++ widens))
+        }
       // stats tracking is STICKY: a batch that names no statsCols
       // inherits the columns the carried files already track, so
       // manifest-stats pruning never decays through doors that cannot
@@ -772,6 +799,7 @@ object Layout {
       fs.mkdirs(manifest.getParent)
       val body = ((meta.map(m => s"#$m") ++ schemaLine.map(m => s"#$m")
           ++ prevRebase.map(m => s"#$m")
+          ++ branchAddsOut.map(m => s"#$m")
           ++ prevColmaps.map(m => s"#$m")
           ++ prevDeletes.map(m => s"#$m")
           ++ prevStats.map(m => s"#$m")
@@ -2182,8 +2210,11 @@ object Layout {
       var committed = false
       while (!committed) {
         casTries += 1
-        require(casTries <= 8,
-          s"snapshotBranchMerge: lost the staged CAS race 8× at $dir " +
+        // generous budget: a 5-way same-key race costs each statement
+        // one bounce per FOREIGN commit in its window (takedown +
+        // append each), so 8 was exhaustible exactly in the raced spec
+        require(casTries <= 24,
+          s"snapshotBranchMerge: lost the staged CAS race 24× at $dir " +
             "— heavy same-branch write contention; retry, or route " +
             "concurrent upserts through main's one-commit " +
             "snapshotMergeInto")
@@ -2235,9 +2266,14 @@ object Layout {
                     .select(kcols: _*),
                   keyCols, "left_semi")
               }
+              // the takedown carries the per-commit pending marker:
+              // between it and the append, this tip is NOT a
+              // statement boundary, and tip-derived statements wait
+              // past it (branchStatementTip)
               deleteKeysImpl(spark, dir, present, keyCols,
                 "snapshotBranchMerge", sub = branchSub(name),
-                expectedParent = Some(tipV))
+                expectedParent = Some(tipV),
+                marks = Seq(MergePendingTag))
           }
           out = stable match {
             case Some(s) => appendImpl(s, dir, Nil, Nil, evolve = false,
@@ -2286,7 +2322,7 @@ object Layout {
       try return branchUpdateWhereOnce(spark, dir, name, cond, sets)
       catch {
         case tm: BranchTipMoved =>
-          require(tries < 8,
+          require(tries < 12,
             s"snapshotBranchUpdateWhere: the branch tip moved under " +
               s"8 consecutive attempts at $dir (${tm.getMessage}) — " +
               "heavy same-branch write contention; retry the statement")
@@ -2298,7 +2334,11 @@ object Layout {
   private def branchUpdateWhereOnce(spark: SparkSession, dir: String,
       name: String, cond: Column,
       sets: Seq[(String, Column)]): Long = {
-    val (tipV, tLines) = branchTip(spark, dir, name)
+    // STATEMENT-BOUNDARY tip: a concurrent merge's takedown-with-
+    // pending-append must not be this statement's read snapshot (its
+    // masked keys would make the rewrite match nothing and silently
+    // no-op — the lost update the CAS alone cannot see)
+    val (tipV, tLines) = branchStatementTip(spark, dir, name)
     val tip = readManifestState(spark, dir, tLines)
     val keyCols = tip.schema.fields.filter(isDeclaredKey).map(_.name).toSeq
     require(keyCols.nonEmpty,
@@ -2343,6 +2383,54 @@ object Layout {
       keysKnownPresent = true, expectedTip = Some(tipV))
   }
 
+  /** Meta marker of BRANCH-staged schema evolution:
+    * `branch-adds=<added names>|<widened struct names>` (URL-encoded,
+    * comma-joined, lowercase) — the RECORD of what
+    * [[snapshotBranchEvolve]] staged, carried forward by every branch
+    * commit like [[RebaseTag]] and re-attached by [[snapshotRebase]],
+    * never published to main (the fast-forward's keep-set is a
+    * whitelist). This is what tells the rebase a tip field main lacks
+    * is STAGED WORK that rides (vs a main-side drop that must
+    * refuse): inferring it from schema diffs mislabels a main-side
+    * post-branch ADD carried in by an earlier rebase (review r15 —
+    * a later full-rewrite drop of that column would silently
+    * resurrect it). */
+  private[ops] val BranchAddsTag = "branch-adds="
+
+  private def parseBranchAdds(
+      meta: Seq[String]): (Set[String], Set[String]) =
+    meta.find(_.startsWith(BranchAddsTag)).map { l =>
+      val parts = l.stripPrefix(BranchAddsTag).split('|')
+      def names(s: String): Set[String] = s.split(',')
+        .filter(_.nonEmpty)
+        .map(n => java.net.URLDecoder.decode(n, "UTF-8")
+          .toLowerCase(java.util.Locale.ROOT)).toSet
+      (names(parts.headOption.getOrElse("")),
+        names(if (parts.length > 1) parts(1) else ""))
+    }.getOrElse((Set.empty, Set.empty))
+
+  private def branchAddsLineOf(adds: Set[String],
+      widens: Set[String]): String = {
+    def enc(s: Set[String]): String = s.toSeq.sorted
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+    s"$BranchAddsTag${enc(adds)}|${enc(widens)}"
+  }
+
+  /** Per-commit marker a [[snapshotBranchMerge]] puts on its TAKEDOWN
+    * half: the statement's append is still pending, so this tip is
+    * NOT a statement boundary. Tip-DERIVED statements
+    * ([[snapshotBranchUpdateWhere]], the SQL MERGE door) wait past it
+    * ([[branchStatementTip]]): reading the mid-statement masked state
+    * would make them match NOTHING for the very keys being upserted
+    * and silently commit a no-op "success" — a lost update the
+    * expected-parent CAS alone cannot see (the tip version IS what
+    * they observed). Not carried (per-commit marker), so the append
+    * clears it; a crashed merge leaves it at the tip and the wait
+    * degrades to a bounded backoff then proceeds against the real
+    * (partially-applied) state, which is the documented crash shape
+    * of multi-commit staging. */
+  private[ops] val MergePendingTag = "merge-pending"
+
   /** Internal CAS signal of the branch staging doors: a commit that
     * REQUIRED the branch tip to still be `expected` observed `observed`
     * instead. [[snapshotBranchMerge]] catches it and re-probes from the
@@ -2359,7 +2447,8 @@ object Layout {
   private def deleteKeysImpl(spark: SparkSession, dir: String,
       keys: DataFrame, keyCols: Seq[String], op: String,
       sub: String = "_snapshots",
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None,
+      marks: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
     val missing = keyCols.filterNot(k =>
       keys.columns.exists(_.equalsIgnoreCase(k)))
@@ -2411,7 +2500,8 @@ object Layout {
       val carriedMeta = lines.filter(l =>
         l.startsWith("#" + SchemaTag) || l.startsWith("#" + StatsTag) ||
           l.startsWith("#" + DeleteTag) || l.startsWith("#" + ColMapTag) ||
-          l.startsWith("#" + RebaseTag))
+          l.startsWith("#" + RebaseTag) ||
+          l.startsWith("#" + BranchAddsTag))
       // the key columns must exist in the table schema (else the overlay
       // anti-join fails at first read, far from the mistake)
       val tableSchema = carriedMeta.map(_.stripPrefix("#"))
@@ -2439,7 +2529,8 @@ object Layout {
       // typed feed (snapshotChangesTyped) emits its tuples as delete
       // rows instead of refusing the interval
       val cdcLine = s"#$CdcTag-|$rel|${keyCols.mkString(",")}"
-      val body = ((carriedMeta :+ delLine :+ cdcLine) ++ prev)
+      val body = ((carriedMeta ++ marks.map("#" + _)
+          :+ delLine :+ cdcLine) ++ prev)
         .map(_ + "\n").mkString.getBytes("UTF-8") ++ "#commit\n".getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v
       else fs.delete(new Path(dir, rel), true)
@@ -4648,16 +4739,39 @@ object Layout {
       s"snapshotBranchEvolve: no branch '$name' at $dir — create it " +
         "with snapshotBranch")
     appendImpl(df, dir, meta, statsCols, evolve = true,
-      sub = branchSub(name))
+      sub = branchSub(name), recordBranchAdds = true)
   }
 
-  /** The branch's newest COMPLETE version — the expected-tip handle a
+  /** The branch tip at a STATEMENT BOUNDARY — the newest complete
+    * version whose manifest is NOT a staged MERGE's takedown half with
+    * its append still pending ([[MergePendingTag]]): a tip-derived
+    * statement reading that mid-statement state would see the racer's
+    * upsert keys as deleted, match nothing, and silently no-op.
+    * Bounded backoff; a marker that never clears (the writer crashed
+    * between its two commits) degrades to proceeding against the real
+    * partially-applied state — the documented crash shape of
+    * multi-commit staging. */
+  private def branchStatementTip(spark: SparkSession, dir: String,
+      name: String): (Long, Seq[String]) = {
+    var attempt = 0
+    while (true) {
+      val vl = branchTip(spark, dir, name)
+      if (!vl._2.contains(s"#$MergePendingTag") || attempt >= 8)
+        return vl
+      attempt += 1
+      commitBackoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[branchStatementTip]]'s version — the expected-tip handle a
     * tip-derived SQL statement ([[graft.plans.SnapshotMergeSql]]) pins
     * its [[snapshotBranchMerge]] call with, so a concurrent commit
     * bounces it back to re-resolve instead of committing stale
     * values. */
   private[graft] def snapshotBranchTipVersion(spark: SparkSession,
-      dir: String, name: String): Long = branchTip(spark, dir, name)._1
+      dir: String, name: String): Long =
+    branchStatementTip(spark, dir, name)._1
 
   /** Read a BRANCH's staged state (tip, or a pinned branch
     * `version`) — the AUDIT half of write-audit-publish: validation
@@ -4864,57 +4978,37 @@ object Layout {
           .map(rel => stripUndeclaredPolicy(
             spark.read.parquet(new Path(dir, rel).toString).schema)))
       def lower(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
-      // the branch's CREATION-BASE schema — what main looked like when
-      // the branch was cut: the base COPY's schema line, else its
-      // first file's footer, else (a readable but EMPTY base) the
-      // empty schema, so every tip field counts as staged. This is
-      // what tells a BRANCH-staged ADD apart from a MAIN-side drop:
-      // both look like "tip has a field main lacks", but only one may
-      // ride the rebase — the other must refuse (review r15:
-      // classifying by main alone silently resurrected full-rewrite
-      // drops and silently DROPPED a staged ALTER colliding with a
-      // concurrent same-name main add). Deliberately the CREATION base
-      // (bvs.head), never the newest rebase manifest: a rebase's own
-      // merged schema line already CONTAINS the carried adds, and
-      // classifying against it would turn every carried add into a
-      // "main dropped it" refusal on the SECOND rebase — staged ALTERs
-      // must be as repeatable across rebases as staged takedowns are.
-      // One extra manifest GET at rebase frequency; an unresolvable
-      // (torn) base degrades to "no adds known" — conservative
-      // refusals, never a silent ride
-      val baseV = bvs.head
-      val baseLinesOpt: Option[Seq[String]] =
-        if (baseV == tip) Some(tipLines)
-        else try Some(snapshotManifestLines(spark, dir, baseV, sub))
-        catch { case scala.util.control.NonFatal(_) => None }
-      val baseSchemaOpt = baseLinesOpt.flatMap { bl =>
-        val bm = bl.filter(l => l.startsWith("#") && l != "#commit")
-          .map(_.stripPrefix("#"))
-        bm.find(_.startsWith(SchemaTag))
-          .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-          .orElse(bl.filterNot(_.startsWith("#")).headOption.map(rel =>
-            stripUndeclaredPolicy(spark.read
-              .parquet(new Path(dir, rel).toString).schema)))
-          .orElse(Some(new org.apache.spark.sql.types.StructType()))
+      // the RECORDED staged-evolution sets ([[BranchAddsTag]], written
+      // by snapshotBranchEvolve and carried by every branch commit):
+      // what tells a tip field main lacks apart as STAGED WORK that
+      // rides vs a MAIN-side drop that must refuse. A record, never an
+      // inference: classifying against main's schema silently
+      // resurrected full-rewrite drops; against the newest rebase
+      // manifest it broke repeat rebases (the merged line already
+      // contains the adds); against the creation base it resurrected
+      // main-side post-branch adds a rebase carried in and main later
+      // full-rewrite-dropped (review r15 ×2)
+      val (branchAddNames, branchWidenNames) = parseBranchAdds(tipMeta)
+      // staged evolution not yet reflected on main opens the drift
+      // checks even with no staged FILE (a metadata-only staged ALTER
+      // is still unpublished work); once main reflects everything —
+      // e.g. an idle branch after its ALTER published — the gate
+      // closes, so unrelated later main traffic never trips the
+      // colmap refusal on a branch with nothing pending
+      val branchWidened = tipSchemaOpt.exists { ts =>
+        ts.fields.exists { tf =>
+          val n = lower(tf.name)
+          // "not reflected" = main lacks the field OR carries it with
+          // a DIFFERENT type (a same-name conflicting main add must
+          // open the gate so the drift check refuses, not silently
+          // adopt main's type and drop the staged ALTER)
+          (branchAddNames.contains(n) ||
+            branchWidenNames.contains(n)) &&
+            mainSchemaReal.forall(ms => !ms.fields.exists(f =>
+              lower(f.name) == n &&
+                f.dataType.catalogString == tf.dataType.catalogString))
+        }
       }
-      def baseField(n: String) =
-        baseSchemaOpt.flatMap(_.fields.find(f => lower(f.name) == n))
-      val branchAddNames: Set[String] =
-        (for (ts <- tipSchemaOpt; bs <- baseSchemaOpt) yield {
-          val bNames = bs.fields.map(f => lower(f.name)).toSet
-          ts.fields.map(f => lower(f.name)).filterNot(bNames).toSet
-        }).getOrElse(Set.empty)
-      // a struct the BRANCH widened with nested fields (tip widens the
-      // base's field) — distinct from a struct that merely LAGS main
-      def branchWidenedField(
-          tf: org.apache.spark.sql.types.StructField): Boolean =
-        baseField(lower(tf.name)).exists(bf =>
-          bf.dataType.catalogString != tf.dataType.catalogString &&
-            isStructAddWidening(bf.dataType, tf.dataType))
-      val branchWidened = tipSchemaOpt.exists(ts =>
-        ts.fields.exists(tf =>
-          branchAddNames.contains(lower(tf.name)) ||
-            branchWidenedField(tf)))
       if (staged.nonEmpty || stagedDels.nonEmpty || branchWidened) {
         // schema drift on main since the base: pure ADD widening is
         // fine on EITHER side (files null-fill by name, like any
@@ -4946,7 +5040,7 @@ object Layout {
                 mf.dataType.catalogString != tf.dataType.catalogString &&
                   !isStructAddWidening(tf.dataType, mf.dataType) &&
                   !(isStructAddWidening(mf.dataType, tf.dataType) &&
-                    branchWidenedField(tf)) &&
+                    branchWidenNames.contains(lower(tf.name))) &&
                   !isLosslessWidening(tf.dataType, mf.dataType)
               case None =>
                 // in the tip, absent on main: a branch-STAGED add
@@ -4982,7 +5076,7 @@ object Layout {
                   if mf.dataType.catalogString !=
                     tf.dataType.catalogString &&
                     isStructAddWidening(mf.dataType, tf.dataType) &&
-                    branchWidenedField(tf) =>
+                    branchWidenNames.contains(lower(tf.name)) =>
                 mf.copy(dataType = tf.dataType)
               case _ => mf
             }
@@ -5217,8 +5311,12 @@ object Layout {
       val marker = s"$RebaseTag$mainHead@$v|${stagedDirs.mkString(",")}"
       val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
-      val body = (((marker +: (mainState ++ rekeyedLines.result()
-          ++ stagedStats))
+      // the staged-evolution record rides the rebase like the marker
+      // itself — dropping it would make the NEXT rebase misclassify
+      // the carried adds as main-side drops
+      val tipBranchAdds = tipMeta.filter(_.startsWith(BranchAddsTag))
+      val body = (((marker +: (mainState ++ tipBranchAdds
+          ++ rekeyedLines.result() ++ stagedStats))
         .map(m => s"#$m") ++ mainFiles ++ stagedOut).map(_ + "\n")
         :+ "#commit\n").mkString.getBytes("UTF-8")
       if (atomicCreate(fs, manifest, body)) committed = v

@@ -300,7 +300,7 @@ case class SnapshotMergeCommand(
     // serves its tip (time travel on branches refuses at loadTable),
     // and the branch route below materializes the update frame before
     // its own staged commits move that tip
-    def pin(p: LogicalPlan): LogicalPlan = p.transform {
+    def pin(p: LogicalPlan): LogicalPlan = p.transformDownWithSubqueries {
       case r: DataSourceV2Relation =>
         r.table match {
           // pin only the TARGET table's own relations: v0 is the
@@ -361,12 +361,19 @@ case class SnapshotMergeCommand(
         // the same first-committer-wins loop as the UPDATE door. A
         // source-only statement (the symmetric-upsert fast path)
         // keeps the merge's cheaper internal retry.
+        // descends into SubqueryExpression plans too: `USING (… WHERE
+        // k IN (SELECT … FROM t@branch))` reads the target only inside
+        // an expression, and missing it would take the silent
+        // internal-restage path for tip-derived values (review r15)
         def readsTarget(p: LogicalPlan): Boolean = p.exists {
           case r: DataSourceV2Relation => r.table match {
             case t: GraftSnapshotTable => t.snapDir == dir
             case _ => false
           }
-          case _ => false
+          case n => n.expressions.exists(_.exists {
+            case sq: SubqueryExpression => readsTarget(sq.plan)
+            case _ => false
+          })
         }
         val tipDerived = (upsertAll.toSeq ++ updatePlans ++ deletePlans)
           .exists(readsTarget)
@@ -390,9 +397,9 @@ case class SnapshotMergeCommand(
               done = true
             } catch {
               case tm: Layout.BranchTipMoved =>
-                require(tries < 8,
+                require(tries < 12,
                   s"MERGE INTO branch '$b' at $dir: the branch tip " +
-                    s"moved under 8 consecutive attempts " +
+                    s"moved under 12 consecutive attempts " +
                     s"(${tm.getMessage}) — heavy same-branch write " +
                     "contention; re-run the statement")
             }

@@ -1047,6 +1047,56 @@ class SnapshotBranchSpec extends SparkSpec {
     }
   }
 
+  test("merge's takedown half carries the statement-pending marker; " +
+      "the append clears it — tip-derived readers wait past mid-statement") {
+    val dir = tmpDir("snapbranch_pending") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "X5")).toDF("k", "s"), Seq("k"))   // takedown v2, append v3
+    assert(Layout.snapshotMetaOf(spark, dir, 2L,
+        "_snapshots/branches/audit").contains(Layout.MergePendingTag),
+      "the takedown commit must mark the statement as pending")
+    assert(!Layout.snapshotMetaOf(spark, dir, 3L,
+        "_snapshots/branches/audit").contains(Layout.MergePendingTag),
+      "the append must clear the marker (per-commit, never carried)")
+    // a later takedown staged OUTSIDE a merge carries no marker —
+    // plain takedowns ARE statement boundaries
+    Layout.snapshotBranchDeleteKeys(spark, dir, "audit",
+      Seq(Tuple1(7)).toDF("k"), Seq("k"))                            // v4
+    assert(!Layout.snapshotMetaOf(spark, dir, 4L,
+      "_snapshots/branches/audit").contains(Layout.MergePendingTag))
+  }
+
+  test("a main-side post-branch ADD carried in by a rebase is NOT a " +
+      "staged add: a later full-rewrite drop refuses the next rebase") {
+    val dir = tmpDir("snapbranch_carrydrop") + "/t"
+    Layout.snapshotEvolve((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "load")
+    Layout.snapshotBranchAppend((11 to 15).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "load")
+    // MAIN adds m1 after the branch was cut; the rebase adopts it
+    Layout.snapshotEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Layout.snapshotRead(spark, dir).schema
+        .add("m1", org.apache.spark.sql.types.StringType)), dir)     // v2
+    Layout.snapshotRebase(spark, dir, "load")
+    assert(Layout.snapshotBranchRead(spark, dir, "load").columns.toSeq
+      === Seq("k", "s", "m1"), "the rebase adopts main's own ADD")
+    // main then REMOVES m1 via a full rewrite (no colmap line): the
+    // next rebase must refuse — m1 in the tip is main's carried-in
+    // column, not branch-staged work, and resurrecting it would undo
+    // the table owner's deliberate removal
+    Layout.snapshotCommit(
+      Layout.snapshotRead(spark, dir, 1L).select(col("k"), col("s")),
+      dir)                                                           // v3
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir, "load")
+    }.getMessage.contains("dropped, retyped"))
+  }
+
   test("five SAME-KEY branch MERGEs race: the expected-parent CAS " +
       "serializes them, exactly one statement's batch survives") {
     import scala.concurrent.{Await, Future}
