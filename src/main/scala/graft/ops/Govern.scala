@@ -146,6 +146,26 @@ object Govern {
                   if e.getMessage != null &&
                     e.getMessage.contains("diverged") && tries < 8 =>
                 Layout.snapshotRebase(spark, corpusDir, b)
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("nothing to publish") =>
+                // CONVERGED, not failed (ADVICE r15): a re-run after a
+                // crash that hit AFTER the publish landed (but before
+                // the caller recorded success) — or an empty id set —
+                // stages nothing new, and "run the same cascade again"
+                // must return the already-published state instead of
+                // throwing. Idempotence is only claimable if the goal
+                // state actually holds: verify the ids are absent from
+                // main before reporting success.
+                require(Layout.snapshotRead(spark, corpusDir)
+                    .join(pinned, Seq(idCol), "left_semi").isEmpty,
+                  s"takedownCascade: branch '$b' at $corpusDir has " +
+                    "nothing to publish but the corpus still serves " +
+                    "takedown ids — staged work was dropped externally" +
+                    "; re-stage the takedown")
+                pub = Layout.snapshotLatestVersion(spark, corpusDir)
+                  .getOrElse(sys.error(
+                    s"no committed snapshot at $corpusDir"))
             }
           }
           pub

@@ -44,7 +44,7 @@ object MergeBench {
       val ups = o.filter(k % 97 === b)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
         .unionByName(o.filter(k % 101 === b)
-          .withColumn("o_orderkey", k + lit(10000000L)))
+          .withColumn("o_orderkey", k + lit(mx + 1L)))
       val dels = o.filter(k % 89 === b && k % 97 =!= b).select(k)
       (ups, dels, ups.count() + dels.count())
     }
@@ -95,7 +95,7 @@ object BranchMergeBench {
       val ups = o.filter(k % 97 === b)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
         .unionByName(o.filter(k % 101 === b)
-          .withColumn("o_orderkey", k + lit(10000000L)))
+          .withColumn("o_orderkey", k + lit(mx + 1L)))
       val dels = o.filter(k % 89 === b && k % 97 =!= b).select(k)
       (ups, dels, ups.count() + dels.count())
     }

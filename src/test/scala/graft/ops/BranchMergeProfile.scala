@@ -51,7 +51,7 @@ object BranchMergeProfile {
         val fileUps = o.filter(k % 97 === b)
           .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
           .unionByName(o.filter(k % 101 === b)
-            .withColumn("o_orderkey", k + lit(10000000L)))
+            .withColumn("o_orderkey", k + lit(mx + 1L)))
         val ups = arm match {
           case "local" =>
             // materialized OUTSIDE the timed region: the shipped

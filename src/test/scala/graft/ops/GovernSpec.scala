@@ -147,6 +147,34 @@ class GovernSpec extends SparkSpec {
       docs.filter(col("doc_id") % 10 =!= 3).count() + 1L)
   }
 
+  test("re-run after FULL success converges (ADVICE r15: crash after " +
+      "the publish, before the caller recorded it) — and an empty id " +
+      "set is a converged no-op, never a 'nothing to publish' throw") {
+    val root = tmpDir("govern5")
+    val (corpus, vidx, sidx) = build(root)
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    val ixs = Seq(Govern.VectorIndexRef(vidx),
+      Govern.SignatureIndexRef(sidx))
+    val r1 = Govern.takedownCascade(spark, corpus, removed,
+      Seq("doc_id"), ixs, viaBranch = Some("gdpr"))
+    // the caller crashed before recording r1 — the documented recovery
+    // is "run the same cascade again": it must CONVERGE (return the
+    // published state), never surface an exception
+    val r2 = Govern.takedownCascade(spark, corpus, removed,
+      Seq("doc_id"), ixs, viaBranch = Some("gdpr"))
+    assert(r2.corpusVersion >= r1.corpusVersion)
+    assert(corpusServes(corpus) === 0L && vectorServes(vidx) === 0L &&
+      sigServes(sidx) === 0L, "goal state holds after the re-run")
+    assert(Layout.snapshotRead(spark, corpus).count() ===
+      docs.filter(col("doc_id") % 10 =!= 3).count(),
+      "survivors intact across the idempotent re-run")
+    // an EMPTY id set stages nothing: the publish's refusal converts
+    // to converged success (after verifying the — vacuous — absence)
+    val r3 = Govern.takedownCascade(spark, corpus, removed.limit(0),
+      Seq("doc_id"), ixs, viaBranch = Some("gdpr"))
+    assert(r3.corpusVersion >= r2.corpusVersion)
+  }
+
   test("refusals: composite keys have no single doc identity") {
     val e = intercept[IllegalArgumentException] {
       Govern.takedownCascade(spark, "/nope", removed,
