@@ -1245,6 +1245,96 @@ class SnapshotBranchSpec extends SparkSpec {
     }.getMessage.contains("rename/drop landed on main"))
   }
 
+  test("name-disjoint concurrent evolution MERGES at rebase (round " +
+      "16): main ADD x + branch ADD y compose, nested struct adds " +
+      "compose per recorded path; same-name nested conflict refuses") {
+    import org.apache.spark.sql.types._
+    def empty(s: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    def withMeta(s: StructType,
+        f: StructType => StructType): StructType =
+      StructType(s.fields.map {
+        case fd if fd.name == "meta" =>
+          fd.copy(dataType = f(fd.dataType.asInstanceOf[StructType]))
+        case fd => fd
+      })
+    val dir = tmpDir("snapbranch_evmerge") + "/t"
+    Layout.snapshotEvolve((1 to 5).map(i => (i, s"a$i", i))
+      .toDF("k", "s", "a")
+      .select(col("k"), col("s"), struct(col("a")).as("meta"))
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "mig")
+    // branch stages: top-level y INT, nested meta.by STRING
+    val tipS = Layout.snapshotBranchRead(spark, dir, "mig").schema
+    Layout.snapshotBranchEvolve(empty(
+      withMeta(tipS, _.add("by", StringType)).add("y", IntegerType)),
+      dir, "mig")
+    // main concurrently adds: top-level x STRING, nested meta.mx DOUBLE
+    val mainS = Layout.snapshotRead(spark, dir).schema
+    Layout.snapshotEvolve(empty(
+      withMeta(mainS, _.add("mx", DoubleType)).add("x", StringType)),
+      dir)                                                           // v2
+    // pre-round-16 this refused as ambiguous; the recorded paths make
+    // the disjoint merge well-defined
+    Layout.snapshotRebase(spark, dir, "mig")
+    val reb = Layout.snapshotBranchRead(spark, dir, "mig")
+    assert(reb.columns.toSeq === Seq("k", "s", "meta", "x", "y"),
+      "main's add leads (its identity), the staged add appends")
+    assert(reb.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "mx", "by"),
+      "nested: main's field under main's identity, staged field after")
+    assert(reb.count() === 5L &&
+      reb.filter(col("x").isNull && col("y").isNull &&
+        col("meta.mx").isNull && col("meta.by").isNull).count() === 5L,
+      "pre-evolution rows null-fill every added field")
+    Layout.snapshotFastForward(spark, dir, "mig")
+    assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
+      Seq("k", "s", "meta", "x", "y"))
+    // same-name NESTED conflicting adds still refuse: branch adds
+    // meta.c INT, main adds meta.c STRING
+    val dir2 = tmpDir("snapbranch_evmergec") + "/t"
+    Layout.snapshotEvolve((1 to 3).map(i => (i, i)).toDF("k", "a")
+      .select(col("k"), struct(col("a")).as("meta"))
+      .repartition(1), dir2)                                         // v1
+    Layout.snapshotBranch(spark, dir2, "mig")
+    val tipS2 = Layout.snapshotBranchRead(spark, dir2, "mig").schema
+    Layout.snapshotBranchEvolve(empty(
+      withMeta(tipS2, _.add("c", IntegerType))), dir2, "mig")
+    Layout.snapshotEvolve(empty(
+      withMeta(Layout.snapshotRead(spark, dir2).schema,
+        _.add("c", StringType))), dir2)                              // v2
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir2, "mig")
+    }.getMessage.contains("dropped, retyped"),
+      "a same-name conflicting nested add must refuse, never guess")
+  }
+
+  test("the branch-adds record PRUNES once published (ADVICE r15): a " +
+      "later main-side full-rewrite drop of the published column " +
+      "refuses the next rebase instead of resurrecting the column") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("snapbranch_evprune") + "/t"
+    Layout.snapshotAppend((1 to 5).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir)                                          // v1
+    Layout.snapshotBranch(spark, dir, "mig")
+    Layout.snapshotBranchEvolve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Layout.snapshotBranchRead(spark, dir, "mig").schema
+        .add("c", IntegerType)), dir, "mig")
+    Layout.snapshotFastForward(spark, dir, "mig")     // the ADD is live
+    // the branch is REUSED: more staged work after the publish
+    Layout.snapshotBranchAppend((11 to 12).map(i => (i, s"b$i", i))
+      .toDF("k", "s", "c").repartition(1), dir, "mig")
+    // main deliberately REMOVES c via a full rewrite (no colmap line)
+    Layout.snapshotCommit(
+      Layout.snapshotRead(spark, dir).select(col("k"), col("s")), dir)
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir, "mig")
+    }.getMessage.contains("dropped, retyped"),
+      "the branch's own long-published add must NOT ride the rebase " +
+        "as staged work — the record prunes at publish detection")
+  }
+
   test("staged ALTER vs concurrent main evolution: same-name " +
       "conflicting ADD refuses loudly; a full-rewrite drop refuses " +
       "instead of resurrecting; an empty branch rebases across a drop") {
