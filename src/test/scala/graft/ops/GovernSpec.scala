@@ -182,4 +182,91 @@ class GovernSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ONE document id"))
   }
+
+  /** text corpus + a CHUNKED derivative corpus sharing the doc_id
+    * space (two chunks per doc), plus both indexes. */
+  private def buildMulti(root: String)
+      : (String, String, String, String) = {
+    val (corpus, vidx, sidx) = build(root)
+    val chunks = s"$root/chunks"
+    val halves = docs.select(col("doc_id"),
+      expr("substring(text, 1, length(text) DIV 2)").as("chunk"),
+      lit(0).as("chunk_ix"))
+      .unionByName(docs.select(col("doc_id"),
+        expr("substring(text, length(text) DIV 2 + 1)").as("chunk"),
+        lit(1).as("chunk_ix")))
+    Layout.snapshotAppend(halves.select(col("doc_id"), col("chunk_ix"),
+      col("chunk")), chunks, statsCols = Seq("doc_id"))
+    (corpus, chunks, vidx, sidx)
+  }
+
+  private def chunksServe(chunks: String): Long =
+    Layout.snapshotRead(spark, chunks)
+      .join(removed, Seq("doc_id"), "left_semi").count()
+
+  test("MULTI-CORPUS cascade (round 16): one pin, each index purged " +
+      "once, corpora published in declared order — a crash BETWEEN " +
+      "corpus publishes leaves a prefix, and the re-run converges") {
+    val root = tmpDir("govern6")
+    val (corpus, chunks, vidx, sidx) = buildMulti(root)
+    val ixs = Seq(Govern.VectorIndexRef(vidx),
+      Govern.SignatureIndexRef(sidx))
+    assert(chunksServe(chunks) > 0 && corpusServes(corpus) > 0)
+    // crash between corpus 0's publish and corpus 1's
+    intercept[Crash] {
+      Govern.takedownCascadeAll(spark, Seq(corpus, chunks), removed,
+        Seq("doc_id"), ixs,
+        beforeCorpusPublish = i => if (i == 1) throw new Crash)
+    }
+    // prefix state: indexes purged, corpus 0 purged, corpus 1 (the
+    // derivative) still resident — the doc is nowhere SERVED as a
+    // retrieval/dedup hit, the tolerated over-deletion direction
+    assert(vectorServes(vidx) === 0L && sigServes(sidx) === 0L,
+      "indexes lead: no removed doc reachable after the crash")
+    assert(corpusServes(corpus) === 0L,
+      "the declared-order prefix must have published")
+    assert(chunksServe(chunks) > 0,
+      "the crash point is between the two corpus publishes")
+    // recovery = the same call again: index purges and corpus 0's
+    // takedown are idempotent no-ops, corpus 1's lands
+    val r = Govern.takedownCascadeAll(spark, Seq(corpus, chunks),
+      removed, Seq("doc_id"), ixs)
+    assert(r.indexChanges.values.forall(_ === 0L),
+      "re-run index deletes must be idempotent no-ops")
+    assert(r.corpusVersions.keySet === Set(corpus, chunks))
+    assert(corpusServes(corpus) === 0L && chunksServe(chunks) === 0L &&
+      vectorServes(vidx) === 0L && sigServes(sidx) === 0L,
+      "converged: removed everywhere")
+    assert(Layout.snapshotRead(spark, chunks).count() ===
+      docs.filter(col("doc_id") % 10 =!= 3).count() * 2,
+      "chunk survivors intact (two chunks per surviving doc)")
+  }
+
+  test("multi-corpus viaBranch: every corpus must hold the branch " +
+      "BEFORE any index purge; with branches the publishes stage+" +
+      "fast-forward per corpus in order") {
+    val root = tmpDir("govern7")
+    val (corpus, chunks, vidx, sidx) = buildMulti(root)
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    // chunks has NO branch: the call must refuse before touching the
+    // indexes (the validation-leads contract)
+    val e = intercept[IllegalArgumentException] {
+      Govern.takedownCascadeAll(spark, Seq(corpus, chunks), removed,
+        Seq("doc_id"),
+        Seq(Govern.VectorIndexRef(vidx), Govern.SignatureIndexRef(sidx)),
+        viaBranch = Some("gdpr"))
+    }
+    assert(e.getMessage.contains("no branch 'gdpr'") &&
+      e.getMessage.contains("BEFORE any index purge"))
+    assert(vectorServes(vidx) > 0 && sigServes(sidx) > 0,
+      "refusal must precede the first irreversible purge")
+    Layout.snapshotBranch(spark, chunks, "gdpr")
+    val r = Govern.takedownCascadeAll(spark, Seq(corpus, chunks),
+      removed, Seq("doc_id"),
+      Seq(Govern.VectorIndexRef(vidx), Govern.SignatureIndexRef(sidx)),
+      viaBranch = Some("gdpr"))
+    assert(r.corpusVersions.values.forall(_ > 0))
+    assert(corpusServes(corpus) === 0L && chunksServe(chunks) === 0L &&
+      vectorServes(vidx) === 0L && sigServes(sidx) === 0L)
+  }
 }
