@@ -1228,10 +1228,11 @@ class SnapshotBranchSpec extends SparkSpec {
     val main = Layout.snapshotRead(spark, dir)
     assert(main.columns.toSeq === Seq("k", "s", "tier"))
     assert(main.count() === 20L)
-    // main-side drops/renames still refuse the rebase (resolution of
-    // staged bytes would be ambiguous) — fresh branch, stage an ADD,
-    // then rename on main (after maintenance materializes the
-    // published backfill's overlay, which rename refuses over)
+    // a main-side RENAME now RIDES the rebase (round 16) — fresh
+    // branch, stage an ADD, then rename on main (after maintenance
+    // materializes the published backfill's overlay, which rename
+    // refuses over): the rebase adopts main's rename log and the
+    // staged ALTER still lands
     Layout.snapshotCompact(spark, dir)
     Layout.snapshotBranch(spark, dir, "mig2")
     val w2 = Layout.snapshotBranchRead(spark, dir, "mig2").schema
@@ -1240,9 +1241,13 @@ class SnapshotBranchSpec extends SparkSpec {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], w2),
       dir, "mig2")
     Layout.snapshotRename(spark, dir, Map("s" -> "label"))
-    assert(intercept[Exception] {
-      Layout.snapshotRebase(spark, dir, "mig2")
-    }.getMessage.contains("rename/drop landed on main"))
+    Layout.snapshotRebase(spark, dir, "mig2")
+    assert(Layout.snapshotBranchRead(spark, dir, "mig2")
+      .columns.toSeq === Seq("k", "label", "tier", "extra"),
+      "the rebase adopts main's rename and carries the staged ADD")
+    Layout.snapshotFastForward(spark, dir, "mig2")
+    assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
+      Seq("k", "label", "tier", "extra"))
   }
 
   test("name-disjoint concurrent evolution MERGES at rebase (round " +
@@ -1307,6 +1312,69 @@ class SnapshotBranchSpec extends SparkSpec {
       Layout.snapshotRebase(spark, dir2, "mig")
     }.getMessage.contains("dropped, retyped"),
       "a same-name conflicting nested add must refuse, never guess")
+  }
+
+  test("a main-side RENAME rides the rebase (round 16): staged dirs " +
+      "below the log line resolve through it, dirs above it rewrite, " +
+      "takedowns re-key, stats re-name; a main-side DROP still refuses") {
+    val dir = tmpDir("snapbranch_renride") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k", "s"))               // v1
+    Layout.snapshotAppend((11 to 20).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k", "s"))               // v2
+    Layout.snapshotBranch(spark, dir, "load")
+    // staged work BELOW main's future rename line: rides via the log
+    Layout.snapshotBranchAppend((21 to 30).map(i => (i, s"b$i"))
+      .toDF("k", "s").repartition(1), dir, "load")           // branch v3
+    Layout.snapshotBranchDeleteKeys(spark, dir, "load",
+      Seq(5, 25).toDF("k"), Seq("k"))                        // branch v4
+    // live main traffic pushes main's version PAST the staged dirs,
+    // then renames — so the rename's colmap line version (5) splits
+    // the staged dirs: v3/v4 below (ride), v5 at-or-above (rewrite)
+    Layout.snapshotAppend((41 to 50).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k", "s"))          // main v3
+    Layout.snapshotAppend((51 to 60).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k", "s"))          // main v4
+    Layout.snapshotRename(spark, dir, Map("s" -> "label"))      // main v5
+    Layout.snapshotBranchAppend((31 to 40).map(i => (i, s"c$i"))
+      .toDF("k", "s").repartition(1), dir, "load")           // branch v5
+    assert(intercept[Exception] {
+      Layout.snapshotFastForward(spark, dir, "load")
+    }.getMessage.contains("diverged"))
+    val rv = Layout.snapshotRebase(spark, dir, "load")
+    val reb = Layout.snapshotBranchRead(spark, dir, "load")
+    assert(reb.columns.toSeq === Seq("k", "label"),
+      "the rebase adopts main's renamed schema of record")
+    val m = reb.as[(Int, String)].collect().toMap
+    assert(m.keySet === ((1 to 60).toSet -- Set(5, 25)),
+      "every staged row survives, the re-keyed takedown still masks")
+    assert(m(21) === "b21" && m(31) === "c31" && m(41) === "m41" &&
+      m(1) === "a1", "row VALUES survive both the ride and the rewrite")
+    // carried staged stats lines are re-keyed to the new column name
+    val rebMeta = Layout.snapshotMetaOf(spark, dir, rv,
+      "_snapshots/branches/load")
+    assert(rebMeta.exists(l => l.startsWith("stats=") &&
+      l.contains("label=")), "stats keys must follow the rename")
+    assert(!rebMeta.exists(l => l.startsWith("stats=") &&
+      l.contains("|s=")), "no stats key may keep the old name")
+    Layout.snapshotFastForward(spark, dir, "load")
+    val pub = Layout.snapshotRead(spark, dir).as[(Int, String)]
+      .collect().toMap
+    assert(pub === m, "the publish ships the rebased state verbatim")
+    // predicate pushdown across the ridden generations still works
+    assert(Layout.snapshotRead(spark, dir)
+      .filter(col("label") === "b22").count() === 1L)
+    // a main-side DROP (colmap with a dead id) still refuses
+    val dir2 = tmpDir("snapbranch_renride2") + "/t"
+    Layout.snapshotEvolve((1 to 5).map(i => (i, s"a$i", i * 1.0))
+      .toDF("k", "s", "c").repartition(1), dir2)                     // v1
+    Layout.snapshotBranch(spark, dir2, "load")
+    Layout.snapshotBranchAppend((11 to 15).map(i => (i, s"b$i", i * 1.0))
+      .toDF("k", "s", "c").repartition(1), dir2, "load")
+    Layout.snapshotDropColumns(spark, dir2, Seq("c"))                // v2
+    assert(intercept[Exception] {
+      Layout.snapshotRebase(spark, dir2, "load")
+    }.getMessage.contains("DROP landed on main"))
   }
 
   test("the branch-adds record PRUNES once published (ADVICE r15): a " +
