@@ -2154,7 +2154,7 @@ object Layout {
       // (BranchMergeProfile)
       def pinFrame(df: DataFrame, name: String): DataFrame =
         if (org.apache.spark.sql.GraftPlanBridge
-            .stableReplayablePlan(df)) df
+            .stableReplayablePlan(df) || mergePinSkipForAB.get()) df
         else {
           mergePinWrites.incrementAndGet()
           df.write.mode(SaveMode.Overwrite)
@@ -2351,6 +2351,16 @@ object Layout {
       out
     } finally fs.delete(scratch, true)
   }
+
+  /** A/B seam for [[graft.ops.BranchMergeProfile]] ONLY: forces the
+    * merge's pin fast path for frames the policy would pin, so the
+    * "stable file-backed plans re-scan instead of pinning" arm stays
+    * measurable per round (the break-even moves whenever the commit
+    * path's job count changes — e.g. the round-16 one-commit merge
+    * dropped a manifest round-trip). Only sound when every frame in
+    * the window is DETERMINISTIC — the harness's arms are. */
+  private[graft] val mergePinSkipForAB =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Test seam: runs after a [[snapshotBranchMerge]] attempt wrote its
     * key/data files, immediately before the manifest PUT — the widest

@@ -44,10 +44,14 @@ object GraftPlanBridge {
     * deterministic plans deliberately answer false even though
     * re-execution is stable for them too (the file list is captured
     * at construction): measured on the branch-merge bench workload,
-    * re-scanning a filter+union source per validation is ~12% SLOWER
+    * re-scanning a filter+union source per validation is SLOWER
     * end-to-end than pinning once and re-reading the small scratch
-    * copy — the pin is a cost FLOOR of O(batch), the re-executions
-    * cost O(source scan) each. Conservative on everything else: a
+    * copy — ~12% on the round-15 two-commit merge, re-A/B'd at ~5%
+    * on the round-16 one-commit merge (one fewer manifest round-trip
+    * narrows the gap but does not flip it; BranchMergeProfile's
+    * file(NO pin) arm keeps the break-even measurable) — the pin is
+    * a cost FLOOR of O(batch), the re-executions cost O(source scan)
+    * each. Conservative on everything else: a
     * DSv2 relation, a stream, a subquery, or any nondeterministic
     * expression answers false and the caller pins. */
   def stableReplayablePlan(df: Dataset[_]): Boolean = {

@@ -84,12 +84,21 @@ object BranchMergeProfile {
         f"sec=$sec%.2f rate=${applied / sec}%.0f rows/s")
       applied / sec
     }
+    def runNoPin(): Double = {
+      // the round-16 re-A/B arm: the SAME deterministic file-backed
+      // batches with the pin forced OFF (Layout.mergePinSkipForAB) —
+      // every validation/commit job re-scans the filter+union source
+      Layout.mergePinSkipForAB.set(true)
+      try run("filenopin") finally Layout.mergePinSkipForAB.set(false)
+    }
     run("file") // warm-up
     val local = (1 to 2).map(_ => run("local")).max
     val file = (1 to 2).map(_ => run("file")).max
+    val nopin = (1 to 2).map(_ => runNoPin()).max
     val nondet = (1 to 2).map(_ => run("nondet")).max
     println(f"[brmerge-profile] local $local%.0f | file(pinned) " +
-      f"$file%.0f | nondet(pinned) $nondet%.0f rows/s")
+      f"$file%.0f | file(NO pin) $nopin%.0f | nondet(pinned) " +
+      f"$nondet%.0f rows/s")
     spark.stop()
   }
 }
