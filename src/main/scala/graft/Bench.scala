@@ -189,9 +189,11 @@ object Bench {
       val EtlFloor = 55000.0; val AsofFloor = 9000.0
       val FwdFloor = 8000.0; val NearFloor = 8000.0
       val FeedFloor = 60000.0; val MergeFloor = 2200.0
-      // ~60% of the round-15 measured ~2,000-2,300 rows/s band (the
-      // profile harness' A/B sits there for both pin variants) — same
-      // headroom rule as the other floors
+      // ~75% of the round-16 one-commit merge's measured ~2,300-2,400
+      // rows/s band (suite 2370 in a contended window, profile A/B
+      // 2257-2382 across pin variants; r15's two-commit form recorded
+      // 2535 quiet) — below every observed rep, above the two-commit
+      // era's floor of 1200
       val BranchMergeFloor = 1800.0
       // STREAMING FLOOR AUTO-REQUEUE (judge r13 "what's wrong" #2):
       // max-of-N defends within one probe set, but a contended window

@@ -91,8 +91,8 @@ object Govern {
       ids: DataFrame, keyCols: Seq[String], indexes: Seq[IndexRef],
       viaBranch: Option[String] = None,
       beforeCorpusPublish: () => Unit = () => ()): CascadeResult = {
-    val m = takedownCascadeAll(spark, Seq(corpusDir), ids, keyCols,
-      indexes, viaBranch, _ => beforeCorpusPublish())
+    val m = cascadeImpl("takedownCascade", spark, Seq(corpusDir), ids,
+      keyCols, indexes, viaBranch, _ => beforeCorpusPublish())
     CascadeResult(m.indexChanges, m.corpusVersions(corpusDir))
   }
 
@@ -116,13 +116,22 @@ object Govern {
   def takedownCascadeAll(spark: SparkSession, corpusDirs: Seq[String],
       ids: DataFrame, keyCols: Seq[String], indexes: Seq[IndexRef],
       viaBranch: Option[String] = None,
-      beforeCorpusPublish: Int => Unit = _ => ()): MultiCascadeResult = {
+      beforeCorpusPublish: Int => Unit = _ => ()): MultiCascadeResult =
+    cascadeImpl("takedownCascadeAll", spark, corpusDirs, ids, keyCols,
+      indexes, viaBranch, beforeCorpusPublish)
+
+  // `op` names the PUBLIC door the caller actually invoked, so a
+  // refusal is greppable in their code (review r16 #4)
+  private def cascadeImpl(op: String, spark: SparkSession,
+      corpusDirs: Seq[String], ids: DataFrame, keyCols: Seq[String],
+      indexes: Seq[IndexRef], viaBranch: Option[String],
+      beforeCorpusPublish: Int => Unit): MultiCascadeResult = {
     require(keyCols.size == 1,
-      "takedownCascade: derived indexes key rows by ONE document id " +
+      s"$op: derived indexes key rows by ONE document id " +
         s"column, got ${keyCols.mkString(", ")}")
     require(corpusDirs.nonEmpty &&
       corpusDirs.distinct.size == corpusDirs.size,
-      "takedownCascade: corpus dirs must be non-empty and distinct, " +
+      s"$op: corpus dirs must be non-empty and distinct, " +
         s"got ${corpusDirs.mkString(", ")}")
     // validate EVERY corpus half's arguments BEFORE the first
     // irreversible index purge: a typo'd dir or missing branch would
@@ -131,11 +140,11 @@ object Govern {
     // the same bad argument (review r15)
     corpusDirs.foreach { cd =>
       require(Layout.snapshotVersions(spark, cd).nonEmpty,
-        s"takedownCascade: no committed snapshot at $cd — " +
+        s"$op: no committed snapshot at $cd — " +
           "refused BEFORE any index purge")
       viaBranch.foreach(b =>
         require(Layout.snapshotBranchExists(spark, cd, b),
-          s"takedownCascade: no branch '$b' at $cd — create it " +
+          s"$op: no branch '$b' at $cd — create it " +
             "with snapshotBranch; refused BEFORE any index purge"))
     }
     val idCol = keyCols.head
@@ -206,7 +215,7 @@ object Govern {
                   // success.
                   require(Layout.snapshotRead(spark, corpusDir)
                       .join(pinned, Seq(idCol), "left_semi").isEmpty,
-                    s"takedownCascade: branch '$b' at $corpusDir has " +
+                    s"$op: branch '$b' at $corpusDir has " +
                       "nothing to publish but the corpus still serves " +
                       "takedown ids — staged work was dropped " +
                       "externally; re-stage the takedown")

@@ -2474,7 +2474,14 @@ object Layout {
     * refuse): inferring it from schema diffs mislabels a main-side
     * post-branch ADD carried in by an earlier rebase (review r15 —
     * a later full-rewrite drop of that column would silently
-    * resurrect it). */
+    * resurrect it).
+    *
+    * Format note: the widen half stores nested PATHS since round 16
+    * (previously bare column names). The encoding is build-internal —
+    * a branch's staged window lives and publishes within one engine
+    * build; there is no cross-build persistence contract to migrate
+    * (a round-15 record read by this code would classify its widen as
+    * unrecorded and refuse the rebase — re-stage, the safe side). */
   private[ops] val BranchAddsTag = "branch-adds="
 
   /** Decoded [[BranchAddsTag]] record: (top-level added column names,
@@ -5567,13 +5574,21 @@ object Layout {
               .parquet(new Path(dir, newRel).toString)
             rekeyedLines += s"$DeleteTag$newRel|${mapped.mkString(",")}"
             rekeyedKeyDirs += newRel
-          case Right(oldDir) if rewriteDirs.contains(oldDir) =>
-            // the dir's version is at-or-above the riding rename's
-            // log line: its old-named bytes cannot resolve through
-            // the adopted log, so REWRITE them under the current
-            // names — read through the branch's OWN resolution (the
-            // machinery that always read them), project to the
-            // aligned names, write fresh. O(affected staged bytes).
+          case Right(oldDir)
+              if rewriteDirs.contains(oldDir) || rewriteFloor.isDefined =>
+            // REWRITE instead of copy, in two cases that are really
+            // one: the re-keyed dir's NEW version lands above floorW,
+            // which is at-or-above every adopted rename-log line — so
+            // whenever a rename rides, a verbatim copy would put
+            // old-named bytes where the log resolves CURRENT names
+            // (silent null-fill). That covers both a dir whose OLD
+            // version was already at-or-above the line
+            // (`rewriteDirs`) and a COLLIDING dir from below it
+            // (review r16 #1 — the staged-MERGE dir always collides
+            // with its own delete line by construction). Read through
+            // the branch's OWN resolution (the machinery that always
+            // read them), project to the aligned names, write fresh.
+            // O(affected staged bytes).
             val src = mappedParquetRead(spark, dir,
               stagedByDir.getOrElse(oldDir, Nil), tipSchemaOpt,
               tipColmapsParsed)
@@ -5606,14 +5621,15 @@ object Layout {
         copiedDirs += newRel
       }
       // staged file lines and their stats follow their dir's re-key;
-      // a REWRITTEN dir contributes its fresh file list instead (the
-      // rewrite changes part-file names)
+      // a REWRITTEN dir (version-forced or colliding-under-a-rename)
+      // contributes its fresh file list instead (the rewrite changes
+      // part-file names)
       val stagedOut = staged.flatMap { rel =>
         val d = stagedDirOf(rel)
-        if (rewriteDirs.contains(d)) Nil
+        if (rewrittenFiles.contains(d)) Nil
         else Seq(dirMap.get(d).map(nd => nd + rel.stripPrefix(d))
           .getOrElse(rel))
-      } ++ rewriteDirs.toSeq.sorted.flatMap(d =>
+      } ++ rewrittenFiles.keys.toSeq.sorted.flatMap(d =>
         rewrittenFiles.getOrElse(d, Nil))
       val stagedStats = tipMeta.filter(_.startsWith(StatsTag))
         .filter(m => stagedSet.contains(
@@ -5622,7 +5638,7 @@ object Layout {
           val rest = m.stripPrefix(StatsTag)
           val rel = rest.takeWhile(_ != '|')
           val d = stagedDirOf(rel)
-          if (rewriteDirs.contains(d)) Nil // replaced by recomputed
+          if (rewrittenFiles.contains(d)) Nil // replaced by recomputed
           else {
             val repointed = dirMap.get(d)
               .map(nd => StatsTag + nd + rel.stripPrefix(d) +

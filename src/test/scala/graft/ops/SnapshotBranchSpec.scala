@@ -1377,6 +1377,38 @@ class SnapshotBranchSpec extends SparkSpec {
     }.getMessage.contains("DROP landed on main"))
   }
 
+  test("rename + collision compose (review r16 #1): a colliding " +
+      "staged dir from BELOW the rename line is REWRITTEN when " +
+      "re-keyed above it — never copied verbatim into null-fill") {
+    val dir = tmpDir("snapbranch_rencollide") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    // a staged MERGE's data dir always collides with its own delete
+    // line by construction (it re-inserts the masked keys)
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "X5")).toDF("k", "s"), Seq("k"))              // branch v2
+    // main advances PAST the staged dir, then renames: the staged dir
+    // (v2) sits BELOW the rename line (v4) — it rides the log in
+    // place, but its COLLISION re-key moves it above the line, where
+    // a verbatim copy would resolve current names over old bytes and
+    // null-fill the renamed column
+    Layout.snapshotAppend((11 to 20).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))             // main v2
+    Layout.snapshotAppend((21 to 30).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))             // main v3
+    Layout.snapshotRename(spark, dir, Map("s" -> "label"))    // main v4
+    Layout.snapshotRebase(spark, dir, "audit")
+    val m = Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect().toMap
+    assert(m(5) === "X5",
+      "the merged value must survive the re-key across the rename — " +
+        "a verbatim copy above the log line null-fills it")
+    assert(m.size === 30 && m(1) === "a1" && m(11) === "m11")
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir)(5) === "X5")
+  }
+
   test("the branch-adds record PRUNES once published (ADVICE r15): a " +
       "later main-side full-rewrite drop of the published column " +
       "refuses the next rebase instead of resurrecting the column") {
