@@ -5155,18 +5155,44 @@ object Layout {
       val droppedNames = newColMaps.flatMap(_._2.toSeq)
         .collect { case (id, n) if !mainLiveById.contains(id) => n }
         .distinct
+      // FIRST claim wins per old name (review r16 pass 2 #2): when two
+      // ids claimed the same freed name across the window (rename
+      // a→b, re-add a, rename a→c), the branch-time owner of `a` is
+      // the id whose claim is OLDEST — exactly diskOwnersAt's reader
+      // rule (a field frees a name only after it adopted it).
+      // newColMaps is version-ascending, so fold keeps the first.
       val renOldToNew: Map[String, String] = newColMaps
         .flatMap(_._2.toSeq).flatMap { case (id, oldN) =>
           mainLiveById.get(id).filter(f => lower(f.name) != lower(oldN))
             .map(f => lower(oldN) -> f.name)
-        }.toMap
+        }.foldLeft(Map.empty[String, String]) { case (acc, (o, n)) =>
+          if (acc.contains(o)) acc else acc + (o -> n)
+        }
+      val renNewToOld: Map[String, String] =
+        renOldToNew.map { case (o, n) => lower(n) -> o }
       // first new line's version: staged dirs at-or-above it must
       // rewrite (parseColMaps sorts ascending)
       val rewriteFloor: Option[Long] = newColMaps.headOption.map(_._1)
+      // align by FIELD ID when the tip field carries one that is live
+      // on main (identity is the id, and it survives any rename
+      // chain); fall back to the first-claim name map. A field the
+      // branch itself ADDED never id-aligns — its branch-minted id
+      // could collide with an id main minted for a different column
+      // (the merge below re-mints those).
+      val recAddGuard = parseBranchAdds(tipMeta)._1
       val tipAligned = tipSchemaOpt.map(ts =>
-        org.apache.spark.sql.types.StructType(ts.fields.map(f =>
-          renOldToNew.get(lower(f.name))
-            .map(n => f.copy(name = n)).getOrElse(f))))
+        org.apache.spark.sql.types.StructType(ts.fields.map { f =>
+          val byId =
+            if (recAddGuard.contains(lower(f.name))) None
+            else fieldIdOf(f).flatMap(mainLiveById.get)
+          byId match {
+            case Some(mf) if lower(mf.name) != lower(f.name) =>
+              f.copy(name = mf.name)
+            case Some(_) => f
+            case None => renOldToNew.get(lower(f.name))
+              .map(n => f.copy(name = n)).getOrElse(f)
+          }
+        }))
       def alignPath(p: Seq[String]): Seq[String] = p match {
         case h +: rest =>
           renOldToNew.get(h).map(n => lower(n) +: rest).getOrElse(p)
@@ -5217,10 +5243,11 @@ object Layout {
       }
       // record paths were written under branch-time names: a riding
       // main rename re-points their heads like the schema itself
+      val pubWidensAligned = pubWidens.map(alignPath)
       val branchWidenPaths = recWidens.map(alignPath).filterNot { p =>
         val reflected = mainType(p).exists(mt => tipType(p).contains(mt))
         reflected ||
-          (pubWidens.map(alignPath).contains(p) && mainType(p).isEmpty)
+          (pubWidensAligned.contains(p) && mainType(p).isEmpty)
       }
       val branchWidenCols = branchWidenPaths.flatMap(_.headOption)
       // staged evolution not yet reflected on main opens the drift
@@ -5464,12 +5491,19 @@ object Layout {
                   }
                 }
                 val k1 = cols.head
+                // staged files' carried stats are keyed by BRANCH-TIME
+                // names: under a riding rename the prune must consult
+                // the OLD name for the mapped join column, or a
+                // swap-rename would evaluate the bounds against a
+                // DIFFERENT column's stats and wrongly prune a
+                // colliding file (review r16 pass 2 #3)
+                val statsName = renNewToOld.getOrElse(lower(k1), k1)
                 val bounds = keys.agg(min(col(s"`$k1`")),
                   max(col(s"`$k1`"))).head()
                 val kept =
                   if (bounds.isNullAt(0)) versionEligible
                   else statsKeptRels(spark, versionEligible, tipMeta,
-                    col(s"`$k1`").between(lit(bounds.get(0)),
+                    col(s"`$statsName`").between(lit(bounds.get(0)),
                       lit(bounds.get(1))))
                 collisionProbeFiles.addAndGet(kept.size.toLong)
                 if (kept.isEmpty) Nil
@@ -5522,14 +5556,23 @@ object Layout {
         carriedVersionFloor(tipLines), mainHead, v).max
       def dirVersion(d: String): Long =
         relDirVersion(s"$d/_").getOrElse(Long.MaxValue)
+      // EQUAL-VERSION tie-break: FILE DIRS before DELETE LINES. The
+      // one-commit merge stamps its key-mask at v-1 — the same version
+      // a PRIOR commit's data dir can hold — and overlayRead masks
+      // at-or-EQUAL, so a tied pair means "delete masks file". The
+      // re-key must preserve that: the file re-keys FIRST (lower new
+      // version), the delete above it keeps masking (review r16 pass 2
+      // #1 — a stable sort with deletes listed first re-keyed them
+      // UNDER the delete's own version order and resurrected the
+      // masked rows).
       val plan: Seq[Either[(Long, String, Seq[String]), String]] =
         (stagedDels.map(Left(_)) ++
           (collidingDirs ++ rewriteDirs).toSeq
             .map(Right(_): Either[(Long, String,
               Seq[String]), String]))
           .sortBy {
-            case Left((dv, _, _)) => dv
-            case Right(d)         => dirVersion(d)
+            case Left((dv, _, _)) => (dv, 1)
+            case Right(d)         => (dirVersion(d), 0)
           }
       def copyDir(oldRel: String, newRel: String, what: String): Unit =
         // some FileSystem impls surface a child-copy failure as the

@@ -1377,6 +1377,35 @@ class SnapshotBranchSpec extends SparkSpec {
     }.getMessage.contains("DROP landed on main"))
   }
 
+  test("re-key tie-break (review r16 pass 2 #1): a key-mask stamped " +
+      "at a prior dir's EXACT version keeps masking it across the " +
+      "rebase — the tied pair re-keys file-first, delete-above") {
+    val dir = tmpDir("snapbranch_tiebreak") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    // merge1: mask@v1 + data@v2; merge2: mask@v2 + data@v3 — merge2's
+    // mask TIES with merge1's data dir (overlayRead masks at-or-equal)
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "M1")).toDF("k", "s"), Seq("k"))              // branch v2
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "M2")).toDF("k", "s"), Seq("k"))              // branch v3
+    // live main traffic forces the rebase; the merge dirs self-collide
+    // by construction, so the tied pair enters the re-key plan
+    Layout.snapshotAppend((11 to 15).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))             // main v2
+    Layout.snapshotRebase(spark, dir, "audit")
+    val rows = Layout.snapshotBranchRead(spark, dir, "audit")
+      .as[(Int, String)].collect()
+    assert(rows.length === rows.map(_._1).distinct.length,
+      "a delete-first tie re-key resurrects the superseded row")
+    val m = rows.toMap
+    assert(m(5) === "M2" && m.size === 15,
+      "the LAST merge's value must survive the rebase alone")
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(stateOf(dir)(5) === "M2")
+  }
+
   test("rename + collision compose (review r16 #1): a colliding " +
       "staged dir from BELOW the rename line is REWRITTEN when " +
       "re-keyed above it — never copied verbatim into null-fill") {
