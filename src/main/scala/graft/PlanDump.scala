@@ -50,7 +50,10 @@ object PlanDump {
     "q154_rebase_merge_carry" -> "typed feed across a rebased MERGE publish under an intersecting live takedown: the unified re-key leaves only broadcast semi/anti-joins on O(keys) files — the merge's re-keyed append scans once under the overlay, masked base rows semi-join the re-keyed key file, no corpus rescan",
     "q155_merge_race_cas" -> "read after five raced same-key staged MERGEs: the CAS chain serialized the statements, so the published plan is the ordinary masked-base + surviving-append scan — no duplicate-key residue for the agg above to hide",
     "q156_takedown_cascade" -> "corpus + index audit after the crash-injected cascade: three O(artifact) scans with broadcast semi-joins against the O(keys) removed set — the invariant check never rescans an artifact twice",
-    "q157_staged_evolve_publish" -> "read after a staged ALTER+backfill publish across a rebase: ONE scan spans the 3-column main files and the 4-column backfill files under the merged schema (by-name null-fill) — the staged evolution left no per-generation union behind")
+    "q157_staged_evolve_publish" -> "read after a staged ALTER+backfill publish across a rebase: ONE scan spans the 3-column main files and the 4-column backfill files under the merged schema (by-name null-fill) — the staged evolution left no per-generation union behind",
+    "q158_merge_crash_publish" -> "read after a crash-injected one-commit MERGE, publish, re-run, publish: the ordinary masked-base + surviving-data scan — the crashed attempt left zero residue in the plan (its files are unreferenced orphans, not manifest lines)",
+    "q159_takedown_cascade_multi" -> "four-artifact audit after the multi-corpus cascade: O(artifact) scans with broadcast semi-joins against the ONE pinned O(keys) removed set — shared across both corpora and both indexes, no artifact rescanned twice",
+    "q160_rebase_rename_ride" -> "typed feed across a rename-riding rebased publish: delete term semi-joins masked base files against the re-keyed RENAMED key file, inserts scan one log-resolved staged dir + one rewritten dir under the renamed schema — per-generation name resolution is a projection, invisible to the exchange structure")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
