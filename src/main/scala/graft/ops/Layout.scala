@@ -2487,7 +2487,7 @@ object Layout {
   /** Decoded [[BranchAddsTag]] record: (top-level added column names,
     * nested field PATHS added inside widened struct columns — each a
     * lowercase segment list, e.g. `Seq("s", "y")` for `s.y`). */
-  private def parseBranchAdds(
+  private[ops] def parseBranchAdds(
       meta: Seq[String]): (Set[String], Set[Seq[String]]) =
     meta.find(_.startsWith(BranchAddsTag)).map { l =>
       val parts = l.stripPrefix(BranchAddsTag).split('|')
@@ -2503,7 +2503,7 @@ object Layout {
         paths(if (parts.length > 1) parts(1) else ""))
     }.getOrElse((Set.empty, Set.empty))
 
-  private def branchAddsLineOf(adds: Set[String],
+  private[ops] def branchAddsLineOf(adds: Set[String],
       widens: Set[Seq[String]]): String = {
     // '.' separates path segments, so a literal dot INSIDE a segment
     // encodes as %2E (URLEncoder leaves '.' alone) — decode restores it
@@ -2518,7 +2518,7 @@ object Layout {
   /** Paths of fields present in `widened` but absent from `cur`
     * (recursively; a wholly-new sub-struct contributes ONE path — the
     * subtree rides with it). The [[BranchAddsTag]] widen record. */
-  private def addedFieldPaths(cur: org.apache.spark.sql.types.DataType,
+  private[ops] def addedFieldPaths(cur: org.apache.spark.sql.types.DataType,
       widened: org.apache.spark.sql.types.DataType,
       prefix: Seq[String]): Seq[Seq[String]] = (cur, widened) match {
     case (cs: org.apache.spark.sql.types.StructType,
@@ -2539,7 +2539,7 @@ object Layout {
   }
 
   /** The field at a lowercase nested `path` of a struct, if present. */
-  private def fieldAtPath(s: org.apache.spark.sql.types.StructType,
+  private[ops] def fieldAtPath(s: org.apache.spark.sql.types.StructType,
       path: Seq[String]): Option[org.apache.spark.sql.types.StructField] = {
     def lower(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     path match {
@@ -2568,7 +2568,7 @@ object Layout {
     * conflicting adds), and the rebase refuses rather than guesses.
     * Merged field order: main's, then recorded tip adds in tip
     * order. */
-  private def mergeEvolvedType(
+  private[ops] def mergeEvolvedType(
       mainT: org.apache.spark.sql.types.DataType,
       tipT: org.apache.spark.sql.types.DataType,
       path: Seq[String], widenPaths: Set[Seq[String]])
