@@ -1438,6 +1438,45 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(stateOf(dir)(5) === "X5")
   }
 
+  test("repeat rebases compound across successive renames: dirs " +
+      "rewritten by the first ride re-resolve and re-ride the second") {
+    val dir = tmpDir("snapbranch_renren") + "/t"
+    Layout.snapshotAppend((1 to 10).map(i => (i, s"a$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))                    // v1
+    Layout.snapshotBranch(spark, dir, "audit")
+    Layout.snapshotBranchMerge(spark, dir, "audit",
+      Seq((5, "M1")).toDF("k", "s"), Seq("k"))              // branch v2
+    Layout.snapshotAppend((11 to 20).map(i => (i, s"m$i")).toDF("k", "s")
+      .repartition(1), dir, statsCols = Seq("k"))             // main v2
+    Layout.snapshotRename(spark, dir, Map("s" -> "t1"))       // main v3
+    Layout.snapshotRebase(spark, dir, "audit")                // ride #1
+    val r1 = Layout.snapshotBranchRead(spark, dir, "audit")
+    assert(r1.columns.toSeq === Seq("k", "t1") &&
+      r1.as[(Int, String)].collect().toMap.apply(5) === "M1")
+    // more staged work under the post-ride schema, then main renames
+    // AGAIN — the second ride must re-resolve dirs the FIRST ride
+    // rewrote (their bytes now carry t1) alongside the new stage
+    Layout.snapshotBranchAppend((21 to 25).map(i => (i, s"b$i"))
+      .toDF("k", "t1").repartition(1), dir, "audit",
+      statsCols = Seq("k"))
+    Layout.snapshotAppend((26 to 30).map(i => (i, s"m$i")).toDF("k", "t1")
+      .repartition(1), dir, statsCols = Seq("k"))             // main v+1
+    Layout.snapshotRename(spark, dir, Map("t1" -> "t2"))      // main v+2
+    Layout.snapshotRebase(spark, dir, "audit")                // ride #2
+    val m = Layout.snapshotBranchRead(spark, dir, "audit")
+    assert(m.columns.toSeq === Seq("k", "t2"),
+      "the second ride adopts the second rename")
+    val rows = m.as[(Int, String)].collect().toMap
+    assert(rows.size === 30 && rows(5) === "M1" &&
+      rows(21) === "b21" && rows(26) === "m26" && rows(1) === "a1",
+      "values survive two compounded rides end to end")
+    Layout.snapshotFastForward(spark, dir, "audit")
+    assert(Layout.snapshotRead(spark, dir).columns.toSeq ===
+      Seq("k", "t2"))
+    assert(Layout.snapshotRead(spark, dir)
+      .filter(col("t2") === "M1").count() === 1L)
+  }
+
   test("the branch-adds record PRUNES once published (ADVICE r15): a " +
       "later main-side full-rewrite drop of the published column " +
       "refuses the next rebase instead of resurrecting the column") {
