@@ -323,7 +323,7 @@ object Layout {
     * (disk full, permission) propagates — mislabeling a genuine write
     * failure as a lost race would loop the writer five times and then
     * blame a phantom contender. */
-  private def atomicCreate(
+  private[ops] def atomicCreate(
       fs: org.apache.hadoop.fs.FileSystem, target: Path,
       body: Array[Byte]): Boolean = {
     import java.nio.file.{FileAlreadyExistsException => NioExists, Files, Paths}
@@ -4981,6 +4981,19 @@ object Layout {
       snapshotManifestLines(spark, dir, version, branchSub(name))
     else branchTip(spark, dir, name)._2
     readManifestState(spark, dir, lines)
+  }
+
+  /** [[snapshotReadWhere]] for a BRANCH tip: the manifest-stats PRUNED
+    * audit read — only branch files whose recorded min/max can satisfy
+    * `pred` are scanned, overlay and rename resolution identical to
+    * [[snapshotBranchRead]]. [[Govern]]'s cascade presence probe rides
+    * it so an idempotent takedown re-run costs a pruned probe, not a
+    * branch-state pass. */
+  def snapshotBranchReadWhere(spark: SparkSession, dir: String,
+      name: String, pred: Column): DataFrame = {
+    requireBranchName("snapshotBranchReadWhere", name)
+    readManifestStateWhere(spark, dir, branchTip(spark, dir, name)._2,
+      pred).filter(pred)
   }
 
   /** The rows STAGED on a branch and not yet published — the tip's

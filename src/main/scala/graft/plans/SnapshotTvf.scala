@@ -236,10 +236,30 @@ object SnapshotTvf {
       .queryExecution.logical
   }
 
+  /** `snapshot_takedowns('<corpusDir>')` — the PERSISTED takedown
+    * ledger as data ([[graft.ops.Govern.takedownLedger]]): one row per
+    * cascade attempt × artifact with the ids digest/count, whether the
+    * attempt's completion marker landed, and the per-artifact outcome.
+    * The GDPR evidence query — "which takedowns ran, over which id
+    * set, and did each one finish everywhere" — without log
+    * archaeology; a crashed attempt shows `completed = false` forever
+    * (its completion record, written LAST, never landed). */
+  private[graft] def takedownsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"snapshot_takedowns(dir) takes 1 argument, got ${args.size}")
+    val dir = argString(args(0), "snapshot_takedowns", "dir")
+    graft.ops.Govern.takedownLedger(SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
   /** Registration triples for
     * `SparkSessionExtensions.injectTableFunction`. */
   def tvfRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("snapshot_takedowns"),
+      new ExpressionInfo(SnapshotTvf.getClass.getName,
+        "snapshot_takedowns"),
+      takedownsBuilder _),
     (FunctionIdentifier("snapshot_read"),
       new ExpressionInfo(SnapshotTvf.getClass.getName, "snapshot_read"),
       readBuilder _),

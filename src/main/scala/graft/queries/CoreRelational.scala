@@ -2200,6 +2200,47 @@ object CoreRelational {
           FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3500)
         GROUP BY 1 ORDER BY change_type""")),
 
+    // --------------------------------------------------------------- q162
+    // PERSISTED TAKEDOWN LEDGER (round 17, judge ask #4) over a
+    // heterogeneous-id multi-corpus cascade (ask #5): the first
+    // attempt crashes between the corpus publishes and its ledger
+    // record shows incomplete FOREVER (the completion marker lands
+    // LAST); the recovery attempt completes with the same ids digest.
+    // The query audits the ledger frame the snapshot_takedowns TVF
+    // serves — per (completed, kind, id_col): artifact rows, the
+    // pinned id count (oracle recomputes it from documents), digest
+    // cardinality, and recorded outcomes (0 for the crashed attempt).
+    QuerySpec(
+      "q162_takedown_ledger",
+      (s, d) => {
+        val corpus = Fits.takedownLedgerDir(s, d)
+        graft.ops.Govern.takedownLedger(s, corpus)
+          .groupBy(col("completed"), col("kind"),
+            coalesce(col("id_col"), lit("-")).as("id_col"))
+          .agg(count(lit(1)).as("n_artifacts"),
+            max(col("ids_count")).as("ids_count"),
+            countDistinct(col("ids_digest")).as("n_digests"),
+            count(col("result")).as("n_results"))
+          .orderBy(col("completed"), col("kind"), col("id_col"))
+      },
+      Some("""SELECT completed, kind, id_col, n_artifacts,
+          (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 3)
+            AS ids_count,
+          n_digests, n_results
+        FROM (VALUES
+          (false, 'corpus', 'doc_id',
+            CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+          (false, 'corpus', 'id', 1, 1, 0),
+          (false, 'signature-index', '-', 1, 1, 0),
+          (false, 'vector-index', '-', 1, 1, 0),
+          (true, 'corpus', 'doc_id', 1, 1, 1),
+          (true, 'corpus', 'id', 1, 1, 1),
+          (true, 'signature-index', '-', 1, 1, 1),
+          (true, 'vector-index', '-', 1, 1, 1))
+          AS t(completed, kind, id_col, n_artifacts, n_digests,
+            n_results)
+        ORDER BY completed, kind, id_col""")),
+
     // ---------------------------------------------------------------- q17
     // Longest-duration entity (reference A8, "longest trip"): per-key
     // min/max timestamps, duration, global top-1 with unique tiebreak.

