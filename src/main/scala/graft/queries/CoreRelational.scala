@@ -2200,6 +2200,50 @@ object CoreRelational {
           FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3500)
         GROUP BY 1 ORDER BY change_type""")),
 
+    // --------------------------------------------------------------- q161
+    // RENAME COLUMN STAGED ON A BRANCH (round 17, judge ask #3):
+    // ALTER TABLE t@migrate RENAME stages, a load lands under the NEW
+    // name, live main traffic under the OLD, the rebase composes, ONE
+    // publish ships both — main serves the old name until it (fixture
+    // gates). The query: the typed feed across the publish (inserts =
+    // exactly the staged load, under the renamed schema) plus the
+    // final-state audit, both recomputed by the oracle from orders.
+    QuerySpec(
+      "q161_branch_rename_publish",
+      (s, d) => {
+        val dir = Fits.branchRenameDir(s, d)
+        val feed = graft.ops.Layout.snapshotChangesTyped(s, dir, 2L, 3L)
+          .groupBy(concat(lit("feed_"), col("_change_type"))
+            .as("probe"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("order_id").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+        val state = graft.ops.Layout.snapshotRead(s, dir)
+          .agg(count(lit(1)).as("n"),
+            sum(col("order_id").cast(dec18)).cast("double")
+              .as("sum_key"),
+            sum(col("o_totalprice").cast(dec18)).cast("double")
+              .as("sum_price"))
+          .withColumn("probe", lit("state_live"))
+          .select(col("probe"), col("n"), col("sum_key"),
+            col("sum_price"))
+        feed.unionByName(state).orderBy(col("probe"))
+      },
+      Some("""SELECT probe, COUNT(*) AS n,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_key,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM (
+          SELECT 'feed_insert' AS probe, o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+          UNION ALL
+          SELECT 'state_live', o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey < 3500)
+        GROUP BY probe ORDER BY probe""")),
+
     // --------------------------------------------------------------- q162
     // PERSISTED TAKEDOWN LEDGER (round 17, judge ask #4) over a
     // heterogeneous-id multi-corpus cascade (ask #5): the first

@@ -294,16 +294,38 @@ class GraftCatalog extends TableCatalog
           s"'${base.name()}' — create it with " +
           s"CALL $catalogName.system.branch(...)")
       val adds = changes.collect { case a: TableChange.AddColumn => a }
-      require(adds.size == changes.size && adds.nonEmpty,
-        s"catalog $catalogName: only ADD COLUMNS can be STAGED on a " +
-          "branch — rename/drop/retype change how already-staged " +
-          "bytes resolve; land them on main (then CALL system.rebase), " +
-          "and set TBLPROPERTIES on the main identifier")
-      val widened = widenWithAdds(
-        Layout.snapshotBranchRead(spark, bdir, br).schema, adds)
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
-      Layout.snapshotBranchEvolve(empty, bdir, br)
+      // RENAME COLUMN stages too (round 17): the migration shape
+      // "rename + fix consumers + publish atomically" — main serves
+      // the OLD name until the fast-forward ships the rename with the
+      // loads staged under the new one
+      val rens = changes.collect {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            s"catalog $catalogName: only top-level columns can be " +
+              "renamed on a branch — nested renames are refused " +
+              "everywhere (see the main-identifier ALTER contract)")
+          r.fieldNames().head -> r.newName()
+      }
+      require(adds.size + rens.size == changes.size &&
+        (adds.nonEmpty || rens.nonEmpty),
+        s"catalog $catalogName: only ADD COLUMNS and RENAME COLUMN " +
+          "can be STAGED on a branch — drop/retype change how " +
+          "already-staged bytes resolve irreversibly; land them on " +
+          "main (then CALL system.rebase), and set TBLPROPERTIES on " +
+          "the main identifier")
+      require(adds.isEmpty || rens.isEmpty,
+        s"catalog $catalogName: one staged ALTER statement = one " +
+          "branch commit — stage ADD COLUMNS and RENAME COLUMN as " +
+          "separate statements")
+      if (rens.nonEmpty) Layout.snapshotBranchRename(spark, bdir, br,
+        rens.toMap)
+      else {
+        val widened = widenWithAdds(
+          Layout.snapshotBranchRead(spark, bdir, br).schema, adds)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+        Layout.snapshotBranchEvolve(empty, bdir, br)
+      }
       return loadTable(ident)
     }
     if (!exists(ident)) throw new NoSuchTableException(ident)

@@ -377,11 +377,16 @@ class GraftCatalogSpec extends SparkSpec {
       "ONE publish ships the ALTER and its backfill")
     assert(Layout.snapshotKeyCols(x, dir) === Seq("k"),
       "the key declaration survives the staged evolve")
-    // non-ADD change kinds refuse on a branch identifier
+    // RENAME COLUMN stages too (round 17) — here it refuses on the
+    // LIVE overlay the published backfill left (key files carry the
+    // current names); DROP/RETYPE keep the land-on-main refusal
     x.sql(s"CALL $cat.system.branch('db.mg', 'mig2')")
     assert(intercept[Exception] {
       x.sql(s"ALTER TABLE $cat.db.`mg@mig2` RENAME COLUMN s TO label")
-    }.getMessage.contains("only ADD COLUMNS can be STAGED"))
+    }.getMessage.contains("overlay"))
+    assert(intercept[Exception] {
+      x.sql(s"ALTER TABLE $cat.db.`mg@mig2` DROP COLUMN s")
+    }.getMessage.contains("land them on main"))
   }
 
   test("DELETE FROM lands a file-granular copy-on-write commit") {
