@@ -53,7 +53,9 @@ object PlanDump {
     "q157_staged_evolve_publish" -> "read after a staged ALTER+backfill publish across a rebase: ONE scan spans the 3-column main files and the 4-column backfill files under the merged schema (by-name null-fill) — the staged evolution left no per-generation union behind",
     "q158_merge_crash_publish" -> "read after a crash-injected one-commit MERGE, publish, re-run, publish: the ordinary masked-base + surviving-data scan — the crashed attempt left zero residue in the plan (its files are unreferenced orphans, not manifest lines)",
     "q159_takedown_cascade_multi" -> "four-artifact audit after the multi-corpus cascade: O(artifact) scans with broadcast semi-joins against the ONE pinned O(keys) removed set — shared across both corpora and both indexes, no artifact rescanned twice",
-    "q160_rebase_rename_ride" -> "typed feed across a rename-riding rebased publish: delete term semi-joins masked base files against the re-keyed RENAMED key file, inserts scan one log-resolved staged dir + one rewritten dir under the renamed schema — per-generation name resolution is a projection, invisible to the exchange structure")
+    "q160_rebase_rename_ride" -> "typed feed across a rename-riding rebased publish: delete term semi-joins masked base files against the re-keyed RENAMED key file, inserts scan one log-resolved staged dir + one rewritten dir under the renamed schema — per-generation name resolution is a projection, invisible to the exchange structure",
+    "q161_branch_rename_publish" -> "typed feed + final state across a BRANCH-staged rename publish (rename staged on the branch, load under the new name, main traffic under the old, rebase, one publish): the feed's insert term scans only the rewritten staged dirs under the renamed schema; the state read spans old-named base files (resolved through the re-emitted log line — a projection) and new-named files in ONE scan, no per-generation union",
+    "q162_takedown_ledger" -> "takedown-ledger audit: the TVF's frame is a driver-side O(attempts x artifacts) metadata read (gov/ LIST + line parses) — ZERO data-plane scan; the agg above it is one tiny hash aggregate, proving GDPR evidence costs metadata, not a corpus pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
