@@ -192,14 +192,23 @@ object Govern {
       require(Layout.snapshotVersions(spark, cd).nonEmpty,
         s"$op: no committed snapshot at $cd — " +
           "refused BEFORE any index purge")
-      require(Layout.snapshotRead(spark, cd).columns
-          .exists(_.equalsIgnoreCase(ck)),
-        s"$op: corpus $cd has no id column '$ck' — " +
-          "refused BEFORE any index purge")
       viaBranch.foreach(b =>
         require(Layout.snapshotBranchExists(spark, cd, b),
           s"$op: no branch '$b' at $cd — create it " +
             "with snapshotBranch; refused BEFORE any index purge"))
+      // the id column must exist in the schema the takedown TARGETS:
+      // the branch TIP for viaBranch (a branch-staged rename means
+      // main and branch disagree — validating main's schema would
+      // pass and then fail the staged delete AFTER the index purge,
+      // review r17 #2), main's otherwise
+      val targetCols = viaBranch match {
+        case Some(b) => Layout.snapshotBranchRead(spark, cd, b).columns
+        case None    => Layout.snapshotRead(spark, cd).columns
+      }
+      require(targetCols.exists(_.equalsIgnoreCase(ck)),
+        s"$op: corpus $cd has no id column '$ck'" +
+          viaBranch.map(b => s" on branch '$b'").getOrElse("") +
+          " — refused BEFORE any index purge")
     }
     // pin the id frame once when its replay is not free — the same
     // rule as the staged merge: every index delete and the corpus
@@ -236,14 +245,23 @@ object Govern {
       // set every artifact judges).
       // bit_xor: order-insensitive and overflow-free (ANSI-safe), so
       // the same id set digests identically from any partitioning
+      // ONE agg also carries the id bounds every corpus probe reuses
+      // (renaming to a corpus's column is a projection — the VALUES
+      // are identical, so N corpora don't re-run N min/max jobs,
+      // review r17 #6)
       val digRow = pinned.agg(
         expr(s"bit_xor(cast(conv(substring(md5(cast(`$idCol` as " +
           s"string)), 1, 15), 16, 10) as bigint))").as("s"),
-        count(lit(1)).as("n")).head()
+        count(lit(1)).as("n"),
+        min(col(s"`$idCol`")).as("lo"),
+        max(col(s"`$idCol`")).as("hi")).head()
       val idsCount = digRow.getLong(1)
       val idsDigest =
         if (digRow.isNullAt(0)) "0" * 16
         else f"${digRow.getLong(0)}%016x"
+      val idBounds: Option[(Any, Any)] =
+        if (digRow.isNullAt(2)) None
+        else Some((digRow.get(2), digRow.get(3)))
       val ledgerId = s"td-${java.util.UUID.randomUUID().toString.take(12)}"
       val govRoot = new org.apache.hadoop.fs.Path(corpusDirs.head, "gov")
       fs.mkdirs(govRoot)
@@ -277,26 +295,31 @@ object Govern {
         // (snapshotReadWhere's machinery, the merge door's pattern):
         // the pinned ids' bounds skip the disjoint bulk of a 100 TB
         // corpus, so "run the same cascade again" costs a pruned
-        // probe, not a takedown commit. Judged at the state the
-        // takedown would mask (branch tip / main HEAD). The window
+        // probe, not a takedown commit. For viaBranch the probe
+        // consults BOTH the branch tip AND main (review r17 #1: a doc
+        // ingested to main AFTER the branch was based is invisible at
+        // the stale tip — skipping the stage there would strand the
+        // takedown after the index purge; the rebase is what carries
+        // the staged overlay above main's newer files). The window
         // this accepts: a doc RE-INGESTED between the probe and the
         // publish survives the cascade — equivalent to ingesting it
         // just after, and a fresh cascade call is the remedy either
         // way.
-        val bounds = corpusKeys.agg(min(col(s"`$ck`")),
-          max(col(s"`$ck`"))).head()
-        val boundsPred =
-          if (bounds.isNullAt(0)) lit(false) // empty id set
-          else col(s"`$ck`").between(lit(bounds.get(0)),
-            lit(bounds.get(1)))
+        val boundsPred = idBounds match {
+          case None => lit(false) // empty id set
+          case Some((lo, hi)) =>
+            col(s"`$ck`").between(lit(lo), lit(hi))
+        }
         def anyPresent(read: => DataFrame): Boolean =
-          !bounds.isNullAt(0) &&
+          idBounds.isDefined &&
             !read.select(col(s"`$ck`"))
               .join(corpusKeys, Seq(ck), "left_semi").isEmpty
         val v = viaBranch match {
           case Some(b) =>
             if (anyPresent(Layout.snapshotBranchReadWhere(spark,
-                corpusDir, b, boundsPred)))
+                  corpusDir, b, boundsPred)) ||
+                anyPresent(Layout.snapshotReadWhere(spark, corpusDir,
+                  boundsPred)))
               Layout.snapshotBranchDeleteKeys(spark, corpusDir, b,
                 corpusKeys, Seq(ck))
             // publish SELF-HEALS across live main traffic: a diverged
@@ -333,7 +356,7 @@ object Govern {
                   // disjoint bulk of the corpus — the merge probe's
                   // own pattern, rare-path or not. An empty id set's
                   // absence is vacuous — no read at all.
-                  if (!bounds.isNullAt(0))
+                  if (idBounds.isDefined)
                     require(Layout.snapshotReadWhere(spark, corpusDir,
                         boundsPred)
                         .join(corpusKeys, Seq(ck), "left_semi").isEmpty,
@@ -408,11 +431,18 @@ object Govern {
     val names =
       if (!fs.exists(govRoot)) Seq.empty
       else fs.listStatus(govRoot).map(_.getPath.getName).toSeq
+    // a TORN open record (no trailing '#open' — a crash inside the
+    // create-then-write window on stores without content-atomic
+    // create) is SKIPPED, not an error: the open PUT returns before
+    // the first index purge runs, so a torn open proves the attempt
+    // touched NOTHING — and one unreadable record must never make the
+    // whole evidence query throw (review r17 #4)
     val attempts = names.filter(_.endsWith(".open"))
       .map(_.stripSuffix(".open")).sorted
     val rows = attempts.flatMap { id =>
       val open = readLines(new org.apache.hadoop.fs.Path(govRoot,
         s"$id.open"))
+      if (!open.lastOption.contains("#open")) Nil else {
       val donePath = new org.apache.hadoop.fs.Path(govRoot, s"$id.done")
       val done =
         if (names.contains(s"$id.done")) {
@@ -441,6 +471,7 @@ object Govern {
             field("ids-count").toLong, field("ids-digest"), kind,
             artifact, idc, result)
         }
+      }
     }
     import spark.implicits._
     rows.toDF()

@@ -4887,9 +4887,18 @@ object Layout {
           // mirror snapshotFastForward's nothing-to-publish floor: the
           // last publish's watermark, and a rebase's own manifest
           // version (minus one when it carries an unpublished stage —
-          // the carry IS publishable at the rebase tip)
+          // staged DIRS, or a PENDING metadata-only staged ALTER
+          // record (round 17) — the carry IS publishable at the
+          // rebase tip)
+          val tipMetaB = lines
+            .filter(l => l.startsWith("#") && l != "#commit")
+            .map(_.stripPrefix("#"))
+          val pendingAlterB = parseBranchRenames(tipMetaB).nonEmpty || {
+            val (a, w) = parseBranchAdds(tipMetaB)
+            a.nonEmpty || w.nonEmpty
+          }
           val rebaseFloor = rb.map { case (vR, _, dirs) =>
-            if (dirs.isEmpty) vR else vR - 1 }
+            if (dirs.isEmpty && !pendingAlterB) vR else vR - 1 }
           val already = (Seq(b) ++ markerW ++ rebaseFloor).max
           (name, b, t, eff, undiverged && t > already)
         }

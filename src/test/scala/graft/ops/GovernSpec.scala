@@ -257,6 +257,50 @@ class GovernSpec extends SparkSpec {
       docs.filter(col("doc_id") % 10 =!= 3).count())
   }
 
+  test("viaBranch purges a doc that exists ONLY in main commits newer " +
+      "than the branch base (the probe must consult main, not just " +
+      "the stale tip)") {
+    val root = tmpDir("govern_staletip")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    // the doc to remove lands on main AFTER the branch was based —
+    // invisible at the branch tip until a rebase
+    Layout.snapshotAppend(
+      Seq((900001L, "late ingest, then takedown")).toDF("doc_id", "text"),
+      corpus)
+    val r = Govern.takedownCascade(spark, corpus,
+      Seq(900001L).toDF("doc_id"), Seq("doc_id"), Nil,
+      viaBranch = Some("gdpr"))
+    assert(r.corpusVersion > 0)
+    assert(Layout.snapshotRead(spark, corpus)
+      .filter(col("doc_id") === 900001L).count() === 0L,
+      "the staged takedown must ride the rebase over the doc's commit")
+  }
+
+  test("viaBranch id-column validation judges the BRANCH TIP schema: " +
+      "a branch-staged rename of the id column refuses BEFORE any purge") {
+    val root = tmpDir("govern_renval")
+    val (corpus, vidx, sidx) = build(root)
+    Layout.snapshotBranch(spark, corpus, "migrate")
+    Layout.snapshotBranchRename(spark, corpus, "migrate",
+      Map("doc_id" -> "id"))
+    val ixs = Seq(Govern.VectorIndexRef(vidx),
+      Govern.SignatureIndexRef(sidx))
+    // main still says doc_id, the branch tip says id: naming doc_id
+    // must refuse pre-purge (the staged delete would fail post-purge)
+    val e = intercept[IllegalArgumentException] {
+      Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+        ixs, viaBranch = Some("migrate"))
+    }
+    assert(e.getMessage.contains("no id column 'doc_id'") &&
+      e.getMessage.contains("on branch 'migrate'") &&
+      e.getMessage.contains("BEFORE any index purge"), e.getMessage)
+    assert(vectorServes(vidx) > 0 && sigServes(sidx) > 0,
+      "refusal must precede the first irreversible purge")
+  }
+
   test("persisted ledger: every attempt leaves a create-once record; " +
       "a crashed attempt shows incomplete FOREVER, the recovery " +
       "attempt completes, digests agree — and the TVF reads it") {

@@ -42,25 +42,48 @@ def basis(a, b, key):
     shared = sorted(set(qa) & set(qb))
     if not shared:
         return None
-    ratios = {q: qb[q] / qa[q] for q in shared if qa[q] > 0}
+    # both sides must be positive: a 0.0 (sub-resolution rounding)
+    # would blow up the geomean; report the skip instead of crashing
+    ratios = {q: qb[q] / qa[q] for q in shared
+              if qa[q] > 0 and qb[q] > 0}
+    skipped = [q for q in shared if q not in ratios]
     return {
         "shared": shared,
         "ratios": ratios,
+        "skipped": skipped,
         "geomean": geomean(list(ratios.values())),
         "sum_a": sum(qa[q] for q in shared),
         "sum_b": sum(qb[q] for q in shared),
     }
 
 
+def usage(msg=""):
+    if msg:
+        print(msg, file=sys.stderr)
+    print("usage: bench_compare.py BASELINE.json CANDIDATE.json "
+          "[--top N | --top=N]", file=sys.stderr)
+    return 2
+
+
 def main(argv):
-    args = [x for x in argv[1:] if not x.startswith("--")]
-    if len(args) != 2:
-        print(__doc__.strip().splitlines()[2].strip(), file=sys.stderr)
-        return 2
-    top = 5
-    for x in argv[1:]:
+    args, top, i = [], 5, 1
+    while i < len(argv):
+        x = argv[i]
         if x.startswith("--top"):
-            top = int(x.split("=", 1)[1]) if "=" in x else top
+            if "=" in x:
+                top = int(x.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                top = int(argv[i])
+            else:
+                return usage("--top needs a value")
+        elif x.startswith("--"):
+            return usage(f"unknown flag {x}")
+        else:
+            args.append(x)
+        i += 1
+    if len(args) != 2:
+        return usage()
     pa, pb = args
     a, b = load(pa), load(pb)
 
@@ -72,9 +95,11 @@ def main(argv):
         if r is None:
             print(f"{label:>15}: n/a (field '{key}' missing on one side)")
             continue
+        skip = (f" ({len(r['skipped'])} zero-time skipped: "
+                f"{', '.join(r['skipped'])})") if r["skipped"] else ""
         print(f"{label:>15}: geomean {r['geomean']:.3f}x over "
-              f"{len(r['shared'])} shared queries; "
-              f"sum {r['sum_b']:.2f} s vs {r['sum_a']:.2f} s")
+              f"{len(r['ratios'])} shared queries; "
+              f"sum {r['sum_b']:.2f} s vs {r['sum_a']:.2f} s{skip}")
 
     r = basis(a, b, "queries")
     if r is not None and top > 0:
@@ -104,4 +129,7 @@ def main(argv):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv))
+    try:
+        sys.exit(main(sys.argv))
+    except BrokenPipeError:  # `| head` closed the pipe — not an error
+        sys.exit(0)
