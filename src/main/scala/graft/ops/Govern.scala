@@ -263,19 +263,34 @@ object Govern {
         if (digRow.isNullAt(2)) None
         else Some((digRow.get(2), digRow.get(3)))
       val ledgerId = s"td-${java.util.UUID.randomUUID().toString.take(12)}"
-      val govRoot = new org.apache.hadoop.fs.Path(corpusDirs.head, "gov")
-      fs.mkdirs(govRoot)
+      // the ledger pair lands under EVERY participating corpus's gov/
+      // (review r17 pass 2 #2): "prove doc X left everything" must
+      // answer from ANY corpus an auditor starts at, and a re-run
+      // invoked with the corpora reordered must not split the
+      // evidence. A crash mid-write leaves open records under a
+      // prefix of corpora — each directory's ledger is individually
+      // sound (an attempt may be missing where the crash preceded its
+      // open record, which also preceded every purge; completion is
+      // never fabricated anywhere).
+      def writeLedger(suffix: String, lines: Seq[String],
+          marker: String): Unit =
+        corpusDirs.foreach { cd =>
+          val govRoot = new org.apache.hadoop.fs.Path(cd, "gov")
+          fs.mkdirs(govRoot)
+          require(Layout.atomicCreate(fs,
+              new org.apache.hadoop.fs.Path(govRoot,
+                s"$ledgerId.$suffix"),
+              (lines.map(_ + "\n") :+ s"$marker\n").mkString
+                .getBytes("UTF-8")),
+            s"$op: ledger collision at $govRoot/$ledgerId.$suffix")
+        }
       val openLines =
         Seq(s"takedown=$ledgerId", s"op=$op", s"ids-count=$idsCount",
           s"ids-digest=$idsDigest",
           s"branch=${viaBranch.getOrElse("-")}") ++
         indexes.map(ix => s"index=${kindOf(ix)}|${ix.dir}") ++
         corpora.map { case (cd, ck) => s"corpus=$cd|$ck" }
-      require(Layout.atomicCreate(fs,
-          new org.apache.hadoop.fs.Path(govRoot, s"$ledgerId.open"),
-          (openLines.map(_ + "\n") :+ "#open\n").mkString
-            .getBytes("UTF-8")),
-        s"$op: ledger id collision at $govRoot/$ledgerId.open")
+      writeLedger("open", openLines, "#open")
       val changes = indexes.map(ix =>
         ix.dir -> ix.applyDelete(spark, pinned, idCol)).toMap
       // corpora follow the indexes, in DECLARED order: a crash leaves
@@ -305,23 +320,53 @@ object Govern {
         // publish survives the cascade — equivalent to ingesting it
         // just after, and a fresh cascade call is the remedy either
         // way.
-        val boundsPred = idBounds match {
+        def pred(n: String) = idBounds match {
           case None => lit(false) // empty id set
           case Some((lo, hi)) =>
-            col(s"`$ck`").between(lit(lo), lit(hi))
+            col(s"`$n`").between(lit(lo), lit(hi))
         }
-        def anyPresent(read: => DataFrame): Boolean =
+        val boundsPred = pred(ck)
+        // the main-side probe/guard must use MAIN's name for the id
+        // column: a branch-staged rename of it makes the tip (where
+        // the caller's `ck` is valid) and main disagree until publish
+        // (review r17 pass 2 #1). Unresolvable on main — e.g. MAIN
+        // renamed the column since the branch was based — means the
+        // probe cannot judge: degrade to staging (the delete targets
+        // the TIP, and the rebase re-keys it under main's names).
+        def mainName(corpusDir: String, b: String): Option[String] = {
+          val mainCols = Layout.snapshotRead(spark, corpusDir).columns
+          if (mainCols.exists(_.equalsIgnoreCase(ck))) Some(ck)
+          else Layout.snapshotBranchStagedRenames(spark, corpusDir, b)
+            .find(_._2.equalsIgnoreCase(ck)).map(_._1)
+            .filter(o => mainCols.exists(_.equalsIgnoreCase(o)))
+        }
+        def presentIn(read: => DataFrame, n: String): Boolean =
           idBounds.isDefined &&
-            !read.select(col(s"`$ck`"))
+            !read.select(col(s"`$n`").as(ck))
               .join(corpusKeys, Seq(ck), "left_semi").isEmpty
         val v = viaBranch match {
           case Some(b) =>
-            if (anyPresent(Layout.snapshotBranchReadWhere(spark,
-                  corpusDir, b, boundsPred)) ||
-                anyPresent(Layout.snapshotReadWhere(spark, corpusDir,
-                  boundsPred)))
-              Layout.snapshotBranchDeleteKeys(spark, corpusDir, b,
-                corpusKeys, Seq(ck))
+            lazy val mainCk = mainName(corpusDir, b)
+            val stagedNeeded =
+              presentIn(Layout.snapshotBranchReadWhere(spark,
+                corpusDir, b, boundsPred), ck) ||
+              (idBounds.isDefined && (mainCk match {
+                case None => true // cannot judge main — stage
+                case Some(n) => presentIn(Layout.snapshotReadWhere(
+                  spark, corpusDir, pred(n)), n)
+              }))
+            if (!stagedNeeded) {
+              // CONVERGED READ-ONLY, divergence or not (review r17
+              // pass 2 #3): the ids are absent at the branch tip AND
+              // on main, so the goal state already holds — a re-run
+              // must not commit a rebase or publish anything just to
+              // find that out
+              Layout.snapshotLatestVersion(spark, corpusDir)
+                .getOrElse(sys.error(
+                  s"no committed snapshot at $corpusDir"))
+            } else {
+            Layout.snapshotBranchDeleteKeys(spark, corpusDir, b,
+              corpusKeys, Seq(ck))
             // publish SELF-HEALS across live main traffic: a diverged
             // main would otherwise refuse here — AFTER the index purge,
             // stranding the over-deletion window until an operator
@@ -355,26 +400,35 @@ object Govern {
                   // the id column let manifest min/max skip the
                   // disjoint bulk of the corpus — the merge probe's
                   // own pattern, rare-path or not. An empty id set's
-                  // absence is vacuous — no read at all.
-                  if (idBounds.isDefined)
-                    require(Layout.snapshotReadWhere(spark, corpusDir,
-                        boundsPred)
-                        .join(corpusKeys, Seq(ck), "left_semi").isEmpty,
-                      s"$op: branch '$b' at $corpusDir has " +
-                        "nothing to publish but the corpus still " +
-                        "serves takedown ids — staged work was " +
-                        "dropped externally; re-stage the takedown")
+                  // absence is vacuous — no read at all; main's name
+                  // for the id column re-resolves (the publish may or
+                  // may not have shipped a staged rename by now).
+                  if (idBounds.isDefined) mainName(corpusDir, b) match {
+                    case Some(n) =>
+                      require(!presentIn(Layout.snapshotReadWhere(
+                          spark, corpusDir, pred(n)), n),
+                        s"$op: branch '$b' at $corpusDir has " +
+                          "nothing to publish but the corpus still " +
+                          "serves takedown ids — staged work was " +
+                          "dropped externally; re-stage the takedown")
+                    case None => throw new IllegalArgumentException(
+                      s"$op: branch '$b' at $corpusDir has nothing " +
+                        s"to publish and main has no id column '$ck' " +
+                        "to verify absence against — re-stage the " +
+                        "takedown")
+                  }
                   pub = Layout.snapshotLatestVersion(spark, corpusDir)
                     .getOrElse(sys.error(
                       s"no committed snapshot at $corpusDir"))
               }
             }
             pub
+            }
           case None =>
             // main-side: same probe-then-commit — an idempotent re-run
             // reads a pruned probe and commits NOTHING
-            if (anyPresent(Layout.snapshotReadWhere(spark, corpusDir,
-                boundsPred)))
+            if (presentIn(Layout.snapshotReadWhere(spark, corpusDir,
+                boundsPred), ck))
               Layout.snapshotDeleteKeys(spark, corpusDir, corpusKeys,
                 Seq(ck))
             else Layout.snapshotLatestVersion(spark, corpusDir)
@@ -394,11 +448,7 @@ object Govern {
         indexes.map(ix =>
           s"index=${kindOf(ix)}|${ix.dir}|${changes(ix.dir)}") ++
         corpora.map { case (cd, ck) => s"corpus=$cd|$ck|${vs(cd)}" }
-      require(Layout.atomicCreate(fs,
-          new org.apache.hadoop.fs.Path(govRoot, s"$ledgerId.done"),
-          (doneLines.map(_ + "\n") :+ "#complete\n").mkString
-            .getBytes("UTF-8")),
-        s"$op: ledger completion collision at $govRoot/$ledgerId.done")
+      writeLedger("done", doneLines, "#complete")
       MultiCascadeResult(changes, vs)
     } finally fs.delete(scratch, true)
   }
@@ -411,7 +461,10 @@ object Govern {
   /** Read the PERSISTED takedown ledger under `corpusDir/gov` (judge
     * r16 what's-missing #4): one row per cascade attempt × artifact —
     * "prove doc X left everything" as a query instead of log
-    * archaeology. An attempt is `completed` only if its completion
+    * archaeology. The cascade writes the ledger pair under EVERY
+    * participating corpus, so the query answers from whichever corpus
+    * an auditor starts at and a reordered re-run cannot split the
+    * evidence. An attempt is `completed` only if its completion
     * record exists AND carries the trailing `#complete` marker (the
     * torn-write guard manifests use); an open record with no
     * completion is a crashed or in-flight attempt, and its artifact
@@ -428,9 +481,9 @@ object Govern {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     }
-    val names =
-      if (!fs.exists(govRoot)) Seq.empty
-      else fs.listStatus(govRoot).map(_.getPath.getName).toSeq
+    val names: Set[String] =
+      if (!fs.exists(govRoot)) Set.empty
+      else fs.listStatus(govRoot).map(_.getPath.getName).toSet
     // a TORN open record (no trailing '#open' — a crash inside the
     // create-then-write window on stores without content-atomic
     // create) is SKIPPED, not an error: the open PUT returns before
@@ -438,7 +491,7 @@ object Govern {
     // touched NOTHING — and one unreadable record must never make the
     // whole evidence query throw (review r17 #4)
     val attempts = names.filter(_.endsWith(".open"))
-      .map(_.stripSuffix(".open")).sorted
+      .map(_.stripSuffix(".open")).toSeq.sorted
     val rows = attempts.flatMap { id =>
       val open = readLines(new org.apache.hadoop.fs.Path(govRoot,
         s"$id.open"))

@@ -1466,6 +1466,73 @@ object Layout {
     StatsTag + out.mkString("|")
   }
 
+  /** The shared VALIDATE → RENAME → ID core of [[snapshotRename]] and
+    * [[snapshotBranchRename]] (review r17 pass 2 #4 — one copy of the
+    * rename rules, two namespaces): argument shape checks, the
+    * lowercase old→new map, schema-of-record recovery (line, else a
+    * carried file's footer), field-id assignment past the colmap
+    * floor, absent-column and duplicate-result refusals, and the
+    * `rename=` marker. Returns (lower map, pre-rename schema WITH ids
+    * — the colmap entries' source, renamed schema, marker). `what`
+    * names the side for the refusal text ("the table" / "the
+    * branch"). */
+  private def renameCore(op: String, spark: SparkSession, dir: String,
+      what: String, prev: Seq[String], metaLines: Seq[String],
+      renames: Map[String, String])
+      : (Map[String, String], org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType, String) = {
+    require(renames.nonEmpty, s"$op: renames must be non-empty")
+    renames.foreach { case (o, n) =>
+      require(o.trim.nonEmpty && n.trim.nonEmpty && !n.contains("\n"),
+        s"$op: bad rename '$o' -> '$n'")
+      require(!o.equalsIgnoreCase(n), s"$op: '$o' -> '$n' is a no-op")
+    }
+    val lower = renames.map { case (o, n) =>
+      o.toLowerCase(java.util.Locale.ROOT) -> n }
+    require(lower.size == renames.size,
+      s"$op: duplicate old names (case-insensitive)")
+    val schema0 = metaLines.find(_.startsWith(SchemaTag))
+      .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
+      .orElse(prev.headOption.map(rel =>
+        spark.read.parquet(new Path(dir, rel).toString).schema))
+      .getOrElse(sys.error(
+        s"$op: $what at $dir has no files and no recorded schema"))
+    val schema1 = withFieldIds(schema0,
+      colmapIdFloor(parseColMaps(metaLines)))
+    val absent = lower.keys.filterNot(o =>
+      schema1.fields.exists(_.name.equalsIgnoreCase(o))).toSeq.sorted
+    require(absent.isEmpty,
+      s"$op: column(s) ${absent.mkString(", ")} not in $what schema " +
+        s"${schema0.catalogString} at $dir")
+    val renamed = org.apache.spark.sql.types.StructType(
+      schema1.fields.map { f =>
+        lower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          .map(n => f.copy(name = n)).getOrElse(f)
+      })
+    val dupNames = renamed.fields
+      .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      .filter(_._2.length > 1).keys.toSeq.sorted
+    require(dupNames.isEmpty,
+      s"$op: resulting schema has duplicate column(s) " +
+        s"${dupNames.mkString(", ")} — renames collide with existing " +
+        "columns (swap both sides in ONE call)")
+    val marker = "rename=" + renames.toSeq.sortBy(_._1)
+      .map { case (o, n) => s"$o:$n" }.mkString(",")
+    (lower, schema1, renamed, marker)
+  }
+
+  /** The `colmap=` entry list for a rename commit: each renamed
+    * field's id bound to its pre-rename (on-disk) name. */
+  private def colmapEntriesOf(
+      schema1: org.apache.spark.sql.types.StructType,
+      lower: Map[String, String]): Seq[String] =
+    schema1.fields.toSeq.flatMap { f =>
+      if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+        fieldIdOf(f).map(id =>
+          s"$id:${java.net.URLEncoder.encode(f.name, "UTF-8")}")
+      else None
+    }
+
   /** RENAME-COLUMN schema evolution as a METADATA-ONLY commit — no data
     * file is touched: the commit records the renamed schema of record
     * (every field carrying a stable field ID, assigned now if the table
@@ -1493,17 +1560,6 @@ object Layout {
     * version. */
   def snapshotRename(spark: SparkSession, dir: String,
       renames: Map[String, String]): Long = {
-    require(renames.nonEmpty, "snapshotRename: renames must be non-empty")
-    renames.foreach { case (o, n) =>
-      require(o.trim.nonEmpty && n.trim.nonEmpty && !n.contains("\n"),
-        s"snapshotRename: bad rename '$o' -> '$n'")
-      require(!o.equalsIgnoreCase(n),
-        s"snapshotRename: '$o' -> '$n' is a no-op")
-    }
-    val lower = renames.map { case (o, n) =>
-      o.toLowerCase(java.util.Locale.ROOT) -> n }
-    require(lower.size == renames.size,
-      "snapshotRename: duplicate old names (case-insensitive)")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     var committed = -1L
@@ -1524,46 +1580,16 @@ object Layout {
         s"snapshotRename: table at $dir carries a live merge-on-read " +
           "delete overlay whose key files use the current names — run " +
           "snapshotCompact/snapshotMaintain to materialize it first")
-      val schema0 = metaLines.find(_.startsWith(SchemaTag))
-        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-        .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
-        .getOrElse(sys.error(
-          s"snapshotRename: snapshot v$base at $dir has no files and no " +
-            "recorded schema"))
-      val schema1 = withFieldIds(schema0,
-        colmapIdFloor(parseColMaps(metaLines)))
-      val absent = lower.keys.filterNot(o =>
-        schema1.fields.exists(_.name.equalsIgnoreCase(o))).toSeq.sorted
-      require(absent.isEmpty,
-        s"snapshotRename: column(s) ${absent.mkString(", ")} not in the " +
-          s"table schema ${schema0.catalogString} at $dir")
-      val renamed = org.apache.spark.sql.types.StructType(
-        schema1.fields.map { f =>
-          lower.get(f.name.toLowerCase(java.util.Locale.ROOT))
-            .map(n => f.copy(name = n)).getOrElse(f)
-        })
-      val dupNames = renamed.fields
-        .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
-        .filter(_._2.length > 1).keys.toSeq.sorted
-      require(dupNames.isEmpty,
-        s"snapshotRename: resulting schema has duplicate column(s) " +
-          s"${dupNames.mkString(", ")} — renames collide with existing " +
-          "columns (swap both sides in ONE call)")
+      val (lower, schema1, renamed, marker) = renameCore(
+        "snapshotRename", spark, dir, "the table", prev, metaLines,
+        renames)
       val v = math.max(listed.lastOption.getOrElse(0L),
         carriedVersionFloor(lines)) + 1
-      val entries = schema1.fields.flatMap { f =>
-        if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-          fieldIdOf(f).map(id =>
-            s"$id:${java.net.URLEncoder.encode(f.name, "UTF-8")}")
-        else None
-      }
-      val colmapLine = s"$ColMapTag$v|${entries.mkString(",")}"
+      val colmapLine =
+        s"$ColMapTag$v|${colmapEntriesOf(schema1, lower).mkString(",")}"
       val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
       val stats = metaLines.filter(_.startsWith(StatsTag))
         .map(renameStatsLine(_, lower))
-      val marker = "rename=" + renames.toSeq.sortBy(_._1)
-        .map { case (o, n) => s"$o:$n" }.mkString(",")
       val manifest = new Path(dir, f"_snapshots/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((Seq(marker, s"$SchemaTag${renamed.json}")
@@ -4890,13 +4916,9 @@ object Layout {
           // staged DIRS, or a PENDING metadata-only staged ALTER
           // record (round 17) — the carry IS publishable at the
           // rebase tip)
-          val tipMetaB = lines
+          val pendingAlterB = pendingStagedAlter(lines
             .filter(l => l.startsWith("#") && l != "#commit")
-            .map(_.stripPrefix("#"))
-          val pendingAlterB = parseBranchRenames(tipMetaB).nonEmpty || {
-            val (a, w) = parseBranchAdds(tipMetaB)
-            a.nonEmpty || w.nonEmpty
-          }
+            .map(_.stripPrefix("#")))
           val rebaseFloor = rb.map { case (vR, _, dirs) =>
             if (dirs.isEmpty && !pendingAlterB) vR else vR - 1 }
           val already = (Seq(b) ++ markerW ++ rebaseFloor).max
@@ -5005,18 +5027,6 @@ object Layout {
   def snapshotBranchRename(spark: SparkSession, dir: String,
       name: String, renames: Map[String, String]): Long = {
     requireBranchName("snapshotBranchRename", name)
-    require(renames.nonEmpty,
-      "snapshotBranchRename: renames must be non-empty")
-    renames.foreach { case (o, n) =>
-      require(o.trim.nonEmpty && n.trim.nonEmpty && !n.contains("\n"),
-        s"snapshotBranchRename: bad rename '$o' -> '$n'")
-      require(!o.equalsIgnoreCase(n),
-        s"snapshotBranchRename: '$o' -> '$n' is a no-op")
-    }
-    val lower = renames.map { case (o, n) =>
-      o.toLowerCase(java.util.Locale.ROOT) -> n }
-    require(lower.size == renames.size,
-      "snapshotBranchRename: duplicate old names (case-insensitive)")
     val sub = branchSub(name)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -5045,42 +5055,13 @@ object Layout {
           "current names — publish/materialize it first, or stage " +
           "the rename before the takedowns (post-rename takedowns " +
           "compose)")
-      val schema0 = metaLines.find(_.startsWith(SchemaTag))
-        .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
-        .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
-        .getOrElse(sys.error(
-          s"snapshotBranchRename: branch '$name' at $dir has no " +
-            "files and no recorded schema"))
-      val prevColmapsParsed = parseColMaps(metaLines)
-      val schema1 = withFieldIds(schema0,
-        colmapIdFloor(prevColmapsParsed))
-      val absent = lower.keys.filterNot(o =>
-        schema1.fields.exists(_.name.equalsIgnoreCase(o))).toSeq.sorted
-      require(absent.isEmpty,
-        s"snapshotBranchRename: column(s) ${absent.mkString(", ")} " +
-          s"not in the branch schema ${schema0.catalogString} at $dir")
-      val renamed = org.apache.spark.sql.types.StructType(
-        schema1.fields.map { f =>
-          lower.get(f.name.toLowerCase(java.util.Locale.ROOT))
-            .map(n => f.copy(name = n)).getOrElse(f)
-        })
-      val dupNames = renamed.fields
-        .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
-        .filter(_._2.length > 1).keys.toSeq.sorted
-      require(dupNames.isEmpty,
-        s"snapshotBranchRename: resulting schema has duplicate " +
-          s"column(s) ${dupNames.mkString(", ")} — renames collide " +
-          "with existing columns (swap both sides in ONE call)")
+      val (lower, schema1, renamed, marker) = renameCore(
+        "snapshotBranchRename", spark, dir, "the branch", prev,
+        metaLines, renames)
       val v = math.max(bvs.lastOption.getOrElse(0L),
         carriedVersionFloor(tipLines)) + 1
-      val entries = schema1.fields.flatMap { f =>
-        if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-          fieldIdOf(f).map(id =>
-            s"$id:${java.net.URLEncoder.encode(f.name, "UTF-8")}")
-        else None
-      }
-      val colmapLine = s"$ColMapTag$v|${entries.mkString(",")}"
+      val colmapLine =
+        s"$ColMapTag$v|${colmapEntriesOf(schema1, lower).mkString(",")}"
       val prevColmaps = metaLines.filter(_.startsWith(ColMapTag))
       val stats = metaLines.filter(_.startsWith(StatsTag))
         .map(renameStatsLine(_, lower))
@@ -5126,8 +5107,6 @@ object Layout {
           }))
       val carried = metaLines.filter(l =>
         l.startsWith(RebaseTag))
-      val marker = "rename=" + renames.toSeq.sortBy(_._1)
-        .map { case (o, n) => s"$o:$n" }.mkString(",")
       val manifest = new Path(dir, f"$sub/v$v%08d.manifest")
       fs.mkdirs(manifest.getParent)
       val body = ((Seq(marker, s"$SchemaTag${renamed.json}")
@@ -5176,6 +5155,30 @@ object Layout {
       s"$id:${java.net.URLEncoder.encode(o, "UTF-8")}:" +
         java.net.URLEncoder.encode(n, "UTF-8")
     }.mkString(",")
+
+  /** Whether a branch tip's meta carries a PENDING metadata-only
+    * staged ALTER (a branch-renames or branch-adds record) — the ONE
+    * publishability predicate [[snapshotFastForward]]'s rebase floor
+    * and [[snapshotBranchesDetail]]'s `publishable` flag share, so
+    * the door and the inventory can never drift (review r17 pass 2). */
+  private def pendingStagedAlter(meta: Seq[String]): Boolean =
+    parseBranchRenames(meta).nonEmpty || {
+      val (a, w) = parseBranchAdds(meta)
+      a.nonEmpty || w.nonEmpty
+    }
+
+  /** PENDING branch-staged renames as (main-side OLD lowercase name,
+    * staged NEW name) — [[Govern]]'s cascade uses it to resolve the
+    * caller's tip-named id column against MAIN's schema for its
+    * main-side probes (a branch-staged rename of the id column makes
+    * the two disagree until publish). Entries for branch-ADDED fields
+    * are never recorded, so every pair names a main column. */
+  def snapshotBranchStagedRenames(spark: SparkSession, dir: String,
+      name: String): Seq[(String, String)] =
+    parseBranchRenames(branchTip(spark, dir, name)._2
+      .filter(l => l.startsWith("#") && l != "#commit")
+      .map(_.stripPrefix("#")))
+      .map { case (_, o, n) => (o, n) }
 
   /** The branch tip's version — the expected-tip handle a tip-derived
     * SQL statement ([[graft.plans.SnapshotMergeSql]]) pins its
@@ -6234,13 +6237,9 @@ object Layout {
     // and so is one that carried a PENDING metadata-only staged ALTER
     // (a branch-renames / branch-adds record the rebase just pruned to
     // pending-only): the unpublished work is the schema change itself
-    val tipMetaFF = tipLines
+    val pendingAlter = pendingStagedAlter(tipLines
       .filter(l => l.startsWith("#") && l != "#commit")
-      .map(_.stripPrefix("#"))
-    val pendingAlter = parseBranchRenames(tipMetaFF).nonEmpty || {
-      val (a, w) = parseBranchAdds(tipMetaFF)
-      a.nonEmpty || w.nonEmpty
-    }
+      .map(_.stripPrefix("#")))
     val rebaseFloor = rebase.map { case (vR, _, dirs) =>
       if (dirs.isEmpty && !pendingAlter) vR else vR - 1 }
     val keep = Seq(SchemaTag, ColMapTag, DeleteTag, StatsTag)

@@ -170,11 +170,15 @@ private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false)))
 
-  private def version(o: Offset): Long = o match {
-    case l: LongOffset       => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other               => other.json.toLong
-  }
+  // typed on the CONNECTOR Offset (the v1 Offset is a subtype), so the
+  // admission-control path and getBatch share one decoder
+  private def version(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset       => l.offset
+      case s: SerializedOffset => LongOffset(s).offset
+      case other               => other.json.toLong
+    }
 
   /** `Trigger.AvailableNow` pin (judge r16 ask #2 — the reference's
     * "drain the backlog, then stop" daily-cron contract,
@@ -195,14 +199,6 @@ private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  private def connVersion(
-      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
-    o match {
-      case l: LongOffset       => l.offset
-      case s: SerializedOffset => LongOffset(s).offset
-      case other               => other.json.toLong
-    }
-
   /** Admission-control offset resolution — the engine calls this
     * instead of [[getOffset]] (both kept correct; only this one knows
     * the AvailableNow pin). The head is the newest complete version
@@ -218,7 +214,7 @@ private[streaming] class SnapshotChangesSource(sqlContext: SQLContext,
       case Some(cap) => if (cap == 0L) None else Some(cap)
       case None      => Layout.snapshotLatestVersion(spark, dir)
     }
-    val from = Option(start).map(connVersion).getOrElse(0L)
+    val from = Option(start).map(version).getOrElse(0L)
     head.map(h => maxVersionsPerBatch.fold(h)(m =>
         math.min(h, from + m))) match {
       case Some(v) if v > from => LongOffset(v)

@@ -301,6 +301,61 @@ class GovernSpec extends SparkSpec {
       "refusal must precede the first irreversible purge")
   }
 
+  test("cascade under a PENDING branch-staged rename of the id column " +
+      "succeeds with the tip's name, publishes rename + takedown " +
+      "atomically, and the re-run converges read-only") {
+    val root = tmpDir("govern_pendren")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    Layout.snapshotBranch(spark, corpus, "migrate")
+    Layout.snapshotBranchRename(spark, corpus, "migrate",
+      Map("doc_id" -> "id"))
+    // the caller names the id column as the BRANCH tip knows it; the
+    // main-side probe resolves it back to main's 'doc_id'
+    val ids = removed.withColumnRenamed("doc_id", "id")
+    val r1 = Govern.takedownCascade(spark, corpus, ids, Seq("id"), Nil,
+      viaBranch = Some("migrate"))
+    assert(r1.corpusVersion > 0)
+    val state = Layout.snapshotRead(spark, corpus)
+    assert(state.columns.head === "id",
+      "the publish ships the staged rename with the takedown")
+    assert(state.join(ids, Seq("id"), "left_semi").count() === 0L)
+    // re-run: probes resolve under the published name, nothing commits
+    val v1 = Layout.snapshotLatestVersion(spark, corpus).get
+    val r2 = Govern.takedownCascade(spark, corpus, ids, Seq("id"), Nil,
+      viaBranch = Some("migrate"))
+    assert(r2.corpusVersion === r1.corpusVersion &&
+      Layout.snapshotLatestVersion(spark, corpus).get === v1)
+  }
+
+  test("re-run after success is read-only EVEN WHEN MAIN ADVANCED " +
+      "(no rebase, no publish, no branch commit)") {
+    val root = tmpDir("govern_divro")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    Layout.snapshotBranch(spark, corpus, "gdpr")
+    Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"), Nil,
+      viaBranch = Some("gdpr"))
+    // main advances past the publish — a plain fast-forward would now
+    // refuse diverged, but a converged re-run must not rebase just to
+    // discover there is nothing to do
+    Layout.snapshotAppend(
+      Seq((800001L, "unrelated")).toDF("doc_id", "text"), corpus)
+    val mainV = Layout.snapshotLatestVersion(spark, corpus).get
+    val tipV = Layout.snapshotBranchesDetail(spark, corpus)
+      .find(_._1 == "gdpr").get._3
+    val r = Govern.takedownCascade(spark, corpus, removed,
+      Seq("doc_id"), Nil, viaBranch = Some("gdpr"))
+    assert(r.corpusVersion === mainV,
+      "converged at main's current version")
+    assert(Layout.snapshotLatestVersion(spark, corpus).get === mainV &&
+      Layout.snapshotBranchesDetail(spark, corpus)
+        .find(_._1 == "gdpr").get._3 === tipV,
+      "a diverged idempotent re-run must commit NOTHING on either ref")
+  }
+
   test("persisted ledger: every attempt leaves a create-once record; " +
       "a crashed attempt shows incomplete FOREVER, the recovery " +
       "attempt completes, digests agree — and the TVF reads it") {
@@ -345,6 +400,12 @@ class GovernSpec extends SparkSpec {
       s"SELECT count(*) FROM snapshot_takedowns('$corpus') " +
         "WHERE completed").as[Long].head()
     assert(viaSql === 4L)
+    // the ledger answers from EVERY participating corpus, not just
+    // the head one (an auditor starts wherever they start)
+    assert(Govern.takedownLedger(spark, chunks).count() === l2.count())
+    assert(Govern.takedownLedger(spark, chunks)
+      .filter(col("completed")).select("takedown_id").distinct()
+      .count() === 1L)
   }
 
   /** text corpus + a CHUNKED derivative corpus sharing the doc_id

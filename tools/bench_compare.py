@@ -69,14 +69,18 @@ def main(argv):
     args, top, i = [], 5, 1
     while i < len(argv):
         x = argv[i]
-        if x.startswith("--top"):
+        if x == "--top" or x.startswith("--top="):
             if "=" in x:
-                top = int(x.split("=", 1)[1])
+                raw = x.split("=", 1)[1]
             elif i + 1 < len(argv):
                 i += 1
-                top = int(argv[i])
+                raw = argv[i]
             else:
                 return usage("--top needs a value")
+            try:
+                top = int(raw)
+            except ValueError:
+                return usage(f"--top needs an integer, got {raw!r}")
         elif x.startswith("--"):
             return usage(f"unknown flag {x}")
         else:
