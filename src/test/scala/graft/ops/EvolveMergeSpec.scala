@@ -128,6 +128,47 @@ class EvolveMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("LEGACY widen record form (pre-round-16 bare column names) " +
+      "authorizes every nested add under the column — the read-side " +
+      "migration ADVICE r16 #2 asked for") {
+    // a record written by the old build: bare column name, no path
+    val legacy: Set[Seq[String]] = Set(Seq("s"))
+    assert(Layout.widenAuthorizes(legacy, Seq("s", "y")))
+    assert(Layout.widenAuthorizes(legacy, Seq("s", "deep")))
+    assert(!Layout.widenAuthorizes(legacy, Seq("t", "y")),
+      "a legacy entry authorizes only its own column's subtree")
+    // the current format stays exact-path
+    val current: Set[Seq[String]] = Set(Seq("s", "y"))
+    assert(Layout.widenAuthorizes(current, Seq("s", "y")))
+    assert(!Layout.widenAuthorizes(current, Seq("s", "z")))
+    // end to end through the merge: main [s: {x}], tip [s: {x, y}],
+    // record in the LEGACY form — the tip extra rides instead of
+    // refusing as a main-side nested drop
+    val main = struct("s" -> struct("x" -> IntegerType))
+    val tip = struct("s" -> struct("x" -> IntegerType,
+      "y" -> StringType))
+    val merged = Layout.mergeEvolvedType(
+      main.fields.head.dataType, tip.fields.head.dataType,
+      Seq("s"), legacy)
+    assert(merged.contains(tip.fields.head.dataType),
+      s"legacy-recorded widen must merge, got $merged")
+    // and an UNRECORDED extra still refuses
+    assert(Layout.mergeEvolvedType(
+      main.fields.head.dataType, tip.fields.head.dataType,
+      Seq("s"), Set.empty[Seq[String]]).isEmpty)
+  }
+
+  test("branch-renames record line round-trips ids and URL-hostile " +
+      "names, ascending by id") {
+    val entries = Seq((7, "old col", "new:col"), (3, "käse", "K2"),
+      (12, "a.b", "c|d"))
+    val line = Layout.branchRenamesLineOf(entries)
+    assert(line.startsWith("branch-renames="))
+    val back = Layout.parseBranchRenames(Seq(line))
+    assert(back === entries.sortBy(_._1))
+    assert(Layout.parseBranchRenames(Nil) === Nil)
+  }
+
   test("property: merge is idempotent — merging the merged type with " +
       "the same tip under the same record changes nothing") {
     val main = struct("a" -> IntegerType,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.streaming.Trigger
 
@@ -97,6 +98,38 @@ class SnapshotFeedAvailableNowSpec extends SparkSpec {
     assert(drain() === 2)
     assert(spark.read.parquet(sink).as[Int].collect().sorted.toSeq
       === (1 to 60), "restart re-emitted or dropped rows")
+  }
+
+  test("the TYPED feed composes with AvailableNow + bounded batches: " +
+      "a takedown drains as _change_type rows and the run stops at " +
+      "the pin") {
+    val root = tmpDir("anow_typed")
+    val dir = s"$root/t"
+    Layout.snapshotAppend(
+      (1 to 20).map(i => (i.toLong, s"d$i")).toDF("k", "s")
+        .repartition(1), dir, statsCols = Seq("k"))          // v1
+    Layout.snapshotDeleteKeys(spark, dir,
+      Seq(3L, 7L).toDF("k"), Seq("k"))                       // v2
+    Layout.snapshotAppend(Seq((21L, "d21")).toDF("k", "s")
+      .repartition(1), dir)                                  // v3
+    val sink = s"$root/sink"
+    val q = spark.readStream
+      .format("graft-snapshot-changes")
+      .option("changeTypes", "true")
+      .option("maxVersionsPerBatch", "1")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+      "one version per micro-batch through the typed feed")
+    val got = spark.read.parquet(sink)
+    assert(got.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq === Seq(3L, 7L))
+    assert(got.filter(col("_change_type") === "insert").count() === 21L)
   }
 
   test("a commit landing MID-drain is excluded by the pin and drained " +
