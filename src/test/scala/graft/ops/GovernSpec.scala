@@ -301,6 +301,26 @@ class GovernSpec extends SparkSpec {
       "refusal must precede the first irreversible purge")
   }
 
+  test("a TORN open record (no trailing #open) is skipped, never " +
+      "fails the evidence query — and proves nothing was purged") {
+    val root = tmpDir("govern_torn")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    // one COMPLETE cascade, then a hand-torn open record simulating a
+    // crash inside the create-then-write window on a non-atomic store
+    Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"), Nil)
+    val torn = new java.io.File(s"$corpus/gov/td-torncrash.open")
+    val w = new java.io.FileWriter(torn)
+    w.write("takedown=td-torncrash\nop=takedownCascade\n") // no #open
+    w.close()
+    val l = Govern.takedownLedger(spark, corpus)
+    assert(l.select("takedown_id").distinct().count() === 1L,
+      "the torn record must be skipped, not parsed or thrown on")
+    assert(l.filter(col("takedown_id") === "td-torncrash").count() === 0L)
+    assert(l.filter(col("completed")).count() === l.count())
+  }
+
   test("cascade under a PENDING branch-staged rename of the id column " +
       "succeeds with the tip's name, publishes rename + takedown " +
       "atomically, and the re-run converges read-only") {

@@ -229,6 +229,35 @@ class SnapshotBranchRenameSpec extends SparkSpec {
     assert(main.count() === 8L)
   }
 
+  test("the one-commit staged MERGE composes with a staged rename: " +
+      "upserts under the new name, rebase over live traffic, publish") {
+    val dir = newTable(tmpDir("brn_merge"))
+    Layout.snapshotBranch(spark, dir, "mig")
+    Layout.snapshotBranchRename(spark, dir, "mig", Map("k" -> "id"))
+    // a MERGE staged AFTER the rename: masks tip-present keys under
+    // the NEW name, inserts replacements + one new key in ONE commit
+    Layout.snapshotBranchMerge(spark, dir, "mig",
+      Seq((3, "m3"), (5, "m5"), (11, "m11")).toDF("id", "s")
+        .repartition(1), Seq("id"))
+    // live main traffic under the OLD name forces the full re-key:
+    // the merge's key-mask re-keys, its data dir (colliding with its
+    // own mask by construction) REWRITES under the aligned names
+    Layout.snapshotAppend(Seq((12, "main12")).toDF("k", "s")
+      .repartition(1), dir)
+    Layout.snapshotRebase(spark, dir, "mig")
+    Layout.snapshotFastForward(spark, dir, "mig")
+    val main = Layout.snapshotRead(spark, dir)
+    assert(main.columns.toSeq === Seq("id", "s"))
+    assert(main.count() === 12L, "10 base - 2 masked + 2 replaced + " +
+      "1 merge-new + 1 main-new")
+    assert(main.filter(col("id").isin(3, 5, 11)).select(col("s"))
+      .as[String].collect().sorted.toSeq === Seq("m11", "m3", "m5"),
+      "the merge's replacements must survive the rename re-key")
+    assert(main.filter(col("id") === 4).select(col("s"))
+      .as[String].head() === "a4", "untouched base rows resolve")
+    assert(main.filter(col("id") === 12).count() === 1L)
+  }
+
   test("a branch-ADDED column renamed on the branch keeps riding as " +
       "an add under its new name") {
     val dir = newTable(tmpDir("brn9"))
