@@ -306,19 +306,34 @@ class GraftCatalog extends TableCatalog
               "everywhere (see the main-identifier ALTER contract)")
           r.fieldNames().head -> r.newName()
       }
-      require(adds.size + rens.size == changes.size &&
-        (adds.nonEmpty || rens.nonEmpty),
-        s"catalog $catalogName: only ADD COLUMNS and RENAME COLUMN " +
-          "can be STAGED on a branch — drop/retype change how " +
-          "already-staged bytes resolve irreversibly; land them on " +
-          "main (then CALL system.rebase), and set TBLPROPERTIES on " +
-          "the main identifier")
-      require(adds.isEmpty || rens.isEmpty,
+      // ALTER COLUMN TYPE stages too (round 18): a lossless widening
+      // is metadata-only everywhere (q130 — narrow parquet decodes
+      // under the wider type natively), so staging it costs nothing
+      // and the loads staged under the wider type publish with it
+      val rets = changes.collect {
+        case t: TableChange.UpdateColumnType =>
+          require(t.fieldNames().length == 1,
+            s"catalog $catalogName: only top-level columns can be " +
+              "retyped on a branch — nested retypes are refused " +
+              "everywhere (see the main-identifier ALTER contract)")
+          t.fieldNames().head -> t.newDataType()
+      }
+      require(adds.size + rens.size + rets.size == changes.size &&
+        (adds.nonEmpty || rens.nonEmpty || rets.nonEmpty),
+        s"catalog $catalogName: only ADD COLUMNS, RENAME COLUMN, and " +
+          "ALTER COLUMN TYPE (lossless widening) can be STAGED on a " +
+          "branch — a DROP changes how already-staged bytes resolve " +
+          "irreversibly; land it on main (then CALL system.rebase), " +
+          "and set TBLPROPERTIES on the main identifier")
+      require(Seq(adds.nonEmpty, rens.nonEmpty, rets.nonEmpty)
+          .count(identity) <= 1,
         s"catalog $catalogName: one staged ALTER statement = one " +
-          "branch commit — stage ADD COLUMNS and RENAME COLUMN as " +
-          "separate statements")
+          "branch commit — stage ADD COLUMNS, RENAME COLUMN, and " +
+          "ALTER COLUMN TYPE as separate statements")
       if (rens.nonEmpty) Layout.snapshotBranchRename(spark, bdir, br,
         rens.toMap)
+      else if (rets.nonEmpty) Layout.snapshotBranchRetype(spark, bdir,
+        br, rets.toMap)
       else {
         val widened = widenWithAdds(
           Layout.snapshotBranchRead(spark, bdir, br).schema, adds)

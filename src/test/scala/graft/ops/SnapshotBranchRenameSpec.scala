@@ -303,10 +303,11 @@ class SnapshotBranchRenameSpec extends SparkSpec {
     val main = spark.table(s"$cat.db.t")
     assert(main.columns.toSeq === Seq("id", "s"))
     assert(main.count() === 3L)
-    // drop/retype still refuse on a branch, naming the remedy
+    // DROP still refuses on a branch, naming the remedy (round 18:
+    // retype now stages — see SnapshotBranchRetypeSpec)
     val e = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.`t@mig` DROP COLUMN s")
     }
-    assert(e.getMessage.contains("land them on main"))
+    assert(e.getMessage.contains("land it on main"))
   }
 }

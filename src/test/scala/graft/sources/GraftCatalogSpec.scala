@@ -377,16 +377,20 @@ class GraftCatalogSpec extends SparkSpec {
       "ONE publish ships the ALTER and its backfill")
     assert(Layout.snapshotKeyCols(x, dir) === Seq("k"),
       "the key declaration survives the staged evolve")
-    // RENAME COLUMN stages too (round 17) — here it refuses on the
-    // LIVE overlay the published backfill left (key files carry the
-    // current names); DROP/RETYPE keep the land-on-main refusal
+    // RENAME COLUMN stages too (round 17), ALTER COLUMN TYPE too
+    // (round 18) — here both refuse on the LIVE overlay the published
+    // backfill left (key files carry the current names/types); DROP
+    // keeps the land-on-main refusal
     x.sql(s"CALL $cat.system.branch('db.mg', 'mig2')")
     assert(intercept[Exception] {
       x.sql(s"ALTER TABLE $cat.db.`mg@mig2` RENAME COLUMN s TO label")
     }.getMessage.contains("overlay"))
     assert(intercept[Exception] {
+      x.sql(s"ALTER TABLE $cat.db.`mg@mig2` ALTER COLUMN k TYPE DOUBLE")
+    }.getMessage.contains("overlay"))
+    assert(intercept[Exception] {
       x.sql(s"ALTER TABLE $cat.db.`mg@mig2` DROP COLUMN s")
-    }.getMessage.contains("land them on main"))
+    }.getMessage.contains("land it on main"))
   }
 
   test("DELETE FROM lands a file-granular copy-on-write commit") {
