@@ -33,7 +33,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val registered = SparkEntry.queries.keySet
     val lost = inSource -- registered
     assert(lost.isEmpty, s"query names in source but not registered: $lost")
-    assert(registered.size === 166,
+    assert(registered.size === 167,
       s"registry count drifted to ${registered.size} — if a query was " +
         "added/removed deliberately, bump this pin in the same commit")
   }

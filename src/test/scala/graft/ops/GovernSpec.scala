@@ -514,4 +514,155 @@ class GovernSpec extends SparkSpec {
     assert(corpusServes(corpus) === 0L && chunksServe(chunks) === 0L &&
       vectorServes(vidx) === 0L && sigServes(sidx) === 0L)
   }
+
+  test("ledger records carry their OWN instants (round 18): opened_at " +
+      "on every attempt, completed_at only once complete, both " +
+      "ISO-8601 and ordered") {
+    val root = tmpDir("govern_at")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    intercept[Crash] {
+      Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+        Nil, beforeCorpusPublish = () => throw new Crash)
+    }
+    Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"), Nil)
+    val l = Govern.takedownLedger(spark, corpus)
+    assert(l.filter(col("opened_at").isNull).count() === 0L,
+      "every attempt's open record embeds its instant")
+    assert(l.filter(!col("completed") && col("completed_at").isNotNull)
+      .count() === 0L,
+      "a crashed attempt has no completion instant — forever")
+    val doneRows = l.filter(col("completed"))
+      .select("opened_at", "completed_at").distinct()
+      .as[(String, String)].collect()
+    assert(doneRows.nonEmpty)
+    doneRows.foreach { case (o, c) =>
+      val oi = java.time.Instant.parse(o)
+      val ci = java.time.Instant.parse(c)
+      assert(!ci.isBefore(oi), "completion cannot precede the open")
+    }
+  }
+
+  test("ledger evidence is retention-EXEMPT: snapshotExpire and " +
+      "snapshotMaintain never touch gov/") {
+    val root = tmpDir("govern_ret")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"), Nil)
+    Layout.snapshotAppend(
+      Seq((900001L, "later")).toDF("doc_id", "text"), corpus)
+    val before = Govern.takedownLedger(spark, corpus).collect().toSet
+    assert(before.nonEmpty)
+    // aggressive maintenance: keep 1 version, zero orphan grace
+    Layout.snapshotExpire(spark, corpus, keep = 1, orphanGraceMs = 0L)
+    Layout.snapshotMaintain(spark, corpus, orphanGraceMs = 0L)
+    assert(Govern.takedownLedger(spark, corpus).collect().toSet ===
+      before,
+      "the evidence must outlive the data retention cycle untouched")
+  }
+
+  test("ledgerArchive MOVES old completed pairs to gov/archive — " +
+      "never deletes, never archives incomplete attempts, and the " +
+      "ledger query serves both locations") {
+    val root = tmpDir("govern_arch")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text")),
+      corpus, statsCols = Seq("doc_id"))
+    intercept[Crash] {
+      Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"),
+        Nil, beforeCorpusPublish = () => throw new Crash)
+    }
+    Govern.takedownCascade(spark, corpus, removed, Seq("doc_id"), Nil)
+    val before = Govern.takedownLedger(spark, corpus).collect().toSet
+    // a cutoff in the future: the COMPLETED attempt archives, the
+    // crashed (incomplete) one must stay hot — it is the actionable
+    // crash evidence
+    val moved = Govern.ledgerArchive(spark, corpus,
+      java.time.Instant.now().plusSeconds(3600))
+    assert(moved === 1L)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hot = fs.listStatus(new org.apache.hadoop.fs.Path(corpus, "gov"))
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    assert(hot.exists(_.endsWith(".open")) &&
+      !hot.exists(_.endsWith(".done")),
+      "only the incomplete attempt's open record stays hot")
+    val arch = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$corpus/gov/archive"))
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    assert(arch.count(_.endsWith(".done")) === 1 &&
+      arch.count(_.endsWith(".open")) === 1,
+      "the completed pair moved whole")
+    assert(Govern.takedownLedger(spark, corpus).collect().toSet ===
+      before,
+      "archival must never hide evidence from the ledger query")
+    // idempotent: nothing left to move
+    assert(Govern.ledgerArchive(spark, corpus,
+      java.time.Instant.now().plusSeconds(3600)) === 0L)
+    // a past cutoff moves nothing
+    assert(Govern.ledgerArchive(spark, corpus,
+      java.time.Instant.parse("2000-01-01T00:00:00Z")) === 0L)
+  }
+
+  test("ids digest identifies the judged SET: duplicated input ids " +
+      "digest identically (the pinned frame is distinct by " +
+      "construction — ADVICE r18 #2)") {
+    val root = tmpDir("govern_dig")
+    val c1 = s"$root/c1"
+    val c2 = s"$root/c2"
+    Seq(c1, c2).foreach(c => Layout.snapshotAppend(
+      docs.select(col("doc_id"), col("text")), c,
+      statsCols = Seq("doc_id")))
+    Govern.takedownCascade(spark, c1, removed, Seq("doc_id"), Nil)
+    // same id set, but with every id duplicated — XOR cancellation
+    // would zero a non-distinct digest; the distinct() pin keeps it
+    // identical to the clean frame's
+    Govern.takedownCascade(spark, c2,
+      removed.unionAll(removed), Seq("doc_id"), Nil)
+    val d1 = Govern.takedownLedger(spark, c1)
+      .select("ids_digest", "ids_count").distinct()
+      .as[(String, Long)].head()
+    val d2 = Govern.takedownLedger(spark, c2)
+      .select("ids_digest", "ids_count").distinct()
+      .as[(String, Long)].head()
+    assert(d1 === d2, "digest and count identify the SET, not the bag")
+  }
+
+  test("a main column SHADOWING the staged rename's target name " +
+      "refuses loudly instead of fabricating a takedown (ADVICE r18 " +
+      "#1): the probe degrades to staging and the rebase names the " +
+      "collision") {
+    val root = tmpDir("govern_shadow")
+    val corpus = s"$root/corpus"
+    Layout.snapshotAppend(docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 10 =!= 3), corpus,
+      statsCols = Seq("doc_id"))
+    Layout.snapshotBranch(spark, corpus, "migrate")
+    Layout.snapshotBranchRename(spark, corpus, "migrate",
+      Map("doc_id" -> "id"))
+    // main independently ADDS an unrelated column named 'id' AND
+    // ingests the takedown targets — both AFTER the branch was based:
+    // the old behavior judged main's unrelated 'id' (an absence
+    // probe over the wrong column), skipped staging, and reported a
+    // completed takedown while the corpus still served the docs
+    Layout.snapshotEvolve(docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") * 2).as("id")), corpus)
+    val ids = removed.withColumnRenamed("doc_id", "id")
+    val e = intercept[IllegalArgumentException] {
+      Govern.takedownCascade(spark, corpus, ids, Seq("id"), Nil,
+        viaBranch = Some("migrate"))
+    }
+    assert(e.getMessage.contains("name collision") ||
+      e.getMessage.contains("carries a column of that name"),
+      s"the rebase must surface the genuine collision: ${e.getMessage}")
+    assert(Layout.snapshotRead(spark, corpus)
+      .join(removed, Seq("doc_id"), "left_semi").count() > 0L,
+      "the docs are still served — and the ledger must NOT say done")
+    val l = Govern.takedownLedger(spark, corpus)
+    assert(l.filter(col("completed")).count() === 0L,
+      "no fabricated completion evidence")
+  }
 }

@@ -393,6 +393,29 @@ class GraftCatalogSpec extends SparkSpec {
     }.getMessage.contains("land it on main"))
   }
 
+  test("snapshot_takedowns resolves a CATALOG identifier (round 18): " +
+      "an auditor in a SQL-only session needs no physical path") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, text STRING)")
+    spark.sql(s"INSERT INTO $cat.db.docs VALUES (1, 'a'), (2, 'b'), " +
+      "(3, 'c')")
+    val dir = s"$root/db/docs"
+    graft.ops.Govern.takedownCascade(spark, dir,
+      Seq(2L).toDF("doc_id"), Seq("doc_id"), Nil)
+    graft.plans.SnapshotTvf.ensureSqlDoor(spark)
+    // identifier form == directory form, row for row
+    val viaIdent = spark.sql(
+      s"SELECT * FROM snapshot_takedowns('$cat.db.docs')").collect()
+    val viaDir = spark.sql(
+      s"SELECT * FROM snapshot_takedowns('$dir')").collect()
+    assert(viaIdent.toSeq === viaDir.toSeq && viaIdent.nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM " +
+        s"snapshot_takedowns('$cat.db.docs') WHERE completed AND " +
+        "opened_at IS NOT NULL AND completed_at IS NOT NULL")
+      .as[Long].head() === 1L,
+      "the identifier door serves the instant-bearing evidence")
+  }
+
   test("DELETE FROM lands a file-granular copy-on-write commit") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, s STRING)")
