@@ -100,6 +100,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ShingleMinHash(exprs(0),
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Boolean]), "built-in")
     // typed Aggregator → SQL surface: SELECT vec_centroid(embedding) …
     spark.udf.register("vec_centroid",
       org.apache.spark.sql.functions.udaf(VecCentroid))

@@ -341,23 +341,29 @@ object Dedup {
   // ---------------------------------------------------------------- jaccard
 
   /** Exploded (id, shingle-hash) inverted index with per-doc set semantics
-    * (`array_distinct` inside the row, so no global dedup shuffle).
+    * (distinct inside the row, so no global dedup shuffle).
     *
-    * Form chosen by interleaved A/B at sf0.1: explode-over-HOF-array
-    * 1.47 s vs posexplode+`element_at`+`distinct()` 2.00 s. The
-    * InferFiltersFromGenerate re-eval that makes the HOF-array explode
-    * catastrophic elsewhere (see [[Text.topBigramRatios]]: 146 s → 1.6 s)
-    * is mild here because the `spread` exchange separates the scan from
-    * the Generate — while the posexplode form must pay a real `distinct`
-    * exchange for the per-doc set semantics this index needs and
-    * duplicates the token array per emitted shingle. Measure before
-    * "fixing" either direction. */
+    * The tokenize→shingle→MD5→dedup pass is ONE fused codegen'd
+    * expression ([[graft.functions.ShingleHashes]], round-18 guide-§4
+    * rewrite): the previous composable form
+    * (`explode(array_distinct(transform(shinglesOf(toks,…), md5Long)))`)
+    * left the whole stage in interpreted CodegenFallback HOFs and
+    * dominated every n-gram gate; value parity is spec-pinned
+    * (ShingleHashesSpec) and every consumer is oracle-checked. The hash
+    * array is materialized in its own projection so the
+    * InferFiltersFromGenerate guard (`size(hs) > 0`) tests the attribute
+    * instead of re-evaluating the pass per row. */
   private def shingleHashIndex(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      as: String): DataFrame =
+      as: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     spread(docs)
       .select(col(idCol).as(as), Text.tokens(col(textCol)).as("toks"))
-      .select(col(as), explode(Text.shingleHashesOf(col("toks"), shingleN)).as("h"))
+      .select(col(as),
+        call_function("shingle_hashes", col("toks"), lit(shingleN),
+          lit(true)).as("hs"))
+      .select(col(as), explode(col("hs")).as("h"))
+  }
 
   /** The `(<as>, h)` shingle-hash posting index the n-gram gates join on,
     * exposed for compositions that reuse one corpus index across several
@@ -367,6 +373,22 @@ object Dedup {
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, as: String = "id"): DataFrame =
     shingleHashIndex(docs, idCol, textCol, shingleN, as)
+
+  /** [[shingleIndex]] over an already-tokenized (and typically fanned-out
+    * / persisted) `(id, toks)` frame — for compositions that materialize
+    * tokens once and feed several gates from the same column (round-18:
+    * [[Curate.buildCorpus]]). No extra rebalance: the caller owns the
+    * frame's partitioning. Identical hashes and row set to the text
+    * form. */
+  def shingleIndexOfTokens(toked: DataFrame, idCol: String,
+      toksCol: String, shingleN: Int = 3, as: String = "id"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(toked.sparkSession)
+    toked
+      .select(col(idCol).as(as),
+        call_function("shingle_hashes", col(toksCol), lit(shingleN),
+          lit(true)).as("hs"))
+      .select(col(as), explode(col("hs")).as("h"))
+  }
 
   /** Incremental near-dup detection: which INCOMING docs near-dup a doc
     * of the EXISTING corpus — the operational form at 100 TB, where each
@@ -443,9 +465,15 @@ object Dedup {
   def boilerplateFractions(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, minDocs: Int = 5): DataFrame = {
+    // ROUND-18 (guide §2.4): doc-frequency as a WINDOW over the one
+    // shingle stream instead of a groupBy(h) + join-back — the join form
+    // referenced the shingle subtree twice (two full tokenize→shingle→MD5
+    // passes, no exchange reuse across agg/probe sides); the window form
+    // runs the pass once, spills safely per h-partition, and feeds the
+    // per-doc aggregate directly. Same df values, same output.
     val sh = shingleHashIndex(docs, idCol, textCol, shingleN, "id")
-    val dfq = sh.groupBy(col("h")).agg(count(lit(1)).as("docfreq"))
-    val per = sh.join(dfq, Seq("h"))
+    val per = sh
+      .withColumn("docfreq", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("docfreq") >= minDocs, 1L).otherwise(0L)).as("n_common"))
@@ -539,17 +567,42 @@ object Dedup {
   def ngramJaccardPairsOnIndex(
       sh: DataFrame, threshold: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    // NOT cached: measured at sf0.1 (q46, min-of-5) — a MEMORY_AND_DISK
-    // persist here is timing-neutral because ReusedExchange already
-    // shares the df-window exchange between both sides of the self-join,
-    // and the sizes branch is one cheap narrow agg
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxShingleDocFreq).drop("df")
-    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val common = filtered.as("a")
-      .join(filtered.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // ROUND-18 RESTRUCTURE (guide §2.4 — remove shuffles/passes outright).
+    // The previous form (window-df cap + posting-list SELF-join + two
+    // per-id size aggregates) referenced the shingle subtree FOUR times;
+    // lambda-carrying HOF exprIds defeated exchange canonicalization, so
+    // the full tokenize→shingle→MD5 pass ran up to 4× per query
+    // (StageProbe: 2–4 shingle map stages per q46/q98 run). This form
+    // buckets ids per shingle hash ONCE (the df cap becomes a bucket-size
+    // filter — identical row set) and derives BOTH the pair counts and the
+    // per-id sizes from that one aggregate, so the heavy pass sits below a
+    // single canonical Exchange(h) that ReuseExchange shares between the
+    // two consumers. Pair generation is a streaming two-level explode over
+    // the sorted bucket (one row at a time — no k² array materialized);
+    // per-bucket memory is bounded by `maxShingleDocFreq`, exactly the
+    // bound the old window form already imposed on its join blowup.
+    // Results are bit-identical: same pair set (shared-bucket pairs with
+    // a < b), same integer common/n_a/n_b, same double division.
+    ngramJaccardPairsOnBuckets(shingleBuckets(sh, maxShingleDocFreq),
+      threshold)
+  }
+
+  /** [[ngramJaccardPairsOnIndex]] over a prebuilt (and typically
+    * persisted) [[shingleBuckets]] frame — for compositions that feed
+    * several gates from ONE bucket table ([[Curate.buildCorpus]]). */
+  def ngramJaccardPairsOnBuckets(byH: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sizes = byH
+      .select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = byH
+      .filter(size(col("ids")) >= 2)
+      .select(sort_array(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
@@ -559,6 +612,23 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
+  /** One bucket row per shingle hash: `(h, ids)` with ids = every doc
+    * carrying that shingle, capped at `maxDF` (the stop-shingle filter —
+    * the same row set the old window-df form kept, as a bucket-size
+    * predicate). The id column is whatever single non-`h` column the
+    * index carries, so compositions that feed SEVERAL gates from one
+    * index (near-dup + contamination in [[Curate.buildCorpus]]) produce
+    * canonically identical subtrees and share one Exchange(h) via
+    * ReuseExchange. List order is shuffle-arrival order — every consumer
+    * either aggregates order-free or sorts first. Per-row memory is
+    * O(maxDF); a corpus whose hot shingles exceed the cap is exactly the
+    * corpus the cap exists for. */
+  private[ops] def shingleBuckets(sh: DataFrame, maxDF: Long): DataFrame = {
+    val idc = sh.columns.filter(_ != "h").head
+    sh.groupBy(col("h")).agg(collect_list(col(idc)).as("ids"))
+      .filter(size(col("ids")) <= maxDF)
   }
 
   /** Benchmark decontamination: for every (corpus doc, benchmark doc) pair
@@ -593,12 +663,31 @@ object Dedup {
       docIndex: DataFrame, benchIndex: DataFrame,
       minContainment: Double = 0.5,
       maxShingleDocFreq: Long = 1000000L): DataFrame = {
-    val d = docIndex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxShingleDocFreq).drop("df")
+    // ROUND-18 RESTRUCTURE (guide §2.4), same move as
+    // [[ngramJaccardPairsOnIndex]]: the corpus-side stop-shingle cap is a
+    // bucket-size filter over ONE groupBy(h) aggregate instead of a
+    // window pass, so a composition feeding several gates from one index
+    // shares the corpus shingle exchange (canonically identical subtree)
+    // instead of re-running the text pass. The doc id column is whatever
+    // single non-`h` column `docIndex` carries (aliased to `doc_id` on
+    // output), which is what lets [[Curate.buildCorpus]] hand the SAME
+    // index frame to both gates. Bench posting lists are never capped
+    // (dropping one could mask real contamination) and the bench side is
+    // small by contract, so the h-join broadcasts it. Row set, counts and
+    // doubles are bit-identical to the window form.
+    benchmarkContaminationOnBuckets(
+      shingleBuckets(docIndex, maxShingleDocFreq), benchIndex,
+      minContainment)
+  }
+
+  /** [[benchmarkContaminationOnIndex]] over a prebuilt (and typically
+    * persisted) corpus-side [[shingleBuckets]] frame. */
+  def benchmarkContaminationOnBuckets(byH: DataFrame,
+      benchIndex: DataFrame, minContainment: Double = 0.5): DataFrame = {
     val b = benchIndex
     val benchSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
-    d.join(b, Seq("h"))
+    byH.join(b, Seq("h"))
+      .select(explode(col("ids")).as("doc_id"), col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_common"))
       .join(benchSizes, Seq("bench_id"))
@@ -796,6 +885,7 @@ object Dedup {
       windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
     val w = windowTokens
     require(w >= 1, "windowTokens must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // spread BEFORE tokenizing: the window-hash pass below is the cost
     val toked = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), Text.tokens(col(textCol)).as("t"))
@@ -809,12 +899,13 @@ object Dedup {
     // session (a lazily-evaluated result can't unpersist behind its own
     // consumer; Spark evicts LRU under memory pressure, and
     // `spark.catalog.clearCache()` reclaims it explicitly).
+    // fused codegen'd window-hash pass (graft.functions.ShingleHashes,
+    // distinct=false: one hash per window position, position order —
+    // value-identical to the interpreted transform/md5Long form it
+    // replaces; round-18 guide-§4 rewrite, parity spec-pinned)
     val wins = toked
       .select(col("doc_id"), posexplode(
-        when(size(col("t")) >= w,
-          transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
-            i => PortableHash.md5Long(concat_ws(" ", slice(col("t"), i, lit(w))))))
-          .otherwise(array().cast("array<long>"))))
+        call_function("shingle_hashes", col("t"), lit(w), lit(false))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

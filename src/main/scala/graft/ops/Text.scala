@@ -35,7 +35,11 @@ object Text {
 
   /** Stopword hits: tokens ∈ the fixed set. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    stopwordHitsOf(tokens(text), stopwords)
+
+  /** [[stopwordHits]] over an already-materialized token column. */
+  def stopwordHitsOf(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -44,12 +48,19 @@ object Text {
     * length, mean word length, stopword ratio, punctuation density,
     * alphabetic ratio. Composite score in [0,1] — a linear blend, clamped.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] with the token array supplied by the caller — for
+    * pipelines that materialize tokens ONCE and feed several per-row
+    * gates from the same column (round-18: [[Curate.buildCorpus]]'s
+    * token-reuse restructure). Identical arithmetic, identical value. */
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val nChars = length(text).cast("double")
-    val nToks  = tokenCount(text).cast("double")
+    val nToks  = size(toks).cast("long").cast("double")
     val meanWordLen = when(nToks > 0, nChars / nToks).otherwise(lit(0.0))
     val stopRatio =
-      when(nToks > 0, stopwordHits(text, EnglishStopwords).cast("double") / nToks)
+      when(nToks > 0, stopwordHitsOf(toks, EnglishStopwords).cast("double") / nToks)
         .otherwise(lit(0.0))
     val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
       .cast("double")
@@ -144,9 +155,20 @@ object Text {
     * token stream to tokenize once instead of twice.
     * Docs with zero tokens surface with n_tokens=0 and a null score. */
   def unigramLogProbs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    unigramLogProbsOf(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks")
+
+  /** [[unigramLogProbs]] over an already-tokenized `(id, toks)` frame —
+    * for pipelines that materialize (and persist) tokens once and feed
+    * both the vocab count and the scoring join from the same column
+    * (round-18 token-reuse restructure; the standalone text form above
+    * still tokenizes per consumer). Identical plan shape and values. */
+  def unigramLogProbsOf(toked: DataFrame, idCol: String,
+      toksCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val toks = toked.select(col(idCol), explode(col(toksCol)).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val scored = freq
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
@@ -155,7 +177,7 @@ object Text {
     val per = toks.join(broadcast(scored), Seq("tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), avg(col("logp")).as("avg_logprob"))
-    docs.select(col(idCol))
+    toked.select(col(idCol))
       .join(per, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("avg_logprob"))

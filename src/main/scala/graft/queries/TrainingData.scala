@@ -623,6 +623,13 @@ object TrainingData {
       "q46_curation",
       (s, d) => {
         val docs = T.documents(s, d)
+        // round-18 note: the quality filter runs serialized on the
+        // single-row-group scan (~0.4 s CPU at sf0.1). A Par.fanOut was
+        // tried and REVERTED: Catalyst pushes deterministic filters
+        // below Repartition, so the regex battery stayed on one core and
+        // the round-robin exchange floated uselessly above the anti-join.
+        // This is fixture-layout skew (guide §2.5) — at 100 TB the scan
+        // splits and the filter parallelizes by itself.
         val kept = docs.filter(Text.qualityScore(col("text")) >= 0.8 &&
           Text.tokenCount(col("text")) >= 10)
         val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
