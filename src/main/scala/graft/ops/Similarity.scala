@@ -254,13 +254,18 @@ object Similarity {
     * once per query row; [[graft.functions.PqAdc]] then scores each
     * (query, doc) pair with m table lookups. */
   def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    // round-18: one flattened (m·kCodes)×sub codebook literal indexed per
+    // entry instead of m·kCodes separate per-element literal arrays — the
+    // old form put m·kCodes·sub Literal nodes in the tree, re-walked by
+    // the analyzer/optimizer on every retrieval run (guide §7.3). Same
+    // float literals, same VecDot fold, same per-entry cast to float.
     val sub = books(0)(0).length
-    array(books.zipWithIndex.flatMap { case (codes, j) =>
-      val sv = slice(vec, j * sub + 1, sub)
-      codes.map { c =>
-        dot(sv, array(c.map(v => lit(v.toFloat)).toIndexedSeq: _*)).cast("float")
-      }
-    }.toIndexedSeq: _*)
+    val kCodes = books(0).length
+    val bLit = typedlit(
+      books.flatMap(_.map(_.map(_.toFloat).toSeq)).toSeq)
+    transform(sequence(lit(0), lit(books.length * kCodes - 1)), j =>
+      dot(slice(vec, (j.divide(lit(kCodes)).cast("int") * sub) + 1, lit(sub)),
+        element_at(bLit, j + 1)).cast("float"))
   }
 
   /** PQ approximate top-k by cosine: corpus encoded once (one scan, codes

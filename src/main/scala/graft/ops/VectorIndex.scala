@@ -50,15 +50,25 @@ object VectorIndex {
 
   /** ascending (distance, cell) ranking of every IVF cell for `vec` —
     * -2·v·c + |c|² orders like true L2 distance (|v|² is constant per
-    * row). Mirrors the in-process paths in [[Similarity]]. */
+    * row). Mirrors the in-process paths in [[Similarity]].
+    *
+    * Round-18 form: the centroid matrix is ONE two-level array literal
+    * indexed per cell, not nCells separate per-element literal arrays —
+    * the old form put nCells×dim Literal nodes in the tree (a 14 KB
+    * expression line in q103's plan), and the analyzer/optimizer re-walk
+    * that tree on every retrieval run (driver time, guide §7.3). Values
+    * are bit-identical: same float literals, same VecDot fold, same
+    * -2·dot + |c|² doubles, same (score, cell) sort. */
   private def cellRanking(vec: Column,
-      centers: Array[Array[Double]]): Column =
-    sort_array(array(centers.zipWithIndex.toIndexedSeq.map { case (cn, i) =>
+      centers: Array[Array[Double]]): Column = {
+    val cLit = typedlit(centers.map(_.map(_.toFloat).toSeq).toSeq)
+    val n2Lit = typedlit(centers.map(c => c.map(v => v * v).sum).toSeq)
+    sort_array(transform(sequence(lit(0), lit(centers.length - 1)), i =>
       struct(
-        (lit(-2.0) * dot(vec, array(cn.map(v => lit(v.toFloat)).toIndexedSeq: _*)) +
-          lit(cn.map(v => v * v).sum)).as("score"),
-        lit(i).as("cell"))
-    }: _*))
+        (lit(-2.0) * dot(vec, element_at(cLit, i + 1)) +
+          element_at(n2Lit, i + 1)).as("score"),
+        i.as("cell"))))
+  }
 
   /** Fit (deterministic bounded sample), encode the corpus, and write
     * the index. Returns the build parameters. */
@@ -237,15 +247,22 @@ object VectorIndex {
         s"vector index at $dir was built with $n=$got but the caller " +
           s"expects $n=$want — rebuild the index or match its parameters")
     }
+    // round-18: collect unsorted and order on the driver — the routing
+    // tables are vocabulary-sized (≤ a few hundred rows), and the old
+    // `.orderBy(...).collect()` forms each paid a range-partitioning
+    // shuffle (sampling pass + exchange = 2-3 extra jobs per open) on
+    // the retrieval hot path. Same arrays, bit-identically.
     val centers = spark.read.parquet(s"$dir/_centroids")
-      .orderBy("cell").collect()
+      .collect()
+      .sortBy(_.getAs[Int]("cell"))
       .map(_.getAs[Seq[Double]]("vec").toArray)
     require(centers.length == params.nCells,
       s"index at $dir: ${centers.length} centroids, meta says ${params.nCells}")
     val books = spark.read.parquet(s"$dir/_books")
-      .orderBy("sub", "code").collect()
+      .collect()
       .groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
-      .map(_._2.map(_.getAs[Seq[Double]]("vec").toArray))
+      .map(_._2.sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[Seq[Double]]("vec").toArray))
       .toArray
     (params, centers, books)
   }
