@@ -223,16 +223,36 @@ object Dedup {
       numHashes: Int = 24, shingleN: Int = 3,
       bands: Int = 8, threshold: Double = 0.5,
       maxBandDocFreq: Long = 1000000L): DataFrame = {
-    val banded =
-      bandedSignatureIndex(docs, idCol, textCol, numHashes, shingleN, bands)
-        .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"))))
-        .filter(col("bdf") <= maxBandDocFreq).drop("bdf")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    // ROUND-18 RESTRUCTURE (guide §2.4), the [[ngramJaccardPairsOnIndex]]
+    // move applied to the band join: the self-join's two sides each drove
+    // their own band-explode exchange over the cached signature table
+    // (an InMemoryRelation below duplicated exchanges defeats AQE's
+    // exchange reuse — measured on q27/q98), and both sides shuffled the
+    // full 24-long signatures. Now ids are bucketed per band ONCE (the
+    // stop-band cap becomes a bucket-size filter — identical row set),
+    // candidate pairs stream out of a two-level explode of the sorted
+    // bucket, and signatures attach to the O(pairs) DISTINCT candidate
+    // set by two joins against the cached signature table — the band
+    // exchange carries 8-byte ids, never signatures. Same pair set
+    // (shared-band pairs with a < b, sig is a function of id), same
+    // estimator arithmetic, bit-identical output.
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val banded = sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("band"))
+    val byBand = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBandDocFreq)
+    val cand = byBand
+      .filter(size(col("ids")) >= 2)
+      .select(sort_array(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
       .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
