@@ -24,14 +24,20 @@ object Text {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Token count as one compiled find() loop
+    * ([[graft.functions.RegexCount]], round 19 §4): counting via
+    * `size(regexp_extract_all)` materialized every token string just to
+    * take the array's length. Same value (null text → null, matching the
+    * oracle's `len(regexp_extract_all(NULL))`). */
+  def tokenCount(text: Column): Column =
+    call_function("regex_count", text, lit("\\S+"))
 
   /** BPE-ish sub-word segmentation (GPT-2-style coarse classes: letter runs,
     * single digits, punctuation runs). A stand-in for a real BPE vocab —
     * the regex shape is what matters for cost modeling. */
   def bpeIshCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"), lit(0)))
-      .cast("long")
+    call_function("regex_count", text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"))
 
   /** Stopword hits: tokens ∈ the fixed set. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
@@ -62,7 +68,9 @@ object Text {
     val stopRatio =
       when(nToks > 0, stopwordHitsOf(toks, EnglishStopwords).cast("double") / nToks)
         .otherwise(lit(0.0))
-    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    // fused count — the per-character class made regexp_extract_all
+    // allocate one UTF8String per punctuation mark (RegexCount, §4)
+    val punct = call_function("regex_count", text, lit("[^A-Za-z0-9\\s]"))
       .cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
     val lenScore = least(nToks / lit(50.0), lit(1.0))
@@ -145,14 +153,22 @@ object Text {
     * Plan: the token explode feeds the vocab count (hash agg on token,
     * map-side combined — the exchange carries per-task distinct-token
     * counts, not the corpus) and the scoring join; the corpus total is a
-    * WINDOW over the vocab-sized count table (an `agg`+crossJoin would
-    * re-tokenize the whole corpus a third time — Catalyst does not reuse
-    * the subplan); the scored vocab is BROADCAST back, so the corpus-side
-    * token stream is never shuffled for the join — its only exchange is
-    * the final per-doc agg. At web scale with a heavy-tailed vocab above
-    * broadcast size, drop the `broadcast` hint and let both sides shuffle
-    * on token (the agg already paid that partitioning), and persist the
-    * token stream to tokenize once instead of twice.
+    * SCALAR aggregate over the count table, broadcast back with a 1-row
+    * crossJoin. Round 19 (guide §2/§5): the previous form computed the
+    * total as `sum(cnt) OVER ()` — a no-partition window that moves the
+    * ENTIRE vocabulary to one partition (the "No Partition Defined for
+    * Window" warning wall); vocab-sized here, but a billions-of-rows
+    * single task at 100 TB. The scalar-agg side re-references the count
+    * subtree, and ReuseExchange shares the one Exchange(tok) between the
+    * total and the scoring projection (canonically identical subtrees —
+    * verified in the committed q71/q98 after-plans), so the corpus is
+    * still tokenized exactly once. The scored vocab is BROADCAST back, so
+    * the corpus-side token stream is never shuffled for the join — its
+    * only exchange is the final per-doc agg. At web scale with a
+    * heavy-tailed vocab above broadcast size, drop the `broadcast` hint
+    * and let both sides shuffle on token (the agg already paid that
+    * partitioning), and persist the token stream to tokenize once
+    * instead of twice.
     * Docs with zero tokens surface with n_tokens=0 and a null score. */
   def unigramLogProbs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -167,11 +183,17 @@ object Text {
     * still tokenizes per consumer). Identical plan shape and values. */
   def unigramLogProbsOf(toked: DataFrame, idCol: String,
       toksCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = toked.select(col(idCol), explode(col(toksCol)).as("tok"))
+    // outer + isNotNull: same rows (token elements are never null; outer
+    // only adds a null row for empty arrays, filtered right here), but
+    // InferFiltersFromGenerate can't clone the tokenizer into the scan
+    // filter (see topBigramRatios — the q71 before-plan had the regex in
+    // the scan Condition AND the projection)
+    val toks = toked
+      .select(col(idCol), explode_outer(col(toksCol)).as("tok"))
+      .filter(col("tok").isNotNull)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val scored = freq
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val scored = freq.crossJoin(broadcast(total))
       .select(col("tok"),
         log2(col("cnt").cast("double") / col("total").cast("double")).as("logp"))
     val per = toks.join(broadcast(scored), Seq("tok"))
@@ -207,11 +229,17 @@ object Text {
             i => struct(element_at(col("t"), i).as("w1"),
               element_at(col("t"), i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bs"))
-      .select(col(idCol), explode(col("bs")).as("b"))
+      // outer + isNotNull — identical rows (bigram structs are never
+      // null; outer only adds a null row for < 2-token docs, filtered
+      // here), keeps InferFiltersFromGenerate from cloning the whole
+      // tokenize+pair chain into the scan filter (see topBigramRatios)
+      .select(col(idCol), explode_outer(col("bs")).as("b"))
+      .filter(col("b").isNotNull)
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cnt2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val vocab = docs.select(explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
       .agg(countDistinct(col("tok")).as("v"))
     val scored = cnt2.join(cnt1, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
@@ -266,7 +294,7 @@ object Text {
   val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   def piiCount(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+    call_function("regex_count", text, lit(pattern))
 
   /** Redact PII with typed placeholders. Pass order is pinned
     * (email → phone → IPv4) so both engines produce the same text even
@@ -334,8 +362,13 @@ object Text {
       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(28, 14)
+    // outer + isNotNull — same rows, no InferFiltersFromGenerate clone of
+    // the tokenizer into the scan filter (see topBigramRatios); this
+    // subtree is referenced twice (counts + total), so the inner-explode
+    // guard cost FOUR regex passes here
     val toks = docs.select(col(groupCol).as("_src"),
-      explode(tokens(col(textCol))).as("_tok"))
+        explode_outer(tokens(col(textCol))).as("_tok"))
+      .filter(col("_tok").isNotNull)
     val perGrp = toks.groupBy(col("_src"), col("_tok"))
       .agg(count(lit(1)).as("_c_s"))
     val tot = toks.agg(count(lit(1)).as("_n_tot"))
@@ -378,8 +411,17 @@ object Text {
   def topBigramRatios(withTokens: DataFrame, idCol: String,
       toksCol: String): DataFrame =
     withTokens
+      // OUTER posexplode (round 19): InferFiltersFromGenerate derives
+      // `size(toks) > 0` from an inner explode and PushDownPredicates
+      // substitutes the tokenizer regex into the SCAN filter — q47's
+      // before-plan shows `regexp_extract_all` evaluated below the
+      // fan-out exchange, i.e. serialized onto the unsplittable
+      // single-row-group scan AND computed twice. The rule skips outer
+      // generates; the `_i` predicate below already drops the null row
+      // an empty token array emits (null < x is null → filtered), so the
+      // row set is identical.
       .select(col(idCol), col(toksCol),
-        posexplode(col(toksCol)).as(Seq("_i", "_tok")))
+        posexplode_outer(col(toksCol)).as(Seq("_i", "_tok")))
       .filter(col("_i") < size(col(toksCol)) - 1)
       .select(col(idCol),
         concat_ws(" ", col("_tok"),

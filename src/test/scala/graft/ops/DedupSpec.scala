@@ -224,6 +224,30 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((11L, 12L)))
   }
 
+  test("n-gram stop-shingle cap: over-cap shingles feed no pairs, rare ones survive") {
+    // round-19 internals change: the cap moved from a bucket-size filter
+    // AFTER collect_list to a row-stream window filter BEFORE it (an
+    // over-cap hot shingle must never materialize its posting array) —
+    // the kept row set must be unchanged
+    val boiler = (1L to 8L).map(i => (i, docA))
+    val corpus = (boiler ++ Seq(
+        (11L, docA.replace("dog", "cat") + " extra words here"),
+        (12L, docA.replace("dog", "cat") + " extra words here too")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.count(p => p._1 <= 8 && p._2 <= 8) === 28)
+    assert(uncapped.contains((11L, 12L)))
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.4, maxShingleDocFreq = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // every shingle of the 8 boilerplate docs has df ≥ 8 > 5 → dropped
+    // whole; (11, 12)'s distinguishing shingles have df = 2 and survive
+    assert(!capped.exists(p => p._1 <= 8 && p._2 <= 8))
+    assert(capped.contains((11L, 12L)))
+  }
+
   test("simhash block-permutation: finds a pair differing only in HIGH bits") {
     import org.apache.spark.sql.functions.col
     // sketches differing in 3 high bits (57, 58, 59): the 12-bit prefix
