@@ -69,23 +69,43 @@ object ShingleHashes {
 
   /** Shared by the interpreted and codegen paths. Empty array when the doc
     * has fewer than `shingleN` tokens (matching the composable form's
-    * `otherwise(array())`). */
+    * `otherwise(array())`). Null elements are SKIPPED inside a window —
+    * no bytes, no separator — exactly `concat_ws`'s semantics, so a SQL
+    * caller with null-containing token arrays gets the composable form's
+    * value instead of a task crash (ADVICE r18; the library's own token
+    * arrays come from `regexp_extract_all` and are never null). */
   def of(toks: ArrayData, shingleN: Int, distinct: Boolean): GenericArrayData = {
     val n = toks.numElements()
     if (n < shingleN) return new GenericArrayData(Array.emptyLongArray)
     val nWin = n - shingleN + 1
     val out = new Array[Long](nWin)
     val digest = md.get()
+    // token bytes extracted ONCE per row: getBytes can copy, and the
+    // window loop below would otherwise call it shingleN times per token
+    // (round-19 §4 allocation cut — the 32-core-slower-than-8 scaling
+    // ratios on the hash-dense queries pointed at GC churn)
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) {
+      tokBytes(t) = if (toks.isNullAt(t)) null else toks.getUTF8String(t).getBytes
+      t += 1
+    }
+    val d = new Array[Byte](16) // reused digest output buffer
     var i = 0
     while (i < nWin) {
       digest.reset()
       var j = 0
+      var first = true
       while (j < shingleN) {
-        if (j > 0) digest.update(' '.toByte)
-        digest.update(toks.getUTF8String(i + j).getBytes)
+        val tb = tokBytes(i + j)
+        if (tb != null) {
+          if (!first) digest.update(' '.toByte)
+          digest.update(tb)
+          first = false
+        }
         j += 1
       }
-      val d = digest.digest()
+      digest.digest(d, 0, 16)
       // leading 60 bits of the digest, big-endian — exactly
       // PortableHash.md5Long's conv(substring(md5, 1, 15), 16, 10)
       var h = 0L

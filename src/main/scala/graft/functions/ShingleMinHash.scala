@@ -86,17 +86,34 @@ object ShingleMinHash {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val digest = md.get()
+    // token bytes extracted once per row + reused digest buffer — same
+    // round-19 §4 allocation cut as ShingleHashes.of
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) {
+      tokBytes(t) = if (toks.isNullAt(t)) null else toks.getUTF8String(t).getBytes
+      t += 1
+    }
+    val d = new Array[Byte](16)
     var i = 0
     val last = n - shingleN
     while (i <= last) {
       digest.reset()
+      // null elements skipped, no separator — concat_ws semantics (same
+      // ADVICE-r18 hardening as ShingleHashes.of; this library's token
+      // arrays are never null, SQL callers' may be)
       var j = 0
+      var first = true
       while (j < shingleN) {
-        if (j > 0) digest.update(' '.toByte)
-        digest.update(toks.getUTF8String(i + j).getBytes)
+        val tb = tokBytes(i + j)
+        if (tb != null) {
+          if (!first) digest.update(' '.toByte)
+          digest.update(tb)
+          first = false
+        }
         j += 1
       }
-      val d = digest.digest()
+      digest.digest(d, 0, 16)
       // first 15 hex chars of the digest = leading 60 bits, big-endian —
       // exactly PortableHash.md5Long's conv(substring(md5, 1, 15), 16, 10)
       var h = 0L

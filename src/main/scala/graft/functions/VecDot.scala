@@ -105,6 +105,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "regex_count",
+      (exprs: Seq[Expression]) => RegexCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_band_keys",
+      (exprs: Seq[Expression]) => LshBandKeys(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
     // typed Aggregator → SQL surface: SELECT vec_centroid(embedding) …
     spark.udf.register("vec_centroid",
       org.apache.spark.sql.functions.udaf(VecCentroid))

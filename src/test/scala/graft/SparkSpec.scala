@@ -19,6 +19,10 @@ object SparkTestSession {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft natives (vec_dot, regex_count, …) available to every suite —
+    // production sessions get this via graft.Tables; suites that build
+    // Columns directly (Text.qualityScore → regex_count) need it too
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s
   }
 }

@@ -60,6 +60,28 @@ class ShingleHashesSpec extends SparkSpec {
     assert(r(2L) === Seq(PortableHash.md5LongJvm("one two three")))
   }
 
+  test("null token elements are skipped — concat_ws semantics, no crash") {
+    GraftFunctions.ensureRegistered(spark)
+    // arrays WITH nulls (SQL callers can produce them; the library's
+    // tokenizer cannot): the fused form must equal the composable
+    // concat_ws-based form, which silently skips null elements
+    val docs = Seq(
+      (1L, Seq("a", null, "c", "d")),
+      (2L, Seq(null, null, "x")),
+      (3L, Seq[String](null, null, null)),
+      (4L, Seq("p", "q", "r"))).toDF("id", "toks")
+    val fused = docs.select($"id",
+        call_function("shingle_hashes", $"toks", lit(3), lit(true)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composable = docs.select($"id",
+        Text.shingleHashesOf($"toks", 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused === composable)
+    // spot-check the skip semantics directly
+    assert(fused(4L) === Seq(PortableHash.md5LongJvm("p q r")))
+    assert(fused(1L).head === PortableHash.md5LongJvm("a c"))
+  }
+
   test("interpreted path equals the codegen path") {
     GraftFunctions.ensureRegistered(spark)
     val docs = randomDocs(100).toDF("id", "text")
