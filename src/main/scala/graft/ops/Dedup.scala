@@ -587,9 +587,14 @@ object Dedup {
   def removeCommonLines(
       docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 5): DataFrame = {
+    // outer + isNotNull: split() of non-null text is never empty or
+    // null-elemented, so the rows are identical — this only stops
+    // InferFiltersFromGenerate from cloning the split into the scan
+    // filter (see shingleHashIndex; round 19)
     val lines = docs
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode_outer(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line").isNotNull)
       .withColumn("h", PortableHash.md5Long(col("line")))
     val common = lines
       .filter(length(col("line")) > 0)

@@ -701,7 +701,7 @@ object Layout {
       // half is [[snapshotCreate]]'s declare gate)
       val tableSchema = prevSchema.orElse(prev.headOption.map(rel =>
         stripUndeclaredPolicy(
-          spark.read.parquet(new Path(dir, rel).toString).schema)))
+          fileSchema(spark, dir, rel))))
       tableSchema.foreach { ts =>
         if (evolve) {
           val byName = df.schema.fields.map(f =>
@@ -1111,7 +1111,7 @@ object Layout {
       val schema0 = metaLines.find(_.startsWith(SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
         .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
+          fileSchema(spark, dir, rel)))
         .getOrElse(sys.error(
           s"$op: snapshot v$base at $dir has no files and no recorded " +
             "schema"))
@@ -1437,6 +1437,34 @@ object Layout {
   }
 
   /** [[mappedRead]] with the stock batch parquet reader. */
+  /** Footer schema of one manifest-relative file, read on the DRIVER —
+    * replaces the `spark.read.parquet(path).schema` idiom, whose schema
+    * inference runs a one-task Spark job per call (30–50 ms of pure
+    * scheduling for a ~1 ms local footer read; StageProbe r19 showed
+    * 1–2 such jobs on every snapshot open). Same schema by construction:
+    * [[org.apache.spark.sql.GraftPlanBridge.parquetSchemaOf]] uses
+    * Spark's own footer-to-schema converter under the session conf. */
+  private def fileSchema(spark: SparkSession, dir: String,
+      rel: String): org.apache.spark.sql.types.StructType = {
+    // manifest rels are DIRECTORIES (data/vNNNNNNNN-token/part-*.parquet)
+    // — resolve to one data file; footers agree within a commit by
+    // construction (one writer, one schema)
+    val p = new Path(dir, rel)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).iterator
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+          .toSeq.sortBy(_.getName)
+          .headOption
+          .getOrElse(sys.error(
+            s"fileSchema: no parquet data file under $p"))
+      else p
+    org.apache.spark.sql.GraftPlanBridge.parquetSchemaOf(
+      spark, file.toString)
+  }
+
   private def mappedParquetRead(spark: SparkSession, dir: String,
       rels: Seq[String], schema: Option[org.apache.spark.sql.types.StructType],
       colmaps: Seq[(Long, Map[Int, String])]): DataFrame = {
@@ -1447,8 +1475,14 @@ object Layout {
       case Some(s) => mappedRead(dir, rels, s, colmaps, read)
       case None    =>
         // pre-schema-line table: no evolution and no rename ever
-        // happened, footers agree — colmaps are necessarily absent
-        spark.read.parquet(rels.map(r => new Path(dir, r).toString): _*)
+        // happened, footers agree — colmaps are necessarily absent.
+        // The schema comes from ONE footer read on the driver instead
+        // of the reader's inference job (footers agree by contract,
+        // exactly the file inference would have picked).
+        val paths = rels.map(r => new Path(dir, r).toString)
+        if (rels.isEmpty) spark.read.parquet(paths: _*)
+        else spark.read.schema(fileSchema(spark, dir, rels.head))
+          .parquet(paths: _*)
     }
   }
 
@@ -1498,7 +1532,7 @@ object Layout {
     val schema0 = metaLines.find(_.startsWith(SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
       .orElse(prev.headOption.map(rel =>
-        spark.read.parquet(new Path(dir, rel).toString).schema))
+        fileSchema(spark, dir, rel)))
       .getOrElse(sys.error(
         s"$op: $what at $dir has no files and no recorded schema"))
     val schema1 = withFieldIds(schema0,
@@ -1666,7 +1700,7 @@ object Layout {
       val schema0 = metaLines.find(_.startsWith(SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
         .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
+          fileSchema(spark, dir, rel)))
         .getOrElse(sys.error(
           s"snapshotDropColumns: snapshot v$base at $dir has no files " +
             "and no recorded schema"))
@@ -1862,7 +1896,7 @@ object Layout {
     val schema0 = metaLines.find(_.startsWith(SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
       .orElse(prev.headOption.map(rel =>
-        spark.read.parquet(new Path(dir, rel).toString).schema))
+        fileSchema(spark, dir, rel)))
       .getOrElse(sys.error(
         s"$op: $what at $dir has no files and no recorded schema"))
     val schema1 = withFieldIds(schema0,
@@ -1928,10 +1962,6 @@ object Layout {
     * refuses across it and the typed feed replays it from the file
     * diff ([[typedChangesPlan]]). */
   private[graft] val RestoreTag = "restore-of="
-
-  private def isRewriteVersion(spark: SparkSession, dir: String,
-      version: Long): Boolean =
-    snapshotMetaOf(spark, dir, version).exists(_.startsWith(RewriteTag))
 
   // ------------------------------------------- merge-on-read deletes
 
@@ -2790,7 +2820,7 @@ object Layout {
         .find(_.startsWith(SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
         .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
+          fileSchema(spark, dir, rel)))
       tableSchema.foreach { ts =>
         val absent = keyCols.filterNot(k =>
           ts.fields.exists(_.name.equalsIgnoreCase(k)))
@@ -2839,7 +2869,10 @@ object Layout {
     rels.groupBy(firstApplicable).toSeq.sortBy(_._1).map { case (i, group) =>
       dels.drop(i).foldLeft(reader(group)) { case (df, (_, delRel, cols)) =>
         df.join(
-          spark.read.parquet(new Path(dir, delRel).toString),
+          // explicit footer schema: a schemaless read pays a one-task
+          // inference job per delete overlay per read (StageProbe r19)
+          spark.read.schema(fileSchema(spark, dir, delRel))
+            .parquet(new Path(dir, delRel).toString),
           cols, "left_anti")
       }
     }.reduce(_ unionByName _)
@@ -2926,8 +2959,12 @@ object Layout {
     require(toVersion == -1L || toVersion >= 1,
       s"snapshotChanges: toVersion must be a committed version (>= 1) or " +
         s"the latest-version sentinel -1, got $toVersion")
+    // ONE completeness walk (snapshotVersions reads every manifest to
+    // probe completeness — round 19: it was called twice here, doubling
+    // the O(versions) manifest GETs of every incremental read)
+    val versions = snapshotVersions(spark, dir)
     val to = if (toVersion == -1L)
-      snapshotVersions(spark, dir).lastOption
+      versions.lastOption
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
     else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
@@ -2935,8 +2972,7 @@ object Layout {
         s"got $fromVersion..$to")
     // complete versions inside the interval, ascending; `to` must itself
     // be complete (its manifest read below throws on a torn one)
-    val steps = snapshotVersions(spark, dir)
-      .filter(v => v > fromVersion && v <= to)
+    val steps = versions.filter(v => v > fromVersion && v <= to)
     require(to == fromVersion || steps.lastOption.contains(to),
       s"snapshotChanges: v$to at $dir is not a committed snapshot")
     var prev: Set[String] = if (fromVersion == 0) Set.empty[String]
@@ -2959,6 +2995,9 @@ object Layout {
       // typed feed replays it row-level); a no-op restore (identical
       // file list and overlay set) contributes nothing and passes.
       val delsHere = parseDeleteMeta(metaV).map(_._2).toSet
+      // from the metadata already in hand — isRewriteVersion(v) re-read
+      // the manifest, twice per step (round 19)
+      val rewriteHere = metaV.exists(_.startsWith(RewriteTag))
       if (metaV.exists(_.startsWith(RestoreTag)) && !bootstrapFirstStep)
         require(files.toSet == prev && delsHere == prevDels,
           s"snapshotChanges: v$fromVersion..v$to contains a RESTORE at " +
@@ -2969,12 +3008,12 @@ object Layout {
       // a NEW merge-on-read delete line removes rows without touching the
       // file list — not representable as a file delta, refuse like any
       // other rewrite (a delete line merely CARRIED forward is fine)
-      require(delsHere.subsetOf(prevDels) || isRewriteVersion(spark, dir, v),
+      require(delsHere.subsetOf(prevDels) || rewriteHere,
         s"snapshotChanges: v$fromVersion..v$to contains a merge-on-read " +
           s"delete at v$v (snapshotDeleteKeys) — removed rows are not a " +
           "file delta; recompute from snapshotRead instead")
       prevDels = delsHere
-      if (isRewriteVersion(spark, dir, v) && !bootstrapFirstStep) {
+      if (rewriteHere && !bootstrapFirstStep) {
         // pure rewrite: zero row delta RELATIVE TO ITS BASE — adopt its
         // file set as the new diff base, count nothing. When the walk
         // STARTS at the rewrite (fromVersion = 0 and every earlier
@@ -3094,15 +3133,17 @@ object Layout {
     require(toVersion == -1L || toVersion >= 1,
       s"snapshotChangesTyped: toVersion must be a committed version " +
         s"(>= 1) or the latest-version sentinel -1, got $toVersion")
+    // one completeness walk, not two (same round-19 fix as
+    // changeFileWalk — snapshotVersions reads every manifest)
+    val versions = snapshotVersions(spark, dir)
     val to = if (toVersion == -1L)
-      snapshotVersions(spark, dir).lastOption
+      versions.lastOption
         .getOrElse(sys.error(s"no committed snapshot at $dir"))
     else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
       s"snapshotChangesTyped: need 0 <= fromVersion <= toVersion, " +
         s"got $fromVersion..$to")
-    val steps = snapshotVersions(spark, dir)
-      .filter(v => v > fromVersion && v <= to)
+    val steps = versions.filter(v => v > fromVersion && v <= to)
     require(to == fromVersion || steps.lastOption.contains(to),
       s"snapshotChangesTyped: v$to at $dir is not a committed snapshot")
     // every piece reconciles to the schema of record at `to`
@@ -3110,7 +3151,7 @@ object Layout {
     val tableSchema = toLines.find(_.startsWith("#" + SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix("#" + SchemaTag)))
       .orElse(toLines.filterNot(_.startsWith("#")).headOption.map(rel =>
-        spark.read.parquet(new Path(dir, rel).toString).schema))
+        fileSchema(spark, dir, rel)))
       .getOrElse(sys.error(
         s"snapshotChangesTyped: v$to at $dir has no files and no " +
           "recorded schema — nothing to derive the feed schema from"))
@@ -3217,7 +3258,9 @@ object Layout {
             pass: Seq[(Long, String, Seq[String])],
             only: Seq[(Long, String, Seq[String])]): Option[DataFrame] = {
           def keysOf(rel: String): DataFrame =
-            spark.read.parquet(new Path(dir, rel).toString)
+            // explicit footer schema — no per-overlay inference job
+            spark.read.schema(fileSchema(spark, dir, rel))
+              .parquet(new Path(dir, rel).toString)
           val groups = rels.groupBy { rel =>
             val fv = relDirVersion(rel).getOrElse(Long.MaxValue)
             only.indexWhere(_._1 >= fv) match {
@@ -3367,10 +3410,12 @@ object Layout {
               pieces += withMeta(ups, "insert", v)
           }
         }
-      } else if (isRewriteVersion(spark, dir, v)) {
+      } else if (meta.exists(_.startsWith(RewriteTag))) {
         // pure rewrite: zero row delta relative to its base (a
         // compaction materializing an overlay included — those rows
-        // were emitted as deletes at their own version)
+        // were emitted as deletes at their own version). Checked on the
+        // metadata already in hand — isRewriteVersion(v) re-read the
+        // manifest per step (round 19).
       } else {
         require(delsHere.map(_._2).toSet.subsetOf(prevDels),
           s"snapshotChangesTyped: v$v at $dir adds a merge-on-read " +
@@ -3997,7 +4042,7 @@ object Layout {
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
       val tableSchema = recorded
         .orElse(prev.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
+          fileSchema(spark, dir, rel)))
         .getOrElse(sys.error(s"$op: snapshot v$base at $dir has no files"))
       // a file-granular probe/rewrite reads files under ONE schema and
       // tracks them by `_metadata.file_path` — per-generation rename
@@ -5602,12 +5647,12 @@ object Layout {
         .orElse(tipMeta.find(_.startsWith(SchemaTag))
           .map(l => schemaFromJson(l.stripPrefix(SchemaTag))))
         .orElse(staged.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
+          fileSchema(spark, dir, rel)))
       val tipSchemaLine = tipMeta.find(_.startsWith(SchemaTag))
         .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
       val tipSchemaOpt = tipSchemaLine
         .orElse(staged.headOption.map(rel =>
-          spark.read.parquet(new Path(dir, rel).toString).schema))
+          fileSchema(spark, dir, rel)))
       // main's REAL schema for the merge below — its own line, else
       // one carried file's footer (one GET, rebase-frequency only);
       // the `mainSchema` val above falls back to the TIP's line for
@@ -5618,7 +5663,7 @@ object Layout {
       val mainSchemaReal = mainSchemaLine
         .orElse(mainLines.filterNot(_.startsWith("#")).headOption
           .map(rel => stripUndeclaredPolicy(
-            spark.read.parquet(new Path(dir, rel).toString).schema)))
+            fileSchema(spark, dir, rel))))
       def lower(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
       // MAIN-SIDE RENAMES RIDE THE REBASE (round 16, judge ask #3): a
       // rename is metadata-only on main (a `colmap=` line mapping the
@@ -7443,7 +7488,7 @@ object Layout {
     val schema = metaLines.find(_.startsWith(SchemaTag))
       .map(l => schemaFromJson(l.stripPrefix(SchemaTag)))
       .orElse(rels.headOption.map(rel =>
-        spark.read.parquet(new Path(dir, rel).toString).schema))
+        fileSchema(spark, dir, rel)))
       .getOrElse(sys.error(
         s"$what has no files and no recorded schema"))
     val colmaps = parseColMaps(metaLines)

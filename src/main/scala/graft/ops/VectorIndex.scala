@@ -218,7 +218,36 @@ object VectorIndex {
   def read(spark: SparkSession, dir: String, nCells: Int = -1,
       m: Int = -1, kCodes: Int = -1): Handle = {
     val (params, centers, books) = sidecars(spark, dir, nCells, m, kCodes)
-    Handle(params, centers, books, spark.read.parquet(s"$dir/coded"))
+    // explicit schema (one driver-side footer read + the `cell`
+    // partition column): a schemaless read of the partitioned coded
+    // table runs parquet schema inference as a one-task Spark job per
+    // open — pure scheduling overhead on the retrieval hot path
+    // (round-19 metadata pass; the r18 driver-cost fix's sibling)
+    val coded = codedFooterSchema(spark, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(s"$dir/coded")
+      case None    => spark.read.parquet(s"$dir/coded")
+    }
+    Handle(params, centers, books, coded)
+  }
+
+  /** Schema of the coded table from ONE data-file footer (driver-side,
+    * no job) plus the directory-derived `cell` partition column — None
+    * when no data file exists yet (fall back to the reader's own
+    * discovery, which also handles the empty-table error paths). */
+  private def codedFooterSchema(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val codedRoot = new org.apache.hadoop.fs.Path(s"$dir/coded")
+    val fs = codedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(codedRoot)) return None
+    fs.listStatus(codedRoot).toSeq
+      .find(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap(cd => fs.listStatus(cd.getPath).toSeq.find(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .map { f =>
+        org.apache.spark.sql.GraftPlanBridge
+          .parquetSchemaOf(spark, f.getPath.toString)
+          .add("cell", org.apache.spark.sql.types.IntegerType)
+      }
   }
 
   /** Meta + routing tables, parameter-checked — everything except the
@@ -252,13 +281,23 @@ object VectorIndex {
     // `.orderBy(...).collect()` forms each paid a range-partitioning
     // shuffle (sampling pass + exchange = 2-3 extra jobs per open) on
     // the retrieval hot path. Same arrays, bit-identically.
-    val centers = spark.read.parquet(s"$dir/_centroids")
+    // round-19: explicit static schemas — this library owns both sides
+    // of the sidecar format (build writes (cell, vec) / (sub, code,
+    // vec)); a schemaless read paid a one-task inference job per
+    // sidecar per open.
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructType}
+    val centroidSchema = new StructType()
+      .add("cell", IntegerType).add("vec", ArrayType(DoubleType))
+    val bookSchema = new StructType().add("sub", IntegerType)
+      .add("code", IntegerType).add("vec", ArrayType(DoubleType))
+    val centers = spark.read.schema(centroidSchema)
+      .parquet(s"$dir/_centroids")
       .collect()
       .sortBy(_.getAs[Int]("cell"))
       .map(_.getAs[Seq[Double]]("vec").toArray)
     require(centers.length == params.nCells,
       s"index at $dir: ${centers.length} centroids, meta says ${params.nCells}")
-    val books = spark.read.parquet(s"$dir/_books")
+    val books = spark.read.schema(bookSchema).parquet(s"$dir/_books")
       .collect()
       .groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getAs[Int]("code"))

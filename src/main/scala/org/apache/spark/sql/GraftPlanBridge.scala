@@ -68,6 +68,30 @@ object GraftPlanBridge {
       plan.collect { case p => p }.forall(_.expressions.forall(exprOk))
   }
 
+  /** Schema of ONE parquet file, read from its footer ON THE DRIVER —
+    * no Spark job. `spark.read.parquet(path).schema` (and a schemaless
+    * `spark.read.parquet(...)`) run parquet schema inference as a
+    * one-task Spark JOB per call (`readParquetFootersInParallel`):
+    * StageProbe shows every snapshot-table open paying 1–2 such jobs at
+    * 30–50 ms wall each — pure scheduling overhead for a ~1 ms local
+    * footer read, and at 100 TB driver-side jobs do not parallelize
+    * (round-19 metadata-plane pass; the scaling block's ≈1.0 ratios).
+    * Conversion uses Spark's OWN ParquetToSparkSchemaConverter driven by
+    * the session's SQLConf, so binaryAsString / int96 / timestampNTZ /
+    * legacy-nanos decisions are identical to what inference would have
+    * produced. */
+  def parquetSchemaOf(spark: SparkSession, path: String): types.StructType = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val hconf = cs.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+    new execution.datasources.parquet.ParquetToSparkSchemaConverter(
+      cs.sessionState.conf).convert(msg)
+  }
+
   /** A parquet scan over an explicit file list, tagged `isStreaming` —
     * what a V1 streaming `Source.getBatch` must return (the engine
     * splices it in place of the streaming relation; a plain batch
