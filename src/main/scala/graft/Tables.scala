@@ -13,7 +13,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    // explicit schema from ONE footer read on the driver: a schemaless
+    // read runs parquet schema inference as a one-task Spark job —
+    // StageProbe r19 showed every headline query paying ~25-45 ms of
+    // scheduling for it ("parquet at Tables.scala") on every rep. The
+    // footer goes through Spark's own ParquetToSparkSchemaConverter
+    // under the session conf, which is exactly what inference runs on
+    // the file it picks (mergeSchema is off; these tables are
+    // single-writer, footers agree), so the decoded types — including
+    // events.ts's legacy-nanos/NTZ/timestamp generations — are
+    // identical. Falls back to inference when no data file is found
+    // (preserves the reader's own error paths).
+    val path = s"$dir/$name.parquet"
+    firstDataFile(spark, path) match {
+      case Some(f) => spark.read
+        .schema(org.apache.spark.sql.GraftPlanBridge.parquetSchemaOf(spark, f))
+        .parquet(path)
+      case None => spark.read.parquet(path)
+    }
+  }
+
+  private def firstDataFile(spark: SparkSession,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Some(path)
+      else fs.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq.sorted.headOption
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
