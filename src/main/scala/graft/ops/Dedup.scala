@@ -80,7 +80,6 @@ object Dedup {
       numHashes: Int, shingleN: Int, cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = spread(docs)
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       // too-short-to-shingle rows are dropped with a CHEAP equivalent
       // predicate (sig is null ⟺ fewer than shingleN tokens) BEFORE the
       // signature projection: the former `filter(sig.isNotNull)` was
@@ -90,9 +89,13 @@ object Dedup {
       // the projection (round-19 find, visible in the committed
       // q27/q66/q110/q111 before-plans: `Condition :
       // isnotnull(shingle_minhash(regexp_extract_all(…)))` under a
-      // Project computing the same). The size predicate pushes down as
-      // one tokenizer call; the minhash pass now runs exactly once.
-      .filter(size(col("toks")) >= shingleN)
+      // Project computing the same). regex_count counts the tokenizer's
+      // matches without materializing the token array (the scan filter
+      // this pushes into allocates nothing); the minhash pass runs
+      // exactly once, above the exchange.
+      .filter(call_function("regex_count", col(textCol), lit("\\S+"))
+        >= shingleN)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       // fused tokenize→shingle→hash→minima expression: the composable
       // shingleHashesOf + minhash_sig form leaves the shingle/MD5 stage
       // in interpreted HOFs, which dominated the whole near-dup build
